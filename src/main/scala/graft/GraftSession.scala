@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table access for the graft engine.
+  *
+  * The engine is a library on top of `org.apache.spark.sql`: every operator
+  * declares a logical plan (DataFrame/Dataset transformations) and Catalyst
+  * picks the physical strategy. Config defaults here are the scale-oriented
+  * ones we would ship on a real cluster (AQE on, skew-join handling on);
+  * `shufflePartitions` is sized by the caller (32 for local[32] testing,
+  * thousands on a 1000-executor cluster).
+  */
+object GraftSession {
+
+  /** Build a local session for tests/benchmarks. */
+  def local(cores: Int = 32, shufflePartitions: Int = 32): SparkSession =
+    configure(
+      SparkSession.builder().master(s"local[$cores]"),
+      shufflePartitions
+    ).getOrCreate()
+
+  /** Apply engine defaults to any builder (local or cluster). */
+  def configure(
+      b: SparkSession.Builder,
+      shufflePartitions: Int
+  ): SparkSession.Builder =
+    b.appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  /** Read one of the driver-provided parquet tables from an sf directory. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}
