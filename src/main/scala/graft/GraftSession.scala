@@ -31,6 +31,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // the driver's events.parquet stores ts as TIMESTAMP(NANOS), which
+      // vanilla Spark refuses; read as Long nanoseconds and convert with
+      // exact integer arithmetic (see SparkEntry.eventTimestamp).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   /** Read one of the driver-provided parquet tables from an sf directory. */

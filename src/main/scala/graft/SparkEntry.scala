@@ -1,19 +1,35 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every implemented operator from SURVEY.md §2 gets a `queries` entry and
   * (where SQL-expressible) a matching `oracleSql` entry. Column names are
   * aliased identically on both sides — the driver's compare sorts columns
-  * by name before hashing.
+  * by name before hashing. Float-sum determinism: money aggregates go
+  * through DECIMAL(18,4) on BOTH sides so the sum is exact and
+  * order-independent, then round + cast back to DOUBLE.
   */
 object SparkEntry {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     GraftSession.table(spark, dir, name)
+
+  /** Exact, order-independent sum of a double money column. */
+  private def moneySum(c: Column): Column = sum(c.cast("decimal(18,4)"))
+
+  /** events.ts is read as Long nanoseconds (nanosAsLong) — convert with
+    * integer arithmetic only; double division of ~1e18 ns loses precision.
+    */
+  private def eventTimestamp(tsNanos: String): Column =
+    timestamp_micros(expr(s"$tsNanos DIV 1000"))
+
+  private def eventEpochSeconds(tsNanos: String): Column =
+    expr(s"$tsNanos DIV 1000000000")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -21,8 +37,9 @@ object SparkEntry {
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // O6/O7: partial+final hash aggregation (SamRegion accumulation ≈
-    // groupBy count/min/max/sum; S/utils/SamRegion.scala:48-65).
+
+    // O6/O7: partial+final hash aggregation (SamRegion accumulation,
+    // S/utils/SamRegion.scala:48-65; totals at S/SparkGA1.scala:1138-1147).
     "q1_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -31,9 +48,197 @@ object SparkEntry {
           sum(col("l_quantity")).as("sum_qty"),
           min(col("l_quantity")).as("min_qty"),
           max(col("l_quantity")).as("max_qty"),
-          round(avg(col("l_quantity")), 6).as("avg_qty")
-        )
+          round(avg(col("l_quantity")), 6).as("avg_qty"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // O4: projection + predicates — bitmask clear, ignore-list, inequality
+    // (SamRegionsParser.scala:44-53 shape).
+    "q2_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(Filters.maskClear(col("l_linenumber"), 4) &&
+               Filters.notIgnored(col("l_returnflag"), Seq("N")) &&
+               col("l_quantity") > 10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+                col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // O5: range-bucket assignment via per-group derived widths
+    // (DictParser.java:80-96 + SamRegionsParser.scala:60).
+    "q3_bucketize" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val dict = li.groupBy(col("l_suppkey"))
+        .agg(max(col("l_orderkey")).as("length"))
+      val w = Bucketize.widths(dict, "l_suppkey", "length", 10)
+      Bucketize.withBucket(li, w, "l_suppkey", "l_orderkey")
+        .groupBy(col("l_suppkey"), col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+             min(col("l_orderkey")).as("min_pos"),
+             max(col("l_orderkey")).as("max_pos"))
+        .orderBy(col("l_suppkey"), col("bucket"))
+    }),
+
+    // O14: distinct (S/SparkGA1.scala:1241).
+    "q4_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // O15: global total sort by composite key (S/SparkGA1.scala:1236-1251)
+    // — range exchange + per-partition sort, no driver collect.
+    "q5_global_sort" -> ((s, dir) => {
+      Ordering.globalSort(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+        Seq(col("l_orderkey"), col("l_linenumber")))
+    }),
+
+    // O16: size-descending top-k (largest-first scheduling,
+    // S/SparkGA1.scala:1159-1161) — TakeOrderedAndProject, not a full sort.
+    "q6_topk" -> ((s, dir) => {
+      Ordering.topK(
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice")),
+        100, Seq(desc("o_totalprice"), asc("o_orderkey")))
+    }),
+
+    // O21: broadcast dimension lookup (dict broadcast,
+    // S/SparkGA1.scala:1006) as a two-level broadcast hash join.
+    "q7_broadcast_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+             round(moneySum(col("c_acctbal")), 2).cast("double")
+               .as("sum_acctbal"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // O13: containment range join — event timestamps against month
+    // intervals derived from orders (exome-BED intersection shape,
+    // S/SparkGA1.scala:657-732; small side broadcast).
+    "q8_range_join" -> ((s, dir) => {
+      val months = t(s, dir, "orders")
+        .select(date_trunc("month", col("o_orderdate")).as("month"))
+        .distinct()
+      t(s, dir, "events")
+        .withColumn("ets", eventTimestamp("ts"))
+        .join(broadcast(months),
+          col("ets") >= col("month") &&
+          col("ets") < col("month") + expr("INTERVAL '1' MONTH"))
+        .groupBy(col("month"))
+        .agg(count(lit(1)).as("n_events"),
+             round(moneySum(col("value")), 4).cast("double").as("sum_value"))
+        .orderBy(col("month"))
+    }),
+
+    // O13: interval-overlap join with overlap length + degenerate fix-up
+    // (SparkGA1.scala:692-695).
+    "q9_interval_overlap" -> ((s, dir) => {
+      val a = t(s, dir, "lineitem").groupBy(col("l_suppkey"))
+        .agg(min(col("l_orderkey")).as("astart"),
+             max(col("l_orderkey")).as("aend"))
+      val b = t(s, dir, "orders").groupBy(col("o_orderpriority"))
+        .agg(min(col("o_orderkey")).as("bstart"),
+             max(col("o_orderkey")).as("bend"))
+      val bf = RangeJoin.fixDegenerate(b, "bstart", "bend")
+      a.join(broadcast(bf),
+          RangeJoin.overlaps(col("astart"), col("aend"),
+                             col("bstart"), col("bend")))
+        .select(col("l_suppkey"), col("o_orderpriority"),
+          (least(col("aend"), col("bend")) -
+           greatest(col("astart"), col("bstart")) + 1).as("overlap_len"))
+        .orderBy(col("l_suppkey"), col("o_orderpriority"))
+    }),
+
+    // O12: gap-tolerant interval coalescing / sessionization
+    // (RegionIterator.java:59,101-132; gap here = 1800s on event time).
+    "q10_sessionize" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), eventEpochSeconds("ts").as("t"))
+      Sessionize.sessionizeEvents(e, Seq("user_id"), "t", 1800L)
+        .orderBy(col("user_id"), col("sess_start"))
+    }),
+
+    // O17 (MarkDuplicates step): deterministic keep-best-per-key dedup via
+    // row_number window (SparkGA1.scala:822-851 semantics).
+    "q11_markdup" -> ((s, dir) => {
+      Dedup.firstPerKey(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+                  col("l_extendedprice")),
+        Seq("l_orderkey"),
+        Seq(desc("l_extendedprice"), asc("l_linenumber")))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // O10: exact equal-frequency split (ntile) — the reference's
+    // sorted-histogram hot-region split (SparkGA1.scala:346-353,550-570).
+    "q12_ntile" -> ((s, dir) => {
+      Skew.ntileSplit(
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"),
+                  col("l_orderkey"), col("l_linenumber")),
+        Seq("l_returnflag"), 4,
+        Seq("l_extendedprice", "l_orderkey", "l_linenumber"))
+        .groupBy(col("l_returnflag"), col("segment"))
+        .agg(count(lit(1)).as("n_rows"),
+             min(col("l_extendedprice")).as("min_price"),
+             max(col("l_extendedprice")).as("max_price"))
+        .orderBy(col("l_returnflag"), col("segment"))
+    }),
+
+    // O9: salted two-level aggregation for hot keys
+    // (segments = round(n·factor/avg), SparkGA1.scala:242).
+    "q13_salted_agg" -> ((s, dir) => {
+      Skew.saltedSumCount(t(s, dir, "lineitem"), Seq("l_suppkey"),
+          "l_quantity", saltBuckets = 8)
+        .orderBy(col("l_suppkey"))
+    }),
+
+    // Money aggregation with exact decimal arithmetic (order-independent).
+    "q15_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,4)") *
+                       (lit(1).cast("decimal(18,4)") -
+                        col("l_discount").cast("decimal(18,4)"))), 2)
+               .cast("double").as("revenue"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Set operations: union-distinct + except (the reference's implicit
+    // union of per-chunk outputs, S/SparkGA1.scala:1098,1236 + distinct).
+    "q16_setops" -> ((s, dir) => {
+      val ck = t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      val sk = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
+      val r0 = t(s, dir, "nation").where(col("n_regionkey") === 0)
+        .select(col("n_nationkey").as("k"))
+      ck.union(sk).distinct().except(r0).orderBy(col("k"))
+    }),
+
+    // Scalar function library: string split/slice/concat/replace/indexOf,
+    // int div/mod bucketing, bitwise AND, round
+    // (SamRegionsParser.scala:42,46; SparkGA1.scala:329-330).
+    "q17_scalar_fns" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_name"), 1, 5).as("name_prefix"),
+        regexp_replace(col("p_name"), "a", "@").as("name_repl"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        length(col("p_name")).as("name_len"),
+        instr(col("p_type"), " ").as("type_space"),
+        (col("p_size") % 7).as("size_mod"),
+        col("p_size").bitwiseAND(3).as("size_band"),
+        round(col("p_retailprice") / 7, 4).as("price_div"))
+        .orderBy(col("p_partkey"))
     })
   )
 
@@ -49,6 +254,160 @@ object SparkEntry {
          round(avg(l_quantity), 6) AS avg_qty
          FROM lineitem
          GROUP BY l_returnflag, l_linestatus
-         ORDER BY l_returnflag, l_linestatus"""
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+         FROM lineitem
+         WHERE (l_linenumber & 4) = 0 AND l_returnflag <> 'N'
+           AND l_quantity > 10
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q3_bucketize" ->
+      """WITH w AS (
+           SELECT l_suppkey,
+                  GREATEST(CAST(ceil(CAST(max(l_orderkey) AS DOUBLE) / 10)
+                                AS BIGINT), 1) AS bucket_width
+           FROM lineitem GROUP BY l_suppkey)
+         SELECT l.l_suppkey,
+                CAST(floor(CAST(l.l_orderkey AS DOUBLE) / w.bucket_width)
+                     AS INTEGER) AS bucket,
+                count(*) AS n_rows,
+                min(l.l_orderkey) AS min_pos,
+                max(l.l_orderkey) AS max_pos
+         FROM lineitem l JOIN w USING (l_suppkey)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q4_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q5_global_sort" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q6_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+
+    "q7_broadcast_join" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+                CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2)
+                     AS DOUBLE) AS sum_acctbal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+
+    "q8_range_join" ->
+      """WITH months AS (
+           SELECT DISTINCT date_trunc('month', o_orderdate) AS month
+           FROM orders)
+         SELECT month, count(*) AS n_events,
+                CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE)
+                  AS sum_value
+         FROM events JOIN months
+           ON ts >= month AND ts < month + INTERVAL 1 MONTH
+         GROUP BY month ORDER BY month""",
+
+    "q9_interval_overlap" ->
+      """WITH a AS (
+           SELECT l_suppkey, min(l_orderkey) AS astart,
+                  max(l_orderkey) AS aend
+           FROM lineitem GROUP BY l_suppkey),
+         b0 AS (
+           SELECT o_orderpriority, min(o_orderkey) AS bstart,
+                  max(o_orderkey) AS bend
+           FROM orders GROUP BY o_orderpriority),
+         b AS (
+           SELECT o_orderpriority, bstart,
+                  CASE WHEN bstart = bend THEN bend + 1 ELSE bend END AS bend
+           FROM b0)
+         SELECT l_suppkey, o_orderpriority,
+                least(aend, bend) - greatest(astart, bstart) + 1
+                  AS overlap_len
+         FROM a JOIN b ON astart <= bend AND bstart <= aend
+         ORDER BY l_suppkey, o_orderpriority""",
+
+    "q10_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts) // 1000000000 AS t FROM events),
+         m AS (
+           SELECT user_id, t,
+                  max(t) OVER (PARTITION BY user_id ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS prev_max
+           FROM e),
+         f AS (
+           SELECT user_id, t,
+                  CASE WHEN prev_max IS NULL OR t > prev_max + 1800
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM m),
+         sess AS (
+           SELECT user_id, t,
+                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS sid
+           FROM f)
+         SELECT user_id, min(t) AS sess_start, max(t) AS sess_end,
+                count(*) AS n_rows
+         FROM sess GROUP BY user_id, sid
+         ORDER BY user_id, sess_start""",
+
+    "q11_markdup" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+         FROM (
+           SELECT l_orderkey, l_linenumber, l_extendedprice,
+                  row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+           FROM lineitem)
+         WHERE rn = 1 ORDER BY l_orderkey""",
+
+    "q12_ntile" ->
+      """WITH s AS (
+           SELECT l_returnflag, l_extendedprice,
+                  CAST(ntile(4) OVER (PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+                    AS INTEGER) AS segment
+           FROM lineitem)
+         SELECT l_returnflag, segment, count(*) AS n_rows,
+                min(l_extendedprice) AS min_price,
+                max(l_extendedprice) AS max_price
+         FROM s GROUP BY l_returnflag, segment
+         ORDER BY l_returnflag, segment""",
+
+    "q13_salted_agg" ->
+      """SELECT l_suppkey, sum(l_quantity) AS sum_value,
+                count(*) AS n_rows
+         FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""",
+
+    "q15_revenue" ->
+      """SELECT l_returnflag,
+                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                               (CAST(1 AS DECIMAL(18,4)) -
+                                CAST(l_discount AS DECIMAL(18,4)))), 2)
+                     AS DOUBLE) AS revenue
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q16_setops" ->
+      """(SELECT c_nationkey AS k FROM customer
+         UNION
+         SELECT s_nationkey AS k FROM supplier)
+         EXCEPT
+         SELECT n_nationkey AS k FROM nation WHERE n_regionkey = 0
+         ORDER BY k""",
+
+    "q17_scalar_fns" ->
+      """SELECT p_partkey,
+                upper(p_brand) AS brand_upper,
+                substring(p_name, 1, 5) AS name_prefix,
+                replace(p_name, 'a', '@') AS name_repl,
+                concat(p_brand, '#', p_type) AS brand_type,
+                CAST(length(p_name) AS INTEGER) AS name_len,
+                CAST(instr(p_type, ' ') AS INTEGER) AS type_space,
+                p_size % 7 AS size_mod,
+                p_size & 3 AS size_band,
+                round(p_retailprice / 7, 4) AS price_div
+         FROM part ORDER BY p_partkey"""
   )
 }

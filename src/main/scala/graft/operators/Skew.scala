@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Skew-aware repartitioning — the reference's hot-region splitting.
+  *
+  * Reference semantics: a region holding more than the average number of
+  * reads is split into `segments = round(reads * factor / avg)`
+  * equal-frequency sub-partitions (`program/src/main/scala/hmushtaq/sparkga1/
+  * SparkGA1.scala:242,267`), with boundaries from an exact sorted-position
+  * histogram + binary search (`SparkGA1.scala:346-353,405-418,550-570`).
+  *
+  * Spark-native: AQE already splits skewed *shuffle* partitions at runtime;
+  * these helpers cover the cases AQE doesn't — groupBy-skew via two-level
+  * salted aggregation, and explicit equal-frequency sub-bucketing via
+  * `ntile` (exact, matches the reference's histogram semantics) or
+  * `percentile_approx` boundaries (the 100 TB path: no full sort of the hot
+  * key's rows, one sketch pass).
+  */
+object Skew {
+
+  /** `segments = max(1, round(n * factor / avg))` — SparkGA1.scala:242. */
+  def segmentCounts(counts: DataFrame, keyCols: Seq[String],
+                    countCol: String, factor: Double): DataFrame = {
+    val avgCount = counts.agg(avg(col(countCol))).head.getDouble(0)
+    counts.withColumn("segments",
+      greatest(round(col(countCol) * factor / avgCount).cast("int"), lit(1)))
+  }
+
+  /** Exact equal-frequency split: `ntile(n)` per key partition, total
+    * ordering given by `orderCols` (include a unique tie-break for
+    * determinism). Matches the reference's exact-histogram split.
+    */
+  def ntileSplit(df: DataFrame, keyCols: Seq[String], n: Int,
+                 orderCols: Seq[String],
+                 segCol: String = "segment"): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    df.withColumn(segCol, ntile(n).over(w))
+  }
+
+  /** Salted two-level aggregation: groupBy(key, salt) partial → groupBy(key)
+    * final. Equivalent to plain groupBy(key).agg(sum, count) but the first
+    * shuffle spreads a hot key over `saltBuckets` reducers. Use when one key
+    * dominates (the reference's hot chromosome region).
+    *
+    * `aggs` maps output column name -> (sum-able input column). The helper
+    * re-aggregates sums and counts correctly across salt buckets.
+    */
+  def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                     saltBuckets: Int): DataFrame = {
+    val key = keyCols.map(col)
+    // deterministic salt (hash of all columns mod buckets) — not rand(), so
+    // retried tasks re-produce identical partials.
+    val salt = pmod(hash(df.columns.map(col): _*), lit(saltBuckets))
+    df.withColumn("_salt", salt)
+      .groupBy((key :+ col("_salt")): _*)
+      .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
+      .groupBy(key: _*)
+      .agg(sum(col("_psum")).as("sum_value"), sum(col("_pcnt")).as("n_rows"))
+  }
+
+  /** Approximate equal-frequency boundaries per key for the no-full-sort
+    * scale path: returns (key..., boundaries: array) where boundaries are
+    * the (1/n .. (n-1)/n) quantiles of `posCol`.
+    */
+  def approxBoundaries(df: DataFrame, keyCols: Seq[String], posCol: String,
+                       n: Int, accuracy: Int = 10000): DataFrame = {
+    val probs = (1 until n).map(i => i.toDouble / n)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(percentile_approx(col(posCol),
+        array(probs.map(lit): _*), lit(accuracy)).as("boundaries"))
+  }
+
+  /** Assign segment by searching approx boundaries (width_bucket-style):
+    * segment = 1 + #boundaries below pos. Codegen'd array expression —
+    * no UDF, no sort.
+    */
+  def segmentByBoundaries(df: DataFrame, boundaries: DataFrame,
+                          keyCols: Seq[String], posCol: String,
+                          segCol: String = "segment"): DataFrame =
+    df.join(broadcast(boundaries), keyCols)
+      .withColumn(segCol,
+        lit(1) + aggregate(col("boundaries"), lit(0),
+          (acc, b) => acc + when(col(posCol) > b, 1).otherwise(0)))
+      .drop("boundaries")
+}

@@ -1,0 +1,219 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class BucketizeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("fixed-width bucket = floor(pos/width)") {
+    val df = Seq((1, 0L), (1, 99L), (1, 100L), (2, 250L)).toDF("g", "pos")
+    val got = Bucketize.withFixedBucket(df, "pos", 100L)
+      .select($"g", $"pos", $"bucket").as[(Int, Long, Int)].collect().toSet
+    assert(got == Set((1, 0L, 0), (1, 99L, 0), (1, 100L, 1), (2, 250L, 2)))
+  }
+
+  test("dict-derived widths: ceil(length/n), min 1") {
+    val dict = Seq(("a", 1000L), ("b", 5L), ("c", 0L)).toDF("g", "len")
+    val w = Bucketize.widths(dict, "g", "len", 10)
+      .as[(String, Long)].collect().toMap
+    assert(w == Map("a" -> 100L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("colocate puts all rows of one (group,bucket) in one partition") {
+    val df = (1 to 1000).map(i => (i % 7, i % 13, i)).toDF("g", "b", "v")
+    val parts = Bucketize.colocate(df, "g", "b", Some(8))
+      .select($"g", $"b", spark_partition_id().as("p"))
+      .groupBy($"g", $"b").agg(countDistinct($"p").as("np"))
+      .agg(max($"np")).head.getLong(0)
+    assert(parts == 1L)
+  }
+}
+
+class FiltersSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("maskClear/maskSet mirror (flags & mask)") {
+    val df = (0 to 15).toDF("f")
+    val clear = df.where(Filters.maskClear($"f", 4)).as[Int].collect().toSet
+    assert(clear == (0 to 15).filter(i => (i & 4) == 0).toSet)
+    val set = df.where(Filters.maskSet($"f", 4)).as[Int].collect().toSet
+    assert(set == (0 to 15).filter(i => (i & 4) != 0).toSet)
+  }
+
+  test("anti-join ignore list drops listed keys") {
+    val df = Seq("chr1", "chr2", "chrM", "chrY").toDF("k")
+    val ignore = Seq("chrM", "chrY").toDF("k")
+    val kept = Filters.antiJoinIgnore(df, ignore, "k").as[String]
+      .collect().toSet
+    assert(kept == Set("chr1", "chr2"))
+  }
+}
+
+class SessionizeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** brute-force interval union with gap tolerance */
+  private def bruteMerge(iv: Seq[(Long, Long)], gap: Long)
+      : Seq[(Long, Long)] =
+    iv.sorted.foldLeft(Vector.empty[(Long, Long)]) { case (acc, (s, e)) =>
+      acc.lastOption match {
+        case Some((ls, le)) if s <= le + gap =>
+          acc.init :+ (ls, math.max(le, e))
+        case _ => acc :+ (s, e)
+      }
+    }
+
+  private def randomIntervals(seed: Int, n: Int, span: Int, maxLen: Int)
+      : Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(n) {
+      val s = rng.nextInt(span).toLong; (s, s + rng.nextInt(maxLen)) }
+  }
+
+  test("window coalescing matches brute-force union (property)") {
+    for (seed <- 1 to 8) {
+      val iv0 = randomIntervals(seed, 60, 500, 60)
+      val df = iv0.toDF("s", "e").withColumn("k", lit(1))
+      val got = Sessionize.coalesceIntervals(df, Seq("k"), "s", "e", 51L)
+        .select($"sess_start", $"sess_end")
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(got == bruteMerge(iv0, 51L), s"seed=$seed")
+    }
+  }
+
+  test("aggregator union matches brute-force union (property)") {
+    for (seed <- 1 to 8) {
+      val iv0 = randomIntervals(seed + 100, 40, 300, 40)
+      val agg = new Sessionize.IntervalUnionAgg(51L).toColumn
+      val got = iv0.toDS().select(agg).head()
+      assert(got.sorted == bruteMerge(iv0, 51L), s"seed=$seed")
+    }
+  }
+
+  test("point sessionization splits on gap only") {
+    val df = Seq((1L, 0L), (1L, 10L), (1L, 100L), (2L, 5L))
+      .toDF("u", "t")
+    val got = Sessionize.sessionizeEvents(df, Seq("u"), "t", 30L)
+      .select($"u", $"sess_start", $"sess_end", $"n_rows")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L, 10L, 2L), (1L, 100L, 100L, 1L),
+                      (2L, 5L, 5L, 1L)))
+  }
+}
+
+class SkewSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("segmentCounts: round(n*factor/avg), min 1") {
+    // counts 10, 10, 100 -> avg 40; factor 1 -> 0->1, 0->1, round(2.5)=3
+    val counts = Seq(("a", 10L), ("b", 10L), ("c", 100L)).toDF("k", "n")
+    val got = Skew.segmentCounts(counts, Seq("k"), "n", 1.0)
+      .select($"k", $"segments").as[(String, Int)].collect().toMap
+    assert(got == Map("a" -> 1, "b" -> 1, "c" -> 3))
+  }
+
+  test("ntile split is equal-frequency within +-1") {
+    val df = (1 to 103).map(i => ("k", i)).toDF("k", "v")
+    val sizes = Skew.ntileSplit(df, Seq("k"), 4, Seq("v"))
+      .groupBy($"segment").count().as[(Int, Long)].collect().toMap
+    assert(sizes.values.max - sizes.values.min <= 1)
+    assert(sizes.values.sum == 103L)
+  }
+
+  test("salted agg equals plain groupBy sum/count") {
+    val df = (1 to 500).map(i => (i % 3, i.toDouble)).toDF("k", "v")
+    val salted = Skew.saltedSumCount(df, Seq("k"), "v", 8)
+      .as[(Int, Double, Long)].collect().toSet
+    val plain = df.groupBy($"k")
+      .agg(sum($"v").as("s"), count(lit(1)).as("c"))
+      .as[(Int, Double, Long)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("approx boundaries + segment assignment covers all rows") {
+    val df = (1 to 1000).map(i => ("k", i.toLong)).toDF("k", "pos")
+    val b = Skew.approxBoundaries(df, Seq("k"), "pos", 4)
+    val seg = Skew.segmentByBoundaries(df, b, Seq("k"), "pos")
+    val sizes = seg.groupBy($"segment").count()
+      .as[(Int, Long)].collect().toMap
+    assert(sizes.keySet == Set(1, 2, 3, 4))
+    assert(sizes.values.sum == 1000L)
+    // approx quantiles on uniform data stay within 10% of equal frequency
+    assert(sizes.values.min > 150 && sizes.values.max < 350)
+  }
+}
+
+class RangeJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("fixDegenerate widens zero-length intervals") {
+    val df = Seq((5L, 5L), (3L, 9L)).toDF("s", "e")
+    val got = RangeJoin.fixDegenerate(df, "s", "e")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((5L, 6L), (3L, 9L)))
+  }
+
+  test("bucketedOverlapJoin matches naive overlap join") {
+    val rng = new scala.util.Random(42)
+    val left = (1 to 200).map { i =>
+      val s = rng.nextInt(1000).toLong; (i % 3, s, s + rng.nextInt(120)) }
+    val right = (1 to 200).map { i =>
+      val s = rng.nextInt(1000).toLong; (i % 3, s, s + rng.nextInt(120)) }
+    val l = left.toDF("k", "ls", "le")
+    val r = right.toDF("k", "rs", "re")
+    val naive = l.join(r, l("k") === r("k") &&
+        RangeJoin.overlaps($"ls", $"le", $"rs", $"re"))
+      .select($"ls", $"le", $"rs", $"re").as[(Long, Long, Long, Long)]
+      .collect().sorted.toSeq
+    val bucketed = RangeJoin.bucketedOverlapJoin(l, r, Seq("k"),
+        "ls", "le", "rs", "re", bucketWidth = 64L)
+      .select($"ls", $"le", $"rs", $"re").as[(Long, Long, Long, Long)]
+      .collect().sorted.toSeq
+    assert(bucketed == naive)
+  }
+}
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("firstPerKey keeps deterministic best row") {
+    val df = Seq((1, 2, "b"), (1, 9, "a"), (2, 5, "c")).toDF("k", "q", "v")
+    val got = Dedup.firstPerKey(df, Seq("k"), Seq(desc("q"), asc("v")))
+      .as[(Int, Int, String)].collect().toSet
+    assert(got == Set((1, 9, "a"), (2, 5, "c")))
+  }
+
+  test("firstPerKey is idempotent") {
+    val df = (1 to 300).map(i => (i % 17, i)).toDF("k", "v")
+    val once = Dedup.firstPerKey(df, Seq("k"), Seq(desc("v")))
+    val twice = Dedup.firstPerKey(once, Seq("k"), Seq(desc("v")))
+    assert(once.as[(Int, Int)].collect().toSet ==
+           twice.as[(Int, Int)].collect().toSet)
+  }
+
+  test("duplicateGroups finds only keys with >1 row") {
+    val df = Seq(1, 1, 2, 3, 3, 3).toDF("k")
+    val got = Dedup.duplicateGroups(df, Seq("k"))
+      .as[(Int, Long)].collect().toMap
+    assert(got == Map(1 -> 2L, 3 -> 3L))
+  }
+}
+
+class OrderingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("topK returns k smallest/largest with deterministic ties") {
+    val df = Seq((3, 1), (1, 2), (3, 0), (2, 5)).toDF("a", "b")
+    val got = Ordering.topK(df, 2, Seq(desc("a"), asc("b")))
+      .as[(Int, Int)].collect().toSeq
+    assert(got == Seq((3, 0), (3, 1)))
+  }
+
+  test("globalSort produces totally ordered output") {
+    val df = (1 to 1000).reverse.map(i => (i % 10, i)).toDF("a", "b")
+    val got = Ordering.globalSort(df, Seq($"a".asc, $"b".asc))
+      .as[(Int, Int)].collect().toSeq
+    assert(got == got.sorted)
+  }
+}
