@@ -120,22 +120,19 @@ object SparkEntry {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
-    // O13: containment range join — event timestamps against month
-    // intervals derived from orders (exome-BED intersection shape,
-    // S/SparkGA1.scala:657-732; small side broadcast).
+    // O13: containment range join — event timestamps against day
+    // intervals derived from the same stream (exome-BED intersection
+    // shape, S/SparkGA1.scala:657-732; small side broadcast).
     "q8_range_join" -> ((s, dir) => {
-      val months = t(s, dir, "orders")
-        .select(date_trunc("month", col("o_orderdate")).as("month"))
-        .distinct()
-      t(s, dir, "events")
-        .withColumn("ets", eventTimestamp("ts"))
-        .join(broadcast(months),
-          col("ets") >= col("month") &&
-          col("ets") < col("month") + expr("INTERVAL '1' MONTH"))
-        .groupBy(col("month"))
+      val e = t(s, dir, "events").withColumn("ets", eventTimestamp("ts"))
+      val days = e.select(date_trunc("day", col("ets")).as("day")).distinct()
+      e.join(broadcast(days),
+          col("ets") >= col("day") &&
+          col("ets") < col("day") + expr("INTERVAL '1' DAY"))
+        .groupBy(col("day"))
         .agg(count(lit(1)).as("n_events"),
              round(moneySum(col("value")), 4).cast("double").as("sum_value"))
-        .orderBy(col("month"))
+        .orderBy(col("day"))
     }),
 
     // O13: interval-overlap join with overlap length + degenerate fix-up
@@ -239,8 +236,120 @@ object SparkEntry {
         col("p_size").bitwiseAND(3).as("size_band"),
         round(col("p_retailprice") / 7, 4).as("price_div"))
         .orderBy(col("p_partkey"))
+    }),
+
+    // ---- LLM-training-data pipeline operators (north-star additions) ----
+
+    // Text analysis: token counting + quality scoring over documents.
+    "q18_text_stats" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(txt).as("n_tokens"),
+        round(TextAnalysis.distinctTokenRatio(txt), 6).as("distinct_ratio"),
+        round(TextAnalysis.meanTokenLength(txt), 6).as("mean_tok_len"),
+        round(TextAnalysis.punctRatio(txt), 6).as("punct_ratio"),
+        TextAnalysis.qualityScore(txt).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language ID: stopword-profile argmax heuristic.
+    "q19_langid" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text"), langProfiles).as("pred_lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact dedup via md5 fingerprint classes (dedup at 16B/doc shuffle).
+    "q20_exact_dedup" -> ((s, dir) => {
+      NearDup.exactDedupClasses(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("fp"))
+    }),
+
+    // Exact 3-gram Jaccard pairs within a blocking key (inverted-index
+    // join — never all-pairs).
+    "q21_jaccard" -> ((s, dir) => {
+      NearDup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          "source", 3, 0.01)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // MinHash(16) + LSH banding(8 bands × 2 rows) candidate pairs.
+    "q22_minhash_lsh" -> ((s, dir) => {
+      NearDup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id",
+          "text", 3, 16, 8)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // SimHash (16-bit, md5-derived) per document.
+    "q23_simhash" -> ((s, dir) => {
+      NearDup.simhash(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Brute-force cosine top-k similarity search (exact baseline).
+    "q24_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb.where(col("vec_id") < 10), emb,
+          "vec_id", "embedding", 5)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // IVF ANN: coarse-quantize to 8 centroids, probe own cluster only.
+    "q25_ivf_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+          emb.where(col("vec_id") >= 10 && col("vec_id") < 20), emb,
+          emb.where(col("vec_id") < 8), "vec_id", "embedding", 3)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // Window functions: lag / rank / running sum per user over event time.
+    "q26_window_fns" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        eventEpochSeconds("ts").as("t"), col("value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      e.select(col("event_id"), col("user_id"), col("t"),
+          round(col("value"), 6).as("value"),
+          round(lag(col("value"), 1).over(w), 6).as("prev_value"),
+          row_number().over(w).as("rn"),
+          round(sum(col("value")).over(w), 6).as("run_sum"))
+        .orderBy(col("user_id"), col("rn"))
+    }),
+
+    // Rollup (hierarchical subtotals) with grouping id.
+    "q27_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("int").as("gid"), count(lit(1)).as("n_rows"),
+             sum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+                col("gid"), col("n_rows"), col("sum_qty"))
+        .orderBy(col("gid"), col("rf"), col("ls"))
+    }),
+
+    // Semi-structured extraction: JSON property → typed column.
+    "q28_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("sum_k"),
+             min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
     })
   )
+
+  /** Stopword-profile marker lists for the language-ID heuristic. */
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "y", "es", "se"))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -300,15 +409,14 @@ object SparkEntry {
          GROUP BY r_name, n_name ORDER BY r_name, n_name""",
 
     "q8_range_join" ->
-      """WITH months AS (
-           SELECT DISTINCT date_trunc('month', o_orderdate) AS month
-           FROM orders)
-         SELECT month, count(*) AS n_events,
+      """WITH days AS (
+           SELECT DISTINCT date_trunc('day', ts) AS day FROM events)
+         SELECT day, count(*) AS n_events,
                 CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE)
                   AS sum_value
-         FROM events JOIN months
-           ON ts >= month AND ts < month + INTERVAL 1 MONTH
-         GROUP BY month ORDER BY month""",
+         FROM events JOIN days
+           ON ts >= day AND ts < day + INTERVAL 1 DAY
+         GROUP BY day ORDER BY day""",
 
     "q9_interval_overlap" ->
       """WITH a AS (
@@ -408,6 +516,239 @@ object SparkEntry {
                 p_size % 7 AS size_mod,
                 p_size & 3 AS size_band,
                 round(p_retailprice / 7, 4) AS price_div
-         FROM part ORDER BY p_partkey"""
+         FROM part ORDER BY p_partkey""",
+
+    "q18_text_stats" ->
+      """WITH d AS (
+           SELECT doc_id, text,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                    'g')), ' ') AS toks
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+             AS distinct_ratio,
+           round(CAST(length(array_to_string(toks, '')) AS DOUBLE)
+                 / len(toks), 6) AS mean_tok_len,
+           round(CAST(length(text) - length(regexp_replace(text,
+                   '[\.,;:!\?]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           round(least(len(toks) / 50.0, 1.0) * 0.4
+                 + (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+                   * 0.4
+                 + (1.0 - least((CAST(length(text) - length(regexp_replace(
+                     text, '[\.,;:!\?]', '', 'g')) AS DOUBLE)
+                     / greatest(length(text), 1)) * 5.0, 1.0)) * 0.2, 6)
+             AS quality
+         FROM d ORDER BY doc_id""",
+
+    "q19_langid" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                    'g')), ' ') AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             len(list_filter(toks, x -> x IN ('the','a','of','and','is')))
+               AS s_en,
+             len(list_filter(toks, x -> x IN ('der','die','das','und','ist')))
+               AS s_de,
+             len(list_filter(toks, x -> x IN ('le','la','les','et','est')))
+               AS s_fr,
+             len(list_filter(toks, x -> x IN ('el','los','y','es','se')))
+               AS s_es
+           FROM d)
+         SELECT doc_id,
+           CASE WHEN s_en >= greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                WHEN s_de >= greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                WHEN s_fr >= greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                ELSE 'es' END AS pred_lang
+         FROM s ORDER BY doc_id""",
+
+    "q20_exact_dedup" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  substr(md5(trim(regexp_replace(lower(text), '\s+', ' ',
+                    'g'))), 1, 16) AS fp
+           FROM documents)
+         SELECT fp, min(doc_id) AS canonical_id, count(*) AS class_size
+         FROM d GROUP BY fp ORDER BY fp""",
+
+    "q21_jaccard" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                    'g')), ' ') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, source,
+             unnest(list_distinct(CASE WHEN len(toks) < 3
+               THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(toks) - 2),
+                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+               END)) AS shingle
+           FROM d),
+         cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         pairs AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+           FROM sh x JOIN sh y
+             ON x.source = y.source AND x.shingle = y.shingle
+             AND x.doc_id < y.doc_id
+           GROUP BY 1, 2)
+         SELECT a, b, n_common,
+           round(CAST(n_common AS DOUBLE)
+                 / (ca.n_sh + cb.n_sh - n_common), 6) AS jaccard
+         FROM pairs JOIN cnt ca ON ca.doc_id = a
+                    JOIN cnt cb ON cb.doc_id = b
+         WHERE round(CAST(n_common AS DOUBLE)
+                     / (ca.n_sh + cb.n_sh - n_common), 6) >= 0.01
+         ORDER BY a, b""",
+
+    "q22_minhash_lsh" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                    'g')), ' ') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             unnest(list_distinct(CASE WHEN len(toks) < 3
+               THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(toks) - 2),
+                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+               END)) AS shingle
+           FROM d),
+         sigs AS (
+           SELECT doc_id, i,
+                  min(substr(md5(shingle || '#' || CAST(i AS VARCHAR)),
+                    1, 16)) AS mh
+           FROM sh CROSS JOIN range(0, 16) r(i)
+           GROUP BY doc_id, i),
+         bands AS (
+           SELECT doc_id, i // 2 AS band,
+                  md5(string_agg(mh, ',' ORDER BY i)) AS band_hash
+           FROM sigs GROUP BY doc_id, i // 2),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM bands x JOIN bands y
+             ON x.band = y.band AND x.band_hash = y.band_hash
+             AND x.doc_id < y.doc_id)
+         SELECT a, b,
+           round(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 16.0, 6)
+             AS est_jaccard
+         FROM cand JOIN sigs sa ON sa.doc_id = a
+                   JOIN sigs sb ON sb.doc_id = b AND sb.i = sa.i
+         GROUP BY a, b ORDER BY a, b""",
+
+    "q23_simhash" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                    'g')), ' ') AS toks
+           FROM documents),
+         tk AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         h AS (SELECT doc_id, md5(tok) AS h FROM tk),
+         bits AS (
+           SELECT doc_id, p,
+             sum(CASE WHEN substr(h, CAST(p + 1 AS INTEGER), 1)
+                   IN ('1','3','5','7','9','b','d','f')
+                 THEN 1 ELSE -1 END) AS s
+           FROM h CROSS JOIN range(0, 16) r(p)
+           GROUP BY doc_id, p)
+         SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1 << p) ELSE 0 END) AS INTEGER)
+             AS simhash
+         FROM bits GROUP BY doc_id ORDER BY doc_id""",
+
+    "q24_cosine_topk" ->
+      """WITH q AS (
+           SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+         c AS (
+           SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings),
+         s AS (
+           SELECT qid, cid,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(cv, cv))) AS sim
+           FROM q CROSS JOIN c WHERE qid <> cid),
+         r AS (
+           SELECT qid AS query_id, cid AS cand_id, sim,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY sim DESC, cid) AS INTEGER) AS rnk
+           FROM s)
+         SELECT query_id, cand_id, rnk, round(sim, 6) AS sim
+         FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""",
+
+    "q25_ivf_ann" ->
+      """WITH v AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+           FROM embeddings),
+         cents AS (
+           SELECT vec_id AS centroid_id, ev AS centv FROM v
+           WHERE vec_id < 8),
+         asg AS (
+           SELECT vec_id, ev, centroid_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY
+               list_dot_product(ev, centv)
+                 / (sqrt(list_dot_product(ev, ev))
+                    * sqrt(list_dot_product(centv, centv))) DESC,
+               centroid_id) AS crnk
+           FROM v CROSS JOIN cents),
+         corpus AS (
+           SELECT vec_id AS cand_id, ev AS cv, centroid_id
+           FROM asg WHERE crnk = 1),
+         queries AS (
+           SELECT cand_id AS query_id, cv AS qv, centroid_id
+           FROM corpus WHERE cand_id >= 10 AND cand_id < 20),
+         s AS (
+           SELECT q.query_id, c.cand_id,
+             list_dot_product(q.qv, c.cv)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+           FROM queries q JOIN corpus c
+             ON q.centroid_id = c.centroid_id
+             AND q.query_id <> c.cand_id),
+         r AS (
+           SELECT query_id, cand_id, sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, cand_id) AS INTEGER) AS rnk
+           FROM s)
+         SELECT query_id, cand_id, rnk, round(sim, 6) AS sim
+         FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""",
+
+    "q26_window_fns" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS t, value
+           FROM events)
+         SELECT event_id, user_id, t, round(value, 6) AS value,
+           round(lag(value, 1) OVER w, 6) AS prev_value,
+           CAST(row_number() OVER w AS INTEGER) AS rn,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY t, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS run_sum
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+         ORDER BY user_id, rn""",
+
+    "q27_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                coalesce(l_linestatus, 'ALL') AS ls,
+                CAST(grouping(l_returnflag, l_linestatus) AS INTEGER)
+                  AS gid,
+                count(*) AS n_rows, sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY gid, rf, ls""",
+
+    "q28_json_extract" ->
+      """SELECT event_type, count(*) AS n_rows,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                     AS BIGINT) AS sum_k,
+                min(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                  AS min_k,
+                max(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                  AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type"""
   )
 }

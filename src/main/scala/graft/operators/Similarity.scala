@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`): brute-force cosine top-k as the exact baseline, and
+  * an IVF (inverted-file / coarse-quantization) variant as the scale path.
+  *
+  * Scale design:
+  *  - Cosine is a pure higher-order-function expression (`zip_with` +
+  *    `aggregate` over doubles) — codegen-adjacent, no UDF, no Python.
+  *  - Brute force: queries are broadcast (a query batch is small);
+  *    the corpus never shuffles; per-query top-k is a window row_number
+  *    — at 1000 executors each task scores its corpus slice against all
+  *    queries and only k rows per (query, partition) survive the shuffle
+  *    thanks to rank-filter pushdown... in practice the window shuffles
+  *    (query_id) which is |Q|×|corpus| rows; for large corpora prefer
+  *    `bruteForceTopKAgg` which heap-selects per partition map-side.
+  *  - IVF: vectors are pre-assigned to their nearest centroid (one
+  *    broadcast join + argmin — a linear scan over c centroids); a query
+  *    probes only its own cluster ⇒ the candidate set shrinks by ~c×.
+  *    Centroid assignment doubles as a partitioning key, so cluster files
+  *    can be partition-pruned on read at 100 TB.
+  */
+object Similarity {
+
+  /** Sum over element-wise product of two float-array columns, in double
+    * arithmetic, left-to-right (deterministic, engine-portable).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two float-array columns (double arithmetic). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k: for each query vector, the k most cosine-
+    * similar corpus vectors (excluding itself when ids collide).
+    * `queries` is broadcast — keep query batches small (≤ ~10⁴ rows).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+                           col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), asc("cand_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("rnk"),
+              round(col("sim"), 6).as("sim"))
+  }
+
+  /** Assign each vector to its nearest centroid by cosine (IVF coarse
+    * quantization). `centroids` must be small (broadcast). Adds
+    * `centroid_id`. One wide scan, no shuffle.
+    */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame, idCol: String,
+                vecCol: String): DataFrame = {
+    val cents = centroids.select(col(idCol).as("centroid_id"),
+                                 col(vecCol).as("centv"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(desc("csim"), asc("centroid_id"))
+    vectors.crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col(vecCol), col("centv")))
+      .withColumn("crnk", row_number().over(w))
+      .where(col("crnk") === 1)
+      .drop("centv", "crnk", "csim")
+  }
+
+  /** IVF ANN top-k: probe only the query's own cluster. Recall < 1 by
+    * design (that's the approximation); nprobe>1 = relax the centroid
+    * rank filter.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+              idCol: String, vecCol: String, k: Int): DataFrame = {
+    val corpusAssigned = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+              col("centroid_id"))
+    val queriesAssigned = ivfAssign(queries, centroids, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+              col("centroid_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), asc("cand_id"))
+    corpusAssigned.join(broadcast(queriesAssigned), Seq("centroid_id"))
+      .where(col("query_id") =!= col("cand_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("rnk"),
+              round(col("sim"), 6).as("sim"))
+  }
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, quality scoring, language ID, and document fingerprinting.
+  *
+  * Everything here is a pure `Column` expression (whole-stage codegen'd —
+  * no Scala UDFs), so at 100 TB these run map-side inside the scan stage
+  * with zero shuffles: the plan is Scan → Project, and Parquet column
+  * pruning means only the text column is read.
+  *
+  * The reference's analogous layer is its per-line parse/score pass
+  * (`program/src/main/scala/hmushtaq/sparkga1/utils/SamRegionsParser.scala:
+  * 42-56` — positional field extraction + predicate scoring at parse time);
+  * here generalized to document text.
+  */
+object TextAnalysis {
+
+  /** Lowercase + collapse runs of whitespace to single spaces + trim.
+    * Deterministic canonical form shared by fingerprints and shingles.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column = split(normalize(text), " ")
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct-token ratio — low values indicate repetitive/boilerplate
+    * text (a standard LLM-data quality signal).
+    */
+  def distinctTokenRatio(text: Column): Column = {
+    val t = tokens(text)
+    size(array_distinct(t)).cast("double") / size(t)
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLength(text: Column): Column = {
+    val t = tokens(text)
+    (length(concat_ws("", t)).cast("double")) / size(t)
+  }
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\.,;:!\\?]", "")))
+      .cast("double") / greatest(length(text), lit(1))
+
+  /** Fraction of tokens found in `stops` (e.g. language stopwords). */
+  def stopwordRatio(text: Column, stops: Seq[String]): Column = {
+    val t = tokens(text)
+    size(array_intersect_keep(t, stops)).cast("double") /
+      greatest(size(t), lit(1))
+  }
+
+  /** Tokens of `t` that are in the literal set (keeps duplicates —
+    * unlike array_intersect which dedups).
+    */
+  private def array_intersect_keep(t: Column, set: Seq[String]): Column =
+    filter(t, x => x.isin(set.map(lit(_)): _*))
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with
+    * diverse tokens and low punctuation density. Weights are fixed so the
+    * score is deterministic and comparable across runs.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / 50d, lit(1d)) // saturates at 50 tokens
+    val divScore = distinctTokenRatio(text)
+    val punctPenalty = lit(1d) - least(punctRatio(text) * 5d, lit(1d))
+    round(lenScore * 0.4 + divScore * 0.4 + punctPenalty * 0.2, 6)
+  }
+
+  /** Per-language marker-token hit counts → argmax language ID.
+    * A tiny n-gram/stopword-profile heuristic: count tokens in each
+    * language's marker list; predict the language with the most hits
+    * (ties broken by profile order). Marker lists are parameters so the
+    * heuristic stays data-independent and oracle-reproducible.
+    */
+  def langId(text: Column, profiles: Seq[(String, Seq[String])]): Column = {
+    val t = tokens(text)
+    val scored = profiles.map { case (lang, marks) =>
+      (lang, size(array_intersect_keep(t, marks)))
+    }
+    // argmax with first-wins tie-break: fold a struct(score, lang) max
+    scored.tail.foldLeft(
+      struct(scored.head._2.as("s"), lit(scored.head._1).as("l"))
+    ) { case (best, (lang, sc)) =>
+      when(sc > best.getField("s"), struct(sc.as("s"), lit(lang).as("l")))
+        .otherwise(best)
+    }.getField("l")
+  }
+
+  /** 64-bit-equivalent document fingerprint: first 16 hex chars of the
+    * md5 of the normalized text. Stable across engines (md5 is exact) —
+    * the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    substring(md5(normalize(text)), 1, 16)
+
+  /** Word n-gram shingles of the normalized text (for Jaccard/MinHash):
+    * shingle i = tokens[i..i+n-1] joined by spaces. Empty result if the
+    * document has fewer than n tokens.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+  }
+
+  /** 16-bit SimHash from md5 hex digits of each token: bit p is set iff
+    * the sum over tokens of ±1 (by the low bit of hex digit p of the
+    * token's md5) is positive. Pure expressions → computable identically
+    * in any engine with md5.
+    */
+  def simhashBitContribution(tokenMd5: Column, pos: Int): Column =
+    when(substring(tokenMd5, pos + 1, 1)
+           .isin("1", "3", "5", "7", "9", "b", "d", "f"), lit(1))
+      .otherwise(lit(-1))
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured-Streaming equivalents of the reference's micro-batch input
+  * loop (`program/src/main/scala/hmushtaq/sparkga1/SparkGA1.scala:94-110,
+  * 1050-1081`): the reference polls for `ulStatus/<chunk>` marker files,
+  * processes chunks in groups of `chunkerGroupSize`, and stops on an
+  * `end.txt` sentinel. Spark-native:
+  *  - group size            → `maxFilesPerTrigger` on a file source
+  *  - marker protocol       → stream-static semi-join against a marker set
+  *  - sentinel + drain      → `Trigger.AvailableNow` (process what exists,
+  *                            then stop)
+  * plus the north-star event-time operators the reference lacks:
+  * watermarked tumbling/sliding windows and session windows.
+  */
+object Streams {
+
+  /** Micro-batch file source: `maxFilesPerTrigger` ≈ chunkerGroupSize.
+    * One file = one input unit, exactly the reference's chunk granularity.
+    */
+  def fileSource(spark: SparkSession, path: String, schema: StructType,
+                 format: String = "parquet",
+                 maxFilesPerTrigger: Int = 4): DataFrame =
+    spark.readStream
+      .format(format)
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(path)
+
+  /** Completion-marker readiness filter: keep only stream rows whose
+    * `idCol` appears in the (small, static or periodically refreshed)
+    * marker table — the reference's `ulStatus/<chunkNum>` check as a
+    * stream-static broadcast semi-join (no state, no shuffle of the
+    * stream side).
+    */
+  def readyFilter(stream: DataFrame, markers: DataFrame, idCol: String)
+      : DataFrame =
+    stream.join(broadcast(markers.select(col(idCol)).distinct()),
+      Seq(idCol), "left_semi")
+
+  /** Watermarked tumbling-window counts/sums over event time. */
+  def tumblingAgg(events: DataFrame, tsCol: String, valueCol: String,
+                  window: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col(valueCol)).as("sum_value"))
+      .select(col("window.start").as("w_start"),
+              col("window.end").as("w_end"),
+              col("n_events"), col("sum_value"))
+
+  /** Gap-based session windows over event time — the streaming analog of
+    * the batch interval-coalescing operator (RegionIterator.java:101-132).
+    */
+  def sessionAgg(events: DataFrame, keyCols: Seq[String], tsCol: String,
+                 gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap) +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .select(keyCols.map(col) ++ Seq(
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("n_rows")): _*)
+
+  /** Drain-then-stop writer: processes all available input then stops —
+    * the reference's `end.txt` sentinel semantics without sideband files.
+    */
+  def drainToMemory(df: DataFrame, queryName: String): DataStreamWriter[Row] =
+    df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+}

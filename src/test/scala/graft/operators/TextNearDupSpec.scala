@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("tokenCount / normalize collapse whitespace") {
+    val df = Seq("  Hello   world ", "a\tb\nc").toDF("text")
+    val got = df.select(TextAnalysis.tokenCount($"text")).as[Int].collect()
+    assert(got.toSeq == Seq(2, 3))
+  }
+
+  test("fingerprint is whitespace/case-insensitive but content-sensitive") {
+    val df = Seq(("a", "Hello   World"), ("b", "hello world"),
+                 ("c", "hello worlds")).toDF("id", "text")
+    val fp = df.select($"id", TextAnalysis.fingerprint($"text"))
+      .as[(String, String)].collect().toMap
+    assert(fp("a") == fp("b"))
+    assert(fp("a") != fp("c"))
+    assert(fp("a").length == 16)
+  }
+
+  test("wordShingles: n-grams in order; short docs → empty") {
+    val df = Seq("a b c d", "a b").toDF("text")
+    val got = df.select(TextAnalysis.wordShingles($"text", 3))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq.empty)
+  }
+
+  test("langId picks the profile with most marker hits, first-wins ties") {
+    val profiles = Seq("en" -> Seq("the", "is"), "de" -> Seq("der", "ist"))
+    val df = Seq("the cat is here", "der hund ist da", "x y z").toDF("text")
+    val got = df.select(TextAnalysis.langId($"text", profiles))
+      .as[String].collect()
+    assert(got.toSeq == Seq("en", "de", "en")) // no hits → first profile
+  }
+
+  test("quality score is in [0,1] and favors diverse text") {
+    val df = Seq(("rep", ("spam " * 60).trim),
+                 ("div", (1 to 60).map("w" + _).mkString(" "))).toDF("id", "text")
+    val q = df.select($"id", TextAnalysis.qualityScore($"text"))
+      .as[(String, Double)].collect().toMap
+    assert(q.values.forall(v => v >= 0 && v <= 1))
+    assert(q("div") > q("rep"))
+  }
+}
+
+class NearDupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "s1"),
+    (2L, "THE quick   Brown fox jumps over the lazy dog", "s1"), // = 1
+    (3L, "the quick brown fox jumps over the lazy cat", "s1"),   // near 1
+    (4L, "completely different words entirely here now", "s1"),
+    (5L, "unrelated text in another block", "s2")
+  ).toDF("doc_id", "text", "source")
+
+  test("exactDedupClasses collapses normalized-equal docs") {
+    val classes = NearDup.exactDedupClasses(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect()
+    assert(classes.length == 4)
+    val dup = classes.find(_._3 == 2L).get
+    assert(dup._2 == 1L) // canonical = min id
+  }
+
+  test("jaccardPairs: identical docs have jaccard 1, blocking respected") {
+    val pairs = NearDup.jaccardPairs(docs, "doc_id", "text", "source", 3, 0.0)
+      .select($"a", $"b", $"jaccard").as[(Long, Long, Double)]
+      .collect().toSeq
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 2L)) == 1.0)
+    assert(m((1L, 3L)) > 0.5 && m((1L, 3L)) < 1.0)
+    assert(!m.keys.exists { case (a, b) => b == 5L }) // other block
+  }
+
+  test("minhash candidates include exact duplicates with est_jaccard 1") {
+    val cand = NearDup.minhashCandidatePairs(docs, "doc_id", "text", 3, 16, 8)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(cand((1L, 2L)) == 1.0)
+    assert(cand.getOrElse((1L, 3L), 0.0) > 0.3) // near-dup likely banded
+  }
+
+  test("simhash equal for normalized-equal docs, 16-bit range") {
+    val sh = NearDup.simhash(docs, "doc_id", "text")
+      .as[(Long, Int)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh.values.forall(v => v >= 0 && v < 65536))
+  }
+}
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1f, 0f, 0f)),
+    (1L, Array(0.9f, 0.1f, 0f)), // close to 0
+    (2L, Array(0f, 1f, 0f)),
+    (3L, Array(0f, 0.9f, 0.1f)), // close to 2
+    (4L, Array(0f, 0f, 1f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine of identical vectors is 1") {
+    val d = vecs.select(Similarity.cosine($"embedding", $"embedding"))
+      .as[Double].collect()
+    assert(d.forall(v => math.abs(v - 1.0) < 1e-12))
+  }
+
+  test("bruteForceTopK ranks the nearest neighbor first") {
+    val top1 = Similarity.bruteForceTopK(
+        vecs.where($"vec_id" === 0), vecs, "vec_id", "embedding", 1)
+      .select($"cand_id").as[Long].collect()
+    assert(top1.toSeq == Seq(1L))
+  }
+
+  test("ivfAssign sends each vector to its nearest centroid") {
+    val centroids = vecs.where($"vec_id".isin(0L, 2L, 4L))
+    val asg = Similarity.ivfAssign(vecs, centroids, "vec_id", "embedding")
+      .select($"vec_id", $"centroid_id").as[(Long, Long)].collect().toMap
+    assert(asg == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 2L, 4L -> 4L))
+  }
+
+  test("ivfTopK only probes the query's own cluster") {
+    val centroids = vecs.where($"vec_id".isin(0L, 2L, 4L))
+    val res = Similarity.ivfTopK(vecs.where($"vec_id" === 1),
+        vecs, centroids, "vec_id", "embedding", 5)
+      .select($"cand_id").as[Long].collect().toSet
+    assert(res == Set(0L)) // cluster of centroid 0 holds only {0,1}
+  }
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: Long): Timestamp = new Timestamp(s * 1000L)
+
+  test("tumblingAgg: watermarked 10s windows aggregate counts and sums") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Double)]
+    val out = Streams.tumblingAgg(in.toDF().toDF("ts", "v"), "ts", "v",
+      "10 seconds", "0 seconds")
+    val q = out.writeStream.format("memory").queryName("tumble")
+      .outputMode("complete").start()
+    try {
+      in.addData((ts(1), 1.0), (ts(5), 2.0), (ts(11), 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumble")
+        .select($"w_start".cast("long"), $"n_events", $"sum_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(rows == Set((0L, 2L, 3.0), (10L, 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("sessionAgg: gap-based session windows per key") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val out = Streams.sessionAgg(in.toDF().toDF("user_id", "ts"),
+      Seq("user_id"), "ts", "30 seconds", "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("complete").start()
+    try {
+      in.addData((1L, ts(0)), (1L, ts(10)), (1L, ts(100)), (2L, ts(5)))
+      q.processAllAvailable()
+      val rows = spark.table("sess")
+        .select($"user_id", $"sess_start".cast("long"), $"n_rows")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(rows == Set((1L, 0L, 2L), (1L, 100L, 1L), (2L, 5L, 1L)))
+    } finally q.stop()
+  }
+
+  test("readyFilter keeps only marker-listed ids (stream-static semi-join)") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val markers = Seq(1L, 3L).toDF("chunk_id")
+    val out = Streams.readyFilter(in.toDF().toDF("chunk_id", "payload"),
+      markers, "chunk_id")
+    val q = out.writeStream.format("memory").queryName("ready")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "a"), (2L, "b"), (3L, "c"))
+      q.processAllAvailable()
+      val got = spark.table("ready").select($"chunk_id").as[Long]
+        .collect().toSet
+      assert(got == Set(1L, 3L))
+    } finally q.stop()
+  }
+}
