@@ -341,6 +341,54 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("sum_k"),
              min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type"))
+    }),
+
+    // Multimodal: opaque binary payload + metadata struct; expression-only
+    // features (size, content hash, prefix sample) — decode stub is
+    // exercised in the MultimodalSpec, plumbing is identical.
+    "q29_multimodal" -> ((s, dir) => {
+      Multimodal.payloadFeatures(
+          Multimodal.attachPayload(t(s, dir, "documents"), "doc_id", "text"),
+          "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // O12 as a custom Aggregator: gap-tolerant interval union — same
+    // semantics as q10's window sessionization but shuffles interval
+    // lists, not rows (map-side partial aggregation).
+    "q30_interval_union" -> ((s, dir) => {
+      val iu = udaf(graft.functions.IntervalUnionAgg(1800L))
+      t(s, dir, "events")
+        .select(col("user_id"), eventEpochSeconds("ts").as("t"))
+        .groupBy(col("user_id"))
+        .agg(iu(col("t"), col("t"), lit(1L)).as("ivs"))
+        .select(col("user_id"), explode(col("ivs")).as("iv"))
+        .select(col("user_id"), col("iv.start").as("sess_start"),
+                col("iv.end").as("sess_end"), col("iv.n").as("n_rows"))
+        .orderBy(col("user_id"), col("sess_start"))
+    }),
+
+    // O3: external-process-style line pipe (pure-Scala stage, partition-
+    // streamed) — tokenizer emitting one line per token, re-aggregated.
+    "q31_pipe" -> ((s, dir) => {
+      val spark2 = s
+      import spark2.implicits._
+      val lines = t(s, dir, "documents")
+        .select(concat_ws("\t", col("doc_id"), col("text")))
+        .as[String]
+      val piped = Pipe.mapLines(lines, it => it.flatMap { line =>
+        val i = line.indexOf('\t')
+        val id = line.substring(0, i)
+        line.substring(i + 1).toLowerCase.trim.split("\\s+")
+          .filter(_.nonEmpty).map(tok => id + "\t" + tok)
+      })
+      piped.map { l => val i = l.indexOf('\t')
+          (l.substring(0, i).toLong, l.substring(i + 1)) }
+        .toDF("doc_id", "token")
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n_occurrences"),
+             countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("token"))
     })
   )
 
@@ -749,6 +797,49 @@ object SparkEntry {
                   AS min_k,
                 max(CAST(json_extract_string(props, '$.k') AS INTEGER))
                   AS max_k
-         FROM events GROUP BY event_type ORDER BY event_type"""
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q29_multimodal" ->
+      """SELECT doc_id,
+                CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                md5(text) AS content_md5,
+                hex(encode(substring(text, 1, 8))) AS prefix_hex
+         FROM documents ORDER BY doc_id""",
+
+    "q30_interval_union" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts) // 1000000000 AS t FROM events),
+         m AS (
+           SELECT user_id, t,
+                  max(t) OVER (PARTITION BY user_id ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS prev_max
+           FROM e),
+         f AS (
+           SELECT user_id, t,
+                  CASE WHEN prev_max IS NULL OR t > prev_max + 1800
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM m),
+         sess AS (
+           SELECT user_id, t,
+                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS sid
+           FROM f)
+         SELECT user_id, min(t) AS sess_start, max(t) AS sess_end,
+                count(*) AS n_rows
+         FROM sess GROUP BY user_id, sid
+         ORDER BY user_id, sess_start""",
+
+    "q31_pipe" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                    'g')), ' ') AS toks
+           FROM documents),
+         tk AS (SELECT doc_id, unnest(toks) AS token FROM d)
+         SELECT token, count(*) AS n_occurrences,
+                count(DISTINCT doc_id) AS n_docs
+         FROM tk GROUP BY token ORDER BY token"""
   )
 }

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** External-process / function map over line streams — the reference's
+  * `bwa mem` stage (`program/src/main/scala/hmushtaq/sparkga1/
+  * SparkGA1.scala:63-217`, exec at 128-143: spawn a process per chunk,
+  * stream stdout line-by-line into the parser).
+  *
+  * Spark-native: the unit of work is a partition, not a sideband file.
+  * `mapLines` runs a pure-Scala `Iterator[String] => Iterator[String]`
+  * per partition (zero process overhead — preferred); `processPipe`
+  * spawns one external process per partition and streams stdin/stdout
+  * concurrently (the `RDD.pipe` shape on Datasets, for genuinely external
+  * tools). Both keep data on executors — no driver round-trip, no HDFS
+  * sideband files, and downstream operators consume the lines as a
+  * regular Dataset so Catalyst keeps optimizing past the pipe.
+  */
+object Pipe {
+
+  /** Pure-Scala line transform per partition (the fast path: same shape
+    * as an external tool, no process).
+    */
+  def mapLines(ds: Dataset[String],
+               f: Iterator[String] => Iterator[String]): Dataset[String] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(f)
+  }
+
+  /** Stream each partition through an external command, one process per
+    * partition: a writer thread feeds stdin while the task thread
+    * consumes stdout (no deadlock on large outputs, no full
+    * materialization).
+    */
+  def processPipe(ds: Dataset[String], cmd: Seq[String]): Dataset[String] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { lines =>
+      if (!lines.hasNext) Iterator.empty
+      else {
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.redirectErrorStream(false)
+        val proc = pb.start()
+        val writer = new Thread(() => {
+          val out = new java.io.PrintWriter(proc.getOutputStream)
+          try lines.foreach(out.println) finally out.close()
+        })
+        writer.setDaemon(true)
+        writer.start()
+        val reader = scala.io.Source.fromInputStream(proc.getInputStream)
+        reader.getLines().map(identity)
+        // note: stream is consumed lazily by the task; process reaped by
+        // the JVM when stdout drains.
+      }
+    }
+  }
+}

@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Sources and sinks.
+  *
+  * Reference sinks: per-(chr,region) chunk files with manual 4 MB block
+  * packing + manifest bookkeeping (`program/src/main/scala/hmushtaq/
+  * sparkga1/SparkGA1.scala:65,150-214`) and a driver-side single combined
+  * VCF (`SparkGA1.scala:1242-1251`). Spark-native: `partitionBy` writes
+  * (block packing, manifests, and offsets disappear — the committer and
+  * Parquet row groups do it), and a `coalesce(1)` write for the
+  * single-file gather. Partitioned layout gives partition PRUNING on
+  * read: a reader filtering on the partition key scans only matching
+  * directories — the reference's "Part 3 reads only its region's files"
+  * for free.
+  *
+  * Lenient text ingest (reference §1.3: malformed rows counted-and-
+  * dropped, `SamRegionsParser.scala:71-74`): PERMISSIVE mode with a
+  * corrupt-record column reproduces count-don't-fail.
+  */
+object Sinks {
+
+  /** Key-partitioned parquet sink (the per-(chr,region) bucket layout). */
+  def writePartitioned(df: DataFrame, partitionCols: Seq[String],
+                       path: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Single combined output file (the gathered VCF shape): total order
+    * first (range exchange), then a 1-file write. Only the final write is
+    * single-threaded; the sort is distributed.
+    */
+  def writeSingleSorted(df: DataFrame, sortCols: Seq[String], path: String,
+                        format: String = "parquet"): Unit =
+    df.orderBy(sortCols.map(col): _*).coalesce(1)
+      .write.mode("overwrite").format(format).save(path)
+
+  /** Lenient delimited-text reader: malformed rows land in
+    * `_corrupt_record` instead of failing the job (count them; don't die
+    * mid-petabyte). Mirrors the reference's badLines counters.
+    */
+  def readLenientCsv(spark: SparkSession, schema: StructType, path: String,
+                     delimiter: String = "\t"): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("delimiter", delimiter)
+      .csv(path)
+
+  /** Good rows + bad-row count in one pass-shape: returns (clean rows,
+    * corrupt rows) as two DataFrames sharing the scan.
+    */
+  def splitCorrupt(df: DataFrame): (DataFrame, DataFrame) = {
+    val cached = df.cache()
+    (cached.where(col("_corrupt_record").isNull).drop("_corrupt_record"),
+     cached.where(col("_corrupt_record").isNotNull))
+  }
+}

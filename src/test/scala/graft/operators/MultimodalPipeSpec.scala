@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq((1L, "hello world"), (2L, "binary payload test"))
+    .toDF("doc_id", "text")
+
+  test("attachPayload: opaque binary + metadata struct, bytes round-trip") {
+    val df = Multimodal.attachPayload(docs, "doc_id", "text")
+    assert(df.schema("payload").dataType.typeName == "binary")
+    val row = df.where($"doc_id" === 1).select($"payload", $"meta.n_bytes",
+      $"meta.mime").head
+    assert(new String(row.getAs[Array[Byte]](0), "UTF-8") == "hello world")
+    assert(row.getInt(1) == 11)
+    assert(row.getString(2) == "text/plain")
+  }
+
+  test("extractFeatures (stub decoder) is deterministic over bytes") {
+    val df = Multimodal.attachPayload(docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(spark, df, "doc_id")
+      .collect().map(f => f.doc_id -> f).toMap
+    val expected = "hello world".getBytes("UTF-8").map(_ & 0xff).sum
+    assert(feats(1L).checksum == expected)
+    assert(feats(1L).n_bytes == 11)
+    assert(feats(1L).width == expected % 640 + 1)
+  }
+
+  test("sampleFrames emits every stride-th fixed-size block") {
+    val df = Multimodal.attachPayload(
+      Seq((1L, "abcdefghij")).toDF("doc_id", "text"), "doc_id", "text")
+    val frames = Multimodal.sampleFrames(spark, df, "doc_id", 2, 2)
+      .select($"frame_no", $"frame").as[(Int, Array[Byte])]
+      .collect().toMap
+    assert(frames.keySet == Set(0, 2, 4))
+    assert(new String(frames(2), "UTF-8") == "ef")
+  }
+}
+
+class PipeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("mapLines transforms per partition, preserving distribution") {
+    val ds = spark.createDataset(1 to 100)(org.apache.spark.sql.Encoders.scalaInt)
+      .repartition(4).map(_.toString)
+    val out = Pipe.mapLines(ds, _.map(l => s"x$l")).collect().toSet
+    assert(out == (1 to 100).map("x" + _).toSet)
+  }
+
+  test("processPipe streams through an external command (cat)") {
+    assume(new java.io.File("/bin/cat").exists)
+    val ds = Seq("alpha", "beta", "gamma").toDS().repartition(2)
+    val out = Pipe.processPipe(ds, Seq("/bin/cat")).collect().toSet
+    assert(out == Set("alpha", "beta", "gamma"))
+  }
+}
+
+class SinksSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("partitioned write → partition pruning on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val df = (1 to 100).map(i => (i % 5, i)).toDF("bucket", "v")
+    graft.sources.Sinks.writePartitioned(df, Seq("bucket"), dir)
+    val back = spark.read.parquet(dir).where($"bucket" === 3)
+    // pruning: only one partition directory is scanned
+    val plan = back.queryExecution.executedPlan.toString
+    assert(back.count() == 20)
+    assert(plan.contains("PartitionFilters") || plan.contains("bucket=3")
+           || back.inputFiles.forall(_.contains("bucket=3")))
+  }
+
+  test("single sorted file write") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_single").toString
+    val df = Seq((3, "c"), (1, "a"), (2, "b")).toDF("k", "s")
+    graft.sources.Sinks.writeSingleSorted(df, Seq("k"), dir)
+    val files = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 1)
+    val back = spark.read.parquet(dir).as[(Int, String)].collect()
+    assert(back.toSeq == Seq((1, "a"), (2, "b"), (3, "c")))
+  }
+
+  test("lenient csv: malformed rows counted, not fatal") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv")
+    val f = dir.resolve("data.tsv")
+    java.nio.file.Files.writeString(f,
+      "1\talpha\n2\tbeta\nnot_an_int\tgamma\n3\tdelta\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType)))
+    val df = graft.sources.Sinks.readLenientCsv(spark, schema, f.toString)
+    val (good, bad) = graft.sources.Sinks.splitCorrupt(df)
+    assert(good.count() == 3)
+    assert(bad.count() == 1)
+  }
+}
