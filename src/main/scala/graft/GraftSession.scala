@@ -30,6 +30,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // typed Aggregators (ObjectHashAggregate) fall back to SORT-based
+      // aggregation after 128 distinct keys per partition by default —
+      // that turns a hash aggregate into a full sort. Our object buffers
+      // (interval lists) are small; raise the fallback accordingly.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+              "131072")
       .config("spark.sql.session.timeZone", "UTC")
       // the driver's events.parquet stores ts as TIMESTAMP(NANOS), which
       // vanilla Spark refuses; read as Long nanoseconds and convert with

@@ -163,15 +163,17 @@ object SparkEntry {
         .orderBy(col("user_id"), col("sess_start"))
     }),
 
-    // O17 (MarkDuplicates step): deterministic keep-best-per-key dedup via
-    // row_number window (SparkGA1.scala:822-851 semantics).
+    // O17 (MarkDuplicates step): deterministic keep-best-per-key dedup.
+    // Aggregate formulation (max_by) — map-side partials mean the shuffle
+    // carries one candidate per (partition × key), not every row; the
+    // window (row_number) formulation lives in Dedup.firstPerKey.
     "q11_markdup" -> ((s, dir) => {
-      Dedup.firstPerKey(
+      Dedup.firstPerKeyAgg(
         t(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_linenumber"),
                   col("l_extendedprice")),
         Seq("l_orderkey"),
-        Seq(desc("l_extendedprice"), asc("l_linenumber")))
+        struct(col("l_extendedprice"), -col("l_linenumber")))
         .orderBy(col("l_orderkey"))
     }),
 
@@ -241,23 +243,30 @@ object SparkEntry {
     // ---- LLM-training-data pipeline operators (north-star additions) ----
 
     // Text analysis: token counting + quality scoring over documents.
+    // Tokenize ONCE into a column; all stats derive from it.
     "q18_text_stats" -> ((s, dir) => {
-      val txt = col("text")
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        TextAnalysis.tokenCount(txt).as("n_tokens"),
-        round(TextAnalysis.distinctTokenRatio(txt), 6).as("distinct_ratio"),
-        round(TextAnalysis.meanTokenLength(txt), 6).as("mean_tok_len"),
-        round(TextAnalysis.punctRatio(txt), 6).as("punct_ratio"),
-        TextAnalysis.qualityScore(txt).as("quality"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+                TextAnalysis.tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          TextAnalysis.tokenCountOf(col("toks")).as("n_tokens"),
+          round(TextAnalysis.distinctTokenRatioOf(col("toks")), 6)
+            .as("distinct_ratio"),
+          round(TextAnalysis.meanTokenLengthOf(col("toks")), 6)
+            .as("mean_tok_len"),
+          round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+          TextAnalysis.qualityScoreOf(col("text"), col("toks"))
+            .as("quality"))
         .orderBy(col("doc_id"))
     }),
 
-    // Language ID: stopword-profile argmax heuristic.
+    // Language ID: stopword-profile argmax heuristic (single tokenize).
     "q19_langid" -> ((s, dir) => {
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        TextAnalysis.langId(col("text"), langProfiles).as("pred_lang"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          TextAnalysis.langIdOf(col("toks"), langProfiles).as("pred_lang"))
         .orderBy(col("doc_id"))
     }),
 

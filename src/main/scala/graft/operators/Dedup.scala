@@ -37,4 +37,25 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_dups"))
       .where(col("n_dups") > 1)
+
+  /** Aggregate-based keep-best-per-key: winner = row whose `winnerKey`
+    * (an orderable Column — use a struct for compound order; negate
+    * numerics for descending components) is MAX within the key group.
+    *
+    * Same result as `firstPerKey` given a total order, but the 100 TB
+    * path: `max_by` partial-aggregates map-side, so the shuffle carries
+    * one candidate row per (partition × key) instead of every row, and
+    * there is no per-key sort at all. Prefer this unless you need the
+    * ranked rows themselves.
+    */
+  def firstPerKeyAgg(df: DataFrame, keyCols: Seq[String],
+                     winnerKey: org.apache.spark.sql.Column): DataFrame = {
+    val payload = df.columns.filterNot(keyCols.contains)
+    val winner = max_by(
+      struct(payload.map(col): _*), winnerKey).as("_w")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(winner)
+      .select(keyCols.map(col) ++
+        payload.map(c => col(s"_w.$c").as(c)): _*)
+  }
 }

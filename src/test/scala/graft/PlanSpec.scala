@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan assertions: these lock in the *scale* properties of the
+  * headline queries — that a broadcast stays a broadcast, a top-k never
+  * becomes a full sort, filters reach the parquet scan, and aggregates
+  * keep their map-side partial phase. A regression here is a 100 TB
+  * regression even if results stay correct.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q7 dimension lookups run as broadcast hash joins (no shuffle)") {
+    val p = plan("q7_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q6 top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q6_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q2 predicates are pushed into the parquet scan") {
+    val df = SparkEntry.queries("q2_filter_project")(spark, sf)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val pushed = scans.head.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThan(l_quantity,10"),
+      s"expected quantity filter pushed to scan, got: $pushed")
+  }
+
+  test("q2 scan reads only the projected columns") {
+    val df = SparkEntry.queries("q2_filter_project")(spark, sf)
+    val scan = df.queryExecution.executedPlan.toString
+    // lineitem has 16 columns; the query needs only 4
+    assert(scan.contains("ReadSchema"))
+    assert(!scan.contains("l_comment"), "scan must prune unused columns")
+  }
+
+  test("q1 aggregation has a map-side partial phase and codegen") {
+    val p = plan("q1_agg")
+    // partial + final HashAggregate pair
+    assert(p.contains("partial_sum"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    val codegen = SparkEntry.queries("q1_agg")(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("codegen"))
+    assert(codegen.contains("WholeStageCodegen"))
+  }
+
+  test("q8 range join broadcasts the small interval side") {
+    val p = plan("q8_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+           p.contains("BroadcastHashJoin"))
+  }
+
+  test("q24 brute-force ANN broadcasts the query batch") {
+    val p = plan("q24_cosine_topk")
+    assert(p.contains("Broadcast"), "query side must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q20 exact dedup shuffles fingerprints, not documents") {
+    val df = SparkEntry.queries("q20_exact_dedup")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_min"), "dedup must partial-aggregate map-side")
+    // the map-side aggregate output (what crosses the shuffle) must carry
+    // the 16-char fingerprint, never the raw text column
+    val partialAggLine = p.linesIterator
+      .find(_.contains("partial_min")).getOrElse("")
+    assert(partialAggLine.contains("fp#"))
+    assert(!partialAggLine.contains("text#"),
+      s"raw text must not cross the shuffle: $partialAggLine")
+  }
+}
