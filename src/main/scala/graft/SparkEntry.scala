@@ -201,6 +201,27 @@ object SparkEntry {
         .orderBy(col("l_suppkey"))
     }),
 
+    // As-of join (trades/quotes shape): for each purchase event, the
+    // latest prior-or-equal click of the same user. Union+LOCF single-
+    // shuffle formulation — no quadratic range join (AsOfJoin.scala).
+    "q14_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        eventEpochSeconds("ts").as("t"), col("value"), col("event_type"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("t"), col("value"))
+      val clicks = AsOfJoin.latestPerTs(
+        e.where(col("event_type") === "click")
+          .select(col("user_id"), col("t").as("ct"),
+                  col("value").as("click_value")),
+        Seq("user_id"), "ct", "click_value")
+      AsOfJoin.asofBackward(purchases, clicks, Seq("user_id"), "t", "ct",
+          Seq("click_value"))
+        .select(col("event_id"), col("user_id"), col("t"),
+                col("asof_ts").as("click_t"),
+                round(col("click_value"), 6).as("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // Money aggregation with exact decimal arithmetic (order-independent).
     "q15_revenue" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -545,6 +566,22 @@ object SparkEntry {
       """SELECT l_suppkey, sum(l_quantity) AS sum_value,
                 count(*) AS n_rows
          FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""",
+
+    "q14_asof_join" ->
+      """WITH p AS (
+           SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS t, value
+           FROM events WHERE event_type = 'purchase'),
+         c0 AS (
+           SELECT user_id, epoch_ns(ts) // 1000000000 AS ct, value AS cv
+           FROM events WHERE event_type = 'click'),
+         c AS (
+           SELECT user_id, ct, max(cv) AS cv
+           FROM c0 GROUP BY user_id, ct)
+         SELECT p.event_id, p.user_id, p.t, c.ct AS click_t,
+                round(c.cv, 6) AS click_value
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND p.t >= c.ct
+         ORDER BY p.event_id""",
 
     "q15_revenue" ->
       """SELECT l_returnflag,

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val trades = Seq( // (sym, t, qty)
+    ("A", 10L, 1), ("A", 20L, 2), ("A", 5L, 3), ("B", 10L, 4))
+    .toDF("sym", "t", "qty")
+  private val quotes = Seq( // (sym, qt, px)
+    ("A", 8L, 1.0), ("A", 10L, 2.0), ("A", 15L, 3.0), ("B", 99L, 9.0))
+    .toDF("sym", "qt", "px")
+
+  test("backward as-of picks latest quote at-or-before trade time") {
+    val got = AsOfJoin.asofBackward(trades, quotes, Seq("sym"), "t", "qt",
+        Seq("px"))
+      .select($"sym", $"t", $"qty", $"asof_ts", $"px")
+      .as[(String, Long, Int, Option[Long], Option[Double])]
+      .collect().map(r => (r._1, r._2) -> (r._4, r._5)).toMap
+    assert(got(("A", 10L)) == (Some(10L), Some(2.0))) // tie: inclusive
+    assert(got(("A", 20L)) == (Some(15L), Some(3.0)))
+    assert(got(("A", 5L)) == (None, None))            // nothing before
+    assert(got(("B", 10L)) == (None, None))           // quote after only
+  }
+
+  test("tolerance expires stale matches") {
+    val got = AsOfJoin.asofBackward(trades, quotes, Seq("sym"), "t", "qt",
+        Seq("px"), tolerance = Some(3L))
+      .select($"sym", $"t", $"px").as[(String, Long, Option[Double])]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("A", 10L)) == Some(2.0)) // gap 0 ≤ 3
+    assert(got(("A", 20L)) == None)      // gap 5 > 3
+  }
+
+  test("single shuffle: plan has exactly one exchange on the key") {
+    val df = AsOfJoin.asofBackward(trades, quotes, Seq("sym"), "t", "qt",
+      Seq("px"))
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 shuffle:\n$p")
+    // and the two LOCF columns share one Window node (one sort)
+    assert("Window \\[".r.findAllIn(p).size == 1)
+  }
+
+  test("latestPerTs makes right side deterministic on duplicate ts") {
+    val dup = Seq(("A", 10L, 1.0), ("A", 10L, 7.0)).toDF("sym", "qt", "px")
+    val r = AsOfJoin.latestPerTs(dup, Seq("sym"), "qt", "px")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(r == Seq(("A", 10L, 7.0)))
+  }
+}

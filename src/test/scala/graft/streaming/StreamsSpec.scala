@@ -44,6 +44,25 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateful sessionize: cross-batch state, emits on gap break") {
+    implicit val sq = spark.sqlContext
+    import StatefulSessions._
+    val in = MemoryStream[Event]
+    val out = StatefulSessions.sessionize(in.toDS(), gap = 30L)
+    val q = out.writeStream.format("memory").queryName("statesess")
+      .outputMode("append").start()
+    try {
+      in.addData(Event(1L, 10L), Event(1L, 20L), Event(2L, 7L))
+      q.processAllAvailable()
+      assert(spark.table("statesess").count() == 0) // sessions still open
+      in.addData(Event(1L, 2000L)) // closes (10,20) across batches
+      q.processAllAvailable()
+      val rows = spark.table("statesess")
+        .as[Session].collect().toSet
+      assert(rows == Set(Session(1L, 10L, 20L, 2L)))
+    } finally q.stop()
+  }
+
   test("readyFilter keeps only marker-listed ids (stream-static semi-join)") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, String)]
