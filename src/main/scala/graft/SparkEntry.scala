@@ -398,6 +398,48 @@ object SparkEntry {
         .orderBy(col("user_id"), col("sess_start"))
     }),
 
+    // Built-in session_window in batch mode (the Structured Streaming
+    // session operator over the same data; streaming twin in
+    // streaming/Streams.sessionAgg). Session = events within 1800s gap;
+    // window end = last event + gap.
+    "q32_session_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("user_id"), eventTimestamp("ts").as("ets"))
+        .groupBy(col("user_id"), session_window(col("ets"), "1800 seconds"))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(col("user_id"),
+          col("session_window.start").cast("long").as("sess_start"),
+          col("session_window.end").cast("long").as("sess_end"),
+          col("n_rows"))
+        .orderBy(col("user_id"), col("sess_start"))
+    }),
+
+    // Exact percentiles per group (the reference's exact sorted-histogram
+    // boundaries, O10 — as an aggregate).
+    "q33_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Sketch aggregates: HLL distinct + approximate quantiles. No exact
+    // SQL oracle exists for sketches — intentionally omitted from
+    // oracleSql (driver records a rows-only check); the spec bounds the
+    // error against exact values instead.
+    "q34_approx_sketch" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("approx_median"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // O3: external-process-style line pipe (pure-Scala stage, partition-
     // streamed) — tokenizer emitting one line per token, re-aggregated.
     "q31_pipe" -> ((s, dir) => {
@@ -715,8 +757,8 @@ object SparkEntry {
            FROM d),
          sigs AS (
            SELECT doc_id, i,
-                  min(substr(md5(shingle || '#' || CAST(i AS VARCHAR)),
-                    1, 16)) AS mh
+                  min(substr(md5(shingle || '#' || CAST(i // 2 AS VARCHAR)),
+                    CAST(1 + 16 * (i % 2) AS INTEGER), 16)) AS mh
            FROM sh CROSS JOIN range(0, 16) r(i)
            GROUP BY doc_id, i),
          bands AS (
@@ -876,6 +918,40 @@ object SparkEntry {
                 count(*) AS n_rows
          FROM sess GROUP BY user_id, sid
          ORDER BY user_id, sess_start""",
+
+    "q32_session_window" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts) // 1000 AS tu FROM events),
+         m AS (
+           SELECT user_id, tu,
+                  max(tu) OVER (PARTITION BY user_id ORDER BY tu
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS prev_max
+           FROM e),
+         f AS (
+           SELECT user_id, tu,
+                  CASE WHEN prev_max IS NULL
+                         OR tu >= prev_max + 1800000000
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM m),
+         sess AS (
+           SELECT user_id, tu,
+                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY tu
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS sid
+           FROM f)
+         SELECT user_id, min(tu) // 1000000 AS sess_start,
+                (max(tu) + 1800000000) // 1000000 AS sess_end,
+                count(*) AS n_rows
+         FROM sess GROUP BY user_id, sid
+         ORDER BY user_id, sess_start""",
+
+    "q33_percentile" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q31_pipe" ->
       """WITH d AS (

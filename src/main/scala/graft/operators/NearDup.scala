@@ -118,10 +118,14 @@ object NearDup {
 
   /** Portable 16-hex-char hash of a shingle under seed `i`. String min
     * over these is a valid MinHash (any injective-ish hash works); md5
-    * keeps it engine-exact.
+    * keeps it engine-exact. Consecutive seed pairs share one md5
+    * invocation (the two 16-hex halves of md5(shingle#⌊i/2⌋) are
+    * independent bit ranges) — halves the hashing cost of a k-wide
+    * signature, the dominant cost of MinHash at corpus scale.
     */
   def seededHash(shingle: Column, seed: Int): Column =
-    substring(md5(concat(shingle, lit("#" + seed))), 1, 16)
+    substring(md5(concat(shingle, lit("#" + seed / 2))),
+      1 + 16 * (seed % 2), 16)
 
   /** MinHash signature: one column `mh0..mh{k-1}` per seed, computed in a
     * single groupBy (k map-side partial mins — one shuffle of k×16B/doc).

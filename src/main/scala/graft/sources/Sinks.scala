@@ -37,6 +37,22 @@ object Sinks {
     df.orderBy(sortCols.map(col): _*).coalesce(1)
       .write.mode("overwrite").format(format).save(path)
 
+  /** Bucketed table sink: pre-shuffles rows into `numBuckets` by key so
+    * subsequent equi-joins and aggregations on that key are EXCHANGE-FREE
+    * — the at-rest co-location the reference gets from per-(chr,region)
+    * files, done properly: bucket metadata lives in the catalog, and
+    * Catalyst drops the shuffle on both sides of a bucketed join. At
+    * 100 TB, bucketing the fact tables on their join key once turns every
+    * downstream join into a local zip of bucket files.
+    */
+  def writeBucketed(df: DataFrame, bucketCols: Seq[String], numBuckets: Int,
+                    table: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Lenient delimited-text reader: malformed rows land in
     * `_corrupt_record` instead of failing the job (count them; don't die
     * mid-petabyte). Mirrors the reference's badLines counters.

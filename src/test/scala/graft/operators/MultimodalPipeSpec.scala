@@ -84,6 +84,43 @@ class SinksSpec extends SparkTestBase {
     assert(back.toSeq == Seq((1, "a"), (2, "b"), (3, "c")))
   }
 
+  test("bucketed tables join without any exchange") {
+    val conf = spark.conf
+    val prevThreshold = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val l = (1 to 1000).map(i => (i % 50, s"l$i")).toDF("k", "lv")
+      val r = (1 to 500).map(i => (i % 50, i * 1.5)).toDF("k", "rv")
+      graft.sources.Sinks.writeBucketed(l, Seq("k"), 4, "bkt_l")
+      graft.sources.Sinks.writeBucketed(r, Seq("k"), 4, "bkt_r")
+      val joined = spark.table("bkt_l").join(spark.table("bkt_r"), "k")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$p")
+      assert(joined.count() == 1000L * 500 / 50 / 50 * 50)
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_l")
+      spark.sql("DROP TABLE IF EXISTS bkt_r")
+    }
+  }
+
+  test("approx sketches stay within error bounds of exact answers") {
+    val df = (1 to 20000).map(i => (i % 3, (i * 7919) % 1000))
+      .toDF("g", "v")
+    val exact = df.groupBy($"g")
+      .agg(countDistinct($"v").as("d"), expr("percentile(v, 0.5)").as("m"))
+      .as[(Int, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val approx = df.groupBy($"g")
+      .agg(approx_count_distinct($"v").as("d"),
+           percentile_approx($"v", lit(0.5), lit(10000)).as("m"))
+      .as[(Int, Long, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    exact.foreach { case (g, (d, m)) =>
+      assert(math.abs(approx(g)._1 - d).toDouble / d < 0.05)
+      assert(math.abs(approx(g)._2 - m) / math.max(m, 1) < 0.05)
+    }
+  }
+
   test("lenient csv: malformed rows counted, not fatal") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv")
     val f = dir.resolve("data.tsv")
