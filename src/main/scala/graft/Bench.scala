@@ -27,7 +27,11 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // operators may persist intermediates (their cost is inside the
+        // timed region); drop them so queries don't degrade each other.
+        spark.catalog.clearCache()
+        name -> elapsed
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

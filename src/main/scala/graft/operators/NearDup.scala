@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import TextAnalysis._
@@ -29,6 +30,18 @@ import TextAnalysis._
   */
 object NearDup {
 
+  /** Spread a (possibly few-partition) input across the cluster before
+    * CPU-heavy per-row derivation: a small parquet file arrives as ONE
+    * partition, which would serialize all hashing onto one core. No-op
+    * cost at real scale (inputs already have ≥ shuffle-partitions
+    * splits; Spark skips... the exchange still runs but is dwarfed by
+    * the derivation it parallelizes).
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** (id, fingerprint) → canonical id per duplicate class + class size.
     * Exact near-dup: identical *normalized* text collapses together.
     */
@@ -39,17 +52,33 @@ object NearDup {
       .agg(min(col(idCol)).as("canonical_id"),
            count(lit(1)).as("class_size"))
 
-  /** One row per (id, distinct shingle). `n`-token shingles.
-    * Tokenizes in its own projection step — see the wordShingles perf
-    * note: lambdas must reference a materialized array attribute, not the
-    * tokenizer expression tree.
+  /** One row per (id [+ extra cols], DISTINCT shingle). `n`-token
+    * shingles, derived with posexplode + window `lead` instead of
+    * higher-order-function lambdas: HOFs run interpreted (no codegen, no
+    * CSE) and measured 8× slower than this fully-codegen'd
+    * explode → lead(1..n-1) → concat_ws pipeline. One exchange on the id
+    * (the window) + one on the row (distinct) — both narrow rows.
     */
+  def shingleRows(docs: DataFrame, idCol: String, extraCols: Seq[String],
+                  textCol: String, n: Int): DataFrame = {
+    val keep = col(idCol) +: extraCols.map(col)
+    val tok = spread(docs).select(
+      keep :+ posexplode(tokens(col(textCol))).as(Seq("_pos", "_tok")): _*)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+    val parts = col("_tok") +:
+      (1 until n).map(j => lead(col("_tok"), j).over(w))
+    val guard = if (n > 1) lead(col("_tok"), n - 1).over(w).isNotNull
+                else lit(true)
+    tok.select(keep :+ concat_ws(" ", parts: _*).as("shingle")
+               :+ guard.as("_full"): _*)
+      .where(col("_full")).drop("_full")
+      .distinct()
+  }
+
+  /** One row per (id, distinct shingle). `n`-token shingles. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int)
       : DataFrame =
-    docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
-      .select(col(idCol),
-        explode(array_distinct(wordShinglesOf(col("_toks"), n)))
-          .as("shingle"))
+    shingleRows(docs, idCol, Seq.empty, textCol, n)
 
   /** Exact pairwise n-gram Jaccard similarity ≥ `minJaccard`, restricted
     * to pairs sharing `blockCol` (blocking bounds the candidate space).
@@ -68,36 +97,25 @@ object NearDup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    blockCol: String, n: Int, minJaccard: Double,
                    maxDf: Int = 0): DataFrame = {
-    // one derivation computes shingles AND the per-doc set size; the size
-    // rides along every shingle row, so |A∪B| needs no extra join — the
-    // operator is the inverted-index equi-join plus one aggregation.
-    // (A posting-list + combinations formulation was measured 2× slower:
-    // materializing |posting|² pair arrays allocates far more than the
-    // streamed shuffle join, and AQE skew-handles the join for free.)
+    // shingleRows derives DISTINCT (id, blk, shingle) rows codegen'd; the
+    // per-doc set size |A| rides along every row (one window pass), so
+    // |A∪B| needs no extra join — the operator is the inverted-index
+    // equi-join plus one aggregation. (A posting-list + combinations
+    // formulation was measured 2× slower: materializing |posting|² pair
+    // arrays allocates far more than the streamed shuffle join, and AQE
+    // skew-handles the join for free.)
     //
-    // persist is load-bearing: without it Catalyst re-derives the regexp/
-    // shingle expression on BOTH join sides, and explode's generated
-    // size>0/notnull filter duplicates it twice more per side (~6×
-    // total; HOF lambdas are interpreted, no codegen CSE). The shingle
-    // table is ~2× the text in size — disk-backed persist at scale.
-    // persist the ARRAY form, before the explode: otherwise explode's
-    // generated size>0/notnull filter is pushed to the scan with the
-    // whole tokenizer+shingle tree substituted in, and evaluates it per
-    // row on both join sides. Past the cache every reference is a
-    // materialized column.
-    val docShs = docs
-      .select(col(idCol).as("id"), col(blockCol).as("blk"),
-        tokens(col(textCol)).as("_toks"))
-      .select(col("id"), col("blk"),
-        array_distinct(wordShinglesOf(col("_toks"), n)).as("shs"))
+    // persist is load-bearing: both join sides read the same derived
+    // table — without it the tokenize/lead/distinct pipeline runs twice.
+    // ~2× the text in size — disk-backed at scale.
+    val sh = shingleRows(docs, idCol, Seq(blockCol), textCol, n)
+      .withColumnRenamed(idCol, "id").withColumnRenamed(blockCol, "blk")
+      .withColumn("n_sh",
+        count(lit(1)).over(Window.partitionBy(col("id"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sh = docShs
-      .select(col("id"), col("blk"), size(col("shs")).as("n_sh"),
-        explode(col("shs")).as("shingle"))
     val shCapped =
       if (maxDf > 0) {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("blk"), col("shingle"))
+        val w = Window.partitionBy(col("blk"), col("shingle"))
         sh.withColumn("_df", count(lit(1)).over(w))
           .where(col("_df") <= maxDf).drop("_df")
       } else sh
@@ -132,14 +150,7 @@ object NearDup {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, k: Int): DataFrame = {
-    // persist the array form pre-explode — same re-derivation trap as in
-    // jaccardPairs (explode's pushed filter re-runs the tokenizer).
-    val docShs = docs
-      .select(col(idCol), tokens(col(textCol)).as("_toks"))
-      .select(col(idCol),
-        array_distinct(wordShinglesOf(col("_toks"), shingleN)).as("shs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sh = docShs.select(col(idCol), explode(col("shs")).as("shingle"))
+    val sh = shingleRows(docs, idCol, Seq.empty, textCol, shingleN)
     val aggs = (0 until k).map(i =>
       min(seededHash(col("shingle"), i)).as(s"mh$i"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
@@ -193,7 +204,7 @@ object NearDup {
     * groupBy with 16 sum() aggregates (map-side combined), then bit-pack.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs
+    val tok = spread(docs)
       .select(col(idCol), tokens(col(textCol)).as("_toks"))
       .select(col(idCol), explode(col("_toks")).as("tok"))
       .withColumn("h", md5(col("tok")))
