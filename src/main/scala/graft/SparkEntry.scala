@@ -445,14 +445,18 @@ object SparkEntry {
     "q31_pipe" -> ((s, dir) => {
       val spark2 = s
       import spark2.implicits._
+      // coalesce: a null text would drop the tab from concat_ws and the
+      // parser below would crash; '' keeps the line shape.
       val lines = t(s, dir, "documents")
-        .select(concat_ws("\t", col("doc_id"), col("text")))
+        .select(concat_ws("\t", col("doc_id"), coalesce(col("text"), lit(""))))
         .as[String]
       val piped = Pipe.mapLines(lines, it => it.flatMap { line =>
         val i = line.indexOf('\t')
         val id = line.substring(0, i)
-        line.substring(i + 1).toLowerCase.trim.split("\\s+")
-          .filter(_.nonEmpty).map(tok => id + "\t" + tok)
+        // mirror TextAnalysis.normalize + split(' ') exactly (an empty
+        // doc yields one '' token, as in the oracle's string_split)
+        line.substring(i + 1).toLowerCase.trim.replaceAll("\\s+", " ")
+          .split(" ", -1).map(tok => id + "\t" + tok)
       })
       piped.map { l => val i = l.indexOf('\t')
           (l.substring(0, i).toLong, l.substring(i + 1)) }
@@ -891,7 +895,7 @@ object SparkEntry {
       """SELECT doc_id,
                 CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
                 md5(text) AS content_md5,
-                hex(encode(substring(text, 1, 8))) AS prefix_hex
+                substr(hex(encode(text)), 1, 16) AS prefix_hex
          FROM documents ORDER BY doc_id""",
 
     "q30_interval_union" ->
@@ -956,8 +960,8 @@ object SparkEntry {
     "q31_pipe" ->
       """WITH d AS (
            SELECT doc_id,
-                  string_split(trim(regexp_replace(lower(text), '\s+', ' ',
-                    'g')), ' ') AS toks
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
            FROM documents),
          tk AS (SELECT doc_id, unnest(toks) AS token FROM d)
          SELECT token, count(*) AS n_occurrences,

@@ -45,37 +45,41 @@ object AsOfJoin {
                    rightPayload: Seq[String],
                    tolerance: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.filterNot(c => on.contains(c) || c == leftTs)
+    // the right row rides as ONE struct so the LOCF is atomic — carrying
+    // ts and payload in separate last(ignoreNulls) columns would pair a
+    // newer match timestamp with an older non-null payload whenever a
+    // right payload value is null.
     val l2 = left.select(
       on.map(col) ++
         Seq(col(leftTs).cast("long").as("_t"), lit(1).as("_side"),
-            lit(null).cast("long").as("_rt")) ++
-        leftCols.map(col) ++
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType)
-          .as(s"_r_$c")): _*)
+            lit(null).cast(org.apache.spark.sql.types.StructType(
+              org.apache.spark.sql.types.StructField("_rt",
+                org.apache.spark.sql.types.LongType) +:
+              rightPayload.map(c => org.apache.spark.sql.types.StructField(
+                c, right.schema(c).dataType))))
+              .as("_r")) ++
+        leftCols.map(col): _*)
     val r2 = right.select(
       on.map(col) ++
         Seq(col(rightTs).cast("long").as("_t"), lit(0).as("_side"),
-            col(rightTs).cast("long").as("_rt")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.map(c => col(c).as(s"_r_$c")): _*)
+            struct(col(rightTs).cast("long").as("_rt") +:
+                   rightPayload.map(col): _*).as("_r")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val w = Window.partitionBy(on.map(col): _*)
       .orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l2.unionByName(r2)
-      .withColumn("_m_rt", last(col("_rt"), ignoreNulls = true).over(w))
-    val withPayload = rightPayload.foldLeft(carried) { (df, c) =>
-      df.withColumn(s"_m_$c",
-        last(col(s"_r_$c"), ignoreNulls = true).over(w))
-    }
+      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
     val inTol: Column = tolerance
-      .map(tol => col("_m_rt").isNotNull && col("_t") - col("_m_rt") <= tol)
-      .getOrElse(col("_m_rt").isNotNull)
-    withPayload
+      .map(tol => col("_m").isNotNull &&
+        col("_t") - col("_m._rt") <= tol)
+      .getOrElse(col("_m").isNotNull)
+    carried
       .where(col("_side") === 1)
       .select(
         on.map(col) ++ Seq(col("_t").as(leftTs)) ++ leftCols.map(col) ++
-          Seq(when(inTol, col("_m_rt")).as("asof_ts")) ++
+          Seq(when(inTol, col("_m._rt")).as("asof_ts")) ++
           rightPayload.map(c =>
-            when(inTol, col(s"_m_$c")).as(c)): _*)
+            when(inTol, col(s"_m.$c")).as(c)): _*)
   }
 }

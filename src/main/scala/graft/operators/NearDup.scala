@@ -110,15 +110,20 @@ object NearDup {
     // ~2× the text in size — disk-backed at scale.
     val sh = shingleRows(docs, idCol, Seq(blockCol), textCol, n)
       .withColumnRenamed(idCol, "id").withColumnRenamed(blockCol, "blk")
-      .withColumn("n_sh",
-        count(lit(1)).over(Window.partitionBy(col("id"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val shCapped =
+    // the maxDf cap applies BEFORE set sizes are counted, so the capped
+    // universe is self-consistent: jaccard = |A∩B|/|A∪B| over surviving
+    // shingles (counting n_sh first would divide a capped intersection
+    // by uncapped sizes and systematically underestimate).
+    val shCapped0 =
       if (maxDf > 0) {
         val w = Window.partitionBy(col("blk"), col("shingle"))
         sh.withColumn("_df", count(lit(1)).over(w))
           .where(col("_df") <= maxDf).drop("_df")
       } else sh
+    val shCapped = shCapped0
+      .withColumn("n_sh",
+        count(lit(1)).over(Window.partitionBy(col("id"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = shCapped.select(col("blk"), col("shingle"), col("id").as("a"),
                             col("n_sh").as("na"))
     val b = shCapped.select(col("blk"), col("shingle"), col("id").as("b"),

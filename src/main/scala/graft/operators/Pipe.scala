@@ -46,10 +46,35 @@ object Pipe {
         })
         writer.setDaemon(true)
         writer.start()
-        val reader = scala.io.Source.fromInputStream(proc.getInputStream)
-        reader.getLines().map(identity)
-        // note: stream is consumed lazily by the task; process reaped by
-        // the JVM when stdout drains.
+        // drain stderr on its own thread: a chatty tool would otherwise
+        // fill the ~64KB pipe buffer, block, and deadlock the task.
+        // Captured (bounded) so a failure can surface it.
+        val errBuf = new java.lang.StringBuilder
+        val errDrain = new Thread(() => {
+          val src = scala.io.Source.fromInputStream(proc.getErrorStream)
+          try src.getLines().foreach { l =>
+            if (errBuf.length < 8192) errBuf.append(l).append('\n')
+          } finally src.close()
+        })
+        errDrain.setDaemon(true)
+        errDrain.start()
+        val out = scala.io.Source.fromInputStream(proc.getInputStream)
+          .getLines()
+        // surface non-zero exit AFTER stdout drains — a tool that dies
+        // mid-stream must fail the task, not silently truncate the data.
+        new Iterator[String] {
+          def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h) {
+              val code = proc.waitFor()
+              if (code != 0) throw new RuntimeException(
+                s"piped command ${cmd.mkString(" ")} exited $code; " +
+                  s"stderr: ${errBuf.toString.take(2048)}")
+            }
+            h
+          }
+          def next(): String = out.next()
+        }
       }
     }
   }

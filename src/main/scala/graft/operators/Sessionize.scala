@@ -1,10 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
-import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-
-import scala.collection.mutable.ArrayBuffer
 
 /** Gap-tolerant interval coalescing — the reference's `RegionIterator`.
   *
@@ -21,11 +19,11 @@ import scala.collection.mutable.ArrayBuffer
   *     100 TB path: Catalyst sorts each key group with the spillable
   *     `SortExec`, unlike the reference's in-memory-only sort.
   *
-  *  2. `IntervalUnionAgg` — a typed `Aggregator` computing the merged
-  *     interval *set* per key in one pass; unlike the window form it does a
-  *     true interval-set union in the merge step (handles non-adjacent
-  *     buffers from different partitions), so it works as a partial
-  *     aggregate without a pre-sort shuffle of raw rows.
+  *  2. `graft.functions.IntervalUnionAgg` — a typed `Aggregator` computing
+  *     the merged interval *set* per key in one pass; unlike the window form
+  *     it does a true interval-set union in the merge step (handles
+  *     non-adjacent buffers from different partitions), so it works as a
+  *     partial aggregate without a pre-sort shuffle of raw rows.
   */
 object Sessionize {
 
@@ -66,39 +64,4 @@ object Sessionize {
                        gap: Long): DataFrame =
     coalesceIntervals(df, keyCols, tsCol, tsCol, gap)
 
-  // ----- formulation 2: single-pass interval-set union aggregate -----
-
-  /** Sorted, disjoint (beyond gap) interval list buffer. */
-  private def mergeSorted(iv: ArrayBuffer[(Long, Long)], gap: Long)
-      : ArrayBuffer[(Long, Long)] = {
-    val out = ArrayBuffer.empty[(Long, Long)]
-    iv.sortInPlaceBy(_._1)
-    for ((s, e) <- iv) {
-      if (out.nonEmpty && s <= out.last._2 + gap) {
-        val (ls, le) = out.last
-        out(out.length - 1) = (ls, math.max(le, e))
-      } else out += ((s, e))
-    }
-    out
-  }
-
-  /** Typed aggregator: interval-set union with gap tolerance.
-    * IN = (start, end); OUT = sorted merged list of (start, end).
-    * The reduce step keeps the buffer merged so memory stays bounded by the
-    * merged-set size, not the input row count.
-    */
-  class IntervalUnionAgg(gap: Long)
-      extends Aggregator[(Long, Long), ArrayBuffer[(Long, Long)],
-                         Seq[(Long, Long)]] {
-    def zero: ArrayBuffer[(Long, Long)] = ArrayBuffer.empty
-    def reduce(b: ArrayBuffer[(Long, Long)], a: (Long, Long))
-        : ArrayBuffer[(Long, Long)] = mergeSorted(b += a, gap)
-    def merge(b1: ArrayBuffer[(Long, Long)], b2: ArrayBuffer[(Long, Long)])
-        : ArrayBuffer[(Long, Long)] = mergeSorted(b1 ++= b2, gap)
-    def finish(b: ArrayBuffer[(Long, Long)]): Seq[(Long, Long)] = b.toSeq
-    def bufferEncoder: Encoder[ArrayBuffer[(Long, Long)]] =
-      Encoders.kryo[ArrayBuffer[(Long, Long)]]
-    def outputEncoder: Encoder[Seq[(Long, Long)]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
-  }
 }

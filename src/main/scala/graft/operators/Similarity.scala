@@ -59,19 +59,28 @@ object Similarity {
 
   /** Assign each vector to its nearest centroid by cosine (IVF coarse
     * quantization). `centroids` must be small (broadcast). Adds
-    * `centroid_id`. One wide scan, no shuffle.
+    * `centroid_id`.
+    *
+    * Argmax is a `max_by` aggregate, not a window: the per-vector best
+    * centroid partial-aggregates MAP-SIDE, so only one row per vector
+    * crosses the wire — a row_number window would shuffle the full
+    * |vectors|×|centroids| scored cross product first, which at 1B
+    * vectors × 256 centroids is the dominant cost of IVF assignment.
+    * Tie-break matches `ORDER BY csim DESC, centroid_id ASC`.
     */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame, idCol: String,
                 vecCol: String): DataFrame = {
     val cents = centroids.select(col(idCol).as("centroid_id"),
                                  col(vecCol).as("centv"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(desc("csim"), asc("centroid_id"))
+    val payload = vectors.columns.filterNot(_ == idCol)
     vectors.crossJoin(broadcast(cents))
       .withColumn("csim", cosine(col(vecCol), col("centv")))
-      .withColumn("crnk", row_number().over(w))
-      .where(col("crnk") === 1)
-      .drop("centv", "crnk", "csim")
+      .groupBy(col(idCol))
+      .agg(max_by(
+        struct((payload.map(col) :+ col("centroid_id")): _*),
+        struct(col("csim"), -col("centroid_id"))).as("_best"))
+      .select(col(idCol) +:
+        (payload :+ "centroid_id").map(c => col(s"_best.$c").as(c)): _*)
   }
 
   /** IVF ANN top-k: probe only the query's own cluster. Recall < 1 by

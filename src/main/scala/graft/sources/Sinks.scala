@@ -28,9 +28,12 @@ object Sinks {
                        path: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
-  /** Single combined output file (the gathered VCF shape): total order
-    * first (range exchange), then a 1-file write. Only the final write is
-    * single-threaded; the sort is distributed.
+  /** Single combined output file (the gathered VCF shape). NOTE:
+    * `coalesce(1)` after `orderBy` collapses the whole post-shuffle sort
+    * into ONE task (coalesce is a narrow dependency) — a single output
+    * file is inherently a single-task gather. Use it for driver-sized
+    * results only; for large sorted output prefer `orderBy(...).write`
+    * (sorted part files, distributed) or `writePartitioned`.
     */
   def writeSingleSorted(df: DataFrame, sortCols: Seq[String], path: String,
                         format: String = "parquet"): Unit =

@@ -35,10 +35,26 @@ object StatefulSessions {
           val times = it.map(_.t).toArray.sorted
           var cur = state.getOption
           val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
-          times.foreach { t =>
+          // stragglers older than the open session's leading gap can't
+          // join it (state holds ONE open session — that's what bounds
+          // it); gap-merge them among themselves and emit immediately.
+          val guard = cur.map(_.start - gap).getOrElse(Long.MinValue)
+          val (late, rest) = times.partition(_ < guard)
+          late.foreach { t =>
+            closed.lastOption match {
+              case Some(s) if t <= s.sess_end + gap =>
+                closed(closed.length - 1) =
+                  s.copy(sess_end = t, n_rows = s.n_rows + 1)
+              case _ => closed += Session(key, t, t, 1)
+            }
+          }
+          rest.foreach { t =>
             cur = cur match {
+              // extends (or exactly touches) the open session — also
+              // lowers start for a late event within the leading gap
               case Some(s) if t <= s.end + gap =>
-                Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+                Some(OpenSession(math.min(s.start, t),
+                                 math.max(s.end, t), s.n + 1))
               case Some(s) =>
                 closed += Session(key, s.start, s.end, s.n)
                 Some(OpenSession(t, t, 1))

@@ -44,6 +44,18 @@ class AsOfJoinSpec extends SparkTestBase {
     assert("Window \\[".r.findAllIn(p).size == 1)
   }
 
+  test("null right payload stays paired with its own timestamp (atomic LOCF)") {
+    val q = Seq(("A", 5L, Some(3.0)), ("A", 10L, Option.empty[Double]))
+      .toDF("sym", "qt", "px")
+    val l = Seq(("A", 12L, 1)).toDF("sym", "t", "qty")
+    val row = AsOfJoin.asofBackward(l, q, Seq("sym"), "t", "qt", Seq("px"))
+      .select($"asof_ts", $"px").as[(Option[Long], Option[Double])]
+      .collect().head
+    // the ct=10 row IS the match; its null payload must not be replaced
+    // by the older non-null value from ct=5
+    assert(row == (Some(10L), None))
+  }
+
   test("latestPerTs makes right side deterministic on duplicate ts") {
     val dup = Seq(("A", 10L, 1.0), ("A", 10L, 7.0)).toDF("sym", "qt", "px")
     val r = AsOfJoin.latestPerTs(dup, Seq("sym"), "qt", "px")

@@ -85,9 +85,11 @@ class SessionizeSpec extends SparkTestBase {
   test("aggregator union matches brute-force union (property)") {
     for (seed <- 1 to 8) {
       val iv0 = randomIntervals(seed + 100, 40, 300, 40)
-      val agg = new Sessionize.IntervalUnionAgg(51L).toColumn
-      val got = iv0.toDS().select(agg).head()
-      assert(got.sorted == bruteMerge(iv0, 51L), s"seed=$seed")
+      val agg = new graft.functions.IntervalUnionAgg(51L).toColumn
+      val got = iv0.map { case (s, e) => graft.functions.Iv(s, e, 1L) }
+        .toDS().select(agg).head()
+      assert(got.map(iv => (iv.start, iv.end)).sorted ==
+        bruteMerge(iv0, 51L), s"seed=$seed")
     }
   }
 

@@ -63,6 +63,29 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateful sessionize: too-late events become own sessions, not merged") {
+    implicit val sq = spark.sqlContext
+    import StatefulSessions._
+    val in = MemoryStream[Event]
+    val out = StatefulSessions.sessionize(in.toDS(), gap = 30L)
+    val q = out.writeStream.format("memory").queryName("latesess")
+      .outputMode("append").start()
+    try {
+      in.addData(Event(1L, 10000L))
+      q.processAllAvailable()
+      in.addData(Event(1L, 100L), Event(1L, 110L)) // far before open start
+      q.processAllAvailable()
+      val rows = spark.table("latesess").as[Session].collect().toSet
+      // stragglers gap-merge together and emit immediately; the open
+      // session (start 10000) must NOT absorb them
+      assert(rows == Set(Session(1L, 100L, 110L, 2L)))
+      in.addData(Event(1L, 99999L)) // closes the open session untouched
+      q.processAllAvailable()
+      val rows2 = spark.table("latesess").as[Session].collect().toSet
+      assert(rows2.contains(Session(1L, 10000L, 10000L, 1L)))
+    } finally q.stop()
+  }
+
   test("readyFilter keeps only marker-listed ids (stream-static semi-join)") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, String)]
