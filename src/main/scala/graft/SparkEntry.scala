@@ -440,6 +440,20 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // O9: salted equi-join — hot keys spread over 8 reducers; result
+    // identical to the plain join (oracle = plain join).
+    "q35_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_quantity"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      Skew.saltedJoin(li, sup, Seq("l_suppkey"), 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_rows"),
+             sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // O3: external-process-style line pipe (pure-Scala stage, partition-
     // streamed) — tokenizer emitting one line per token, re-aggregated.
     "q31_pipe" -> ((s, dir) => {
@@ -956,6 +970,12 @@ object SparkEntry {
                 round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
                 round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q35_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n_rows,
+                sum(l_quantity) AS sum_qty
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_nationkey ORDER BY s_nationkey""",
 
     "q31_pipe" ->
       """WITH d AS (

@@ -62,6 +62,23 @@ object Skew {
       .agg(sum(col("_psum")).as("sum_value"), sum(col("_pcnt")).as("n_rows"))
   }
 
+  /** Salted join for a skewed equi-join that can't broadcast: the big
+    * (skewed) side gets a deterministic salt 0..buckets-1 appended to its
+    * key; the small-but-not-broadcastable side is replicated once per
+    * salt value. The hot key's rows then land on `buckets` reducers
+    * instead of one. AQE's skew-join handles sort-merge spills at
+    * runtime; explicit salting is for when you know the hot keys up
+    * front and want the first shuffle balanced too.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, on: Seq[String],
+                 saltBuckets: Int): DataFrame = {
+    val salts = explode(array((0 until saltBuckets).map(lit): _*))
+    val bigSalted = big.withColumn("_salt",
+      pmod(hash(big.columns.map(col): _*), lit(saltBuckets)))
+    val smallReplicated = small.withColumn("_salt", salts)
+    bigSalted.join(smallReplicated, on :+ "_salt").drop("_salt")
+  }
+
   /** Approximate equal-frequency boundaries per key for the no-full-sort
     * scale path: returns (key..., boundaries: array) where boundaries are
     * the (1/n .. (n-1)/n) quantiles of `posCol`.

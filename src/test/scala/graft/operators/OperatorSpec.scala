@@ -107,6 +107,17 @@ class SessionizeSpec extends SparkTestBase {
 class SkewSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("saltedJoin equals the plain join") {
+    val big = (1 to 2000).map(i => (i % 5, i)).toDF("k", "v")
+    val small = Seq((0, "a"), (1, "b"), (2, "c"), (3, "d"), (4, "e"))
+      .toDF("k", "name")
+    val plain = big.join(small, Seq("k")).groupBy($"name").count()
+      .as[(String, Long)].collect().toMap
+    val salted = Skew.saltedJoin(big, small, Seq("k"), 8)
+      .groupBy($"name").count().as[(String, Long)].collect().toMap
+    assert(plain == salted)
+  }
+
   test("segmentCounts: round(n*factor/avg), min 1") {
     // counts 10, 10, 100 -> avg 40; factor 1 -> 0->1, 0->1, round(2.5)=3
     val counts = Seq(("a", 10L), ("b", 10L), ("c", 100L)).toDF("k", "n")
