@@ -440,6 +440,25 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // k-means Lloyd iteration over the embedding corpus (long form:
+    // one row per centroid × dimension — engine-exact cross-check).
+    "q36_kmeans_iter" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.kmeansIter(emb, emb.where(col("vec_id") < 8),
+          "vec_id", "embedding")
+        .orderBy(col("centroid_id"), col("pos"))
+    }),
+
+    // Deterministic hash sampling (reproducible dataset curation):
+    // ~20% of documents by md5(doc_id), counted per source.
+    "q37_det_sample" -> ((s, dir) => {
+      Sampling.hashSample(t(s, dir, "documents"), "doc_id", 51)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+             sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"))
+    }),
+
     // O9: salted equi-join — hot keys spread over 8 reducers; result
     // identical to the plain join (oracle = plain join).
     "q35_salted_join" -> ((s, dir) => {
@@ -970,6 +989,33 @@ object SparkEntry {
                 round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
                 round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q36_kmeans_iter" ->
+      """WITH v AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+           FROM embeddings),
+         cents AS (
+           SELECT vec_id AS centroid_id, ev AS centv FROM v
+           WHERE vec_id < 8),
+         asg AS (
+           SELECT vec_id, ev, centroid_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY
+               list_dot_product(ev, centv)
+                 / (sqrt(list_dot_product(ev, ev))
+                    * sqrt(list_dot_product(centv, centv))) DESC,
+               centroid_id) AS crnk
+           FROM v CROSS JOIN cents),
+         m AS (SELECT vec_id, ev, centroid_id FROM asg WHERE crnk = 1)
+         SELECT centroid_id, CAST(i AS INTEGER) AS pos,
+                round(avg(ev[i]), 6) AS mean, count(*) AS n_members
+         FROM m CROSS JOIN generate_series(1, 64) s(i)
+         GROUP BY centroid_id, i ORDER BY centroid_id, i""",
+
+    "q37_det_sample" ->
+      """SELECT source, count(*) AS n_rows, sum(n_chars) AS sum_chars
+         FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '33'
+         GROUP BY source ORDER BY source""",
 
     "q35_salted_join" ->
       """SELECT s_nationkey, count(*) AS n_rows,

@@ -83,6 +83,25 @@ object Similarity {
         (payload :+ "centroid_id").map(c => col(s"_best.$c").as(c)): _*)
   }
 
+  /** One Lloyd (k-means) iteration over an embedding corpus: assign every
+    * vector to its nearest centroid, then recompute per-cluster
+    * element-wise means. Returns the LONG form (centroid_id, pos, mean,
+    * n_members), pos 1-based — scalar rows that cross-check exactly
+    * against any engine; pack with `collect_list(struct(pos, mean))` when
+    * an array is needed. Scale shape: one broadcast (centroids), one
+    * map-side-combined aggregation over |vectors|×dim rows — no shuffle
+    * of the raw vectors beyond the agg exchange.
+    */
+  def kmeansIter(vectors: DataFrame, centroids: DataFrame, idCol: String,
+                 vecCol: String): DataFrame = {
+    val assigned = ivfAssign(vectors, centroids, idCol, vecCol)
+    assigned
+      .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("p", "x")))
+      .groupBy(col("centroid_id"), (col("p") + 1).as("pos"))
+      .agg(round(avg(col("x").cast("double")), 6).as("mean"),
+           count(lit(1)).as("n_members"))
+  }
+
   /** IVF ANN top-k: probe only the query's own cluster. Recall < 1 by
     * design (that's the approximation); nprobe>1 = relax the centroid
     * rank filter.
