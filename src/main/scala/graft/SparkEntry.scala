@@ -415,14 +415,16 @@ object SparkEntry {
     }),
 
     // Exact percentiles per group (the reference's exact sorted-histogram
-    // boundaries, O10 — as an aggregate).
+    // boundaries, O10). Distributed formulation (Stats.exactPercentiles):
+    // the built-in exact `percentile` merges whole value→count maps on
+    // #groups reducers — 3× slower here and worse with scale.
     "q33_percentile" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+      Stats.exactPercentiles(t(s, dir, "lineitem"), Seq("l_returnflag"),
+          "l_extendedprice",
+          Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9))
+        .select(col("l_returnflag"), round(col("p25"), 4).as("p25"),
+                round(col("p50"), 4).as("p50"),
+                round(col("p90"), 4).as("p90"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -438,6 +440,25 @@ object SparkEntry {
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
             .as("approx_median"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // O13 at scale: banded (bucketed) interval join — big×big overlap
+    // join as an equi-join on (key, coarse bucket) + residual predicate;
+    // no broadcast, no cartesian blow-up.
+    "q38_banded_interval_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.groupBy(col("l_suppkey"), col("l_returnflag"))
+        .agg(min(col("l_orderkey")).as("astart"),
+             max(col("l_orderkey")).as("aend"))
+      val b = li.groupBy(col("l_suppkey"), col("l_linestatus"))
+        .agg(min(col("l_orderkey")).as("bstart"),
+             max(col("l_orderkey")).as("bend"))
+      RangeJoin.bucketedOverlapJoin(a, b, Seq("l_suppkey"),
+          "astart", "aend", "bstart", "bend", bucketWidth = 10000L)
+        .select(col("l_suppkey"), col("l_returnflag"), col("l_linestatus"),
+          (least(col("aend"), col("bend")) -
+           greatest(col("astart"), col("bstart")) + 1).as("overlap_len"))
+        .orderBy(col("l_suppkey"), col("l_returnflag"), col("l_linestatus"))
     }),
 
     // k-means Lloyd iteration over the embedding corpus (long form:
@@ -989,6 +1010,22 @@ object SparkEntry {
                 round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
                 round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q38_banded_interval_join" ->
+      """WITH a AS (
+           SELECT l_suppkey, l_returnflag, min(l_orderkey) AS astart,
+                  max(l_orderkey) AS aend
+           FROM lineitem GROUP BY l_suppkey, l_returnflag),
+         b AS (
+           SELECT l_suppkey, l_linestatus, min(l_orderkey) AS bstart,
+                  max(l_orderkey) AS bend
+           FROM lineitem GROUP BY l_suppkey, l_linestatus)
+         SELECT l_suppkey, l_returnflag, l_linestatus,
+                least(aend, bend) - greatest(astart, bstart) + 1
+                  AS overlap_len
+         FROM a JOIN b USING (l_suppkey)
+         WHERE astart <= bend AND bstart <= aend
+         ORDER BY l_suppkey, l_returnflag, l_linestatus""",
 
     "q36_kmeans_iter" ->
       """WITH v AS (

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact statistics.
+  *
+  * Spark's built-in `percentile` is exact but accumulates a per-partition
+  * value→count map and merges the full maps on the FINAL reducers — for a
+  * high-cardinality column that merge is the whole dataset squeezed
+  * through #groups tasks. This formulation distributes the heavy pass:
+  * count per (key, value) (map-side combined), one spillable
+  * cumulative-count window over the DISTINCT values of each key, then a
+  * conditional-min aggregate per requested percentile. Interpolation is
+  * the standard `pos = p·(n-1)` linear rule — same as Spark `percentile`
+  * and DuckDB `quantile_cont` (equality verified in the spec).
+  */
+object Stats {
+
+  /** Exact interpolated percentiles per key.
+    * Returns (keyCols..., p_<label>: double ...) one row per key.
+    */
+  def exactPercentiles(df: DataFrame, keyCols: Seq[String],
+                       valueCol: String, probs: Seq[(String, Double)])
+      : DataFrame = {
+    val key = keyCols.map(col)
+    val counts = df.groupBy((key :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("_c"))
+    val wCum = Window.partitionBy(key: _*).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(key: _*)
+    val cum = counts
+      .withColumn("_cum", sum(col("_c")).over(wCum))
+      .withColumn("_n", sum(col("_c")).over(wAll))
+    val aggs = probs.flatMap { case (label, p) =>
+      // 0-based fractional position of the percentile in the sorted data
+      val pos: Column = lit(p) * (col("_n") - 1)
+      val lo = floor(pos)
+      val hi = ceil(pos)
+      // value at 0-based index k = first value with cumulative count > k
+      def valueAt(k: Column): Column =
+        min(when(col("_cum") > k, col(valueCol)))
+      Seq(valueAt(lo).as(s"_lo_$label"), valueAt(hi).as(s"_hi_$label"),
+          first(pos - lo).as(s"_frac_$label"))
+    }
+    val prows = cum.groupBy(key: _*).agg(aggs.head, aggs.tail: _*)
+    probs.foldLeft(prows) { case (acc, (label, _)) =>
+      // (1-d)·lower + d·higher — the exact arithmetic form Spark's
+      // built-in percentile uses (bit-for-bit parity matters: the
+      // algebraically-equal lower + (higher-lower)·d differs by 1 ulp)
+      acc.withColumn(label,
+        (lit(1d) - col(s"_frac_$label")) * col(s"_lo_$label") +
+          col(s"_frac_$label") * col(s"_hi_$label"))
+        .drop(s"_lo_$label", s"_hi_$label", s"_frac_$label")
+    }
+  }
+}

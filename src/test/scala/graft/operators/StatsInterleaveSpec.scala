@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("exactPercentiles equals built-in percentile bit-for-bit") {
+    val rnd = new scala.util.Random(3)
+    val df = Seq.fill(5000)((rnd.nextInt(4), rnd.nextDouble() * 1000))
+      .toDF("g", "v")
+    val builtin = df.groupBy($"g")
+      .agg(expr("percentile(v, 0.25)").as("p25"),
+           expr("percentile(v, 0.5)").as("p50"),
+           expr("percentile(v, 0.9)").as("p90"))
+      .as[(Int, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val ours = Stats.exactPercentiles(df, Seq("g"), "v",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9))
+      .as[(Int, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(builtin.keySet == ours.keySet)
+    builtin.foreach { case (g, (a, b, c)) =>
+      val (x, y, z) = ours(g)
+      assert(a == x && b == y && c == z, s"group $g: ($a,$b,$c) vs ($x,$y,$z)")
+    }
+  }
+
+  test("single-element and duplicate-heavy groups") {
+    val df = (Seq((0, 42.0)) ++ Seq.fill(100)((1, 7.0)) ++
+      Seq((1, 9.0))).toDF("g", "v")
+    val got = Stats.exactPercentiles(df, Seq("g"), "v",
+        Seq("p50" -> 0.5))
+      .as[(Int, Double)].collect().toMap
+    assert(got(0) == 42.0)
+    assert(got(1) == 7.0) // median of 100×7.0 + one 9.0
+  }
+}
+
+class InterleaveSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pairInterleave alternates A/B records in index order") {
+    val a = Seq((0L, "a0"), (1L, "a1"), (2L, "a2")).toDF("idx", "rec")
+    val b = Seq((0L, "b0"), (1L, "b1"), (2L, "b2")).toDF("idx", "rec")
+    val got = graft.sources.Interleave.pairInterleave(a, b, "idx")
+      .select($"rec").as[String].collect().toSeq
+    assert(got == Seq("a0", "b0", "a1", "b1", "a2", "b2"))
+  }
+}
