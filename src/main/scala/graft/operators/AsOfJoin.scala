@@ -45,24 +45,28 @@ object AsOfJoin {
                    rightPayload: Seq[String],
                    tolerance: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.filterNot(c => on.contains(c) || c == leftTs)
+    // timestamps keep their native (numeric/orderable) type — casting to
+    // long would truncate fractional timestamps and corrupt both the
+    // match order and the tolerance arithmetic. Left and right ts types
+    // must be union-compatible (caller aligns them).
+    val tsType = right.schema(rightTs).dataType
     // the right row rides as ONE struct so the LOCF is atomic — carrying
     // ts and payload in separate last(ignoreNulls) columns would pair a
     // newer match timestamp with an older non-null payload whenever a
     // right payload value is null.
     val l2 = left.select(
       on.map(col) ++
-        Seq(col(leftTs).cast("long").as("_t"), lit(1).as("_side"),
+        Seq(col(leftTs).as("_t"), lit(1).as("_side"),
             lit(null).cast(org.apache.spark.sql.types.StructType(
-              org.apache.spark.sql.types.StructField("_rt",
-                org.apache.spark.sql.types.LongType) +:
+              org.apache.spark.sql.types.StructField("_rt", tsType) +:
               rightPayload.map(c => org.apache.spark.sql.types.StructField(
                 c, right.schema(c).dataType))))
               .as("_r")) ++
         leftCols.map(col): _*)
     val r2 = right.select(
       on.map(col) ++
-        Seq(col(rightTs).cast("long").as("_t"), lit(0).as("_side"),
-            struct(col(rightTs).cast("long").as("_rt") +:
+        Seq(col(rightTs).as("_t"), lit(0).as("_side"),
+            struct(col(rightTs).as("_rt") +:
                    rightPayload.map(col): _*).as("_r")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val w = Window.partitionBy(on.map(col): _*)

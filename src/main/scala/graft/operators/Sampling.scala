@@ -19,9 +19,12 @@ object Sampling {
     * 51 ≈ 20%. Comparison is on the first two hex chars (fixed-length
     * lowercase, so string order == numeric order).
     */
+  /** Rows with a NULL key are always excluded — sampling requires an
+    * identity to hash (consistent across every threshold, including 256).
+    */
   def hashSamplePredicate(key: Column, threshold256: Int): Column = {
     require(threshold256 >= 0 && threshold256 <= 256)
-    if (threshold256 == 256) lit(true) // "100" would compare as a string
+    if (threshold256 == 256) key.isNotNull // "100" compares wrong as hex
     else substring(md5(key.cast("string")), 1, 2) < lit(f"$threshold256%02x")
   }
 
@@ -36,14 +39,15 @@ object Sampling {
   def stratifiedHashSample(df: DataFrame, keyCol: String,
                            stratumCol: String, rates: Map[String, Int],
                            defaultThreshold256: Int): DataFrame = {
-    require((rates.values ++ Seq(defaultThreshold256)).forall(t =>
-      t >= 0 && t <= 256))
-    val threshold = rates.foldLeft(lit(defaultThreshold256)) {
+    // one predicate per stratum, each compiled through the same
+    // constant-folded encoding as hashSamplePredicate — no per-row hex
+    // formatting, one code path for the threshold rule.
+    val predicate = rates.foldLeft(
+      hashSamplePredicate(col(keyCol), defaultThreshold256)) {
       case (acc, (stratum, t)) =>
-        when(col(stratumCol) === stratum, lit(t)).otherwise(acc)
+        when(col(stratumCol) === stratum,
+          hashSamplePredicate(col(keyCol), t)).otherwise(acc)
     }
-    df.where(threshold === 256 ||
-      substring(md5(col(keyCol).cast("string")), 1, 2) <
-        lower(lpad(hex(threshold), 2, "0")))
+    df.where(predicate)
   }
 }

@@ -12,12 +12,10 @@ import org.apache.spark.sql.functions._
   *  - Cosine is a pure higher-order-function expression (`zip_with` +
   *    `aggregate` over doubles) — codegen-adjacent, no UDF, no Python.
   *  - Brute force: queries are broadcast (a query batch is small);
-  *    the corpus never shuffles; per-query top-k is a window row_number
-  *    — at 1000 executors each task scores its corpus slice against all
-  *    queries and only k rows per (query, partition) survive the shuffle
-  *    thanks to rank-filter pushdown... in practice the window shuffles
-  *    (query_id) which is |Q|×|corpus| rows; for large corpora prefer
-  *    `bruteForceTopKAgg` which heap-selects per partition map-side.
+  *    the corpus never shuffles; per-query top-k is a window row_number.
+  *    Note the window shuffles |Q|×|corpus| scored rows on query_id —
+  *    acceptable for small query batches; shrink the candidate set with
+  *    `ivfTopK` before brute-forcing when the corpus is large.
   *  - IVF: vectors are pre-assigned to their nearest centroid (one
   *    broadcast join + argmin — a linear scan over c centroids); a query
   *    probes only its own cluster ⇒ the candidate set shrinks by ~c×.
@@ -35,8 +33,16 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity of two float-array columns (double arithmetic). */
+  /** Cosine similarity of two float-array columns (double arithmetic).
+    * CAVEAT: a zero-norm vector yields NaN, and both Spark and DuckDB
+    * order NaN above every double — a zero vector in the corpus would
+    * rank as everyone's nearest neighbor. Filter with `nonZeroNorm`
+    * upstream if zero vectors can occur.
+    */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Predicate: the vector has a non-zero norm (guards cosine's NaN). */
+  def nonZeroNorm(v: Column): Column = dot(v, v) > 0d
 
   /** Exact brute-force top-k: for each query vector, the k most cosine-
     * similar corpus vectors (excluding itself when ids collide).
@@ -70,6 +76,11 @@ object Similarity {
     */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame, idCol: String,
                 vecCol: String): DataFrame = {
+    // tie-break via -centroid_id needs a numeric id (a string id would
+    // implicitly cast to null and silently lose determinism)
+    require(centroids.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"ivfAssign requires a numeric $idCol for a deterministic tie-break")
     val cents = centroids.select(col(idCol).as("centroid_id"),
                                  col(vecCol).as("centv"))
     val payload = vectors.columns.filterNot(_ == idCol)

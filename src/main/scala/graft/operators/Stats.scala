@@ -25,7 +25,11 @@ object Stats {
                        valueCol: String, probs: Seq[(String, Double)])
       : DataFrame = {
     val key = keyCols.map(col)
-    val counts = df.groupBy((key :+ col(valueCol)): _*)
+    // NULLs are excluded, matching Spark's percentile / DuckDB
+    // quantile_cont (they would otherwise sort first and shift every
+    // position).
+    val counts = df.where(col(valueCol).isNotNull)
+      .groupBy((key :+ col(valueCol)): _*)
       .agg(count(lit(1)).as("_c"))
     val wCum = Window.partitionBy(key: _*).orderBy(col(valueCol))
     val wAll = Window.partitionBy(key: _*)

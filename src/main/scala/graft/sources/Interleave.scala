@@ -19,10 +19,13 @@ object Interleave {
 
   def pairInterleave(a: DataFrame, b: DataFrame, idxCol: String)
       : DataFrame = {
+    require(!a.columns.contains("_side") && !b.columns.contains("_side"),
+      "inputs must not carry a _side column")
     val l = a.withColumn("_side", lit(0))
     val r = b.withColumn("_side", lit(1))
     l.unionByName(r)
       .repartitionByRange(col(idxCol))
       .sortWithinPartitions(col(idxCol), col("_side"))
+      .drop("_side")
   }
 }

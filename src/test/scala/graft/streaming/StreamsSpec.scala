@@ -86,6 +86,29 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("event-time timeout closes a session when the watermark passes") {
+    implicit val sq = spark.sqlContext
+    import StatefulSessions._
+    val in = MemoryStream[TsEvent]
+    val out = StatefulSessions.sessionizeWithTimeout(in.toDS(),
+      gapSeconds = 30L, watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("tosess")
+      .outputMode("append").start()
+    try {
+      in.addData(TsEvent(1L, ts(100)), TsEvent(1L, ts(110)))
+      q.processAllAvailable()
+      // advance the watermark far past 110 + 30 via another key
+      in.addData(TsEvent(2L, ts(10000)))
+      q.processAllAvailable()
+      // one more batch so the timeout fires after the watermark advanced
+      in.addData(TsEvent(2L, ts(10001)))
+      q.processAllAvailable()
+      val rows = spark.table("tosess").as[Session].collect().toSet
+      // key 1's session closed by TIMEOUT, no further key-1 events needed
+      assert(rows.contains(Session(1L, 100L, 110L, 2L)), rows.toString)
+    } finally q.stop()
+  }
+
   test("readyFilter keeps only marker-listed ids (stream-static semi-join)") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, String)]
