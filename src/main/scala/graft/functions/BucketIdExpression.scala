@@ -67,18 +67,44 @@ object BucketId {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.bucketIdEntry)
+    GraftExtensions.entries.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private[functions] val bucketIdEntry
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
-    (FunctionIdentifier("bucket_id"),
-     new ExpressionInfo(classOf[BucketId].getName, "bucket_id"),
-     (children: Seq[Expression]) => BucketId(children(0), children(1)))
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Md5, Size, StringSplit, StringTrim, Substring}
+
+  /** Normalized text as a raw Catalyst tree (lower → collapse ws → trim)
+    * — the SQL-facing twin of TextAnalysis.normalize.
+    */
+  private def normalizeExpr(text: Expression): Expression =
+    StringTrim(org.apache.spark.sql.catalyst.expressions.RegExpReplace(
+      org.apache.spark.sql.catalyst.expressions.Lower(text),
+      Literal("\\s+"), Literal(" ")))
+
+  private[functions] val entries: Seq[
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (FunctionIdentifier("bucket_id"),
+       new ExpressionInfo(classOf[BucketId].getName, "bucket_id"),
+       (children: Seq[Expression]) => BucketId(children(0), children(1))),
+      // graft_fingerprint(text): 16-hex-char md5 of the normalized text
+      (FunctionIdentifier("graft_fingerprint"),
+       new ExpressionInfo(classOf[Md5].getName, "graft_fingerprint"),
+       (children: Seq[Expression]) =>
+         Substring(Md5(Cast(normalizeExpr(children.head),
+             org.apache.spark.sql.types.BinaryType)),
+           Literal(1), Literal(16))),
+      // graft_token_count(text): whitespace token count of normalized text
+      (FunctionIdentifier("graft_token_count"),
+       new ExpressionInfo(classOf[Size].getName, "graft_token_count"),
+       (children: Seq[Expression]) =>
+         Size(StringSplit(normalizeExpr(children.head),
+           Literal(" "), Literal(-1)))))
 
   /** Register the engine's functions on a live session. */
   def installInto(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      bucketIdEntry._1, bucketIdEntry._2, bucketIdEntry._3)
+    entries.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(ident, info, builder)
+    }
 }

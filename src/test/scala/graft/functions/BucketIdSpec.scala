@@ -42,6 +42,18 @@ class BucketIdSpec extends SparkTestBase {
       .head.getInt(0)
     assert(r == 5)
   }
+
+  test("graft_fingerprint / graft_token_count SQL functions match the Column API") {
+    val rows = spark.sql(
+      "SELECT graft_fingerprint('  Hello   World '), graft_token_count('  a b\tc ')")
+      .head
+    val viaColumn = Seq("  Hello   World ").toDF("t")
+      .select(graft.operators.TextAnalysis.fingerprint($"t"),
+              graft.operators.TextAnalysis.tokenCount(lit("  a b\tc ")))
+      .head
+    assert(rows.getString(0) == viaColumn.getString(0))
+    assert(rows.getInt(1) == 3 && viaColumn.getInt(1) == 3)
+  }
 }
 
 class FirstPerKeyAggSpec extends SparkTestBase {
