@@ -243,6 +243,14 @@ object SparkEntry {
       ck.union(sk).distinct().except(r0).orderBy(col("k"))
     }),
 
+    // Set operations, part 2: intersect (complement of q16's
+    // union-distinct + except).
+    "q39_intersect" -> ((s, dir) => {
+      val ck = t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      val sk = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
+      ck.intersect(sk).orderBy(col("k"))
+    }),
+
     // Scalar function library: string split/slice/concat/replace/indexOf,
     // int div/mod bucketing, bitwise AND, round
     // (SamRegionsParser.scala:42,46; SparkGA1.scala:329-330).
@@ -697,6 +705,12 @@ object SparkEntry {
          SELECT s_nationkey AS k FROM supplier)
          EXCEPT
          SELECT n_nationkey AS k FROM nation WHERE n_regionkey = 0
+         ORDER BY k""",
+
+    "q39_intersect" ->
+      """SELECT c_nationkey AS k FROM customer
+         INTERSECT
+         SELECT s_nationkey AS k FROM supplier
          ORDER BY k""",
 
     "q17_scalar_fns" ->

@@ -70,6 +70,13 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q36 centroid assignment partial-aggregates map-side (max_by)") {
+    val p = plan("q36_kmeans_iter")
+    assert(p.contains("partial_max_by"),
+      "ivf assignment must be a map-side argmax, not a window")
+    assert(!p.contains("Window"), s"no window in kmeans assignment:\n$p")
+  }
+
   test("q20 exact dedup shuffles fingerprints, not documents") {
     val df = SparkEntry.queries("q20_exact_dedup")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
