@@ -243,6 +243,47 @@ object SparkEntry {
       ck.union(sk).distinct().except(r0).orderBy(col("k"))
     }),
 
+    // O17 full chain: the per-group pipeline runner end-to-end —
+    // clean (drop qty<5) → markDuplicates (best price per supplier
+    // within the order) → recalibrate (double the price) → call
+    // (per-order summary) — all inside ONE flatMapGroups.
+    "q40_group_pipeline" -> ((s, dir) => {
+      val spark2 = s
+      import spark2.implicits._
+      // row = (orderkey, linenumber, suppkey, price)
+      val ds = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+                col("l_extendedprice"))
+        .as[(Long, Int, Long, Double)]
+      graft.plans.GroupPipeline.run[Long, (Long, Int, Long, Double),
+                                    (Long, Long, Double)](
+        ds, _._1,
+        Seq(
+          graft.plans.GroupPipeline
+            .cleanStage[(Long, Int, Long, Double)](_._4 >= 5000),
+          graft.plans.GroupPipeline
+            .markDupStage[(Long, Int, Long, Double), Long](_._3,
+            // best = highest price, then lowest linenumber
+            scala.Ordering.by[(Long, Int, Long, Double), (Double, Int)](
+              r => (-r._4, r._2))),
+          graft.plans.GroupPipeline
+            .recalibrateStage[(Long, Int, Long, Double)](r =>
+            r.copy(_4 = r._4 * 2))
+        ),
+        (k, it) => {
+          var n = 0L; var sum = BigDecimal(0)
+          // mirror the oracle's DECIMAL(18,4) term quantization exactly
+          it.foreach { r => n += 1
+            sum += BigDecimal(r._4).setScale(4, BigDecimal.RoundingMode.HALF_UP) }
+          // a group whose rows were all cleaned away emits nothing
+          if (n == 0) Iterator.empty
+          else Iterator((k, n,
+            sum.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        })
+        .toDF("l_orderkey", "n_kept", "sum_recal")
+        .orderBy(col("l_orderkey"))
+    }),
+
     // Set operations, part 2: intersect (complement of q16's
     // union-distinct + except).
     "q39_intersect" -> ((s, dir) => {
@@ -706,6 +747,21 @@ object SparkEntry {
          EXCEPT
          SELECT n_nationkey AS k FROM nation WHERE n_regionkey = 0
          ORDER BY k""",
+
+    "q40_group_pipeline" ->
+      """WITH cleaned AS (
+           SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice
+           FROM lineitem WHERE l_extendedprice >= 5000),
+         ranked AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY l_orderkey, l_suppkey
+             ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+           FROM cleaned)
+         SELECT l_orderkey, count(*) AS n_kept,
+                CAST(round(sum(CAST(l_extendedprice * 2 AS DECIMAL(18,4))),
+                     2) AS DOUBLE) AS sum_recal
+         FROM ranked WHERE rn = 1
+         GROUP BY l_orderkey ORDER BY l_orderkey""",
 
     "q39_intersect" ->
       """SELECT c_nationkey AS k FROM customer
