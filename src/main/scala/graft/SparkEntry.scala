@@ -244,7 +244,7 @@ object SparkEntry {
     }),
 
     // O17 full chain: the per-group pipeline runner end-to-end —
-    // clean (drop qty<5) → markDuplicates (best price per supplier
+    // clean (drop price<5000) → markDuplicates (best price per supplier
     // within the order) → recalibrate (double the price) → call
     // (per-order summary) — all inside ONE flatMapGroups.
     "q40_group_pipeline" -> ((s, dir) => {

@@ -81,25 +81,36 @@ object GraftExtensions {
       org.apache.spark.sql.catalyst.expressions.Lower(text),
       Literal("\\s+"), Literal(" ")))
 
+  private def arity(name: String, n: Int)(
+      builder: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    children => {
+      if (children.size != n) throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${children.size}")
+      builder(children)
+    }
+
   private[functions] val entries: Seq[
       (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (FunctionIdentifier("bucket_id"),
        new ExpressionInfo(classOf[BucketId].getName, "bucket_id"),
-       (children: Seq[Expression]) => BucketId(children(0), children(1))),
+       // widen integer args like built-in arithmetic does
+       arity("bucket_id", 2)(c => BucketId(
+         Cast(c(0), org.apache.spark.sql.types.LongType),
+         Cast(c(1), org.apache.spark.sql.types.LongType)))),
       // graft_fingerprint(text): 16-hex-char md5 of the normalized text
       (FunctionIdentifier("graft_fingerprint"),
        new ExpressionInfo(classOf[Md5].getName, "graft_fingerprint"),
-       (children: Seq[Expression]) =>
-         Substring(Md5(Cast(normalizeExpr(children.head),
+       arity("graft_fingerprint", 1)(c =>
+         Substring(Md5(Cast(normalizeExpr(c.head),
              org.apache.spark.sql.types.BinaryType)),
-           Literal(1), Literal(16))),
+           Literal(1), Literal(16)))),
       // graft_token_count(text): whitespace token count of normalized text
       (FunctionIdentifier("graft_token_count"),
        new ExpressionInfo(classOf[Size].getName, "graft_token_count"),
-       (children: Seq[Expression]) =>
-         Size(StringSplit(normalizeExpr(children.head),
-           Literal(" "), Literal(-1)))))
+       arity("graft_token_count", 1)(c =>
+         Size(StringSplit(normalizeExpr(c.head),
+           Literal(" "), Literal(-1))))))
 
   /** Register the engine's functions on a live session. */
   def installInto(spark: SparkSession): Unit =

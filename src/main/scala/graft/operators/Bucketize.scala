@@ -20,9 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object Bucketize {
 
-  /** Bucket id for a position given a per-row width column. */
+  /** Bucket id for a position given a per-row width column. Non-positive
+    * widths map to bucket 0 (same edge semantics as the native
+    * `graft.functions.BucketId` expression — that SQL-registered variant
+    * does the same in one integer division and is the hot-path choice;
+    * this composed form stays session-independent for the Column API).
+    */
   def bucketId(pos: Column, width: Column): Column =
-    floor(pos.cast("double") / width).cast("int")
+    when(width <= 0, lit(0))
+      .otherwise(floor(pos.cast("double") / width))
+      .cast("int")
 
   /** Derive per-group bucket widths from a dict of group lengths, targeting
     * ~`numBuckets` buckets per group (DictParser.java:80-96 semantics:

@@ -48,7 +48,11 @@ object Stats {
           first(pos - lo).as(s"_frac_$label"))
     }
     val prows = cum.groupBy(key: _*).agg(aggs.head, aggs.tail: _*)
-    probs.foldLeft(prows) { case (acc, (label, _)) =>
+    // keys whose values are ALL NULL must still appear (with NULL
+    // percentiles), matching the built-in percentile / quantile_cont
+    val allKeys = df.select(key: _*).distinct()
+    val withAllKeys = allKeys.join(prows, keyCols, "left")
+    probs.foldLeft(withAllKeys) { case (acc, (label, _)) =>
       // (1-d)·lower + d·higher — the exact arithmetic form Spark's
       // built-in percentile uses (bit-for-bit parity matters: the
       // algebraically-equal lower + (higher-lower)·d differs by 1 ulp)

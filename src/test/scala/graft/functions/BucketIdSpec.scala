@@ -36,11 +36,13 @@ class BucketIdSpec extends SparkTestBase {
       (0 until 100).map(_ / 10).sum)
   }
 
-  test("available from SQL after registration") {
+  test("available from SQL after registration, with int-literal widening") {
     val r = spark
-      .sql("SELECT bucket_id(CAST(57 AS BIGINT), CAST(10 AS BIGINT))")
+      .sql("SELECT bucket_id(57, 10)") // INT literals widen via the builder
       .head.getInt(0)
     assert(r == 5)
+    val e = intercept[Exception](spark.sql("SELECT bucket_id(1)").collect())
+    assert(e.getMessage.contains("expects 2 argument"))
   }
 
   test("graft_fingerprint / graft_token_count SQL functions match the Column API") {

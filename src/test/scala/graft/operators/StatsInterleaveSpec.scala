@@ -27,6 +27,14 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("all-NULL group yields a row with NULL percentile, like the built-in") {
+    val df = Seq((0, Some(1.0)), (0, Some(3.0)), (1, Option.empty[Double]))
+      .toDF("g", "v")
+    val got = Stats.exactPercentiles(df, Seq("g"), "v", Seq("p50" -> 0.5))
+      .as[(Int, Option[Double])].collect().toMap
+    assert(got == Map(0 -> Some(2.0), 1 -> None))
+  }
+
   test("single-element and duplicate-heavy groups") {
     val df = (Seq((0, 42.0)) ++ Seq.fill(100)((1, 7.0)) ++
       Seq((1, 9.0))).toDF("g", "v")
