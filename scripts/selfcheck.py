@@ -16,14 +16,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
-    # normalize dtypes for comparison
+    # only datetime UNIT is normalized (us vs ns is a pandas artifact);
+    # integer width and int-vs-float are kept: the driver's hash compare is
+    # dtype-sensitive, so a DuckDB HUGEINT materializing as float64 must
+    # FAIL here even when the values are numerically equal.
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].round(9)
-        elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 def main():
@@ -53,6 +54,12 @@ def main():
             continue
         if list(spark_df.columns) != list(duck_df.columns):
             print(f"FAIL {name}: columns {list(spark_df.columns)} vs {list(duck_df.columns)}")
+            n_fail += 1
+        elif [str(t) for t in spark_df.dtypes] != [str(t) for t in duck_df.dtypes]:
+            diffs = [f"{c}: {s} vs {d}" for c, s, d
+                     in zip(spark_df.columns, spark_df.dtypes, duck_df.dtypes)
+                     if str(s) != str(d)]
+            print(f"FAIL {name}: dtype mismatch ({'; '.join(diffs)})")
             n_fail += 1
         elif len(spark_df) != len(duck_df):
             print(f"FAIL {name}: rows {len(spark_df)} vs {len(duck_df)}")

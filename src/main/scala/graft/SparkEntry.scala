@@ -123,10 +123,19 @@ object SparkEntry {
     // O13: containment range join — event timestamps against day
     // intervals derived from the same stream (exome-BED intersection
     // shape, S/SparkGA1.scala:657-732; small side broadcast).
+    //
+    // The containment condition is BANDED on the day bucket: the
+    // equi-key `date_trunc('day', ets) = day` makes this a broadcast
+    // HASH join (each event probes exactly one bucket) with the interval
+    // predicates left as residuals. The naive pure-inequality form is a
+    // BroadcastNestedLoopJoin — |events|×|days| predicate evaluations,
+    // quadratic in the time span; the banded form is linear and stays
+    // linear at any span (plan-pinned in PlanSpec).
     "q8_range_join" -> ((s, dir) => {
       val e = t(s, dir, "events").withColumn("ets", eventTimestamp("ts"))
       val days = e.select(date_trunc("day", col("ets")).as("day")).distinct()
       e.join(broadcast(days),
+          date_trunc("day", col("ets")) === col("day") &&
           col("ets") >= col("day") &&
           col("ets") < col("day") + expr("INTERVAL '1' DAY"))
         .groupBy(col("day"))
@@ -784,9 +793,9 @@ object SparkEntry {
 
     "q18_text_stats" ->
       """WITH d AS (
-           SELECT doc_id, text,
-                  string_split(trim(regexp_replace(lower(text), '\s+', ' ',
-                    'g')), ' ') AS toks
+           SELECT doc_id, coalesce(text, '') AS text,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
            FROM documents)
          SELECT doc_id,
            CAST(len(toks) AS INTEGER) AS n_tokens,
@@ -809,8 +818,8 @@ object SparkEntry {
     "q19_langid" ->
       """WITH d AS (
            SELECT doc_id,
-                  string_split(trim(regexp_replace(lower(text), '\s+', ' ',
-                    'g')), ' ') AS toks
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
            FROM documents),
          s AS (
            SELECT doc_id,
@@ -833,8 +842,8 @@ object SparkEntry {
     "q20_exact_dedup" ->
       """WITH d AS (
            SELECT doc_id,
-                  substr(md5(trim(regexp_replace(lower(text), '\s+', ' ',
-                    'g'))), 1, 16) AS fp
+                  substr(md5(trim(regexp_replace(lower(coalesce(text, '')),
+                    '\s+', ' ', 'g'))), 1, 16) AS fp
            FROM documents)
          SELECT fp, min(doc_id) AS canonical_id, count(*) AS class_size
          FROM d GROUP BY fp ORDER BY fp""",
@@ -842,8 +851,8 @@ object SparkEntry {
     "q21_jaccard" ->
       """WITH d AS (
            SELECT doc_id, source,
-                  string_split(trim(regexp_replace(lower(text), '\s+', ' ',
-                    'g')), ' ') AS toks
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
            FROM documents),
          sh AS (
            SELECT doc_id, source,
@@ -872,8 +881,8 @@ object SparkEntry {
     "q22_minhash_lsh" ->
       """WITH d AS (
            SELECT doc_id,
-                  string_split(trim(regexp_replace(lower(text), '\s+', ' ',
-                    'g')), ' ') AS toks
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
            FROM documents),
          sh AS (
            SELECT doc_id,
@@ -908,8 +917,8 @@ object SparkEntry {
     "q23_simhash" ->
       """WITH d AS (
            SELECT doc_id,
-                  string_split(trim(regexp_replace(lower(text), '\s+', ' ',
-                    'g')), ' ') AS toks
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
            FROM documents),
          tk AS (SELECT doc_id, unnest(toks) AS tok FROM d),
          h AS (SELECT doc_id, md5(tok) AS h FROM tk),
@@ -1119,7 +1128,8 @@ object SparkEntry {
          GROUP BY centroid_id, i ORDER BY centroid_id, i""",
 
     "q37_det_sample" ->
-      """SELECT source, count(*) AS n_rows, sum(n_chars) AS sum_chars
+      """SELECT source, count(*) AS n_rows,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '33'
          GROUP BY source ORDER BY source""",

@@ -32,14 +32,20 @@ object NearDup {
 
   /** Spread a (possibly few-partition) input across the cluster before
     * CPU-heavy per-row derivation: a small parquet file arrives as ONE
-    * partition, which would serialize all hashing onto one core. No-op
-    * cost at real scale (inputs already have ≥ shuffle-partitions
-    * splits; Spark skips... the exchange still runs but is dwarfed by
-    * the derivation it parallelizes).
+    * partition, which would serialize all hashing onto one core. The
+    * partition-count estimate comes from optimizer statistics (scan bytes
+    * / maxPartitionBytes) — NOT from `df.rdd.getNumPartitions`, which
+    * would force an RDD lineage conversion on the driver per call. Big
+    * inputs (est. splits ≥ shuffle partitions) pass through untouched, so
+    * at real scale this never shuffles.
     */
   private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val conf = df.sparkSession.sessionState.conf
+    val target = conf.numShufflePartitions
+    val estParts =
+      (df.queryExecution.optimizedPlan.stats.sizeInBytes /
+        conf.filesMaxPartitionBytes).toLong + 1
+    if (estParts >= target) df else df.repartition(target)
   }
 
   /** (id, fingerprint) → canonical id per duplicate class + class size.
@@ -52,27 +58,35 @@ object NearDup {
       .agg(min(col(idCol)).as("canonical_id"),
            count(lit(1)).as("class_size"))
 
-  /** One row per (id [+ extra cols], DISTINCT shingle). `n`-token
-    * shingles, derived with posexplode + window `lead` instead of
-    * higher-order-function lambdas: HOFs run interpreted (no codegen, no
-    * CSE) and measured 8× slower than this fully-codegen'd
-    * explode → lead(1..n-1) → concat_ws pipeline. One exchange on the id
-    * (the window) + one on the row (distinct) — both narrow rows.
+  /** One row per (id [+ extra cols]) with the doc's DISTINCT `n`-token
+    * shingle SET as an array column `shingles`. The set is built per-doc
+    * in the scan stage (tokens → sliding concat → array_distinct):
+    * per-doc distinctness needs no global `.distinct()` shuffle, and the
+    * set size |A| is just `size(shingles)` — no window pass. The whole
+    * derivation is ZERO-shuffle (the row formulation used here in round 1
+    * cost a window exchange + a distinct exchange + a second window for
+    * the set size).
+    *
+    * The token array is projected into a real column first so the HOF
+    * lambda references an attribute, not the tokenizer subtree —
+    * otherwise the interpreted lambda re-tokenizes per element (measured
+    * 8×).
     */
+  def shingleArrays(docs: DataFrame, idCol: String, extraCols: Seq[String],
+                    textCol: String, n: Int): DataFrame = {
+    val keep = col(idCol) +: extraCols.map(col)
+    spread(docs)
+      .select(keep :+ tokens(col(textCol)).as("_toks"): _*)
+      .select(keep :+ array_distinct(wordShinglesOf(col("_toks"), n))
+        .as("shingles"): _*)
+  }
+
+  /** One row per (id [+ extra cols], DISTINCT shingle). */
   def shingleRows(docs: DataFrame, idCol: String, extraCols: Seq[String],
                   textCol: String, n: Int): DataFrame = {
     val keep = col(idCol) +: extraCols.map(col)
-    val tok = spread(docs).select(
-      keep :+ posexplode(tokens(col(textCol))).as(Seq("_pos", "_tok")): _*)
-    val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
-    val parts = col("_tok") +:
-      (1 until n).map(j => lead(col("_tok"), j).over(w))
-    val guard = if (n > 1) lead(col("_tok"), n - 1).over(w).isNotNull
-                else lit(true)
-    tok.select(keep :+ concat_ws(" ", parts: _*).as("shingle")
-               :+ guard.as("_full"): _*)
-      .where(col("_full")).drop("_full")
-      .distinct()
+    shingleArrays(docs, idCol, extraCols, textCol, n)
+      .select(keep :+ explode(col("shingles")).as("shingle"): _*)
   }
 
   /** One row per (id, distinct shingle). `n`-token shingles. */
@@ -83,51 +97,70 @@ object NearDup {
   /** Exact pairwise n-gram Jaccard similarity ≥ `minJaccard`, restricted
     * to pairs sharing `blockCol` (blocking bounds the candidate space).
     *
-    * Inverted-index formulation, single-shuffle variant: instead of a
-    * self-equi-join on shingle (which scans + re-derives the shingle
-    * table twice and shuffles it twice), group once per (block, shingle),
-    * collect the sorted posting list, and emit ordered doc pairs with a
-    * combinations expression. Pair volume is identical (Σ |posting|²/2),
-    * but the expensive shingle derivation runs once and only posting
-    * lists cross the wire. Hot shingles (stopword-grams with huge
-    * postings) are the quadratic risk at corpus scale — cap them with
-    * `maxDf` (drops shingles shared by more than maxDf docs; 0 = no cap,
-    * exact semantics for oracle parity).
+    * Hot shingles (stopword-grams with huge postings) are the quadratic
+    * risk at corpus scale: a shingle shared by d docs emits d²/2 join
+    * rows. `maxDf` caps them — drops shingles shared by more than maxDf
+    * docs before anything is counted.
+    *
+    * maxDf POLICY: 0 (the default) = no cap — exact Jaccard, correct for
+    * oracle parity and for corpora up to ~1M docs per block. At corpus
+    * scale ALWAYS set a cap; maxDf ≈ 100 × (expected duplicate-class
+    * size) is a good operating point — it bounds the worst shingle's
+    * pair emission at 100²/2 × classes while leaving real near-dup
+    * evidence intact (a TRUE near-duplicate pair shares many shingles,
+    * so losing its few stopword-grams barely moves |A∩B|/|A∪B|; the
+    * shingles a cap removes are exactly the ones shared by *unrelated*
+    * docs). The cap costs one map-side-combined count + a broadcast
+    * anti-join + one window recount — nothing proportional to pair
+    * volume.
+    *
+    * RESOURCE NOTE: the derived shingle table is persisted (both join
+    * sides read it). Spark pins it until the caller's action completes;
+    * long-lived sessions issuing many operator calls should
+    * `spark.catalog.clearCache()` between them (Verify/Bench do).
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    blockCol: String, n: Int, minJaccard: Double,
                    maxDf: Int = 0): DataFrame = {
-    // shingleRows derives DISTINCT (id, blk, shingle) rows codegen'd; the
-    // per-doc set size |A| rides along every row (one window pass), so
-    // |A∪B| needs no extra join — the operator is the inverted-index
-    // equi-join plus one aggregation. (A posting-list + combinations
-    // formulation was measured 2× slower: materializing |posting|² pair
-    // arrays allocates far more than the streamed shuffle join, and AQE
-    // skew-handles the join for free.)
+    // Per-doc shingle SETS come in as arrays (zero shuffles, |A| =
+    // size(array) — no window passes at all); the operator itself is the
+    // inverted-index equi-join plus one aggregation. (A posting-list +
+    // combinations formulation was measured 2× slower: materializing
+    // |posting|² pair arrays allocates far more than the streamed shuffle
+    // join, and AQE skew-handles the join for free.)
     //
-    // persist is load-bearing: both join sides read the same derived
-    // table — without it the tokenize/lead/distinct pipeline runs twice.
-    // ~2× the text in size — disk-backed at scale.
-    val sh = shingleRows(docs, idCol, Seq(blockCol), textCol, n)
+    // persist is load-bearing twice over: both join sides read the same
+    // derived table, and it absorbs the `size(shingles) > 0` filter the
+    // explode pushes down (which would otherwise re-derive the array at
+    // the scan). ~2× the text in size — disk-backed at scale.
+    val arr = shingleArrays(docs, idCol, Seq(blockCol), textCol, n)
       .withColumnRenamed(idCol, "id").withColumnRenamed(blockCol, "blk")
+      .withColumn("n_sh", size(col("shingles")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shAll = arr.select(col("id"), col("blk"), col("n_sh"),
+      explode(col("shingles")).as("shingle"))
     // the maxDf cap applies BEFORE set sizes are counted, so the capped
     // universe is self-consistent: jaccard = |A∩B|/|A∪B| over surviving
     // shingles (counting n_sh first would divide a capped intersection
-    // by uncapped sizes and systematically underestimate).
-    val shCapped0 =
+    // by uncapped sizes and systematically underestimate). Hot shingles
+    // are by definition FEW (a shingle shared by >maxDf docs), so the
+    // cap is a map-side-combined count → tiny broadcast anti-join — it
+    // never shuffles the shingle table itself; only the post-cap set
+    // sizes need one window recount.
+    val sh =
       if (maxDf > 0) {
-        val w = Window.partitionBy(col("blk"), col("shingle"))
-        sh.withColumn("_df", count(lit(1)).over(w))
-          .where(col("_df") <= maxDf).drop("_df")
-      } else sh
-    val shCapped = shCapped0
-      .withColumn("n_sh",
-        count(lit(1)).over(Window.partitionBy(col("id"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = shCapped.select(col("blk"), col("shingle"), col("id").as("a"),
-                            col("n_sh").as("na"))
-    val b = shCapped.select(col("blk"), col("shingle"), col("id").as("b"),
-                            col("n_sh").as("nb"))
+        val hot = shAll.groupBy(col("blk"), col("shingle"))
+          .agg(count(lit(1)).as("_df"))
+          .where(col("_df") > maxDf)
+          .select(col("blk"), col("shingle"))
+        shAll.join(broadcast(hot), Seq("blk", "shingle"), "left_anti")
+          .withColumn("n_sh",
+            count(lit(1)).over(Window.partitionBy(col("id"))))
+      } else shAll
+    val a = sh.select(col("blk"), col("shingle"), col("id").as("a"),
+                      col("n_sh").as("na"))
+    val b = sh.select(col("blk"), col("shingle"), col("id").as("b"),
+                      col("n_sh").as("nb"))
     a.join(b, Seq("blk", "shingle"))
       .where(col("a") < col("b"))
       .groupBy(col("a"), col("b"), col("na"), col("nb"))
@@ -152,13 +185,23 @@ object NearDup {
 
   /** MinHash signature: one column `mh0..mh{k-1}` per seed, computed in a
     * single groupBy (k map-side partial mins — one shuffle of k×16B/doc).
+    *
+    * `explode_outer` is deliberate: a plain explode gets an inferred
+    * `size(shingles) > 0` filter pushed below the projection, re-deriving
+    * the whole shingle array a second time at the scan; outer generates
+    * get no such filter. Zero-shingle docs surface as one NULL-shingle
+    * row → all-NULL mins, dropped after the aggregate (one cheap filter
+    * on #docs rows) — same semantics as the round-1 row formulation,
+    * which emitted no rows for them.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, k: Int): DataFrame = {
-    val sh = shingleRows(docs, idCol, Seq.empty, textCol, shingleN)
+    val sh = shingleArrays(docs, idCol, Seq.empty, textCol, shingleN)
+      .select(col(idCol), explode_outer(col("shingles")).as("shingle"))
     val aggs = (0 until k).map(i =>
       min(seededHash(col("shingle"), i)).as(s"mh$i"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .where(col("mh0").isNotNull)
   }
 
   /** LSH banding over a k-wide signature: `bands` bands of k/bands rows;
@@ -182,27 +225,60 @@ object NearDup {
 
   /** Candidate pairs from LSH banding + estimated Jaccard =
     * (matching minhash components) / k.
+    *
+    * Single-pipeline formulation: the signature array rides along into
+    * the banding groupBy, so each LSH bucket holds (id, sig) co-located
+    * and emits its ordered pairs WITH the component-match count directly
+    * — no band self-join, no joins back to the signature table, no
+    * cached intermediate (the round-1 shape was 3 joins + a cache read
+    * 3×). Shuffle cost: bands × k × 16 B per doc (the sig replicated per
+    * band) vs the join shape's 2 sig shuffles + 3 candidate-pair
+    * shuffles — strictly fewer stages, and bucket posting lists are tiny
+    * by construction (that is the LSH premise), so the per-bucket pair
+    * expression never materializes large arrays. A hot bucket (many docs
+    * sharing a band hash) is inherently quadratic in ANY formulation —
+    * cap it upstream via shingle maxDf if the corpus has degenerate
+    * near-identical masses.
     */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
                             shingleN: Int, k: Int, bands: Int): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, shingleN, k).cache()
-    val bandsDf = lshBands(sigs, idCol, k, bands)
-    val pairs = bandsDf.select(col("band"), col("band_hash"),
-        col(idCol).as("a"))
-      .join(bandsDf.select(col("band"), col("band_hash"), col(idCol).as("b")),
-        Seq("band", "band_hash"))
-      .where(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-    val sa = sigs.select(col(idCol).as("a") +:
-      (0 until k).map(i => col(s"mh$i").as(s"a_mh$i")): _*)
-    val sb = sigs.select(col(idCol).as("b") +:
-      (0 until k).map(i => col(s"mh$i").as(s"b_mh$i")): _*)
-    val nMatch = (0 until k)
-      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    pairs.join(sa, Seq("a")).join(sb, Seq("b"))
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val r = k / bands
+    val sigs = minhashSignatures(docs, idCol, textCol, shingleN, k)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", (0 until r).map(i => col(s"mh${b * r + i}")): _*))
+          .as("band_hash"))
+    }
+    val exploded = sigs.select(
+        col(idCol).as("id"),
+        array((0 until k).map(i => col(s"mh$i")): _*).as("sig"),
+        explode(array(bandCols: _*)).as("bh"))
+      .select(col("id"), col("sig"),
+        col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
+    val buckets = exploded.groupBy(col("band"), col("band_hash"))
+      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("ds"))
+      .where(size(col("ds")) > 1)
+    // ordered pairs (i < j over the id-sorted bucket ⇒ a < b) with the
+    // match count computed from the co-located signatures
+    val d = col("ds")
+    def docAt(i: Column): Column = element_at(d, i + 1)
+    val pairsExpr = flatten(transform(sequence(lit(0), size(d) - 2), i =>
+      transform(sequence(i + 1, size(d) - 1), j =>
+        struct(
+          docAt(i).getField("id").as("a"),
+          docAt(j).getField("id").as("b"),
+          aggregate(
+            zip_with(docAt(i).getField("sig"), docAt(j).getField("sig"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, e) => acc + e).as("m")))))
+    // explode_outer for the same inferred-filter reason as above (every
+    // bucket here has ≥ 2 docs ⇒ ≥ 1 pair, so outer adds no NULL rows)
+    buckets.select(explode_outer(pairsExpr).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.m").as("m"))
+      .distinct()
       .select(col("a"), col("b"),
-        round(nMatch.cast("double") / k, 6).as("est_jaccard"))
+        round(col("m").cast("double") / k, 6).as("est_jaccard"))
   }
 
   /** 16-bit SimHash per document from token md5s: one explode + one

@@ -40,6 +40,14 @@ object Pipe {
         val pb = new ProcessBuilder(cmd: _*)
         pb.redirectErrorStream(false)
         val proc = pb.start()
+        // a consumer that stops early (e.g. limit() never exhausts the
+        // iterator) would otherwise leak the process + its drain threads;
+        // task completion is the one hook that always fires.
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          if (proc.isAlive) proc.destroyForcibly()
+          ()
+        }
         val writer = new Thread(() => {
           val out = new java.io.PrintWriter(proc.getOutputStream)
           try lines.foreach(out.println) finally out.close()
@@ -67,6 +75,9 @@ object Pipe {
             val h = out.hasNext
             if (!h) {
               val code = proc.waitFor()
+              // join the drain thread before reading its buffer — the
+              // happens-before edge that makes errBuf safe to read here
+              errDrain.join(10000)
               if (code != 0) throw new RuntimeException(
                 s"piped command ${cmd.mkString(" ")} exited $code; " +
                   s"stderr: ${errBuf.toString.take(2048)}")

@@ -25,12 +25,17 @@ object Stats {
                        valueCol: String, probs: Seq[(String, Double)])
       : DataFrame = {
     val key = keyCols.map(col)
-    // NULLs are excluded, matching Spark's percentile / DuckDB
-    // quantile_cont (they would otherwise sort first and shift every
-    // position).
-    val counts = df.where(col(valueCol).isNotNull)
+    // NULL values are excluded from position arithmetic (matching Spark's
+    // percentile / DuckDB quantile_cont — they would otherwise sort first
+    // and shift every position), but their GROUPS are kept: count(value)
+    // skips NULLs, so a NULL-value row becomes a _c = 0 group row and a
+    // key whose values are all NULL still emits a row with NULL
+    // percentiles. Aggregation preserves NULL keys, unlike the previous
+    // re-join of distinct keys (join equality is null-unsafe, so a
+    // NULL-key group would lose its computed percentiles).
+    val counts = df
       .groupBy((key :+ col(valueCol)): _*)
-      .agg(count(lit(1)).as("_c"))
+      .agg(count(col(valueCol)).as("_c"))
     val wCum = Window.partitionBy(key: _*).orderBy(col(valueCol))
     val wAll = Window.partitionBy(key: _*)
     val cum = counts
@@ -48,11 +53,7 @@ object Stats {
           first(pos - lo).as(s"_frac_$label"))
     }
     val prows = cum.groupBy(key: _*).agg(aggs.head, aggs.tail: _*)
-    // keys whose values are ALL NULL must still appear (with NULL
-    // percentiles), matching the built-in percentile / quantile_cont
-    val allKeys = df.select(key: _*).distinct()
-    val withAllKeys = allKeys.join(prows, keyCols, "left")
-    probs.foldLeft(withAllKeys) { case (acc, (label, _)) =>
+    probs.foldLeft(prows) { case (acc, (label, _)) =>
       // (1-d)·lower + d·higher — the exact arithmetic form Spark's
       // built-in percentile uses (bit-for-bit parity matters: the
       // algebraically-equal lower + (higher-lower)·d differs by 1 ulp)

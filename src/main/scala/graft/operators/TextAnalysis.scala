@@ -20,9 +20,12 @@ object TextAnalysis {
 
   /** Lowercase + collapse runs of whitespace to single spaces + trim.
     * Deterministic canonical form shared by fingerprints and shingles.
+    * NULL text canonicalizes to '' (not NULL): without the coalesce,
+    * `tokens(NULL)` is a NULL array whose size() is -1 (legacy
+    * sizeOfNull), which silently poisons every downstream token stat.
     */
   def normalize(text: Column): Column =
-    trim(regexp_replace(lower(text), "\\s+", " "))
+    trim(regexp_replace(lower(coalesce(text, lit(""))), "\\s+", " "))
 
   /** Whitespace tokens of the normalized text.
     *
@@ -56,10 +59,12 @@ object TextAnalysis {
   def meanTokenLengthOf(toks: Column): Column =
     (length(concat_ws("", toks)).cast("double")) / size(toks)
 
-  /** Fraction of characters that are punctuation. */
-  def punctRatio(text: Column): Column =
-    (length(text) - length(regexp_replace(text, "[\\.,;:!\\?]", "")))
-      .cast("double") / greatest(length(text), lit(1))
+  /** Fraction of characters that are punctuation (NULL text = ''). */
+  def punctRatio(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    (length(t) - length(regexp_replace(t, "[\\.,;:!\\?]", "")))
+      .cast("double") / greatest(length(t), lit(1))
+  }
 
   /** Fraction of tokens found in `stops` (e.g. language stopwords). */
   def stopwordRatio(text: Column, stops: Seq[String]): Column = {

@@ -58,10 +58,11 @@ class PlanSpec extends SparkTestBase {
     assert(codegen.contains("WholeStageCodegen"))
   }
 
-  test("q8 range join broadcasts the small interval side") {
+  test("q8 range join is a banded broadcast HASH join, never a BNLJ") {
     val p = plan("q8_range_join")
-    assert(p.contains("BroadcastNestedLoopJoin") ||
-           p.contains("BroadcastHashJoin"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"containment join must band on the day bucket, not nested-loop:\n$p")
   }
 
   test("q24 brute-force ANN broadcasts the query batch") {
