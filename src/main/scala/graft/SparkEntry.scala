@@ -552,6 +552,106 @@ object SparkEntry {
         .orderBy(col("s_nationkey"))
     }),
 
+    // O10 scale mode: approximate equal-frequency split — the 100× answer
+    // to q12. `percentile_approx` boundaries (one sketch pass, map-side
+    // combined) + a codegen'd broadcast segment lookup: NO per-key full
+    // sort, NO window — the plan stays embarrassingly parallel however
+    // hot the key. Approx boundaries have no SQL-exact oracle
+    // (deliberately omitted from oracleSql → driver rows-check; the
+    // balance bound is asserted in SkewApproxSpec instead).
+    "q41_approx_segment" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val bounds = Skew.approxBoundaries(li, Seq("l_returnflag"),
+        "l_extendedprice", 4)
+      Skew.segmentByBoundaries(li, bounds, Seq("l_returnflag"),
+          "l_extendedprice")
+        .groupBy(col("l_returnflag"), col("segment"))
+        .agg(count(lit(1)).as("n_rows"),
+             min(col("l_extendedprice")).as("min_price"),
+             max(col("l_extendedprice")).as("max_price"))
+        .orderBy(col("l_returnflag"), col("segment"))
+    }),
+
+    // O24: pair interleave — record i of side A immediately followed by
+    // record i of side B (the reference's paired-FASTQ chunker,
+    // README.md:119-130). Global (idx, side) order comes from range
+    // partitioning + within-partition sort — no single-task gather.
+    "q42_interleave" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.where(col("l_linenumber") === 1)
+        .select(col("l_orderkey"), lit(0).as("side"),
+                col("l_quantity").as("qty"))
+      val b = li.where(col("l_linenumber") === 2)
+        .select(col("l_orderkey"), lit(1).as("side"),
+                col("l_quantity").as("qty"))
+      graft.sources.Interleave.pairInterleave(a, b, "l_orderkey")
+    }),
+
+    // O2: a GENUINELY STREAMING execution — micro-batch file source +
+    // marker readiness semi-join + event-time session windows, drained
+    // with Trigger.AvailableNow (the reference's marker-file poll loop +
+    // end.txt sentinel, S/SparkGA1.scala:94-110,1050-1081). Oracle = the
+    // batch session SQL (same as q32): streaming and batch must agree.
+    "q43_stream_sessions" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = graft.streaming.Streams.fileSource(
+        s, dir, batch.schema, globFilter = Some("events.parquet"))
+      val markers = batch.select(col("user_id")).distinct()
+      val ready = graft.streaming.Streams.readyFilter(
+        stream, markers, "user_id")
+      val sess = graft.streaming.Streams.sessionAgg(
+        ready.select(col("user_id"), eventTimestamp("ts").as("ets")),
+        Seq("user_id"), "ets", "1800 seconds", "0 seconds")
+      val qname = "graft_q43_sessions"
+      val query = graft.streaming.Streams.drainToMemory(sess, qname).start()
+      try query.awaitTermination() finally query.stop()
+      s.table(qname)
+        .select(col("user_id"),
+          col("sess_start").cast("long").as("sess_start"),
+          col("sess_end").cast("long").as("sess_end"),
+          col("n_rows"))
+        .orderBy(col("user_id"), col("sess_start"))
+    }),
+
+    // O19: key-partitioned sink → re-read with a partition-key filter.
+    // The filter must prune to ONE directory at the scan (PartitionFilters
+    // — pinned in PlanSpec); oracle = the same filter applied directly.
+    "q44_partitioned_sink" -> ((s, dir) => {
+      val path = sys.props("java.io.tmpdir") + "/graft_q44_sink"
+      graft.sources.Sinks.writePartitioned(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"), col("source")),
+        Seq("source"), path)
+      s.read.parquet(path)
+        .where(col("source") === "src7")
+        .select(col("doc_id"), col("n_chars"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // O19/O21: bucketed sink → EXCHANGE-FREE sort-merge join + agg. Both
+    // fact tables are bucketed on the join key, so the join and the
+    // following group-by reuse the at-rest partitioning: zero shuffle
+    // exchanges in the whole query (pinned in PlanSpec) — the
+    // per-(chr,region) co-location the reference builds by hand with
+    // sideband files (S/SparkGA1.scala:150-214).
+    "q45_bucketed_join" -> ((s, dir) => {
+      graft.sources.Sinks.writeBucketed(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+        Seq("l_orderkey"), 8, "graft_q45_li")
+      graft.sources.Sinks.writeBucketed(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        Seq("o_orderkey"), 8, "graft_q45_ord")
+      val li = s.table("graft_q45_li")
+      val ord = s.table("graft_q45_ord")
+      li.join(ord.hint("merge"), li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_totalprice"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("sum_qty"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("n_lines"),
+                col("sum_qty"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // O3: external-process-style line pipe (pure-Scala stage, partition-
     // streamed) — tokenizer emitting one line per token, re-aggregated.
     "q31_pipe" -> ((s, dir) => {
@@ -1139,6 +1239,57 @@ object SparkEntry {
                 sum(l_quantity) AS sum_qty
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          GROUP BY s_nationkey ORDER BY s_nationkey""",
+
+    // q41_approx_segment intentionally has NO oracle entry: the
+    // percentile_approx boundaries are sketch-dependent and not
+    // reproducible in SQL — the driver records a rows-only check and
+    // SkewApproxSpec bounds the balance error against the exact split.
+
+    "q42_interleave" ->
+      """SELECT l_orderkey, 0 AS side, l_quantity AS qty
+         FROM lineitem WHERE l_linenumber = 1
+         UNION ALL
+         SELECT l_orderkey, 1 AS side, l_quantity AS qty
+         FROM lineitem WHERE l_linenumber = 2
+         ORDER BY l_orderkey, side""",
+
+    "q43_stream_sessions" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts) // 1000 AS tu FROM events),
+         m AS (
+           SELECT user_id, tu,
+                  max(tu) OVER (PARTITION BY user_id ORDER BY tu
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS prev_max
+           FROM e),
+         f AS (
+           SELECT user_id, tu,
+                  CASE WHEN prev_max IS NULL
+                         OR tu >= prev_max + 1800000000
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM m),
+         sess AS (
+           SELECT user_id, tu,
+                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY tu
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS sid
+           FROM f)
+         SELECT user_id, min(tu) // 1000000 AS sess_start,
+                (max(tu) + 1800000000) // 1000000 AS sess_end,
+                count(*) AS n_rows
+         FROM sess GROUP BY user_id, sid
+         ORDER BY user_id, sess_start""",
+
+    "q44_partitioned_sink" ->
+      """SELECT doc_id, n_chars, source FROM documents
+         WHERE source = 'src7' ORDER BY doc_id""",
+
+    "q45_bucketed_join" ->
+      """SELECT o_orderkey, o_totalprice, count(*) AS n_lines,
+                sum(l_quantity) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderkey, o_totalprice
+         ORDER BY o_orderkey""",
 
     "q31_pipe" ->
       """WITH d AS (

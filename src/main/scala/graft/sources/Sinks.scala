@@ -49,12 +49,24 @@ object Sinks {
     * downstream join into a local zip of bucket files.
     */
   def writeBucketed(df: DataFrame, bucketCols: Seq[String], numBuckets: Int,
-                    table: String): Unit =
+                    table: String): Unit = {
+    val spark = df.sparkSession
+    // idempotence across SESSIONS, not just within one: a fresh session's
+    // catalog doesn't know the table, but the managed location on disk
+    // survives — saveAsTable would refuse it (LOCATION_ALREADY_EXISTS).
+    // Drop both the catalog entry and any orphaned location. `table` is
+    // an unqualified name in the current database by contract.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Lenient delimited-text reader: malformed rows land in
     * `_corrupt_record` instead of failing the job (count them; don't die

@@ -22,15 +22,20 @@ object Streams {
 
   /** Micro-batch file source: `maxFilesPerTrigger` ≈ chunkerGroupSize.
     * One file = one input unit, exactly the reference's chunk granularity.
+    * `path` must be a DIRECTORY (a streaming-source requirement); select
+    * individual files within it via `globFilter`.
     */
   def fileSource(spark: SparkSession, path: String, schema: StructType,
                  format: String = "parquet",
-                 maxFilesPerTrigger: Int = 4): DataFrame =
-    spark.readStream
+                 maxFilesPerTrigger: Int = 4,
+                 globFilter: Option[String] = None): DataFrame = {
+    val r = spark.readStream
       .format(format)
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .load(path)
+    globFilter.foreach(g => r.option("pathGlobFilter", g))
+    r.load(path)
+  }
 
   /** Completion-marker readiness filter: keep only stream rows whose
     * `idCol` appears in the (small, static or periodically refreshed)

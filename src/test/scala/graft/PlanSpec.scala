@@ -78,6 +78,29 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), s"no window in kmeans assignment:\n$p")
   }
 
+  test("q41 approx equal-frequency split has no Window (the q12 scale path)") {
+    val p = plan("q41_approx_segment")
+    assert(!p.contains("Window"),
+      s"approx split must not funnel rows through per-key windows:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      "boundary lookup must broadcast")
+  }
+
+  test("q44 partitioned-sink re-read prunes to the filtered partition") {
+    val p = plan("q44_partitioned_sink")
+    val scanLine = p.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("src7"),
+      s"partition filter must reach the scan:\n$p")
+  }
+
+  test("q45 bucketed join + agg run with ZERO shuffle exchanges") {
+    val p = plan("q45_bucketed_join")
+    assert(p.contains("SortMergeJoin"))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join/agg must reuse at-rest bucketing, not shuffle:\n$p")
+  }
+
   test("q20 exact dedup shuffles fingerprints, not documents") {
     val df = SparkEntry.queries("q20_exact_dedup")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
