@@ -652,6 +652,54 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // O18: lenient text ingest — malformed rows counted, not fatal (the
+    // reference's badLines counters, SamRegionsParser.scala:71-74). The
+    // documents table round-trips through tab-delimited text with 3
+    // injected garbage lines; the lenient reader must keep every real
+    // row and route exactly the garbage to _corrupt_record.
+    "q46_lenient_text" -> ((s, dir) => {
+      val path = sys.props("java.io.tmpdir") + "/graft_q46_csv"
+      t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .write.mode("overwrite").option("delimiter", "\t").csv(path)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path, "zz_corrupt_extra"),
+        java.util.Arrays.asList("not\tanumber", "x\ty", "q\tz"))
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("n_chars", "long")
+      val (clean, corrupt) = graft.sources.Sinks.splitCorrupt(
+        graft.sources.Sinks.readLenientCsv(s, schema, path))
+      clean.agg(count(lit(1)).as("n_clean"))
+        .crossJoin(corrupt.agg(count(lit(1)).as("n_corrupt")))
+    }),
+
+    // O20: single combined sorted sink (the gathered-VCF shape,
+    // S/SparkGA1.scala:1242-1251) — write a driver-sized aggregate as ONE
+    // sorted file, re-read it, and return it. Oracle = the aggregate
+    // computed directly: the round-trip must be lossless.
+    "q47_single_sink" -> ((s, dir) => {
+      val path = sys.props("java.io.tmpdir") + "/graft_q47_single"
+      val agg = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+             round(moneySum(col("value")), 4).cast("double").as("sum_value"))
+      graft.sources.Sinks.writeSingleSorted(agg, Seq("user_id"), path)
+      s.read.parquet(path).orderBy(col("user_id"))
+    }),
+
+    // O11+O15 decomposed: total order as range-repartition + PER-PARTITION
+    // sort (Ordering.sortWithin — SortExec with no extra shuffle), the
+    // building block the reference applies before each BAM write
+    // (S/SparkGA1.scala:601-610). Concatenating the sorted range
+    // partitions IS the global order the oracle's ORDER BY produces.
+    "q48_partition_sort" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+                eventEpochSeconds("ts").as("t"))
+      Ordering.sortWithin(
+        e.repartitionByRange(col("user_id"), col("event_id")),
+        Seq(col("user_id"), col("event_id")))
+    }),
+
     // O3: external-process-style line pipe (pure-Scala stage, partition-
     // streamed) — tokenizer emitting one line per token, re-aggregated.
     "q31_pipe" -> ((s, dir) => {
@@ -1290,6 +1338,20 @@ object SparkEntry {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderkey, o_totalprice
          ORDER BY o_orderkey""",
+
+    "q46_lenient_text" ->
+      """SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_clean,
+                CAST(3 AS BIGINT) AS n_corrupt""",
+
+    "q47_single_sink" ->
+      """SELECT user_id, count(*) AS n_events,
+                CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE)
+                  AS sum_value
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q48_partition_sort" ->
+      """SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS t
+         FROM events ORDER BY user_id, event_id""",
 
     "q31_pipe" ->
       """WITH d AS (

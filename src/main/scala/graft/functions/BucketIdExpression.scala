@@ -71,15 +71,53 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Md5, Size, StringSplit, StringTrim, Substring}
+  import org.apache.spark.sql.catalyst.expressions.{Add, ArrayDistinct, Cast, Coalesce, ConcatWs, Divide, Greatest, Least, Length, Literal, Lower, Md5, Multiply, RegExpReplace, Round, Size, StringSplit, StringTrim, Substring, Subtract}
+  import org.apache.spark.sql.types.{DoubleType, LongType}
 
-  /** Normalized text as a raw Catalyst tree (lower → collapse ws → trim)
-    * — the SQL-facing twin of TextAnalysis.normalize.
+  /** Normalized text as a raw Catalyst tree (NULL→'' → lower → collapse
+    * ws → trim) — the SQL-facing twin of TextAnalysis.normalize.
     */
   private def normalizeExpr(text: Expression): Expression =
-    StringTrim(org.apache.spark.sql.catalyst.expressions.RegExpReplace(
-      org.apache.spark.sql.catalyst.expressions.Lower(text),
+    StringTrim(RegExpReplace(
+      Lower(Coalesce(Seq(text, Literal("")))),
       Literal("\\s+"), Literal(" ")))
+
+  /** Whitespace tokens of the normalized text (raw tree). */
+  private def toksExpr(text: Expression): Expression =
+    StringSplit(normalizeExpr(text), Literal(" "), Literal(-1))
+
+  private def dbl(e: Expression): Expression = Cast(e, DoubleType)
+
+  /** size(array_distinct(toks)) / size(toks) — TextAnalysis
+    * .distinctTokenRatioOf as a raw tree.
+    */
+  private def distinctRatioExpr(toks: Expression): Expression =
+    Divide(dbl(Size(ArrayDistinct(toks))), dbl(Size(toks)))
+
+  /** TextAnalysis.punctRatio as a raw tree (NULL text = ''). */
+  private def punctRatioExpr(text0: Expression): Expression = {
+    val text = Coalesce(Seq(text0, Literal("")))
+    Divide(
+      dbl(Subtract(Length(text),
+        Length(RegExpReplace(text, Literal("[\\.,;:!\\?]"), Literal(""))))),
+      dbl(Greatest(Seq(Length(text), Literal(1)))))
+  }
+
+  /** TextAnalysis.qualityScoreOf as a raw tree: 0.4·lenScore +
+    * 0.4·distinctRatio + 0.2·(1 − min(5·punctRatio, 1)), rounded to 6.
+    */
+  private def qualityExpr(text: Expression): Expression = {
+    val toks = toksExpr(text)
+    val nTok = dbl(Size(toks))
+    val lenScore = Least(Seq(Divide(nTok, Literal(50d)), Literal(1d)))
+    val punctPenalty = Subtract(Literal(1d),
+      Least(Seq(Multiply(punctRatioExpr(text), Literal(5d)), Literal(1d))))
+    Round(
+      Add(Add(Multiply(lenScore, Literal(0.4)),
+              Multiply(distinctRatioExpr(toks), Literal(0.4))),
+          Multiply(punctPenalty, Literal(0.2))),
+      Literal(6))
+  }
 
   private def arity(name: String, n: Int)(
       builder: Seq[Expression] => Expression): Seq[Expression] => Expression =
@@ -108,9 +146,32 @@ object GraftExtensions {
       // graft_token_count(text): whitespace token count of normalized text
       (FunctionIdentifier("graft_token_count"),
        new ExpressionInfo(classOf[Size].getName, "graft_token_count"),
-       arity("graft_token_count", 1)(c =>
-         Size(StringSplit(normalizeExpr(c.head),
-           Literal(" "), Literal(-1))))))
+       arity("graft_token_count", 1)(c => Size(toksExpr(c.head)))),
+      // graft_normalize(text): the canonical text form itself
+      (FunctionIdentifier("graft_normalize"),
+       new ExpressionInfo(classOf[StringTrim].getName, "graft_normalize"),
+       arity("graft_normalize", 1)(c => normalizeExpr(c.head))),
+      // graft_distinct_ratio(text): distinct-token / token count
+      (FunctionIdentifier("graft_distinct_ratio"),
+       new ExpressionInfo(classOf[Divide].getName, "graft_distinct_ratio"),
+       arity("graft_distinct_ratio", 1)(c =>
+         distinctRatioExpr(toksExpr(c.head)))),
+      // graft_mean_token_len(text): mean token length in characters
+      (FunctionIdentifier("graft_mean_token_len"),
+       new ExpressionInfo(classOf[Divide].getName, "graft_mean_token_len"),
+       arity("graft_mean_token_len", 1) { c =>
+         val toks = toksExpr(c.head)
+         Divide(dbl(Length(ConcatWs(Seq(Literal(""), toks)))),
+                dbl(Size(toks)))
+       }),
+      // graft_punct_ratio(text): punctuation-character fraction
+      (FunctionIdentifier("graft_punct_ratio"),
+       new ExpressionInfo(classOf[Divide].getName, "graft_punct_ratio"),
+       arity("graft_punct_ratio", 1)(c => punctRatioExpr(c.head))),
+      // graft_quality(text): the composite quality score in [0,1]
+      (FunctionIdentifier("graft_quality"),
+       new ExpressionInfo(classOf[Round].getName, "graft_quality"),
+       arity("graft_quality", 1)(c => qualityExpr(c.head))))
 
   /** Register the engine's functions on a live session. */
   def installInto(spark: SparkSession): Unit =

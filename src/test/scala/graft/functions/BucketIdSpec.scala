@@ -56,6 +56,39 @@ class BucketIdSpec extends SparkTestBase {
     assert(rows.getString(0) == viaColumn.getString(0))
     assert(rows.getInt(1) == 3 && viaColumn.getInt(1) == 3)
   }
+
+  test("every text SQL function matches its Column-API twin on real docs") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    docs.createOrReplaceTempView("docs_fn_parity")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_normalize(text) AS norm,
+                graft_fingerprint(text) AS fp,
+                graft_token_count(text) AS n_tok,
+                graft_distinct_ratio(text) AS dr,
+                graft_mean_token_len(text) AS mtl,
+                graft_punct_ratio(text) AS pr,
+                graft_quality(text) AS q
+         FROM docs_fn_parity""")
+    val toks = TextAnalysis.tokens($"text")
+    val viaColumn = docs.select($"doc_id",
+      TextAnalysis.normalize($"text").as("norm"),
+      TextAnalysis.fingerprint($"text").as("fp"),
+      TextAnalysis.tokenCount($"text").as("n_tok"),
+      TextAnalysis.distinctTokenRatio($"text").as("dr"),
+      TextAnalysis.meanTokenLength($"text").as("mtl"),
+      TextAnalysis.punctRatio($"text").as("pr"),
+      TextAnalysis.qualityScoreOf($"text", toks).as("q"))
+    assert(viaSql.exceptAll(viaColumn).isEmpty &&
+           viaColumn.exceptAll(viaSql).isEmpty)
+    // NULL text canonicalizes to '' everywhere (the operator contract)
+    val nullRow = spark.sql(
+      "SELECT graft_token_count(CAST(NULL AS STRING)), graft_quality(CAST(NULL AS STRING))").head
+    assert(nullRow.getInt(0) == 1) // '' splits to one empty token
+    assert(!nullRow.isNullAt(1))
+  }
 }
 
 class FirstPerKeyAggSpec extends SparkTestBase {
