@@ -652,6 +652,38 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // O2 + custom streaming state: the SAME drain but through
+    // flatMapGroupsWithState with event-time timeout (the operator for
+    // state Spark can't express natively). Semantics under
+    // Trigger.AvailableNow: a session emits either when a later event
+    // breaks its gap in-batch, or when the final watermark passes its
+    // end + gap — sessions still open past the last watermark stay in
+    // state. The oracle reproduces that cutoff exactly: watermark ms =
+    // floor(max event time in µs / 1000), so keep sessions with
+    // (sess_end + gap)·1000 ≤ that.
+    "q49_stateful_stream_sessions" -> ((s, dir) => {
+      val spark2 = s
+      import spark2.implicits._
+      val batch = t(s, dir, "events")
+      val stream = graft.streaming.Streams.fileSource(
+        s, dir, batch.schema, globFilter = Some("events.parquet"))
+      val tsEvents = stream
+        .select(col("user_id").as("key"), eventTimestamp("ts").as("ts"))
+        .as[graft.streaming.StatefulSessions.TsEvent]
+      val sess = graft.streaming.StatefulSessions
+        .sessionizeWithTimeout(tsEvents, 1800L, "0 seconds")
+      val qname = "graft_q49_sessions"
+      val query = sess.toDF().writeStream
+        .format("memory").queryName(qname).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try query.awaitTermination() finally query.stop()
+      s.table(qname)
+        .select(col("key").as("user_id"), col("sess_start"),
+                col("sess_end"), col("n_rows"))
+        .orderBy(col("user_id"), col("sess_start"))
+    }),
+
     // O18: lenient text ingest — malformed rows counted, not fatal (the
     // reference's badLines counters, SamRegionsParser.scala:71-74). The
     // documents table round-trips through tab-delimited text with 3
@@ -1338,6 +1370,33 @@ object SparkEntry {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderkey, o_totalprice
          ORDER BY o_orderkey""",
+
+    "q49_stateful_stream_sessions" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts) // 1000000000 AS t FROM events),
+         mx AS (SELECT max(epoch_ns(ts)) // 1000000 AS max_ms FROM events),
+         m AS (
+           SELECT user_id, t,
+                  max(t) OVER (PARTITION BY user_id ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS prev_max
+           FROM e),
+         f AS (
+           SELECT user_id, t,
+                  CASE WHEN prev_max IS NULL OR t > prev_max + 1800
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM m),
+         sess AS (
+           SELECT user_id, t,
+                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS sid
+           FROM f)
+         SELECT user_id, min(t) AS sess_start, max(t) AS sess_end,
+                count(*) AS n_rows
+         FROM sess GROUP BY user_id, sid
+         HAVING (max(t) + 1800) * 1000 <= (SELECT max_ms FROM mx)
+         ORDER BY user_id, sess_start""",
 
     "q46_lenient_text" ->
       """SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_clean,
