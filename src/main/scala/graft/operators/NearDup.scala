@@ -23,8 +23,10 @@ import TextAnalysis._
   *    docs) should be dropped via a document-frequency cap first.
   *  - MinHash signatures are computed in ONE groupBy with k min()
   *    aggregates (map-side partial min ⇒ shuffle carries k×16 bytes per
-  *    doc, independent of doc length). Banding then needs only an
-  *    equi-join on (band, bandHash) — broadcast-free, skew handled by AQE.
+  *    doc, independent of doc length). Banding is a groupBy on
+  *    (band, bandHash) with the signature riding along, so each bucket
+  *    emits its candidate pairs WITH match counts — no self-join, no
+  *    join back to the signature table.
   *  - All hashes are md5-derived hex strings: exact, engine-portable
   *    (same values in DuckDB/any SQL engine), and order-stable.
   */
