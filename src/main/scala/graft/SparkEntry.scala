@@ -652,6 +652,28 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Dedup modality 5: embedding-cosine near-duplicates, IVF-cell
+    // blocked (never all-pairs — see Similarity.cosineNearDupPairs).
+    // Oracle reproduces the cell assignment + threshold in SQL.
+    "q50_cosine_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.cosineNearDupPairs(emb, emb.where(col("vec_id") < 8),
+          "vec_id", "embedding", 0.35)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // BPE-ish regex token counting next to the whitespace count — the
+    // pre-tokenizer split shape LLM-data token budgeting actually uses.
+    "q51_regex_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.regexTokenCount(col("text")).as("n_bpe"),
+          TextAnalysis.tokenCount(col("text")).as("n_ws"))
+        .withColumn("bpe_per_ws",
+          round(col("n_bpe").cast("double") / col("n_ws"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
     // O2 + custom streaming state: the SAME drain but through
     // flatMapGroupsWithState with event-time timeout (the operator for
     // state Spark can't express natively). Semantics under
@@ -1370,6 +1392,45 @@ object SparkEntry {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderkey, o_totalprice
          ORDER BY o_orderkey""",
+
+    "q50_cosine_neardup" ->
+      """WITH v AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+           FROM embeddings),
+         cents AS (
+           SELECT vec_id AS centroid_id, ev AS centv FROM v
+           WHERE vec_id < 8),
+         asg AS (
+           SELECT vec_id, ev, centroid_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY
+               list_dot_product(ev, centv)
+                 / (sqrt(list_dot_product(ev, ev))
+                    * sqrt(list_dot_product(centv, centv))) DESC,
+               centroid_id) AS crnk
+           FROM v CROSS JOIN cents),
+         m AS (SELECT vec_id, ev, centroid_id FROM asg WHERE crnk = 1)
+         SELECT x.vec_id AS a, y.vec_id AS b, x.centroid_id,
+                round(list_dot_product(x.ev, y.ev)
+                      / (sqrt(list_dot_product(x.ev, x.ev))
+                         * sqrt(list_dot_product(y.ev, y.ev))), 6) AS sim
+         FROM m x JOIN m y
+           ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+         WHERE round(list_dot_product(x.ev, y.ev)
+                     / (sqrt(list_dot_product(x.ev, x.ev))
+                        * sqrt(list_dot_product(y.ev, y.ev))), 6) >= 0.35
+         ORDER BY a, b""",
+
+    "q51_regex_tokens" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                  '[a-z0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_bpe,
+                CAST(len(string_split(trim(regexp_replace(lower(coalesce(
+                  text, '')), '\s+', ' ', 'g')), ' ')) AS INTEGER) AS n_ws,
+                round(CAST(len(regexp_extract_all(lower(coalesce(text,
+                  '')), '[a-z0-9]+|[^a-z0-9\s]')) AS DOUBLE)
+                  / len(string_split(trim(regexp_replace(lower(coalesce(
+                  text, '')), '\s+', ' ', 'g')), ' ')), 6) AS bpe_per_ws
+         FROM documents ORDER BY doc_id""",
 
     "q49_stateful_stream_sessions" ->
       """WITH e AS (

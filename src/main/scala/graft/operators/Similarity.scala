@@ -113,6 +113,33 @@ object Similarity {
            count(lit(1)).as("n_members"))
   }
 
+  /** Embedding-cosine near-duplicate pairs — the fifth dedup modality
+    * (exact / Jaccard / MinHash / SimHash live in NearDup). Candidate
+    * pairs are generated WITHIN an IVF cell only: near-identical vectors
+    * assign to the same nearest centroid, so recall at high thresholds
+    * is ≈1 while the pair space shrinks from |V|²/2 to Σ|cell|²/2 —
+    * never all-pairs, and the cell equi-join shuffles on centroid_id
+    * (AQE splits a skewed cell). At 100 TB, raise the centroid count so
+    * cells stay ~10⁴–10⁵ vectors (cells² work per cell); the same
+    * centroid set then serves ivfTopK probes and dedup.
+    */
+  def cosineNearDupPairs(vectors: DataFrame, centroids: DataFrame,
+                         idCol: String, vecCol: String,
+                         minCosine: Double): DataFrame = {
+    val assigned = ivfAssign(vectors, centroids, idCol, vecCol)
+    val a = assigned.select(col("centroid_id"), col(idCol).as("a"),
+                            col(vecCol).as("av"))
+    val b = assigned.select(col("centroid_id"), col(idCol).as("b"),
+                            col(vecCol).as("bv"))
+    a.join(b, Seq("centroid_id"))
+      .where(col("a") < col("b"))
+      // round BEFORE thresholding (both engines see the same 6-dp value,
+      // so the cut never flips on a last-ulp difference)
+      .withColumn("sim", round(cosine(col("av"), col("bv")), 6))
+      .where(col("sim") >= minCosine)
+      .select(col("a"), col("b"), col("centroid_id"), col("sim"))
+  }
+
   /** IVF ANN top-k: probe only the query's own cluster. Recall < 1 by
     * design (that's the approximation); nprobe>1 = relax the centroid
     * rank filter.

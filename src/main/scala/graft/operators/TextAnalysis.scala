@@ -38,6 +38,20 @@ object TextAnalysis {
     */
   def tokens(text: Column): Column = split(normalize(text), " ")
 
+  /** BPE-ish subword-style tokens: maximal lowercase alphanumeric runs,
+    * plus every non-alphanumeric non-space character as its own token —
+    * the shape of a byte-pair-encoder's pre-tokenization split, so the
+    * count tracks real tokenizer counts far better than whitespace
+    * splitting on punctuation-heavy text. Pure regexp expression
+    * (identical semantics in any RE2/Java-regex engine).
+    */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(lower(coalesce(text, lit(""))),
+      lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  /** Token count under the BPE-ish regex tokenization. */
+  def regexTokenCount(text: Column): Column = size(regexTokens(text))
+
   /** Token count (whitespace tokenization). */
   def tokenCount(text: Column): Column = tokenCountOf(tokens(text))
 

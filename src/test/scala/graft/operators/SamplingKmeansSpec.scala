@@ -53,3 +53,46 @@ class KmeansIterSpec extends SparkTestBase {
     assert(got((2L, 2)) == (0.9, 2L))
   }
 }
+
+class CosineNearDupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("near-identical vectors in the same cell pair up; distant ones don't") {
+    // two tight clusters around orthogonal axes + one exact duplicate pair
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),   // centroid 0
+      (1L, Array(0f, 1f, 0f, 0f)),   // centroid 1
+      (10L, Array(10f, 0.1f, 0f, 0f)),
+      (11L, Array(10f, 0.1f, 0f, 0f)),  // exact dup of 10
+      (12L, Array(9f, 0f, 0.2f, 0f)),
+      (20L, Array(0f, 5f, 0f, 0.1f)),
+      (21L, Array(0.1f, 5f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val cents = vecs.where($"vec_id" < 2)
+    val pairs = Similarity.cosineNearDupPairs(vecs, cents, "vec_id",
+      "embedding", 0.95).select($"a", $"b", $"sim")
+      .as[(Long, Long, Double)].collect().toSet
+    val ids = pairs.map(p => (p._1, p._2))
+    assert(ids.contains((10L, 11L)))   // the exact duplicate
+    assert(pairs.find(p => (p._1, p._2) == (10L, 11L)).get._3 == 1.0)
+    assert(ids.contains((20L, 21L)))   // tight cluster-1 pair
+    // cross-cell pairs are never emitted (cell blocking): cell 0 holds
+    // {0, 10, 11, 12} (x-axis cluster), cell 1 holds {1, 20, 21}
+    val cell0 = Set(0L, 10L, 11L, 12L)
+    assert(!ids.exists { case (a, b) => cell0(a) != cell0(b) })
+  }
+}
+
+class RegexTokensSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("BPE-ish split: alnum runs + single punct chars; NULL-safe") {
+    val df = Seq(("Hello, world! x2 a-b"), (""), (null: String)).toDF("t")
+    val got = df.select(TextAnalysis.regexTokens($"t").as("toks"),
+      TextAnalysis.regexTokenCount($"t").as("n"))
+      .as[(Seq[String], Int)].collect()
+    assert(got(0)._1 == Seq("hello", ",", "world", "!", "x2", "a", "-", "b"))
+    assert(got(0)._2 == 8)
+    assert(got(1)._2 == 0 && got(2)._2 == 0) // '' and NULL both count 0
+  }
+}
