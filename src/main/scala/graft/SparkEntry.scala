@@ -1096,13 +1096,16 @@ object SparkEntry {
            FROM d),
          sigs AS (
            SELECT doc_id, i,
-                  min(substr(md5(shingle || '#' || CAST(i // 2 AS VARCHAR)),
-                    CAST(1 + 16 * (i % 2) AS INTEGER), 16)) AS mh
+                  min(CAST(('0x' ||
+                    substr(md5(shingle || '#' || CAST(i // 2 AS VARCHAR)),
+                      CAST(1 + 16 * (i % 2) AS INTEGER), 15)) AS BIGINT))
+                    AS mh
            FROM sh CROSS JOIN range(0, 16) r(i)
            GROUP BY doc_id, i),
          bands AS (
            SELECT doc_id, i // 2 AS band,
-                  md5(string_agg(mh, ',' ORDER BY i)) AS band_hash
+                  md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i))
+                    AS band_hash
            FROM sigs GROUP BY doc_id, i // 2),
          cand AS (
            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b

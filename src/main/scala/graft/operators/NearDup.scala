@@ -174,16 +174,22 @@ object NearDup {
       .select(col("a"), col("b"), col("n_common"), col("jaccard"))
   }
 
-  /** Portable 16-hex-char hash of a shingle under seed `i`. String min
-    * over these is a valid MinHash (any injective-ish hash works); md5
-    * keeps it engine-exact. Consecutive seed pairs share one md5
-    * invocation (the two 16-hex halves of md5(shingle#⌊i/2⌋) are
-    * independent bit ranges) — halves the hashing cost of a k-wide
-    * signature, the dominant cost of MinHash at corpus scale.
+  /** Portable 60-bit hash of a shingle under seed `i`, as a LONG
+    * (15 hex chars of md5, parsed base-16). min() over these is a valid
+    * MinHash (any injective-ish hash works); md5 keeps it engine-exact
+    * (`CAST('0x' || substr(md5(..)) AS BIGINT)` in DuckDB/ANSI).
+    *
+    * LONG, not the hex string, on purpose: string min() buffers are
+    * immutable, which forces the signature groupBy into SortAggregate —
+    * two extra sorts over the exploded shingle rows (observed in the
+    * plan). A long min() hash-aggregates. Consecutive seed pairs share
+    * one md5 invocation (independent 15-hex ranges of md5(shingle#⌊i/2⌋))
+    * — halves the hashing cost of a k-wide signature, the dominant cost
+    * of MinHash at corpus scale.
     */
   def seededHash(shingle: Column, seed: Int): Column =
-    substring(md5(concat(shingle, lit("#" + seed / 2))),
-      1 + 16 * (seed % 2), 16)
+    conv(substring(md5(concat(shingle, lit("#" + seed / 2))),
+      1 + 16 * (seed % 2), 15), 16, 10).cast("long")
 
   /** MinHash signature: one column `mh0..mh{k-1}` per seed, computed in a
     * single groupBy (k map-side partial mins — one shuffle of k×16B/doc).

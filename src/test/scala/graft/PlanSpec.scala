@@ -101,6 +101,13 @@ class PlanSpec extends SparkTestBase {
       s"bucketed join/agg must reuse at-rest bucketing, not shuffle:\n$p")
   }
 
+  test("q22 minhash pipeline: long signatures hash-aggregate, no sort agg") {
+    val p = plan("q22_minhash_lsh")
+    assert(!p.contains("SortAggregate"),
+      s"string min() buffers would force SortAggregate — keep the 60-bit " +
+        s"long minhash so the signature groupBy hash-aggregates:\n$p")
+  }
+
   test("q20 exact dedup shuffles fingerprints, not documents") {
     val df = SparkEntry.queries("q20_exact_dedup")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

@@ -77,6 +77,30 @@ class NearDupSpec extends SparkTestBase {
     assert(!m.keys.exists { case (a, b) => b == 5L }) // other block
   }
 
+  test("maxDf cap drops hot shingles and recounts set sizes consistently") {
+    // "a b c" is shared by ALL five docs (the hot stopword-gram); each
+    // doc's remaining shingles overlap only within the d1/d2 pair.
+    val hot = Seq(
+      (1L, "a b c x y z", "s1"),  // shingles: abc, bcx, cxy, xyz
+      (2L, "a b c x y w", "s1"),  // shares bcx, cxy with d1
+      (3L, "a b c q1 q2 q3", "s1"),
+      (4L, "a b c r1 r2 r3", "s1"),
+      (5L, "a b c s1 s2 s3", "s1")
+    ).toDF("doc_id", "text", "source")
+    // uncapped: every pair shares at least "a b c"
+    val uncapped = NearDup.jaccardPairs(hot, "doc_id", "text", "source",
+        3, 0.0).select($"a", $"b", $"jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(uncapped.length == 10) // all C(5,2) pairs
+    // capped at df<=4: "a b c" (df=5) is dropped BEFORE set sizes are
+    // counted, so d1/d2 have 3 shingles each sharing 2 → 2/(3+3-2)=0.5,
+    // and the d3/d4/d5 pairs vanish entirely
+    val capped = NearDup.jaccardPairs(hot, "doc_id", "text", "source",
+        3, 0.0, maxDf = 4).select($"a", $"b", $"jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(capped.toSeq == Seq((1L, 2L, 0.5)))
+  }
+
   test("minhash candidates include exact duplicates with est_jaccard 1") {
     val cand = NearDup.minhashCandidatePairs(docs, "doc_id", "text", 3, 16, 8)
       .as[(Long, Long, Double)].collect()
