@@ -171,7 +171,11 @@ object GraftExtensions {
       // graft_quality(text): the composite quality score in [0,1]
       (FunctionIdentifier("graft_quality"),
        new ExpressionInfo(classOf[Round].getName, "graft_quality"),
-       arity("graft_quality", 1)(c => qualityExpr(c.head))))
+       arity("graft_quality", 1)(c => qualityExpr(c.head))),
+      // graft_dot(a, b): codegen'd float/double array dot product
+      (FunctionIdentifier("graft_dot"),
+       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+       arity("graft_dot", 2)(c => DotProduct(c(0), c(1)))))
 
   /** Register the engine's functions on a live session. */
   def installInto(spark: SparkSession): Unit =

@@ -16,22 +16,45 @@ import org.apache.spark.sql.functions._
   *    Note the window shuffles |Q|×|corpus| scored rows on query_id —
   *    acceptable for small query batches; shrink the candidate set with
   *    `ivfTopK` before brute-forcing when the corpus is large.
-  *  - IVF: vectors are pre-assigned to their nearest centroid (one
-  *    broadcast join + argmin — a linear scan over c centroids); a query
-  *    probes only its own cluster ⇒ the candidate set shrinks by ~c×.
-  *    Centroid assignment doubles as a partitioning key, so cluster files
-  *    can be partition-pruned on read at 100 TB.
+  *  - IVF: vectors are pre-assigned to their nearest centroid by a
+  *    per-row fold over the (collected, small) centroid array — a
+  *    scan-stage projection with no row blow-up; a query probes only its
+  *    own cluster ⇒ the candidate set shrinks by ~c×. Centroid
+  *    assignment doubles as a partitioning key, so cluster files can be
+  *    partition-pruned on read at 100 TB.
   */
 object Similarity {
 
   /** Sum over element-wise product of two float-array columns, in double
     * arithmetic, left-to-right (deterministic, engine-portable).
+    * Session-independent HOF form; the operators below use the
+    * value-identical codegen'd `graft_dot` expression instead (HOF
+    * lambdas evaluate interpreted — the fused native loop measured ~5×
+    * on pairwise scoring), self-registering it on the input's session.
     */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0d), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Codegen'd dot product (graft.functions.DotProduct); requires the
+    * graft functions to be registered on the session — every operator in
+    * this object does that itself via `ensureFns`.
+    */
+  private def ndot(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
+  private def nnorm(a: Column): Column = sqrt(ndot(a, a))
+
+  private def ncosine(a: Column, b: Column): Column =
+    ndot(a, b) / (nnorm(a) * nnorm(b))
+
+  /** Idempotently register the graft native functions on the session the
+    * operator's input belongs to (build-time, driver-side, cheap).
+    */
+  private def ensureFns(df: DataFrame): Unit =
+    graft.functions.GraftExtensions.installInto(df.sparkSession)
 
   /** Cosine similarity of two float-array columns (double arithmetic).
     * CAVEAT: a zero-norm vector yields NaN, and both Spark and DuckDB
@@ -50,11 +73,19 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
+    ensureFns(corpus)
+    // norms are projected ONCE per side (|Q| + |corpus| sqrt-dots) and
+    // reused across every pair — the naive inline cosine recomputes both
+    // norms per PAIR, tripling the dominant flop count. Same doubles
+    // (same arithmetic, just computed earlier), so oracle hashes agree.
     val q = queries.select(col(idCol).as("query_id"),
-                           col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+                           col(vecCol).as("qv"),
+                           nnorm(col(vecCol)).as("qnrm"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+                          nnorm(col(vecCol)).as("cnrm"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim",
+        ndot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("sim"), asc("cand_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -64,34 +95,57 @@ object Similarity {
   }
 
   /** Assign each vector to its nearest centroid by cosine (IVF coarse
-    * quantization). `centroids` must be small (broadcast). Adds
-    * `centroid_id`.
+    * quantization). `centroids` must be small by contract (they are
+    * COLLECTED to the driver — a deliberate, documented job at
+    * operator-build time). Adds `centroid_id` (long).
     *
-    * Argmax is a `max_by` aggregate, not a window: the per-vector best
-    * centroid partial-aggregates MAP-SIDE, so only one row per vector
-    * crosses the wire — a row_number window would shuffle the full
-    * |vectors|×|centroids| scored cross product first, which at 1B
-    * vectors × 256 centroids is the dominant cost of IVF assignment.
-    * Tie-break matches `ORDER BY csim DESC, centroid_id ASC`.
+    * The argmax is a per-row FOLD over the centroid array literal,
+    * running inside the scan stage: no |vectors|×|centroids| row
+    * intermediate, no aggregation, no shuffle. (The previous broadcast
+    * cross-join + max_by formulation materialized |V|×|c| rows and then
+    * sort-aggregated them back down — max_by's struct buffer forces
+    * SortAggregate — which at 1B vectors × 256 centroids is ~256× the
+    * I/O of the table itself. Map-side combine made it tolerable; not
+    * materializing the blow-up at all is strictly better.)
+    *
+    * Parity details: the fold computes the FULL cosine exactly as the
+    * SQL oracle does (dot / (√dot(v,v) · √dot(c,c))) — centroid norms
+    * are precomputed at the driver with the same left-to-right double
+    * arithmetic, and a strict `>` keeps the FIRST maximum, i.e. the
+    * lowest centroid id on ties — identical to
+    * `ORDER BY csim DESC, centroid_id ASC`. dot(v,v) is re-evaluated
+    * per centroid (hoisting it into a column risks CollapseProject
+    * inlining it back into the lambda); the waste is one extra dot per
+    * centroid, not a row blow-up.
     */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame, idCol: String,
                 vecCol: String): DataFrame = {
-    // tie-break via -centroid_id needs a numeric id (a string id would
-    // implicitly cast to null and silently lose determinism)
+    ensureFns(vectors)
     require(centroids.schema(idCol).dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"ivfAssign requires a numeric $idCol for a deterministic tie-break")
-    val cents = centroids.select(col(idCol).as("centroid_id"),
-                                 col(vecCol).as("centv"))
-    val payload = vectors.columns.filterNot(_ == idCol)
-    vectors.crossJoin(broadcast(cents))
-      .withColumn("csim", cosine(col(vecCol), col("centv")))
-      .groupBy(col(idCol))
-      .agg(max_by(
-        struct((payload.map(col) :+ col("centroid_id")): _*),
-        struct(col("csim"), -col("centroid_id"))).as("_best"))
-      .select(col(idCol) +:
-        (payload :+ "centroid_id").map(c => col(s"_best.$c").as(c)): _*)
+      s"ivfAssign requires a numeric $idCol (ids surface as long)")
+    val cents: Seq[(Long, Seq[Float], Double)] = centroids
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .collect().toSeq
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        // left-to-right double sum — bit-identical to aggregate()/
+        // list_dot_product's fold order
+        val sumSq = v.foldLeft(0d)((acc, x) =>
+          acc + x.toDouble * x.toDouble)
+        (r.getLong(0), v, math.sqrt(sumSq))
+      }
+      .sortBy(_._1)
+    require(cents.nonEmpty, "ivfAssign needs at least one centroid")
+    val zero = struct(lit(Double.NegativeInfinity).as("s"),
+                      lit(-1L).as("c"))
+    val best = aggregate(typedlit(cents), zero, (acc, ct) => {
+      val s = ndot(col(vecCol), ct.getField("_2")) /
+        (nnorm(col(vecCol)) * ct.getField("_3"))
+      when(s > acc.getField("s"),
+        struct(s.as("s"), ct.getField("_1").as("c"))).otherwise(acc)
+    })
+    vectors.withColumn("centroid_id", best.getField("c"))
   }
 
   /** One Lloyd (k-means) iteration over an embedding corpus: assign every
@@ -127,15 +181,21 @@ object Similarity {
                          idCol: String, vecCol: String,
                          minCosine: Double): DataFrame = {
     val assigned = ivfAssign(vectors, centroids, idCol, vecCol)
+    // per-vector norm crosses the cell shuffle as a column: computed
+    // |V| times, reused across every in-cell pair (inline cosine would
+    // recompute both norms per pair — 3× the flops of the dot alone)
     val a = assigned.select(col("centroid_id"), col(idCol).as("a"),
-                            col(vecCol).as("av"))
+                            col(vecCol).as("av"),
+                            nnorm(col(vecCol)).as("anrm"))
     val b = assigned.select(col("centroid_id"), col(idCol).as("b"),
-                            col(vecCol).as("bv"))
+                            col(vecCol).as("bv"),
+                            nnorm(col(vecCol)).as("bnrm"))
     a.join(b, Seq("centroid_id"))
       .where(col("a") < col("b"))
       // round BEFORE thresholding (both engines see the same 6-dp value,
       // so the cut never flips on a last-ulp difference)
-      .withColumn("sim", round(cosine(col("av"), col("bv")), 6))
+      .withColumn("sim",
+        round(ndot(col("av"), col("bv")) / (col("anrm") * col("bnrm")), 6))
       .where(col("sim") >= minCosine)
       .select(col("a"), col("b"), col("centroid_id"), col("sim"))
   }
@@ -148,15 +208,16 @@ object Similarity {
               idCol: String, vecCol: String, k: Int): DataFrame = {
     val corpusAssigned = ivfAssign(corpus, centroids, idCol, vecCol)
       .select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
-              col("centroid_id"))
+              nnorm(col(vecCol)).as("cnrm"), col("centroid_id"))
     val queriesAssigned = ivfAssign(queries, centroids, idCol, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-              col("centroid_id"))
+              nnorm(col(vecCol)).as("qnrm"), col("centroid_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("sim"), asc("cand_id"))
     corpusAssigned.join(broadcast(queriesAssigned), Seq("centroid_id"))
       .where(col("query_id") =!= col("cand_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim",
+        ndot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("query_id"), col("cand_id"), col("rnk"),

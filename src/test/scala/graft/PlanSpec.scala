@@ -71,11 +71,16 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"))
   }
 
-  test("q36 centroid assignment partial-aggregates map-side (max_by)") {
+  test("q36 centroid assignment is a scan-stage fold, not a row blow-up") {
     val p = plan("q36_kmeans_iter")
-    assert(p.contains("partial_max_by"),
-      "ivf assignment must be a map-side argmax, not a window")
     assert(!p.contains("Window"), s"no window in kmeans assignment:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+           !p.contains("CartesianProduct"),
+      s"assignment must not materialize |V|×|centroids| rows:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"no struct-buffer sort aggregate in the kmeans path:\n$p")
+    assert(p.contains("partial_avg"),
+      "per-cluster means must keep their map-side partial phase")
   }
 
   test("q41 approx equal-frequency split has no Window (the q12 scale path)") {
