@@ -652,6 +652,19 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Stratified deterministic sampling: per-source rates (downsample the
+    // over-represented sources of a training mix) — the curation twin of
+    // q37's flat hash sample. Decision is the same md5-threshold
+    // expression, so the oracle reproduces it verbatim.
+    "q52_stratified_sample" -> ((s, dir) => {
+      Sampling.stratifiedHashSample(t(s, dir, "documents"), "doc_id",
+          "source", Map("src0" -> 26, "src1" -> 102), 51)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+             sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy(col("source"))
+    }),
+
     // Dedup modality 5: embedding-cosine near-duplicates, IVF-cell
     // blocked (never all-pairs — see Similarity.cosineNearDupPairs).
     // Oracle reproduces the cell assignment + threshold in SQL.
@@ -1395,6 +1408,16 @@ object SparkEntry {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderkey, o_totalprice
          ORDER BY o_orderkey""",
+
+    "q52_stratified_sample" ->
+      """SELECT source, count(*) AS n_rows,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+               CASE source WHEN 'src0' THEN '1a'
+                           WHEN 'src1' THEN '66'
+                           ELSE '33' END
+         GROUP BY source ORDER BY source""",
 
     "q50_cosine_neardup" ->
       """WITH v AS (

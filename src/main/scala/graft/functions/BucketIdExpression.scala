@@ -175,7 +175,18 @@ object GraftExtensions {
       // graft_dot(a, b): codegen'd float/double array dot product
       (FunctionIdentifier("graft_dot"),
        new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-       arity("graft_dot", 2)(c => DotProduct(c(0), c(1)))))
+       arity("graft_dot", 2)(c => DotProduct(c(0), c(1)))),
+      // graft_shingles(toks, n): codegen'd word n-gram shingle array
+      (FunctionIdentifier("graft_shingles"),
+       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+       arity("graft_shingles", 2) { c =>
+         val n = c(1) match {
+           case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+           case _ => throw new IllegalArgumentException(
+             "graft_shingles width must be an INT literal")
+         }
+         WordShingles(c(0), n)
+       }))
 
   /** Register the engine's functions on a live session. */
   def installInto(spark: SparkSession): Unit =

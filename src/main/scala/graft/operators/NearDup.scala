@@ -69,18 +69,20 @@ object NearDup {
     * cost a window exchange + a distinct exchange + a second window for
     * the set size).
     *
-    * The token array is projected into a real column first so the HOF
-    * lambda references an attribute, not the tokenizer subtree —
-    * otherwise the interpreted lambda re-tokenizes per element (measured
-    * 8×).
+    * The token array is projected into a real column first, and the
+    * shingle build itself is the native `graft_shingles` expression
+    * (graft.functions.WordShingles) — the HOF `transform` form evaluates
+    * interpreted, paying a lambda dispatch + a slice copy per shingle.
     */
   def shingleArrays(docs: DataFrame, idCol: String, extraCols: Seq[String],
                     textCol: String, n: Int): DataFrame = {
+    graft.functions.GraftExtensions.installInto(docs.sparkSession)
     val keep = col(idCol) +: extraCols.map(col)
     spread(docs)
       .select(keep :+ tokens(col(textCol)).as("_toks"): _*)
-      .select(keep :+ array_distinct(wordShinglesOf(col("_toks"), n))
-        .as("shingles"): _*)
+      .select(keep :+
+        array_distinct(call_function("graft_shingles", col("_toks"), lit(n)))
+          .as("shingles"): _*)
   }
 
   /** One row per (id [+ extra cols], DISTINCT shingle). */
