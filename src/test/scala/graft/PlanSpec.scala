@@ -106,6 +106,16 @@ class PlanSpec extends SparkTestBase {
       s"bucketed join/agg must reuse at-rest bucketing, not shuffle:\n$p")
   }
 
+  test("q21 jaccard derivation reaches the join with ONE hash exchange") {
+    // the shingle SETS are built per-doc as arrays in the scan stage; the
+    // only hash shuffle in the whole query is the pair aggregation (the
+    // round-1 row formulation paid a window exchange + a distinct
+    // exchange + a second window before the join)
+    val p = plan("q21_jaccard")
+    val hashX = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashX == 1, s"expected exactly 1 hash exchange, got $hashX:\n$p")
+  }
+
   test("q22 minhash pipeline: long signatures hash-aggregate, no sort agg") {
     val p = plan("q22_minhash_lsh")
     assert(!p.contains("SortAggregate"),
