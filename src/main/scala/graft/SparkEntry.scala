@@ -652,6 +652,24 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // q33's 100× mode: the same EXACT percentiles with the rank pass
+    // range-split into 16 order buckets — the cumulative window runs on
+    // #keys×16 tasks instead of #keys (q33's single window is the
+    // q12-style few-groups funnel at scale). Results are bit-identical
+    // (same oracle as q33); costs one extra linear pass for the
+    // boundaries, which is the right trade once a single key's distinct
+    // values no longer sort comfortably in one task.
+    "q53_percentile_bucketed" -> ((s, dir) => {
+      Stats.exactPercentiles(t(s, dir, "lineitem"), Seq("l_returnflag"),
+          "l_extendedprice",
+          Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9),
+          orderBuckets = 16)
+        .select(col("l_returnflag"), round(col("p25"), 4).as("p25"),
+                round(col("p50"), 4).as("p50"),
+                round(col("p90"), 4).as("p90"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Stratified deterministic sampling: per-source rates (downsample the
     // over-represented sources of a training mix) — the curation twin of
     // q37's flat hash sample. Decision is the same md5-threshold
@@ -1408,6 +1426,13 @@ object SparkEntry {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderkey, o_totalprice
          ORDER BY o_orderkey""",
+
+    "q53_percentile_bucketed" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q52_stratified_sample" ->
       """SELECT source, count(*) AS n_rows,

@@ -93,14 +93,21 @@ object Skew {
 
   /** Assign segment by searching approx boundaries (width_bucket-style):
     * segment = 1 + #boundaries below pos. Codegen'd array expression —
-    * no UDF, no sort.
+    * no UDF, no sort. The boundary lookup joins NULL-SAFELY on the key
+    * columns, so NULL-key groups keep their segments (plain equality
+    * would silently drop them — the same trap exactPercentiles hit).
+    * A NULL pos lands in segment 1 (every comparison falls through).
     */
   def segmentByBoundaries(df: DataFrame, boundaries: DataFrame,
                           keyCols: Seq[String], posCol: String,
-                          segCol: String = "segment"): DataFrame =
-    df.join(broadcast(boundaries), keyCols)
+                          segCol: String = "segment"): DataFrame = {
+    val b = boundaries.select(
+      keyCols.map(c => col(c).as(s"_bk_$c")) :+ col("boundaries"): _*)
+    val cond = keyCols.map(c => col(c) <=> col(s"_bk_$c")).reduce(_ && _)
+    df.join(broadcast(b), cond)
       .withColumn(segCol,
         lit(1) + aggregate(col("boundaries"), lit(0),
-          (acc, b) => acc + when(col(posCol) > b, 1).otherwise(0)))
-      .drop("boundaries")
+          (acc, bd) => acc + when(col(posCol) > bd, 1).otherwise(0)))
+      .drop(keyCols.map(c => s"_bk_$c") :+ "boundaries": _*)
+  }
 }

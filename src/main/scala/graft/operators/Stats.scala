@@ -20,9 +20,21 @@ object Stats {
 
   /** Exact interpolated percentiles per key.
     * Returns (keyCols..., p_<label>: double ...) one row per key.
+    *
+    * `orderBuckets` controls the parallelism of the rank pass. The
+    * single-level form (0) runs ONE cumulative-count window per key —
+    * with few groups that funnels every distinct value through #groups
+    * tasks, the q12-style sort bottleneck at 100×. With orderBuckets =
+    * B > 1, the order domain is first range-split by approx-quantile
+    * boundaries (any split points preserve exactness — counts are
+    * integers and the boundaries only partition the sort): the heavy
+    * cumulative window then runs per (key, bucket) on #keys×B tasks,
+    * and only the B-row-per-key bucket totals go through a per-key
+    * prefix window. Results are bit-identical in both modes.
     */
   def exactPercentiles(df: DataFrame, keyCols: Seq[String],
-                       valueCol: String, probs: Seq[(String, Double)])
+                       valueCol: String, probs: Seq[(String, Double)],
+                       orderBuckets: Int = 0)
       : DataFrame = {
     val key = keyCols.map(col)
     // NULL values are excluded from position arithmetic (matching Spark's
@@ -36,11 +48,46 @@ object Stats {
     val counts = df
       .groupBy((key :+ col(valueCol)): _*)
       .agg(count(col(valueCol)).as("_c"))
-    val wCum = Window.partitionBy(key: _*).orderBy(col(valueCol))
-    val wAll = Window.partitionBy(key: _*)
-    val cum = counts
-      .withColumn("_cum", sum(col("_c")).over(wCum))
-      .withColumn("_n", sum(col("_c")).over(wAll))
+    val cum =
+      if (orderBuckets > 1) {
+        // boundaries over the DISTINCT-value table: equal-count over
+        // distinct values = balanced window partitions
+        val bounds = Skew.approxBoundaries(counts, keyCols, valueCol,
+          orderBuckets)
+        val seg = Skew.segmentByBoundaries(counts, bounds, keyCols,
+          valueCol, "_ob")
+        val wIn = Window.partitionBy((key :+ col("_ob")): _*)
+          .orderBy(col(valueCol))
+        val withIn = seg.withColumn("_cumIn", sum(col("_c")).over(wIn))
+        // B rows per key: running offset of the buckets before _ob, and
+        // the per-key total — both trivial windows. Totals derive from
+        // withIn (bucket total = max running count), NOT from seg: both
+        // consumers then share one exchange (ReusedExchange) instead of
+        // recomputing the counts+segment subtree twice.
+        val totals = withIn.groupBy((key :+ col("_ob")): _*)
+          .agg(max(col("_cumIn")).as("_bt"))
+        val wOff = Window.partitionBy(key: _*).orderBy(col("_ob"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = totals
+          .withColumn("_off", coalesce(sum(col("_bt")).over(wOff), lit(0L)))
+          .withColumn("_n", sum(col("_bt"))
+            .over(Window.partitionBy(key: _*)))
+          .select(keyCols.map(c => col(c).as(s"_ok_$c")) ++
+            Seq(col("_ob").as("_oob"), col("_off"), col("_n")): _*)
+        // NULL-SAFE equality throughout: NULL-key groups must keep their
+        // offset, and an all-NULL-values group has NULL boundaries hence
+        // a NULL bucket id — null-unsafe equality would drop it here
+        val cond = keyCols.map(c => col(c) <=> col(s"_ok_$c"))
+          .reduce(_ && _) && col("_ob") <=> col("_oob")
+        withIn.join(broadcast(offs), cond)
+          .withColumn("_cum", col("_off") + col("_cumIn"))
+      } else {
+        val wCum = Window.partitionBy(key: _*).orderBy(col(valueCol))
+        val wAll = Window.partitionBy(key: _*)
+        counts
+          .withColumn("_cum", sum(col("_c")).over(wCum))
+          .withColumn("_n", sum(col("_c")).over(wAll))
+      }
     val aggs = probs.flatMap { case (label, p) =>
       // 0-based fractional position of the percentile in the sorted data
       val pos: Column = lit(p) * (col("_n") - 1)

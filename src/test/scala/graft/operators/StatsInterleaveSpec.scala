@@ -27,6 +27,35 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("two-level (orderBuckets) mode is bit-identical to single-level") {
+    val rnd = new scala.util.Random(17)
+    // duplicates, a NULL-key group, and NULL values all in one table
+    val df = (Seq.fill(4000)((Some(rnd.nextInt(3)),
+        Some((rnd.nextInt(500) / 7.0)))) ++
+      Seq.fill(50)((Option.empty[Int], Some(rnd.nextDouble() * 10))) ++
+      Seq((Some(0), Option.empty[Double]), (Some(9), Option.empty[Double])))
+      .toDF("g", "v")
+    val probs = Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9)
+    val single = Stats.exactPercentiles(df, Seq("g"), "v", probs)
+      .as[(Option[Int], Option[Double], Option[Double], Option[Double])]
+      .collect().toSet
+    for (buckets <- Seq(2, 8, 64)) {
+      val multi = Stats.exactPercentiles(df, Seq("g"), "v", probs, buckets)
+        .as[(Option[Int], Option[Double], Option[Double], Option[Double])]
+        .collect().toSet
+      assert(multi == single, s"orderBuckets=$buckets diverged")
+    }
+  }
+
+  test("two-level rank window partitions by (key, bucket), not key alone") {
+    val df = Seq.fill(500)((1, scala.util.Random.nextDouble())).toDF("g", "v")
+    val p = Stats.exactPercentiles(df, Seq("g"), "v",
+        Seq("p50" -> 0.5), orderBuckets = 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("_ob"),
+      s"the heavy cumulative window must include the order bucket:\n$p")
+  }
+
   test("all-NULL group yields a row with NULL percentile, like the built-in") {
     val df = Seq((0, Some(1.0)), (0, Some(3.0)), (1, Option.empty[Double]))
       .toDF("g", "v")
