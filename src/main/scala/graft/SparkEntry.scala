@@ -705,6 +705,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // O2 watermarked tumbling windows, streamed + drained: the third
+    // streaming correctness row (session_window in q43, custom state in
+    // q49). Values are summed as DECIMAL so the result is exact and
+    // order-independent — a double sum would hash-diverge on micro-batch
+    // accumulation order.
+    "q54_stream_tumbling" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = graft.streaming.Streams.fileSource(
+        s, dir, batch.schema, globFilter = Some("events.parquet"))
+      val agg = graft.streaming.Streams.tumblingAgg(
+        stream.select(eventTimestamp("ts").as("ets"),
+                      col("value").cast("decimal(18,4)").as("v")),
+        "ets", "v", "1 day", "0 seconds")
+      val qname = "graft_q54_tumbling"
+      val query = graft.streaming.Streams.drainToMemory(agg, qname).start()
+      try query.awaitTermination() finally query.stop()
+      s.table(qname).select(
+          col("w_start").cast("long").as("w_start"),
+          col("w_end").cast("long").as("w_end"),
+          col("n_events"),
+          round(col("sum_value"), 4).cast("double").as("sum_value"))
+        .orderBy(col("w_start"))
+    }),
+
     // O2 + custom streaming state: the SAME drain but through
     // flatMapGroupsWithState with event-time timeout (the operator for
     // state Spark can't express natively). Semantics under
@@ -1426,6 +1450,17 @@ object SparkEntry {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderkey, o_totalprice
          ORDER BY o_orderkey""",
+
+    "q54_stream_tumbling" ->
+      """WITH e AS (
+           SELECT epoch_ns(ts) // 1000000000 AS t,
+                  CAST(value AS DECIMAL(18,4)) AS v
+           FROM events)
+         SELECT (t // 86400) * 86400 AS w_start,
+                (t // 86400) * 86400 + 86400 AS w_end,
+                count(*) AS n_events,
+                CAST(round(sum(v), 4) AS DOUBLE) AS sum_value
+         FROM e GROUP BY 1 ORDER BY w_start""",
 
     "q53_percentile_bucketed" ->
       """SELECT l_returnflag,
