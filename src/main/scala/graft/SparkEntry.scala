@@ -35,6 +35,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
+  /** Scratch path for sink round-trip queries, isolated per application
+    * (two concurrent runs — e.g. a Verify and a Bench — must not
+    * overwrite each other's sink directories mid-read).
+    */
+  private def scratch(s: SparkSession, name: String): String =
+    sys.props("java.io.tmpdir") + "/graft_" + name + "_" +
+      s.sparkContext.applicationId
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -618,7 +626,7 @@ object SparkEntry {
     // The filter must prune to ONE directory at the scan (PartitionFilters
     // — pinned in PlanSpec); oracle = the same filter applied directly.
     "q44_partitioned_sink" -> ((s, dir) => {
-      val path = sys.props("java.io.tmpdir") + "/graft_q44_sink"
+      val path = scratch(s, "q44_sink")
       graft.sources.Sinks.writePartitioned(
         t(s, dir, "documents")
           .select(col("doc_id"), col("n_chars"), col("source")),
@@ -736,8 +744,12 @@ object SparkEntry {
     // breaks its gap in-batch, or when the final watermark passes its
     // end + gap — sessions still open past the last watermark stay in
     // state. The oracle reproduces that cutoff exactly: watermark ms =
-    // floor(max event time in µs / 1000), so keep sessions with
-    // (sess_end + gap)·1000 ≤ that.
+    // floor(max event time in µs / 1000), and Spark's eviction is
+    // STRICT (`timeoutTimestamp < watermark`, verified in
+    // FlatMapGroupsWithStateExec), so keep sessions with
+    // (sess_end + gap)·1000 strictly below it. Gap-broken sessions
+    // emitted inline always satisfy the strict form: the breaking event
+    // is > end+gap in whole seconds, so (end+gap)·1000 < max ms.
     "q49_stateful_stream_sessions" -> ((s, dir) => {
       val spark2 = s
       import spark2.implicits._
@@ -767,7 +779,7 @@ object SparkEntry {
     // injected garbage lines; the lenient reader must keep every real
     // row and route exactly the garbage to _corrupt_record.
     "q46_lenient_text" -> ((s, dir) => {
-      val path = sys.props("java.io.tmpdir") + "/graft_q46_csv"
+      val path = scratch(s, "q46_csv")
       t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
         .write.mode("overwrite").option("delimiter", "\t").csv(path)
       java.nio.file.Files.write(
@@ -786,7 +798,7 @@ object SparkEntry {
     // sorted file, re-read it, and return it. Oracle = the aggregate
     // computed directly: the round-trip must be lossless.
     "q47_single_sink" -> ((s, dir) => {
-      val path = sys.props("java.io.tmpdir") + "/graft_q47_single"
+      val path = scratch(s, "q47_single")
       val agg = t(s, dir, "events")
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"),
@@ -1542,7 +1554,7 @@ object SparkEntry {
          SELECT user_id, min(t) AS sess_start, max(t) AS sess_end,
                 count(*) AS n_rows
          FROM sess GROUP BY user_id, sid
-         HAVING (max(t) + 1800) * 1000 <= (SELECT max_ms FROM mx)
+         HAVING (max(t) + 1800) * 1000 < (SELECT max_ms FROM mx)
          ORDER BY user_id, sess_start""",
 
     "q46_lenient_text" ->

@@ -44,9 +44,16 @@ object NearDup {
   private def spread(df: DataFrame): DataFrame = {
     val conf = df.sparkSession.sessionState.conf
     val target = conf.numShufflePartitions
+    val sizeBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // stats can be UNKNOWN (lineage through typed maps etc. propagates
+    // the defaultSizeInBytes sentinel) — an "estimate" of Long.MaxValue
+    // would silently skip the spread and serialize the derivation onto
+    // however few partitions the input really has; only then pay the
+    // exact (driver-side lineage build) check.
     val estParts =
-      (df.queryExecution.optimizedPlan.stats.sizeInBytes /
-        conf.filesMaxPartitionBytes).toLong + 1
+      if (sizeBytes >= conf.defaultSizeInBytes)
+        df.rdd.getNumPartitions.toLong
+      else (sizeBytes / conf.filesMaxPartitionBytes).toLong + 1
     if (estParts >= target) df else df.repartition(target)
   }
 
@@ -215,12 +222,14 @@ object NearDup {
   }
 
   /** LSH banding over a k-wide signature: `bands` bands of k/bands rows;
-    * band hash = md5 of the concatenated minhashes. Docs sharing any
-    * (band, bandHash) are candidate near-duplicates.
-    * Returns (id, band, band_hash).
+    * band hash = md5 of the comma-joined minhashes. Docs sharing any
+    * (band, band_hash) are candidate near-duplicates.
+    * Returns (id [+ passthrough cols], band, band_hash) — the ONE
+    * banding definition, shared with minhashCandidatePairs (which passes
+    * the packed signature through so buckets can score pairs in place).
     */
-  def lshBands(sigs: DataFrame, idCol: String, k: Int, bands: Int)
-      : DataFrame = {
+  def lshBands(sigs: DataFrame, idCol: String, k: Int, bands: Int,
+               passthrough: Seq[String] = Seq.empty): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val r = k / bands
     val bandCols = (0 until bands).map { b =>
@@ -228,9 +237,10 @@ object NearDup {
         md5(concat_ws(",", (0 until r).map(i => col(s"mh${b * r + i}")): _*))
           .as("band_hash"))
     }
-    sigs.select(col(idCol), explode(array(bandCols: _*)).as("bh"))
-      .select(col(idCol), col("bh.band").as("band"),
-              col("bh.band_hash").as("band_hash"))
+    val keep = col(idCol) +: passthrough.map(col)
+    sigs.select(keep :+ explode(array(bandCols: _*)).as("bh"): _*)
+      .select(keep :+ col("bh.band").as("band")
+        :+ col("bh.band_hash").as("band_hash"): _*)
   }
 
   /** Candidate pairs from LSH banding + estimated Jaccard =
@@ -252,20 +262,10 @@ object NearDup {
     */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
                             shingleN: Int, k: Int, bands: Int): DataFrame = {
-    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
-    val r = k / bands
     val sigs = minhashSignatures(docs, idCol, textCol, shingleN, k)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws(",", (0 until r).map(i => col(s"mh${b * r + i}")): _*))
-          .as("band_hash"))
-    }
-    val exploded = sigs.select(
-        col(idCol).as("id"),
-        array((0 until k).map(i => col(s"mh$i")): _*).as("sig"),
-        explode(array(bandCols: _*)).as("bh"))
-      .select(col("id"), col("sig"),
-        col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
+      .withColumn("sig", array((0 until k).map(i => col(s"mh$i")): _*))
+    val exploded = lshBands(sigs, idCol, k, bands, passthrough = Seq("sig"))
+      .withColumnRenamed(idCol, "id")
     val buckets = exploded.groupBy(col("band"), col("band_hash"))
       .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("ds"))
       .where(size(col("ds")) > 1)
