@@ -230,3 +230,39 @@ class OrderingSpec extends SparkTestBase {
     assert(got == got.sorted)
   }
 }
+
+class CoverageSweepSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("largestFirst orders work items size-descending") {
+    val df = Seq((1, 10L), (2, 99L), (3, 50L)).toDF("id", "sz")
+    val got = Ordering.largestFirst(df, "sz").select($"id")
+      .as[Int].collect().toSeq
+    assert(got == Seq(2, 3, 1))
+  }
+
+  test("broadcastOverlapJoin matches the overlap predicate, small side broadcast") {
+    val big = Seq((1, 0L, 10L), (1, 20L, 30L), (2, 0L, 5L))
+      .toDF("k", "s", "e")
+    val small = Seq((1, 8L, 22L), (2, 50L, 60L)).toDF("sk", "ss", "se")
+    val joined = RangeJoin.broadcastOverlapJoin(big, small,
+      "k", "sk", "s", "e", "ss", "se")
+    val got = joined.select($"s", $"ss").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 8L), (20L, 8L))) // both key-1 intervals overlap
+    assert(joined.queryExecution.executedPlan.toString.contains("Broadcast"))
+  }
+
+  test("nonZeroNorm guards cosine's NaN on zero vectors") {
+    val df = Seq(Array(0f, 0f), Array(1f, 0f)).toDF("v")
+    val kept = df.where(Similarity.nonZeroNorm($"v")).count()
+    assert(kept == 1)
+  }
+
+  test("stopwordRatio counts duplicate marker hits, unlike array_intersect") {
+    val df = Seq("the cat the dog the end").toDF("text")
+    val r = df.select(TextAnalysis.stopwordRatio($"text", Seq("the")))
+      .as[Double].head
+    assert(math.abs(r - 3.0 / 6.0) < 1e-12) // 3 hits of 6 tokens, not 1
+  }
+}
