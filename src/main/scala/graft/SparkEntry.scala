@@ -737,6 +737,49 @@ object SparkEntry {
         .orderBy(col("w_start"))
     }),
 
+    // O2 sliding windows: 1-day windows every 12 hours — every event in
+    // exactly two windows, both reproduced by the oracle's k ∈ {0,1}
+    // cross join on epoch-aligned starts. DECIMAL sums for exactness.
+    "q55_stream_sliding" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = graft.streaming.Streams.fileSource(
+        s, dir, batch.schema, globFilter = Some("events.parquet"))
+      val agg = graft.streaming.Streams.slidingAgg(
+        stream.select(eventTimestamp("ts").as("ets"),
+                      col("value").cast("decimal(18,4)").as("v")),
+        "ets", "v", "1 day", "12 hours", "0 seconds")
+      val qname = "graft_q55_sliding"
+      val query = graft.streaming.Streams.drainToMemory(agg, qname).start()
+      try query.awaitTermination() finally query.stop()
+      s.table(qname).select(
+          col("w_start").cast("long").as("w_start"),
+          col("w_end").cast("long").as("w_end"),
+          col("n_events"),
+          round(col("sum_value"), 4).cast("double").as("sum_value"))
+        .orderBy(col("w_start"))
+    }),
+
+    // Streaming exact dedup: stateful dropDuplicates over document
+    // fingerprints, drained with AvailableNow — the stream-ingest twin
+    // of q20. Output is the class count (which ROW survives a class
+    // depends on arrival order, so the deterministic surface is the set
+    // of distinct fingerprints, not the survivors).
+    "q56_stream_dedup" -> ((s, dir) => {
+      val batch = t(s, dir, "documents")
+      val stream = graft.streaming.Streams.fileSource(
+        s, dir, batch.schema, globFilter = Some("documents.parquet"))
+      val dedup = graft.streaming.Streams.streamDedup(
+        stream.select(TextAnalysis.fingerprint(col("text")).as("fp")),
+        Seq("fp"))
+      val qname = "graft_q56_dedup"
+      val query = dedup.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try query.awaitTermination() finally query.stop()
+      s.table(qname).agg(count(lit(1)).as("n_classes"))
+    }),
+
     // O2 + custom streaming state: the SAME drain but through
     // flatMapGroupsWithState with event-time timeout (the operator for
     // state Spark can't express natively). Semantics under
@@ -1473,6 +1516,24 @@ object SparkEntry {
                 count(*) AS n_events,
                 CAST(round(sum(v), 4) AS DOUBLE) AS sum_value
          FROM e GROUP BY 1 ORDER BY w_start""",
+
+    "q55_stream_sliding" ->
+      """WITH e AS (
+           SELECT epoch_ns(ts) // 1000000000 AS t,
+                  CAST(value AS DECIMAL(18,4)) AS v
+           FROM events),
+         w AS (
+           SELECT ((t // 43200) - k) * 43200 AS w_start, v
+           FROM e CROSS JOIN range(0, 2) r(k))
+         SELECT w_start, w_start + 86400 AS w_end,
+                count(*) AS n_events,
+                CAST(round(sum(v), 4) AS DOUBLE) AS sum_value
+         FROM w GROUP BY w_start ORDER BY w_start""",
+
+    "q56_stream_dedup" ->
+      """SELECT count(DISTINCT substr(md5(trim(regexp_replace(lower(
+           coalesce(text, '')), '\s+', ' ', 'g'))), 1, 16)) AS n_classes
+         FROM documents""",
 
     "q53_percentile_bucketed" ->
       """SELECT l_returnflag,

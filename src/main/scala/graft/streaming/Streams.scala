@@ -60,6 +60,31 @@ object Streams {
               col("window.end").as("w_end"),
               col("n_events"), col("sum_value"))
 
+  /** Watermarked SLIDING-window counts/sums: each event lands in
+    * window/slide overlapping windows, all epoch-aligned to multiples of
+    * `slide`. State is O(active windows), not O(events).
+    */
+  def slidingAgg(events: DataFrame, tsCol: String, valueCol: String,
+                 window: String, slide: String, watermark: String)
+      : DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window,
+        slide))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col(valueCol)).as("sum_value"))
+      .select(col("window.start").as("w_start"),
+              col("window.end").as("w_end"),
+              col("n_events"), col("sum_value"))
+
+  /** Stateful streaming exact dedup: first row per key wins, state holds
+    * one entry per distinct key. The streaming twin of
+    * NearDup.exactDedupClasses' fingerprint dedup — at corpus scale pair
+    * it with a watermark on an event-time column so state can age out.
+    */
+  def streamDedup(stream: DataFrame, keyCols: Seq[String]): DataFrame =
+    stream.dropDuplicates(keyCols)
+
   /** Gap-based session windows over event time — the streaming analog of
     * the batch interval-coalescing operator (RegionIterator.java:101-132).
     */
