@@ -37,11 +37,24 @@ object SparkEntry {
 
   /** Scratch path for sink round-trip queries, isolated per application
     * (two concurrent runs — e.g. a Verify and a Bench — must not
-    * overwrite each other's sink directories mid-read).
+    * overwrite each other's sink directories mid-read). Stale siblings
+    * from PREVIOUS applications are deleted on the way in, so repeated
+    * runs don't grow tmpdir unboundedly; the current app's own dirs are
+    * left alone (its queries may still be reading them lazily).
     */
-  private def scratch(s: SparkSession, name: String): String =
-    sys.props("java.io.tmpdir") + "/graft_" + name + "_" +
-      s.sparkContext.applicationId
+  private def scratch(s: SparkSession, name: String): String = {
+    def deleteRecursively(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(deleteRecursively)
+      f.delete(); ()
+    }
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val prefix = "graft_" + name + "_"
+    val mine = prefix + s.sparkContext.applicationId
+    val stale = tmp.listFiles((_, n) => n.startsWith(prefix) && n != mine)
+    if (stale != null) stale.foreach(deleteRecursively)
+    new java.io.File(tmp, mine).getPath
+  }
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -49,7 +49,11 @@ object NearDup {
     // the defaultSizeInBytes sentinel) — an "estimate" of Long.MaxValue
     // would silently skip the spread and serialize the derivation onto
     // however few partitions the input really has; only then pay the
-    // exact (driver-side lineage build) check.
+    // exact check. Deliberate trade: the fallback is DRIVER-side
+    // physical planning + RDD lineage build (no job, no data movement),
+    // and it also fires on legitimately immense estimates (join-product
+    // stats, a lowered defaultSizeInBytes) — indistinguishable from the
+    // sentinel by construction, and strictly safer than guessing.
     val estParts =
       if (sizeBytes >= conf.defaultSizeInBytes)
         df.rdd.getNumPartitions.toLong

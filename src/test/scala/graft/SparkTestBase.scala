@@ -9,4 +9,17 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = GraftSession.local(cores = 4,
     shufflePartitions = 4)
+
+  /** Temp dir that is deleted when `f` returns — repeated test runs must
+    * not accumulate directories in tmpdir.
+    */
+  def withTempDir[T](prefix: String)(f: java.io.File => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
+    def rm(x: java.io.File): Unit = {
+      val kids = x.listFiles()
+      if (kids != null) kids.foreach(rm)
+      x.delete(); ()
+    }
+    try f(dir) finally rm(dir)
+  }
 }

@@ -62,26 +62,30 @@ class SinksSpec extends SparkTestBase {
   import spark.implicits._
 
   test("partitioned write → partition pruning on read") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
-    val df = (1 to 100).map(i => (i % 5, i)).toDF("bucket", "v")
-    graft.sources.Sinks.writePartitioned(df, Seq("bucket"), dir)
-    val back = spark.read.parquet(dir).where($"bucket" === 3)
-    // pruning: only one partition directory is scanned
-    val plan = back.queryExecution.executedPlan.toString
-    assert(back.count() == 20)
-    assert(plan.contains("PartitionFilters") || plan.contains("bucket=3")
-           || back.inputFiles.forall(_.contains("bucket=3")))
+    withTempDir("graft_sink") { d =>
+      val dir = d.getPath
+      val df = (1 to 100).map(i => (i % 5, i)).toDF("bucket", "v")
+      graft.sources.Sinks.writePartitioned(df, Seq("bucket"), dir)
+      val back = spark.read.parquet(dir).where($"bucket" === 3)
+      // pruning: only one partition directory is scanned
+      val plan = back.queryExecution.executedPlan.toString
+      assert(back.count() == 20)
+      assert(plan.contains("PartitionFilters") || plan.contains("bucket=3")
+             || back.inputFiles.forall(_.contains("bucket=3")))
+    }
   }
 
   test("single sorted file write") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_single").toString
-    val df = Seq((3, "c"), (1, "a"), (2, "b")).toDF("k", "s")
-    graft.sources.Sinks.writeSingleSorted(df, Seq("k"), dir)
-    val files = new java.io.File(dir).listFiles
-      .filter(_.getName.endsWith(".parquet"))
-    assert(files.length == 1)
-    val back = spark.read.parquet(dir).as[(Int, String)].collect()
-    assert(back.toSeq == Seq((1, "a"), (2, "b"), (3, "c")))
+    withTempDir("graft_single") { d =>
+      val dir = d.getPath
+      val df = Seq((3, "c"), (1, "a"), (2, "b")).toDF("k", "s")
+      graft.sources.Sinks.writeSingleSorted(df, Seq("k"), dir)
+      val files = new java.io.File(dir).listFiles
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1)
+      val back = spark.read.parquet(dir).as[(Int, String)].collect()
+      assert(back.toSeq == Seq((1, "a"), (2, "b"), (3, "c")))
+    }
   }
 
   test("bucketed tables join without any exchange") {
@@ -122,18 +126,19 @@ class SinksSpec extends SparkTestBase {
   }
 
   test("lenient csv: malformed rows counted, not fatal") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_csv")
-    val f = dir.resolve("data.tsv")
-    java.nio.file.Files.writeString(f,
-      "1\talpha\n2\tbeta\nnot_an_int\tgamma\n3\tdelta\n")
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("id",
-        org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("name",
-        org.apache.spark.sql.types.StringType)))
-    val df = graft.sources.Sinks.readLenientCsv(spark, schema, f.toString)
-    val (good, bad) = graft.sources.Sinks.splitCorrupt(df)
-    assert(good.count() == 3)
-    assert(bad.count() == 1)
+    withTempDir("graft_csv") { dir =>
+      val f = dir.toPath.resolve("data.tsv")
+      java.nio.file.Files.writeString(f,
+        "1\talpha\n2\tbeta\nnot_an_int\tgamma\n3\tdelta\n")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType)))
+      val df = graft.sources.Sinks.readLenientCsv(spark, schema, f.toString)
+      val (good, bad) = graft.sources.Sinks.splitCorrupt(df)
+      assert(good.count() == 3)
+      assert(bad.count() == 1)
+    }
   }
 }
