@@ -829,6 +829,23 @@ object SparkEntry {
         .orderBy(col("user_id"), col("sess_start"))
     }),
 
+    // O17 (BaseRecalibration stage), faithful dataflow shape: per-
+    // covariate aggregate → broadcast join back → per-row score rewrite
+    // (S/SparkGA1.scala:888-924 — GATK BQSR groups scores by covariates,
+    // then rewrites every read's scores from the table). The covariate
+    // sum is DECIMAL-exact so the derived mean is order-independent.
+    "q57_recalibrate" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cov = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(moneySum(col("l_discount")).as("cov_sum"),
+             count(lit(1)).as("cov_n"))
+      li.join(broadcast(cov), Seq("l_returnflag", "l_linestatus"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_discount") -
+            col("cov_sum").cast("double") / col("cov_n"), 6).as("recal"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // O18: lenient text ingest — malformed rows counted, not fatal (the
     // reference's badLines counters, SamRegionsParser.scala:71-74). The
     // documents table round-trips through tab-delimited text with 3
@@ -1630,6 +1647,17 @@ object SparkEntry {
          FROM sess GROUP BY user_id, sid
          HAVING (max(t) + 1800) * 1000 < (SELECT max_ms FROM mx)
          ORDER BY user_id, sess_start""",
+
+    "q57_recalibrate" ->
+      """WITH cov AS (
+           SELECT l_returnflag, l_linestatus,
+                  sum(CAST(l_discount AS DECIMAL(18,4))) AS cs,
+                  count(*) AS cn
+           FROM lineitem GROUP BY 1, 2)
+         SELECT l_orderkey, l_linenumber,
+                round(l_discount - CAST(cs AS DOUBLE) / cn, 6) AS recal
+         FROM lineitem JOIN cov USING (l_returnflag, l_linestatus)
+         ORDER BY l_orderkey, l_linenumber""",
 
     "q46_lenient_text" ->
       """SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_clean,
