@@ -156,3 +156,56 @@ class SimilaritySpec extends SparkTestBase {
     assert(res == Set(0L)) // cluster of centroid 0 holds only {0,1}
   }
 }
+
+class JaccardPropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("jaccardPairs matches an in-memory brute force on random corpora") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    for (trial <- 1 to 3) {
+      val docs = (1L to 40L).map { id =>
+        val n = 3 + rnd.nextInt(10)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "),
+         s"blk${id % 2}")
+      }
+      // brute force: per-doc distinct 3-gram sets, all same-block pairs
+      def shingleSet(text: String): Set[String] = {
+        val t = text.split(" ").toSeq
+        if (t.size < 3) Set.empty
+        else t.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val sets = docs.map { case (id, text, blk) =>
+        (id, blk, shingleSet(text)) }
+      val expected = (for {
+        (a, ba, sa) <- sets; (b, bb, sb) <- sets
+        if a < b && ba == bb && (sa intersect sb).nonEmpty
+        j = (sa intersect sb).size.toDouble / (sa union sb).size
+        jr = BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble if jr >= 0.2
+      } yield (a, b, (sa intersect sb).size.toLong, jr)).toSet
+      val got = NearDup.jaccardPairs(docs.toDF("doc_id", "text", "source"),
+          "doc_id", "text", "source", 3, 0.2)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got == expected, s"trial $trial")
+    }
+  }
+}
+
+class PipeFailureSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("a failing piped command fails the task and surfaces stderr") {
+    val ds = Seq("x", "y").toDS().repartition(1)
+    val e = intercept[org.apache.spark.SparkException] {
+      Pipe.processPipe(ds,
+        Seq("/bin/sh", "-c", "echo boom >&2; exit 3")).collect()
+    }
+    val msg = e.getCause match {
+      case null => e.getMessage
+      case c => c.getMessage
+    }
+    assert(msg.contains("exited 3"), msg)
+    assert(msg.contains("boom"), s"stderr must be surfaced: $msg")
+  }
+}
