@@ -295,6 +295,61 @@ object NearDup {
         round(col("m").cast("double") / k, 6).as("est_jaccard"))
   }
 
+  /** Winnowing fingerprints (the MOSS rolling-window scheme, Schleimer/
+    * Wilkerson/Aiken 2003): hash every POSITIONAL k-gram to a 60-bit
+    * long, slide a window of `w` consecutive hashes, keep each window's
+    * minimum, and return the distinct selected values per doc. The
+    * guarantee: two docs sharing any run of ≥ w+k-1 tokens share a
+    * fingerprint — so unlike whole-document Jaccard/MinHash this catches
+    * PARTIAL containment (a paragraph lifted into an otherwise-different
+    * doc). Whole derivation is per-doc array expressions in the scan
+    * stage — zero shuffles.
+    *
+    * Docs with fewer than w k-grams contribute one fingerprint (the min
+    * over what exists); empty docs contribute none.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String,
+                         extraCols: Seq[String], textCol: String,
+                         k: Int, w: Int): DataFrame = {
+    graft.functions.GraftExtensions.installInto(docs.sparkSession)
+    val keep = col(idCol) +: extraCols.map(col)
+    val hs = col("_hs")
+    val windows = transform(sequence(lit(1), size(hs) - (w - 1)),
+      i => array_min(slice(hs, i, lit(w))))
+    spread(docs)
+      .select(keep :+ tokens(col(textCol)).as("_toks"): _*)
+      .select(keep :+
+        call_function("graft_shingles", col("_toks"), lit(k)).as("_shs"): _*)
+      .select(keep :+ transform(col("_shs"),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+        .as("_hs"): _*)
+      .select(keep :+
+        when(size(hs) === 0, array().cast("array<bigint>"))
+          .when(size(hs) < w, array(array_min(hs)))
+          .otherwise(array_distinct(windows))
+          .as("fps"): _*)
+  }
+
+  /** Candidate pairs sharing any winnowed fingerprint within a blocking
+    * key, with the shared-fingerprint count — the same inverted-index
+    * equi-join shape as jaccardPairs, but over the winnowed SUBSET of
+    * k-gram hashes (w× fewer rows through the join, and containment
+    * sensitivity instead of whole-document similarity).
+    */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  blockCol: String, k: Int, w: Int): DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, Seq(blockCol), textCol, k, w)
+      .withColumnRenamed(idCol, "id").withColumnRenamed(blockCol, "blk")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = fps.select(col("blk"), col("id"), explode(col("fps")).as("fp"))
+    val a = e.select(col("blk"), col("fp"), col("id").as("a"))
+    val b = e.select(col("blk"), col("fp"), col("id").as("b"))
+    a.join(b, Seq("blk", "fp"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** 16-bit SimHash per document from token md5s: one explode + one
     * groupBy with 16 sum() aggregates (map-side combined), then bit-pack.
     */

@@ -21,7 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** `segments = max(1, round(n * factor / avg))` — SparkGA1.scala:242. */
+  /** `segments = max(1, round(n * factor / avg))` — SparkGA1.scala:242.
+    *
+    * NOTE: the global average is computed EAGERLY (`.head` — one scalar
+    * aggregation job at operator-build time, same deliberate pattern as
+    * Similarity.ivfAssign's centroid collect). `counts` is a per-key
+    * aggregate, so the job scans #keys rows, not the data; a fully lazy
+    * formulation would need a cross join against the 1-row average,
+    * which costs the same work with worse ergonomics.
+    */
   def segmentCounts(counts: DataFrame, keyCols: Seq[String],
                     countCol: String, factor: Double): DataFrame = {
     val avgCount = counts.agg(avg(col(countCol))).head.getDouble(0)

@@ -209,3 +209,33 @@ class PipeFailureSpec extends SparkTestBase {
     assert(msg.contains("boom"), s"stderr must be surfaced: $msg")
   }
 }
+
+class WinnowingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("winnowing guarantee: a shared run of >= w+k-1 tokens shares a fingerprint") {
+    // doc 2 contains doc 1's 6-token phrase (w+k-1 = 4+3-1 = 6) inside
+    // otherwise-unrelated text; doc 3 shares nothing
+    val phrase = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, phrase, "s"),
+      (2L, s"completely other words here $phrase and more trailing stuff", "s"),
+      (3L, "nothing in common with the others at all whatsoever", "s")
+    ).toDF("doc_id", "text", "source")
+    val pairs = NearDup.winnowPairs(docs, "doc_id", "text", "source", 3, 4)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"containment must be caught: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("winnowed fingerprints are a subset of the k-gram hash set, never empty for real text") {
+    val docs = Seq((1L, "a b c d e f g h i j", "s"), (2L, "a b", "s"),
+                   (3L, "", "s")).toDF("doc_id", "text", "source")
+    val fps = NearDup.winnowFingerprints(docs, "doc_id", Seq.empty,
+        "text", 3, 4)
+      .select($"doc_id", $"fps").as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1L).nonEmpty && fps(1L).size <= 8) // ≤ #k-grams
+    assert(fps(2L).isEmpty)  // one token < k ⇒ no k-grams at all
+    assert(fps(3L).isEmpty)
+  }
+}
