@@ -704,6 +704,23 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // TF-IDF domain-relevance scoring: each document's top term by
+    // tf·ln(N/df), rank computed over the 6-dp-rounded score (rounding
+    // BEFORE ranking — libm ln ulp noise must not flip a tie across
+    // engines) with term as the tie-break.
+    "q59_tfidf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = TextAnalysis.tfidf(t(s, dir, "documents"), "doc_id",
+        "text")
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(desc("score"), asc("term"))
+      scored.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") === 1)
+        .select(col("doc_id"), col("term").as("top_term"), col("tf"),
+                col("df"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Dedup modality 6: winnowing (rolling-window fingerprint selection,
     // the MOSS scheme) — catches PARTIAL containment that whole-document
     // Jaccard/MinHash miss. 3-gram hashes, window 4; pairs share ≥1
@@ -1591,6 +1608,29 @@ object SparkEntry {
                            WHEN 'src1' THEN '66'
                            ELSE '33' END
          GROUP BY source ORDER BY source""",
+
+    "q59_tfidf" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         tk AS (SELECT doc_id, unnest(toks) AS term FROM d),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM tk GROUP BY doc_id, term),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         scored AS (
+           SELECT doc_id, term, tf, df,
+                  round(tf * ln(CAST((SELECT count(*) FROM documents)
+                    AS DOUBLE) / df), 6) AS score
+           FROM tf JOIN dfreq USING (term)),
+         ranked AS (
+           SELECT doc_id, term, tf, df, score,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, term) AS rnk
+           FROM scored)
+         SELECT doc_id, term AS top_term, tf, df, score
+         FROM ranked WHERE rnk = 1 ORDER BY doc_id""",
 
     "q58_winnow_pairs" ->
       """WITH d AS (

@@ -163,6 +163,32 @@ object TextAnalysis {
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
 
+  /** Per-document TF-IDF term scores: tf = in-doc term count, idf =
+    * ln(N / df) over the corpus, score rounded to 6 dp (the rounding is
+    * load-bearing for cross-engine determinism — libm ln implementations
+    * may differ in the last ulp, and 6-dp rounding absorbs that before
+    * any ranking happens). Returns one row per (id, term) with tf, df,
+    * and score.
+    *
+    * Scale shape: tf is one map-side-combined groupBy over exploded
+    * tokens; df is a second aggregation over the DISTINCT (doc, term)
+    * pairs tf already produced (no second tokenize); the idf lookup
+    * joins on term — broadcast when the vocabulary fits (typical:
+    * vocab ≪ corpus), shuffle otherwise, Spark picks by stats.
+    */
+  def tfidf(docs: org.apache.spark.sql.DataFrame, idCol: String,
+            textCol: String): org.apache.spark.sql.DataFrame = {
+    val n = docs.count() // corpus size: one deliberate scalar job
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(df_, Seq("term"))
+      .withColumn("score",
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+  }
+
   /** 16-bit SimHash from md5 hex digits of each token: bit p is set iff
     * the sum over tokens of ±1 (by the low bit of hex digit p of the
     * token's md5) is positive. Pure expressions → computable identically
