@@ -37,22 +37,24 @@ object SparkEntry {
 
   /** Scratch path for sink round-trip queries, isolated per application
     * (two concurrent runs — e.g. a Verify and a Bench — must not
-    * overwrite each other's sink directories mid-read). Stale siblings
-    * from PREVIOUS applications are deleted on the way in, so repeated
-    * runs don't grow tmpdir unboundedly; the current app's own dirs are
-    * left alone (its queries may still be reading them lazily).
+    * overwrite each other's sink directories mid-read). Siblings from
+    * previous applications are deleted on the way in so repeated runs
+    * don't grow tmpdir unboundedly — but only once they are older than
+    * `staleAfterMs`: a sibling's name alone can't distinguish a live
+    * concurrent run from a dead one, and deleting a live run's directory
+    * mid-read would recreate exactly the race the per-app suffix
+    * prevents. 6 h is far beyond any run's lifetime.
     */
   private def scratch(s: SparkSession, name: String): String = {
-    def deleteRecursively(f: java.io.File): Unit = {
-      val kids = f.listFiles()
-      if (kids != null) kids.foreach(deleteRecursively)
-      f.delete(); ()
-    }
+    val staleAfterMs = 6L * 3600 * 1000
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val prefix = "graft_" + name + "_"
     val mine = prefix + s.sparkContext.applicationId
+    val cutoff = System.currentTimeMillis() - staleAfterMs
     val stale = tmp.listFiles((_, n) => n.startsWith(prefix) && n != mine)
-    if (stale != null) stale.foreach(deleteRecursively)
+    if (stale != null)
+      stale.filter(_.lastModified() < cutoff)
+        .foreach(graft.LocalFs.deleteRecursively)
     new java.io.File(tmp, mine).getPath
   }
 

@@ -186,6 +186,18 @@ object GraftExtensions {
              "graft_shingles width must be an INT literal")
          }
          WordShingles(c(0), n)
+       }),
+      // graft_winnow(toks, k, w): fused winnowing-fingerprint kernel
+      (FunctionIdentifier("graft_winnow"),
+       new ExpressionInfo(classOf[WinnowFingerprintsExpr].getName,
+         "graft_winnow"),
+       arity("graft_winnow", 3) { c =>
+         val args = c.drop(1).map {
+           case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+           case _ => throw new IllegalArgumentException(
+             "graft_winnow k and w must be INT literals")
+         }
+         WinnowFingerprintsExpr(c.head, args(0), args(1))
        }))
 
   /** Register the engine's functions on a live session. */

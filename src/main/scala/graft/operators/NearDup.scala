@@ -313,20 +313,14 @@ object NearDup {
                          k: Int, w: Int): DataFrame = {
     graft.functions.GraftExtensions.installInto(docs.sparkSession)
     val keep = col(idCol) +: extraCols.map(col)
-    val hs = col("_hs")
-    val windows = transform(sequence(lit(1), size(hs) - (w - 1)),
-      i => array_min(slice(hs, i, lit(w))))
+    // the whole k-gram → hash → window-min → distinct chain is ONE
+    // native per-row call (graft.functions.WinnowKernel) — the
+    // composable transform/array_min/slice form pays two interpreted
+    // lambdas per element on the dedup hot path
     spread(docs)
       .select(keep :+ tokens(col(textCol)).as("_toks"): _*)
       .select(keep :+
-        call_function("graft_shingles", col("_toks"), lit(k)).as("_shs"): _*)
-      .select(keep :+ transform(col("_shs"),
-        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
-        .as("_hs"): _*)
-      .select(keep :+
-        when(size(hs) === 0, array().cast("array<bigint>"))
-          .when(size(hs) < w, array(array_min(hs)))
-          .otherwise(array_distinct(windows))
+        call_function("graft_winnow", col("_toks"), lit(k), lit(w))
           .as("fps"): _*)
   }
 
@@ -335,13 +329,30 @@ object NearDup {
     * equi-join shape as jaccardPairs, but over the winnowed SUBSET of
     * k-gram hashes (w× fewer rows through the join, and containment
     * sensitivity instead of whole-document similarity).
+    *
+    * `maxDf` caps hot fingerprints exactly like jaccardPairs' shingle
+    * cap: a boilerplate run (shared license header) winnowing to the
+    * same fingerprint in d docs emits d²/2 join rows for that one fp.
+    * Same policy applies (0 = exact/off; at corpus scale set ~100 ×
+    * expected duplicate-class size); implemented as the same
+    * map-side-combined count → tiny broadcast anti-join.
     */
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
-                  blockCol: String, k: Int, w: Int): DataFrame = {
+                  blockCol: String, k: Int, w: Int,
+                  maxDf: Int = 0): DataFrame = {
     val fps = winnowFingerprints(docs, idCol, Seq(blockCol), textCol, k, w)
       .withColumnRenamed(idCol, "id").withColumnRenamed(blockCol, "blk")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val e = fps.select(col("blk"), col("id"), explode(col("fps")).as("fp"))
+    val eAll = fps.select(col("blk"), col("id"),
+      explode(col("fps")).as("fp"))
+    val e =
+      if (maxDf > 0) {
+        val hot = eAll.groupBy(col("blk"), col("fp"))
+          .agg(count(lit(1)).as("_df"))
+          .where(col("_df") > maxDf)
+          .select(col("blk"), col("fp"))
+        eAll.join(broadcast(hot), Seq("blk", "fp"), "left_anti")
+      } else eAll
     val a = e.select(col("blk"), col("fp"), col("id").as("a"))
     val b = e.select(col("blk"), col("fp"), col("id").as("b"))
     a.join(b, Seq("blk", "fp"))

@@ -179,8 +179,15 @@ object TextAnalysis {
   def tfidf(docs: org.apache.spark.sql.DataFrame, idCol: String,
             textCol: String): org.apache.spark.sql.DataFrame = {
     val n = docs.count() // corpus size: one deliberate scalar job
+    // project the token array, then explode_outer: a plain explode over
+    // the inline tokens() expression gets an inferred size>0 filter
+    // pushed down with the tokenizer substituted — re-tokenizing every
+    // row for a filter that can never drop one (split('') is ['']).
+    // Outer generates get no inferred filter, and tokens() never yields
+    // NULL or an empty array, so the rows are identical.
     val tf = docs
-      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), explode_outer(col("_toks")).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

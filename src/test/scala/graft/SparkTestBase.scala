@@ -15,11 +15,6 @@ trait SparkTestBase extends AnyFunSuite {
     */
   def withTempDir[T](prefix: String)(f: java.io.File => T): T = {
     val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
-    def rm(x: java.io.File): Unit = {
-      val kids = x.listFiles()
-      if (kids != null) kids.foreach(rm)
-      x.delete(); ()
-    }
-    try f(dir) finally rm(dir)
+    try f(dir) finally LocalFs.deleteRecursively(dir)
   }
 }
