@@ -706,6 +706,13 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // SimHash near-dup PAIRS (completing modality 3's pair path):
+    // pigeonhole-banded candidates + exact popcount filter, Hamming ≤ 1.
+    "q60_simhash_pairs" -> ((s, dir) => {
+      NearDup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("a"), col("b"))
+    }),
+
     // TF-IDF domain-relevance scoring: each document's top term by
     // tf·ln(N/df), rank computed over the 6-dp-rounded score (rounding
     // BEFORE ranking — libm ln ulp noise must not flip a tie across
@@ -1610,6 +1617,43 @@ object SparkEntry {
                            WHEN 'src1' THEN '66'
                            ELSE '33' END
          GROUP BY source ORDER BY source""",
+
+    "q60_simhash_pairs" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         tk AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         h AS (SELECT doc_id, md5(tok) AS h FROM tk),
+         bits AS (
+           SELECT doc_id, p,
+             sum(CASE WHEN substr(h, CAST(p + 1 AS INTEGER), 1)
+                   IN ('1','3','5','7','9','b','d','f')
+                 THEN 1 ELSE -1 END) AS s
+           FROM h CROSS JOIN range(0, 16) r(p)
+           GROUP BY doc_id, p),
+         sh AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN (1 << p) ELSE 0 END) AS INTEGER)
+               AS simhash
+           FROM bits GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, simhash, band,
+                  CASE band WHEN 0 THEN simhash % 256
+                            ELSE simhash // 256 END AS v
+           FROM sh CROSS JOIN range(0, 2) b(band)),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                  x.simhash AS sa, y.simhash AS sb
+           FROM bands x JOIN bands y
+             ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id)
+         SELECT a, b,
+                CAST(bit_count(CAST(xor(sa, sb) AS BIGINT)) AS INTEGER)
+                  AS hamming
+         FROM cand
+         WHERE bit_count(CAST(xor(sa, sb) AS BIGINT)) <= 1
+         ORDER BY a, b""",
 
     "q59_tfidf" ->
       """WITH d AS (

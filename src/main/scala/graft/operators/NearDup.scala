@@ -361,6 +361,46 @@ object NearDup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** SimHash near-duplicate pairs with Hamming distance ≤ `maxHamming`
+    * (only 1 supported for the 16-bit signature): pigeonhole banding —
+    * two signatures within Hamming distance 1 must agree on at least one
+    * of their two 8-bit halves, so candidates come from an equi-join on
+    * (band, half value), then the exact popcount filter runs on the
+    * co-located signatures. Never all-pairs; the signature (2 bytes)
+    * rides the banding shuffle like MinHash's does.
+    *
+    * SCALE NOTE: a 16-bit signature (the reference-sized toy) has only
+    * 256 values per 8-bit band — at corpus scale band buckets saturate
+    * and the candidate join degenerates. Widen the signature first
+    * (e.g. 64-bit from 4 md5 hex ranges, 4×16-bit bands ⇒ Hamming ≤ 3);
+    * the operator shape is unchanged.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 1): DataFrame = {
+    require(maxHamming == 1,
+      "16-bit simhash supports maxHamming = 1 (2 bands × 8 bits)")
+    val sh = simhash(docs, idCol, textCol)
+      .select(col(idCol).as("id"), col("simhash"))
+    val banded = sh.select(col("id"), col("simhash"),
+        explode(array(
+          struct(lit(0).as("band"),
+            col("simhash").bitwiseAND(255).as("v")),
+          struct(lit(1).as("band"),
+            shiftright(col("simhash"), 8).as("v")))).as("bv"))
+      .select(col("id"), col("simhash"),
+        col("bv.band").as("band"), col("bv.v").as("v"))
+    val a = banded.select(col("band"), col("v"), col("id").as("a"),
+      col("simhash").as("sa"))
+    val b = banded.select(col("band"), col("v"), col("id").as("b"),
+      col("simhash").as("sb"))
+    a.join(b, Seq("band", "v"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** 16-bit SimHash per document from token md5s: one explode + one
     * groupBy with 16 sum() aggregates (map-side combined), then bit-pack.
     */

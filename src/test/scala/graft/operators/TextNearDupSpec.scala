@@ -239,3 +239,23 @@ class WinnowingSpec extends SparkTestBase {
     assert(fps(3L).isEmpty)
   }
 }
+
+class SimhashPairsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("simhashPairs: identical docs at hamming 0; banding never misses <=1") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "s"),
+      (2L, "THE quick   Brown fox jumps over the lazy dog", "s"), // = 1
+      (3L, "zz yy xx ww vv uu tt ss rr qq", "s")
+    ).toDF("doc_id", "text", "source")
+    val pairs = NearDup.simhashPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Int)].collect().toMap2
+    assert(pairs.get((1L, 2L)).contains(0))
+  }
+
+  private implicit class Pairs(rows: Array[(Long, Long, Int)]) {
+    def toMap2: Map[(Long, Long), Int] =
+      rows.map(r => (r._1, r._2) -> r._3).toMap
+  }
+}
