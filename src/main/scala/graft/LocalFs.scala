@@ -1,18 +1,31 @@
 package graft
 
 /** Local-filesystem helpers shared by the scratch-path management and
-  * tests. Deletion is symlink-safe: a symbolic link is removed as a LINK
-  * (never traversed), so a planted link inside a world-writable tmpdir
-  * cannot redirect the recursion at files outside it.
+  * tests. Deletion is symlink-safe: the walk NEVER follows links
+  * (walkFileTree's default — link resolution happens at visit time, not
+  * via a separate check-then-list that a concurrent attacker could race),
+  * so a planted link inside a world-writable tmpdir cannot redirect the
+  * deletion at files outside it; the link itself is removed as a link.
   */
 object LocalFs {
 
+  import java.nio.file.{FileVisitResult, Files, Path, SimpleFileVisitor}
+  import java.nio.file.attribute.BasicFileAttributes
+
   def deleteRecursively(f: java.io.File): Unit = {
-    if (!java.nio.file.Files.isSymbolicLink(f.toPath)) {
-      val kids = f.listFiles()
-      if (kids != null) kids.foreach(deleteRecursively)
-    }
-    f.delete()
+    if (!f.exists() && !Files.isSymbolicLink(f.toPath)) return
+    Files.walkFileTree(f.toPath, new SimpleFileVisitor[Path] {
+      override def visitFile(p: Path, a: BasicFileAttributes)
+          : FileVisitResult = {
+        Files.deleteIfExists(p); FileVisitResult.CONTINUE
+      }
+      override def visitFileFailed(p: Path, e: java.io.IOException)
+          : FileVisitResult = FileVisitResult.CONTINUE
+      override def postVisitDirectory(p: Path, e: java.io.IOException)
+          : FileVisitResult = {
+        Files.deleteIfExists(p); FileVisitResult.CONTINUE
+      }
+    })
     ()
   }
 }

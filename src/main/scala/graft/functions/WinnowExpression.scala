@@ -49,8 +49,6 @@ case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int)
 
 object WinnowKernel {
 
-  private val hexChars = "0123456789abcdef".toCharArray
-
   /** Exactly `CAST(('0x' || substr(md5(kgram), 1, 15)) AS BIGINT)` for
     * each positional k-gram (space-joined, UTF-8 bytes — identical to
     * concat_ws(' ', ...) and DuckDB md5), then the winnowing selection:
@@ -68,9 +66,18 @@ object WinnowKernel {
     while (i < m) {
       sb.setLength(0)
       var j = 0
+      var appended = 0
       while (j < k) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks.getUTF8String(i + j).toString)
+        // NULL elements are SKIPPED, exactly like UTF8String.concatWs in
+        // the composable WordShingles form (the operator path never
+        // produces them — tokens() is NULL-free — but the registered SQL
+        // function must not NPE on user input)
+        val t = toks.getUTF8String(i + j)
+        if (t != null) {
+          if (appended > 0) sb.append(' ')
+          sb.append(t.toString)
+          appended += 1
+        }
         j += 1
       }
       md.reset()
@@ -103,20 +110,5 @@ object WinnowKernel {
     var o = 0
     while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
     new GenericArrayData(out)
-  }
-
-  /** Hex rendering used nowhere in compute (the long is built from raw
-    * digest bytes) — kept for debugging parity checks against
-    * substr(md5(x), 1, 15).
-    */
-  def hex15(digest: Array[Byte]): String = {
-    val sb = new java.lang.StringBuilder(15)
-    var i = 0
-    while (sb.length < 15) {
-      sb.append(hexChars((digest(i) >> 4) & 0xf))
-      if (sb.length < 15) sb.append(hexChars(digest(i) & 0xf))
-      i += 1
-    }
-    sb.toString
   }
 }

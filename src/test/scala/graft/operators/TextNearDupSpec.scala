@@ -243,19 +243,21 @@ class WinnowingSpec extends SparkTestBase {
 class SimhashPairsSpec extends SparkTestBase {
   import spark.implicits._
 
-  test("simhashPairs: identical docs at hamming 0; banding never misses <=1") {
-    val docs = Seq(
-      (1L, "the quick brown fox jumps over the lazy dog", "s"),
-      (2L, "THE quick   Brown fox jumps over the lazy dog", "s"), // = 1
-      (3L, "zz yy xx ww vv uu tt ss rr qq", "s")
-    ).toDF("doc_id", "text", "source")
-    val pairs = NearDup.simhashPairs(docs, "doc_id", "text")
-      .as[(Long, Long, Int)].collect().toMap2
-    assert(pairs.get((1L, 2L)).contains(0))
-  }
-
-  private implicit class Pairs(rows: Array[(Long, Long, Int)]) {
-    def toMap2: Map[(Long, Long), Int] =
-      rows.map(r => (r._1, r._2) -> r._3).toMap
+  test("simhashPairs == brute-force hamming<=1 pairs on the real corpus") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val sigs = NearDup.simhash(docs, "doc_id", "text")
+      .as[(Long, Int)].collect()
+    // brute force over ALL pairs: banding must have perfect recall at
+    // hamming <= 1 (the pigeonhole guarantee) AND emit nothing else
+    val expected = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && Integer.bitCount(sa ^ sb) <= 1
+    } yield (a, b, Integer.bitCount(sa ^ sb))).toSet
+    val got = NearDup.simhashPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} spurious=${(got -- expected).take(5)}")
+    assert(expected.nonEmpty) // the corpus must actually exercise this
   }
 }
