@@ -12,20 +12,29 @@ object LocalFs {
   import java.nio.file.{FileVisitResult, Files, Path, SimpleFileVisitor}
   import java.nio.file.attribute.BasicFileAttributes
 
+  /** BEST-EFFORT: an undeletable entry (foreign file under a sticky-bit
+    * /tmp, a dir left non-empty by one) is skipped, never thrown — a
+    * cleanup failure must not fail the query or test that triggered it.
+    */
   def deleteRecursively(f: java.io.File): Unit = {
+    def quietly(p: Path): Unit =
+      try { Files.deleteIfExists(p); () }
+      catch { case _: java.io.IOException => () }
     if (!f.exists() && !Files.isSymbolicLink(f.toPath)) return
-    Files.walkFileTree(f.toPath, new SimpleFileVisitor[Path] {
-      override def visitFile(p: Path, a: BasicFileAttributes)
-          : FileVisitResult = {
-        Files.deleteIfExists(p); FileVisitResult.CONTINUE
-      }
-      override def visitFileFailed(p: Path, e: java.io.IOException)
-          : FileVisitResult = FileVisitResult.CONTINUE
-      override def postVisitDirectory(p: Path, e: java.io.IOException)
-          : FileVisitResult = {
-        Files.deleteIfExists(p); FileVisitResult.CONTINUE
-      }
-    })
-    ()
+    try {
+      Files.walkFileTree(f.toPath, new SimpleFileVisitor[Path] {
+        override def visitFile(p: Path, a: BasicFileAttributes)
+            : FileVisitResult = {
+          quietly(p); FileVisitResult.CONTINUE
+        }
+        override def visitFileFailed(p: Path, e: java.io.IOException)
+            : FileVisitResult = FileVisitResult.CONTINUE
+        override def postVisitDirectory(p: Path, e: java.io.IOException)
+            : FileVisitResult = {
+          quietly(p); FileVisitResult.CONTINUE
+        }
+      })
+      ()
+    } catch { case _: java.io.IOException => () }
   }
 }

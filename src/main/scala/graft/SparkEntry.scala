@@ -363,12 +363,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // Language ID: stopword-profile argmax heuristic (single tokenize).
+    // Language ID: stopword-profile argmax heuristic (single tokenize;
+    // marker counting via the native graft_count_in kernel — the HOF
+    // filter() form runs one interpreted lambda per token per profile).
     "q19_langid" -> ((s, dir) => {
+      graft.functions.GraftExtensions.installInto(s)
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          TextAnalysis.langIdOf(col("toks"), langProfiles).as("pred_lang"))
+          TextAnalysis.langIdNative(col("toks"), langProfiles)
+            .as("pred_lang"))
         .orderBy(col("doc_id"))
     }),
 

@@ -187,6 +187,10 @@ object GraftExtensions {
          }
          WordShingles(c(0), n)
        }),
+      // graft_count_in(toks, set): literal-set membership count
+      (FunctionIdentifier("graft_count_in"),
+       new ExpressionInfo(classOf[CountInExpr].getName, "graft_count_in"),
+       arity("graft_count_in", 2)(c => CountInExpr(c(0), c(1)))),
       // graft_winnow(toks, k, w): fused winnowing-fingerprint kernel
       (FunctionIdentifier("graft_winnow"),
        new ExpressionInfo(classOf[WinnowFingerprintsExpr].getName,

@@ -36,9 +36,11 @@ object Ordering {
     df.orderBy(cols: _*).limit(k)
 
   /** Largest-first ordering of work items (SparkGA1.scala:1159-1161):
-    * sort descending by a size column, then repartition round-robin so the
-    * biggest items land first in each partition's iterator. On Spark the
-    * scheduler + AQE mostly subsume this; kept for parity.
+    * a descending sort by the size column — downstream per-partition
+    * consumers then see their biggest items first. No repartitioning is
+    * done (Spark's scheduler + AQE own task placement; a round-robin
+    * shuffle after the sort would destroy the very order it creates).
+    * Kept for parity with the reference's LPT-first scheduling.
     */
   def largestFirst(df: DataFrame, sizeCol: String): DataFrame =
     df.orderBy(desc(sizeCol))

@@ -32,7 +32,10 @@ object Skew {
     */
   def segmentCounts(counts: DataFrame, keyCols: Seq[String],
                     countCol: String, factor: Double): DataFrame = {
-    val avgCount = counts.agg(avg(col(countCol))).head.getDouble(0)
+    val row = counts.agg(avg(col(countCol))).head
+    // empty input (or all-NULL counts): avg is NULL — any divisor works,
+    // the result has no rows (or segments=1 for NULL-count rows)
+    val avgCount = if (row.isNullAt(0)) 1.0 else row.getDouble(0)
     counts.withColumn("segments",
       greatest(round(col(countCol) * factor / avgCount).cast("int"), lit(1)))
   }

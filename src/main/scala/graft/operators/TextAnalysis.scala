@@ -122,18 +122,38 @@ object TextAnalysis {
     langIdOf(tokens(text), profiles)
 
   def langIdOf(toks: Column, profiles: Seq[(String, Seq[String])])
-      : Column = {
-    val scored = profiles.map { case (lang, marks) =>
+      : Column =
+    langIdScored(profiles.map { case (lang, marks) =>
       (lang, size(array_intersect_keep(toks, marks)))
-    }
-    // argmax with first-wins tie-break: fold a struct(score, lang) max
+    })
+
+  /** langIdOf with the marker counting done by the NATIVE
+    * `graft_count_in` expression — the composable form's filter() lambda
+    * evaluates interpreted per token per profile. Requires the graft
+    * functions registered on the session
+    * (`GraftExtensions.installInto`); the composable `langIdOf` stays
+    * session-free.
+    */
+  def langIdNative(toks: Column, profiles: Seq[(String, Seq[String])])
+      : Column =
+    langIdScored(profiles.map { case (lang, marks) =>
+      (lang, markerCountNative(toks, marks))
+    })
+
+  /** Count of tokens in the literal `marks` set (native kernel). */
+  def markerCountNative(toks: Column, marks: Seq[String]): Column =
+    call_function("graft_count_in", toks, array(marks.map(lit): _*))
+
+  /** Argmax with first-wins tie-break over (lang, score) pairs: fold a
+    * struct(score, lang) max.
+    */
+  private def langIdScored(scored: Seq[(String, Column)]): Column =
     scored.tail.foldLeft(
       struct(scored.head._2.as("s"), lit(scored.head._1).as("l"))
     ) { case (best, (lang, sc)) =>
       when(sc > best.getField("s"), struct(sc.as("s"), lit(lang).as("l")))
         .otherwise(best)
     }.getField("l")
-  }
 
   /** 64-bit-equivalent document fingerprint: first 16 hex chars of the
     * md5 of the normalized text. Stable across engines (md5 is exact) —

@@ -83,6 +83,12 @@ object Sinks {
 
   /** Good rows + bad-row count in one pass-shape: returns (clean rows,
     * corrupt rows) as two DataFrames sharing the scan.
+    *
+    * RESOURCE NOTE: the shared scan is cached (that's what makes it one
+    * pass) and stays pinned until the caller's actions complete —
+    * long-lived sessions should `spark.catalog.clearCache()` after
+    * consuming both sides (Verify/Bench do), same contract as
+    * NearDup.jaccardPairs' persist.
     */
   def splitCorrupt(df: DataFrame): (DataFrame, DataFrame) = {
     val cached = df.cache()

@@ -57,3 +57,47 @@ class DotProductSpec extends SparkTestBase {
     assert(df.head.getDouble(0) == 11.0)
   }
 }
+
+class CountInSpec extends SparkTestBase {
+  import spark.implicits._
+
+  GraftExtensions.installInto(spark)
+
+  test("graft_count_in matches size(filter(isin)) incl. duplicates") {
+    val df = Seq(Seq("the", "cat", "the", "dog"), Seq.empty[String])
+      .toDF("toks")
+    val marks = Seq("the", "dog")
+    val got = df.select(
+        graft.operators.TextAnalysis.markerCountNative($"toks", marks)
+          .as("native"),
+        size(filter($"toks", x => x.isin(marks.map(lit): _*))).as("hof"))
+      .as[(Int, Int)].collect()
+    assert(got(0) == ((3, 3))) // duplicate 'the' counts twice
+    assert(got(1) == ((0, 0)))
+  }
+
+  test("langIdNative == langIdOf on the real corpus, plan fully codegen") {
+    import graft.operators.TextAnalysis
+    val profiles = Seq("en" -> Seq("the", "a", "of", "and", "is"),
+      "es" -> Seq("el", "los", "y", "es", "se"))
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+    val both = docs.select($"doc_id",
+      TextAnalysis.langIdOf($"toks", profiles).as("hof"),
+      TextAnalysis.langIdNative($"toks", profiles).as("native"))
+    assert(both.where($"hof" =!= $"native").count() == 0)
+    val nativePlan = docs.select(
+        TextAnalysis.langIdNative($"toks", profiles))
+      .queryExecution.executedPlan.toString
+    assert(!nativePlan.contains("ArrayFilter"),
+      s"marker counting must not run interpreted filters:\n$nativePlan")
+  }
+
+  test("non-literal set is rejected at analysis") {
+    val df = Seq((Seq("a"), Seq("a"))).toDF("toks", "set")
+    val e = intercept[Exception](
+      df.select(call_function("graft_count_in", $"toks", $"set")).collect())
+    assert(e.getMessage.contains("FOLDABLE"))
+  }
+}
