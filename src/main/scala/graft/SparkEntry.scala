@@ -833,6 +833,35 @@ object SparkEntry {
       s.table(qname).agg(count(lit(1)).as("n_classes"))
     }),
 
+    // The streaming CURATION PIPELINE end-to-end (the streaming twin of
+    // q40's batch per-group chain): ingest → quality-score filter →
+    // stateful fingerprint dedup → per-source class counts, one
+    // composed streaming query. Counts are deterministic (which ROW of
+    // a class survives depends on arrival order; how many classes exist
+    // per source does not).
+    "q61_stream_pipeline" -> ((s, dir) => {
+      val batch = t(s, dir, "documents")
+      val stream = graft.streaming.Streams.fileSource(
+        s, dir, batch.schema, globFilter = Some("documents.parquet"))
+      val curated = stream
+        .withColumn("q", TextAnalysis.qualityScoreOf(col("text"),
+          TextAnalysis.tokens(col("text"))))
+        .where(col("q") >= 0.5)
+        .select(col("source"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+      val dedup = graft.streaming.Streams.streamDedup(curated,
+        Seq("source", "fp"))
+      val qname = "graft_q61_pipeline"
+      val query = dedup.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try query.awaitTermination() finally query.stop()
+      s.table(qname).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_classes"))
+        .orderBy(col("source"))
+    }),
+
     // O2 + custom streaming state: the SAME drain but through
     // flatMapGroupsWithState with event-time timeout (the operator for
     // state Spark can't express natively). Semantics under
@@ -1604,6 +1633,28 @@ object SparkEntry {
       """SELECT count(DISTINCT substr(md5(trim(regexp_replace(lower(
            coalesce(text, '')), '\s+', ' ', 'g'))), 1, 16)) AS n_classes
          FROM documents""",
+
+    "q61_stream_pipeline" ->
+      """WITH d AS (
+           SELECT source, coalesce(text, '') AS text,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         scored AS (
+           SELECT source, text,
+             round(least(len(toks) / 50.0, 1.0) * 0.4
+                   + (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+                     * 0.4
+                   + (1.0 - least((CAST(length(text) - length(regexp_replace(
+                       text, '[\.,;:!\?]', '', 'g')) AS DOUBLE)
+                       / greatest(length(text), 1)) * 5.0, 1.0)) * 0.2, 6)
+               AS q
+           FROM d)
+         SELECT source,
+                count(DISTINCT substr(md5(trim(regexp_replace(lower(text),
+                  '\s+', ' ', 'g'))), 1, 16)) AS n_classes
+         FROM scored WHERE q >= 0.5
+         GROUP BY source ORDER BY source""",
 
     "q53_percentile_bucketed" ->
       """SELECT l_returnflag,
