@@ -23,10 +23,20 @@ import org.apache.spark.sql.types.StructType
   */
 object Sinks {
 
-  /** Key-partitioned parquet sink (the per-(chr,region) bucket layout). */
+  /** Key-partitioned parquet sink (the per-(chr,region) bucket layout).
+    *
+    * Rows are REPARTITIONED on the partition keys before the write: a
+    * raw partitionBy write emits one file per (task × partition value it
+    * holds) — at cluster scale that is tasks×values small files, the
+    * classic partitioned-write explosion. Co-locating each value first
+    * bounds it at one file per value per holding task (≈ one file per
+    * value; AQE coalesces the shuffle), which is also what makes the
+    * partition-pruned re-read scan few, large files.
+    */
   def writePartitioned(df: DataFrame, partitionCols: Seq[String],
                        path: String): Unit =
-    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    df.repartition(partitionCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
   /** Single combined output file (the gathered VCF shape). NOTE:
     * `coalesce(1)` after `orderBy` collapses the whole post-shuffle sort
