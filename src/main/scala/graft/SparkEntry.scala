@@ -825,10 +825,8 @@ object SparkEntry {
         stream.select(TextAnalysis.fingerprint(col("text")).as("fp")),
         Seq("fp"))
       val qname = "graft_q56_dedup"
-      val query = dedup.writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      val query = graft.streaming.Streams
+        .drainToMemory(dedup, qname, outputMode = "append").start()
       try query.awaitTermination() finally query.stop()
       s.table(qname).agg(count(lit(1)).as("n_classes"))
     }),
@@ -843,19 +841,20 @@ object SparkEntry {
       val batch = t(s, dir, "documents")
       val stream = graft.streaming.Streams.fileSource(
         s, dir, batch.schema, globFilter = Some("documents.parquet"))
+      // tokenize ONCE into a column (the module convention — inline
+      // tokens() would copy the regexp+split subtree per reference)
       val curated = stream
+        .withColumn("_toks", TextAnalysis.tokens(col("text")))
         .withColumn("q", TextAnalysis.qualityScoreOf(col("text"),
-          TextAnalysis.tokens(col("text"))))
+          col("_toks")))
         .where(col("q") >= 0.5)
         .select(col("source"),
           TextAnalysis.fingerprint(col("text")).as("fp"))
       val dedup = graft.streaming.Streams.streamDedup(curated,
         Seq("source", "fp"))
       val qname = "graft_q61_pipeline"
-      val query = dedup.writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      val query = graft.streaming.Streams
+        .drainToMemory(dedup, qname, outputMode = "append").start()
       try query.awaitTermination() finally query.stop()
       s.table(qname).groupBy(col("source"))
         .agg(count(lit(1)).as("n_classes"))
@@ -887,10 +886,8 @@ object SparkEntry {
       val sess = graft.streaming.StatefulSessions
         .sessionizeWithTimeout(tsEvents, 1800L, "0 seconds")
       val qname = "graft_q49_sessions"
-      val query = sess.toDF().writeStream
-        .format("memory").queryName(qname).outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      val query = graft.streaming.Streams
+        .drainToMemory(sess.toDF(), qname, outputMode = "append").start()
       try query.awaitTermination() finally query.stop()
       s.table(qname)
         .select(col("key").as("user_id"), col("sess_start"),

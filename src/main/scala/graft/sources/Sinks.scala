@@ -35,7 +35,11 @@ object Sinks {
     */
   def writePartitioned(df: DataFrame, partitionCols: Seq[String],
                        path: String): Unit =
-    df.repartition(partitionCols.map(col): _*)
+    // REBALANCE, not a strict repartition: same one-file-per-value
+    // layout for normal values, but AQE may still SPLIT a skewed value
+    // across tasks (a strict repartition pins each value to one task —
+    // the 80%-in-one-source value would write serially)
+    df.hint("rebalance", partitionCols: _*)
       .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
   /** Single combined output file (the gathered VCF shape). NOTE:

@@ -101,11 +101,15 @@ object Streams {
 
   /** Drain-then-stop writer: processes all available input then stops —
     * the reference's `end.txt` sentinel semantics without sideband files.
+    * `outputMode`: "complete" for aggregations, "append" for
+    * row-emitting stateful ops (dropDuplicates, flatMapGroupsWithState).
     */
-  def drainToMemory(df: DataFrame, queryName: String): DataStreamWriter[Row] =
+  def drainToMemory(df: DataFrame, queryName: String,
+                    outputMode: String = "complete")
+      : DataStreamWriter[Row] =
     df.writeStream
       .format("memory")
       .queryName(queryName)
-      .outputMode("complete")
+      .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
 }
