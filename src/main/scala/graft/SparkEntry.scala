@@ -397,7 +397,7 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
-    // SimHash (16-bit, md5-derived) per document.
+    // SimHash (64-bit, md5-derived) per document, as four 16-bit bands.
     "q23_simhash" -> ((s, dir) => {
       NearDup.simhash(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
@@ -711,7 +711,8 @@ object SparkEntry {
     }),
 
     // SimHash near-dup PAIRS (completing modality 3's pair path):
-    // pigeonhole-banded candidates + exact popcount filter, Hamming ≤ 1.
+    // 4×16-bit pigeonhole-banded candidates + exact popcount filter,
+    // Hamming ≤ 3.
     "q60_simhash_pairs" -> ((s, dir) => {
       NearDup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("a"), col("b"))
@@ -1335,15 +1336,31 @@ object SparkEntry {
          h AS (SELECT doc_id, md5(tok) AS h FROM tk),
          bits AS (
            SELECT doc_id, p,
-             sum(CASE WHEN substr(h, CAST(p + 1 AS INTEGER), 1)
-                   IN ('1','3','5','7','9','b','d','f')
-                 THEN 1 ELSE -1 END) AS s
-           FROM h CROSS JOIN range(0, 16) r(p)
-           GROUP BY doc_id, p)
+             sum(CASE WHEN p % 2 = 0
+                 THEN CASE WHEN substr(h, CAST(p // 2 + 1 AS INTEGER), 1)
+                        IN ('1','3','5','7','9','b','d','f')
+                      THEN 1 ELSE -1 END
+                 ELSE CASE WHEN substr(h, CAST(p // 2 + 1 AS INTEGER), 1)
+                        IN ('2','3','6','7','a','b','e','f')
+                      THEN 1 ELSE -1 END END) AS s
+           FROM h CROSS JOIN range(0, 64) r(p)
+           GROUP BY doc_id, p),
+         bands AS (
+           SELECT doc_id, p // 16 AS band,
+             CAST(sum(CASE WHEN s > 0 THEN (1 << (p % 16)) ELSE 0 END)
+               AS INTEGER) AS bv
+           FROM bits GROUP BY doc_id, p // 16)
          SELECT doc_id,
-           CAST(sum(CASE WHEN s > 0 THEN (1 << p) ELSE 0 END) AS INTEGER)
-             AS simhash
-         FROM bits GROUP BY doc_id ORDER BY doc_id""",
+           max(CASE WHEN band = 0 THEN bv END) AS s0,
+           max(CASE WHEN band = 1 THEN bv END) AS s1,
+           max(CASE WHEN band = 2 THEN bv END) AS s2,
+           max(CASE WHEN band = 3 THEN bv END) AS s3,
+           printf('%04x%04x%04x%04x',
+             max(CASE WHEN band = 3 THEN bv END),
+             max(CASE WHEN band = 2 THEN bv END),
+             max(CASE WHEN band = 1 THEN bv END),
+             max(CASE WHEN band = 0 THEN bv END)) AS simhash_hex
+         FROM bands GROUP BY doc_id ORDER BY doc_id""",
 
     "q24_cosine_topk" ->
       """WITH q AS (
@@ -1680,31 +1697,49 @@ object SparkEntry {
          h AS (SELECT doc_id, md5(tok) AS h FROM tk),
          bits AS (
            SELECT doc_id, p,
-             sum(CASE WHEN substr(h, CAST(p + 1 AS INTEGER), 1)
-                   IN ('1','3','5','7','9','b','d','f')
-                 THEN 1 ELSE -1 END) AS s
-           FROM h CROSS JOIN range(0, 16) r(p)
+             sum(CASE WHEN p % 2 = 0
+                 THEN CASE WHEN substr(h, CAST(p // 2 + 1 AS INTEGER), 1)
+                        IN ('1','3','5','7','9','b','d','f')
+                      THEN 1 ELSE -1 END
+                 ELSE CASE WHEN substr(h, CAST(p // 2 + 1 AS INTEGER), 1)
+                        IN ('2','3','6','7','a','b','e','f')
+                      THEN 1 ELSE -1 END END) AS s
+           FROM h CROSS JOIN range(0, 64) r(p)
            GROUP BY doc_id, p),
+         bnd AS (
+           SELECT doc_id, p // 16 AS band,
+             CAST(sum(CASE WHEN s > 0 THEN (1 << (p % 16)) ELSE 0 END)
+               AS INTEGER) AS bv
+           FROM bits GROUP BY doc_id, p // 16),
          sh AS (
            SELECT doc_id,
-             CAST(sum(CASE WHEN s > 0 THEN (1 << p) ELSE 0 END) AS INTEGER)
-               AS simhash
-           FROM bits GROUP BY doc_id),
+             max(CASE WHEN band = 0 THEN bv END) AS s0,
+             max(CASE WHEN band = 1 THEN bv END) AS s1,
+             max(CASE WHEN band = 2 THEN bv END) AS s2,
+             max(CASE WHEN band = 3 THEN bv END) AS s3
+           FROM bnd GROUP BY doc_id),
          bands AS (
-           SELECT doc_id, simhash, band,
-                  CASE band WHEN 0 THEN simhash % 256
-                            ELSE simhash // 256 END AS v
-           FROM sh CROSS JOIN range(0, 2) b(band)),
+           SELECT doc_id, s0, s1, s2, s3, band,
+                  CASE band WHEN 0 THEN s0 WHEN 1 THEN s1
+                            WHEN 2 THEN s2 ELSE s3 END AS v
+           FROM sh CROSS JOIN range(0, 4) b(band)),
          cand AS (
            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-                  x.simhash AS sa, y.simhash AS sb
+                  x.s0 AS a0, x.s1 AS a1, x.s2 AS a2, x.s3 AS a3,
+                  y.s0 AS b0, y.s1 AS b1, y.s2 AS b2, y.s3 AS b3
            FROM bands x JOIN bands y
              ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id)
          SELECT a, b,
-                CAST(bit_count(CAST(xor(sa, sb) AS BIGINT)) AS INTEGER)
+                CAST(bit_count(CAST(xor(a0, b0) AS BIGINT))
+                   + bit_count(CAST(xor(a1, b1) AS BIGINT))
+                   + bit_count(CAST(xor(a2, b2) AS BIGINT))
+                   + bit_count(CAST(xor(a3, b3) AS BIGINT)) AS INTEGER)
                   AS hamming
          FROM cand
-         WHERE bit_count(CAST(xor(sa, sb) AS BIGINT)) <= 1
+         WHERE bit_count(CAST(xor(a0, b0) AS BIGINT))
+             + bit_count(CAST(xor(a1, b1) AS BIGINT))
+             + bit_count(CAST(xor(a2, b2) AS BIGINT))
+             + bit_count(CAST(xor(a3, b3) AS BIGINT)) <= 3
          ORDER BY a, b""",
 
     "q59_tfidf" ->

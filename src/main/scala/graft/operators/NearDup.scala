@@ -362,59 +362,69 @@ object NearDup {
   }
 
   /** SimHash near-duplicate pairs with Hamming distance ≤ `maxHamming`
-    * (only 1 supported for the 16-bit signature): pigeonhole banding —
-    * two signatures within Hamming distance 1 must agree on at least one
-    * of their two 8-bit halves, so candidates come from an equi-join on
-    * (band, half value), then the exact popcount filter runs on the
-    * co-located signatures. Never all-pairs; the signature (2 bytes)
-    * rides the banding shuffle like MinHash's does.
+    * (1..3): pigeonhole banding over the 64-bit signature's four 16-bit
+    * bands — two signatures within Hamming distance 3 must agree exactly
+    * on at least one band, so candidates come from an equi-join on
+    * (band, band value), then the exact popcount filter runs on the
+    * co-located signatures. Never all-pairs; the signature (four 16-bit
+    * values = 8 bytes) rides the banding shuffle like MinHash's does.
     *
-    * SCALE NOTE: a 16-bit signature (the reference-sized toy) has only
-    * 256 values per 8-bit band — at corpus scale band buckets saturate
-    * and the candidate join degenerates. Widen the signature first
-    * (e.g. 64-bit from 4 md5 hex ranges, 4×16-bit bands ⇒ Hamming ≤ 3);
-    * the operator shape is unchanged.
+    * SCALE: each band has 2¹⁶ values, so band buckets at corpus scale
+    * hold ~|corpus|/65536 docs and the candidate join stays linear-ish
+    * (the 16-bit/2×8-bit predecessor had 256 values per band — buckets
+    * saturated at ~10⁵ docs; see the SimhashSaturationSpec measurement).
+    * Need Hamming > 3? Add bands (b bands of 64/b bits pigeonhole
+    * Hamming ≤ b−1) — the operator shape is unchanged.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 1): DataFrame = {
-    require(maxHamming == 1,
-      "16-bit simhash supports maxHamming = 1 (2 bands × 8 bits)")
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 3,
+      "64-bit simhash with 4 bands pigeonholes maxHamming in 1..3")
     val sh = simhash(docs, idCol, textCol)
-      .select(col(idCol).as("id"), col("simhash"))
-    val banded = sh.select(col("id"), col("simhash"),
-        explode(array(
-          struct(lit(0).as("band"),
-            col("simhash").bitwiseAND(255).as("v")),
-          struct(lit(1).as("band"),
-            shiftright(col("simhash"), 8).as("v")))).as("bv"))
-      .select(col("id"), col("simhash"),
-        col("bv.band").as("band"), col("bv.v").as("v"))
-    val a = banded.select(col("band"), col("v"), col("id").as("a"),
-      col("simhash").as("sa"))
-    val b = banded.select(col("band"), col("v"), col("id").as("b"),
-      col("simhash").as("sb"))
+      .select(col(idCol).as("id") +: (0 to 3).map(j => col(s"s$j")): _*)
+    val banded = sh.select(
+        (col("id") +: (0 to 3).map(j => col(s"s$j"))) :+
+          explode(array((0 to 3).map(j =>
+            struct(lit(j).as("band"), col(s"s$j").as("v"))): _*)).as("bv"): _*)
+      .select((col("id") +: (0 to 3).map(j => col(s"s$j"))) :+
+        col("bv.band").as("band") :+ col("bv.v").as("v"): _*)
+    val a = banded.select(col("band") +: col("v") +: col("id").as("a") +:
+      (0 to 3).map(j => col(s"s$j").as(s"a$j")): _*)
+    val b = banded.select(col("band") +: col("v") +: col("id").as("b") +:
+      (0 to 3).map(j => col(s"s$j").as(s"b$j")): _*)
+    val ham = (0 to 3)
+      .map(j => bit_count(col(s"a$j").bitwiseXOR(col(s"b$j"))))
+      .reduce(_ + _)
     a.join(b, Seq("band", "v"))
       .where(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .select(col("a"), col("b"), ham.cast("int").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
 
-  /** 16-bit SimHash per document from token md5s: one explode + one
-    * groupBy with 16 sum() aggregates (map-side combined), then bit-pack.
+  /** 64-bit SimHash per document from token md5s: one explode + one
+    * groupBy with 64 sum() aggregates (map-side combined), then bit-pack
+    * into four 16-bit band values `s0..s3` (s0 = bits 0-15, …) plus the
+    * packed hex form. One md5 per token supplies all 64 bits (2 bits per
+    * hex char — see TextAnalysis.simhashBitContribution); band values
+    * stay INTs so any engine reproduces them without 64-bit shifts.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = spread(docs)
       .select(col(idCol), tokens(col(textCol)).as("_toks"))
       .select(col(idCol), explode(col("_toks")).as("tok"))
       .withColumn("h", md5(col("tok")))
-    val sums = (0 until 16).map(p =>
-      sum(simhashBitContribution(col("h"), p)).as(s"s$p"))
-    val packed = (0 until 16)
-      .map(p => when(col(s"s$p") > 0, lit(1 << p)).otherwise(lit(0)))
-      .reduce(_ + _)
+    val sums = (0 until 64).map(p =>
+      sum(simhashBitContribution(col("h"), p)).as(s"_b$p"))
+    val bands = (0 to 3).map { j =>
+      (0 until 16)
+        .map(i => when(col(s"_b${16 * j + i}") > 0, lit(1 << i))
+          .otherwise(lit(0)))
+        .reduce(_ + _).cast("int").as(s"s$j")
+    }
     tok.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
-      .select(col(idCol), packed.cast("int").as("simhash"))
+      .select(col(idCol) +: bands: _*)
+      .withColumn("simhash_hex", format_string("%04x%04x%04x%04x",
+        col("s3"), col("s2"), col("s1"), col("s0")))
   }
 }

@@ -216,13 +216,18 @@ object TextAnalysis {
         round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
   }
 
-  /** 16-bit SimHash from md5 hex digits of each token: bit p is set iff
-    * the sum over tokens of ±1 (by the low bit of hex digit p of the
-    * token's md5) is positive. Pure expressions → computable identically
-    * in any engine with md5.
+  /** SimHash bit contribution from md5 hex digits of each token: bit p
+    * (0..63) draws from hex char p/2 of the token's md5 — even bits use
+    * the char's LOW bit (values 1,3,5,7,9,b,d,f), odd bits its SECOND
+    * bit (2,3,6,7,a,b,e,f) — so one md5 per token yields a full 64-bit
+    * signature (2 independent bits per hex char). Pure expressions →
+    * computable identically in any engine with md5.
     */
-  def simhashBitContribution(tokenMd5: Column, pos: Int): Column =
-    when(substring(tokenMd5, pos + 1, 1)
-           .isin("1", "3", "5", "7", "9", "b", "d", "f"), lit(1))
+  def simhashBitContribution(tokenMd5: Column, pos: Int): Column = {
+    val ones =
+      if (pos % 2 == 0) Seq("1", "3", "5", "7", "9", "b", "d", "f")
+      else Seq("2", "3", "6", "7", "a", "b", "e", "f")
+    when(substring(tokenMd5, pos / 2 + 1, 1).isin(ones: _*), lit(1))
       .otherwise(lit(-1))
+  }
 }

@@ -109,11 +109,16 @@ class NearDupSpec extends SparkTestBase {
     assert(cand.getOrElse((1L, 3L), 0.0) > 0.3) // near-dup likely banded
   }
 
-  test("simhash equal for normalized-equal docs, 16-bit range") {
+  test("simhash equal for normalized-equal docs, four 16-bit bands") {
     val sh = NearDup.simhash(docs, "doc_id", "text")
-      .as[(Long, Int)].collect().toMap
+      .select("doc_id", "s0", "s1", "s2", "s3", "simhash_hex")
+      .as[(Long, Int, Int, Int, Int, String)].collect()
+      .map(r => r._1 -> (Seq(r._2, r._3, r._4, r._5), r._6)).toMap
     assert(sh(1L) == sh(2L))
-    assert(sh.values.forall(v => v >= 0 && v < 65536))
+    assert(sh.values.forall { case (bands, hex) =>
+      bands.forall(v => v >= 0 && v < 65536) &&
+        hex == f"${bands(3)}%04x${bands(2)}%04x${bands(1)}%04x${bands(0)}%04x"
+    })
   }
 }
 
@@ -243,21 +248,58 @@ class WinnowingSpec extends SparkTestBase {
 class SimhashPairsSpec extends SparkTestBase {
   import spark.implicits._
 
-  test("simhashPairs == brute-force hamming<=1 pairs on the real corpus") {
+  private def hamming(x: Seq[Int], y: Seq[Int]): Int =
+    x.zip(y).map { case (a, b) => Integer.bitCount(a ^ b) }.sum
+
+  test("simhashPairs == brute-force hamming<=3 pairs on the real corpus") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
     val sigs = NearDup.simhash(docs, "doc_id", "text")
-      .as[(Long, Int)].collect()
-    // brute force over ALL pairs: banding must have perfect recall at
-    // hamming <= 1 (the pigeonhole guarantee) AND emit nothing else
+      .select("doc_id", "s0", "s1", "s2", "s3")
+      .as[(Long, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4, r._5))
+    // brute force over ALL pairs: 4-band pigeonholing must have perfect
+    // recall at hamming <= 3 (the pigeonhole guarantee) AND emit nothing
+    // else
     val expected = (for {
       (a, sa) <- sigs; (b, sb) <- sigs
-      if a < b && Integer.bitCount(sa ^ sb) <= 1
-    } yield (a, b, Integer.bitCount(sa ^ sb))).toSet
+      if a < b && hamming(sa, sb) <= 3
+    } yield (a, b, hamming(sa, sb))).toSet
     val got = NearDup.simhashPairs(docs, "doc_id", "text")
       .as[(Long, Long, Int)].collect().toSet
     assert(got == expected,
       s"missing=${(expected -- got).take(5)} spurious=${(got -- expected).take(5)}")
     assert(expected.nonEmpty) // the corpus must actually exercise this
+  }
+}
+
+class SimhashSaturationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("16-bit band buckets stay unsaturated on a 10x corpus") {
+    // Over DISTINCT signatures (exact dups collapse; they'd inflate both
+    // schemes equally), candidate work = sum over (band, value) buckets
+    // of C(size, 2). The 64-bit/4x16-bit scheme must keep that far below
+    // all-pairs AND far below what the retired 8-bit banding would do on
+    // the same corpus — the measurement behind NearDup.simhashPairs's
+    // scale note.
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+    val sigs = NearDup.simhash(docs, "doc_id", "text")
+      .select("s0", "s1", "s2", "s3").distinct()
+      .as[(Int, Int, Int, Int)].collect()
+      .map(r => Seq(r._1, r._2, r._3, r._4))
+    val n = sigs.length.toLong
+    def work(bandValue: Int => Int): Long =
+      sigs.flatMap(s => s.map(bandValue).zipWithIndex)
+        .groupBy(identity).values
+        .map(c => c.size.toLong * (c.size - 1) / 2).sum
+    val wide = work(identity)
+    val narrow = work(_ & 255) // what 8-bit bands would bucket on
+    assert(n > 1000)
+    assert(wide * 20 < n * (n - 1) / 2,
+      s"16-bit banding near all-pairs: work=$wide n=$n")
+    assert(wide * 5 < narrow,
+      s"16-bit banding not beating 8-bit: wide=$wide narrow=$narrow")
   }
 }
