@@ -862,6 +862,17 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // The maxDf-capped Jaccard mode — the only mode you'd run at corpus
+    // scale (shingles shared by > maxDf docs in a block are dropped
+    // before set sizes are counted, so the capped universe is
+    // self-consistent). maxDf = 2 actually bites on this corpus: the
+    // df=3 stopword-grams vanish and a few borderline pairs with them.
+    "q62_jaccard_capped" -> ((s, dir) => {
+      NearDup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          "source", 3, 0.01, maxDf = 2)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // O2 + custom streaming state: the SAME drain but through
     // flatMapGroupsWithState with event-time timeout (the operator for
     // state Spark can't express natively). Semantics under
@@ -1669,6 +1680,42 @@ object SparkEntry {
                   '\s+', ' ', 'g'))), 1, 16)) AS n_classes
          FROM scored WHERE q >= 0.5
          GROUP BY source ORDER BY source""",
+
+    "q62_jaccard_capped" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         sh0 AS (
+           SELECT doc_id, source,
+             unnest(list_distinct(CASE WHEN len(toks) < 3
+               THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(toks) - 2),
+                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+               END)) AS shingle
+           FROM d),
+         hot AS (
+           SELECT source, shingle FROM sh0
+           GROUP BY source, shingle HAVING count(*) > 2),
+         sh AS (
+           SELECT sh0.* FROM sh0 ANTI JOIN hot
+             ON sh0.source = hot.source AND sh0.shingle = hot.shingle),
+         cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         pairs AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+           FROM sh x JOIN sh y
+             ON x.source = y.source AND x.shingle = y.shingle
+             AND x.doc_id < y.doc_id
+           GROUP BY 1, 2)
+         SELECT a, b, n_common,
+           round(CAST(n_common AS DOUBLE)
+                 / (ca.n_sh + cb.n_sh - n_common), 6) AS jaccard
+         FROM pairs JOIN cnt ca ON ca.doc_id = a
+                    JOIN cnt cb ON cb.doc_id = b
+         WHERE round(CAST(n_common AS DOUBLE)
+                     / (ca.n_sh + cb.n_sh - n_common), 6) >= 0.01
+         ORDER BY a, b""",
 
     "q53_percentile_bucketed" ->
       """SELECT l_returnflag,
