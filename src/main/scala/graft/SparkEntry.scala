@@ -420,6 +420,19 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // IVF ANN with multi-probe: each query probes its top-2 centroid
+    // cells. Recall at cell boundaries is the known IVF failure mode —
+    // nprobe=2 trades one extra joined cell per query for recovering the
+    // neighbors whose vectors sit just across the boundary.
+    "q63_ivf_nprobe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+          emb.where(col("vec_id") >= 10 && col("vec_id") < 20), emb,
+          emb.where(col("vec_id") < 8), "vec_id", "embedding", 3,
+          nprobe = 2)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // Window functions: lag / rank / running sum per user over event time.
     "q26_window_fns" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1415,6 +1428,44 @@ object SparkEntry {
          queries AS (
            SELECT cand_id AS query_id, cv AS qv, centroid_id
            FROM corpus WHERE cand_id >= 10 AND cand_id < 20),
+         s AS (
+           SELECT q.query_id, c.cand_id,
+             list_dot_product(q.qv, c.cv)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+           FROM queries q JOIN corpus c
+             ON q.centroid_id = c.centroid_id
+             AND q.query_id <> c.cand_id),
+         r AS (
+           SELECT query_id, cand_id, sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, cand_id) AS INTEGER) AS rnk
+           FROM s)
+         SELECT query_id, cand_id, rnk, round(sim, 6) AS sim
+         FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""",
+
+    "q63_ivf_nprobe" ->
+      """WITH v AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+           FROM embeddings),
+         cents AS (
+           SELECT vec_id AS centroid_id, ev AS centv FROM v
+           WHERE vec_id < 8),
+         asg AS (
+           SELECT vec_id, ev, centroid_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY
+               list_dot_product(ev, centv)
+                 / (sqrt(list_dot_product(ev, ev))
+                    * sqrt(list_dot_product(centv, centv))) DESC,
+               centroid_id) AS crnk
+           FROM v CROSS JOIN cents),
+         corpus AS (
+           SELECT vec_id AS cand_id, ev AS cv, centroid_id
+           FROM asg WHERE crnk = 1),
+         queries AS (
+           SELECT vec_id AS query_id, ev AS qv, centroid_id
+           FROM asg
+           WHERE crnk <= 2 AND vec_id >= 10 AND vec_id < 20),
          s AS (
            SELECT q.query_id, c.cand_id,
              list_dot_product(q.qv, c.cv)

@@ -118,13 +118,15 @@ object Similarity {
     * inlining it back into the lambda); the waste is one extra dot per
     * centroid, not a row blow-up.
     */
-  def ivfAssign(vectors: DataFrame, centroids: DataFrame, idCol: String,
-                vecCol: String): DataFrame = {
-    ensureFns(vectors)
+  /** Collect + norm the centroid table (small by contract — a
+    * deliberate, documented driver-side job at operator-build time).
+    */
+  private def collectCentroids(centroids: DataFrame, idCol: String,
+      vecCol: String): Seq[(Long, Seq[Float], Double)] = {
     require(centroids.schema(idCol).dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"ivfAssign requires a numeric $idCol (ids surface as long)")
-    val cents: Seq[(Long, Seq[Float], Double)] = centroids
+      s"IVF assignment requires a numeric $idCol (ids surface as long)")
+    val cents = centroids
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .collect().toSeq
       .map { r =>
@@ -136,7 +138,14 @@ object Similarity {
         (r.getLong(0), v, math.sqrt(sumSq))
       }
       .sortBy(_._1)
-    require(cents.nonEmpty, "ivfAssign needs at least one centroid")
+    require(cents.nonEmpty, "IVF assignment needs at least one centroid")
+    cents
+  }
+
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame, idCol: String,
+                vecCol: String): DataFrame = {
+    ensureFns(vectors)
+    val cents = collectCentroids(centroids, idCol, vecCol)
     val zero = struct(lit(Double.NegativeInfinity).as("s"),
                       lit(-1L).as("c"))
     val best = aggregate(typedlit(cents), zero, (acc, ct) => {
@@ -146,6 +155,39 @@ object Similarity {
         struct(s.as("s"), ct.getField("_1").as("c"))).otherwise(acc)
     })
     vectors.withColumn("centroid_id", best.getField("c"))
+  }
+
+  /** Top-`nprobe` centroid assignments per vector (IVF multi-probe):
+    * one row per (vector, probe cell), with `centroid_id` and
+    * `probe_rank` (1-based; rank 1 is exactly the cell `ivfAssign`
+    * picks — strict-descending cosine, lowest centroid id on ties).
+    *
+    * Per-row cost is one c-length (−cosine, id) struct sort inside the
+    * scan stage — still no |V|×|c| row intermediate, no aggregation, no
+    * shuffle; only the explode multiplies rows, by nprobe (the point:
+    * each probe row joins one more cell). Meant for the QUERY side of
+    * `ivfTopK` — recall at cell boundaries is the known IVF failure
+    * mode, and a query near a boundary has its true neighbors in its
+    * runner-up cell. The corpus side stays argmax-assigned (cells are
+    * disjoint, so multi-probe candidates never need dedup).
+    */
+  def ivfAssignProbes(vectors: DataFrame, centroids: DataFrame,
+                      idCol: String, vecCol: String,
+                      nprobe: Int): DataFrame = {
+    ensureFns(vectors)
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val cents = collectCentroids(centroids, idCol, vecCol)
+    // struct sort order = (negSim asc, c asc) ≡ (sim desc, id asc) — the
+    // same tie-break ivfAssign's strict-> fold and the SQL rank use
+    val scored = transform(typedlit(cents), ct =>
+      struct((lit(0d) - ndot(col(vecCol), ct.getField("_2")) /
+          (nnorm(col(vecCol)) * ct.getField("_3"))).as("negSim"),
+        ct.getField("_1").as("c")))
+    val top = slice(array_sort(scored), 1, nprobe)
+    vectors.select(col("*"), posexplode(top).as(Seq("_p", "_pc")))
+      .withColumn("probe_rank", (col("_p") + 1).cast("int"))
+      .withColumn("centroid_id", col("_pc").getField("c"))
+      .drop("_p", "_pc")
   }
 
   /** One Lloyd (k-means) iteration over an embedding corpus: assign every
@@ -200,18 +242,24 @@ object Similarity {
       .select(col("a"), col("b"), col("centroid_id"), col("sim"))
   }
 
-  /** IVF ANN top-k: probe only the query's own cluster. Recall < 1 by
-    * design (that's the approximation); nprobe>1 = relax the centroid
-    * rank filter.
+  /** IVF ANN top-k: each query probes its `nprobe` nearest centroid
+    * cells (default 1 = own cluster only). Recall < 1 by design (that's
+    * the approximation); nprobe=2 recovers the boundary neighbors the
+    * argmax cell misses at the cost of one more joined cell per query —
+    * the corpus side always stays argmax-assigned, so candidates are
+    * unique without any dedup.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-              idCol: String, vecCol: String, k: Int): DataFrame = {
+              idCol: String, vecCol: String, k: Int,
+              nprobe: Int = 1): DataFrame = {
     val corpusAssigned = ivfAssign(corpus, centroids, idCol, vecCol)
       .select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
               nnorm(col(vecCol)).as("cnrm"), col("centroid_id"))
-    val queriesAssigned = ivfAssign(queries, centroids, idCol, vecCol)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-              nnorm(col(vecCol)).as("qnrm"), col("centroid_id"))
+    val queriesAssigned =
+      (if (nprobe <= 1) ivfAssign(queries, centroids, idCol, vecCol)
+       else ivfAssignProbes(queries, centroids, idCol, vecCol, nprobe))
+        .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+                nnorm(col(vecCol)).as("qnrm"), col("centroid_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("sim"), asc("cand_id"))
     corpusAssigned.join(broadcast(queriesAssigned), Seq("centroid_id"))

@@ -67,7 +67,17 @@ class PlanSpec extends SparkTestBase {
 
   test("q24 brute-force ANN broadcasts the query batch") {
     val p = plan("q24_cosine_topk")
-    assert(p.contains("Broadcast"), "query side must broadcast")
+    // exact brute force is inherently a nested-loop join (the predicate
+    // is non-equi by design) — but it must be exactly ONE such join, and
+    // its build side must be the broadcast query batch; a second BNLJ
+    // anywhere in the plan would be an accidental cartesian.
+    val bnljLines = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnljLines.size == 1,
+      s"expected exactly 1 BNLJ (the intended query×corpus scorer):\n$p")
+    assert(bnljLines.head.contains("BuildRight"),
+      s"the BNLJ build side must be the broadcast query batch: " +
+        s"${bnljLines.head}")
     assert(!p.contains("SortMergeJoin"))
   }
 
@@ -87,8 +97,26 @@ class PlanSpec extends SparkTestBase {
     val p = plan("q41_approx_segment")
     assert(!p.contains("Window"),
       s"approx split must not funnel rows through per-key windows:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"approx split must keep hash aggregation:\n$p")
     assert(p.contains("BroadcastExchange"),
       "boundary lookup must broadcast")
+  }
+
+  test("q63 multi-probe IVF keeps the scan-stage assignment shape") {
+    val p = plan("q63_ivf_nprobe")
+    // the corpus side must stay a fold/sort-within-row assignment — the
+    // only Window exec allowed is the per-query top-k row_number
+    // (WindowGroupLimit nodes are its rank-pushdown halves, not extra
+    // windows), and no |V|×|centroids| blow-up may appear on either side
+    assert("Window \\[".r.findAllIn(p).size == 1,
+      s"exactly one window (the top-k) allowed:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+           !p.contains("CartesianProduct"),
+      s"assignment must not materialize |V|×|centroids| rows:\n$p")
+    assert(!p.contains("SortAggregate"), s"no sort aggregate:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "probe rows must broadcast-join the corpus cells")
   }
 
   test("q44 partitioned-sink re-read prunes to the filtered partition") {

@@ -160,6 +160,22 @@ class SimilaritySpec extends SparkTestBase {
       .select($"cand_id").as[Long].collect().toSet
     assert(res == Set(0L)) // cluster of centroid 0 holds only {0,1}
   }
+
+  test("ivfTopK nprobe=2 recovers boundary neighbors nprobe=1 misses") {
+    // query 1 = (0.9, 0.1, 0): argmax cell is centroid 0's, but its
+    // runner-up cell (centroid 2's, holding vectors 2 and 3) has real
+    // neighbors the single-probe path can never see
+    val centroids = vecs.where($"vec_id".isin(0L, 2L, 4L))
+    val q = vecs.where($"vec_id" === 1)
+    val probes = Similarity
+      .ivfAssignProbes(q, centroids, "vec_id", "embedding", 2)
+      .select($"probe_rank", $"centroid_id").as[(Int, Long)].collect().toSet
+    assert(probes == Set((1, 0L), (2, 2L)))
+    val two = Similarity.ivfTopK(q, vecs, centroids, "vec_id", "embedding",
+        5, nprobe = 2)
+      .select($"cand_id").as[Long].collect().toSet
+    assert(two == Set(0L, 2L, 3L)) // centroid 4's cell stays unprobed
+  }
 }
 
 class JaccardPropertySpec extends SparkTestBase {
