@@ -433,6 +433,31 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // Real media decode: synthesize a genuine BMP (even doc_id) or
+    // PCM-16 WAV (odd) per document with doc_id-determined parameters,
+    // then recover width/height/sample-rate/channels by parsing the
+    // actual file bytes distributed (extractFeatures → decodeMedia).
+    // The oracle reproduces the parameter arithmetic + size formulas —
+    // the encode→decode byte round-trip is what's under test.
+    "q64_media_decode" -> ((s, dir) => {
+      val spark2 = s
+      import spark2.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val bytes =
+            if (id % 2 == 0)
+              Multimodal.encodeBmp((id % 37).toInt + 1, (id % 23).toInt + 1)
+            else
+              Multimodal.encodeWav(8000 + (id % 5).toInt * 1000,
+                ((id / 5) % 2).toInt + 1, (id % 50).toInt + 100)
+          (id, bytes)
+        }.toDF("doc_id", "payload")
+      Multimodal.extractFeatures(s, media, "doc_id")
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+                col("sample_rate"), col("channels"), col("n_bytes"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Window functions: lag / rank / running sum per user over event time.
     "q26_window_fns" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1481,6 +1506,25 @@ object SparkEntry {
            FROM s)
          SELECT query_id, cand_id, rnk, round(sim, 6) AS sim
          FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""",
+
+    "q64_media_decode" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 37 + 1
+                     ELSE -1 END AS INTEGER) AS width,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 23 + 1
+                     ELSE -1 END AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN -1
+                     ELSE 8000 + (doc_id % 5) * 1000 END AS INTEGER)
+             AS sample_rate,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN -1
+                     ELSE (doc_id // 5) % 2 + 1 END AS INTEGER) AS channels,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN 54 + (doc_id % 23 + 1)
+                     * (((doc_id % 37 + 1) * 3 + 3) // 4 * 4)
+                ELSE 44 + (doc_id % 50 + 100) * ((doc_id // 5) % 2 + 1) * 2
+                END AS INTEGER) AS n_bytes
+         FROM documents ORDER BY doc_id""",
 
     "q26_window_fns" ->
       """WITH e AS (

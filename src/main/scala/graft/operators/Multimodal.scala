@@ -17,11 +17,12 @@ import org.apache.spark.sql.types._
   * plan. Heavy per-row work parallelizes by partition count, not driver
   * loops.
   *
-  * NOTE on the decoder: this container has no image/audio codecs, so
-  * `decodeStub` is a clearly-marked deterministic fake (derives "pixel"
-  * stats from the raw bytes). The Spark-side plumbing — schema, batching,
-  * partitioning, column pruning — is real and tested; swap `decodeStub`
-  * for a JNI/library decoder in production.
+  * The decoder is a real pure-JVM header parser: BMP and WAV (and PNG's
+  * IHDR) are plain byte arithmetic — no codec library needed — so
+  * `decodeMedia` reads genuine width/height/sample-rate/channels from
+  * genuine file bytes. Compressed payload DATA (JPEG entropy coding,
+  * audio codecs) would still need a library; those formats fall through
+  * to `format = "raw"` with size/checksum only.
   */
 object Multimodal {
 
@@ -30,9 +31,13 @@ object Multimodal {
     StructField("n_bytes", IntegerType, nullable = false),
     StructField("mime", StringType, nullable = false)))
 
-  /** Feature schema produced by the (stub) decoder. */
+  /** Feature schema produced by the decoder. `format` is "bmp" / "wav" /
+    * "png" / "raw"; fields a format doesn't carry are -1 (never NULL —
+    * keeps downstream aggregation null-safe).
+    */
   case class MediaFeatures(doc_id: Long, n_bytes: Int, checksum: Long,
-                           width: Int, height: Int)
+                           format: String, width: Int, height: Int,
+                           sample_rate: Int, channels: Int)
 
   /** Wrap a text column as an opaque binary payload + metadata struct —
     * the ingestion shape for any media column.
@@ -55,17 +60,93 @@ object Multimodal {
       md5(col("payload")).as("content_md5"),
       hex(substring(col("payload"), 1, 8)).as("prefix_hex"))
 
-  /** ---- STUB DECODER ----
-    * Deterministic fake "decode": derives width/height/checksum from the
-    * raw bytes. Replace with a real codec; the signature (bytes in,
-    * features out) and the batched execution path stay identical.
+  // little/big-endian field reads — the whole of header "decoding"
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+  private def ascii(b: Array[Byte], o: Int, s: String): Boolean =
+    s.indices.forall(i => b(o + i) == s.charAt(i).toByte)
+
+  /** Real header decode, pure byte arithmetic (no codec library):
+    *  - BMP (BITMAPFILEHEADER + BITMAPINFOHEADER): width/height at
+    *    offsets 18/22, 32-bit little-endian.
+    *  - WAV (RIFF/WAVE, "fmt " chunk first): channels at 22 (LE16),
+    *    sample rate at 24 (LE32).
+    *  - PNG IHDR: width/height at 16/20, 32-bit big-endian.
+    * Anything else — including truncated headers — is `"raw"` with
+    * size + checksum only (-1 dims), never a throw: one corrupt blob
+    * must not kill a 100 TB extraction job.
     */
-  def decodeStub(id: Long, bytes: Array[Byte]): MediaFeatures = {
+  def decodeMedia(id: Long, bytes: Array[Byte]): MediaFeatures = {
     var sum = 0L
     var i = 0
     while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
-    MediaFeatures(id, bytes.length, sum,
-      width = (sum % 640).toInt + 1, height = (sum % 480).toInt + 1)
+    val n = bytes.length
+    if (n >= 26 && ascii(bytes, 0, "BM"))
+      MediaFeatures(id, n, sum, "bmp",
+        width = le32(bytes, 18), height = le32(bytes, 22),
+        sample_rate = -1, channels = -1)
+    else if (n >= 36 && ascii(bytes, 0, "RIFF") &&
+             ascii(bytes, 8, "WAVE") && ascii(bytes, 12, "fmt "))
+      MediaFeatures(id, n, sum, "wav", width = -1, height = -1,
+        sample_rate = le32(bytes, 24), channels = le16(bytes, 22))
+    else if (n >= 24 && bytes(0) == 0x89.toByte && ascii(bytes, 1, "PNG"))
+      MediaFeatures(id, n, sum, "png",
+        width = be32(bytes, 16), height = be32(bytes, 20),
+        sample_rate = -1, channels = -1)
+    else
+      MediaFeatures(id, n, sum, "raw", -1, -1, -1, -1)
+  }
+
+  /** Minimal valid 24-bpp BMP (BITMAPINFOHEADER, rows padded to 4 bytes,
+    * deterministic pixel fill) — the fixture side of the decode
+    * round-trip. File size = 54 + height · rowSize,
+    * rowSize = ⌈3·width/4⌉·4.
+    */
+  def encodeBmp(width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val rowSize = (width * 3 + 3) / 4 * 4
+    val size = 54 + rowSize * height
+    val b = new Array[Byte](size)
+    def w16(o: Int, v: Int): Unit = { b(o) = v.toByte; b(o + 1) = (v >> 8).toByte }
+    def w32(o: Int, v: Int): Unit = { w16(o, v & 0xffff); w16(o + 2, v >>> 16) }
+    b(0) = 'B'; b(1) = 'M'
+    w32(2, size); w32(10, 54)
+    w32(14, 40); w32(18, width); w32(22, height)
+    w16(26, 1); w16(28, 24)
+    w32(34, rowSize * height)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width * 3) { b(54 + y * rowSize + x) = ((x + y) % 256).toByte; x += 1 }
+      y += 1
+    }
+    b
+  }
+
+  /** Minimal valid PCM-16 WAV (RIFF/WAVE + "fmt " + "data", deterministic
+    * samples) — file size = 44 + nSamples · channels · 2.
+    */
+  def encodeWav(sampleRate: Int, channels: Int, nSamples: Int): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && nSamples >= 0)
+    val dataSize = nSamples * channels * 2
+    val b = new Array[Byte](44 + dataSize)
+    def w16(o: Int, v: Int): Unit = { b(o) = v.toByte; b(o + 1) = (v >> 8).toByte }
+    def w32(o: Int, v: Int): Unit = { w16(o, v & 0xffff); w16(o + 2, v >>> 16) }
+    def tag(o: Int, s: String): Unit = s.indices.foreach(i => b(o + i) = s.charAt(i).toByte)
+    tag(0, "RIFF"); w32(4, 36 + dataSize); tag(8, "WAVE")
+    tag(12, "fmt "); w32(16, 16); w16(20, 1); w16(22, channels)
+    w32(24, sampleRate); w32(28, sampleRate * channels * 2)
+    w16(32, channels * 2); w16(34, 16)
+    tag(36, "data"); w32(40, dataSize)
+    var i = 0
+    while (i < nSamples * channels) { w16(44 + i * 2, (i * 31) & 0xffff); i += 1 }
+    b
   }
 
   /** Batched feature extraction over (id, payload) rows: one decoder
@@ -76,7 +157,7 @@ object Multimodal {
       : Dataset[MediaFeatures] = {
     import spark.implicits._
     df.select(col(idCol), col("payload")).as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+      .mapPartitions(_.map { case (id, bytes) => decodeMedia(id, bytes) })
   }
 
   /** Frame sampling for a (fake) multi-frame payload: emit every

@@ -19,14 +19,45 @@ class MultimodalSpec extends SparkTestBase {
     assert(row.getString(2) == "text/plain")
   }
 
-  test("extractFeatures (stub decoder) is deterministic over bytes") {
+  test("extractFeatures: non-media payloads decode as raw, never throw") {
     val df = Multimodal.attachPayload(docs, "doc_id", "text")
     val feats = Multimodal.extractFeatures(spark, df, "doc_id")
       .collect().map(f => f.doc_id -> f).toMap
     val expected = "hello world".getBytes("UTF-8").map(_ & 0xff).sum
     assert(feats(1L).checksum == expected)
     assert(feats(1L).n_bytes == 11)
-    assert(feats(1L).width == expected % 640 + 1)
+    assert(feats(1L).format == "raw" && feats(1L).width == -1)
+  }
+
+  test("BMP encode -> decode round-trips width/height and size formula") {
+    for ((w, h) <- Seq((1, 1), (3, 2), (17, 5), (640, 480))) {
+      val f = Multimodal.decodeMedia(9L, Multimodal.encodeBmp(w, h))
+      assert(f.format == "bmp" && f.width == w && f.height == h)
+      assert(f.n_bytes == 54 + (w * 3 + 3) / 4 * 4 * h)
+      assert(f.sample_rate == -1 && f.channels == -1)
+    }
+  }
+
+  test("WAV encode -> decode round-trips rate/channels and size formula") {
+    for ((sr, ch, ns) <- Seq((8000, 1, 0), (44100, 2, 100), (16000, 1, 7))) {
+      val f = Multimodal.decodeMedia(9L, Multimodal.encodeWav(sr, ch, ns))
+      assert(f.format == "wav" && f.sample_rate == sr && f.channels == ch)
+      assert(f.n_bytes == 44 + ns * ch * 2)
+      assert(f.width == -1 && f.height == -1)
+    }
+  }
+
+  test("PNG IHDR header decodes big-endian dims; truncated magic is raw") {
+    val png = new Array[Byte](24)
+    png(0) = 0x89.toByte; png(1) = 'P'; png(2) = 'N'; png(3) = 'G'
+    // IHDR width=300 (0x12C), height=70000 (0x11170), big-endian
+    png(16) = 0; png(17) = 0; png(18) = 1; png(19) = 0x2c
+    png(20) = 0; png(21) = 1; png(22) = 0x11.toByte; png(23) = 0x70
+    val f = Multimodal.decodeMedia(9L, png)
+    assert(f.format == "png" && f.width == 300 && f.height == 70000)
+    // 2-byte "BM" alone is below the BMP header minimum -> raw, no throw
+    val g = Multimodal.decodeMedia(9L, Array[Byte]('B', 'M'))
+    assert(g.format == "raw" && g.n_bytes == 2)
   }
 
   test("sampleFrames emits every stride-th fixed-size block") {
