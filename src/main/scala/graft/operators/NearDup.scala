@@ -32,6 +32,17 @@ import TextAnalysis._
   */
 object NearDup {
 
+  /** Handle to the intermediates an operator call persisted. The caller
+    * owns their lifetime: `release()` after the FINAL action on the
+    * operator's result frees the cached blocks without touching anything
+    * else the session has cached (`spark.catalog.clearCache()` — what
+    * Verify/Bench do between queries — is the blunter alternative).
+    */
+  final class CacheHandle private[operators] (cached: Seq[DataFrame]) {
+    def release(blocking: Boolean = false): Unit =
+      cached.foreach(_.unpersist(blocking))
+  }
+
   /** Spread a (possibly few-partition) input across the cluster before
     * CPU-heavy per-row derivation: a small parquet file arrives as ONE
     * partition, which would serialize all hashing onto one core. The
@@ -130,13 +141,25 @@ object NearDup {
     * volume.
     *
     * RESOURCE NOTE: the derived shingle table is persisted (both join
-    * sides read it). Spark pins it until the caller's action completes;
-    * long-lived sessions issuing many operator calls should
-    * `spark.catalog.clearCache()` between them (Verify/Bench do).
+    * sides read it). This convenience form leaves the cached blocks to
+    * the session (clear with `spark.catalog.clearCache()`, as
+    * Verify/Bench do between queries); long-lived sessions issuing many
+    * operator calls should use `jaccardPairsWithHandle` and `release()`
+    * the handle after the final action.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    blockCol: String, n: Int, minJaccard: Double,
-                   maxDf: Int = 0): DataFrame = {
+                   maxDf: Int = 0): DataFrame =
+    jaccardPairsWithHandle(docs, idCol, textCol, blockCol, n, minJaccard,
+      maxDf)._1
+
+  /** `jaccardPairs` plus the [[CacheHandle]] owning its persisted
+    * shingle table.
+    */
+  def jaccardPairsWithHandle(docs: DataFrame, idCol: String,
+                             textCol: String, blockCol: String, n: Int,
+                             minJaccard: Double, maxDf: Int = 0)
+      : (DataFrame, CacheHandle) = {
     // Per-doc shingle SETS come in as arrays (zero shuffles, |A| =
     // size(array) — no window passes at all); the operator itself is the
     // inverted-index equi-join plus one aggregation. (A posting-list +
@@ -176,7 +199,7 @@ object NearDup {
                       col("n_sh").as("na"))
     val b = sh.select(col("blk"), col("shingle"), col("id").as("b"),
                       col("n_sh").as("nb"))
-    a.join(b, Seq("blk", "shingle"))
+    val pairs = a.join(b, Seq("blk", "shingle"))
       .where(col("a") < col("b"))
       .groupBy(col("a"), col("b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("n_common"))
@@ -185,6 +208,7 @@ object NearDup {
               (col("na") + col("nb") - col("n_common")), 6))
       .where(col("jaccard") >= minJaccard)
       .select(col("a"), col("b"), col("n_common"), col("jaccard"))
+    (pairs, new CacheHandle(Seq(arr)))
   }
 
   /** Portable 60-bit hash of a shingle under seed `i`, as a LONG
@@ -336,10 +360,23 @@ object NearDup {
     * Same policy applies (0 = exact/off; at corpus scale set ~100 ×
     * expected duplicate-class size); implemented as the same
     * map-side-combined count → tiny broadcast anti-join.
+    *
+    * Persists the fingerprint table (both join sides read it) — same
+    * cache contract as `jaccardPairs`; use `winnowPairsWithHandle` to
+    * own the release.
     */
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
                   blockCol: String, k: Int, w: Int,
-                  maxDf: Int = 0): DataFrame = {
+                  maxDf: Int = 0): DataFrame =
+    winnowPairsWithHandle(docs, idCol, textCol, blockCol, k, w, maxDf)._1
+
+  /** `winnowPairs` plus the [[CacheHandle]] owning its persisted
+    * fingerprint table.
+    */
+  def winnowPairsWithHandle(docs: DataFrame, idCol: String,
+                            textCol: String, blockCol: String, k: Int,
+                            w: Int, maxDf: Int = 0)
+      : (DataFrame, CacheHandle) = {
     val fps = winnowFingerprints(docs, idCol, Seq(blockCol), textCol, k, w)
       .withColumnRenamed(idCol, "id").withColumnRenamed(blockCol, "blk")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -355,10 +392,11 @@ object NearDup {
       } else eAll
     val a = e.select(col("blk"), col("fp"), col("id").as("a"))
     val b = e.select(col("blk"), col("fp"), col("id").as("b"))
-    a.join(b, Seq("blk", "fp"))
+    val pairs = a.join(b, Seq("blk", "fp"))
       .where(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_shared"))
+    (pairs, new CacheHandle(Seq(fps)))
   }
 
   /** SimHash near-duplicate pairs with Hamming distance ≤ `maxHamming`

@@ -101,6 +101,17 @@ class NearDupSpec extends SparkTestBase {
     assert(capped.toSeq == Seq((1L, 2L, 0.5)))
   }
 
+  test("jaccardPairsWithHandle: release() frees the persisted shingles") {
+    spark.catalog.clearCache()
+    val (pairs, handle) = NearDup.jaccardPairsWithHandle(
+      docs, "doc_id", "text", "source", 3, 0.0)
+    pairs.count() // materialize (and pin) the cached shingle table
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    handle.release(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "release() must unpersist the operator's intermediates")
+  }
+
   test("minhash candidates include exact duplicates with est_jaccard 1") {
     val cand = NearDup.minhashCandidatePairs(docs, "doc_id", "text", 3, 16, 8)
       .as[(Long, Long, Double)].collect()
