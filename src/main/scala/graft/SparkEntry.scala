@@ -783,6 +783,16 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // The maxDf-capped winnowing mode (the corpus-scale twin of q62's
+    // capped Jaccard): fingerprints shared by > maxDf docs in a block —
+    // boilerplate runs — are dropped before pairing. maxDf = 2 bites on
+    // this corpus (df=3 fingerprints exist at both driver scales).
+    "q65_winnow_capped" -> ((s, dir) => {
+      NearDup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
+          "source", 3, 4, maxDf = 2)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Dedup modality 5: embedding-cosine near-duplicates, IVF-cell
     // blocked (never all-pairs — see Similarity.cosineNearDupPairs).
     // Oracle reproduces the cell assignment + threshold in SQL.
@@ -1936,6 +1946,46 @@ object SparkEntry {
                   END AS fps
            FROM h),
          e AS (SELECT doc_id, source, unnest(fps) AS fp FROM f)
+         SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+         FROM e x JOIN e y
+           ON x.source = y.source AND x.fp = y.fp AND x.doc_id < y.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q65_winnow_capped" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, source,
+                  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                       ELSE list_transform(generate_series(1, len(toks) - 2),
+                         i -> array_to_string(list_slice(toks, i, i + 2),
+                           ' '))
+                  END AS shs
+           FROM d),
+         h AS (
+           SELECT doc_id, source,
+                  list_transform(shs, s ->
+                    CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hs
+           FROM sh),
+         f AS (
+           SELECT doc_id, source,
+                  CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                       WHEN len(hs) < 4 THEN [list_min(hs)]
+                       ELSE list_distinct(list_transform(
+                         generate_series(1, len(hs) - 3),
+                         i -> list_min(list_slice(hs, i, i + 3))))
+                  END AS fps
+           FROM h),
+         e0 AS (SELECT doc_id, source, unnest(fps) AS fp FROM f),
+         hot AS (
+           SELECT source, fp FROM e0
+           GROUP BY source, fp HAVING count(*) > 2),
+         e AS (
+           SELECT e0.* FROM e0 ANTI JOIN hot
+             ON e0.source = hot.source AND e0.fp = hot.fp)
          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
          FROM e x JOIN e y
            ON x.source = y.source AND x.fp = y.fp AND x.doc_id < y.doc_id
