@@ -151,6 +151,19 @@ class PlanSpec extends SparkTestBase {
         s"long minhash so the signature groupBy hash-aggregates:\n$p")
   }
 
+  test("q62/q65 maxDf caps run as BROADCAST anti-joins") {
+    // the cap's 100 TB contract: hot grams are FEW by definition, so
+    // dropping them must be a tiny broadcast anti-join — a shuffled
+    // (SortMergeJoin) anti-join would re-shuffle the full gram table
+    for (q <- Seq("q62_jaccard_capped", "q65_winnow_capped")) {
+      val p = plan(q)
+      val antiLines = p.linesIterator.filter(_.contains("LeftAnti")).toSeq
+      assert(antiLines.nonEmpty, s"$q must contain the cap anti-join:\n$p")
+      assert(antiLines.forall(_.contains("BroadcastHashJoin")),
+        s"$q cap anti-join must broadcast the hot grams: $antiLines")
+    }
+  }
+
   test("q20 exact dedup shuffles fingerprints, not documents") {
     val df = SparkEntry.queries("q20_exact_dedup")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
