@@ -408,11 +408,13 @@ object NearDup {
     * values = 8 bytes) rides the banding shuffle like MinHash's does.
     *
     * SCALE: each band has 2¹⁶ values, so band buckets at corpus scale
-    * hold ~|corpus|/65536 docs and the candidate join stays linear-ish
-    * (the 16-bit/2×8-bit predecessor had 256 values per band — buckets
-    * saturated at ~10⁵ docs; see the SimhashSaturationSpec measurement).
-    * Need Hamming > 3? Add bands (b bands of 64/b bits pigeonhole
-    * Hamming ≤ b−1) — the operator shape is unchanged.
+    * hold ~|corpus|/65536 docs and the candidate join stays linear-ish.
+    * The 16-bit/2×8-bit predecessor had only 256 values per band, so
+    * its buckets saturated at ~10⁵ docs; SimhashSaturationSpec measures
+    * the bucket-width effect directly (16-bit vs 8-bit banding of the
+    * same signatures on the 10× corpus). Need Hamming > 3? Add bands
+    * (b bands of 64/b bits pigeonhole Hamming ≤ b−1) — the operator
+    * shape is unchanged.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {

@@ -177,13 +177,23 @@ object Similarity {
     ensureFns(vectors)
     require(nprobe >= 1, "nprobe must be >= 1")
     val cents = collectCentroids(centroids, idCol, vecCol)
-    // struct sort order = (negSim asc, c asc) ≡ (sim desc, id asc) — the
-    // same tie-break ivfAssign's strict-> fold and the SQL rank use
     val scored = transform(typedlit(cents), ct =>
-      struct((lit(0d) - ndot(col(vecCol), ct.getField("_2")) /
-          (nnorm(col(vecCol)) * ct.getField("_3"))).as("negSim"),
+      struct((ndot(col(vecCol), ct.getField("_2")) /
+          (nnorm(col(vecCol)) * ct.getField("_3"))).as("sim"),
         ct.getField("_1").as("c")))
-    val top = slice(array_sort(scored), 1, nprobe)
+    // explicit (sim DESC, id ASC) comparator rather than sorting a
+    // negated sim: Spark's > / < on doubles are NaN-greatest (same
+    // ordering ivfAssign's fold and an ORDER BY sim DESC use), while
+    // 0 − NaN is still NaN, so a negate-then-ascending-sort would rank
+    // a NaN-cosine centroid (zero-norm centroid vector) LAST here but
+    // FIRST in ivfAssign — probe 1 must be exactly ivfAssign's cell
+    val cmp = (l: Column, r: Column) =>
+      when(l.getField("sim") > r.getField("sim"), lit(-1))
+        .when(r.getField("sim") > l.getField("sim"), lit(1))
+        .when(l.getField("c") < r.getField("c"), lit(-1))
+        .when(l.getField("c") > r.getField("c"), lit(1))
+        .otherwise(lit(0))
+    val top = slice(array_sort(scored, cmp), 1, nprobe)
     vectors.select(col("*"), posexplode(top).as(Seq("_p", "_pc")))
       .withColumn("probe_rank", (col("_p") + 1).cast("int"))
       .withColumn("centroid_id", col("_pc").getField("c"))

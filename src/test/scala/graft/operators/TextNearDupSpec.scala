@@ -172,6 +172,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(res == Set(0L)) // cluster of centroid 0 holds only {0,1}
   }
 
+  test("ivfAssignProbes probe 1 tracks ivfAssign even for NaN cosines") {
+    // a zero-norm centroid makes cosine NaN; Spark orders NaN above
+    // everything, so the argmax fold picks it — probe rank 1 must agree
+    // (a negate-then-sort formulation would rank it last instead)
+    val centroids = vecs.where($"vec_id".isin(0L, 2L))
+      .union(Seq((9L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding"))
+    val argmax = Similarity.ivfAssign(vecs, centroids, "vec_id", "embedding")
+      .select($"vec_id", $"centroid_id").as[(Long, Long)].collect().toMap
+    val probe1 = Similarity
+      .ivfAssignProbes(vecs, centroids, "vec_id", "embedding", 2)
+      .where($"probe_rank" === 1)
+      .select($"vec_id", $"centroid_id").as[(Long, Long)].collect().toMap
+    assert(argmax.values.toSet == Set(9L)) // NaN wins the fold everywhere
+    assert(probe1 == argmax)
+  }
+
   test("ivfTopK nprobe=2 recovers boundary neighbors nprobe=1 misses") {
     // query 1 = (0.9, 0.1, 0): argmax cell is centroid 0's, but its
     // runner-up cell (centroid 2's, holding vectors 2 and 3) has real
@@ -306,9 +322,11 @@ class SimhashSaturationSpec extends SparkTestBase {
   test("16-bit band buckets stay unsaturated on a 10x corpus") {
     // Over DISTINCT signatures (exact dups collapse; they'd inflate both
     // schemes equally), candidate work = sum over (band, value) buckets
-    // of C(size, 2). The 64-bit/4x16-bit scheme must keep that far below
-    // all-pairs AND far below what the retired 8-bit banding would do on
-    // the same corpus — the measurement behind NearDup.simhashPairs's
+    // of C(size, 2). The 16-bit bands must keep that far below all-pairs
+    // AND far below 8-bit banding of the SAME signatures (4 bands x 256
+    // values — an isolated bucket-width measurement; the retired scheme
+    // was 2x8-bit bands of a 16-bit signature, narrower still in total
+    // bucket count) — the measurement behind NearDup.simhashPairs's
     // scale note.
     val docs = spark.read
       .parquet("/root/testdata/sf0.1/documents.parquet")
