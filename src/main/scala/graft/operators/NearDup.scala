@@ -52,25 +52,7 @@ object NearDup {
     * inputs (est. splits ≥ shuffle partitions) pass through untouched, so
     * at real scale this never shuffles.
     */
-  private def spread(df: DataFrame): DataFrame = {
-    val conf = df.sparkSession.sessionState.conf
-    val target = conf.numShufflePartitions
-    val sizeBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    // stats can be UNKNOWN (lineage through typed maps etc. propagates
-    // the defaultSizeInBytes sentinel) — an "estimate" of Long.MaxValue
-    // would silently skip the spread and serialize the derivation onto
-    // however few partitions the input really has; only then pay the
-    // exact check. Deliberate trade: the fallback is DRIVER-side
-    // physical planning + RDD lineage build (no job, no data movement),
-    // and it also fires on legitimately immense estimates (join-product
-    // stats, a lowered defaultSizeInBytes) — indistinguishable from the
-    // sentinel by construction, and strictly safer than guessing.
-    val estParts =
-      if (sizeBytes >= conf.defaultSizeInBytes)
-        df.rdd.getNumPartitions.toLong
-      else (sizeBytes / conf.filesMaxPartitionBytes).toLong + 1
-    if (estParts >= target) df else df.repartition(target)
-  }
+  private def spread(df: DataFrame): DataFrame = Spread(df)
 
   /** (id, fingerprint) → canonical id per duplicate class + class size.
     * Exact near-dup: identical *normalized* text collapses together.

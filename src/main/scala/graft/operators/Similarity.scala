@@ -47,8 +47,18 @@ object Similarity {
 
   private def nnorm(a: Column): Column = sqrt(ndot(a, a))
 
-  private def ncosine(a: Column, b: Column): Column =
-    ndot(a, b) / (nnorm(a) * nnorm(b))
+  /** Zero-norm-safe cosine from a precomputed dot and norm product:
+    * NULL when the norm product is zero. Under ANSI mode (the Spark 4
+    * default) a bare double division by zero THROWS — one corrupt zero
+    * vector would kill a whole 100 TB job. NULL never passes a
+    * `>= threshold` cut and sorts last under `desc(sim)`, so zero-norm
+    * vectors simply never match anything. (Deliberate divergence from
+    * IEEE NaN — and from DuckDB, whose 0/0 = NaN ranks ABOVE every
+    * double; no driver table contains a zero vector, so no oracle
+    * exercises the branch.)
+    */
+  private def safeDiv(dotProd: Column, normProd: Column): Column =
+    when(normProd > 0d, dotProd / normProd)
 
   /** Idempotently register the graft native functions on the session the
     * operator's input belongs to (build-time, driver-side, cheap).
@@ -57,12 +67,14 @@ object Similarity {
     graft.functions.GraftExtensions.installInto(df.sparkSession)
 
   /** Cosine similarity of two float-array columns (double arithmetic).
-    * CAVEAT: a zero-norm vector yields NaN, and both Spark and DuckDB
-    * order NaN above every double — a zero vector in the corpus would
-    * rank as everyone's nearest neighbor. Filter with `nonZeroNorm`
-    * upstream if zero vectors can occur.
+    * NULL when either vector has zero norm (see [[safeDiv]] — ANSI
+    * division would throw, IEEE NaN would rank the zero vector as
+    * everyone's nearest neighbor; NULL makes it match nothing).
+    * `nonZeroNorm` remains the upstream filter when zero vectors are
+    * expected in bulk.
     */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    safeDiv(dot(a, b), norm(a) * norm(b))
 
   /** Predicate: the vector has a non-zero norm (guards cosine's NaN). */
   def nonZeroNorm(v: Column): Column = dot(v, v) > 0d
@@ -85,7 +97,7 @@ object Similarity {
                           nnorm(col(vecCol)).as("cnrm"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
       .withColumn("sim",
-        ndot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
+        safeDiv(ndot(col("qv"), col("cv")), col("qnrm") * col("cnrm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("sim"), asc("cand_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -148,9 +160,17 @@ object Similarity {
     val cents = collectCentroids(centroids, idCol, vecCol)
     val zero = struct(lit(Double.NegativeInfinity).as("s"),
                       lit(-1L).as("c"))
+    // Double.MinValue (not NULL, not -Inf) as the no-signal score keeps
+    // the argmax total and deterministic: it beats the -Inf seed (so a
+    // zero-norm VECTOR still assigns — to the lowest-id centroid, the
+    // same cell ivfAssignProbes ranks first) and loses to every real
+    // cosine (∈ [-1, 1]), so a zero-norm CENTROID never wins a vector
+    // that has any signal.
     val best = aggregate(typedlit(cents), zero, (acc, ct) => {
-      val s = ndot(col(vecCol), ct.getField("_2")) /
-        (nnorm(col(vecCol)) * ct.getField("_3"))
+      val s = coalesce(
+        safeDiv(ndot(col(vecCol), ct.getField("_2")),
+                nnorm(col(vecCol)) * ct.getField("_3")),
+        lit(Double.MinValue))
       when(s > acc.getField("s"),
         struct(s.as("s"), ct.getField("_1").as("c"))).otherwise(acc)
     })
@@ -177,16 +197,19 @@ object Similarity {
     ensureFns(vectors)
     require(nprobe >= 1, "nprobe must be >= 1")
     val cents = collectCentroids(centroids, idCol, vecCol)
+    // same Double.MinValue no-signal sentinel as ivfAssign's fold —
+    // probe 1 must be exactly ivfAssign's cell, including for zero-norm
+    // vectors/centroids (both paths then break ties on lowest id)
     val scored = transform(typedlit(cents), ct =>
-      struct((ndot(col(vecCol), ct.getField("_2")) /
-          (nnorm(col(vecCol)) * ct.getField("_3"))).as("sim"),
+      struct(coalesce(
+          safeDiv(ndot(col(vecCol), ct.getField("_2")),
+                  nnorm(col(vecCol)) * ct.getField("_3")),
+          lit(Double.MinValue)).as("sim"),
         ct.getField("_1").as("c")))
     // explicit (sim DESC, id ASC) comparator rather than sorting a
-    // negated sim: Spark's > / < on doubles are NaN-greatest (same
-    // ordering ivfAssign's fold and an ORDER BY sim DESC use), while
-    // 0 − NaN is still NaN, so a negate-then-ascending-sort would rank
-    // a NaN-cosine centroid (zero-norm centroid vector) LAST here but
-    // FIRST in ivfAssign — probe 1 must be exactly ivfAssign's cell
+    // negated sim: the fold above keeps the FIRST strict maximum in
+    // centroid-id order, so the comparator must break sim ties on
+    // ascending id to agree with it
     val cmp = (l: Column, r: Column) =>
       when(l.getField("sim") > r.getField("sim"), lit(-1))
         .when(r.getField("sim") > l.getField("sim"), lit(1))
@@ -247,7 +270,8 @@ object Similarity {
       // round BEFORE thresholding (both engines see the same 6-dp value,
       // so the cut never flips on a last-ulp difference)
       .withColumn("sim",
-        round(ndot(col("av"), col("bv")) / (col("anrm") * col("bnrm")), 6))
+        round(safeDiv(ndot(col("av"), col("bv")),
+                      col("anrm") * col("bnrm")), 6))
       .where(col("sim") >= minCosine)
       .select(col("a"), col("b"), col("centroid_id"), col("sim"))
   }
@@ -275,7 +299,7 @@ object Similarity {
     corpusAssigned.join(broadcast(queriesAssigned), Seq("centroid_id"))
       .where(col("query_id") =!= col("cand_id"))
       .withColumn("sim",
-        ndot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
+        safeDiv(ndot(col("qv"), col("cv")), col("qnrm") * col("cnrm")))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("query_id"), col("cand_id"), col("rnk"),

@@ -172,10 +172,12 @@ class SimilaritySpec extends SparkTestBase {
     assert(res == Set(0L)) // cluster of centroid 0 holds only {0,1}
   }
 
-  test("ivfAssignProbes probe 1 tracks ivfAssign even for NaN cosines") {
-    // a zero-norm centroid makes cosine NaN; Spark orders NaN above
-    // everything, so the argmax fold picks it — probe rank 1 must agree
-    // (a negate-then-sort formulation would rank it last instead)
+  test("ivfAssignProbes probe 1 tracks ivfAssign even for zero norms") {
+    // under ANSI mode (the Spark 4 default) a bare cosine division by a
+    // zero norm THROWS; the operators instead score a no-signal pair as
+    // Double.MinValue, so (a) a zero-norm CENTROID never wins a vector
+    // with any signal, (b) nothing throws, and (c) probe rank 1 must
+    // still be exactly ivfAssign's cell
     val centroids = vecs.where($"vec_id".isin(0L, 2L))
       .union(Seq((9L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding"))
     val argmax = Similarity.ivfAssign(vecs, centroids, "vec_id", "embedding")
@@ -184,8 +186,28 @@ class SimilaritySpec extends SparkTestBase {
       .ivfAssignProbes(vecs, centroids, "vec_id", "embedding", 2)
       .where($"probe_rank" === 1)
       .select($"vec_id", $"centroid_id").as[(Long, Long)].collect().toMap
-    assert(argmax.values.toSet == Set(9L)) // NaN wins the fold everywhere
+    assert(!argmax.values.toSet.contains(9L)) // zero-norm centroid never wins
+    assert(argmax == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 2L, 4L -> 0L))
     assert(probe1 == argmax)
+  }
+
+  test("zero-norm query vectors assign deterministically, without ANSI errors") {
+    // a zero-norm VECTOR has no signal against any centroid: every score
+    // is the MinValue sentinel and both paths fall back to the lowest
+    // centroid id — deterministic, total, and throw-free
+    val centroids = vecs.where($"vec_id".isin(2L, 4L))
+    val zq = Seq((7L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val asg = Similarity.ivfAssign(zq, centroids, "vec_id", "embedding")
+      .select($"centroid_id").as[Long].collect().toSeq
+    assert(asg == Seq(2L))
+    val probes = Similarity
+      .ivfAssignProbes(zq, centroids, "vec_id", "embedding", 2)
+      .select($"probe_rank", $"centroid_id").as[(Int, Long)].collect().toSet
+    assert(probes == Set((1, 2L), (2, 4L)))
+    // pair scoring: zero-norm sim is NULL → never passes a threshold
+    val sims = Similarity.bruteForceTopK(zq, vecs, "vec_id", "embedding", 3)
+      .select($"sim").collect()
+    assert(sims.forall(_.isNullAt(0)))
   }
 
   test("ivfTopK nprobe=2 recovers boundary neighbors nprobe=1 misses") {
