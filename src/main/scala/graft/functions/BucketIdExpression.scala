@@ -191,6 +191,10 @@ object GraftExtensions {
       (FunctionIdentifier("graft_count_in"),
        new ExpressionInfo(classOf[CountInExpr].getName, "graft_count_in"),
        arity("graft_count_in", 2)(c => CountInExpr(c(0), c(1)))),
+      // graft_simhash(toks): fused 64-bit SimHash signature kernel
+      (FunctionIdentifier("graft_simhash"),
+       new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash"),
+       arity("graft_simhash", 1)(c => SimHash64Expr(c.head))),
       // graft_winnow(toks, k, w): fused winnowing-fingerprint kernel
       (FunctionIdentifier("graft_winnow"),
        new ExpressionInfo(classOf[WinnowFingerprintsExpr].getName,

@@ -164,6 +164,21 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q23 simhash signatures derive with no explode and no aggregate") {
+    // the fused graft_simhash kernel computes each signature inside the
+    // row: the plan must carry NO Generate (the old explode of |tokens|
+    // rows) and NO aggregation at all — at corpus scale those were an
+    // exchange of |corpus|×|tokens| rows and 64 agg buffers per doc.
+    // (The spread repartition on a tiny local file and q23's final
+    // orderBy are the only exchanges allowed.)
+    val df = graft.operators.NearDup.simhash(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Generate"), "simhash must not explode tokens")
+    assert(!p.contains("Aggregate"), "simhash must not aggregate")
+    assert(p.contains("graft_simhash"), "native kernel must be in the plan")
+  }
+
   test("q20 exact dedup shuffles fingerprints, not documents") {
     val df = SparkEntry.queries("q20_exact_dedup")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

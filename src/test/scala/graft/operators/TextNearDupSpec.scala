@@ -336,6 +336,42 @@ class SimhashPairsSpec extends SparkTestBase {
       s"missing=${(expected -- got).take(5)} spurious=${(got -- expected).take(5)}")
     assert(expected.nonEmpty) // the corpus must actually exercise this
   }
+
+  test("fused kernel == exploded 64-sum formulation, bit for bit") {
+    import org.apache.spark.sql.functions._
+    // the formulation NearDup.simhash used before the graft_simhash
+    // kernel: explode tokens, md5 each, 64 sum(simhashBitContribution)
+    // aggregates, majority packing — the portable template the oracle
+    // reproduces. The kernel must agree on every doc, including
+    // punctuation-only, unicode, and single-token texts.
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+      .union(Seq((90001L, "solo"), (90002L, "...!!!..."),
+        (90003L, "héllo wörld héllo"), (90004L, " ")).toDF("doc_id", "text"))
+    val tok = docs
+      .select($"doc_id", TextAnalysis.tokens($"text").as("_toks"))
+      .select($"doc_id", explode($"_toks").as("tok"))
+      .withColumn("h", md5($"tok"))
+    val sums = (0 until 64).map(p =>
+      sum(TextAnalysis.simhashBitContribution($"h", p)).as(s"_b$p"))
+    val bands = (0 to 3).map { j =>
+      (0 until 16)
+        .map(i => when(col(s"_b${16 * j + i}") > 0, lit(1 << i))
+          .otherwise(lit(0)))
+        .reduce(_ + _).cast("int").as(s"s$j")
+    }
+    val exploded = tok.groupBy($"doc_id").agg(sums.head, sums.tail: _*)
+      .select($"doc_id" +: bands: _*)
+      .as[(Long, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val kernel = NearDup.simhash(docs, "doc_id", "text")
+      .select("doc_id", "s0", "s1", "s2", "s3")
+      .as[(Long, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(kernel.size == exploded.size)
+    assert(kernel == exploded)
+  }
 }
 
 class SimhashSaturationSpec extends SparkTestBase {
