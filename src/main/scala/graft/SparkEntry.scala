@@ -793,6 +793,26 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Training-set decontamination: drop every training doc sharing a
+    // 5-token shingle with the benchmark split (doc_id % 20 == 0 plays
+    // the eval set). Both operator outputs are checked in one frame:
+    // survivors come from decontaminate() (kept = true, zero shared
+    // grams by construction), contaminated rows from contamination()
+    // with their shared-gram counts. The benchmark shingle set is
+    // broadcast, so the corpus never shuffles (plan-pinned).
+    "q66_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.where(col("doc_id") % 20 === 0)
+      val train = docs.where(col("doc_id") % 20 =!= 0)
+      val clean = NearDup.decontaminate(train, bench, "doc_id", "text", 5)
+      val contam = NearDup.contamination(train, bench, "doc_id", "text", 5)
+      clean.select(col("doc_id"), lit(0L).as("n_shared_grams"),
+          lit(true).as("kept"))
+        .unionByName(contam.select(col("doc_id"), col("n_shared_grams"),
+          lit(false).as("kept")))
+        .orderBy(col("doc_id"))
+    }),
+
     // Dedup modality 5: embedding-cosine near-duplicates, IVF-cell
     // blocked (never all-pairs — see Similarity.cosineNearDupPairs).
     // Oracle reproduces the cell assignment + threshold in SQL.
@@ -1990,6 +2010,34 @@ object SparkEntry {
          FROM e x JOIN e y
            ON x.source = y.source AND x.fp = y.fp AND x.doc_id < y.doc_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q66_decontaminate" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             unnest(list_distinct(CASE WHEN len(toks) < 5
+               THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(toks) - 4),
+                 i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+               END)) AS shingle
+           FROM d),
+         bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+         contam AS (
+           SELECT s.doc_id, count(*) AS n_shared_grams
+           FROM sh s JOIN bench b USING (shingle)
+           WHERE s.doc_id % 20 != 0
+           GROUP BY 1)
+         SELECT t.doc_id,
+                CAST(coalesce(c.n_shared_grams, 0) AS BIGINT)
+                  AS n_shared_grams,
+                c.doc_id IS NULL AS kept
+         FROM documents t LEFT JOIN contam c ON t.doc_id = c.doc_id
+         WHERE t.doc_id % 20 != 0
+         ORDER BY t.doc_id""",
 
     "q50_cosine_neardup" ->
       """WITH v AS (

@@ -450,4 +450,42 @@ object NearDup {
       .withColumn("simhash_hex", format_string("%04x%04x%04x%04x",
         col("s3"), col("s2"), col("s1"), col("s0")))
   }
+
+  /** Benchmark contamination per training document: (idCol,
+    * n_shared_grams) for every training doc sharing at least one
+    * `n`-token shingle with the benchmark/eval corpus — the n-gram
+    * overlap rule LLM training pipelines use to keep eval sets out of
+    * the training data.
+    *
+    * SCALE SHAPE: the benchmark side is small by nature (eval suites
+    * are a few thousand documents next to a multi-TB corpus), so its
+    * distinct shingle set is BROADCAST and the contamination test is a
+    * map-side broadcast semi-join running in the training corpus's scan
+    * stage — the corpus itself never shuffles; only the matched
+    * (id, shingle) hits (bounded by contaminated-doc volume) cross the
+    * counting exchange. Docs with fewer than `n` tokens cannot share an
+    * n-gram and are never contaminated.
+    */
+  def contamination(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    val benchGrams = shingleRows(bench, idCol, Seq.empty, textCol, n)
+      .select(col("shingle")).distinct()
+    shingleRows(train, idCol, Seq.empty, textCol, n)
+      .join(broadcast(benchGrams), Seq("shingle"), "left_semi")
+      // shingleRows emits DISTINCT shingles per doc, so this counts the
+      // distinct grams the doc shares with the benchmark set
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** The surviving training rows: `train` minus every document
+    * [[contamination]] flags. The anti-join's contaminated side is
+    * usually tiny (AQE turns it into a broadcast anti-join at runtime);
+    * when a benchmark genuinely contaminates a large fraction of the
+    * corpus the shuffled fallback is the correct plan anyway.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame =
+    train.join(contamination(train, bench, idCol, textCol, n),
+      Seq(idCol), "left_anti")
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan assertions: these lock in the *scale* properties of the
   * headline queries — that a broadcast stays a broadcast, a top-k never
@@ -177,6 +178,21 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Generate"), "simhash must not explode tokens")
     assert(!p.contains("Aggregate"), "simhash must not aggregate")
     assert(p.contains("graft_simhash"), "native kernel must be in the plan")
+  }
+
+  test("q66 contamination test is a broadcast semi-join (corpus never shuffles)") {
+    // the benchmark shingle set is small by contract; the contamination
+    // probe must be a map-side BroadcastHashJoin LeftSemi in the train
+    // corpus's scan stage — a SortMergeJoin here would shuffle the whole
+    // corpus's shingles at 100 TB
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.operators.NearDup.contamination(
+      docs.where(col("doc_id") % 20 =!= 0),
+      docs.where(col("doc_id") % 20 === 0), "doc_id", "text", 5)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"expected broadcast semi-join, got:\n$p")
+    assert(!p.contains("SortMergeJoin"), "corpus shingles must not shuffle")
   }
 
   test("q20 exact dedup shuffles fingerprints, not documents") {

@@ -77,6 +77,27 @@ class NearDupSpec extends SparkTestBase {
     assert(!m.keys.exists { case (a, b) => b == 5L }) // other block
   }
 
+  test("contamination flags shared n-grams; decontaminate drops exactly them") {
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      // contains bench 5-gram "beta gamma delta epsilon zeta" (and
+      // "alpha beta gamma delta epsilon") → contaminated, 2 shared
+      (1L, "intro alpha beta gamma delta epsilon zeta outro"),
+      (2L, "totally unrelated training text with many words"), // clean
+      (3L, "one two three"), // < 5 tokens: can never be contaminated
+      (4L, "five six seven eight nine ten eleven") // no shared 5-gram
+    ).toDF("doc_id", "text")
+    val contam = NearDup.contamination(train, bench, "doc_id", "text", 5)
+      .as[(Long, Long)].collect().toMap
+    assert(contam == Map(1L -> 2L))
+    val kept = NearDup.decontaminate(train, bench, "doc_id", "text", 5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L))
+  }
+
   test("maxDf cap drops hot shingles and recounts set sizes consistently") {
     // "a b c" is shared by ALL five docs (the hot stopword-gram); each
     // doc's remaining shingles overlap only within the d1/d2 pair.
