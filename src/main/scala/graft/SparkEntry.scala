@@ -793,6 +793,16 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Gopher-style repetition signals: top-token / top-2-gram max
+    // multiplicity (native O(n) graft_top_count kernel), duplicate-
+    // 2-gram fraction, and the composite repetition filter — all
+    // scan-stage, zero shuffles.
+    "q67_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionSignals(t(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Training-set decontamination: drop every training doc sharing a
     // 5-token shingle with the benchmark split (doc_id % 20 == 0 plays
     // the eval set). Both operator outputs are checked in one frame:
@@ -2010,6 +2020,46 @@ object SparkEntry {
          FROM e x JOIN e y
            ON x.source = y.source AND x.fp = y.fp AND x.doc_id < y.doc_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q67_repetition" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, toks,
+                  CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                       ELSE list_transform(generate_series(1, len(toks) - 1),
+                         i -> array_to_string(list_slice(toks, i, i + 1),
+                           ' '))
+                  END AS g2
+           FROM d),
+         sig AS (
+           SELECT doc_id,
+                  CAST(len(toks) AS INTEGER) AS n_tokens,
+                  CAST(list_max(list_transform(list_distinct(toks),
+                    t -> len(list_filter(toks, x -> x = t)))) AS BIGINT)
+                    AS top_token_count,
+                  CASE WHEN len(g2) = 0 THEN CAST(0 AS BIGINT)
+                       ELSE CAST(list_max(list_transform(list_distinct(g2),
+                         t -> len(list_filter(g2, x -> x = t)))) AS BIGINT)
+                  END AS top_2gram_count,
+                  len(g2) AS n2, len(list_distinct(g2)) AS d2
+           FROM g),
+         f AS (
+           SELECT doc_id, n_tokens, top_token_count, top_2gram_count,
+                  round(CAST(top_token_count AS DOUBLE) / n_tokens, 6)
+                    AS top_token_frac,
+                  CASE WHEN n2 > 0
+                       THEN round(1.0 - CAST(d2 AS DOUBLE) / n2, 6)
+                       ELSE 0.0 END AS dup_2gram_frac
+           FROM sig)
+         SELECT doc_id, n_tokens, top_token_count, top_2gram_count,
+                top_token_frac, dup_2gram_frac,
+                (top_token_frac <= 0.12 AND dup_2gram_frac <= 0.05)
+                  AS repetition_ok
+         FROM f ORDER BY doc_id""",
 
     "q66_decontaminate" ->
       """WITH d AS (

@@ -191,6 +191,10 @@ object GraftExtensions {
       (FunctionIdentifier("graft_count_in"),
        new ExpressionInfo(classOf[CountInExpr].getName, "graft_count_in"),
        arity("graft_count_in", 2)(c => CountInExpr(c(0), c(1)))),
+      // graft_top_count(arr): max element multiplicity (repetition stats)
+      (FunctionIdentifier("graft_top_count"),
+       new ExpressionInfo(classOf[TopCountExpr].getName, "graft_top_count"),
+       arity("graft_top_count", 1)(c => TopCountExpr(c.head))),
       // graft_simhash(toks): fused 64-bit SimHash signature kernel
       (FunctionIdentifier("graft_simhash"),
        new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline:
@@ -214,6 +214,53 @@ object TextAnalysis {
     tf.join(df_, Seq("term"))
       .withColumn("score",
         round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+  }
+
+  /** Gopher-style repetition signals per document, all computed
+    * scan-stage with ZERO shuffles: token and 2-gram arrays are
+    * projected ONCE into real columns (referenced repeatedly, so
+    * CollapseProject keeps them — the tokenize-once discipline), the
+    * max-multiplicity counts run through the native O(n)
+    * `graft_top_count` kernel (the Column formulation is an O(n²)
+    * interpreted double lambda), and the thresholds are plain
+    * comparisons. Returns one row per doc:
+    * (idCol, n_tokens, top_token_count, top_token_frac,
+    * top_2gram_count, dup_2gram_frac, repetition_ok).
+    *
+    * The classic Gopher rules also gate on duplicate LINES and
+    * paragraphs; this corpus has no line structure, so the signal set
+    * is the token/n-gram half of the family. `topTokenMax` /
+    * `dupBigramMax` are parameters — the defaults split this corpus
+    * roughly 80/20, the point being a filter that actually fires.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String,
+                        topTokenMax: Double = 0.12,
+                        dupBigramMax: Double = 0.05): DataFrame = {
+    graft.functions.GraftExtensions.installInto(docs.sparkSession)
+    val base = docs
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_toks"),
+        call_function("graft_shingles", col("_toks"), lit(2)).as("_g2"))
+    base.select(
+        col(idCol),
+        size(col("_toks")).as("n_tokens"),
+        call_function("graft_top_count", col("_toks"))
+          .as("top_token_count"),
+        call_function("graft_top_count", col("_g2")).as("top_2gram_count"),
+        size(col("_g2")).as("_n2"),
+        size(array_distinct(col("_g2"))).as("_d2"))
+      // tokens() yields at least [""] even for empty text, so n_tokens
+      // >= 1 and the division is ANSI-safe; the 2-gram count CAN be 0
+      .withColumn("top_token_frac",
+        round(col("top_token_count").cast("double") / col("n_tokens"), 6))
+      .withColumn("dup_2gram_frac",
+        when(col("_n2") > 0,
+          round(lit(1d) - col("_d2").cast("double") / col("_n2"), 6))
+          .otherwise(lit(0d)))
+      .withColumn("repetition_ok",
+        col("top_token_frac") <= topTokenMax &&
+          col("dup_2gram_frac") <= dupBigramMax)
+      .drop("_n2", "_d2")
   }
 
   /** SimHash bit contribution from md5 hex digits of each token: bit p

@@ -46,6 +46,47 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(q.values.forall(v => v >= 0 && v <= 1))
     assert(q("div") > q("rep"))
   }
+
+  test("graft_top_count == the O(n²) Column formulation on the real corpus") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftExtensions.installInto(spark)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      .union(Seq((90001L, Seq("solo")), (90002L, Seq.empty[String]),
+        (90003L, Seq("a", "a", "a", "b"))).toDF("doc_id", "toks"))
+    val both = docs.select($"doc_id",
+        call_function("graft_top_count", $"toks").as("kernel"),
+        coalesce(array_max(transform($"toks",
+          x => size(filter($"toks", y => y === x)))), lit(0))
+          .cast("long").as("hof"))
+      .as[(Long, Long, Long)].collect()
+    assert(both.nonEmpty && both.forall(r => r._2 == r._3),
+      s"mismatches: ${both.filter(r => r._2 != r._3).take(5).toSeq}")
+  }
+
+  test("repetitionSignals flags repetitive docs, zero-shuffle plan") {
+    val docs = Seq(
+      (1L, ("spam " * 20).trim),                      // one token repeated
+      (2L, (1 to 40).map("w" + _).mkString(" ")),     // fully diverse
+      (3L, "ab ab cd cd " * 5 + "tail")               // duplicate 2-grams
+    ).toDF("doc_id", "text")
+    val sig = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .select($"doc_id", $"top_token_frac", $"dup_2gram_frac",
+        $"repetition_ok")
+      .as[(Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(sig(1L)._2 == 1.0 && !sig(1L)._4)
+    assert(sig(2L)._2 == 0.025 && sig(2L)._3 == 0.0 && sig(2L)._4)
+    assert(sig(3L)._3 > 0.5 && !sig(3L)._4)
+    // scale shape: the whole derivation must stay in the scan stage
+    val p = TextAnalysis.repetitionSignals(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"expected zero shuffles, got:\n$p")
+    assert(!p.contains("Generate") && !p.contains("Aggregate"))
+  }
 }
 
 class NearDupSpec extends SparkTestBase {
