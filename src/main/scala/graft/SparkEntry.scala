@@ -420,6 +420,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // Int8-quantized ANN: coarse rank on exact-integer quantized cosine
+    // (4x narrower vectors through the broadcast + scoring), exact
+    // rerank only on each query's top-20 survivors.
+    "q68_quantized_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.quantizedTopK(emb.where(col("vec_id") < 10), emb,
+          "vec_id", "embedding", 5, 20)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // IVF ANN with multi-probe: each query probes its top-2 centroid
     // cells. Recall at cell boundaries is the known IVF failure mode —
     // nprobe=2 trades one extra joined cell per query for recovering the
@@ -2020,6 +2030,51 @@ object SparkEntry {
          FROM e x JOIN e y
            ON x.source = y.source AND x.fp = y.fp AND x.doc_id < y.doc_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q68_quantized_ann" ->
+      """WITH v AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+           FROM embeddings),
+         m AS (
+           SELECT vec_id, ev,
+                  list_max(list_transform(ev, x -> abs(x))) AS ma
+           FROM v),
+         q8 AS (
+           SELECT vec_id, ev,
+                  CASE WHEN ma = 0 THEN list_transform(ev, x -> 0.0)
+                       ELSE list_transform(ev, x ->
+                         least(greatest(round(x * 127 / ma), -127), 127))
+                  END AS qv
+           FROM m),
+         qn AS (
+           SELECT vec_id, ev, qv,
+                  sqrt(list_dot_product(qv, qv)) AS qnorm,
+                  sqrt(list_dot_product(ev, ev)) AS enorm
+           FROM q8),
+         qry AS (SELECT * FROM qn WHERE vec_id < 10),
+         coarse AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY round(CASE WHEN q.qnorm * c.qnorm > 0
+                      THEN list_dot_product(q.qv, c.qv)
+                           / (q.qnorm * c.qnorm) END, 6) DESC,
+                      c.vec_id) AS crnk
+           FROM qn c, qry q WHERE q.vec_id != c.vec_id),
+         surv AS (SELECT query_id, cand_id FROM coarse WHERE crnk <= 20),
+         exact AS (
+           SELECT s.query_id, s.cand_id,
+                  round(CASE WHEN q.enorm * c.enorm > 0
+                    THEN list_dot_product(q.ev, c.ev)
+                         / (q.enorm * c.enorm) END, 6) AS sim
+           FROM surv s JOIN qn c ON c.vec_id = s.cand_id
+                       JOIN qn q ON q.vec_id = s.query_id),
+         ranked AS (
+           SELECT query_id, cand_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, cand_id) AS rnk
+           FROM exact)
+         SELECT query_id, cand_id, CAST(rnk AS INTEGER) AS rnk, sim
+         FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""",
 
     "q67_repetition" ->
       """WITH d AS (

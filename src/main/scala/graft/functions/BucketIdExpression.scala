@@ -191,6 +191,15 @@ object GraftExtensions {
       (FunctionIdentifier("graft_count_in"),
        new ExpressionInfo(classOf[CountInExpr].getName, "graft_count_in"),
        arity("graft_count_in", 2)(c => CountInExpr(c(0), c(1)))),
+      // graft_quantize_i8(vec): symmetric per-vector int8 quantization
+      (FunctionIdentifier("graft_quantize_i8"),
+       new ExpressionInfo(classOf[QuantizeI8Expr].getName,
+         "graft_quantize_i8"),
+       arity("graft_quantize_i8", 1)(c => QuantizeI8Expr(c.head))),
+      // graft_dot_i8(a, b): exact integer dot of two int8 vectors
+      (FunctionIdentifier("graft_dot_i8"),
+       new ExpressionInfo(classOf[DotI8Expr].getName, "graft_dot_i8"),
+       arity("graft_dot_i8", 2)(c => DotI8Expr(c(0), c(1)))),
       // graft_top_count(arr): max element multiplicity (repetition stats)
       (FunctionIdentifier("graft_top_count"),
        new ExpressionInfo(classOf[TopCountExpr].getName, "graft_top_count"),

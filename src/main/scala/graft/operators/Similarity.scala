@@ -223,6 +223,65 @@ object Similarity {
       .drop("_p", "_pc")
   }
 
+  /** Int8-quantized ANN top-k with exact rerank: both sides are
+    * scalar-quantized to int8 (`graft_quantize_i8` — 4× narrower than
+    * the float vectors), the coarse score is an EXACT-integer quantized
+    * cosine (`graft_dot_i8` over the quantized vectors and their
+    * quantized norms — the per-vector scales cancel in the ratio, so no
+    * float arithmetic enters the coarse ranking at all), each query
+    * keeps its `rerank` best candidates, and only those survivors join
+    * back to the full-precision vectors for the exact cosine top-k.
+    *
+    * SCALE SHAPE: the corpus float vectors are touched exactly twice —
+    * once to quantize (scan-stage projection; at 100 TB you would
+    * materialize the quantized column once and amortize it across
+    * every query batch) and once in the rerank join, which is a
+    * BROADCAST join against |Q|·rerank surviving (query, cand) pairs.
+    * The coarse scoring pipeline itself carries byte arrays — a quarter
+    * of the broadcast and scoring width of `bruteForceTopK` — and like
+    * q24 it is bounded-by-contract on |Q|; compose with IVF cell
+    * blocking (`ivfTopK`) when the corpus side also needs bounding.
+    */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank window ($rerank) must be >= k ($k)")
+    ensureFns(corpus)
+    def qside(df: DataFrame, idAs: String, qvAs: String, qnAs: String) =
+      df.select(col(idCol).as(idAs),
+          call_function("graft_quantize_i8", col(vecCol)).as(qvAs))
+        .withColumn(qnAs,
+          sqrt(call_function("graft_dot_i8", col(qvAs), col(qvAs))
+            .cast("double")))
+    val cq = qside(corpus, "cand_id", "cqv", "cqn")
+    val qq = qside(queries, "query_id", "qqv", "qqn")
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(desc("qsim"), asc("cand_id"))
+    val survivors = cq
+      .join(broadcast(qq), col("query_id") =!= col("cand_id"))
+      .withColumn("qsim", round(
+        safeDiv(call_function("graft_dot_i8", col("qqv"), col("cqv"))
+          .cast("double"), col("qqn") * col("cqn")), 6))
+      .withColumn("crnk", row_number().over(wCoarse))
+      .where(col("crnk") <= rerank)
+      .select(col("query_id"), col("cand_id"))
+    // exact rerank over the survivors only: fetch full-precision vectors
+    // by id (broadcast the tiny survivor and query sides)
+    val cv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      nnorm(col(vecCol)).as("cnrm"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), nnorm(col(vecCol)).as("qnrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), asc("cand_id"))
+    cv.join(broadcast(survivors), Seq("cand_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("sim",
+        round(safeDiv(ndot(col("qv"), col("cv")),
+          col("qnrm") * col("cnrm")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("rnk"), col("sim"))
+  }
+
   /** One Lloyd (k-means) iteration over an embedding corpus: assign every
     * vector to its nearest centroid, then recompute per-cluster
     * element-wise means. Returns the LONG form (centroid_id, pos, mean,

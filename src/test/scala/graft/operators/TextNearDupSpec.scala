@@ -253,6 +253,44 @@ class SimilaritySpec extends SparkTestBase {
     assert(probe1 == argmax)
   }
 
+  test("int8 quantization: bounds, zeros, ties-away-from-zero rounding") {
+    graft.functions.GraftExtensions.installInto(spark)
+    import org.apache.spark.sql.functions.call_function
+    val df = Seq(
+      (1L, Array(1f, -1f, 0.5f, -0.5f)),   // ±127, round(63.5)=64, -64
+      (2L, Array(0f, 0f, 0f)),             // zero vector → zero bytes
+      (3L, Array(0.01f, 0.02f))
+    ).toDF("vec_id", "embedding")
+    val got = df.select($"vec_id",
+        call_function("graft_quantize_i8", $"embedding").as("qv"))
+      .as[(Long, Seq[Byte])].collect().toMap
+    assert(got(1L) == Seq[Byte](127, -127, 64, -64))
+    assert(got(2L) == Seq[Byte](0, 0, 0))
+    assert(got(3L) == Seq[Byte](64, 127)) // 0.01/0.02*127 = 63.5 → 64
+    val dots = df.where($"vec_id" === 1)
+      .select(call_function("graft_dot_i8",
+        call_function("graft_quantize_i8", $"embedding"),
+        call_function("graft_quantize_i8", $"embedding")))
+      .as[Long].collect()
+    assert(dots.toSeq == Seq(127L * 127 + 127L * 127 + 64L * 64 + 64L * 64))
+  }
+
+  test("quantizedTopK: high recall vs brute force, survivors-only rerank") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.quantizedTopK(q, emb, "vec_id", "embedding",
+        5, 20)
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect().toSet
+    // int8 with a 4x rerank window should recover nearly all true
+    // neighbors; require >= 80% overlap so a quantization regression
+    // (wrong rounding, broken dot) fails loudly
+    val overlap = (exact & quant).size.toDouble / exact.size
+    assert(overlap >= 0.8, s"recall $overlap; missing=${exact -- quant}")
+  }
+
   test("zero-norm query vectors assign deterministically, without ANSI errors") {
     // a zero-norm VECTOR has no signal against any centroid: every score
     // is the MinValue sentinel and both paths fall back to the lowest
