@@ -879,6 +879,35 @@ object SparkEntry {
         .orderBy(col("w_start"))
     }),
 
+    // Stream-static enrichment: the fact stream joins the customer
+    // dimension (broadcast — no stream shuffle, no state), then a
+    // watermarked daily window aggregates per nation. LEFT enrichment:
+    // events with no matching customer keep flowing (nation -1 bucket).
+    "q69_stream_enrich" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = graft.streaming.Streams.fileSource(
+        s, dir, batch.schema, globFilter = Some("events.parquet"))
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+      val enriched = graft.streaming.Streams.enrich(
+        stream.select(eventTimestamp("ts").as("ets"), col("user_id"),
+          col("value").cast("decimal(18,4)").as("v")),
+        dim, Seq("user_id"))
+      val agg = enriched
+        .withWatermark("ets", "0 seconds")
+        .groupBy(window(col("ets"), "1 day"),
+          coalesce(col("c_nationkey"), lit(-1L)).as("c_nationkey"))
+        .agg(count(lit(1)).as("n_events"), sum(col("v")).as("sum_value"))
+      val qname = "graft_q69_enrich"
+      val query = graft.streaming.Streams.drainToMemory(agg, qname).start()
+      try query.awaitTermination() finally query.stop()
+      s.table(qname).select(
+          col("window.start").cast("long").as("w_start"),
+          col("c_nationkey"), col("n_events"),
+          round(col("sum_value"), 4).cast("double").as("sum_value"))
+        .orderBy(col("w_start"), col("c_nationkey"))
+    }),
+
     // O2 sliding windows: 1-day windows every 12 hours — every event in
     // exactly two windows, both reproduced by the oracle's k ∈ {0,1}
     // cross join on epoch-aligned starts. DECIMAL sums for exactness.
@@ -1774,6 +1803,21 @@ object SparkEntry {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderkey, o_totalprice
          ORDER BY o_orderkey""",
+
+    "q69_stream_enrich" ->
+      """WITH e AS (
+           SELECT epoch_ns(ts) // 1000000000 AS t, user_id,
+                  CAST(value AS DECIMAL(18,4)) AS v
+           FROM events),
+         j AS (
+           SELECT e.t, e.v,
+                  CAST(coalesce(c.c_nationkey, -1) AS BIGINT)
+                    AS c_nationkey
+           FROM e LEFT JOIN customer c ON e.user_id = c.c_custkey)
+         SELECT (t // 86400) * 86400 AS w_start, c_nationkey,
+                count(*) AS n_events,
+                CAST(round(sum(v), 4) AS DOUBLE) AS sum_value
+         FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q54_stream_tumbling" ->
       """WITH e AS (

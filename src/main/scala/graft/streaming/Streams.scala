@@ -48,6 +48,19 @@ object Streams {
     stream.join(broadcast(markers.select(col(idCol)).distinct()),
       Seq(idCol), "left_semi")
 
+  /** Stream-static ENRICHMENT join: attach dimension attributes to every
+    * stream row (the classic fact-stream × dimension-table shape). The
+    * static side is broadcast, so the stream side needs no shuffle and
+    * no state — each micro-batch probes the same hash table; Spark
+    * re-plans the static side per batch, so a periodically refreshed
+    * dimension view is picked up automatically. Default LEFT join keeps
+    * stream rows with no dimension match (enrichment must not drop
+    * facts); pass "inner" to filter instead.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+             joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), keys, joinType)
+
   /** Watermarked tumbling-window counts/sums over event time. */
   def tumblingAgg(events: DataFrame, tsCol: String, valueCol: String,
                   window: String, watermark: String): DataFrame =

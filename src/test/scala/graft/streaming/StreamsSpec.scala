@@ -109,6 +109,26 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("enrich attaches dimension columns, keeps unmatched stream rows") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val dim = Seq((1L, "gold"), (3L, "silver")).toDF("user_id", "tier")
+    val out = Streams.enrich(in.toDF().toDF("user_id", "v"), dim,
+      Seq("user_id"))
+    val q = out.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, 1.0), (2L, 2.0), (3L, 3.0))
+      q.processAllAvailable()
+      val got = spark.table("enriched")
+        .select($"user_id", $"tier").as[(Long, Option[String])]
+        .collect().toSet
+      // LEFT enrichment: user 2 keeps flowing with a NULL tier
+      assert(got == Set((1L, Some("gold")), (2L, None),
+        (3L, Some("silver"))))
+    } finally q.stop()
+  }
+
   test("readyFilter keeps only marker-listed ids (stream-static semi-join)") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, String)]
