@@ -803,6 +803,14 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // RAG-style context-window chunking: 32-token chunks every 24
+    // tokens (8-token overlap), one row per chunk, scan-stage only.
+    "q70_token_chunks" -> ((s, dir) => {
+      TextAnalysis.tokenChunks(t(s, dir, "documents"), "doc_id", "text",
+          32, 24)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // Gopher-style repetition signals: top-token / top-2-gram max
     // multiplicity (native O(n) graft_top_count kernel), duplicate-
     // 2-gram fraction, and the composite repetition filter — all
@@ -2074,6 +2082,29 @@ object SparkEntry {
          FROM e x JOIN e y
            ON x.source = y.source AND x.fp = y.fp AND x.doc_id < y.doc_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q70_token_chunks" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         n AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+         c AS (
+           SELECT doc_id, toks,
+                  CASE WHEN n <= 32 THEN 1
+                       ELSE (n - 32 + 23) // 24 + 1 END AS nc
+           FROM n),
+         e AS (
+           SELECT doc_id, toks,
+                  unnest(generate_series(0, nc - 1)) AS chunk_id
+           FROM c)
+         SELECT doc_id, chunk_id,
+                CAST(len(list_slice(toks, chunk_id * 24 + 1,
+                  chunk_id * 24 + 32)) AS INTEGER) AS n_chunk_tokens,
+                array_to_string(list_slice(toks, chunk_id * 24 + 1,
+                  chunk_id * 24 + 32), ' ') AS chunk_text
+         FROM e ORDER BY doc_id, chunk_id""",
 
     "q68_quantized_ann" ->
       """WITH v AS (

@@ -263,6 +263,42 @@ object TextAnalysis {
       .drop("_n2", "_d2")
   }
 
+  /** Overlapping token-window chunks per document — the context-window
+    * preparation step of a RAG / training pipeline: chunk k covers
+    * tokens [k·stride, k·stride + chunkSize), so consecutive chunks
+    * overlap by chunkSize − stride tokens; the last chunk may be
+    * shorter, every token is covered, and a short doc yields exactly
+    * one chunk. One row per (doc, chunk): (idCol, chunk_id,
+    * n_chunk_tokens, chunk_text).
+    *
+    * Scan-stage all the way: tokenize once, one Generate multiplies
+    * rows by the (small) chunk count, and the slices/joins are
+    * codegen'd built-ins — no shuffle anywhere, so at 100 TB this is
+    * a pure map over the corpus with ~n/stride output amplification.
+    */
+  def tokenChunks(docs: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      s"need 1 <= stride <= chunkSize, got chunkSize=$chunkSize " +
+        s"stride=$stride")
+    val nChunks = when(col("_n") <= chunkSize, lit(1L))
+      // integer ceil((n - chunkSize) / stride) + 1, written as a floor
+      // over exact small-int doubles so any engine reproduces it
+      .otherwise(floor((col("_n") - chunkSize + stride - 1)
+        .cast("double") / stride).cast("long") + 1L)
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+      .withColumn("_nc", nChunks)
+      .select(col(idCol), col("_toks"),
+        explode(sequence(lit(0L), col("_nc") - 1)).as("chunk_id"))
+      .withColumn("_chunk", slice(col("_toks"),
+        (col("chunk_id") * stride + 1).cast("int"), lit(chunkSize)))
+      .select(col(idCol), col("chunk_id"),
+        size(col("_chunk")).as("n_chunk_tokens"),
+        concat_ws(" ", col("_chunk")).as("chunk_text"))
+  }
+
   /** SimHash bit contribution from md5 hex digits of each token: bit p
     * (0..63) draws from hex char p/2 of the token's md5 — even bits use
     * the char's LOW bit (values 1,3,5,7,9,b,d,f), odd bits its SECOND

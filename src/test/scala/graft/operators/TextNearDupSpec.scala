@@ -47,6 +47,29 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(q("div") > q("rep"))
   }
 
+  test("tokenChunks: overlap, full coverage, short docs, single chunk") {
+    val docs = Seq(
+      (1L, (1 to 10).map("t" + _).mkString(" ")), // 10 toks: 3 chunks
+      (2L, "a b c"),                              // short: 1 whole chunk
+      (3L, (1 to 4).map("t" + _).mkString(" "))   // == chunkSize: 1 chunk
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenChunks(docs, "doc_id", "text", 4, 3)
+      .select($"doc_id", $"chunk_id", $"n_chunk_tokens", $"chunk_text")
+      .as[(Long, Long, Int, String)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // doc 1: ceil((10-4)/3)+1 = 3 chunks at starts 0,3,6
+    assert(got((1L, 0L)) == (4, "t1 t2 t3 t4"))
+    assert(got((1L, 1L)) == (4, "t4 t5 t6 t7")) // 1-token overlap
+    assert(got((1L, 2L)) == (4, "t7 t8 t9 t10"))
+    assert(got((2L, 0L)) == (3, "a b c"))
+    assert(got((3L, 0L)) == (4, "t1 t2 t3 t4"))
+    assert(got.size == 5)
+    // every token of doc 1 appears in some chunk (full coverage)
+    val covered = got.collect { case ((1L, _), (_, txt)) => txt }
+      .flatMap(_.split(" ")).toSet
+    assert(covered == (1 to 10).map("t" + _).toSet)
+  }
+
   test("graft_top_count == the O(n²) Column formulation on the real corpus") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftExtensions.installInto(spark)
