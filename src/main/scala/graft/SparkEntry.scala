@@ -803,6 +803,17 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Sequence packing: greedily pack docs (in id order, per source)
+    // into 128-token training sequences — one shuffle + a streaming
+    // O(1)-state pass; the oracle walks the same greedy recurrence with
+    // a recursive CTE.
+    "q71_seq_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("source"),
+        col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Packing.packSequences(docs, "source", "doc_id", "n_tokens", 128)
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // RAG-style context-window chunking: 32-token chunks every 24
     // tokens (8-token overlap), one row per chunk, scan-stage only.
     "q70_token_chunks" -> ((s, dir) => {
@@ -2082,6 +2093,34 @@ object SparkEntry {
          FROM e x JOIN e y
            ON x.source = y.source AND x.fp = y.fp AND x.doc_id < y.doc_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q71_seq_pack" ->
+      """WITH RECURSIVE base AS (
+           SELECT source, doc_id,
+                  CAST(len(string_split(trim(regexp_replace(lower(
+                    coalesce(text, '')), '\s+', ' ', 'g')), ' '))
+                    AS BIGINT) AS n_tokens,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY doc_id) AS rn
+           FROM documents),
+         walk AS (
+           SELECT source, doc_id, n_tokens, rn,
+                  CAST(0 AS BIGINT) AS seq_id,
+                  CAST(0 AS BIGINT) AS seq_off,
+                  n_tokens AS fill
+           FROM base WHERE rn = 1
+           UNION ALL
+           SELECT b.source, b.doc_id, b.n_tokens, b.rn,
+                  CASE WHEN w.fill > 0 AND w.fill + b.n_tokens > 128
+                       THEN w.seq_id + 1 ELSE w.seq_id END,
+                  CASE WHEN w.fill > 0 AND w.fill + b.n_tokens > 128
+                       THEN CAST(0 AS BIGINT) ELSE w.fill END,
+                  CASE WHEN w.fill > 0 AND w.fill + b.n_tokens > 128
+                       THEN b.n_tokens ELSE w.fill + b.n_tokens END
+           FROM walk w JOIN base b
+             ON b.source = w.source AND b.rn = w.rn + 1)
+         SELECT source, doc_id, n_tokens, seq_id, seq_off
+         FROM walk ORDER BY source, doc_id""",
 
     "q70_token_chunks" ->
       """WITH d AS (

@@ -47,6 +47,30 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(q("div") > q("rep"))
   }
 
+  test("packSequences: greedy fill, exact-fit, oversized docs, group reset") {
+    val docs = Seq(
+      // group A, budget 10: 4+6 fits exactly (fill+n > B is STRICT),
+      // then 1 overflows → seq 1; a 25-token doc gets its own sequence;
+      // the doc after it starts fresh
+      ("A", 1L, 4L), ("A", 2L, 6L), ("A", 3L, 1L), ("A", 4L, 25L),
+      ("A", 5L, 2L),
+      // group B resets the state
+      ("B", 6L, 9L), ("B", 7L, 2L)
+    ).toDF("source", "doc_id", "n_tokens")
+    val got = Packing.packSequences(docs, "source", "doc_id", "n_tokens",
+        10L)
+      .select($"doc_id", $"seq_id", $"seq_off")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == (0L, 0L))
+    assert(got(2L) == (0L, 4L)) // exact fit stays in seq 0
+    assert(got(3L) == (1L, 0L))
+    assert(got(4L) == (2L, 0L)) // oversized → own sequence
+    assert(got(5L) == (3L, 0L)) // and the next doc starts fresh
+    assert(got(6L) == (0L, 0L)) // group B starts at seq 0 again
+    assert(got(7L) == (1L, 0L)) // 9+2 > 10
+  }
+
   test("tokenChunks: overlap, full coverage, short docs, single chunk") {
     val docs = Seq(
       (1L, (1 to 10).map("t" + _).mkString(" ")), // 10 toks: 3 chunks
