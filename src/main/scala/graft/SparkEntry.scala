@@ -832,6 +832,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Bloom-prefiltered decontamination: identical results to the exact
+    // contamination count (the Bloom filter only prunes; the confirming
+    // semi-join removes false positives) — the shape that survives a
+    // benchmark gram set too big to broadcast. Oracle = plain exact SQL.
+    "q72_bloom_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      NearDup.bloomContamination(
+          docs.where(col("doc_id") % 20 =!= 0),
+          docs.where(col("doc_id") % 20 === 0), "doc_id", "text", 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // Training-set decontamination: drop every training doc sharing a
     // 5-token shingle with the benchmark split (doc_id % 20 == 0 plays
     // the eval set). Both operator outputs are checked in one frame:
@@ -2093,6 +2105,26 @@ object SparkEntry {
          FROM e x JOIN e y
            ON x.source = y.source AND x.fp = y.fp AND x.doc_id < y.doc_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q72_bloom_decontaminate" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             unnest(list_distinct(CASE WHEN len(toks) < 5
+               THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(toks) - 4),
+                 i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+               END)) AS shingle
+           FROM d),
+         bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0)
+         SELECT s.doc_id, count(*) AS n_shared_grams
+         FROM sh s JOIN bench b USING (shingle)
+         WHERE s.doc_id % 20 != 0
+         GROUP BY 1 ORDER BY 1""",
 
     "q71_seq_pack" ->
       """WITH RECURSIVE base AS (

@@ -191,6 +191,27 @@ object GraftExtensions {
       (FunctionIdentifier("graft_count_in"),
        new ExpressionInfo(classOf[CountInExpr].getName, "graft_count_in"),
        arity("graft_count_in", 2)(c => CountInExpr(c(0), c(1)))),
+      // graft_bloom_agg(xxh64, items, bits): Bloom filter aggregate over
+      // pre-hashed LONG values — Spark's own runtime-filter aggregate
+      // (internal, not SQL-registered upstream), exposed for explicit
+      // membership prefilters
+      (FunctionIdentifier("graft_bloom_agg"),
+       new ExpressionInfo(
+         classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+           .BloomFilterAggregate].getName, "graft_bloom_agg"),
+       arity("graft_bloom_agg", 3)(c =>
+         new org.apache.spark.sql.catalyst.expressions.aggregate
+           .BloomFilterAggregate(c(0), c(1), c(2)))),
+      // graft_might_contain(bf, xxh64): Bloom membership probe; the
+      // filter side must be a literal/foldable (collect the one-row
+      // aggregate and inline it via lit())
+      (FunctionIdentifier("graft_might_contain"),
+       new ExpressionInfo(
+         classOf[org.apache.spark.sql.catalyst.expressions
+           .BloomFilterMightContain].getName, "graft_might_contain"),
+       arity("graft_might_contain", 2)(c =>
+         org.apache.spark.sql.catalyst.expressions
+           .BloomFilterMightContain(c(0), c(1)))),
       // graft_quantize_i8(vec): symmetric per-vector int8 quantization
       (FunctionIdentifier("graft_quantize_i8"),
        new ExpressionInfo(classOf[QuantizeI8Expr].getName,

@@ -488,4 +488,41 @@ object NearDup {
                     textCol: String, n: Int): DataFrame =
     train.join(contamination(train, bench, idCol, textCol, n),
       Seq(idCol), "left_anti")
+
+  /** [[contamination]] behind a Bloom prefilter — EXACTLY the same
+    * result (the Bloom filter only prunes; the confirming semi-join
+    * removes its false positives), different scale shape: when the
+    * benchmark shingle set is too big to broadcast outright (~10⁸
+    * grams), a Bloom filter at ~8 bits/gram is 100× smaller than the
+    * string set, ships to every task as one binary literal, and kills
+    * the overwhelmingly-non-matching corpus shingles in the SCAN stage
+    * — so the confirming join (deliberately NOT broadcast-hinted; it
+    * shuffles only Bloom survivors) touches a tiny fraction of the
+    * corpus. The one-row filter aggregate is collected and inlined as a
+    * literal (Catalyst requires the probe's filter side foldable) — the
+    * same small-by-contract driver-side step as IVF's centroid collect.
+    */
+  def bloomContamination(train: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String, n: Int,
+                         expectedItems: Long = 100000L,
+                         numBits: Long = 800000L): DataFrame = {
+    graft.functions.GraftExtensions.installInto(train.sparkSession)
+    val bg = shingleRows(bench, idCol, Seq.empty, textCol, n)
+      .select(col("shingle")).distinct()
+    val bfBytes = bg
+      .agg(call_function("graft_bloom_agg", xxhash64(col("shingle")),
+        lit(expectedItems), lit(numBits)).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val tg = shingleRows(train, idCol, Seq.empty, textCol, n)
+    // an empty benchmark aggregates to a NULL filter — nothing can be
+    // contaminated (a NULL probe would also drop every row; this is
+    // just the explicit spelling)
+    val pre =
+      if (bfBytes == null) tg.where(lit(false))
+      else tg.where(call_function("graft_might_contain", lit(bfBytes),
+        xxhash64(col("shingle"))))
+    pre.join(bg, Seq("shingle"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
 }

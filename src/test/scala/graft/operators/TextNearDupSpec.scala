@@ -186,6 +186,24 @@ class NearDupSpec extends SparkTestBase {
     assert(kept == Set(2L, 3L, 4L))
   }
 
+  test("bloomContamination == exact contamination (bloom only prunes)") {
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = corpus.where($"doc_id" % 20 === 0)
+    val train = corpus.where($"doc_id" % 20 =!= 0)
+    val exact = NearDup.contamination(train, bench, "doc_id", "text", 3)
+      .as[(Long, Long)].collect().toMap
+    val bloom = NearDup
+      .bloomContamination(train, bench, "doc_id", "text", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(exact.nonEmpty) // 3-grams must actually contaminate something
+    assert(bloom == exact)
+    // the prefilter must actually be in the plan, as a scan-stage probe
+    val p = NearDup.bloomContamination(train, bench, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), s"bloom probe missing:\n$p")
+  }
+
   test("maxDf cap drops hot shingles and recounts set sizes consistently") {
     // "a b c" is shared by ALL five docs (the hot stopword-gram); each
     // doc's remaining shingles overlap only within the d1/d2 pair.
