@@ -864,6 +864,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Duplicate-class closure: the q21 pair emitter finds EDGES; the
+    // curation decision needs the transitive closure (A≈B≈C ⇒ one
+    // class). Hash-min label propagation over the pair graph — each
+    // round one join + one min-aggregate, rounds = diameter (small by
+    // construction for dedup graphs). Every doc gets its class
+    // representative (min reachable id) + class size; "keep one per
+    // class" downstream is doc_id === component.
+    "q73_dup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = NearDup.jaccardPairs(docs, "doc_id", "text",
+        "source", 3, 0.01)
+      Components.duplicateClusters(docs, pairs, "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Dedup modality 5: embedding-cosine near-duplicates, IVF-cell
     // blocked (never all-pairs — see Similarity.cosineNearDupPairs).
     // Oracle reproduces the cell assignment + threshold in SQL.
@@ -1445,6 +1460,45 @@ object SparkEntry {
          WHERE round(CAST(n_common AS DOUBLE)
                      / (ca.n_sh + cb.n_sh - n_common), 6) >= 0.01
          ORDER BY a, b""",
+
+    "q73_dup_clusters" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, source,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, source,
+             unnest(list_distinct(CASE WHEN len(toks) < 3
+               THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(toks) - 2),
+                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+               END)) AS shingle
+           FROM d),
+         cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         pr AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+           FROM sh x JOIN sh y
+             ON x.source = y.source AND x.shingle = y.shingle
+             AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         edges AS (
+           SELECT a, b FROM pr
+           JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+           WHERE round(CAST(n_common AS DOUBLE)
+                       / (ca.n_sh + cb.n_sh - n_common), 6) >= 0.01),
+         sym AS (SELECT a AS src, b AS dst FROM edges
+                 UNION ALL SELECT b, a FROM edges),
+         reach(id, lab) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT sym.dst, reach.lab
+           FROM sym JOIN reach ON sym.src = reach.id),
+         comp AS (SELECT id AS doc_id, min(lab) AS component
+                  FROM reach GROUP BY id)
+         SELECT doc_id, component,
+                count(*) OVER (PARTITION BY component) AS cluster_size
+         FROM comp ORDER BY doc_id""",
 
     "q22_minhash_lsh" ->
       """WITH d AS (

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ComponentsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Reference union-find, for property-testing the distributed answer. */
+  private def bruteComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("chain, clique, and singleton-free edge graph converge to min id") {
+    // chain 1-2-3-4, clique {10,11,12}, pair {20,21}
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L)).toDF("a", "b")
+    val got = Components.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("self-loops and duplicate edges are absorbed") {
+    val edges = Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L)).toDF("a", "b")
+    val got = Components.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("random graphs match union-find (seeded property)") {
+    val rnd = new scala.util.Random(31)
+    for (_ <- 1 to 8) {
+      val es = Seq.fill(30)((rnd.nextLong(20), rnd.nextLong(20)))
+      val got = Components.connectedComponents(es.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == bruteComponents(es))
+    }
+  }
+
+  test("duplicateClusters keeps singletons and sizes the classes") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = Components.duplicateClusters(docs, pairs, "doc_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (4L, 4L, 1L), (5L, 5L, 1L)))
+    // keep-one-per-class = id === component
+    assert(got.filter(r => r._1 == r._2).map(_._1).toSeq == Seq(1L, 4L, 5L))
+  }
+
+  test("non-dedup-shaped graph trips the round guard, not an endless job") {
+    // a 30-long path has diameter 29 > maxRounds
+    val chain = (0L until 30L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Components.connectedComponents(chain, "a", "b", maxRounds = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+}
