@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -13,76 +13,159 @@ import org.apache.spark.sql.functions._
   * (program/src/main/scala/hmushtaq/sparkga1/SparkGA1.scala:822-851);
   * this generalizes to the graph closure.
   *
-  * Algorithm: distributed hash-min label propagation. Every node starts
-  * labeled with its own id; each round every node takes the min of its
-  * label and its neighbors' labels; fixpoint = every node carries the
-  * min id of its component. Each round is ONE shuffle join (edges ×
-  * labels) + ONE min-aggregate — both hash-partitioned on the same id
-  * key, so consecutive rounds reuse the partitioning. Labels persist
-  * per round (MEMORY_AND_DISK) and the previous round unpersists, so
-  * lineage stays one round deep — no recursive plan blow-up.
+  * Two algorithms, selected automatically by graph shape:
   *
-  * SCALE: rounds = graph diameter. Near-dup graphs are piles of small
-  * dense clusters (LSH buckets emit cliques), so diameter is small —
-  * single digits even at corpus scale — and the per-round shuffle
-  * volume is O(|pairs|), which near-dup emitters already bound far
-  * below corpus size. The convergence probe (`limit(1)` over changed
-  * labels) short-circuits at the first change and rides the persisted
-  * frames. For adversarially chain-shaped graphs (diameter ~ n: linked
-  * lists, road networks — not dedup output), switch to alternating
-  * large-star/small-star contraction (Kiveris et al., SoCC 2014), which
-  * converges in O(log n) rounds with the same join+min building blocks;
-  * `maxRounds` is the guard that turns a mis-shaped input into an error
-  * instead of an unbounded job.
+  *  1. '''Hash-min label propagation''' — every node starts labeled with
+  *     its own id; each round every node takes the min of its label and
+  *     its neighbors' labels; fixpoint = every node carries its
+  *     component's min id. One shuffle join + one min-aggregate per
+  *     round, rounds = graph diameter. Near-dup graphs are piles of
+  *     small dense clusters (LSH buckets emit cliques), so diameter is
+  *     single-digit even at corpus scale.
+  *  2. '''Alternating large-star / small-star contraction''' (Kiveris et
+  *     al., "Connected Components in MapReduce and Beyond", SoCC 2014) —
+  *     O(log n) rounds regardless of diameter. Selected automatically
+  *     when hash-min hasn't converged within ~log₂(n) rounds, i.e. the
+  *     input turned out chain-shaped (low-threshold pair lists, road-
+  *     network-like graphs) rather than dedup-shaped.
+  *
+  * LINEAGE: each round's frame is pinned with an EAGER
+  * `localCheckpoint`, which both materializes it (so the convergence
+  * probe never recomputes through earlier rounds) and replaces its
+  * logical plan with a `LogicalRDD` over the cached partitions. A plain
+  * `persist()` would NOT do the second half: it short-circuits
+  * execution but leaves the analyzed plan growing ~3× per round (the
+  * propagation join, the union, and the probe each re-reference the
+  * previous round), and plan copy/stringification under AQE goes
+  * exponential — the round-4 sf0.1 OOM. With the checkpoint the plan is
+  * O(1) per round; superseded rounds' cached blocks are released by the
+  * ContextCleaner as the frames become unreachable.
   */
 object Components {
+
+  /** Eager local checkpoint: materialize AND truncate lineage — the
+    * returned frame's logical plan is a single `LogicalRDD`, so
+    * iterative reuse can't grow the plan tree (see class doc).
+    */
+  private def pin(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+
+  private def symmetrize(edges: DataFrame, aCol: String, bCol: String)
+      : DataFrame =
+    edges.select(col(aCol).as("s"), col(bCol).as("d"))
+      .union(edges.select(col(bCol).as("s"), col(aCol).as("d")))
 
   /** (id, component) for every node appearing in `edges`, where
     * `component` is the smallest node id reachable over the undirected
     * edge list. Ids must be non-null; self-loops and duplicate edges are
-    * harmless (min() absorbs them).
+    * harmless (min() absorbs them). `maxRounds` bounds the hash-min
+    * phase; a graph that is still unconverged after ~log₂(n) rounds
+    * hands off to [[starContraction]] (seeded with the partial labels,
+    * which preserve components and shrink the remaining diameter).
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxRounds: Int = 25): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // symmetric closure once; both propagation joins read it
-    val sym = edges.select(col(aCol).as("s"), col(bCol).as("d"))
-      .union(edges.select(col(bCol).as("s"), col(aCol).as("d")))
-      .persist(lvl)
-    var labels = sym.select(col("s").as("id")).distinct()
-      .select(col("id"), col("id").as("lab"))
-      .persist(lvl)
+    val sym = pin(symmetrize(edges, aCol, bCol))
+    var labels = pin(sym.select(col("s").as("id")).distinct()
+      .select(col("id"), col("id").as("lab")))
+    val n = labels.count()
+    // rounds = diameter for hash-min; past ~log2(n) the graph is
+    // chain-shaped and star contraction wins — don't grind to maxRounds
+    val budget = math.min(maxRounds.toLong,
+      (64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 2) - 1)) + 3L)
     var converged = false
     var round = 0
-    while (!converged && round < maxRounds) {
+    while (!converged && round < budget) {
       val prop = sym
         .join(labels.select(col("id").as("s"), col("lab")), Seq("s"))
         .select(col("d").as("id"), col("lab"))
-      val next = prop.union(labels)
-        .groupBy(col("id")).agg(min(col("lab")).as("lab"))
-        .persist(lvl)
-      // pin the whole round in cache BEFORE the previous round
-      // unpersists — the limit(1) probe alone may materialize only some
-      // partitions, and a partially-cached round would recompute through
-      // the unpersisted chain next iteration
-      next.count()
+      val next = pin(prop.union(labels)
+        .groupBy(col("id")).agg(min(col("lab")).as("lab")))
       // labels only ever decrease, so "no label changed" = fixpoint.
-      // Both sides are hash-partitioned on id (groupBy output) — the
-      // probe join adds no exchange, and limit(1) stops at first change.
+      // Both sides are checkpointed — the probe rides cached partitions
+      // and limit(1) stops at the first change.
       val changed = next
         .join(labels.withColumnRenamed("lab", "prev"), Seq("id"))
         .where(col("lab") =!= col("prev"))
         .limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0L
       round += 1
     }
-    sym.unpersist()
+    val out =
+      if (converged) labels.select(col("id"), col("lab").as("component"))
+      else starContraction(
+        sym.select(col("s").as("a"), col("d").as("b"))
+          .union(labels.where(col("id") =!= col("lab"))
+            .select(col("id").as("a"), col("lab").as("b"))),
+        "a", "b")
+    out
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., SoCC 2014) — O(log n) rounds
+    * independent of graph diameter, the scale path for chain-shaped
+    * graphs where hash-min's rounds-=-diameter behavior is fatal.
+    *
+    *  - Large-star: every node attaches its LARGER neighbors to the
+    *    minimum of its closed neighborhood — one groupBy-min + one join
+    *    over the symmetric edge list.
+    *  - Small-star: with edges oriented big→small, every node attaches
+    *    its smaller neighbors AND itself to its minimum neighbor.
+    *
+    * Fixpoint (edge set unchanged — checked with an exact anti-join, not
+    * a hash signature that could collide into a silent mislabel) is a
+    * union of stars rooted at each component's min id. Per round: a
+    * bounded number of shuffles over O(|edges|) rows, every frame
+    * checkpointed so the plan stays O(1) (see class doc).
+    */
+  def starContraction(edges: DataFrame, aCol: String, bCol: String,
+                      maxRounds: Int = 60): DataFrame = {
+    val nodes = pin(edges.select(col(aCol).as("id"))
+      .union(edges.select(col(bCol).as("id"))).distinct())
+    // canonical orientation big→small; drops self-loops and dup edges
+    var e = pin(edges
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+              least(col(aCol), col(bCol)).as("v"))
+      .where(col("u") =!= col("v")).distinct())
+    var eCount = e.count()
+    var converged = eCount == 0L
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // LARGE-STAR: center every node over the symmetric neighborhood;
+      // m = min(Γ(u) ∪ {u}) = least(min neighbor, u); emit (v, m) for
+      // every neighbor v > u. m ≤ u < v, so output is already canonical.
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val lmin = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      val large = sym.join(lmin, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
+        .distinct()
+      // SMALL-STAR: edges already oriented big→small, so every neighbor
+      // of center u is smaller; m = min(N(u)); attach every smaller
+      // neighbor and u itself to m.
+      val smin = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = pin(large.join(smin, Seq("u"))
+        .select(col("v").as("x"), col("m"))
+        .union(smin.select(col("u").as("x"), col("m")))
+        .where(col("x") =!= col("m"))
+        .select(col("x").as("u"), col("m").as("v"))
+        .distinct())
+      val nextCount = next.count()
+      converged = nextCount == eCount &&
+        next.join(e, Seq("u", "v"), "left_anti").isEmpty
+      e = next
+      eCount = nextCount
+      round += 1
+    }
     require(converged,
-      s"connectedComponents did not converge in $maxRounds rounds — " +
-        "input is not dedup-shaped (huge diameter); use star contraction")
-    labels.select(col("id"), col("lab").as("component"))
+      s"starContraction did not converge in $maxRounds rounds")
+    // converged star: every non-root has exactly one edge to its root;
+    // roots and isolated nodes label themselves
+    nodes
+      .join(e.select(col("u").as("id"), col("v").as("component")),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"))
   }
 
   /** Every doc labeled with its duplicate-class representative:

@@ -58,12 +58,59 @@ class ComponentsSpec extends SparkTestBase {
     assert(got.filter(r => r._1 == r._2).map(_._1).toSeq == Seq(1L, 4L, 5L))
   }
 
-  test("non-dedup-shaped graph trips the round guard, not an endless job") {
-    // a 30-long path has diameter 29 > maxRounds
+  test("chain-shaped graph auto-switches to star contraction") {
+    // a 30-long path has diameter 29 ≫ the 3-round hash-min budget; the
+    // old behavior was a require-abort — now the operator hands off to
+    // star contraction (seeded with the partial labels) and converges
     val chain = (0L until 30L).sliding(2).map(s => (s(0), s(1))).toSeq
       .toDF("a", "b")
+    val got = Components.connectedComponents(chain, "a", "b", maxRounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L until 30L).map(_ -> 0L).toMap)
+  }
+
+  test("logical plan stays O(1) across propagation rounds") {
+    // diameter-4 path: several hash-min rounds within budget. Round 4's
+    // OOM root cause was the plan tree growing ~3× per round (persist()
+    // truncates execution, not the analyzed plan); the eager
+    // localCheckpoint pins it to a LogicalRDD, so the returned frame's
+    // plan must be round-count-independent and tiny.
+    val chain = (0L until 5L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("a", "b")
+    val out = Components.connectedComponents(chain, "a", "b")
+    val planNodes = out.queryExecution.analyzed.collect { case p => p }.size
+    assert(planNodes <= 10, s"plan grew with rounds: $planNodes nodes")
+    assert(out.as[(Long, Long)].collect().toMap ==
+      (0L until 5L).map(_ -> 0L).toMap)
+  }
+
+  test("star contraction converges on a 10k-node path graph") {
+    // diameter 9,999 — hash-min territory would be 10k rounds; the
+    // alternating large-star/small-star loop must do it in O(log n)
+    val n = 10000L
+    val chain = (0L until n).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("a", "b")
+    val got = Components.starContraction(chain, "a", "b")
+      .as[(Long, Long)].collect()
+    assert(got.length == n)
+    assert(got.forall(_._2 == 0L))
+  }
+
+  test("star contraction matches union-find on random graphs") {
+    val rnd = new scala.util.Random(47)
+    for (_ <- 1 to 5) {
+      val es = Seq.fill(40)((rnd.nextLong(25), rnd.nextLong(25)))
+      val got = Components.starContraction(es.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == bruteComponents(es))
+    }
+  }
+
+  test("star contraction round guard still trips when exhausted") {
+    val chain = (0L until 200L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("a", "b")
     val e = intercept[IllegalArgumentException] {
-      Components.connectedComponents(chain, "a", "b", maxRounds = 3)
+      Components.starContraction(chain, "a", "b", maxRounds = 1)
     }
     assert(e.getMessage.contains("did not converge"))
   }
