@@ -12,6 +12,20 @@ import org.apache.spark.sql.SparkSession
   * transient machine stall inflate a 0.7 s query to 13.9 s in a recorded
   * run. The JSON also carries per-query spread (max − min across reps)
   * so a reader can see how trustworthy each median is.
+  *
+  * FAILURE CONTAINMENT: a query that fails its first rep is NOT retried
+  * — a pathological query (an OOM with minutes of GC thrash) must cost
+  * one rep, not reps× its time-to-failure; it reports -1 and is excluded
+  * from the total. Every query's result is also echoed to stderr AS IT
+  * COMPLETES, so a run killed by an external timeout still leaves every
+  * finished number behind (round 4 recorded nothing because one bad
+  * query tripled its damage and blew the harness limit).
+  *
+  * STREAMING WARM-UP: the first streaming query of a run pays the
+  * one-time micro-batch machinery cost (state-store init, streaming-
+  * specific codegen) — recorded runs swung 10-60× across rounds on
+  * streaming medians for harness reasons, not engine reasons. One
+  * throwaway drain before the timed loop absorbs it.
   */
 object Bench {
   private def median(xs: Seq[Double]): Double = {
@@ -28,31 +42,47 @@ object Bench {
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT/codegen warm-up so per-query numbers measure the plan, not the
-    // first-call compilation overhead.
-    SparkEntry.queries("q1_agg")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
     val only = args.toSet
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(q => only.isEmpty || only(q._1)).map {
-      case (name, fn) =>
-        val times = (1 to reps).flatMap { _ =>
-          val t0 = System.nanoTime()
-          val ok =
-            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}")
-              false
-            }
-          val elapsed = (System.nanoTime() - t0) / 1e9
-          // operators may persist intermediates (their cost is inside the
-          // timed region); drop them so queries don't degrade each other.
-          spark.catalog.clearCache()
-          if (ok) Some(elapsed) else None
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.isEmpty || only(q._1))
+    // JIT/codegen warm-up so per-query numbers measure the plan, not the
+    // first-call compilation overhead; plus one throwaway streaming
+    // drain if any streaming query is in the run (see class doc).
+    def runOnce(name: String): Unit =
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
+      }
+    runOnce("q1_agg")
+    selected.collectFirst { case (n, _) if n.contains("stream") => n }
+      .foreach(runOnce)
+    spark.catalog.clearCache()
+    val results = selected.map { case (name, fn) =>
+      val times = scala.collection.mutable.ArrayBuffer[Double]()
+      var failed = false
+      var rep = 0
+      // fail fast: one failed rep marks the query failed and stops —
+      // re-proving a failure reps× is what erased round 4's numbers
+      while (rep < reps && !failed) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          times += (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failed = true
         }
-        // any failed rep marks the query failed — a partial median would
-        // silently blend successful and failed executions
-        (name, times, times.length == reps)
+        // operators may persist intermediates (their cost is inside the
+        // timed region); drop them so queries don't degrade each other.
+        spark.catalog.clearCache()
+        rep += 1
+      }
+      val med = if (failed) -1.0 else median(times.toSeq)
+      // incremental checkpoint: a killed run keeps every finished number
+      System.err.println(f"[bench] $name median=$med%.4f " +
+        f"spread=${if (failed || times.isEmpty) -1.0 else times.max - times.min}%.4f")
+      (name, times.toSeq, !failed)
     }
     // a failed query reports -1 and is EXCLUDED from the total — folding
     // its time-to-failure in would silently report a total over a

@@ -443,23 +443,32 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
-    // Real media decode: synthesize a genuine BMP (even doc_id) or
-    // PCM-16 WAV (odd) per document with doc_id-determined parameters,
+    // Real media decode: synthesize a genuine BMP / PCM-16 WAV / JPEG /
+    // GIF (doc_id % 4) per document with doc_id-determined parameters,
     // then recover width/height/sample-rate/channels by parsing the
     // actual file bytes distributed (extractFeatures → decodeMedia).
-    // The oracle reproduces the parameter arithmetic + size formulas —
-    // the encode→decode byte round-trip is what's under test.
+    // JPEG dims come from a marker-segment walk to SOF0 (past a
+    // variable-length COM segment, so the walk is exercised, not just a
+    // fixed offset); GIF from the logical screen descriptor. The oracle
+    // reproduces the parameter arithmetic + size formulas — the
+    // encode→decode byte round-trip is what's under test.
     "q64_media_decode" -> ((s, dir) => {
       val spark2 = s
       import spark2.implicits._
       val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
         .map { id =>
-          val bytes =
-            if (id % 2 == 0)
+          val bytes = (id % 4) match {
+            case 0 =>
               Multimodal.encodeBmp((id % 37).toInt + 1, (id % 23).toInt + 1)
-            else
+            case 1 =>
               Multimodal.encodeWav(8000 + (id % 5).toInt * 1000,
                 ((id / 5) % 2).toInt + 1, (id % 50).toInt + 100)
+            case 2 =>
+              Multimodal.encodeJpeg((id % 41).toInt + 1, (id % 29).toInt + 1,
+                (id % 16).toInt)
+            case _ =>
+              Multimodal.encodeGif((id % 31).toInt + 1, (id % 17).toInt + 1)
+          }
           (id, bytes)
         }.toDF("doc_id", "payload")
       Multimodal.extractFeatures(s, media, "doc_id")
@@ -875,6 +884,19 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val pairs = NearDup.jaccardPairs(docs, "doc_id", "text",
         "source", 3, 0.01)
+      Components.duplicateClusters(docs, pairs, "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Same closure at the curation-realistic threshold (0.5): the pair
+    // graph is clique-shaped (LSH-bucket-like), so hash-min converges in
+    // single-digit rounds — the documented fast path — where q73's 0.01
+    // stress threshold yields a chain-shaped graph that exercises the
+    // star-contraction fallback.
+    "q74_dup_clusters_strict" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = NearDup.jaccardPairs(docs, "doc_id", "text",
+        "source", 3, 0.5)
       Components.duplicateClusters(docs, pairs, "doc_id")
         .orderBy(col("doc_id"))
     }),
@@ -1500,6 +1522,45 @@ object SparkEntry {
                 count(*) OVER (PARTITION BY component) AS cluster_size
          FROM comp ORDER BY doc_id""",
 
+    "q74_dup_clusters_strict" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, source,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, source,
+             unnest(list_distinct(CASE WHEN len(toks) < 3
+               THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(toks) - 2),
+                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+               END)) AS shingle
+           FROM d),
+         cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         pr AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+           FROM sh x JOIN sh y
+             ON x.source = y.source AND x.shingle = y.shingle
+             AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         edges AS (
+           SELECT a, b FROM pr
+           JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+           WHERE round(CAST(n_common AS DOUBLE)
+                       / (ca.n_sh + cb.n_sh - n_common), 6) >= 0.5),
+         sym AS (SELECT a AS src, b AS dst FROM edges
+                 UNION ALL SELECT b, a FROM edges),
+         reach(id, lab) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT sym.dst, reach.lab
+           FROM sym JOIN reach ON sym.src = reach.id),
+         comp AS (SELECT id AS doc_id, min(lab) AS component
+                  FROM reach GROUP BY id)
+         SELECT doc_id, component,
+                count(*) OVER (PARTITION BY component) AS cluster_size
+         FROM comp ORDER BY doc_id""",
+
     "q22_minhash_lsh" ->
       """WITH d AS (
            SELECT doc_id,
@@ -1673,21 +1734,27 @@ object SparkEntry {
 
     "q64_media_decode" ->
       """SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 37 + 1
-                     ELSE -1 END AS INTEGER) AS width,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 23 + 1
-                     ELSE -1 END AS INTEGER) AS height,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN -1
-                     ELSE 8000 + (doc_id % 5) * 1000 END AS INTEGER)
-             AS sample_rate,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN -1
-                     ELSE (doc_id // 5) % 2 + 1 END AS INTEGER) AS channels,
-           CAST(CASE WHEN doc_id % 2 = 0
-                THEN 54 + (doc_id % 23 + 1)
+           CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav'
+                           WHEN 2 THEN 'jpeg' ELSE 'gif' END AS format,
+           CAST(CASE doc_id % 4 WHEN 0 THEN doc_id % 37 + 1
+                                WHEN 2 THEN doc_id % 41 + 1
+                                WHEN 3 THEN doc_id % 31 + 1
+                                ELSE -1 END AS INTEGER) AS width,
+           CAST(CASE doc_id % 4 WHEN 0 THEN doc_id % 23 + 1
+                                WHEN 2 THEN doc_id % 29 + 1
+                                WHEN 3 THEN doc_id % 17 + 1
+                                ELSE -1 END AS INTEGER) AS height,
+           CAST(CASE doc_id % 4 WHEN 1 THEN 8000 + (doc_id % 5) * 1000
+                                ELSE -1 END AS INTEGER) AS sample_rate,
+           CAST(CASE doc_id % 4 WHEN 1 THEN (doc_id // 5) % 2 + 1
+                                ELSE -1 END AS INTEGER) AS channels,
+           CAST(CASE doc_id % 4
+                WHEN 0 THEN 54 + (doc_id % 23 + 1)
                      * (((doc_id % 37 + 1) * 3 + 3) // 4 * 4)
-                ELSE 44 + (doc_id % 50 + 100) * ((doc_id // 5) % 2 + 1) * 2
-                END AS INTEGER) AS n_bytes
+                WHEN 1 THEN 44 + (doc_id % 50 + 100)
+                     * ((doc_id // 5) % 2 + 1) * 2
+                WHEN 2 THEN 21 + doc_id % 16
+                ELSE 14 END AS INTEGER) AS n_bytes
          FROM documents ORDER BY doc_id""",
 
     "q26_window_fns" ->

@@ -66,9 +66,39 @@ object Multimodal {
   private def le32(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
       ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
   private def be32(b: Array[Byte], o: Int): Int =
     ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
       ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+  /** JPEG dimensions: walk the marker segments from SOI to the first
+    * start-of-frame (SOF0-SOF15, minus the non-frame C4/C8/CC codes)
+    * and read height/width from its fixed-offset big-endian fields.
+    * "Compressed data needs a codec" is true for PIXELS, not for
+    * dimensions — the frame header is plain byte arithmetic. Returns
+    * (-1, -1) on any malformed walk (truncated segment, no SOF): one
+    * corrupt blob must not kill a 100 TB extraction job.
+    */
+  private def jpegDims(b: Array[Byte]): (Int, Int) = {
+    var i = 2
+    while (i + 3 < b.length && (b(i) & 0xff) == 0xff) {
+      val marker = b(i + 1) & 0xff
+      if (marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+        return if (i + 8 < b.length) (be16(b, i + 7), be16(b, i + 5))
+               else (-1, -1)
+      } else if (marker == 0xd8 || marker == 0x01 ||
+                 (marker >= 0xd0 && marker <= 0xd7)) {
+        i += 2 // standalone markers carry no length field
+      } else if (marker == 0xd9) {
+        return (-1, -1) // EOI before any frame header
+      } else {
+        i += 2 + be16(b, i + 2)
+      }
+    }
+    (-1, -1)
+  }
   private def ascii(b: Array[Byte], o: Int, s: String): Boolean =
     s.indices.forall(i => b(o + i) == s.charAt(i).toByte)
 
@@ -78,6 +108,10 @@ object Multimodal {
     *  - WAV (RIFF/WAVE, "fmt " chunk first): channels at 22 (LE16),
     *    sample rate at 24 (LE32).
     *  - PNG IHDR: width/height at 16/20, 32-bit big-endian.
+    *  - JPEG: marker-segment walk to the first SOF header (see
+    *    [[jpegDims]]).
+    *  - GIF (87a/89a): logical screen descriptor — width/height at
+    *    6/8, 16-bit little-endian.
     * Anything else — including truncated headers — is `"raw"` with
     * size + checksum only (-1 dims), never a throw: one corrupt blob
     * must not kill a 100 TB extraction job.
@@ -98,6 +132,16 @@ object Multimodal {
     else if (n >= 24 && bytes(0) == 0x89.toByte && ascii(bytes, 1, "PNG"))
       MediaFeatures(id, n, sum, "png",
         width = be32(bytes, 16), height = be32(bytes, 20),
+        sample_rate = -1, channels = -1)
+    else if (n >= 4 && bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte) {
+      val (w, h) = jpegDims(bytes)
+      MediaFeatures(id, n, sum, if (w > 0) "jpeg" else "raw",
+        width = w, height = h, sample_rate = -1, channels = -1)
+    } else if (n >= 13 && ascii(bytes, 0, "GIF8") &&
+               (bytes(4) == '7'.toByte || bytes(4) == '9'.toByte) &&
+               bytes(5) == 'a'.toByte)
+      MediaFeatures(id, n, sum, "gif",
+        width = le16(bytes, 6), height = le16(bytes, 8),
         sample_rate = -1, channels = -1)
     else
       MediaFeatures(id, n, sum, "raw", -1, -1, -1, -1)
@@ -146,6 +190,44 @@ object Multimodal {
     tag(36, "data"); w32(40, dataSize)
     var i = 0
     while (i < nSamples * channels) { w16(44 + i * 2, (i * 31) & 0xffff); i += 1 }
+    b
+  }
+
+  /** Minimal well-formed JPEG: SOI, a COM segment of `commentLen`
+    * deterministic bytes (so file size is data-dependent), a SOF0 frame
+    * header carrying the real dimensions, EOI. File size =
+    * 21 + commentLen.
+    */
+  def encodeJpeg(width: Int, height: Int, commentLen: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0 && commentLen >= 0 && commentLen <= 0xfffd)
+    val b = new Array[Byte](21 + commentLen)
+    def w16(o: Int, v: Int): Unit = { b(o) = (v >> 8).toByte; b(o + 1) = v.toByte }
+    b(0) = 0xff.toByte; b(1) = 0xd8.toByte              // SOI
+    b(2) = 0xff.toByte; b(3) = 0xfe.toByte              // COM
+    w16(4, 2 + commentLen)
+    var i = 0
+    while (i < commentLen) { b(6 + i) = ((i * 7) % 256).toByte; i += 1 }
+    val s = 6 + commentLen
+    b(s) = 0xff.toByte; b(s + 1) = 0xc0.toByte          // SOF0
+    w16(s + 2, 11)                                      // len: 8 + 3·1 comp
+    b(s + 4) = 8                                        // precision
+    w16(s + 5, height); w16(s + 7, width)
+    b(s + 9) = 1                                        // 1 component
+    b(s + 10) = 1; b(s + 11) = 0x11; b(s + 12) = 0      // id/sampling/qtbl
+    b(s + 13) = 0xff.toByte; b(s + 14) = 0xd9.toByte    // EOI
+    b
+  }
+
+  /** Minimal well-formed GIF89a: header + logical screen descriptor
+    * (width/height LE16, no global color table) + trailer. 14 bytes.
+    */
+  def encodeGif(width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val b = new Array[Byte](14)
+    "GIF89a".indices.foreach(i => b(i) = "GIF89a".charAt(i).toByte)
+    b(6) = width.toByte; b(7) = (width >> 8).toByte
+    b(8) = height.toByte; b(9) = (height >> 8).toByte
+    b(13) = 0x3b.toByte
     b
   }
 

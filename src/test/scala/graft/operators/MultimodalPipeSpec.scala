@@ -60,6 +60,33 @@ class MultimodalSpec extends SparkTestBase {
     assert(g.format == "raw" && g.n_bytes == 2)
   }
 
+  test("JPEG encode -> decode round-trips dims via the SOF marker walk") {
+    for ((w, h, cl) <- Seq((1, 1, 0), (41, 29, 15), (1920, 1080, 7))) {
+      val f = Multimodal.decodeMedia(9L, Multimodal.encodeJpeg(w, h, cl))
+      assert(f.format == "jpeg" && f.width == w && f.height == h)
+      assert(f.n_bytes == 21 + cl)
+      assert(f.sample_rate == -1 && f.channels == -1)
+    }
+    // SOI followed by EOI only (no frame header) is raw, never a throw
+    val noFrame = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte,
+      0xd9.toByte)
+    assert(Multimodal.decodeMedia(9L, noFrame).format == "raw")
+    // truncated mid-segment: the walk runs off the end cleanly
+    val trunc = Multimodal.encodeJpeg(10, 10, 8).take(7)
+    assert(Multimodal.decodeMedia(9L, trunc).format == "raw")
+  }
+
+  test("GIF encode -> decode round-trips the logical screen descriptor") {
+    for ((w, h) <- Seq((1, 1), (31, 17), (640, 350))) {
+      val f = Multimodal.decodeMedia(9L, Multimodal.encodeGif(w, h))
+      assert(f.format == "gif" && f.width == w && f.height == h)
+      assert(f.n_bytes == 14)
+    }
+    // GIF magic with a bad version byte is raw
+    val bad = Multimodal.encodeGif(5, 5); bad(4) = '8'
+    assert(Multimodal.decodeMedia(9L, bad).format == "raw")
+  }
+
   test("sampleFrames emits every stride-th fixed-size block") {
     val df = Multimodal.attachPayload(
       Seq((1L, "abcdefghij")).toDF("doc_id", "text"), "doc_id", "text")
