@@ -882,10 +882,14 @@ object SparkEntry {
     // class" downstream is doc_id === component.
     "q73_dup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = NearDup.jaccardPairs(docs, "doc_id", "text",
-        "source", 3, 0.01)
-      Components.duplicateClusters(docs, pairs, "doc_id")
-        .orderBy(col("doc_id"))
+      val (pairs, handle) = NearDup.jaccardPairsWithHandle(docs, "doc_id",
+        "text", "source", 3, 0.01)
+      // connectedComponents eagerly checkpoints its labels, so nothing
+      // in the returned frame references the shingle cache — release it
+      // here instead of leaning on Bench/Verify's clearCache
+      val out = Components.duplicateClusters(docs, pairs, "doc_id")
+      handle.release()
+      out.orderBy(col("doc_id"))
     }),
 
     // Same closure at the curation-realistic threshold (0.5): the pair
@@ -895,10 +899,53 @@ object SparkEntry {
     // star-contraction fallback.
     "q74_dup_clusters_strict" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = NearDup.jaccardPairs(docs, "doc_id", "text",
-        "source", 3, 0.5)
-      Components.duplicateClusters(docs, pairs, "doc_id")
+      val (pairs, handle) = NearDup.jaccardPairsWithHandle(docs, "doc_id",
+        "text", "source", 3, 0.5)
+      val out = Components.duplicateClusters(docs, pairs, "doc_id")
+      handle.release()
+      out.orderBy(col("doc_id"))
+    }),
+
+    // PII scrub: counts per type on the original text, then redaction
+    // in precedence order — the curation step every shipped training
+    // set needs. The synthetic corpus carries no PII, so the query
+    // injects deterministic emails / IPv4s / phone numbers first (the
+    // same doc_id arithmetic in Spark and the oracle); the scrub itself
+    // (TextAnalysis.redactPii) is what's under test. Scan-stage only.
+    "q75_pii_redact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val injected = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example"),
+              col("doc_id") % 7, lit(".com now")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit(" node 10."), col("doc_id") % 256, lit("."),
+              (col("doc_id") * 7) % 256, lit("."),
+              col("doc_id") % 200 + 1, lit(" responded")))
+          .otherwise(
+            concat(lit(" call "), col("doc_id") % 900 + 100, lit("-"),
+              (col("doc_id") * 3) % 900 + 100, lit("-"),
+              col("doc_id") % 9000 + 1000, lit(" today")))).as("text"))
+      TextAnalysis.redactPii(injected, "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // Corpus vocabulary: top-k tokens by total frequency with document
+    // frequency — tokenizer-training input. One hash aggregation (map-
+    // side combined) + TakeOrderedAndProject; never a full vocab sort.
+    "q76_vocab" -> ((s, dir) => {
+      TextAnalysis.vocabulary(t(s, dir, "documents"), "doc_id", "text", 50)
+    }),
+
+    // Deterministic training shuffle: order the corpus by a seeded
+    // keyed hash and assign a stable 1-based global position — WITHOUT
+    // the single-partition row_number() window (range sort +
+    // zipWithIndex stay distributed; see Ordering.withGlobalIndex).
+    "q77_train_shuffle" -> ((s, dir) => {
+      val keyed = t(s, dir, "documents").select(col("doc_id"),
+        md5(concat(lit("graft42:"), col("doc_id"))).as("skey"))
+      Ordering.withGlobalIndex(keyed, Seq(col("skey")), "shuffle_pos")
     }),
 
     // Dedup modality 5: embedding-cosine near-duplicates, IVF-cell
@@ -1560,6 +1607,63 @@ object SparkEntry {
          SELECT doc_id, component,
                 count(*) OVER (PARTITION BY component) AS cluster_size
          FROM comp ORDER BY doc_id""",
+
+    "q75_pii_redact" ->
+      """WITH inj AS (
+           SELECT doc_id, text || CASE
+             WHEN doc_id % 3 = 0 THEN ' contact user'
+               || CAST(doc_id AS VARCHAR) || '@example'
+               || CAST(doc_id % 7 AS VARCHAR) || '.com now'
+             WHEN doc_id % 3 = 1 THEN ' node 10.'
+               || CAST(doc_id % 256 AS VARCHAR) || '.'
+               || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
+               || CAST(doc_id % 200 + 1 AS VARCHAR) || ' responded'
+             ELSE ' call ' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+               || CAST((doc_id * 3) % 900 + 100 AS VARCHAR) || '-'
+               || CAST(doc_id % 9000 + 1000 AS VARCHAR) || ' today'
+             END AS text
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+             AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text,
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '[EMAIL]', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             + len(regexp_extract_all(text,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+             + len(regexp_extract_all(text,
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_pii
+         FROM inj ORDER BY doc_id""",
+
+    "q76_vocab" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         tok AS (SELECT doc_id, unnest(toks) AS token FROM d)
+         SELECT token, count(*) AS freq,
+                count(DISTINCT doc_id) AS df
+         FROM tok WHERE token <> ''
+         GROUP BY token ORDER BY freq DESC, token LIMIT 50""",
+
+    "q77_train_shuffle" ->
+      """SELECT doc_id,
+                md5('graft42:' || CAST(doc_id AS VARCHAR)) AS skey,
+                row_number() OVER (ORDER BY
+                  md5('graft42:' || CAST(doc_id AS VARCHAR)))
+                  AS shuffle_pos
+         FROM documents ORDER BY shuffle_pos""",
 
     "q22_minhash_lsh" ->
       """WITH d AS (

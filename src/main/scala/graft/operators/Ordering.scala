@@ -52,4 +52,30 @@ object Ordering {
     */
   def largestFirst(df: DataFrame, sizeCol: String): DataFrame =
     df.orderBy(desc(sizeCol))
+
+  /** Global sort + a stable 1-based global position column — the
+    * "shuffle the corpus and number every example" step training-data
+    * exports need. The naive formulation,
+    * `row_number().over(Window.orderBy(...))`, collapses the whole
+    * dataset into ONE partition (Spark even warns) — a driver-killer at
+    * any real scale. This one stays distributed: range-partitioned sort,
+    * then `zipWithIndex`, which computes per-partition offsets with one
+    * lightweight count job and assigns indices map-side — no data ever
+    * funnels through a single task.
+    *
+    * The drop to the RDD API is deliberate and contained: a global
+    * *stable* index is genuinely per-partition imperative logic (Spark
+    * exposes it only there), and downstream reads a plain DataFrame.
+    */
+  def withGlobalIndex(df: DataFrame, orderCols: Seq[Column],
+                      idxName: String): DataFrame = {
+    val sorted = df.orderBy(orderCols: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        idxName, org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    sorted.sparkSession.createDataFrame(indexed, schema)
+  }
 }

@@ -299,6 +299,65 @@ object TextAnalysis {
         concat_ws(" ", col("_chunk")).as("chunk_text"))
   }
 
+  /** Corpus vocabulary: the k most frequent tokens with total
+    * occurrence count and document frequency — the tokenizer-training /
+    * vocab-pruning input. Shape at 100 TB: tokenize scan-stage, ONE
+    * hash-partitioned aggregation on the token key (map-side combine
+    * collapses each partition's counts before the exchange; the
+    * distinct-doc count rides the same two-phase aggregate), then
+    * `orderBy(...).limit(k)` which Catalyst runs as
+    * TakeOrderedAndProject — a per-partition heap + tiny driver merge,
+    * never a full sort of the vocabulary.
+    */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int): DataFrame =
+    docs
+      .select(col(idCol).as("_vid"),
+        explode(tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"),
+        countDistinct(col("_vid")).as("df"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(k)
+
+  /** PII patterns for [[redactPii]], ordered by redaction precedence
+    * (emails first — their local/domain parts contain digit runs that
+    * must not be half-eaten by the phone/IP patterns). Deliberately
+    * kept inside the regex dialect shared by Java and RE2 (no
+    * backrefs, no lookaround) so any engine reproduces the scrub
+    * byte-for-byte.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+      "[EMAIL]"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "[PHONE]"))
+
+  /** PII scrub — the curation step every shipped training set needs:
+    * (idCol, redacted text, one count column per PII type, n_pii
+    * total). Counts are taken BEFORE redaction on the original text
+    * (each pattern independently), then patterns replace in precedence
+    * order. Pure scan-stage expressions: regexp counts + chained
+    * regexp_replace, zero shuffles, codegen'd — at 100 TB this is a
+    * map over the corpus like any other text operator.
+    */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
+    val counts = piiPatterns.map { case (name, re, _) =>
+      size(regexp_extract_all(text, lit(re), lit(0)))
+        .cast("long").as(s"n_$name")
+    }
+    val redacted = piiPatterns.foldLeft(text) {
+      case (acc, (_, re, repl)) => regexp_replace(acc, lit(re), lit(repl))
+    }
+    docs.select(
+      (col(idCol) +: counts :+ redacted.as("redacted")): _*)
+      .withColumn("n_pii",
+        piiPatterns.map(p => col(s"n_${p._1}")).reduce(_ + _))
+  }
+
   /** SimHash bit contribution from md5 hex digits of each token: bit p
     * (0..63) draws from hex char p/2 of the token's md5 — even bits use
     * the char's LOW bit (values 1,3,5,7,9,b,d,f), odd bits its SECOND

@@ -134,6 +134,36 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), s"expected zero shuffles, got:\n$p")
     assert(!p.contains("Generate") && !p.contains("Aggregate"))
   }
+
+  test("redactPii counts per type and scrubs in precedence order") {
+    val docs = Seq(
+      (1L, "mail a.b+c@foo-bar.org or x@y.io thanks"),
+      (2L, "host 192.168.0.1 and 10.0.0.255 up; ver 1.2 ok"),
+      (3L, "call 555-123-4567 or 555.987.6543 today"),
+      (4L, "clean text, nothing to scrub"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // (doc_id, n_email, n_ipv4, n_phone, redacted, n_pii)
+    assert(got(0).getLong(1) == 2 && got(0).getLong(5) == 2)
+    assert(got(0).getString(4) == "mail [EMAIL] or [EMAIL] thanks")
+    assert(got(1).getLong(2) == 2)
+    assert(got(1).getString(4) == "host [IP] and [IP] up; ver 1.2 ok")
+    assert(got(2).getLong(3) == 2)
+    assert(got(2).getString(4) == "call [PHONE] or [PHONE] today")
+    assert(got(3).getLong(5) == 0 &&
+      got(3).getString(4) == "clean text, nothing to scrub")
+    // NULL text follows the text-operator contract: empty, zero counts
+    assert(got(4).getLong(5) == 0 && got(4).getString(4) == "")
+  }
+
+  test("redactPii: email digits are not half-eaten by the IP pattern") {
+    // the email is redacted FIRST, so its dotted digit runs never reach
+    // the phone/IP patterns
+    val docs = Seq((1L, "u12@h1.2.3.4e.com end")).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(docs, "doc_id", "text").head()
+    assert(r.getString(4) == "[EMAIL] end")
+  }
 }
 
 class NearDupSpec extends SparkTestBase {
