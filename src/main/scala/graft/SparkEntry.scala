@@ -948,6 +948,32 @@ object SparkEntry {
       Ordering.withGlobalIndex(keyed, Seq(col("skey")), "shuffle_pos")
     }),
 
+    // STREAM-STREAM watermarked interval join: even events (stream A)
+    // pair with odd events (stream B) of the same user within 10
+    // minutes. The event-time band in the join condition is what lets
+    // Spark evict buffered state at the watermark — O(in-flight rows),
+    // not O(stream history). Single-file AvailableNow drain ⇒ the
+    // result equals the batch join, which is the oracle.
+    "q78_stream_join" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      def src() = graft.streaming.Streams.fileSource(s, dir, batch.schema,
+        globFilter = Some("events.parquet"))
+      val a = src().where(col("event_id") % 2 === 0)
+        .select(col("user_id"), col("event_id").as("a_id"),
+          eventTimestamp("ts").as("a_ts"))
+      val b = src().where(col("event_id") % 2 === 1)
+        .select(col("user_id"), col("event_id").as("b_id"),
+          eventTimestamp("ts").as("b_ts"))
+      val joined = graft.streaming.Streams.intervalJoin(a, b,
+          Seq("user_id"), "a_ts", "b_ts", "10 minutes", "1 minute")
+        .select(col("user_id"), col("a_id"), col("b_id"))
+      val qname = "graft_q78_join"
+      val query = graft.streaming.Streams.drainToMemory(joined, qname,
+        "append").start()
+      try query.awaitTermination() finally query.stop()
+      s.table(qname).orderBy(col("user_id"), col("a_id"), col("b_id"))
+    }),
+
     // Dedup modality 5: embedding-cosine near-duplicates, IVF-cell
     // blocked (never all-pairs — see Similarity.cosineNearDupPairs).
     // Oracle reproduces the cell assignment + threshold in SQL.
@@ -1664,6 +1690,16 @@ object SparkEntry {
                   md5('graft42:' || CAST(doc_id AS VARCHAR)))
                   AS shuffle_pos
          FROM documents ORDER BY shuffle_pos""",
+
+    "q78_stream_join" ->
+      """WITH a AS (SELECT user_id, event_id AS a_id, ts AS a_ts
+                    FROM events WHERE event_id % 2 = 0),
+            b AS (SELECT user_id, event_id AS b_id, ts AS b_ts
+                    FROM events WHERE event_id % 2 = 1)
+         SELECT a.user_id, a_id, b_id
+         FROM a JOIN b ON a.user_id = b.user_id
+           AND b_ts >= a_ts AND b_ts <= a_ts + INTERVAL 10 MINUTE
+         ORDER BY 1, a_id, b_id""",
 
     "q22_minhash_lsh" ->
       """WITH d AS (

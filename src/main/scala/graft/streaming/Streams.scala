@@ -112,6 +112,31 @@ object Streams {
         col("session_window.end").as("sess_end"),
         col("n_rows")): _*)
 
+  /** Watermarked STREAM-STREAM interval join: match right-stream rows to
+    * left-stream rows with equal keys whose event time falls in
+    * [leftTs, leftTs + band] — the correlate-two-feeds shape (request/
+    * response pairing, start/finish events). Both sides are watermarked
+    * and the join condition carries the event-time band, so Spark can
+    * evict buffered rows once the watermark passes leftTs + band: state
+    * is O(rows inside watermark + band), NOT O(stream history) — the
+    * property that keeps this runnable forever at production rates.
+    * Inner join; append output mode. Key columns are emitted once (the
+    * left side's); callers keep non-key column names disjoint.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String, band: String,
+                   watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    val keyCond = keys.map(k => col(s"l.$k") === col(s"r.$k"))
+      .reduce(_ && _)
+    val timeCond = col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+      col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $band")
+    keys.foldLeft(l.join(r, keyCond && timeCond, "inner")) {
+      (d, k) => d.drop(col(s"r.$k"))
+    }
+  }
+
   /** Drain-then-stop writer: processes all available input then stops —
     * the reference's `end.txt` sentinel semantics without sideband files.
     * `outputMode`: "complete" for aggregations, "append" for

@@ -129,6 +129,34 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("intervalJoin pairs rows in-band per key across two streams") {
+    implicit val sq = spark.sqlContext
+    val la = MemoryStream[(Long, Long, Timestamp)]
+    val rb = MemoryStream[(Long, Long, Timestamp)]
+    val out = Streams.intervalJoin(
+      la.toDF().toDF("user_id", "a_id", "a_ts"),
+      rb.toDF().toDF("user_id", "b_id", "b_ts"),
+      Seq("user_id"), "a_ts", "b_ts", "10 seconds", "5 seconds")
+    val q = out.writeStream.format("memory").queryName("sjoin")
+      .outputMode("append").start()
+    try {
+      // base 100 s, not 0: rows AT the initial zero watermark are
+      // "late" by Spark's strictly-greater rule and silently dropped
+      la.addData((1L, 100L, ts(100)), (2L, 200L, ts(100)))
+      rb.addData(
+        (1L, 101L, ts(105)),  // in band for user 1
+        (1L, 102L, ts(111)),  // past the 10 s band → no pair
+        (2L, 201L, ts(110)),  // boundary: b_ts == a_ts + band → pair
+        (3L, 301L, ts(102)))  // no left-side key 3 → no pair
+      q.processAllAvailable()
+      val got = spark.table("sjoin").select($"user_id", $"a_id", $"b_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 100L, 101L), (2L, 200L, 201L)))
+      // key columns are emitted once
+      assert(spark.table("sjoin").columns.count(_ == "user_id") == 1)
+    } finally q.stop()
+  }
+
   test("readyFilter keeps only marker-listed ids (stream-static semi-join)") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, String)]
