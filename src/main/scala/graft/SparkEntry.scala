@@ -948,6 +948,18 @@ object SparkEntry {
       Ordering.withGlobalIndex(keyed, Seq(col("skey")), "shuffle_pos")
     }),
 
+    // Mixture rebalancing: sample the corpus to a 6:3:1 source mixture
+    // (other sources dropped) — per-source thresholds derived from one
+    // tiny count aggregate with pure integer arithmetic, then the same
+    // deterministic scan-stage hash predicate as q37/q52. The binding
+    // source (here all equal-sized, so src2) is kept whole.
+    "q79_mixture_sample" -> ((s, dir) => {
+      Sampling.mixtureSample(t(s, dir, "documents"), "doc_id", "source",
+          Map("src0" -> 6L, "src1" -> 3L, "src2" -> 1L))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // STREAM-STREAM watermarked interval join: even events (stream A)
     // pair with odd events (stream B) of the same user within 10
     // minutes. The event-time band in the join condition is what lets
@@ -1690,6 +1702,23 @@ object SparkEntry {
                   md5('graft42:' || CAST(doc_id AS VARCHAR)))
                   AS shuffle_pos
          FROM documents ORDER BY shuffle_pos""",
+
+    "q79_mixture_sample" ->
+      """WITH parts(source, w) AS (
+           VALUES ('src0', 6), ('src1', 3), ('src2', 1)),
+         cnt AS (SELECT p.source, w, count(*) AS n
+                 FROM documents d JOIN parts p ON d.source = p.source
+                 GROUP BY p.source, w),
+         nm AS (SELECT min(n * 10 // w) AS nmax FROM cnt),
+         thr AS (SELECT source, least(256, 256 * w * nmax // (10 * n))
+                   AS t
+                 FROM cnt, nm)
+         SELECT d.doc_id, d.source
+         FROM documents d JOIN thr ON d.source = thr.source
+         WHERE t = 256
+            OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2)
+               < printf('%02x', t)
+         ORDER BY d.doc_id""",
 
     "q78_stream_join" ->
       """WITH a AS (SELECT user_id, event_id AS a_id, ts AS a_ts

@@ -50,4 +50,40 @@ object Sampling {
     }
     df.where(predicate)
   }
+
+  /** Rebalance the corpus to a target source MIXTURE — the "N parts
+    * web, M parts code, K parts books" step of assembling a training
+    * set. `targetParts` gives integer mixture weights per stratum;
+    * strata not listed are dropped. The largest corpus consistent with
+    * the mixture keeps the binding stratum whole and downsamples the
+    * rest: nMax = min over s of (n_s · totalParts / w_s), then stratum
+    * s keeps w_s · nMax / totalParts rows via the deterministic hash
+    * predicate. All threshold arithmetic is integer (floor division,
+    * /256 rate granularity) so any engine derives identical thresholds
+    * — no float rounding divergence.
+    *
+    * Scale shape: one map-side-combined count per stratum (a
+    * #strata-row driver scalar, dozens at 100 TB — same contract as
+    * the skew-average collect), then the same scan-stage predicate as
+    * [[stratifiedHashSample]]. The corpus itself never shuffles.
+    */
+  def mixtureSample(df: DataFrame, keyCol: String, stratumCol: String,
+                    targetParts: Map[String, Long]): DataFrame = {
+    require(targetParts.nonEmpty && targetParts.values.forall(_ > 0),
+      "mixture parts must be positive")
+    val total = targetParts.values.sum
+    val counts = df
+      .where(col(stratumCol).isin(targetParts.keys.toSeq: _*))
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = targetParts.filter { case (s, _) => counts.contains(s) }
+    require(present.nonEmpty, "no target stratum present in the corpus")
+    val nMax = present.map { case (s, w) => counts(s) * total / w }.min
+    val thresholds = present.map { case (s, w) =>
+      s -> math.min(256L, 256L * w * nMax / (total * counts(s))).toInt
+    }
+    stratifiedHashSample(
+      df.where(col(stratumCol).isin(present.keys.toSeq: _*)),
+      keyCol, stratumCol, thresholds, defaultThreshold256 = 0)
+  }
 }

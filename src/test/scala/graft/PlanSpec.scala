@@ -207,4 +207,28 @@ class PlanSpec extends SparkTestBase {
     assert(!partialAggLine.contains("text#"),
       s"raw text must not cross the shuffle: $partialAggLine")
   }
+
+  test("q75 PII scrub is scan-stage only: zero exchanges, zero aggregates") {
+    val p = plan("q75_pii_redact")
+    // the orderBy is presentation; strip its range exchange by pinning
+    // the operator output instead
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val op = graft.operators.TextAnalysis.redactPii(docs, "doc_id", "text")
+    val opPlan = op.queryExecution.executedPlan.toString
+    assert(!opPlan.contains("Exchange"),
+      s"redaction must be a pure map over the corpus, got:\n$opPlan")
+    assert(!opPlan.contains("Aggregate") && !opPlan.contains("Generate"))
+    assert(p.contains("Scan parquet")) // and the query reads via the scan
+  }
+
+  test("q76 vocabulary: partial aggregation + top-k heap, no full sort") {
+    val df = SparkEntry.queries("q76_vocab")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_count"),
+      "token counts must combine map-side before the exchange")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab top-k must be a heap, not a global sort:\n$p")
+    assert(!p.contains("SortAggregate"),
+      "string-keyed counts must hash-aggregate")
+  }
 }

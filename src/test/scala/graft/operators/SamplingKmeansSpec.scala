@@ -32,6 +32,27 @@ class SamplingSpec extends SparkTestBase {
     assert(counts("big") < 400)            // ~10% of 2000
     assert(counts("small") > 800)          // ~50% of 2000
   }
+
+  test("mixtureSample keeps the binding stratum whole, rebalances the rest") {
+    // A has 200 rows, B has 10, target 1:1 — B binds (kept whole, t=256)
+    // and A downsamples to ~B's size via the hash predicate
+    val df = ((1L to 200L).map(i => (i, "A")) ++
+      (201L to 210L).map(i => (i, "B")) ++
+      (211L to 220L).map(i => (i, "dropped"))).toDF("id", "src")
+    val got = Sampling.mixtureSample(df, "id", "src",
+      Map("A" -> 1L, "B" -> 1L))
+      .as[(Long, String)].collect()
+    val bySrc = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(!bySrc.contains("dropped"))
+    assert(bySrc("B") == 10, s"binding stratum must be whole: $bySrc")
+    // nMax = min(400, 20) = 20 → A keeps 256·20/400 = 12/256 ≈ 4.7%
+    assert(bySrc.getOrElse("A", 0) > 0 && bySrc("A") <= 20,
+      s"A must downsample toward B's size: $bySrc")
+    // deterministic: same input → byte-identical sample
+    val again = Sampling.mixtureSample(df, "id", "src",
+      Map("A" -> 1L, "B" -> 1L)).as[(Long, String)].collect()
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+  }
 }
 
 class KmeansIterSpec extends SparkTestBase {
