@@ -960,6 +960,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Fractional upsampling: src0 repeated 2.5× (5/2) — every doc twice
+    // plus the hash-selected half a third time, deterministically. The
+    // epochs>1 half of mixture building (q79 downsamples; this
+    // upsamples); scan-stage explode, no shuffle.
+    "q80_upsample" -> ((s, dir) => {
+      Sampling.upsample(
+          t(s, dir, "documents").where(col("source") === "src0")
+            .select(col("doc_id")),
+          "doc_id", 5, 2)
+        .orderBy(col("doc_id"), col("copy_id"))
+    }),
+
     // STREAM-STREAM watermarked interval join: even events (stream A)
     // pair with odd events (stream B) of the same user within 10
     // minutes. The event-time band in the join condition is what lets
@@ -1719,6 +1731,16 @@ object SparkEntry {
             OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2)
                < printf('%02x', t)
          ORDER BY d.doc_id""",
+
+    "q80_upsample" ->
+      """WITH s AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+         c AS (SELECT doc_id,
+                 2 + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                          < printf('%02x', 128) THEN 1 ELSE 0 END AS n
+               FROM s)
+         SELECT doc_id,
+                CAST(unnest(generate_series(1, n)) AS INTEGER) AS copy_id
+         FROM c ORDER BY doc_id, copy_id""",
 
     "q78_stream_join" ->
       """WITH a AS (SELECT user_id, event_id AS a_id, ts AS a_ts

@@ -86,4 +86,33 @@ object Sampling {
       df.where(col(stratumCol).isin(present.keys.toSeq: _*)),
       keyCol, stratumCol, thresholds, defaultThreshold256 = 0)
   }
+
+  /** Deterministic FRACTIONAL upsampling — the other half of mixture
+    * building: small high-quality sources get repeated (epochs > 1),
+    * possibly by a non-integer factor. factor = num/den: every row is
+    * emitted floor(num/den) times, and the hash-selected fraction
+    * (num mod den)/den of rows once more, so corpus-level volume lands
+    * on factor × |rows| (to /256 rate granularity) and re-runs emit
+    * byte-identical copies. Output adds `copy_id` (1-based) so
+    * downstream shuffles can spread the copies.
+    *
+    * Scale shape: a scan-stage `explode(sequence(...))` — per-row fanout
+    * with no shuffle and no driver involvement; the repeat decision is
+    * the same codegen'd md5 predicate as [[hashSamplePredicate]].
+    */
+  def upsample(df: DataFrame, keyCol: String, factorNum: Int,
+               factorDen: Int): DataFrame = {
+    require(factorNum > 0 && factorDen > 0, "factor must be positive")
+    val base = factorNum / factorDen
+    val fracThreshold256 = ((factorNum % factorDen) * 256L /
+      factorDen).toInt
+    val copies = lit(base) +
+      when(hashSamplePredicate(col(keyCol), fracThreshold256), 1)
+        .otherwise(0)
+    df.withColumn("_n_copies", copies)
+      .where(col("_n_copies") > 0)
+      .withColumn("copy_id",
+        explode(sequence(lit(1), col("_n_copies"))))
+      .drop("_n_copies")
+  }
 }

@@ -53,6 +53,28 @@ class SamplingSpec extends SparkTestBase {
       Map("A" -> 1L, "B" -> 1L)).as[(Long, String)].collect()
     assert(got.sorted.toSeq == again.sorted.toSeq)
   }
+
+  test("upsample: integer factor is exact, fractional is hash-selected") {
+    val df = (1L to 1000L).toDF("id")
+    // 3/1: every row exactly 3 times, copy_ids 1..3
+    val x3 = Sampling.upsample(df, "id", 3, 1)
+      .as[(Long, Int)].collect()
+    assert(x3.length == 3000)
+    assert(x3.groupBy(_._1).values
+      .forall(_.map(_._2).sorted.toSeq == Seq(1, 2, 3)))
+    // 5/2 = 2.5×: each row 2 or 3 times, total near 2500, deterministic
+    val x25 = Sampling.upsample(df, "id", 5, 2).as[(Long, Int)].collect()
+    val perRow = x25.groupBy(_._1).view.mapValues(_.length)
+    assert(perRow.values.forall(n => n == 2 || n == 3))
+    assert(x25.length > 2350 && x25.length < 2650, s"got ${x25.length}")
+    val againX25 = Sampling.upsample(df, "id", 5, 2)
+      .as[(Long, Int)].collect()
+    assert(x25.sorted.toSeq == againX25.sorted.toSeq)
+    // 1/2 degenerates to a plain ~50% downsample (base 0, filtered)
+    val half = Sampling.upsample(df, "id", 1, 2).as[(Long, Int)].collect()
+    assert(half.forall(_._2 == 1))
+    assert(half.length > 400 && half.length < 600)
+  }
 }
 
 class KmeansIterSpec extends SparkTestBase {
