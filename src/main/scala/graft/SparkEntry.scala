@@ -960,6 +960,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // JSONL export → schema-enforced re-import round-trip: the
+    // interchange format training sets actually ship in. Four fixed
+    // shards; the re-read must be lossless (oracle = the projection
+    // computed directly) and corrupt-free.
+    "q81_jsonl_sink" -> ((s, dir) => {
+      val path = scratch(s, "q81_jsonl")
+      val proj = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      graft.sources.Sinks.writeJsonl(proj, path, shards = 4)
+      graft.sources.Sinks.readJsonl(s, proj.schema, path)
+        .where(col("_corrupt_record").isNull).drop("_corrupt_record")
+        .orderBy(col("doc_id"))
+    }),
+
     // Fractional upsampling: src0 repeated 2.5× (5/2) — every doc twice
     // plus the hash-selected half a third time, deterministically. The
     // epochs>1 half of mixture building (q79 downsamples; this
@@ -1731,6 +1746,12 @@ object SparkEntry {
             OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2)
                < printf('%02x', t)
          ORDER BY d.doc_id""",
+
+    "q81_jsonl_sink" ->
+      """SELECT doc_id, source,
+           CAST(len(string_split(trim(regexp_replace(lower(coalesce(text,
+             '')), '\s+', ' ', 'g')), ' ')) AS INTEGER) AS n_tokens
+         FROM documents ORDER BY doc_id""",
 
     "q80_upsample" ->
       """WITH s AS (SELECT doc_id FROM documents WHERE source = 'src0'),

@@ -82,6 +82,30 @@ object Sinks {
       .saveAsTable(table)
   }
 
+  /** JSONL (newline-delimited JSON) sink — the interchange format
+    * training-data exports actually ship in. `shards > 0` fixes the
+    * output file count with one round-robin repartition (the rebalance
+    * trade as writePartitioned: shard count decoupled from task count);
+    * 0 writes one file per input partition, no shuffle. Schema rides in
+    * the reader (JSONL is schemaless on disk) — see [[readJsonl]].
+    */
+  def writeJsonl(df: DataFrame, path: String, shards: Int = 0): Unit = {
+    val out = if (shards > 0) df.repartition(shards) else df
+    out.write.mode("overwrite").format("json").save(path)
+  }
+
+  /** Schema-enforced JSONL reader: PERMISSIVE like [[readLenientCsv]] —
+    * a malformed line lands in `_corrupt_record` instead of failing the
+    * import (count; don't die mid-petabyte).
+    */
+  def readJsonl(spark: SparkSession, schema: StructType, path: String)
+      : DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
   /** Lenient delimited-text reader: malformed rows land in
     * `_corrupt_record` instead of failing the job (count them; don't die
     * mid-petabyte). Mirrors the reference's badLines counters.

@@ -199,4 +199,29 @@ class SinksSpec extends SparkTestBase {
       assert(bad.count() == 1)
     }
   }
+
+  test("jsonl: sharded write, lossless re-read, corrupt lines survive") {
+    import spark.implicits._
+    withTempDir("graft_jsonl") { dir =>
+      val path = dir.getAbsolutePath + "/out"
+      val rows = (1L to 100L).map(i => (i, s"src${i % 3}", i * 7))
+      graft.sources.Sinks.writeJsonl(
+        rows.toDF("id", "src", "v"), path, shards = 4)
+      val files = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".json"))
+      assert(files.length == 4, s"expected 4 shards, got ${files.length}")
+      // inject a malformed line as an extra shard (appending to an
+      // existing one would trip Hadoop's .crc sidecar, not the parser)
+      java.nio.file.Files.writeString(
+        new java.io.File(path, "part-extra.json").toPath,
+        "this is not json\n")
+      val schema = rows.toDF("id", "src", "v").schema
+      val back = graft.sources.Sinks.readJsonl(spark, schema, path)
+      val (good, bad) = graft.sources.Sinks.splitCorrupt(back)
+      assert(bad.count() == 1)
+      assert(good.as[(Long, String, Long)].collect().sortBy(_._1).toSeq ==
+        rows.sortBy(_._1))
+      spark.catalog.clearCache()
+    }
+  }
 }
