@@ -960,6 +960,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Streaming near-dup ADMISSION GATE: incoming docs (stream) are
+    // admitted only if their simhash matches the already-accepted
+    // corpus (doc_id % 10 == 0 plays the index) in none of the 4
+    // bands. Zero streaming state: a scan-stage signature + 4
+    // broadcast anti-joins whose build sides are bounded at 64Ki rows
+    // by the 16-bit band space.
+    "q83_stream_dedup_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val index = docs.where(col("doc_id") % 10 === 0)
+      val stream = graft.streaming.Streams.fileSource(s, dir, docs.schema,
+          globFilter = Some("documents.parquet"))
+        .where(col("doc_id") % 10 =!= 0)
+      val novel = NearDup.simhashNoveltyGate(stream, index,
+          "doc_id", "text")
+        .select(col("doc_id"), col("simhash_hex"))
+      val qname = "graft_q83_gate"
+      val query = graft.streaming.Streams.drainToMemory(novel, qname,
+        "append").start()
+      try query.awaitTermination() finally query.stop()
+      s.table(qname).orderBy(col("doc_id"))
+    }),
+
     // JSONL export → schema-enforced re-import round-trip: the
     // interchange format training sets actually ship in. Four fixed
     // shards; the re-read must be lossless (oracle = the projection
@@ -1746,6 +1768,47 @@ object SparkEntry {
             OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2)
                < printf('%02x', t)
          ORDER BY d.doc_id""",
+
+    "q83_stream_dedup_gate" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         tk AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         h AS (SELECT doc_id, md5(tok) AS h FROM tk),
+         bits AS (
+           SELECT doc_id, p,
+             sum(CASE WHEN p % 2 = 0
+                 THEN CASE WHEN substr(h, CAST(p // 2 + 1 AS INTEGER), 1)
+                        IN ('1','3','5','7','9','b','d','f')
+                      THEN 1 ELSE -1 END
+                 ELSE CASE WHEN substr(h, CAST(p // 2 + 1 AS INTEGER), 1)
+                        IN ('2','3','6','7','a','b','e','f')
+                      THEN 1 ELSE -1 END END) AS s
+           FROM h CROSS JOIN range(0, 64) r(p)
+           GROUP BY doc_id, p),
+         bands AS (
+           SELECT doc_id, p // 16 AS band,
+             CAST(sum(CASE WHEN s > 0 THEN (1 << (p % 16)) ELSE 0 END)
+               AS INTEGER) AS bv
+           FROM bits GROUP BY doc_id, p // 16),
+         sigs AS (
+           SELECT doc_id,
+             printf('%04x%04x%04x%04x',
+               max(CASE WHEN band = 3 THEN bv END),
+               max(CASE WHEN band = 2 THEN bv END),
+               max(CASE WHEN band = 1 THEN bv END),
+               max(CASE WHEN band = 0 THEN bv END)) AS simhash_hex
+           FROM bands GROUP BY doc_id)
+         SELECT s.doc_id, s.simhash_hex
+         FROM sigs s
+         WHERE s.doc_id % 10 <> 0
+           AND NOT EXISTS (
+             SELECT 1 FROM bands sb JOIN bands ib
+               ON sb.band = ib.band AND sb.bv = ib.bv
+             WHERE sb.doc_id = s.doc_id AND ib.doc_id % 10 = 0)
+         ORDER BY doc_id""",
 
     "q81_jsonl_sink" ->
       """SELECT doc_id, source,

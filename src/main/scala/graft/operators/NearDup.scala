@@ -525,4 +525,45 @@ object NearDup {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared_grams"))
   }
+
+  /** Near-duplicate NOVELTY GATE: keep only `incoming` docs whose
+    * 64-bit simhash matches the indexed corpus in NONE of the 4 16-bit
+    * bands — the admit/drop decision an ingestion pipeline makes
+    * against the corpus it has already accepted. By the pigeonhole
+    * rule this drops every doc within hamming distance 3 of an indexed
+    * doc (plus band-collision false drops — a gate prefers over-drop
+    * to letting duplicates through; run the exact-hamming batch pass
+    * ([[simhashPairs]]) where precision matters).
+    *
+    * STREAM-SAFE BY CONSTRUCTION: the incoming side needs only a
+    * scan-stage signature expression and 4 broadcast anti-joins — no
+    * state, no stream shuffle, so `incoming` may be a streaming
+    * DataFrame (the q83 shape). Each band's distinct-value table is
+    * bounded at 65,536 rows by the 16-bit value space — broadcastable
+    * no matter how big the index corpus grows. The honest caveat at
+    * 100 TB: a band SATURATES as the index approaches 64Ki distinct
+    * values and the gate over-drops; wider bands (the same plan over
+    * 32-bit band columns) push that bound out — partition-sharded
+    * gates (one index per corpus shard) are the deployed shape.
+    */
+  def simhashNoveltyGate(incoming: DataFrame, index: DataFrame,
+                         idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftExtensions.installInto(incoming.sparkSession)
+    val sig = call_function("graft_simhash", tokens(col(textCol)))
+    val withBands = (0 to 3).foldLeft(incoming.withColumn("_sig", sig)) {
+      (d, j) =>
+        d.withColumn(s"_b$j", shiftright(col("_sig"), 16 * j)
+          .bitwiseAND(lit(0xffffL)).cast("int"))
+    }
+    val idx = simhash(index, idCol, textCol)
+    val gated = (0 to 3).foldLeft(withBands) { (d, j) =>
+      val bandVals = idx.select(col(s"s$j").as(s"_v$j")).distinct()
+      d.join(broadcast(bandVals), d(s"_b$j") === bandVals(s"_v$j"),
+        "left_anti")
+    }
+    gated
+      .withColumn("simhash_hex", format_string("%04x%04x%04x%04x",
+        col("_b3"), col("_b2"), col("_b1"), col("_b0")))
+      .drop("_sig", "_b0", "_b1", "_b2", "_b3")
+  }
 }

@@ -177,6 +177,50 @@ class NearDupSpec extends SparkTestBase {
     (5L, "unrelated text in another block", "s2")
   ).toDF("doc_id", "text", "source")
 
+  test("simhashNoveltyGate ≡ band-collision semantics; exact dups drop") {
+    // contract: admitted = incoming docs sharing NO 16-bit band value
+    // with any index doc — derive the expectation from the signatures
+    // themselves (a one-word edit in a 9-token doc can exceed hamming
+    // 3, so "near dup" membership is data-driven, not assumed)
+    val index = docs.where($"doc_id" === 1L)
+    val incoming = docs.where($"doc_id" =!= 1L)
+    val sig = NearDup.simhash(docs, "doc_id", "text")
+      .select($"doc_id", $"s0", $"s1", $"s2", $"s3")
+      .as[(Long, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4, r._5)).toMap
+    val expected = sig.keySet.filter(_ != 1L)
+      .filter(id => sig(id).zip(sig(1L)).forall { case (a, b) => a != b })
+    val admitted = NearDup.simhashNoveltyGate(incoming, index,
+      "doc_id", "text").select($"doc_id").as[Long].collect().toSet
+    assert(admitted == expected, s"admitted $admitted vs $expected")
+    // an exact normalized dup collides in every band — always dropped
+    assert(!admitted.contains(2L), "exact dup must be dropped")
+    // the gate output carries the signature for downstream indexing
+    val cols = NearDup.simhashNoveltyGate(incoming, index,
+      "doc_id", "text").columns
+    assert(cols.contains("simhash_hex"))
+  }
+
+  test("simhashNoveltyGate runs stateless on a streaming incoming side") {
+    implicit val sq = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val index = docs.where($"doc_id" === 1L)
+    val gated = NearDup.simhashNoveltyGate(
+      in.toDF().toDF("doc_id", "text"), index, "doc_id", "text")
+      .select($"doc_id")
+    val q = gated.writeStream.format("memory").queryName("gate")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (20L, "THE quick   Brown fox jumps over the lazy dog"), // dup
+        (40L, "completely different words entirely here now"))  // novel
+      q.processAllAvailable()
+      val got = spark.table("gate").as[Long].collect().toSet
+      assert(got == Set(40L))
+    } finally q.stop()
+  }
+
   test("exactDedupClasses collapses normalized-equal docs") {
     val classes = NearDup.exactDedupClasses(docs, "doc_id", "text")
       .as[(String, Long, Long)].collect()
