@@ -960,6 +960,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Model-based quality filter: a pre-trained logistic regression
+    // over the rule-based features (weights as parameters; training is
+    // offline) — the fastText-style classifier step. Inference is pure
+    // scan-stage arithmetic; kept = score ≥ 0.5 on the ROUNDED score so
+    // the cut is engine-exact.
+    "q82_quality_model" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.logisticQualityScore(col("text")).as("q_score"))
+        .withColumn("kept", col("q_score") >= 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // Streaming near-dup ADMISSION GATE: incoming docs (stream) are
     // admitted only if their simhash matches the already-accepted
     // corpus (doc_id % 10 == 0 plays the index) in none of the 4
@@ -1768,6 +1781,30 @@ object SparkEntry {
             OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2)
                < printf('%02x', t)
          ORDER BY d.doc_id""",
+
+    "q82_quality_model" ->
+      """WITH d AS (
+           SELECT doc_id, coalesce(text, '') AS text,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         f AS (
+           SELECT doc_id,
+             least(len(toks) / 50.0, 1.0) AS flen,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+               AS fdiv,
+             CAST(length(text) - length(regexp_replace(text,
+                 '[\.,;:!\?]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS fpunct,
+             least((CAST(length(array_to_string(toks, '')) AS DOUBLE)
+                    / len(toks)) / 10.0, 1.0) AS fmtl
+           FROM d)
+         SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(-2.5 + flen * 2.0 + fdiv * 3.0
+             + fpunct * -4.0 + fmtl * 0.5))), 6) AS q_score,
+           round(1.0 / (1.0 + exp(-(-2.5 + flen * 2.0 + fdiv * 3.0
+             + fpunct * -4.0 + fmtl * 0.5))), 6) >= 0.5 AS kept
+         FROM f ORDER BY doc_id""",
 
     "q83_stream_dedup_gate" ->
       """WITH d AS (

@@ -112,6 +112,31 @@ object TextAnalysis {
     round(lenScore * 0.4 + divScore * 0.4 + punctPenalty * 0.2, 6)
   }
 
+  /** MODEL-BASED quality scoring: apply a pre-trained logistic
+    * regression over the rule-based features — the fastText-style
+    * classifier step of a curation stack (the trained weights arrive as
+    * parameters; training happens offline). score =
+    * σ(bias + Σ wᵢ·fᵢ) over (length saturation, token diversity,
+    * punctuation density, mean token length), rounded to 6 places so
+    * sigmoid's libm tail never hash-diverges across engines. Pure
+    * scan-stage arithmetic: applying a linear model to 100 TB is a map,
+    * and that is the point of the exercise — model INFERENCE belongs in
+    * the scan stage, not a UDF service call per row.
+    */
+  def logisticQualityScore(text: Column,
+                           wLen: Double = 2.0, wDiv: Double = 3.0,
+                           wPunct: Double = -4.0, wMtl: Double = 0.5,
+                           bias: Double = -2.5): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val z = lit(bias) +
+      least(nTok / 50d, lit(1d)) * wLen +
+      distinctTokenRatioOf(toks) * wDiv +
+      punctRatio(text) * wPunct +
+      least(meanTokenLengthOf(toks) / 10d, lit(1d)) * wMtl
+    round(lit(1d) / (lit(1d) + exp(-z)), 6)
+  }
+
   /** Per-language marker-token hit counts → argmax language ID.
     * A tiny n-gram/stopword-profile heuristic: count tokens in each
     * language's marker list; predict the language with the most hits

@@ -135,6 +135,23 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!p.contains("Generate") && !p.contains("Aggregate"))
   }
 
+  test("logisticQualityScore: bounded, monotone in diversity, scan-stage") {
+    val df = Seq(
+      ("rep", ("spam " * 60).trim),
+      ("div", (1 to 60).map("w" + _).mkString(" ")),
+      ("punct", "a. b, c; d: e! f? " * 10)).toDF("id", "text")
+    val got = df.select($"id",
+      TextAnalysis.logisticQualityScore($"text").as("s"))
+      .as[(String, Double)].collect().toMap
+    assert(got.values.forall(v => v > 0 && v < 1))
+    assert(got("div") > got("rep"), s"diversity must raise the score: $got")
+    assert(got("div") > got("punct"), s"punct must lower the score: $got")
+    // inference is a pure map: no exchange, no aggregate
+    val p = df.select(TextAnalysis.logisticQualityScore($"text"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Aggregate"))
+  }
+
   test("redactPii counts per type and scrubs in precedence order") {
     val docs = Seq(
       (1L, "mail a.b+c@foo-bar.org or x@y.io thanks"),
