@@ -52,7 +52,7 @@ object Dedup {
                      winnerKey: org.apache.spark.sql.Column): DataFrame = {
     val payload = df.columns.filterNot(keyCols.contains)
     val winner = max_by(
-      struct(payload.map(col): _*), winnerKey).as("_w")
+      struct(payload.map(col).toIndexedSeq: _*), winnerKey).as("_w")
     df.groupBy(keyCols.map(col): _*)
       .agg(winner)
       .select(keyCols.map(col) ++

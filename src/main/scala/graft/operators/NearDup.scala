@@ -512,7 +512,7 @@ object NearDup {
     val bfBytes = bg
       .agg(call_function("graft_bloom_agg", xxhash64(col("shingle")),
         lit(expectedItems), lit(numBits)).as("bf"))
-      .head.getAs[Array[Byte]]("bf")
+      .head().getAs[Array[Byte]]("bf")
     val tg = shingleRows(train, idCol, Seq.empty, textCol, n)
     // an empty benchmark aggregates to a NULL filter — nothing can be
     // contaminated (a NULL probe would also drop every row; this is

@@ -32,7 +32,7 @@ object Skew {
     */
   def segmentCounts(counts: DataFrame, keyCols: Seq[String],
                     countCol: String, factor: Double): DataFrame = {
-    val row = counts.agg(avg(col(countCol))).head
+    val row = counts.agg(avg(col(countCol))).head()
     // empty input (or all-NULL counts): avg is NULL — any divisor works,
     // the result has no rows (or segments=1 for NULL-count rows)
     val avgCount = if (row.isNullAt(0)) 1.0 else row.getDouble(0)
@@ -65,7 +65,7 @@ object Skew {
     val key = keyCols.map(col)
     // deterministic salt (hash of all columns mod buckets) — not rand(), so
     // retried tasks re-produce identical partials.
-    val salt = pmod(hash(df.columns.map(col): _*), lit(saltBuckets))
+    val salt = pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets))
     df.withColumn("_salt", salt)
       .groupBy((key :+ col("_salt")): _*)
       .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
@@ -85,7 +85,7 @@ object Skew {
                  saltBuckets: Int): DataFrame = {
     val salts = explode(array((0 until saltBuckets).map(lit): _*))
     val bigSalted = big.withColumn("_salt",
-      pmod(hash(big.columns.map(col): _*), lit(saltBuckets)))
+      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)))
     val smallReplicated = small.withColumn("_salt", salts)
     bigSalted.join(smallReplicated, on :+ "_salt").drop("_salt")
   }
