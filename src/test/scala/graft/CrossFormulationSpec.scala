@@ -76,4 +76,20 @@ class CrossFormulationSpec extends SparkTestBase {
         (expect.map(_._2), expect.map(_._3)), s"trade ($s,$t)")
     }
   }
+
+  test("hash-min and star contraction agree on random graphs") {
+    // two independent connected-components algorithms (rounds=diameter
+    // label propagation vs O(log n) large/small-star contraction) must
+    // label every node identically on the same edge list
+    val rnd = new scala.util.Random(83)
+    for (_ <- 1 to 4) {
+      val es = Seq.fill(60)((rnd.nextLong(40), rnd.nextLong(40)))
+        .toDF("a", "b")
+      val hm = operators.Components.connectedComponents(es, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val sc = operators.Components.starContraction(es, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(hm == sc)
+    }
+  }
 }
