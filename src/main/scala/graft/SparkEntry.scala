@@ -995,6 +995,37 @@ object SparkEntry {
       s.table(qname).orderBy(col("doc_id"))
     }),
 
+    // ORC round-trip: the second columnar format (built into Spark) —
+    // same writer surface as parquet via writeSingleSorted(format=).
+    // The re-read must be lossless vs the directly-computed oracle.
+    "q84_orc_sink" -> ((s, dir) => {
+      val path = scratch(s, "q84_orc")
+      val proj = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      graft.sources.Sinks.writeSingleSorted(proj, Seq("doc_id"), path,
+        "orc")
+      s.read.orc(path).orderBy(col("doc_id"))
+    }),
+
+    // Small-file compaction: fragment a projection into 16 files, then
+    // compact to target size (one round-robin shuffle sized by a
+    // filesystem probe) — the maintenance pass long-lived ingestion
+    // layouts need. Lossless re-read is the oracle; the file-count drop
+    // is spec-asserted.
+    "q85_compact" -> ((s, dir) => {
+      val frag = scratch(s, "q85_frag")
+      val out = scratch(s, "q85_out")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .repartition(16)
+        .write.mode("overwrite").parquet(frag)
+      graft.sources.Sinks.compact(s, frag, out,
+        targetFileBytes = 64L << 20)
+      s.read.parquet(out).orderBy(col("doc_id"))
+    }),
+
     // JSONL export → schema-enforced re-import round-trip: the
     // interchange format training sets actually ship in. Four fixed
     // shards; the re-read must be lossless (oracle = the projection
@@ -1848,6 +1879,18 @@ object SparkEntry {
          ORDER BY doc_id""",
 
     "q81_jsonl_sink" ->
+      """SELECT doc_id, source,
+           CAST(len(string_split(trim(regexp_replace(lower(coalesce(text,
+             '')), '\s+', ' ', 'g')), ' ')) AS INTEGER) AS n_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "q84_orc_sink" ->
+      """SELECT doc_id, source,
+           CAST(len(string_split(trim(regexp_replace(lower(coalesce(text,
+             '')), '\s+', ' ', 'g')), ' ')) AS INTEGER) AS n_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "q85_compact" ->
       """SELECT doc_id, source,
            CAST(len(string_split(trim(regexp_replace(lower(coalesce(text,
              '')), '\s+', ' ', 'g')), ' ')) AS INTEGER) AS n_tokens

@@ -82,6 +82,30 @@ object Sinks {
       .saveAsTable(table)
   }
 
+  /** Small-file COMPACTION: rewrite a fragmented directory into
+    * ceil(bytes / targetFileBytes) files — the data-plane maintenance
+    * pass every long-lived ingestion layout needs (streaming sinks and
+    * per-key partitioned writes fragment; scans then pay per-file open
+    * + listing cost). One round-robin shuffle sized to the data, no
+    * driver involvement beyond a filesystem size probe; returns the
+    * target file count. At 100 TB this runs per-partition-directory
+    * (compact the partitions that fragmented), not corpus-wide.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              format: String = "parquet",
+              targetFileBytes: Long = 128L << 20): Int = {
+    require(targetFileBytes > 0)
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+      .toInt
+    spark.read.format(format).load(inPath)
+      .repartition(n)
+      .write.mode("overwrite").format(format).save(outPath)
+    n
+  }
+
   /** JSONL (newline-delimited JSON) sink — the interchange format
     * training-data exports actually ship in. `shards > 0` fixes the
     * output file count with one round-robin repartition (the rebalance

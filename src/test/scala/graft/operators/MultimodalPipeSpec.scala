@@ -200,6 +200,31 @@ class SinksSpec extends SparkTestBase {
     }
   }
 
+  test("compact: collapses fragmented files losslessly") {
+    import spark.implicits._
+    withTempDir("graft_compact") { dir =>
+      val frag = dir.getAbsolutePath + "/frag"
+      val out = dir.getAbsolutePath + "/out"
+      (1L to 500L).toDF("id").repartition(16).write.parquet(frag)
+      def parts(p: String) = new java.io.File(p).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(parts(frag) == 16)
+      val n = graft.sources.Sinks.compact(spark, frag, out,
+        targetFileBytes = 64L << 20)
+      assert(n == 1 && parts(out) == 1,
+        s"tiny input must compact to one file, got $n / ${parts(out)}")
+      assert(spark.read.parquet(out).as[Long].collect().sorted.toSeq ==
+        (1L to 500L))
+      // a small target produces multiple files, still lossless
+      val out2 = dir.getAbsolutePath + "/out2"
+      val n2 = graft.sources.Sinks.compact(spark, frag, out2,
+        targetFileBytes = 4096)
+      assert(n2 > 1 && parts(out2) == n2)
+      assert(spark.read.parquet(out2).as[Long].collect().sorted.toSeq ==
+        (1L to 500L))
+    }
+  }
+
   test("jsonl: sharded write, lossless re-read, corrupt lines survive") {
     import spark.implicits._
     withTempDir("graft_jsonl") { dir =>
