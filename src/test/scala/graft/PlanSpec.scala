@@ -231,4 +231,23 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortAggregate"),
       "string-keyed counts must hash-aggregate")
   }
+
+  test("q79/q80 mixture + upsample stay scan-stage after construction") {
+    // mixtureSample's count agg happens at CONSTRUCTION (a #strata-row
+    // driver scalar); the returned frame must be a pure predicate over
+    // the scan — no exchange, no aggregate
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val mix = graft.operators.Sampling.mixtureSample(docs, "doc_id",
+      "source", Map("src0" -> 6L, "src1" -> 3L, "src2" -> 1L))
+    val pm = mix.queryExecution.executedPlan.toString
+    assert(!pm.contains("Exchange") && !pm.contains("Aggregate"),
+      s"mixture filter must be scan-stage:\n$pm")
+    // upsample is a map + generate: zero exchanges, zero aggregates
+    val up = graft.operators.Sampling.upsample(
+      docs.select(col("doc_id")), "doc_id", 5, 2)
+    val pu = up.queryExecution.executedPlan.toString
+    assert(!pu.contains("Exchange") && !pu.contains("Aggregate"),
+      s"upsample must be scan-stage:\n$pu")
+    assert(pu.contains("Generate"), "upsample fans out via one Generate")
+  }
 }

@@ -229,6 +229,21 @@ class OrderingSpec extends SparkTestBase {
       .as[(Int, Int)].collect().toSeq
     assert(got == got.sorted)
   }
+
+  test("withGlobalIndex: 1..N positions following the sort order") {
+    val df = (1 to 2000).reverse.map(i => (i, s"k$i")).toDF("v", "k")
+      .repartition(8)
+    val got = Ordering.withGlobalIndex(df, Seq($"v".asc), "pos")
+      .select($"v", $"pos").as[(Int, Long)].collect().sortBy(_._2)
+    assert(got.map(_._2).toSeq == (1L to 2000L))
+    assert(got.map(_._1).toSeq == (1 to 2000)) // position == sort order
+    // the point of the formulation: no global Window anywhere (the
+    // row_number() form would funnel the whole dataset into ONE window
+    // partition; here AQE may still coalesce TOY data to 1 partition,
+    // which is its call — the plan shape is what must not regress)
+    val sorted = df.orderBy($"v".asc)
+    assert(!sorted.queryExecution.executedPlan.toString.contains("Window"))
+  }
 }
 
 class CoverageSweepSpec extends SparkTestBase {
