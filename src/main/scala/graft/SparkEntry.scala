@@ -995,6 +995,21 @@ object SparkEntry {
       s.table(qname).orderBy(col("doc_id"))
     }),
 
+    // Delimited-text (TSV) round-trip — the reference's own sink shape
+    // (its VCF/SAM outputs are tab-separated text): headerless write
+    // paired with the schema-carrying lenient reader; must be lossless
+    // and corrupt-free.
+    "q86_tsv_sink" -> ((s, dir) => {
+      val path = scratch(s, "q86_tsv")
+      val proj = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      graft.sources.Sinks.writeDelimited(proj, path)
+      graft.sources.Sinks.readLenientCsv(s, proj.schema, path)
+        .where(col("_corrupt_record").isNull).drop("_corrupt_record")
+        .orderBy(col("doc_id"))
+    }),
+
     // ORC round-trip: the second columnar format (built into Spark) —
     // same writer surface as parquet via writeSingleSorted(format=).
     // The re-read must be lossless vs the directly-computed oracle.
@@ -1891,6 +1906,12 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
 
     "q85_compact" ->
+      """SELECT doc_id, source,
+           CAST(len(string_split(trim(regexp_replace(lower(coalesce(text,
+             '')), '\s+', ' ', 'g')), ' ')) AS INTEGER) AS n_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "q86_tsv_sink" ->
       """SELECT doc_id, source,
            CAST(len(string_split(trim(regexp_replace(lower(coalesce(text,
              '')), '\s+', ' ', 'g')), ' ')) AS INTEGER) AS n_tokens

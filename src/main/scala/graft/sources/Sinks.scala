@@ -130,6 +130,18 @@ object Sinks {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
 
+  /** Delimited-text sink — the reference's actual output shape (its
+    * VCF/SAM sinks are tab-separated text: SparkGA1.scala:1242-1251).
+    * Headerless by contract to pair with [[readLenientCsv]], which
+    * carries the schema on the reader side.
+    */
+  def writeDelimited(df: DataFrame, path: String,
+                     delimiter: String = "\t"): Unit =
+    df.write.mode("overwrite")
+      .option("delimiter", delimiter)
+      .option("header", "false")
+      .csv(path)
+
   /** Lenient delimited-text reader: malformed rows land in
     * `_corrupt_record` instead of failing the job (count them; don't die
     * mid-petabyte). Mirrors the reference's badLines counters.
