@@ -54,6 +54,51 @@ class SamplingSpec extends SparkTestBase {
     assert(got.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("upsample total == base copies + hash-selected fraction, exactly") {
+    // the fractional extra copy uses the SAME md5 predicate as
+    // hashSample, so the output size is exactly predictable
+    val df = (1L to 777L).toDF("id")
+    val frac128 = Sampling.hashSample(df, "id", 128).count() // (5%2)*256/2
+    assert(Sampling.upsample(df, "id", 5, 2).count() == 2 * 777 + frac128)
+    val frac85 = Sampling.hashSample(df, "id", 85).count() // (1%3)*256/3
+    assert(Sampling.upsample(df, "id", 1, 3).count() == frac85)
+  }
+
+  test("mixtureSample proportions: random weights, exact threshold math") {
+    val rnd = new scala.util.Random(79)
+    for (_ <- 1 to 3) {
+      val sizes = Map("a" -> (rnd.nextInt(300) + 50),
+                      "b" -> (rnd.nextInt(300) + 50),
+                      "c" -> (rnd.nextInt(300) + 50))
+      val weights = Map("a" -> (rnd.nextInt(5) + 1).toLong,
+                        "b" -> (rnd.nextInt(5) + 1).toLong,
+                        "c" -> (rnd.nextInt(5) + 1).toLong)
+      val rows = sizes.toSeq.flatMap { case (s, n) =>
+        (1 to n).map(i => (s"$s$i".hashCode.toLong * 1000 + i, s)) }
+      val df = rows.toDF("id", "src")
+      val got = Sampling.mixtureSample(df, "id", "src", weights)
+        .as[(Long, String)].collect()
+      val bySrc = got.groupBy(_._2).view.mapValues(_.length).toMap
+      // replicate the operator's integer threshold derivation
+      val total = weights.values.sum
+      val nMax = sizes.map { case (s, n) => n * total / weights(s) }.min
+      sizes.foreach { case (s, n) =>
+        val t = math.min(256L, 256L * weights(s) * nMax / (total * n))
+        if (t == 256L)
+          assert(bySrc(s) == n, s"binding stratum $s must be whole")
+        else {
+          // hash predicate keeps ~t/256 of the stratum; exact count is
+          // data-dependent, but it can never exceed the stratum and the
+          // /256-granular rate should land within a loose CLT band
+          val expect = n * t / 256.0
+          val slack = 4 * math.sqrt(expect) + 4
+          assert(math.abs(bySrc.getOrElse(s, 0) - expect) <= slack,
+            s"$s: got ${bySrc.getOrElse(s, 0)}, expected ~$expect ± $slack")
+        }
+      }
+    }
+  }
+
   test("upsample: integer factor is exact, fractional is hash-selected") {
     val df = (1L to 1000L).toDF("id")
     // 3/1: every row exactly 3 times, copy_ids 1..3
