@@ -995,6 +995,18 @@ object SparkEntry {
       s.table(qname).orderBy(col("doc_id"))
     }),
 
+    // Z-order (Morton) interleave key — the clustering key behind
+    // multi-column file skipping (see sources/Layout.scala; the layout
+    // property itself is spec-asserted on real files). The oracle
+    // replays the same unrolled bit arithmetic.
+    "q87_zorder" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          graft.sources.Layout.zValue2(col("user_id"),
+            col("event_id") % 1024).as("zval"))
+        .orderBy(col("event_id"))
+    }),
+
     // Delimited-text (TSV) round-trip — the reference's own sink shape
     // (its VCF/SAM outputs are tab-separated text): headerless write
     // paired with the schema-carrying lenient reader; must be lossless
@@ -1916,6 +1928,15 @@ object SparkEntry {
            CAST(len(string_split(trim(regexp_replace(lower(coalesce(text,
              '')), '\s+', ' ', 'g')), ' ')) AS INTEGER) AS n_tokens
          FROM documents ORDER BY doc_id""",
+
+    "q87_zorder" -> {
+      // same unrolled Morton interleave as Layout.zValue2(bits = 16)
+      val terms = (0 until 16).flatMap(i => Seq(
+        s"((CAST(user_id AS BIGINT) >> $i) & 1) * (CAST(1 AS BIGINT) << ${2 * i})",
+        s"(((event_id % 1024) >> $i) & 1) * (CAST(1 AS BIGINT) << ${2 * i + 1})"))
+      s"""SELECT event_id, ${terms.mkString("\n             + ")} AS zval
+         FROM events ORDER BY event_id"""
+    },
 
     "q80_upsample" ->
       """WITH s AS (SELECT doc_id FROM documents WHERE source = 'src0'),

@@ -200,6 +200,40 @@ class SinksSpec extends SparkTestBase {
     }
   }
 
+  test("z-order layout bounds every file's range in BOTH dimensions") {
+    import spark.implicits._
+    withTempDir("graft_zorder") { dir =>
+      val rnd = new scala.util.Random(11)
+      val rows = Seq.fill(1 << 14)((rnd.nextInt(1024), rnd.nextInt(1024)))
+      val df = rows.toDF("x", "y")
+      val zpath = dir.getAbsolutePath + "/z"
+      graft.sources.Layout.writeZOrdered(df, "x", "y", zpath,
+        nFiles = 16, bits = 10)
+      def spans(path: String): (Double, Double) = {
+        val byFile = spark.read.parquet(path)
+          .groupBy(input_file_name().as("f"))
+          .agg(min($"x").as("x0"), max($"x").as("x1"),
+               min($"y").as("y0"), max($"y").as("y1"))
+          .select($"x1" - $"x0", $"y1" - $"y0")
+          .as[(Int, Int)].collect()
+        (byFile.map(_._1).sum.toDouble / byFile.length,
+         byFile.map(_._2).sum.toDouble / byFile.length)
+      }
+      val (zx, zy) = spans(zpath)
+      // 16 files over a 1024² space ⇒ ~1/√16 = 1/4 of EACH axis per
+      // file (2× slack for unaligned range boundaries)
+      assert(zx <= 512, s"x span $zx")
+      assert(zy <= 512, s"y span $zy")
+      // contrast: a single-column sort leaves the other axis unpruned
+      val spath = dir.getAbsolutePath + "/s"
+      df.repartitionByRange(16, $"x").sortWithinPartitions($"x")
+        .write.parquet(spath)
+      val (_, sy) = spans(spath)
+      assert(sy > zy * 2,
+        s"z-order must beat single-column sort on y: $sy vs $zy")
+    }
+  }
+
   test("compact: collapses fragmented files losslessly") {
     import spark.implicits._
     withTempDir("graft_compact") { dir =>
