@@ -1,0 +1,69 @@
+package graft
+
+/** Standing guardrails over the whole query surface — nets that catch a
+  * REGRESSION CLASS rather than one query:
+  *
+  *  - registry parity: every oracle has a query; every query either has
+  *    an oracle or is on the documented rows-only list (a typo'd key
+  *    would silently drop a correctness row from the driver's gate);
+  *  - plan hygiene sweep: no query's final plan may contain a
+  *    CartesianProduct, and the only BroadcastNestedLoopJoin is q24's
+  *    documented broadcast-query-batch scorer. (A refactor that turns
+  *    an equi-join into a non-equi one fails here, not at 100 TB.)
+  *
+  * The sweep builds every non-sink, non-streaming query's DataFrame at
+  * sf0.001 — plan construction only for lazy queries; the handful of
+  * eager queries (sinks, drains) are excluded because constructing them
+  * EXECUTES them, and each already has its own pinned spec.
+  */
+class QuerySurfaceSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // queries whose construction runs real work (sink writes, stream
+  // drains, eager closure/centroid computation) — each carries its own
+  // dedicated spec; building them here would re-run Verify in miniature
+  private val eager = Set(
+    "q31_pipe", "q36_kmeans_iter", "q43_stream_sessions",
+    "q44_partitioned_sink", "q45_bucketed_join", "q46_lenient_text",
+    "q47_single_sink", "q49_stateful_stream_sessions",
+    "q54_stream_tumbling", "q55_stream_sliding", "q56_stream_dedup",
+    "q61_stream_pipeline", "q69_stream_enrich", "q73_dup_clusters",
+    "q74_dup_clusters_strict", "q78_stream_join", "q81_jsonl_sink",
+    "q83_stream_dedup_gate", "q84_orc_sink", "q85_compact",
+    "q86_tsv_sink", "q13_salted_agg", "q35_salted_join",
+    "q25_ivf_ann", "q63_ivf_nprobe", "q50_cosine_neardup",
+    "q68_quantized_ann", "q72_bloom_decontaminate", "q12_ntile",
+    "q41_approx_segment", "q53_percentile_bucketed")
+
+  test("every oracle key names a query; every query is gated") {
+    val rowsOnly = Set("q34_approx_sketch", "q41_approx_segment")
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert((os -- qs).isEmpty, s"orphan oracles: ${os -- qs}")
+    assert((qs -- os -- rowsOnly).isEmpty,
+      s"queries missing an oracle (and not documented rows-only): " +
+        s"${qs -- os -- rowsOnly}")
+    assert(rowsOnly.subsetOf(qs))
+  }
+
+  test("no cartesian products; BNLJs only where broadcast-bounded") {
+    // documented BNLJs — each has a bounded-by-contract broadcast side:
+    //  - q24: the query batch is broadcast (its own plan spec pins the
+    //    build side);
+    //  - q9: a pure overlap join has no equi key, and its broadcast
+    //    side is one row per o_orderpriority (5); the big×big overlap
+    //    scale path is q38's bucketed equi-join.
+    val allowedBnlj = Set("q24_cosine_topk", "q9_interval_overlap")
+    val lazyQueries = SparkEntry.queries.keySet -- eager
+    val offenders = lazyQueries.toSeq.sorted.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val cart = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
+        !allowedBnlj(name)
+      if (cart || bnlj) Some(s"$name cart=$cart bnlj=$bnlj") else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+}
