@@ -995,6 +995,26 @@ object SparkEntry {
       s.table(qname).orderBy(col("doc_id"))
     }),
 
+    // Streaming FILE sink: stream → filter/project → checkpointed
+    // parquet output (the production shape; every other streaming row
+    // drains to the memory sink). The re-read of the committed part
+    // files must equal the batch filter — that equality IS the
+    // exactly-once sink contract.
+    "q88_stream_file_sink" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val out = scratch(s, "q88_out")
+      val ckpt = scratch(s, "q88_ckpt")
+      val stream = graft.streaming.Streams.fileSource(s, dir, batch.schema,
+          globFilter = Some("events.parquet"))
+        .where(col("value") > 500)
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 6).as("value"))
+      val query = graft.streaming.Streams.drainToFiles(stream, out, ckpt)
+        .start()
+      try query.awaitTermination() finally query.stop()
+      s.read.parquet(out).orderBy(col("event_id"))
+    }),
+
     // Z-order (Morton) interleave key — the clustering key behind
     // multi-column file skipping (see sources/Layout.scala; the layout
     // property itself is spec-asserted on real files). The oracle
@@ -1928,6 +1948,10 @@ object SparkEntry {
            CAST(len(string_split(trim(regexp_replace(lower(coalesce(text,
              '')), '\s+', ' ', 'g')), ' ')) AS INTEGER) AS n_tokens
          FROM documents ORDER BY doc_id""",
+
+    "q88_stream_file_sink" ->
+      """SELECT event_id, user_id, round(value, 6) AS value
+         FROM events WHERE value > 500 ORDER BY event_id""",
 
     "q87_zorder" -> {
       // same unrolled Morton interleave as Layout.zValue2(bits = 16)

@@ -150,4 +150,21 @@ object Streams {
       .queryName(queryName)
       .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
+
+  /** Drain-then-stop FILE sink — the production output shape: parquet
+    * part files plus a checkpoint directory, giving exactly-once output
+    * across restarts (the sink's commit log records which batch wrote
+    * which files; a restarted query resumes from the checkpoint instead
+    * of re-emitting). The memory sink above is for tests/oracles; this
+    * is what a 100 TB pipeline actually writes to. Append mode by
+    * definition (file sinks cannot retract).
+    */
+  def drainToFiles(df: DataFrame, outPath: String, checkpointPath: String,
+                   format: String = "parquet"): DataStreamWriter[Row] =
+    df.writeStream
+      .format(format)
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
 }
