@@ -995,6 +995,16 @@ object SparkEntry {
       s.table(qname).orderBy(col("doc_id"))
     }),
 
+    // One-pass numeric profiling: per-column nulls / exact distincts /
+    // min / max / mean in a single aggregate over a single scan (the
+    // multi-count-distinct Expand is the documented exactness price;
+    // approx_count_distinct is the 100 TB swap).
+    "q89_profile" -> ((s, dir) => {
+      Profile.profileNumeric(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy(col("column"))
+    }),
+
     // Streaming FILE sink: stream → filter/project → checkpointed
     // parquet output (the production shape; every other streaming row
     // drains to the memory sink). The re-read of the committed part
@@ -1960,6 +1970,20 @@ object SparkEntry {
     "q88_stream_file_sink" ->
       """SELECT event_id, user_id, round(value, 6) AS value
          FROM events WHERE value > 500 ORDER BY event_id""",
+
+    "q89_profile" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+        "l_tax")
+      cols.map { c =>
+        s"""SELECT '$c' AS "column",
+              count(CASE WHEN $c IS NULL THEN 1 END) AS n_nulls,
+              count(DISTINCT $c) AS n_distinct,
+              round(CAST(min($c) AS DOUBLE), 6) AS min_v,
+              round(CAST(max($c) AS DOUBLE), 6) AS max_v,
+              round(avg($c), 6) AS avg_v
+            FROM lineitem"""
+      }.mkString("", "\n UNION ALL\n", "\n ORDER BY \"column\"")
+    },
 
     "q87_zorder" -> {
       // same unrolled Morton interleave as Layout.zValue2(bits = 16)

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-pass data profiling — the "know your corpus before you train on
+  * it" report: per-column null count, exact distinct count, min / max /
+  * mean, emitted long-format (one row per column) so downstream checks
+  * join against thresholds.
+  *
+  * Scale shape: ONE aggregate over ONE scan. Multiple exact
+  * count-distincts make Catalyst plan an Expand (one input row becomes
+  * #distinct-aggs+1 rows pre-shuffle) — the honest price of exactness;
+  * at 100 TB swap `countDistinct` for `approx_count_distinct` and the
+  * Expand disappears while everything else stays identical. The wide
+  * single-row aggregate is reshaped to long form with one literal-array
+  * explode on a ONE-ROW frame — no second pass over data.
+  */
+object Profile {
+
+  /** Long-format numeric profile of `cols`:
+    * (column, n_nulls, n_distinct, min_v, max_v, avg_v), one row per
+    * profiled column, values rounded to 6 places for engine-exact
+    * comparison.
+    */
+  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(
+        count(when(col(c).isNull, lit(1))).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        round(min(col(c)).cast("double"), 6).as(s"${c}__min"),
+        round(max(col(c)).cast("double"), 6).as(s"${c}__max"),
+        round(avg(col(c)), 6).as(s"${c}__avg"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    wide
+      .select(explode(array(cols.map { c =>
+        struct(
+          lit(c).as("column"),
+          col(s"${c}__nulls").as("n_nulls"),
+          col(s"${c}__nd").as("n_distinct"),
+          col(s"${c}__min").as("min_v"),
+          col(s"${c}__max").as("max_v"),
+          col(s"${c}__avg").as("avg_v"))
+      }: _*)).as("_s"))
+      .select(col("_s.*"))
+  }
+}

@@ -3,6 +3,28 @@ package graft.operators
 import graft.SparkTestBase
 import org.apache.spark.sql.functions._
 
+class ProfileSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("one-pass profile: nulls, exact distincts, min/max/avg per column") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.0), (2.0, 10.0), (null, 30.0), (2.0, null), (3.0, null)
+    ).toDF("a", "b")
+    val got = Profile.profileNumeric(df, Seq("a", "b"))
+      .as[(String, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("a") == ("a", 1L, 3L, 1.0, 3.0, 2.0))
+    assert(got("b") == ("b", 2L, 2L, 10.0, 30.0,
+      math.rint((10 + 10 + 30) / 3.0 * 1e6) / 1e6))
+    // one scan, one aggregate pair (partial+final through the Expand)
+    val plan = Profile.profileNumeric(df, Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"),
+      "exact multi-distinct must plan through Expand (documented trade)")
+    assert("Scan".r.findAllIn(plan).size <= 2, s"profile must scan once")
+  }
+}
+
 class StatsSpec extends SparkTestBase {
   import spark.implicits._
 
