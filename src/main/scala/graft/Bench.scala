@@ -94,7 +94,22 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, ts, true) => median(ts) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"failed":$failed,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"failed":$failed,"sf":"$sfDir"}"""
+    println(json)
+    // DURABLE ARTIFACT: the harness records a bounded TAIL of stdout,
+    // and with 90+ queries the one-line JSON outgrows that window (round
+    // 5's recorded artifact lost the first half of the line, including
+    // the total). The full JSON is therefore also written to a file in
+    // the working directory, where truncation can't reach it.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+      java.nio.file.Files.write(out,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] full JSON written to ${out.toAbsolutePath}")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

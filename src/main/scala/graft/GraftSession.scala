@@ -37,6 +37,17 @@ object GraftSession {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
               "131072")
       .config("spark.sql.session.timeZone", "UTC")
+      // streaming state lives in RocksDB, not the in-heap
+      // HDFSBackedStateStore: a symmetric stream-stream join keeps 4
+      // state stores per shuffle partition (q78's profile: 128 stores
+      // at 32 partitions), and at production rates in-heap state both
+      // competes with execution memory and stalls in GC. RocksDB keeps
+      // state off-heap with incremental checkpointing — the provider a
+      // 100 TB stream actually ships with (rocksdbjni is bundled with
+      // the Spark distribution).
+      .config("spark.sql.streaming.stateStore.providerClass",
+              "org.apache.spark.sql.execution.streaming.state." +
+                "RocksDBStateStoreProvider")
       // the driver's events.parquet stores ts as TIMESTAMP(NANOS), which
       // vanilla Spark refuses; read as Long nanoseconds and convert with
       // exact integer arithmetic (see SparkEntry.eventTimestamp).

@@ -951,8 +951,13 @@ object SparkEntry {
     // Mixture rebalancing: sample the corpus to a 6:3:1 source mixture
     // (other sources dropped) — per-source thresholds derived from one
     // tiny count aggregate with pure integer arithmetic, then the same
-    // deterministic scan-stage hash predicate as q37/q52. The binding
-    // source (here all equal-sized, so src2) is kept whole.
+    // deterministic scan-stage hash predicate as q37/q52. With roughly
+    // equal-sized sources the LARGEST-weight source (src0) binds: its
+    // n·10/6 is the smallest target, so src0's threshold computes to
+    // ~256 ("keep whole") — exactly 256 only when 10·n divides by 6;
+    // otherwise the integer threshold floors to 255 and src0 sheds
+    // ~1/256 of its rows (both engines apply the same floor, so the
+    // oracle agrees either way).
     "q79_mixture_sample" -> ((s, dir) => {
       Sampling.mixtureSample(t(s, dir, "documents"), "doc_id", "source",
           Map("src0" -> 6L, "src1" -> 3L, "src2" -> 1L))
@@ -1022,9 +1027,14 @@ object SparkEntry {
         val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(hp)) fs.delete(hp, true)
       }
+      // value > 50 keeps ~37% of events at every SF (sf0.01: 3,665 of
+      // 10,000 rows) — a threshold high enough to prove the filter
+      // filters and low enough that the oracle compares real data (the
+      // previous value > 500 exceeded the data's max ⇒ 0-vs-0 rows, a
+      // vacuous exactly-once check)
       val stream = graft.streaming.Streams.fileSource(s, dir, batch.schema,
           globFilter = Some("events.parquet"))
-        .where(col("value") > 500)
+        .where(col("value") > 50)
         .select(col("event_id"), col("user_id"),
           round(col("value"), 6).as("value"))
       val query = graft.streaming.Streams.drainToFiles(stream, out, ckpt)
@@ -1969,7 +1979,7 @@ object SparkEntry {
 
     "q88_stream_file_sink" ->
       """SELECT event_id, user_id, round(value, 6) AS value
-         FROM events WHERE value > 500 ORDER BY event_id""",
+         FROM events WHERE value > 50 ORDER BY event_id""",
 
     "q89_profile" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount",

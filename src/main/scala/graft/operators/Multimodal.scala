@@ -83,6 +83,11 @@ object Multimodal {
   private def jpegDims(b: Array[Byte]): (Int, Int) = {
     var i = 2
     while (i + 3 < b.length && (b(i) & 0xff) == 0xff) {
+      // JPEG permits any number of 0xFF FILL bytes before a marker
+      // code; treating a fill byte as the marker would read its
+      // neighbor as a length field and mis-step the walk. Skip runs of
+      // 0xFF so b(i+1) is the actual marker code.
+      while (i + 3 < b.length && (b(i + 1) & 0xff) == 0xff) i += 1
       val marker = b(i + 1) & 0xff
       if (marker >= 0xc0 && marker <= 0xcf &&
           marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {

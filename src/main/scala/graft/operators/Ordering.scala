@@ -66,6 +66,20 @@ object Ordering {
     * The drop to the RDD API is deliberate and contained: a global
     * *stable* index is genuinely per-partition imperative logic (Spark
     * exposes it only there), and downstream reads a plain DataFrame.
+    * (Known seam: the round-trip through `RDD[Row]` +
+    * `createDataFrame` leaves Tungsten/codegen rows for the tail of
+    * the pipeline — acceptable for an export-shaped terminal operator;
+    * feed heavy downstream transforms from the written output, not
+    * this frame.)
+    *
+    * The sorted RDD is PERSISTED (memory-and-disk) before
+    * `zipWithIndex`: zipWithIndex launches an internal count job to
+    * learn per-partition sizes, which would otherwise execute the full
+    * range sort once and then recompute it from scratch for the
+    * consuming action — the cache makes the sort run exactly once. The
+    * cached partitions are released by the ContextCleaner when the
+    * returned frame becomes unreachable (same lifetime contract as
+    * Components' superseded checkpoint rounds).
     */
   def withGlobalIndex(df: DataFrame, orderCols: Seq[Column],
                       idxName: String): DataFrame = {
@@ -73,7 +87,9 @@ object Ordering {
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
         idxName, org.apache.spark.sql.types.LongType, nullable = false))
-    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+    val sortedRdd = sorted.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val indexed = sortedRdd.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
     }
     sorted.sparkSession.createDataFrame(indexed, schema)

@@ -80,6 +80,16 @@ object Skew {
     * instead of one. AQE's skew-join handles sort-merge spills at
     * runtime; explicit salting is for when you know the hot keys up
     * front and want the first shuffle balanced too.
+    *
+    * SALT-CHOICE CAVEAT: the salt is `hash(ALL big-side columns) %
+    * buckets` — deterministic by design (retried tasks re-produce
+    * identical output; `rand()` would not). The price: big-side rows
+    * that are fully identical (true duplicates of a hot key) hash to
+    * ONE salt bucket and still land on one reducer. That is the right
+    * trade for exactly-reproducible results; if the skew is literal
+    * row duplication, either dedup-with-counts first (aggregate the
+    * duplicates away, join, re-expand) or salt on a row-unique column
+    * (offset, file position) when the schema carries one.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, on: Seq[String],
                  saltBuckets: Int): DataFrame = {

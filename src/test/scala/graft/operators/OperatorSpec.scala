@@ -118,6 +118,24 @@ class SkewSpec extends SparkTestBase {
     assert(plain == salted)
   }
 
+  test("saltedJoin with TRUE-duplicate hot rows: correct, one bucket") {
+    // 1,000 fully identical rows of the hot key: the all-columns salt
+    // maps them to ONE bucket (documented caveat — determinism beats
+    // spreading literal duplicates), and the join must still multiply
+    // them correctly
+    val big = ((1 to 1000).map(_ => (1, 7)) ++ Seq((2, 8))).toDF("k", "v")
+    val small = Seq((1, "hot"), (2, "cold")).toDF("k", "name")
+    val salted = Skew.saltedJoin(big, small, Seq("k"), 8)
+    val counts = salted.groupBy($"name").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map("hot" -> 1000L, "cold" -> 1L))
+    // the caveat itself: identical rows share one deterministic salt
+    val hotSalts = big.where($"k" === 1)
+      .withColumn("_salt", pmod(hash($"k", $"v"), lit(8)))
+      .select($"_salt").distinct().count()
+    assert(hotSalts == 1L)
+  }
+
   test("segmentCounts: round(n*factor/avg), min 1") {
     // counts 10, 10, 100 -> avg 40; factor 1 -> 0->1, 0->1, round(2.5)=3
     val counts = Seq(("a", 10L), ("b", 10L), ("c", 100L)).toDF("k", "n")

@@ -181,6 +181,31 @@ class StreamsSpec extends SparkTestBase {
     }
   }
 
+  test("streaming sessions run on the RocksDB state store provider") {
+    // the engine default for streaming state is RocksDB (off-heap,
+    // incremental checkpoints) — 128 in-heap HDFSBackedStateStores is
+    // the wrong provider for a production stream-stream join (q78's
+    // profile: 4 stores × shuffle partitions). Assert the session
+    // carries the provider, then prove a stateful query actually runs
+    // on it (a missing rocksdbjni would fail here, not in production).
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .endsWith("RocksDBStateStoreProvider"))
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val out = Streams.streamDedup(in.toDF().toDF("k", "payload"), Seq("k"))
+    val q = out.writeStream.format("memory").queryName("rocksdedup")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "a"), (1L, "dup"), (2L, "b"))
+      q.processAllAvailable()
+      in.addData((2L, "dup"), (3L, "c")) // cross-batch state hit
+      q.processAllAvailable()
+      val got = spark.table("rocksdedup").select($"k", $"payload")
+        .as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
   test("readyFilter keeps only marker-listed ids (stream-static semi-join)") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, String)]
