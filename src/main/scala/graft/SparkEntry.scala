@@ -1010,6 +1010,18 @@ object SparkEntry {
         .orderBy(col("column"))
     }),
 
+    // Approx profiling — the 100 TB default: approx_count_distinct
+    // (HyperLogLog++) replaces the exact multi-distinct, so the plan
+    // has NO Expand (spec-pinned) and the scan is read once regardless
+    // of column count. n_distinct is an estimate ⇒ rows-only check;
+    // ProfileSpec bounds the estimate against the exact counts.
+    "q90_profile_approx" -> ((s, dir) => {
+      Profile.profileNumeric(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+          approx = true)
+        .orderBy(col("column"))
+    }),
+
     // Streaming FILE sink: stream → filter/project → checkpointed
     // parquet output (the production shape; every other streaming row
     // drains to the memory sink). The re-read of the committed part

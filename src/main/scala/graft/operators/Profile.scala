@@ -4,31 +4,46 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** One-pass data profiling — the "know your corpus before you train on
-  * it" report: per-column null count, exact distinct count, min / max /
+  * it" report: per-column null count, distinct count, min / max /
   * mean, emitted long-format (one row per column) so downstream checks
   * join against thresholds.
   *
-  * Scale shape: ONE aggregate over ONE scan. Multiple exact
-  * count-distincts make Catalyst plan an Expand (one input row becomes
-  * #distinct-aggs+1 rows pre-shuffle) — the honest price of exactness;
-  * at 100 TB swap `countDistinct` for `approx_count_distinct` and the
-  * Expand disappears while everything else stays identical. The wide
-  * single-row aggregate is reshaped to long form with one literal-array
-  * explode on a ONE-ROW frame — no second pass over data.
+  * Scale shape: ONE aggregate over ONE scan — but the distinct count
+  * has two modes with very different physical plans:
+  *
+  *  - '''exact''' (`approx = false`): multiple exact count-distincts
+  *    make Catalyst plan an Expand — one input row becomes
+  *    #distinct-aggs+1 rows pre-shuffle, i.e. the scan is effectively
+  *    multiplied N_cols×. Correct, oracle-checkable, and the wrong
+  *    default shape at 100 TB.
+  *  - '''approx''' (`approx = true`): `approx_count_distinct`
+  *    (HyperLogLog++, relative error `rsd`) is an ordinary partial/
+  *    final aggregate buffer — NO Expand, the scan is read once
+  *    regardless of column count. This is the scale default; the plan
+  *    shape is spec-pinned Expand-free.
+  *
+  * The wide single-row aggregate is reshaped to long form with one
+  * literal-array explode on a ONE-ROW frame — no second pass over data.
   */
 object Profile {
 
   /** Long-format numeric profile of `cols`:
     * (column, n_nulls, n_distinct, min_v, max_v, avg_v), one row per
     * profiled column, values rounded to 6 places for engine-exact
-    * comparison.
+    * comparison. `approx = true` swaps the exact distinct count for
+    * HyperLogLog++ (see class doc — the 100 TB mode; n_distinct then
+    * carries the estimate and the result is rows-checked, not
+    * hash-checked, against an oracle).
     */
-  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profileNumeric(df: DataFrame, cols: Seq[String],
+                     approx: Boolean = false,
+                     rsd: Double = 0.05): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val aggs: Seq[Column] = cols.flatMap { c =>
       Seq(
         count(when(col(c).isNull, lit(1))).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__nd"),
+        (if (approx) approx_count_distinct(col(c), rsd)
+         else countDistinct(col(c))).as(s"${c}__nd"),
         round(min(col(c)).cast("double"), 6).as(s"${c}__min"),
         round(max(col(c)).cast("double"), 6).as(s"${c}__max"),
         round(avg(col(c)), 6).as(s"${c}__avg"))

@@ -232,6 +232,23 @@ class PlanSpec extends SparkTestBase {
       "string-keyed counts must hash-aggregate")
   }
 
+  test("q90 approx profile has NO Expand; q89's exact mode is the one that pays it") {
+    // exact multi-count-distinct plans an Expand that multiplies the
+    // scan N_cols× — the documented price of exactness (q89). The
+    // approx (HLL++) mode is the 100 TB default and must stay an
+    // ordinary partial/final aggregate over ONE scan: no Expand, ever.
+    val pApprox = plan("q90_profile_approx")
+    assert(!pApprox.contains("Expand"),
+      s"approx profile must not multiply the scan:\n$pApprox")
+    assert(pApprox.contains("partial_approx_count_distinct") ||
+           pApprox.contains("approx_count_distinct"),
+      s"approx profile must aggregate via HLL:\n$pApprox")
+    val pExact = plan("q89_profile")
+    assert(pExact.contains("Expand"),
+      "exact profile is expected to carry the Expand (if Catalyst " +
+        "stopped planning one, update the Profile scaladoc)")
+  }
+
   test("q79/q80 mixture + upsample stay scan-stage after construction") {
     // mixtureSample's count agg happens at CONSTRUCTION (a #strata-row
     // driver scalar); the returned frame must be a pure predicate over

@@ -38,7 +38,8 @@ class QuerySurfaceSpec extends SparkTestBase {
     "q41_approx_segment", "q53_percentile_bucketed")
 
   test("every oracle key names a query; every query is gated") {
-    val rowsOnly = Set("q34_approx_sketch", "q41_approx_segment")
+    val rowsOnly = Set("q34_approx_sketch", "q41_approx_segment",
+      "q90_profile_approx")
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert((os -- qs).isEmpty, s"orphan oracles: ${os -- qs}")

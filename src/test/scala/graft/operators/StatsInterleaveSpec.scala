@@ -23,6 +23,33 @@ class ProfileSpec extends SparkTestBase {
       "exact multi-distinct must plan through Expand (documented trade)")
     assert("Scan".r.findAllIn(plan).size <= 2, s"profile must scan once")
   }
+
+  test("approx profile: HLL estimate within tolerance of exact") {
+    val df = (1 to 2000)
+      .map(i => (i % 97, if (i % 10 == 0) None else Some(i % 403)))
+      .toDF("a", "b")
+    val exact = Profile.profileNumeric(df, Seq("a", "b"))
+      .select($"column", $"n_distinct").as[(String, Long)].collect().toMap
+    val approx = Profile.profileNumeric(df, Seq("a", "b"), approx = true)
+      .select($"column", $"n_distinct").as[(String, Long)].collect().toMap
+    // default rsd 0.05; allow 4x — seeded data, a failure means the
+    // estimator regressed, not that the sketch got unlucky
+    for ((c, nd) <- exact) {
+      assert(math.abs(approx(c) - nd) <= math.max(1, (nd * 0.2).toLong),
+        s"$c: approx ${approx(c)} vs exact $nd")
+    }
+  }
+
+  test("approx profile changes ONLY n_distinct; all else is identical") {
+    val df = (1 to 2000)
+      .map(i => (i % 97, if (i % 10 == 0) None else Some(i % 403)))
+      .toDF("a", "b")
+    val e = Profile.profileNumeric(df, Seq("a", "b")).drop("n_distinct")
+      .orderBy($"column").collect().toSeq
+    val a = Profile.profileNumeric(df, Seq("a", "b"), approx = true)
+      .drop("n_distinct").orderBy($"column").collect().toSeq
+    assert(e == a)
+  }
 }
 
 class StatsSpec extends SparkTestBase {
