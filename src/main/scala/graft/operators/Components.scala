@@ -40,14 +40,36 @@ import org.apache.spark.sql.functions._
   * exponential — the round-4 sf0.1 OOM. With the checkpoint the plan is
   * O(1) per round; superseded rounds' cached blocks are released by the
   * ContextCleaner as the frames become unreachable.
+  *
+  * FAULT TOLERANCE: `localCheckpoint` stores blocks UNREPLICATED on
+  * executors with lineage truncated — correct and fast in local mode
+  * (one JVM, nothing to lose), but on a real multi-node cluster an
+  * executor loss mid-closure makes the computation unrecoverable (the
+  * truncated lineage cannot recompute the lost blocks). Both operators
+  * therefore take `reliable = true`, which pins rounds with a RELIABLE
+  * `checkpoint()` to the context's checkpoint directory instead
+  * (`spark.sparkContext.setCheckpointDir` — HDFS/object storage on a
+  * cluster): same O(1)-plan property, survives executor loss, costs one
+  * write+read of each round's frame. This is the analog of the
+  * reference's materialize-between-parts protocol (`runAll.py:37-44`,
+  * each part a separate application with HDFS output between). Default
+  * remains local (the test/bench path); a 100 TB closure job should
+  * pass `reliable = true`.
   */
 object Components {
 
-  /** Eager local checkpoint: materialize AND truncate lineage — the
-    * returned frame's logical plan is a single `LogicalRDD`, so
-    * iterative reuse can't grow the plan tree (see class doc).
+  /** Eager checkpoint: materialize AND truncate lineage — the returned
+    * frame's logical plan is a single `LogicalRDD`, so iterative reuse
+    * can't grow the plan tree (see class doc). `reliable` swaps the
+    * executor-local block store for the context checkpoint directory
+    * (must be set; survives executor loss).
     */
-  private def pin(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+  private def pin(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliable=true needs spark.sparkContext.setCheckpointDir(...)")
+      df.checkpoint(eager = true)
+    } else df.localCheckpoint(eager = true)
 
   private def symmetrize(edges: DataFrame, aCol: String, bCol: String)
       : DataFrame =
@@ -63,10 +85,11 @@ object Components {
     * which preserve components and shrink the remaining diameter).
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxRounds: Int = 25): DataFrame = {
-    val sym = pin(symmetrize(edges, aCol, bCol))
+                          maxRounds: Int = 25,
+                          reliable: Boolean = false): DataFrame = {
+    val sym = pin(symmetrize(edges, aCol, bCol), reliable)
     var labels = pin(sym.select(col("s").as("id")).distinct()
-      .select(col("id"), col("id").as("lab")))
+      .select(col("id"), col("id").as("lab")), reliable)
     val n = labels.count()
     // rounds = diameter for hash-min; past ~log2(n) the graph is
     // chain-shaped and star contraction wins — don't grind to maxRounds
@@ -79,7 +102,7 @@ object Components {
         .join(labels.select(col("id").as("s"), col("lab")), Seq("s"))
         .select(col("d").as("id"), col("lab"))
       val next = pin(prop.union(labels)
-        .groupBy(col("id")).agg(min(col("lab")).as("lab")))
+        .groupBy(col("id")).agg(min(col("lab")).as("lab")), reliable)
       // labels only ever decrease, so "no label changed" = fixpoint.
       // Both sides are checkpointed — the probe rides cached partitions
       // and limit(1) stops at the first change.
@@ -97,7 +120,7 @@ object Components {
         sym.select(col("s").as("a"), col("d").as("b"))
           .union(labels.where(col("id") =!= col("lab"))
             .select(col("id").as("a"), col("lab").as("b"))),
-        "a", "b")
+        "a", "b", reliable = reliable)
     out
   }
 
@@ -119,14 +142,15 @@ object Components {
     * checkpointed so the plan stays O(1) (see class doc).
     */
   def starContraction(edges: DataFrame, aCol: String, bCol: String,
-                      maxRounds: Int = 60): DataFrame = {
+                      maxRounds: Int = 60,
+                      reliable: Boolean = false): DataFrame = {
     val nodes = pin(edges.select(col(aCol).as("id"))
-      .union(edges.select(col(bCol).as("id"))).distinct())
+      .union(edges.select(col(bCol).as("id"))).distinct(), reliable)
     // canonical orientation big→small; drops self-loops and dup edges
     var e = pin(edges
       .select(greatest(col(aCol), col(bCol)).as("u"),
               least(col(aCol), col(bCol)).as("v"))
-      .where(col("u") =!= col("v")).distinct())
+      .where(col("u") =!= col("v")).distinct(), reliable)
     var eCount = e.count()
     var converged = eCount == 0L
     var round = 0
@@ -149,7 +173,7 @@ object Components {
         .union(smin.select(col("u").as("x"), col("m")))
         .where(col("x") =!= col("m"))
         .select(col("x").as("u"), col("m").as("v"))
-        .distinct())
+        .distinct(), reliable)
       val nextCount = next.count()
       converged = nextCount == eCount &&
         next.join(e, Seq("u", "v"), "left_anti").isEmpty
@@ -180,8 +204,9 @@ object Components {
     */
   def duplicateClusters(docs: DataFrame, pairs: DataFrame,
                         idCol: String, aCol: String = "a",
-                        bCol: String = "b"): DataFrame = {
-    val labels = connectedComponents(pairs, aCol, bCol)
+                        bCol: String = "b",
+                        reliable: Boolean = false): DataFrame = {
+    val labels = connectedComponents(pairs, aCol, bCol, reliable = reliable)
     docs.select(col(idCol))
       .join(labels, docs(idCol) === labels("id"), "left")
       .select(col(idCol),
