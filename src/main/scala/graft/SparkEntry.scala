@@ -1176,6 +1176,20 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Dedup modality 5b: embedding near-dup by RANDOM-HYPERPLANE LSH —
+    // q50's IVF blocking needs a centroid table collected at the
+    // driver; hyperplane signatures are md5-derived CONSTANTS, so this
+    // path has no driver-side data step at all. 32 sign bits, 4 bands
+    // of 8; candidates scored with the exact cosine (precision 1,
+    // recall = the LSH trade). Oracle replays the hyperplanes, the
+    // sign bands, and the exact in-band cosine in SQL.
+    "q91_hyperplane_lsh" -> ((s, dir) => {
+      Similarity.hyperplaneLshPairs(t(s, dir, "embeddings"),
+          "vec_id", "embedding", dim = 64, bits = 32, bandBits = 8,
+          minCosine = 0.35)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // BPE-ish regex token counting next to the whitespace count — the
     // pre-tokenizer split shape LLM-data token budgeting actually uses.
     "q51_regex_tokens" -> ((s, dir) => {
@@ -1992,6 +2006,42 @@ object SparkEntry {
     "q88_stream_file_sink" ->
       """SELECT event_id, user_id, round(value, 6) AS value
          FROM events WHERE value > 50 ORDER BY event_id""",
+
+    "q91_hyperplane_lsh" ->
+      """WITH v AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+           FROM embeddings),
+         hp AS (
+           SELECT j.j, d.d,
+             CAST('0x' || substr(md5('hp:' || j.j || ':' || d.d), 1, 15)
+               AS BIGINT) / 1152921504606846976.0 * 2 - 1 AS comp
+           FROM range(0, 32) j(j) CROSS JOIN range(0, 64) d(d)),
+         hpl AS (SELECT j, list(comp ORDER BY d) AS rv
+                 FROM hp GROUP BY j),
+         bits AS (
+           SELECT v.vec_id, hpl.j,
+             CASE WHEN round(list_dot_product(v.ev, hpl.rv), 6) > 0
+                  THEN 1 ELSE 0 END AS bit
+           FROM v CROSS JOIN hpl),
+         sigs AS (
+           SELECT vec_id, CAST(j // 8 AS INTEGER) AS band,
+                  CAST(sum(bit << (j % 8)) AS BIGINT) AS bv
+           FROM bits GROUP BY vec_id, j // 8),
+         cands AS (
+           SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+           FROM sigs x JOIN sigs y
+             ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id)
+         SELECT c.a, c.b,
+                round(list_dot_product(xa.ev, yb.ev)
+                      / (sqrt(list_dot_product(xa.ev, xa.ev))
+                         * sqrt(list_dot_product(yb.ev, yb.ev))), 6) AS sim
+         FROM cands c
+         JOIN v xa ON c.a = xa.vec_id
+         JOIN v yb ON c.b = yb.vec_id
+         WHERE round(list_dot_product(xa.ev, yb.ev)
+                     / (sqrt(list_dot_product(xa.ev, xa.ev))
+                        * sqrt(list_dot_product(yb.ev, yb.ev))), 6) >= 0.35
+         ORDER BY a, b""",
 
     "q89_profile" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount",

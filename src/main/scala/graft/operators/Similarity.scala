@@ -335,6 +335,98 @@ object Similarity {
       .select(col("a"), col("b"), col("centroid_id"), col("sim"))
   }
 
+  /** Deterministic pseudo-random hyperplane components for
+    * [[hyperplaneLshPairs]]: component (j, d) = 2·u − 1 where u is the
+    * first 15 hex chars of md5("hp:j:d") scaled to [0, 1). md5-derived
+    * like [[NearDup.seededHash]] so ANY engine reproduces the exact
+    * doubles (`CAST('0x' || substr(md5(..), 1, 15) AS BIGINT) / 2^60`
+    * in DuckDB/ANSI — bit-identical IEEE arithmetic both sides).
+    * Uniform (not Gaussian) components: for sign-projection LSH only
+    * the direction distribution matters and symmetric-uniform
+    * coordinates keep the collision-probability ≈ 1 − θ/π property in
+    * practice while staying portable; these are CONSTANTS computed at
+    * operator build (no data job, no collect — the driver-step-free
+    * property that distinguishes this from IVF's centroid table).
+    */
+  private[operators] def hyperplanes(bits: Int, dim: Int)
+      : Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until bits).map { j =>
+      (0 until dim).map { d =>
+        val hex = md.digest(s"hp:$j:$d".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.substring(0, 15)
+        java.lang.Long.parseLong(hex, 16).toDouble /
+          (1L << 60).toDouble * 2d - 1d
+      }
+    }
+  }
+
+  /** Embedding near-duplicate pairs by RANDOM-HYPERPLANE LSH (SimHash
+    * for vectors, Charikar STOC'02): signature bit j = sign of the
+    * projection onto fixed pseudo-random hyperplane j, banded like
+    * text SimHash — vectors agreeing on all `bandBits` bits of any
+    * band become candidates, candidates are scored with the exact
+    * cosine and kept at `minCosine`. Exact-over-candidates, so
+    * precision is 1; recall is the LSH trade (two near-identical
+    * vectors disagree on a bit with probability θ/π ≈ 0 as θ → 0).
+    *
+    * vs [[cosineNearDupPairs]] (IVF-cell blocking): that path needs a
+    * centroid table COLLECTED at the driver; this one needs no
+    * centroids, no k-means, no driver-side data step — the hyperplanes
+    * are md5-derived constants — so it composes with streaming and
+    * with corpora whose cluster structure is unknown. Candidate
+    * volume: each band splits the corpus into 2^bandBits buckets;
+    * in-bucket joins are the only pair source (never all-pairs). At
+    * 100 TB raise `bandBits` so buckets stay ~10⁴ vectors — same
+    * knob-per-scale story as the text-side LSH.
+    *
+    * SCALE SHAPE: signatures are pure scan-stage column arithmetic
+    * (bits × dim multiply-adds per row, no shuffle, no explode until
+    * the bands×|V| banding rows); the band equi-join shuffles
+    * (id, band, value) triples only — the vectors themselves stay in
+    * place until the surviving candidate pairs join back by id for
+    * exact scoring.
+    */
+  def hyperplaneLshPairs(vectors: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, bits: Int, bandBits: Int,
+                         minCosine: Double): DataFrame = {
+    require(bits % bandBits == 0, s"bits=$bits not divisible by $bandBits")
+    require(bits <= 62, "signature must fit a long")
+    ensureFns(vectors)
+    val planes = hyperplanes(bits, dim)
+    val bands = bits / bandBits
+    // band value = the band's bits packed little-endian; each bit is
+    // sign(round(projection, 6)) — rounded so the oracle's sum order
+    // can't flip a bit on a last-ulp difference at the 0 boundary
+    val bandCols = (0 until bands).map { b =>
+      (0 until bandBits).map { i =>
+        val j = b * bandBits + i
+        when(round(dot(col(vecCol), typedlit(planes(j))), 6) > 0d,
+          lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _).as(s"hb$b")
+    }
+    val sigs = vectors.select(col(idCol).as("id") +: bandCols: _*)
+    val banded = sigs.select(col("id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), col(s"hb$b").as("v"))): _*)).as("bv"))
+      .select(col("id"), col("bv.band").as("band"), col("bv.v").as("v"))
+    val cands = banded.select(col("band"), col("v"), col("id").as("a"))
+      .join(banded.select(col("band"), col("v"), col("id").as("b")),
+        Seq("band", "v"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val av = vectors.select(col(idCol).as("a"), col(vecCol).as("av"),
+      nnorm(col(vecCol)).as("anrm"))
+    val bv = vectors.select(col(idCol).as("b"), col(vecCol).as("bv"),
+      nnorm(col(vecCol)).as("bnrm"))
+    cands.join(av, Seq("a")).join(bv, Seq("b"))
+      .withColumn("sim",
+        round(safeDiv(ndot(col("av"), col("bv")),
+                      col("anrm") * col("bnrm")), 6))
+      .where(col("sim") >= minCosine)
+      .select(col("a"), col("b"), col("sim"))
+  }
+
   /** IVF ANN top-k: each query probes its `nprobe` nearest centroid
     * cells (default 1 = own cluster only). Recall < 1 by design (that's
     * the approximation); nprobe=2 recovers the boundary neighbors the

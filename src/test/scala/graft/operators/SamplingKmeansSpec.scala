@@ -171,6 +171,48 @@ class CosineNearDupSpec extends SparkTestBase {
   }
 }
 
+class HyperplaneLshSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hyperplanes are deterministic, in [-1,1), and md5-derived") {
+    val h1 = Similarity.hyperplanes(8, 16)
+    val h2 = Similarity.hyperplanes(8, 16)
+    assert(h1 == h2)
+    assert(h1.flatten.forall(c => c >= -1d && c < 1d))
+    // spot-check one component against the portable formula
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("hp:3:7".getBytes("UTF-8")).map(b => f"$b%02x")
+      .mkString.substring(0, 15)
+    val expect = java.lang.Long.parseLong(hex, 16).toDouble /
+      (1L << 60).toDouble * 2d - 1d
+    assert(h1(3)(7) == expect)
+  }
+
+  test("planted near-duplicates are recalled; precision is exact") {
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    def vec() = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    // 40 random base vectors; every 4th gets a near-identical twin
+    // (tiny perturbation — cosine ≈ 1, so all 32 sign bits agree whp)
+    val base = (0L until 40L).map(i => (i, vec()))
+    val twins = base.collect { case (i, v) if i % 4 == 0 =>
+      (100L + i, v.map(x => x + 0.001f))
+    }
+    val df = (base ++ twins).toDF("vec_id", "embedding")
+    val got = Similarity.hyperplaneLshPairs(df, "vec_id", "embedding",
+        dim = dim, bits = 32, bandBits = 8, minCosine = 0.98)
+      .as[(Long, Long, Double)].collect()
+    // precision: every reported pair really is >= the threshold
+    assert(got.forall(_._3 >= 0.98))
+    // recall on the planted twins: all 10 must surface
+    val pairs = got.map(p => (p._1, p._2)).toSet
+    val planted = base.collect { case (i, _) if i % 4 == 0 =>
+      (i, 100L + i) }.toSet
+    assert(planted.subsetOf(pairs),
+      s"missing planted twins: ${planted -- pairs}")
+  }
+}
+
 class RegexTokensSpec extends SparkTestBase {
   import spark.implicits._
 
