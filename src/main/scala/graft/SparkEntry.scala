@@ -1190,6 +1190,27 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // INCREMENTAL corpus dedup — "new crawl vs existing corpus": the
+    // accepted corpus's fingerprints live in a bucketed table; the new
+    // batch dedups in-batch and anti-joins the index with ZERO hash
+    // exchanges (both sides bucketed on fp — q45's pattern applied to
+    // dedup; plan-pinned). Oracle recomputes the same admission over
+    // the union in SQL.
+    "q92_incremental_dedup" -> ((s, dir) => {
+      import graft.operators.TextAnalysis.fingerprint
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      graft.sources.Sinks.writeBucketed(
+        d.where(col("doc_id") % 10 === 0).select(col("fp")),
+        Seq("fp"), 8, "graft_q92_index")
+      graft.sources.Sinks.writeBucketed(
+        d.where(col("doc_id") % 10 =!= 0),
+        Seq("fp"), 8, "graft_q92_batch")
+      Dedup.incrementalDedup(s, "graft_q92_batch", "graft_q92_index",
+          "doc_id", "fp")
+        .orderBy(col("doc_id"))
+    }),
+
     // BPE-ish regex token counting next to the whitespace count — the
     // pre-tokenizer split shape LLM-data token budgeting actually uses.
     "q51_regex_tokens" -> ((s, dir) => {
@@ -2006,6 +2027,19 @@ object SparkEntry {
     "q88_stream_file_sink" ->
       """SELECT event_id, user_id, round(value, 6) AS value
          FROM events WHERE value > 50 ORDER BY event_id""",
+
+    "q92_incremental_dedup" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  substr(md5(trim(regexp_replace(lower(coalesce(text, '')),
+                    '\s+', ' ', 'g'))), 1, 16) AS fp
+           FROM documents),
+         idx AS (SELECT fp FROM d WHERE doc_id % 10 = 0),
+         b AS (SELECT fp, min(doc_id) AS doc_id
+               FROM d WHERE doc_id % 10 <> 0 GROUP BY fp)
+         SELECT doc_id, fp FROM b
+         WHERE fp NOT IN (SELECT fp FROM idx)
+         ORDER BY doc_id""",
 
     "q91_hyperplane_lsh" ->
       """WITH v AS (

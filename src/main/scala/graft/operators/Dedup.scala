@@ -38,6 +38,44 @@ object Dedup {
       .agg(count(lit(1)).as("n_dups"))
       .where(col("n_dups") > 1)
 
+  /** INCREMENTAL corpus dedup — the production "new crawl vs existing
+    * corpus" shape: the accepted corpus keeps its fingerprints persisted
+    * as a BUCKETED table ([[graft.sources.Sinks.writeBucketed]] on the
+    * fingerprint column); each new batch is (a) deduplicated within
+    * itself (first doc per fingerprint wins, deterministic min-id) and
+    * (b) anti-joined against the index — all with ZERO shuffle of the
+    * index: both sides are bucketed on `fp`, so the in-batch aggregate
+    * reuses the batch table's at-rest bucketing and the anti-join is a
+    * local zip of bucket files (the q45 zero-exchange pattern applied
+    * to dedup). After admission, the admitted fingerprints are appended
+    * to the index table (a bucketed INSERT — again no shuffle of the
+    * existing index), which is what makes the next batch's run
+    * incremental rather than a recompute over the union.
+    *
+    * At 100 TB: the index is fingerprints only (16 B/doc — the same
+    * shuffle-weight argument as exactDedupClasses), bucketed wide
+    * enough that one bucket's fingerprints fit an executor. The new
+    * batch is small next to the corpus BY DEFINITION of a crawl
+    * increment — but nothing here depends on it: both paths are
+    * bucket-local regardless of relative size.
+    *
+    * Takes the two BUCKETED TABLES (batch, index) by name; returns the
+    * admitted (doc_id, fp) rows. Callers own writing/appending the
+    * tables — see the q92 registration for the full cycle.
+    */
+  def incrementalDedup(spark: org.apache.spark.sql.SparkSession,
+                       batchTable: String, indexTable: String,
+                       idCol: String, fpCol: String): DataFrame = {
+    val batch = spark.table(batchTable)
+    val index = spark.table(indexTable)
+    batch
+      .groupBy(col(fpCol))
+      .agg(min(col(idCol)).as(idCol))
+      .join(index.hint("merge").select(col(fpCol)), Seq(fpCol),
+        "left_anti")
+      .select(col(idCol), col(fpCol))
+  }
+
   /** Aggregate-based keep-best-per-key: winner = row whose `winnerKey`
     * (an orderable Column — use a struct for compound order; negate
     * numerics for descending components) is MAX within the key group.

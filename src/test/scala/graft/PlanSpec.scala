@@ -232,6 +232,20 @@ class PlanSpec extends SparkTestBase {
       "string-keyed counts must hash-aggregate")
   }
 
+  test("q92 incremental dedup: in-batch agg + index anti-join, ZERO hash exchanges") {
+    // the whole point of the persisted bucketed index: a new batch is
+    // admitted with bucket-local work only — the in-batch min() reuses
+    // the batch table's at-rest bucketing and the anti-join zips bucket
+    // files; one hash exchange here means the index re-shuffles per
+    // crawl increment at 100 TB
+    val p = plan("q92_incremental_dedup")
+    assert(p.contains("LeftAnti"), s"admission must be an anti-join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed dedup must not shuffle:\n$p")
+    assert(p.contains("SortMergeJoin"),
+      s"anti-join must ride the bucketed sort-merge path:\n$p")
+  }
+
   test("q90 approx profile has NO Expand; q89's exact mode is the one that pays it") {
     // exact multi-count-distinct plans an Expand that multiplies the
     // scan N_cols× — the documented price of exactness (q89). The

@@ -229,6 +229,31 @@ class DedupSpec extends SparkTestBase {
       .as[(Int, Long)].collect().toMap
     assert(got == Map(1 -> 2L, 3 -> 3L))
   }
+
+  test("incrementalDedup: in-batch min-id + index anti-join, incremental append") {
+    // index holds fps A, B; batch carries a dup-of-index (A), an
+    // in-batch dup class (C twice), and a fresh fp (D)
+    val index = Seq("fpA", "fpB").toDF("fp")
+    val batch = Seq((11L, "fpA"), (12L, "fpC"), (13L, "fpC"),
+      (14L, "fpD")).toDF("doc_id", "fp")
+    graft.sources.Sinks.writeBucketed(index, Seq("fp"), 4, "t_idx")
+    graft.sources.Sinks.writeBucketed(batch, Seq("fp"), 4, "t_batch")
+    val admitted = Dedup.incrementalDedup(spark, "t_batch", "t_idx",
+      "doc_id", "fp")
+    assert(admitted.as[(Long, String)].collect().toSet ==
+      Set((12L, "fpC"), (14L, "fpD")))
+    // the incremental cycle: append admitted fps to the index, run the
+    // NEXT batch — previously admitted docs must now be rejected
+    admitted.select($"fp").write.mode("append")
+      .bucketBy(4, "fp").sortBy("fp").format("parquet")
+      .saveAsTable("t_idx")
+    val batch2 = Seq((21L, "fpC"), (22L, "fpE")).toDF("doc_id", "fp")
+    graft.sources.Sinks.writeBucketed(batch2, Seq("fp"), 4, "t_batch2")
+    val admitted2 = Dedup.incrementalDedup(spark, "t_batch2", "t_idx",
+      "doc_id", "fp")
+    assert(admitted2.as[(Long, String)].collect().toSet ==
+      Set((22L, "fpE")))
+  }
 }
 
 class OrderingSpec extends SparkTestBase {
