@@ -1211,6 +1211,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE tokenizer TRAINING: the iterative most-frequent-pair merge
+    // loop over the corpus vocabulary (q76 is the input shape; this is
+    // the training step). 6 merges, checkpointed rounds (Components'
+    // O(1)-plan discipline), greedy left-to-right application. Oracle
+    // replays the full loop as an unrolled materialized-CTE chain.
+    "q93_bpe_merges" -> ((s, dir) => {
+      Bpe.bpeMerges(Bpe.wordFrequencies(t(s, dir, "documents"), "text"),
+        "word", "freq", nMerges = 6)
+    }),
+
     // BPE-ish regex token counting next to the whitespace count — the
     // pre-tokenizer split shape LLM-data token budgeting actually uses.
     "q51_regex_tokens" -> ((s, dir) => {
@@ -2027,6 +2037,76 @@ object SparkEntry {
     "q88_stream_file_sink" ->
       """SELECT event_id, user_id, round(value, 6) AS value
          FROM events WHERE value > 50 ORDER BY event_id""",
+
+    "q93_bpe_merges" -> {
+      // the merge loop unrolled: one CTE block per round. MATERIALIZED
+      // is load-bearing — each round references the previous state 4×,
+      // so default inlined CTEs re-evaluate the chain exponentially.
+      val rounds = 6
+      val head =
+        """WITH tok AS (
+             SELECT unnest(string_split(trim(regexp_replace(lower(
+               coalesce(text, '')), '\s+', ' ', 'g')), ' ')) AS word
+             FROM documents),
+           words AS (SELECT word, count(*) AS freq FROM tok
+                     WHERE word <> '' GROUP BY word),
+           s0 AS MATERIALIZED (
+             SELECT word, freq, CAST(pos AS INTEGER) AS pos,
+                    substr(word, CAST(pos AS INTEGER), 1) AS sym
+             FROM (SELECT word, freq,
+                     unnest(range(1, length(word) + 1)) AS pos
+                   FROM words))"""
+      val blocks = (0 until rounds).map { k =>
+        s"""
+           p$k AS MATERIALIZED (
+             SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+               SELECT sym AS a,
+                 lead(sym) OVER (PARTITION BY word ORDER BY pos) AS b,
+                 freq
+               FROM s$k)
+             WHERE b IS NOT NULL GROUP BY a, b),
+           best$k AS MATERIALIZED (
+             SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+           mt$k AS MATERIALIZED (
+             SELECT m.word, m.pos FROM (
+               SELECT word, pos, sym,
+                 lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+               FROM s$k) m
+             JOIN best$k bb ON m.sym = bb.a AND m.nxt = bb.b),
+           keep$k AS MATERIALIZED (
+             SELECT word, pos FROM (
+               SELECT word, pos,
+                 row_number() OVER (PARTITION BY word, rid ORDER BY pos)
+                   AS rn
+               FROM (SELECT word, pos,
+                       pos - row_number() OVER (PARTITION BY word
+                         ORDER BY pos) AS rid
+                     FROM mt$k))
+             WHERE rn % 2 = 1),
+           s${k + 1} AS MATERIALIZED (
+             SELECT word, freq,
+               CAST(row_number() OVER (PARTITION BY word ORDER BY pos)
+                 AS INTEGER) AS pos,
+               sym
+             FROM (
+               SELECT s.word, s.freq, s.pos,
+                 CASE WHEN kh.pos IS NOT NULL THEN bb.a || bb.b
+                      ELSE s.sym END AS sym
+               FROM s$k s
+               LEFT JOIN keep$k kh
+                 ON s.word = kh.word AND s.pos = kh.pos
+               LEFT JOIN keep$k kp
+                 ON s.word = kp.word AND s.pos = kp.pos + 1
+               LEFT JOIN best$k bb ON TRUE
+               WHERE kp.pos IS NULL))"""
+      }
+      val union = (0 until rounds).map { k =>
+        s"""SELECT ${k + 1} AS merge_rank, a AS left_sym,
+              b AS right_sym, cnt AS pair_count FROM best$k"""
+      }.mkString("\n UNION ALL ")
+      head + "," + blocks.mkString(",") +
+        s"\n SELECT * FROM ($union) ORDER BY merge_rank"
+    },
 
     "q92_incremental_dedup" ->
       """WITH d AS (
