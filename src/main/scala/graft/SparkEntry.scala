@@ -1211,6 +1211,48 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // END-TO-END CURATION PIPELINE — the "corpus in, training set out"
+    // composition the individual operators exist for: PII-bearing text
+    // (q75's injection) → exact dedup (min-id per fingerprint) →
+    // model-based quality gate (q82's scorer, ≥ 0.5) → deterministic
+    // 50% hash sample (q37's predicate) → PII redaction + token count
+    // of the SHIPPED (redacted) text. One fingerprint-weight shuffle +
+    // one semi-join; every other stage is scan-stage column arithmetic
+    // — the whole pipeline is two exchanges at any scale. Oracle
+    // replays all five stages in one chained-CTE SQL.
+    "q94_curation_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val injected = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example"),
+              col("doc_id") % 7, lit(".com now")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit(" node 10."), col("doc_id") % 256, lit("."),
+              (col("doc_id") * 7) % 256, lit("."),
+              col("doc_id") % 200 + 1, lit(" responded")))
+          .otherwise(
+            concat(lit(" call "), col("doc_id") % 900 + 100, lit("-"),
+              (col("doc_id") * 3) % 900 + 100, lit("-"),
+              col("doc_id") % 9000 + 1000, lit(" today")))).as("text"))
+      val fps = injected.select(col("doc_id"), col("text"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      val canon = fps.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val deduped = fps.join(canon, Seq("fp", "doc_id"), "left_semi")
+      val gated = deduped
+        .withColumn("q_score",
+          TextAnalysis.logisticQualityScore(col("text")))
+        .where(col("q_score") >= 0.5)
+      val sampled = Sampling.hashSample(gated, "doc_id", 128)
+      TextAnalysis.redactPii(sampled, "doc_id", "text",
+          extraCols = Seq("q_score"))
+        .select(col("doc_id"), col("q_score"), col("n_pii"),
+          md5(col("redacted")).as("redacted_md5"),
+          TextAnalysis.tokenCount(col("redacted")).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BPE tokenizer TRAINING: the iterative most-frequent-pair merge
     // loop over the corpus vocabulary (q76 is the input shape; this is
     // the training step). 6 merges, checkpointed rounds (Components'
@@ -2037,6 +2079,74 @@ object SparkEntry {
     "q88_stream_file_sink" ->
       """SELECT event_id, user_id, round(value, 6) AS value
          FROM events WHERE value > 50 ORDER BY event_id""",
+
+    "q94_curation_pipeline" ->
+      """WITH inj AS (
+           SELECT doc_id, coalesce(text || CASE
+             WHEN doc_id % 3 = 0 THEN ' contact user'
+               || CAST(doc_id AS VARCHAR) || '@example'
+               || CAST(doc_id % 7 AS VARCHAR) || '.com now'
+             WHEN doc_id % 3 = 1 THEN ' node 10.'
+               || CAST(doc_id % 256 AS VARCHAR) || '.'
+               || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
+               || CAST(doc_id % 200 + 1 AS VARCHAR) || ' responded'
+             ELSE ' call ' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+               || CAST((doc_id * 3) % 900 + 100 AS VARCHAR) || '-'
+               || CAST(doc_id % 9000 + 1000 AS VARCHAR) || ' today'
+             END, '') AS text
+           FROM documents),
+         d AS (
+           SELECT doc_id, text,
+             substr(md5(trim(regexp_replace(lower(text), '\s+', ' ',
+               'g'))), 1, 16) AS fp
+           FROM inj),
+         canon AS (SELECT fp, min(doc_id) AS doc_id FROM d GROUP BY fp),
+         dd AS (SELECT d.doc_id, d.text FROM d
+                JOIN canon ON d.fp = canon.fp
+                  AND d.doc_id = canon.doc_id),
+         f AS (
+           SELECT doc_id, text,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+               'g')), ' ') AS toks
+           FROM dd),
+         feat AS (
+           SELECT doc_id, text,
+             least(len(toks) / 50.0, 1.0) AS flen,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+               AS fdiv,
+             CAST(length(text) - length(regexp_replace(text,
+                 '[\.,;:!\?]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS fpunct,
+             least((CAST(length(array_to_string(toks, '')) AS DOUBLE)
+                    / len(toks)) / 10.0, 1.0) AS fmtl
+           FROM f),
+         q AS (
+           SELECT doc_id, text,
+             round(1.0 / (1.0 + exp(-(-2.5 + flen * 2.0 + fdiv * 3.0
+               + fpunct * -4.0 + fmtl * 0.5))), 6) AS q_score
+           FROM feat),
+         samp AS (
+           SELECT * FROM q WHERE q_score >= 0.5
+             AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'),
+         red AS (
+           SELECT doc_id, q_score,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               + len(regexp_extract_all(text,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+               + len(regexp_extract_all(text,
+               '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_pii,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '[EMAIL]', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+               '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g')
+               AS redacted
+           FROM samp)
+         SELECT doc_id, q_score, n_pii, md5(redacted) AS redacted_md5,
+           CAST(len(string_split(trim(regexp_replace(lower(redacted),
+             '\s+', ' ', 'g')), ' ')) AS INTEGER) AS n_tokens
+         FROM red ORDER BY doc_id""",
 
     "q93_bpe_merges" -> {
       // the merge loop unrolled: one CTE block per round. MATERIALIZED

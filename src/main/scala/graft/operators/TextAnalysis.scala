@@ -367,8 +367,8 @@ object TextAnalysis {
     * regexp_replace, zero shuffles, codegen'd — at 100 TB this is a
     * map over the corpus like any other text operator.
     */
-  def redactPii(docs: DataFrame, idCol: String, textCol: String)
-      : DataFrame = {
+  def redactPii(docs: DataFrame, idCol: String, textCol: String,
+                extraCols: Seq[String] = Seq.empty): DataFrame = {
     val text = coalesce(col(textCol), lit(""))
     val counts = piiPatterns.map { case (name, re, _) =>
       size(regexp_extract_all(text, lit(re), lit(0)))
@@ -378,7 +378,8 @@ object TextAnalysis {
       case (acc, (_, re, repl)) => regexp_replace(acc, lit(re), lit(repl))
     }
     docs.select(
-      (col(idCol) +: counts :+ redacted.as("redacted")): _*)
+      (col(idCol) +: extraCols.map(col)) ++
+        (counts :+ redacted.as("redacted")): _*)
       .withColumn("n_pii",
         piiPatterns.map(p => col(s"n_${p._1}")).reduce(_ + _))
   }

@@ -232,6 +232,19 @@ class PlanSpec extends SparkTestBase {
       "string-keyed counts must hash-aggregate")
   }
 
+  test("q94 curation pipeline: dedup is the only shuffle work; the rest is scan-stage") {
+    // five stages, two exchange sites: the fingerprint aggregate and
+    // the canonical semi-join — quality gate, hash sample, redaction,
+    // and token count must all stay column arithmetic (a third hash
+    // exchange means some stage grew a shuffle it doesn't need)
+    val p = plan("q94_curation_pipeline")
+    val hashX = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashX <= 2, s"expected <=2 hash exchanges, got $hashX:\n$p")
+    assert(p.contains("LeftSemi"), s"dedup must be a semi-join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q92 incremental dedup: in-batch agg + index anti-join, ZERO hash exchanges") {
     // the whole point of the persisted bucketed index: a new batch is
     // admitted with bucket-local work only — the in-batch min() reuses
