@@ -229,6 +229,21 @@ object GraftExtensions {
       (FunctionIdentifier("graft_simhash"),
        new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash"),
        arity("graft_simhash", 1)(c => SimHash64Expr(c.head))),
+      // graft_hyperplane_sig(vec, bits, bandBits, dim): fused
+      // random-hyperplane LSH band values; the plane bank is derived
+      // from the literals at build time (md5-seeded constants)
+      (FunctionIdentifier("graft_hyperplane_sig"),
+       new ExpressionInfo(classOf[HyperplaneSigExpr].getName,
+         "graft_hyperplane_sig"),
+       arity("graft_hyperplane_sig", 4) { c =>
+         val args = c.drop(1).map {
+           case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+           case _ => throw new IllegalArgumentException(
+             "graft_hyperplane_sig bits/bandBits/dim must be INT literals")
+         }
+         HyperplaneSigExpr(c.head,
+           HyperplaneSigExpr.planes(args(0), args(2)), args(1))
+       }),
       // graft_winnow(toks, k, w): fused winnowing-fingerprint kernel
       (FunctionIdentifier("graft_winnow"),
        new ExpressionInfo(classOf[WinnowFingerprintsExpr].getName,

@@ -349,17 +349,9 @@ object Similarity {
     * property that distinguishes this from IVF's centroid table).
     */
   private[operators] def hyperplanes(bits: Int, dim: Int)
-      : Seq[Seq[Double]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until bits).map { j =>
-      (0 until dim).map { d =>
-        val hex = md.digest(s"hp:$j:$d".getBytes("UTF-8"))
-          .map(b => f"$b%02x").mkString.substring(0, 15)
-        java.lang.Long.parseLong(hex, 16).toDouble /
-          (1L << 60).toDouble * 2d - 1d
-      }
-    }
-  }
+      : Seq[Seq[Double]] =
+    graft.functions.HyperplaneSigExpr.planes(bits, dim)
+      .map(_.toSeq).toSeq
 
   /** Embedding near-duplicate pairs by RANDOM-HYPERPLANE LSH (SimHash
     * for vectors, Charikar STOC'02): signature bit j = sign of the
@@ -380,12 +372,17 @@ object Similarity {
     * 100 TB raise `bandBits` so buckets stay ~10⁴ vectors — same
     * knob-per-scale story as the text-side LSH.
     *
-    * SCALE SHAPE: signatures are pure scan-stage column arithmetic
-    * (bits × dim multiply-adds per row, no shuffle, no explode until
-    * the bands×|V| banding rows); the band equi-join shuffles
-    * (id, band, value) triples only — the vectors themselves stay in
-    * place until the surviving candidate pairs join back by id for
-    * exact scoring.
+    * SCALE SHAPE: signatures come from the fused
+    * `graft_hyperplane_sig` kernel — ONE codegen'd pass of bits × dim
+    * multiply-adds per row inside the scan stage (the per-bit HOF-fold
+    * formulation evaluated interpreted: two lambda dispatches and an
+    * intermediate array per element, ×bits per row), no shuffle, no
+    * explode until the bands×|V| banding rows; the band equi-join
+    * shuffles (id, band, value) triples only — the vectors themselves
+    * stay in place until the surviving candidate pairs join back by id
+    * for exact scoring. Each bit is sign(round(projection, 6)) —
+    * rounded so the oracle's sum order can't flip a bit on a last-ulp
+    * difference at the 0 boundary.
     */
   def hyperplaneLshPairs(vectors: DataFrame, idCol: String, vecCol: String,
                          dim: Int, bits: Int, bandBits: Int,
@@ -393,19 +390,13 @@ object Similarity {
     require(bits % bandBits == 0, s"bits=$bits not divisible by $bandBits")
     require(bits <= 62, "signature must fit a long")
     ensureFns(vectors)
-    val planes = hyperplanes(bits, dim)
     val bands = bits / bandBits
-    // band value = the band's bits packed little-endian; each bit is
-    // sign(round(projection, 6)) — rounded so the oracle's sum order
-    // can't flip a bit on a last-ulp difference at the 0 boundary
-    val bandCols = (0 until bands).map { b =>
-      (0 until bandBits).map { i =>
-        val j = b * bandBits + i
-        when(round(dot(col(vecCol), typedlit(planes(j))), 6) > 0d,
-          lit(1 << i)).otherwise(lit(0))
-      }.reduce(_ + _).as(s"hb$b")
-    }
-    val sigs = vectors.select(col(idCol).as("id") +: bandCols: _*)
+    val sig = call_function("graft_hyperplane_sig", col(vecCol),
+      lit(bits), lit(bandBits), lit(dim))
+    val sigs = vectors
+      .select(col(idCol).as("id"), sig.as("_sig"))
+      .select(col("id") +: (0 until bands).map(b =>
+        element_at(col("_sig"), b + 1).as(s"hb$b")): _*)
     val banded = sigs.select(col("id"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"), col(s"hb$b").as("v"))): _*)).as("bv"))

@@ -232,6 +232,21 @@ class PlanSpec extends SparkTestBase {
       "string-keyed counts must hash-aggregate")
   }
 
+  test("q91 signatures derive via the fused kernel in the scan stage") {
+    // the signature must be ONE graft_hyperplane_sig call per row —
+    // no per-bit aggregates, no explode, no shuffle before banding
+    val df = graft.operators.Similarity.hyperplaneLshPairs(
+      spark.read.parquet(s"$sf/embeddings.parquet"),
+      "vec_id", "embedding", dim = 64, bits = 32, bandBits = 8,
+      minCosine = 0.35)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_hyperplane_sig"),
+      s"native kernel must be in the plan:\n$p")
+    assert(!p.contains("SortAggregate"))
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q94 curation pipeline: dedup is the only shuffle work; the rest is scan-stage") {
     // five stages, two exchange sites: the fingerprint aggregate and
     // the canonical semi-join — quality gate, hash sample, redaction,

@@ -188,6 +188,49 @@ class HyperplaneLshSpec extends SparkTestBase {
     assert(h1(3)(7) == expect)
   }
 
+  test("fused kernel ≡ per-bit HOF formulation (seeded property)") {
+    graft.functions.GraftExtensions.installInto(spark)
+    val rnd = new scala.util.Random(29)
+    val dim = 12; val bits = 16; val bandBits = 4
+    val vecs = (0L until 30L)
+      .map(i => (i, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val planes = Similarity.hyperplanes(bits, dim)
+    // the reference semantics the kernel scaladoc promises: per-bit
+    // when(round(aggregate(zip_with(..)), 6) > 0, 1<<i).otherwise(0)
+    val hofBands = (0 until bits / bandBits).map { b =>
+      (0 until bandBits).map { i =>
+        val j = b * bandBits + i
+        when(round(aggregate(zip_with(col("embedding"),
+            typedlit(planes(j)), (x, y) => x.cast("double") * y),
+          lit(0d), (acc, v) => acc + v), 6) > 0d, lit(1 << i))
+          .otherwise(lit(0))
+      }.reduce(_ + _).as(s"h$b")
+    }
+    val expected = vecs.select(col("vec_id") +: hofBands: _*)
+      .collect().map(r => r.getLong(0) ->
+        (1 to bits / bandBits).map(r.getInt)).toMap
+    val got = vecs.select(col("vec_id"),
+        call_function("graft_hyperplane_sig", col("embedding"),
+          lit(bits), lit(bandBits), lit(dim)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got == expected)
+  }
+
+  test("kernel edge semantics: wrong dim / null element → all-zero bands") {
+    graft.functions.GraftExtensions.installInto(spark)
+    val vecs = Seq(
+      (1L, Array(1f, 2f)),              // dim mismatch (expects 3)
+      (2L, Array(1f, 2f, 3f))           // clean
+    ).toDF("vec_id", "embedding")
+    val got = vecs.select(col("vec_id"),
+        call_function("graft_hyperplane_sig", col("embedding"),
+          lit(8), lit(4), lit(3)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got(1L) == Seq(0, 0))
+    assert(got(2L) != Seq(0, 0))
+  }
+
   test("planted near-duplicates are recalled; precision is exact") {
     val rnd = new scala.util.Random(11)
     val dim = 16
