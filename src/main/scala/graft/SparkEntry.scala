@@ -1022,6 +1022,16 @@ object SparkEntry {
         .orderBy(col("column"))
     }),
 
+    // String-column profiling — the text twin of q89 (a corpus report
+    // needs both): nulls / empties / exact distincts / char-length
+    // stats in one aggregate over one scan. Same exact-vs-approx
+    // distinct trade as q89/q90.
+    "q95_profile_text" -> ((s, dir) => {
+      Profile.profileString(t(s, dir, "documents"),
+          Seq("text", "lang", "source"))
+        .orderBy(col("column"))
+    }),
+
     // Streaming FILE sink: stream → filter/project → checkpointed
     // parquet output (the production shape; every other streaming row
     // drains to the memory sink). The re-read of the committed part
@@ -2079,6 +2089,20 @@ object SparkEntry {
     "q88_stream_file_sink" ->
       """SELECT event_id, user_id, round(value, 6) AS value
          FROM events WHERE value > 50 ORDER BY event_id""",
+
+    "q95_profile_text" -> {
+      val cols = Seq("text", "lang", "source")
+      cols.map { c =>
+        s"""SELECT '$c' AS "column",
+              count(CASE WHEN $c IS NULL THEN 1 END) AS n_nulls,
+              count(CASE WHEN $c = '' THEN 1 END) AS n_empty,
+              count(DISTINCT $c) AS n_distinct,
+              CAST(min(length($c)) AS BIGINT) AS min_len,
+              CAST(max(length($c)) AS BIGINT) AS max_len,
+              round(avg(length($c)), 6) AS avg_len
+            FROM documents"""
+      }.mkString("", "\n UNION ALL\n", "\n ORDER BY \"column\"")
+    },
 
     "q94_curation_pipeline" ->
       """WITH inj AS (

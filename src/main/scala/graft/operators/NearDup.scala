@@ -536,34 +536,56 @@ object NearDup {
     * ([[simhashPairs]]) where precision matters).
     *
     * STREAM-SAFE BY CONSTRUCTION: the incoming side needs only a
-    * scan-stage signature expression and 4 broadcast anti-joins — no
-    * state, no stream shuffle, so `incoming` may be a streaming
-    * DataFrame (the q83 shape). Each band's distinct-value table is
-    * bounded at 65,536 rows by the 16-bit value space — broadcastable
-    * no matter how big the index corpus grows. The honest caveat at
-    * 100 TB: a band SATURATES as the index approaches 64Ki distinct
-    * values and the gate over-drops; wider bands (the same plan over
-    * 32-bit band columns) push that bound out — partition-sharded
-    * gates (one index per corpus shard) are the deployed shape.
+    * scan-stage signature expression and `64/bandBits` broadcast
+    * anti-joins — no state, no stream shuffle, so `incoming` may be a
+    * streaming DataFrame (the q83 shape). Each band's distinct-value
+    * table is bounded at 2^bandBits rows by the band value space —
+    * broadcastable no matter how big the index corpus grows (16-bit
+    * default: ≤ 65,536 rows per band).
+    *
+    * BAND-WIDTH TRADE (`bandBits`): b bands of 64/b bits pigeonhole
+    * Hamming ≤ b−1, and a band SATURATES as the index approaches
+    * 2^bandBits distinct values (the gate then over-drops everything).
+    *  - 16 (default): 4 bands, drops Hamming ≤ 3, saturates ~64Ki
+    *    distinct band values — right for per-shard indexes.
+    *  - 32: 2 bands, drops Hamming ≤ 1 only, but the band space is
+    *    2³² — effectively saturation-free; the scale setting when the
+    *    index shard outgrows 64Ki and near-exact dedup suffices.
+    *  - 8: 8 bands, drops Hamming ≤ 7 (aggressive), saturates at 256 —
+    *    only for tiny curated indexes.
+    * Partition-sharded gates (one index per corpus shard) remain the
+    * deployed shape when both wide bands and big shards are needed.
     */
   def simhashNoveltyGate(incoming: DataFrame, index: DataFrame,
-                         idCol: String, textCol: String): DataFrame = {
+                         idCol: String, textCol: String,
+                         bandBits: Int = 16): DataFrame = {
+    require(Set(8, 16, 32).contains(bandBits),
+      s"bandBits must be 8, 16, or 32; got $bandBits")
     graft.functions.GraftExtensions.installInto(incoming.sparkSession)
+    val bands = 64 / bandBits
+    val mask = (1L << bandBits) - 1L
+    def bandVal(sig: org.apache.spark.sql.Column, j: Int) =
+      shiftright(sig, bandBits * j).bitwiseAND(lit(mask))
     val sig = call_function("graft_simhash", tokens(col(textCol)))
-    val withBands = (0 to 3).foldLeft(incoming.withColumn("_sig", sig)) {
-      (d, j) =>
-        d.withColumn(s"_b$j", shiftright(col("_sig"), 16 * j)
-          .bitwiseAND(lit(0xffffL)).cast("int"))
-    }
-    val idx = simhash(index, idCol, textCol)
-    val gated = (0 to 3).foldLeft(withBands) { (d, j) =>
-      val bandVals = idx.select(col(s"s$j").as(s"_v$j")).distinct()
+    val withBands = (0 until bands)
+      .foldLeft(incoming.withColumn("_sig", sig)) { (d, j) =>
+        d.withColumn(s"_b$j", bandVal(col("_sig"), j))
+      }
+    val idxSig = spread(index).select(col(idCol),
+      call_function("graft_simhash", tokens(col(textCol))).as("_isig"))
+    val gated = (0 until bands).foldLeft(withBands) { (d, j) =>
+      val bandVals = idxSig.select(bandVal(col("_isig"), j).as(s"_v$j"))
+        .distinct()
       d.join(broadcast(bandVals), d(s"_b$j") === bandVals(s"_v$j"),
         "left_anti")
     }
+    // hex rendering stays 4×16-bit regardless of gating band width
+    // (presentation parity with simhash()'s s0..s3 pieces)
+    val hexPieces = (3 to 0 by -1).map(j =>
+      shiftright(col("_sig"), 16 * j).bitwiseAND(lit(0xffffL)).cast("int"))
     gated
-      .withColumn("simhash_hex", format_string("%04x%04x%04x%04x",
-        col("_b3"), col("_b2"), col("_b1"), col("_b0")))
-      .drop("_sig", "_b0", "_b1", "_b2", "_b3")
+      .withColumn("simhash_hex",
+        format_string("%04x%04x%04x%04x", hexPieces: _*))
+      .drop("_sig" +: (0 until bands).map(j => s"_b$j"): _*)
   }
 }

@@ -61,4 +61,41 @@ object Profile {
       }: _*)).as("_s"))
       .select(col("_s.*"))
   }
+
+  /** Long-format STRING profile of `cols`: (column, n_nulls, n_empty,
+    * n_distinct, min_len, max_len, avg_len), one row per column —
+    * the text twin of [[profileNumeric]] (a corpus report needs both).
+    * Same scale shape: one aggregate, one scan, the same exact-vs-
+    * approx distinct trade (`approx = true` for the Expand-free 100 TB
+    * plan). Lengths are in characters; avg_len rounded to 6 places,
+    * NULLs excluded from length stats (ANSI aggregate semantics both
+    * engines share).
+    */
+  def profileString(df: DataFrame, cols: Seq[String],
+                    approx: Boolean = false,
+                    rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(
+        count(when(col(c).isNull, lit(1))).as(s"${c}__nulls"),
+        count(when(col(c) === "", lit(1))).as(s"${c}__empty"),
+        (if (approx) approx_count_distinct(col(c), rsd)
+         else countDistinct(col(c))).as(s"${c}__nd"),
+        min(length(col(c))).cast("long").as(s"${c}__minl"),
+        max(length(col(c))).cast("long").as(s"${c}__maxl"),
+        round(avg(length(col(c))), 6).as(s"${c}__avgl"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map { c =>
+        struct(
+          lit(c).as("column"),
+          col(s"${c}__nulls").as("n_nulls"),
+          col(s"${c}__empty").as("n_empty"),
+          col(s"${c}__nd").as("n_distinct"),
+          col(s"${c}__minl").as("min_len"),
+          col(s"${c}__maxl").as("max_len"),
+          col(s"${c}__avgl").as("avg_len"))
+      }: _*)).as("_s"))
+      .select(col("_s.*"))
+  }
 }

@@ -218,6 +218,30 @@ class NearDupSpec extends SparkTestBase {
     assert(cols.contains("simhash_hex"))
   }
 
+  test("wider gate bands admit a superset; exact dups still drop") {
+    // 32-bit bands (2 bands, pigeonhole hamming ≤ 1) gate strictly
+    // less aggressively than the 16-bit default (4 bands, hamming ≤ 3)
+    // — the saturation-free scale setting must only ever ADMIT more,
+    // and an exact dup collides in every band at any width
+    val index = docs.where($"doc_id" === 1L)
+    val incoming = docs.where($"doc_id" =!= 1L)
+    val at16 = NearDup.simhashNoveltyGate(incoming, index,
+      "doc_id", "text").select($"doc_id").as[Long].collect().toSet
+    val at32 = NearDup.simhashNoveltyGate(incoming, index,
+      "doc_id", "text", bandBits = 32)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(at16.subsetOf(at32), s"16-bit admits $at16 not in $at32")
+    assert(!at32.contains(2L), "exact dup must drop at any band width")
+    // hex rendering is band-width independent
+    val hex16 = NearDup.simhashNoveltyGate(incoming, index,
+      "doc_id", "text").select($"doc_id", $"simhash_hex")
+      .as[(Long, String)].collect().toMap
+    val hex32 = NearDup.simhashNoveltyGate(incoming, index,
+      "doc_id", "text", bandBits = 32)
+      .select($"doc_id", $"simhash_hex").as[(Long, String)].collect().toMap
+    assert(at16.forall(id => hex16(id) == hex32(id)))
+  }
+
   test("simhashNoveltyGate runs stateless on a streaming incoming side") {
     implicit val sq = spark.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime
