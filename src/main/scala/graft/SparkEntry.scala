@@ -504,6 +504,21 @@ object SparkEntry {
         .orderBy(col("gid"), col("rf"), col("ls"))
     }),
 
+    // CUBE — all 2^k grouping combinations in ONE pass (q27's rollup
+    // sibling; the reference has no grouping sets at all). Catalyst
+    // plans one Expand + one hash aggregate: the cross-tab report that
+    // would otherwise be 4 scans is one.
+    "q96_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("int").as("gid"), count(lit(1)).as("n_rows"),
+             sum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+                col("gid"), col("n_rows"), col("sum_qty"))
+        .orderBy(col("gid"), col("rf"), col("ls"))
+    }),
+
     // Semi-structured extraction: JSON property → typed column.
     "q28_json_extract" -> ((s, dir) => {
       t(s, dir, "events")
@@ -2550,6 +2565,15 @@ object SparkEntry {
                   AS gid,
                 count(*) AS n_rows, sum(l_quantity) AS sum_qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY gid, rf, ls""",
+
+    "q96_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                coalesce(l_linestatus, 'ALL') AS ls,
+                CAST(grouping(l_returnflag, l_linestatus) AS INTEGER)
+                  AS gid,
+                count(*) AS n_rows, sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY gid, rf, ls""",
 
     "q28_json_extract" ->
