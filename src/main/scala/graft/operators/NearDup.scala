@@ -38,7 +38,8 @@ object NearDup {
     * else the session has cached (`spark.catalog.clearCache()` — what
     * Verify/Bench do between queries — is the blunter alternative).
     */
-  final class CacheHandle private[operators] (cached: Seq[DataFrame]) {
+  final class CacheHandle private[operators] (
+      private[operators] val cached: Seq[DataFrame]) {
     def release(blocking: Boolean = false): Unit =
       cached.foreach(_.unpersist(blocking))
   }

@@ -280,7 +280,11 @@ class SinksSpec extends SparkTestBase {
       assert(bad.count() == 1)
       assert(good.as[(Long, String, Long)].collect().sortBy(_._1).toSeq ==
         rows.sortBy(_._1))
-      spark.catalog.clearCache()
+      // release splitCorrupt's shared-scan cache — unpersist the
+      // specific frame, NOT clearCache(): suites share one session
+      // concurrently, and a global clear here races other suites'
+      // cache-contract assertions
+      back.unpersist(blocking = true)
     }
   }
 }

@@ -40,6 +40,23 @@ class ProfileSpec extends SparkTestBase {
     }
   }
 
+  test("string profile: nulls, empties, distincts, char-length stats") {
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "abc"), (2L, ""), (3L, null), (4L, "abc"), (5L, "hello")
+    ).toDF("id", "s")
+    val got = Profile.profileString(df, Seq("s"))
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect().head
+    // NULL excluded from lengths; '' counts as length 0
+    assert(got == (("s", 1L, 1L, 3L, 0L, 5L,
+      math.rint((3 + 0 + 3 + 5) / 4.0 * 1e6) / 1e6)))
+    // approx mode swaps only n_distinct, keeps everything else
+    val e = Profile.profileString(df, Seq("s")).drop("n_distinct")
+      .collect().toSeq
+    val a = Profile.profileString(df, Seq("s"), approx = true)
+      .drop("n_distinct").collect().toSeq
+    assert(e == a)
+  }
+
   test("approx profile changes ONLY n_distinct; all else is identical") {
     val df = (1 to 2000)
       .map(i => (i % 97, if (i % 10 == 0) None else Some(i % 403)))

@@ -344,13 +344,19 @@ class NearDupSpec extends SparkTestBase {
   }
 
   test("jaccardPairsWithHandle: release() frees the persisted shingles") {
-    spark.catalog.clearCache()
+    // assert on the handle's OWN frames' storage levels — suites share
+    // one session and run concurrently, so the session-global
+    // persistentRdds map carries other suites' blocks and is racy
     val (pairs, handle) = NearDup.jaccardPairsWithHandle(
       docs, "doc_id", "text", "source", 3, 0.0)
     pairs.count() // materialize (and pin) the cached shingle table
-    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    assert(handle.cached.nonEmpty)
+    assert(handle.cached.forall(
+      _.storageLevel != org.apache.spark.storage.StorageLevel.NONE),
+      "the shingle table must be persisted")
     handle.release(blocking = true)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+    assert(handle.cached.forall(
+      _.storageLevel == org.apache.spark.storage.StorageLevel.NONE),
       "release() must unpersist the operator's intermediates")
   }
 
