@@ -1037,6 +1037,32 @@ object SparkEntry {
         .orderBy(col("column"))
     }),
 
+    // Top-k PER GROUP with rank pushdown: Catalyst rewrites the
+    // rank-filter into WindowGroupLimit — a map-side per-partition
+    // top-k heap, so the window exchange carries ≤ k rows per
+    // (partition × key), not the table (plan-pinned).
+    "q97_topk_per_group" -> ((s, dir) => {
+      Ordering.topKPerGroup(
+          t(s, dir, "orders").select(col("o_orderkey"),
+            col("o_orderpriority"), col("o_totalprice")),
+          Seq("o_orderpriority"), 3,
+          Seq(desc("o_totalprice"), asc("o_orderkey")))
+        .orderBy(col("o_orderpriority"), col("rnk"))
+    }),
+
+    // Declarative data-quality constraint checks — the expectations
+    // gate before a table ships: all constraints evaluate in ONE
+    // aggregate over ONE scan (conditional counts; no Expand), NULL
+    // predicate = violation.
+    "q98_quality_checks" -> ((s, dir) => {
+      Profile.checkConstraints(t(s, dir, "lineitem"), Seq(
+          "discount_le_cap" -> (col("l_discount") <= 0.1),
+          "price_positive" -> (col("l_extendedprice") > 0),
+          "quantity_in_range" -> col("l_quantity").between(1, 50),
+          "returnflag_domain" -> col("l_returnflag").isin("A", "N", "R")))
+        .orderBy(col("constraint"))
+    }),
+
     // String-column profiling — the text twin of q89 (a corpus report
     // needs both): nulls / empties / exact distincts / char-length
     // stats in one aggregate over one scan. Same exact-vs-approx
@@ -2104,6 +2130,32 @@ object SparkEntry {
     "q88_stream_file_sink" ->
       """SELECT event_id, user_id, round(value, 6) AS value
          FROM events WHERE value > 50 ORDER BY event_id""",
+
+    "q97_topk_per_group" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice, rnk FROM (
+           SELECT o_orderkey, o_orderpriority, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER)
+               AS rnk
+           FROM orders)
+         WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""",
+
+    "q98_quality_checks" -> {
+      val cs = Seq(
+        "discount_le_cap" -> "l_discount <= 0.1",
+        "price_positive" -> "l_extendedprice > 0",
+        "quantity_in_range" -> "l_quantity BETWEEN 1 AND 50",
+        "returnflag_domain" -> "l_returnflag IN ('A', 'N', 'R')")
+      val union = cs.map { case (n, p) =>
+        s"""SELECT '$n' AS "constraint", count(*) AS n_rows,
+              count(CASE WHEN NOT coalesce($p, false) THEN 1 END)
+                AS n_violations
+            FROM lineitem"""
+      }.mkString("\n UNION ALL\n")
+      s"""SELECT "constraint", n_rows, n_violations,
+            n_violations = 0 AS passed
+          FROM ($union) ORDER BY "constraint""""
+    },
 
     "q95_profile_text" -> {
       val cols = Seq("text", "lang", "source")

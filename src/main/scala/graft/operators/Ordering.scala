@@ -53,6 +53,27 @@ object Ordering {
   def largestFirst(df: DataFrame, sizeCol: String): DataFrame =
     df.orderBy(desc(sizeCol))
 
+  /** Top-k rows PER GROUP (the per-key sibling of [[topK]]): rank by
+    * `orderCols` within each key, keep rank ≤ k. Include a unique
+    * tie-break column for determinism.
+    *
+    * SCALE SHAPE: Catalyst rewrites the rank-filter pattern into
+    * WindowGroupLimit — a per-partition top-k heap BEFORE the window
+    * exchange (map-side), so the shuffle carries at most k rows per
+    * (input partition × key) instead of every row, and the post-shuffle
+    * window only finalizes ranks. PlanSpec pins the WindowGroupLimit
+    * node: losing it silently turns "k rows per key cross the wire"
+    * into "the whole table does".
+    */
+  def topKPerGroup(df: DataFrame, keyCols: Seq[String], k: Int,
+                   orderCols: Seq[Column],
+                   rankName: String = "rnk"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn(rankName, row_number().over(w))
+      .where(col(rankName) <= k)
+  }
+
   /** Global sort + a stable 1-based global position column — the
     * "shuffle the corpus and number every example" step training-data
     * exports need. The naive formulation,

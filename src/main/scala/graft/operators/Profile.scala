@@ -98,4 +98,36 @@ object Profile {
       }: _*)).as("_s"))
       .select(col("_s.*"))
   }
+
+  /** Declarative data-quality CONSTRAINT CHECKS — the expectations gate
+    * a pipeline runs before shipping a table: each named constraint is
+    * a boolean Column; a row VIOLATES it when the predicate is not TRUE
+    * (NULL counts as a violation — an unknown quality bit fails the
+    * gate, it doesn't pass it). Returns long format
+    * (constraint, n_rows, n_violations, passed), one row per
+    * constraint.
+    *
+    * Scale shape: ALL constraints evaluate in ONE aggregate over ONE
+    * scan (each is a conditional count — map-side combined, no Expand,
+    * no per-constraint pass); the long reshape is a literal-array
+    * explode on a one-row frame. Adding a constraint costs one more
+    * aggregate buffer, never another scan.
+    */
+  def checkConstraints(df: DataFrame,
+                       constraints: Seq[(String, Column)]): DataFrame = {
+    require(constraints.nonEmpty, "need at least one constraint")
+    val aggs = count(lit(1)).as("__n") +: constraints.map {
+      case (name, pred) =>
+        count(when(!coalesce(pred, lit(false)), lit(1))).as(s"${name}__v")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(constraints.map { case (name, _) =>
+        struct(
+          lit(name).as("constraint"),
+          col("__n").as("n_rows"),
+          col(s"${name}__v").as("n_violations"),
+          (col(s"${name}__v") === 0L).as("passed"))
+      }: _*)).as("_s"))
+      .select(col("_s.*"))
+  }
 }

@@ -232,6 +232,25 @@ class PlanSpec extends SparkTestBase {
       "string-keyed counts must hash-aggregate")
   }
 
+  test("q97 per-group top-k keeps the WindowGroupLimit rank pushdown") {
+    // the rank-filter rewrite is what bounds the window exchange at
+    // ≤ k rows per (partition × key); without it the whole table
+    // crosses the wire to be ranked and discarded
+    val p = plan("q97_topk_per_group")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter must push a map-side top-k heap:\n$p")
+  }
+
+  test("q98 constraint checks: one aggregate, one scan, no Expand") {
+    val p = plan("q98_quality_checks")
+    assert(!p.contains("Expand"),
+      s"conditional counts must not multiply the scan:\n$p")
+    assert(p.contains("partial_count"),
+      "constraint counts must combine map-side")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"all constraints must share one scan:\n$p")
+  }
+
   test("q91 signatures derive via the fused kernel in the scan stage") {
     // the signature must be ONE graft_hyperplane_sig call per row —
     // no per-bit aggregates, no explode, no shuffle before banding

@@ -57,6 +57,20 @@ class ProfileSpec extends SparkTestBase {
     assert(e == a)
   }
 
+  test("constraint checks: violations counted, NULL predicate violates") {
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 5.0), (2L, -1.0), (3L, null), (4L, 50.0)
+    ).toDF("id", "v")
+    val got = Profile.checkConstraints(df, Seq(
+        "v_positive" -> (col("v") > 0),
+        "id_nonnull" -> col("id").isNotNull))
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // -1.0 fails, NULL is unknown → also a violation
+    assert(got("v_positive") == (("v_positive", 4L, 2L, false)))
+    assert(got("id_nonnull") == (("id_nonnull", 4L, 0L, true)))
+  }
+
   test("approx profile changes ONLY n_distinct; all else is identical") {
     val df = (1 to 2000)
       .map(i => (i % 97, if (i % 10 == 0) None else Some(i % 403)))
