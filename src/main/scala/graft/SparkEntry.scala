@@ -1037,6 +1037,27 @@ object SparkEntry {
         .orderBy(col("column"))
     }),
 
+    // Snapshot diff — "what changed between two corpus versions": a
+    // simulated refresh (drop %7, edit %5, add %9 under new ids)
+    // diffed against the original by one null-safe full-outer join;
+    // change detection rides the join projection. Oracle replays the
+    // refresh + FULL OUTER JOIN.
+    "q99_snapshot_diff" -> ((s, dir) => {
+      val old = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val changed = old.where(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [v2]")))
+            .otherwise(col("text")))
+      val added = old.where(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"),
+          col("source"))
+      Snapshot.diff(old, changed.unionByName(added), Seq("doc_id"),
+          Seq("text", "source"))
+        .where(col("status") =!= "unchanged")
+        .orderBy(col("doc_id"))
+    }),
+
     // Top-k PER GROUP with rank pushdown: Catalyst rewrites the
     // rank-filter into WindowGroupLimit — a map-side per-partition
     // top-k heap, so the window exchange carries ≤ k rows per
@@ -2130,6 +2151,30 @@ object SparkEntry {
     "q88_stream_file_sink" ->
       """SELECT event_id, user_id, round(value, 6) AS value
          FROM events WHERE value > 50 ORDER BY event_id""",
+
+    "q99_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, text, source FROM documents),
+         chg AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' [v2]'
+                  ELSE text END AS text,
+             source
+           FROM old WHERE doc_id % 7 <> 0),
+         addd AS (
+           SELECT doc_id + 100000 AS doc_id, text, source
+           FROM old WHERE doc_id % 9 = 0),
+         nw AS (SELECT * FROM chg UNION ALL SELECT * FROM addd),
+         j AS (
+           SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.text IS NOT DISTINCT FROM n.text
+                   AND o.source IS NOT DISTINCT FROM n.source
+                    THEN 'unchanged'
+                  ELSE 'changed' END AS status
+           FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id)
+         SELECT doc_id, status FROM j
+         WHERE status <> 'unchanged' ORDER BY doc_id""",
 
     "q97_topk_per_group" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice, rnk FROM (

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot diffing — "what changed between two versions of this
+  * table": the audit step an incremental pipeline runs after every
+  * refresh (did the new crawl drop a shard? did a config change
+  * silently rewrite half the corpus?). The reference's analog is its
+  * between-parts output comparison discipline (outputs of one part are
+  * the checked inputs of the next); this makes it a first-class
+  * relational operator.
+  *
+  * SCALE SHAPE: one null-safe full-outer join on the key — the single
+  * unavoidable shuffle (bucket both snapshots on the key via
+  * [[graft.sources.Sinks.writeBucketed]] and even that disappears,
+  * the q45/q92 pattern). Change detection is a null-safe struct
+  * comparison in the join's projection — no second pass, no
+  * per-column joins. Row-level output so downstream can act on the
+  * changed keys; aggregate with `groupBy("status").count()` for the
+  * report form.
+  */
+object Snapshot {
+
+  /** Row-level diff of `newDf` vs `oldDf` by `keyCols`: one row per
+    * key present in either side, with `status` ∈
+    * {added, removed, changed, unchanged} judged over `compareCols`
+    * (null-safe: NULL == NULL is unchanged — a schema's nullable
+    * column must not flag every NULL row as a change).
+    */
+  def diff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
+           compareCols: Seq[String]): DataFrame = {
+    // presence markers, not key-null tests: NULL keys are legal rows
+    // (they join null-safely) and must not read as "absent"
+    val o = oldDf.select(
+      keyCols.map(c => col(c).as(s"_ok_$c")) ++
+        compareCols.map(c => col(c).as(s"_ov_$c")) :+
+        lit(1).as("_op"): _*)
+    val n = newDf.select(
+      keyCols.map(c => col(c).as(s"_nk_$c")) ++
+        compareCols.map(c => col(c).as(s"_nv_$c")) :+
+        lit(1).as("_np"): _*)
+    val keyEq = keyCols.map(c => col(s"_ok_$c") <=> col(s"_nk_$c"))
+      .reduce(_ && _)
+    val inOld = col("_op").isNotNull
+    val inNew = col("_np").isNotNull
+    val same = compareCols.map(c => col(s"_ov_$c") <=> col(s"_nv_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val status = when(!inOld, lit("added"))
+      .when(!inNew, lit("removed"))
+      .when(same, lit("unchanged"))
+      .otherwise(lit("changed"))
+    o.join(n, keyEq, "full_outer")
+      .select(keyCols.map(c =>
+        coalesce(col(s"_nk_$c"), col(s"_ok_$c")).as(c)) :+
+        status.as("status"): _*)
+  }
+}

@@ -256,6 +256,34 @@ class DedupSpec extends SparkTestBase {
   }
 }
 
+class SnapshotSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("diff labels added/removed/changed/unchanged; NULLs compare null-safely") {
+    val old = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "b"), (3L, null), (4L, "d")
+    ).toDF("id", "v")
+    val nw = Seq[(java.lang.Long, String)](
+      (1L, "a"),      // unchanged
+      (2L, "B"),      // changed
+      (3L, null),     // unchanged — NULL <=> NULL
+      (5L, "e")       // added (4 removed)
+    ).toDF("id", "v")
+    val got = Snapshot.diff(old, nw, Seq("id"), Seq("v"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "unchanged", 4L -> "removed", 5L -> "added"))
+  }
+
+  test("empty compare-column list: presence-only diff") {
+    val old = Seq(1L, 2L).toDF("id")
+    val nw = Seq(2L, 3L).toDF("id")
+    val got = Snapshot.diff(old, nw, Seq("id"), Seq.empty)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged", 3L -> "added"))
+  }
+}
+
 class OrderingSpec extends SparkTestBase {
   import spark.implicits._
 
