@@ -52,6 +52,13 @@ object GraftSession {
       // vanilla Spark refuses; read as Long nanoseconds and convert with
       // exact integer arithmetic (see SparkEntry.eventTimestamp).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reliable checkpoints (Components' reliable=true rounds) are
+      // NOT removed by default — without this, every superseded round
+      // leaks a full frame copy in the checkpoint dir for the life of
+      // the job. With it, the ContextCleaner deletes a checkpoint's
+      // files once its RDD becomes unreachable — the same
+      // released-when-superseded lifetime localCheckpoint blocks get.
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
 
   /** Read one of the driver-provided parquet tables from an sf directory. */

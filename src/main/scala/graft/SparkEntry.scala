@@ -1049,8 +1049,12 @@ object SparkEntry {
         .withColumn("text",
           when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [v2]")))
             .otherwise(col("text")))
+      // added ids are NEGATED (-id - 1): disjoint from any real
+      // doc_id at any scale factor — a fixed offset would collide
+      // once the corpus outgrows it, duplicating a key in the new
+      // snapshot and making the tie order oracle-unstable
       val added = old.where(col("doc_id") % 9 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"), col("text"),
+        .select((-col("doc_id") - 1).as("doc_id"), col("text"),
           col("source"))
       Snapshot.diff(old, changed.unionByName(added), Seq("doc_id"),
           Seq("text", "source"))
@@ -2161,7 +2165,7 @@ object SparkEntry {
              source
            FROM old WHERE doc_id % 7 <> 0),
          addd AS (
-           SELECT doc_id + 100000 AS doc_id, text, source
+           SELECT -doc_id - 1 AS doc_id, text, source
            FROM old WHERE doc_id % 9 = 0),
          nw AS (SELECT * FROM chg UNION ALL SELECT * FROM addd),
          j AS (

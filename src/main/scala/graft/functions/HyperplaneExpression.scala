@@ -35,10 +35,10 @@ object HyperplaneSigExpr {
     * DuckDB/ANSI). Constants computed at operator build — no data job,
     * no collect.
     */
-  def planes(bits: Int, dim: Int): Array[Array[Double]] = {
+  def planes(bits: Int, dim: Int): Seq[Seq[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(bits) { j =>
-      Array.tabulate(dim) { d =>
+    Seq.tabulate(bits) { j =>
+      Seq.tabulate(dim) { d =>
         val hex = md.digest(s"hp:$j:$d".getBytes("UTF-8"))
           .map(b => f"$b%02x").mkString.substring(0, 15)
         java.lang.Long.parseLong(hex, 16).toDouble /
@@ -48,13 +48,25 @@ object HyperplaneSigExpr {
   }
 }
 
+// planes is Seq[Seq[Double]] (not arrays) ON PURPOSE: case-class
+// equality over arrays is reference identity, and Catalyst keys plan
+// caching / common-subexpression reuse on expression equality — two
+// separately built but identical signature expressions must compare
+// equal or every cache lookup misses.
 case class HyperplaneSigExpr(child: Expression,
-                             planes: Array[Array[Double]],
+                             planes: Seq[Seq[Double]],
                              bandBits: Int)
     extends UnaryExpression {
 
   require(planes.nonEmpty && planes.length % bandBits == 0,
     s"${planes.length} planes not divisible into $bandBits-bit bands")
+  // band values are packed into Ints: 1 << 31 would flip the sign and
+  // diverge from the portable (non-negative) band-value formula
+  require(bandBits >= 1 && bandBits <= 31,
+    s"bandBits must be in 1..31, got $bandBits")
+
+  @transient private lazy val planeArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -66,8 +78,8 @@ case class HyperplaneSigExpr(child: Expression,
       s"graft_hyperplane_sig needs array<float>, got ${t.simpleString}")
   }
 
-  private def dim: Int = planes(0).length
-  private def bands: Int = planes.length / bandBits
+  private def dim: Int = planeArr(0).length
+  private def bands: Int = planeArr.length / bandBits
 
   /** round-half-up at 6 places, exactly what Spark's `round(col, 6)`
     * computes for a double — keep in sync with the HOF formulation.
@@ -85,8 +97,8 @@ case class HyperplaneSigExpr(child: Expression,
       while (ok && i < dim) { if (v.isNullAt(i)) ok = false; i += 1 }
       if (ok) {
         var j = 0
-        while (j < planes.length) {
-          val p = planes(j)
+        while (j < planeArr.length) {
+          val p = planeArr(j)
           var acc = 0d
           var d = 0
           while (d < dim) { acc += v.getFloat(d).toDouble * p(d); d += 1 }
@@ -100,7 +112,7 @@ case class HyperplaneSigExpr(child: Expression,
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode = {
-    val planesRef = ctx.addReferenceObj("planes", planes,
+    val planesRef = ctx.addReferenceObj("planes", planeArr,
       "double[][]")
     val childGen = child.genCode(ctx)
     val v = childGen.value
@@ -124,7 +136,7 @@ case class HyperplaneSigExpr(child: Expression,
               if ($v.isNullAt($i)) $ok = false;
             }
             if ($ok) {
-              for (int $j = 0; $j < ${planes.length}; $j++) {
+              for (int $j = 0; $j < ${planeArr.length}; $j++) {
                 double[] $p = $planesRef[$j];
                 double $acc = 0.0;
                 for (int $d = 0; $d < $dim; $d++) {

@@ -57,9 +57,15 @@ object Bpe {
                 nMerges: Int): DataFrame = {
     require(nMerges >= 1, "need at least one merge round")
     val spark = words.sparkSession
-    // initial state: one row per (word, char position)
+    // initial state: one row per (word, char position). The
+    // length > 0 guard matters: Spark's sequence(start, stop) COUNTS
+    // DOWN when start > stop, so an empty word would yield positions
+    // [1, 0] — two phantom empty-string symbols whose ("","") pair
+    // could win a merge round. The reference algorithm sees no pair
+    // at all for an empty word.
     var state = pin(words
       .select(col(wordCol).as("word"), col(freqCol).as("freq"))
+      .where(length(col("word")) > 0)
       .select(col("word"), col("freq"),
         posexplode(transform(sequence(lit(1), length(col("word"))),
           i => col("word").substr(i, lit(1)))).as(Seq("_p", "sym")))

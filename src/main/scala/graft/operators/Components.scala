@@ -55,6 +55,14 @@ import org.apache.spark.sql.functions._
   * each part a separate application with HDFS output between). Default
   * remains local (the test/bench path); a 100 TB closure job should
   * pass `reliable = true`.
+  *
+  * CHECKPOINT LIFETIME: superseded rounds' reliable checkpoint files
+  * are deleted by the ContextCleaner as their frames become
+  * unreachable — PROVIDED `spark.cleaner.referenceTracking
+  * .cleanCheckpoints` is true (a GraftSession default; Spark's own
+  * default leaves every round's files on disk forever). Files from
+  * the final frames live until the application exits; point the
+  * checkpoint dir at job-scoped storage and remove it with the job.
   */
 object Components {
 

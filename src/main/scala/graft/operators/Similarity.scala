@@ -351,7 +351,6 @@ object Similarity {
   private[operators] def hyperplanes(bits: Int, dim: Int)
       : Seq[Seq[Double]] =
     graft.functions.HyperplaneSigExpr.planes(bits, dim)
-      .map(_.toSeq).toSeq
 
   /** Embedding near-duplicate pairs by RANDOM-HYPERPLANE LSH (SimHash
     * for vectors, Charikar STOC'02): signature bit j = sign of the
@@ -388,7 +387,11 @@ object Similarity {
                          dim: Int, bits: Int, bandBits: Int,
                          minCosine: Double): DataFrame = {
     require(bits % bandBits == 0, s"bits=$bits not divisible by $bandBits")
-    require(bits <= 62, "signature must fit a long")
+    // band values pack into Ints: 1 << 31 would flip the sign bit and
+    // break the portable non-negative band-value formula the oracle
+    // replays (the kernel enforces the same bound)
+    require(bandBits >= 1 && bandBits <= 31,
+      s"bandBits must be in 1..31, got $bandBits")
     ensureFns(vectors)
     val bands = bits / bandBits
     val sig = call_function("graft_hyperplane_sig", col(vecCol),

@@ -70,6 +70,15 @@ class BpeSpec extends SparkTestBase {
     assert(got.length == 2) // (a,b) and (c,d); then no pairs remain
   }
 
+  test("empty words contribute no pairs (no phantom sequence rows)") {
+    // sequence(1, 0) counts DOWN — without the length guard an empty
+    // word would yield two empty-string symbols whose ("","") pair
+    // (weighted by the word's freq) could win a round
+    val words = Map("" -> 1000L, "ab" -> 1L)
+    val got = run(words, 2)
+    assert(got == Seq((1, "a", "b", 1L)))
+  }
+
   test("random vocabularies match the reference (seeded property)") {
     val rnd = new scala.util.Random(13)
     for (_ <- 1 to 3) {

@@ -217,6 +217,25 @@ class HyperplaneLshSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("bandBits over 31 is rejected (Int band packing would overflow)") {
+    val vecs = Seq((1L, Array(1f, 2f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.hyperplaneLshPairs(vecs, "vec_id", "embedding",
+        dim = 2, bits = 32, bandBits = 32, minCosine = 0.5)
+    }
+    assert(e.getMessage.contains("1..31"))
+  }
+
+  test("identical kernel expressions compare equal (plan-cache reuse)") {
+    // planes are Seq, not Array: case-class equality must be
+    // structural or Catalyst's cache/CSE lookups always miss
+    import graft.functions.HyperplaneSigExpr
+    val one = org.apache.spark.sql.catalyst.expressions.Literal(1)
+    val a = HyperplaneSigExpr(one, HyperplaneSigExpr.planes(8, 4), 4)
+    val b = HyperplaneSigExpr(one, HyperplaneSigExpr.planes(8, 4), 4)
+    assert(a == b)
+  }
+
   test("kernel edge semantics: wrong dim / null element → all-zero bands") {
     graft.functions.GraftExtensions.installInto(spark)
     val vecs = Seq(
