@@ -1037,6 +1037,19 @@ object SparkEntry {
         .orderBy(col("column"))
     }),
 
+    // Equi-width histogram — the distribution report behind every data
+    // sheet: one width_bucket projection + one map-side-combined count
+    // (both engines share PostgreSQL bucket semantics, so the result
+    // is integer-exact). Pair with q89/q90 min/max to derive bounds.
+    "q100_histogram" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(width_bucket(col("l_quantity"), lit(1d), lit(51d),
+          lit(10)).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("bucket"))
+    }),
+
     // Snapshot diff — "what changed between two corpus versions": a
     // simulated refresh (drop %7, edit %5, add %9 under new ids)
     // diffed against the original by one null-safe full-outer join;
@@ -2155,6 +2168,18 @@ object SparkEntry {
     "q88_stream_file_sink" ->
       """SELECT event_id, user_id, round(value, 6) AS value
          FROM events WHERE value > 50 ORDER BY event_id""",
+
+    "q100_histogram" ->
+      // DuckDB has no width_bucket; this replays Spark's width-first
+      // arithmetic (width = (51-1)/10 = 5.0) — exact here because
+      // l_quantity is integer-valued and every bucket boundary is an
+      // exact multiple of the width
+      """SELECT CASE WHEN l_quantity < 1 THEN 0
+                     WHEN l_quantity >= 51 THEN 11
+                     ELSE CAST(floor((l_quantity - 1) / 5.0) + 1
+                       AS BIGINT) END AS bucket,
+                count(*) AS n_rows
+         FROM lineitem GROUP BY bucket ORDER BY bucket""",
 
     "q99_snapshot_diff" ->
       """WITH old AS (SELECT doc_id, text, source FROM documents),
