@@ -155,6 +155,30 @@ object Sinks {
       .option("delimiter", delimiter)
       .csv(path)
 
+  /** Write with OBSERVED metrics: the row count and a per-column sum
+    * ride the write pass itself via the Observation API — no second
+    * scan, no separate count() job re-reading what was just written.
+    * This is the Spark-native form of the reference's output manifests
+    * (`program/src/main/scala/hmushtaq/sparkga1/SparkGA1.scala:
+    * 1110-1114` — every Part-1 task reported its region's row count in
+    * `bwaOut.txt`): a production sink should always know how many rows
+    * it shipped, and at 100 TB "count it again" costs a full re-scan.
+    * Returns (rows written, sum of `sumCol` or 0 when None).
+    */
+  def writeCounted(df: DataFrame, path: String,
+                   format: String = "parquet",
+                   sumCol: Option[String] = None): (Long, Long) = {
+    val obs = new org.apache.spark.sql.Observation()
+    val metrics = count(lit(1)).as("n_rows") +:
+      sumCol.map(c => coalesce(sum(col(c)), lit(0L)).cast("long")
+        .as("sum_v")).toSeq
+    df.observe(obs, metrics.head, metrics.tail: _*)
+      .write.mode("overwrite").format(format).save(path)
+    val row = obs.get
+    (row("n_rows").asInstanceOf[Long],
+     if (sumCol.isDefined) row("sum_v").asInstanceOf[Long] else 0L)
+  }
+
   /** Good rows + bad-row count in one pass-shape: returns (clean rows,
     * corrupt rows) as two DataFrames sharing the scan.
     *

@@ -133,6 +133,30 @@ class SinksSpec extends SparkTestBase {
     }
   }
 
+  test("writeCounted: metrics ride the write pass, round-trip agrees") {
+    withTempDir("graft_counted") { d =>
+      val dir = d.getPath + "/out"
+      val df = (1L to 250L).map(i => (i, i * 2)).toDF("id", "v")
+      val (n, s) = graft.sources.Sinks.writeCounted(df, dir,
+        sumCol = Some("v"))
+      assert(n == 250L)
+      assert(s == (1L to 250L).map(_ * 2).sum)
+      // the written data really is what the metrics describe
+      assert(spark.read.parquet(dir).count() == 250L)
+    }
+  }
+
+  test("writeCounted: empty frame reports zero, writes valid output") {
+    withTempDir("graft_counted0") { d =>
+      val dir = d.getPath + "/out"
+      val df = Seq.empty[(Long, Long)].toDF("id", "v")
+      val (n, s) = graft.sources.Sinks.writeCounted(df, dir,
+        sumCol = Some("v"))
+      assert(n == 0L && s == 0L)
+      assert(spark.read.parquet(dir).count() == 0L)
+    }
+  }
+
   test("single sorted file write") {
     withTempDir("graft_single") { d =>
       val dir = d.getPath
