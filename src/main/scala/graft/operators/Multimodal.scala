@@ -88,6 +88,10 @@ object Multimodal {
       // neighbor as a length field and mis-step the walk. Skip runs of
       // 0xFF so b(i+1) is the actual marker code.
       while (i + 3 < b.length && (b(i + 1) & 0xff) == 0xff) i += 1
+      // the skip may consume the tail (a blob truncated inside a fill
+      // run); without this guard the length-field read below indexes
+      // past the array — and this walk must never throw
+      if (i + 3 >= b.length) return (-1, -1)
       val marker = b(i + 1) & 0xff
       if (marker >= 0xc0 && marker <= 0xcf &&
           marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {

@@ -572,8 +572,18 @@ object NearDup {
       .foldLeft(incoming.withColumn("_sig", sig)) { (d, j) =>
         d.withColumn(s"_b$j", bandVal(col("_sig"), j))
       }
-    val idxSig = spread(index).select(col(idCol),
-      call_function("graft_simhash", tokens(col(textCol))).as("_isig"))
+    // persisted: each band's distinct build side below derives from the
+    // index signatures, and without the cache every one of the `bands`
+    // broadcast builds re-tokenizes and re-md5s the WHOLE index corpus
+    // (the same recompute the hyperplane band self-join fixed). Cached
+    // form is 8 B/doc of longs — disk-backed at scale. Same
+    // session-owned cache contract as jaccardPairs (Verify/Bench
+    // clearCache between queries; long-lived gate sessions should
+    // clear after the stream stops).
+    val idxSig = spread(index)
+      .select(call_function("graft_simhash", tokens(col(textCol)))
+        .as("_isig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gated = (0 until bands).foldLeft(withBands) { (d, j) =>
       val bandVals = idxSig.select(bandVal(col("_isig"), j).as(s"_v$j"))
         .distinct()

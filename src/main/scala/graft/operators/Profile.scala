@@ -27,6 +27,18 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** The shared wide→long scaffold every report in this file rides:
+    * run `aggs` as ONE aggregate over ONE scan, then reshape the
+    * resulting ONE-ROW frame with a literal-array explode of one
+    * `groups` struct per output row. Any fix to the reshape (column
+    * escaping, the one-row explode shape) lands once, here.
+    */
+  private def aggExplode(df: DataFrame, aggs: Seq[Column],
+                         groups: Seq[Column]): DataFrame =
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(groups: _*)).as("_s"))
+      .select(col("_s.*"))
+
   /** Long-format numeric profile of `cols`:
     * (column, n_nulls, n_distinct, min_v, max_v, avg_v), one row per
     * profiled column, values rounded to 6 places for engine-exact
@@ -48,18 +60,15 @@ object Profile {
         round(max(col(c)).cast("double"), 6).as(s"${c}__max"),
         round(avg(col(c)), 6).as(s"${c}__avg"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    wide
-      .select(explode(array(cols.map { c =>
-        struct(
-          lit(c).as("column"),
-          col(s"${c}__nulls").as("n_nulls"),
-          col(s"${c}__nd").as("n_distinct"),
-          col(s"${c}__min").as("min_v"),
-          col(s"${c}__max").as("max_v"),
-          col(s"${c}__avg").as("avg_v"))
-      }: _*)).as("_s"))
-      .select(col("_s.*"))
+    aggExplode(df, aggs, cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__nd").as("n_distinct"),
+        col(s"${c}__min").as("min_v"),
+        col(s"${c}__max").as("max_v"),
+        col(s"${c}__avg").as("avg_v"))
+    })
   }
 
   /** Long-format STRING profile of `cols`: (column, n_nulls, n_empty,
@@ -85,18 +94,16 @@ object Profile {
         max(length(col(c))).cast("long").as(s"${c}__maxl"),
         round(avg(length(col(c))), 6).as(s"${c}__avgl"))
     }
-    df.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(cols.map { c =>
-        struct(
-          lit(c).as("column"),
-          col(s"${c}__nulls").as("n_nulls"),
-          col(s"${c}__empty").as("n_empty"),
-          col(s"${c}__nd").as("n_distinct"),
-          col(s"${c}__minl").as("min_len"),
-          col(s"${c}__maxl").as("max_len"),
-          col(s"${c}__avgl").as("avg_len"))
-      }: _*)).as("_s"))
-      .select(col("_s.*"))
+    aggExplode(df, aggs, cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__empty").as("n_empty"),
+        col(s"${c}__nd").as("n_distinct"),
+        col(s"${c}__minl").as("min_len"),
+        col(s"${c}__maxl").as("max_len"),
+        col(s"${c}__avgl").as("avg_len"))
+    })
   }
 
   /** Declarative data-quality CONSTRAINT CHECKS — the expectations gate
@@ -120,14 +127,12 @@ object Profile {
       case (name, pred) =>
         count(when(!coalesce(pred, lit(false)), lit(1))).as(s"${name}__v")
     }
-    df.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(constraints.map { case (name, _) =>
-        struct(
-          lit(name).as("constraint"),
-          col("__n").as("n_rows"),
-          col(s"${name}__v").as("n_violations"),
-          (col(s"${name}__v") === 0L).as("passed"))
-      }: _*)).as("_s"))
-      .select(col("_s.*"))
+    aggExplode(df, aggs, constraints.map { case (name, _) =>
+      struct(
+        lit(name).as("constraint"),
+        col("__n").as("n_rows"),
+        col(s"${name}__v").as("n_violations"),
+        (col(s"${name}__v") === 0L).as("passed"))
+    })
   }
 }

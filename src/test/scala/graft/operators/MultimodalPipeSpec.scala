@@ -74,6 +74,17 @@ class MultimodalSpec extends SparkTestBase {
     // truncated mid-segment: the walk runs off the end cleanly
     val trunc = Multimodal.encodeJpeg(10, 10, 8).take(7)
     assert(Multimodal.decodeMedia(9L, trunc).format == "raw")
+    // blob truncated INSIDE a 0xFF fill run: the fill-skip loop reaches
+    // the tail and the walk must bail, not read a length field past the
+    // end (regression: this threw ArrayIndexOutOfBoundsException)
+    val fillTail = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte,
+      0xff.toByte, 0xff.toByte, 0xe0.toByte)
+    assert(Multimodal.decodeMedia(9L, fillTail).format == "raw")
+    // fill bytes BEFORE an intact SOF still decode (the skip's purpose)
+    val withFill = Multimodal.encodeJpeg(41, 29, 0)
+    val padded = withFill.take(2) ++ Array.fill(3)(0xff.toByte) ++
+      withFill.drop(3) // inject extra 0xFFs before the first marker code
+    assert(Multimodal.decodeMedia(9L, padded).width == 41)
   }
 
   test("GIF encode -> decode round-trips the logical screen descriptor") {
