@@ -39,6 +39,16 @@ object Bpe {
 
   private def pin(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
 
+  /** Superseded rounds' blocks are freed eagerly (the [[Components]]
+    * release discipline) — `nMerges` can be thousands and each round's
+    * dead symbol table would otherwise wait on the ContextCleaner's GC
+    * cadence. Only ever called on the PREVIOUS round's state after the
+    * next round's eager pin has materialized; the `best` frames stay
+    * cached (the final merge table unions them).
+    */
+  private def release(df: DataFrame): Unit =
+    Components.releasePin(df, reliable = false)
+
   /** The word-frequency table BPE trains on: whitespace tokens of the
     * normalized text, counted corpus-wide (the one corpus-sized job).
     */
@@ -82,7 +92,7 @@ object Bpe {
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(desc("cnt"), asc("a"), asc("b"))
         .limit(1))
-      if (best.isEmpty) { exhausted = true }
+      if (best.isEmpty) { exhausted = true; release(best) }
       else {
         bests += best.select(lit(round + 1).as("merge_rank"),
           col("a").as("left_sym"), col("b").as("right_sym"),
@@ -103,6 +113,7 @@ object Bpe {
         val absorbed = keep.select(col("word"),
           (col("pos") + 1).as("pos"), lit(1).as("_drop"))
         val mergedSym = best.select(concat(col("a"), col("b")).as("_msym"))
+        val prev = state
         state = pin(state
           .join(hit, Seq("word", "pos"), "left")
           .join(absorbed, Seq("word", "pos"), "left")
@@ -113,9 +124,11 @@ object Bpe {
           .withColumn("_npos", row_number().over(wWin).cast("int"))
           .select(col("word"), col("freq"), col("_npos").as("pos"),
             col("_sym2").as("sym")))
+        release(prev) // next round's pin materialized; prev is dead
       }
       round += 1
     }
+    release(state) // the merge table unions `bests` only
     if (bests.isEmpty) {
       import org.apache.spark.sql.types._
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

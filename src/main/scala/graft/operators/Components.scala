@@ -79,6 +79,22 @@ object Components {
       df.checkpoint(eager = true)
     } else df.localCheckpoint(eager = true)
 
+  /** Free a superseded round's local-checkpoint blocks NOW rather than
+    * when the ContextCleaner notices the frame is unreachable (JVM GC
+    * cadence — a long contraction otherwise holds many dead rounds'
+    * blocks at once). ONLY for frames nothing references anymore: the
+    * truncated lineage cannot recompute freed blocks. Reliable-mode
+    * rounds hold checkpoint FILES, not executor blocks — those stay
+    * with the ContextCleaner (`cleanCheckpoints`, class doc), so this
+    * is a no-op for them.
+    */
+  private[operators] def releasePin(df: DataFrame, reliable: Boolean): Unit =
+    if (!reliable) df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   private def symmetrize(edges: DataFrame, aCol: String, bCol: String)
       : DataFrame =
     edges.select(col(aCol).as("s"), col(bCol).as("d"))
@@ -118,18 +134,28 @@ object Components {
         .join(labels.withColumnRenamed("lab", "prev"), Seq("id"))
         .where(col("lab") =!= col("prev"))
         .limit(1).count()
+      releasePin(labels, reliable) // probe done; prev round is dead
       labels = next
       converged = changed == 0L
       round += 1
     }
-    val out =
-      if (converged) labels.select(col("id"), col("lab").as("component"))
-      else starContraction(
+    // converged: the output references only the final labels, so sym is
+    // dead too. Unconverged: starContraction EAGERLY pins its own edge
+    // frame from sym + labels in its first statements, after which both
+    // seeds are dead — release on return.
+    if (converged) {
+      releasePin(sym, reliable)
+      labels.select(col("id"), col("lab").as("component"))
+    } else {
+      val out = starContraction(
         sym.select(col("s").as("a"), col("d").as("b"))
           .union(labels.where(col("id") =!= col("lab"))
             .select(col("id").as("a"), col("lab").as("b"))),
         "a", "b", reliable = reliable)
-    out
+      releasePin(sym, reliable)
+      releasePin(labels, reliable)
+      out
+    }
   }
 
   /** Connected components by alternating large-star / small-star
@@ -185,6 +211,7 @@ object Components {
       val nextCount = next.count()
       converged = nextCount == eCount &&
         next.join(e, Seq("u", "v"), "left_anti").isEmpty
+      releasePin(e, reliable) // fixpoint probe done; prev round is dead
       e = next
       eCount = nextCount
       round += 1

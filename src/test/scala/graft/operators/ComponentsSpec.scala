@@ -47,6 +47,23 @@ class ComponentsSpec extends SparkTestBase {
     }
   }
 
+  test("superseded rounds' local-checkpoint blocks are released eagerly") {
+    // a 120-node chain burns through the hash-min budget and falls back
+    // to star contraction — ~15 pinned rounds total. Without the
+    // explicit releasePin calls every round's blocks stay registered
+    // until the ContextCleaner GCs the dead frames (which a short test
+    // never triggers), so the persistent-RDD delta would be ~2× rounds.
+    // Suites share the session, so the bound is generous to concurrent
+    // suites' own persists — but far below the no-release footprint.
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val chain = (0L until 119L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Components.connectedComponents(chain, "a", "b")
+      .as[(Long, Long)].collect()
+    assert(got.length == 120 && got.forall(_._2 == 0L))
+    val delta = spark.sparkContext.getPersistentRDDs.size - before
+    assert(delta <= 8, s"expected released rounds, $delta RDDs still cached")
+  }
+
   test("duplicateClusters keeps singletons and sizes the classes") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
