@@ -1352,6 +1352,17 @@ object SparkEntry {
         "word", "freq", nMerges = 6)
     }),
 
+    // BPE tokenizer APPLY: the vocabulary's segmentation after the q93
+    // merges — train emits the merge table, this emits what it does to
+    // every word (same loop, so the pair cannot drift). Oracle = the
+    // q93 unrolled CTE chain with the final SELECT reading the last
+    // symbol table instead of the round winners.
+    "q101_bpe_encode" -> ((s, dir) => {
+      Bpe.encodedVocab(Bpe.wordFrequencies(t(s, dir, "documents"), "text"),
+        "word", "freq", nMerges = 6)
+        .orderBy(col("word"))
+    }),
+
     // BPE-ish regex token counting next to the whitespace count — the
     // pre-tokenizer split shape LLM-data token budgeting actually uses.
     "q51_regex_tokens" -> ((s, dir) => {
@@ -1627,6 +1638,75 @@ object SparkEntry {
   )
 
   /** Stopword-profile marker lists for the language-ID heuristic. */
+  /** The BPE training loop unrolled for DuckDB: one CTE block per
+    * round, shared by the q93 (merge table) and q101 (encoded
+    * vocabulary) oracles — same chain, different final SELECT.
+    * MATERIALIZED is load-bearing — each round references the previous
+    * state 4×, so default inlined CTEs re-evaluate the chain
+    * exponentially. Exposes `best$k` (round winners) and `s$rounds`
+    * (final symbol table) to the caller's final SELECT.
+    */
+  private def bpeOracleChain(rounds: Int): String = {
+    val head =
+      """WITH tok AS (
+           SELECT unnest(string_split(trim(regexp_replace(lower(
+             coalesce(text, '')), '\s+', ' ', 'g')), ' ')) AS word
+           FROM documents),
+         words AS (SELECT word, count(*) AS freq FROM tok
+                   WHERE word <> '' GROUP BY word),
+         s0 AS MATERIALIZED (
+           SELECT word, freq, CAST(pos AS INTEGER) AS pos,
+                  substr(word, CAST(pos AS INTEGER), 1) AS sym
+           FROM (SELECT word, freq,
+                   unnest(range(1, length(word) + 1)) AS pos
+                 FROM words))"""
+    val blocks = (0 until rounds).map { k =>
+      s"""
+         p$k AS MATERIALIZED (
+           SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+             SELECT sym AS a,
+               lead(sym) OVER (PARTITION BY word ORDER BY pos) AS b,
+               freq
+             FROM s$k)
+           WHERE b IS NOT NULL GROUP BY a, b),
+         best$k AS MATERIALIZED (
+           SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+         mt$k AS MATERIALIZED (
+           SELECT m.word, m.pos FROM (
+             SELECT word, pos, sym,
+               lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+             FROM s$k) m
+           JOIN best$k bb ON m.sym = bb.a AND m.nxt = bb.b),
+         keep$k AS MATERIALIZED (
+           SELECT word, pos FROM (
+             SELECT word, pos,
+               row_number() OVER (PARTITION BY word, rid ORDER BY pos)
+                 AS rn
+             FROM (SELECT word, pos,
+                     pos - row_number() OVER (PARTITION BY word
+                       ORDER BY pos) AS rid
+                   FROM mt$k))
+           WHERE rn % 2 = 1),
+         s${k + 1} AS MATERIALIZED (
+           SELECT word, freq,
+             CAST(row_number() OVER (PARTITION BY word ORDER BY pos)
+               AS INTEGER) AS pos,
+             sym
+           FROM (
+             SELECT s.word, s.freq, s.pos,
+               CASE WHEN kh.pos IS NOT NULL THEN bb.a || bb.b
+                    ELSE s.sym END AS sym
+             FROM s$k s
+             LEFT JOIN keep$k kh
+               ON s.word = kh.word AND s.pos = kh.pos
+             LEFT JOIN keep$k kp
+               ON s.word = kp.word AND s.pos = kp.pos + 1
+             LEFT JOIN best$k bb ON TRUE
+             WHERE kp.pos IS NULL))"""
+    }
+    head + "," + blocks.mkString(",")
+  }
+
   private val langProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),
     "de" -> Seq("der", "die", "das", "und", "ist"),
@@ -2314,73 +2394,22 @@ object SparkEntry {
          FROM red ORDER BY doc_id""",
 
     "q93_bpe_merges" -> {
-      // the merge loop unrolled: one CTE block per round. MATERIALIZED
-      // is load-bearing — each round references the previous state 4×,
-      // so default inlined CTEs re-evaluate the chain exponentially.
       val rounds = 6
-      val head =
-        """WITH tok AS (
-             SELECT unnest(string_split(trim(regexp_replace(lower(
-               coalesce(text, '')), '\s+', ' ', 'g')), ' ')) AS word
-             FROM documents),
-           words AS (SELECT word, count(*) AS freq FROM tok
-                     WHERE word <> '' GROUP BY word),
-           s0 AS MATERIALIZED (
-             SELECT word, freq, CAST(pos AS INTEGER) AS pos,
-                    substr(word, CAST(pos AS INTEGER), 1) AS sym
-             FROM (SELECT word, freq,
-                     unnest(range(1, length(word) + 1)) AS pos
-                   FROM words))"""
-      val blocks = (0 until rounds).map { k =>
-        s"""
-           p$k AS MATERIALIZED (
-             SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-               SELECT sym AS a,
-                 lead(sym) OVER (PARTITION BY word ORDER BY pos) AS b,
-                 freq
-               FROM s$k)
-             WHERE b IS NOT NULL GROUP BY a, b),
-           best$k AS MATERIALIZED (
-             SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
-           mt$k AS MATERIALIZED (
-             SELECT m.word, m.pos FROM (
-               SELECT word, pos, sym,
-                 lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
-               FROM s$k) m
-             JOIN best$k bb ON m.sym = bb.a AND m.nxt = bb.b),
-           keep$k AS MATERIALIZED (
-             SELECT word, pos FROM (
-               SELECT word, pos,
-                 row_number() OVER (PARTITION BY word, rid ORDER BY pos)
-                   AS rn
-               FROM (SELECT word, pos,
-                       pos - row_number() OVER (PARTITION BY word
-                         ORDER BY pos) AS rid
-                     FROM mt$k))
-             WHERE rn % 2 = 1),
-           s${k + 1} AS MATERIALIZED (
-             SELECT word, freq,
-               CAST(row_number() OVER (PARTITION BY word ORDER BY pos)
-                 AS INTEGER) AS pos,
-               sym
-             FROM (
-               SELECT s.word, s.freq, s.pos,
-                 CASE WHEN kh.pos IS NOT NULL THEN bb.a || bb.b
-                      ELSE s.sym END AS sym
-               FROM s$k s
-               LEFT JOIN keep$k kh
-                 ON s.word = kh.word AND s.pos = kh.pos
-               LEFT JOIN keep$k kp
-                 ON s.word = kp.word AND s.pos = kp.pos + 1
-               LEFT JOIN best$k bb ON TRUE
-               WHERE kp.pos IS NULL))"""
-      }
       val union = (0 until rounds).map { k =>
         s"""SELECT ${k + 1} AS merge_rank, a AS left_sym,
               b AS right_sym, cnt AS pair_count FROM best$k"""
       }.mkString("\n UNION ALL ")
-      head + "," + blocks.mkString(",") +
+      bpeOracleChain(rounds) +
         s"\n SELECT * FROM ($union) ORDER BY merge_rank"
+    },
+
+    "q101_bpe_encode" -> {
+      val rounds = 6
+      bpeOracleChain(rounds) +
+        s"""
+         SELECT word, CAST(count(*) AS BIGINT) AS n_syms,
+           string_agg(sym, ' ' ORDER BY pos) AS encoded
+         FROM s$rounds GROUP BY word ORDER BY word"""
     },
 
     "q92_incremental_dedup" ->

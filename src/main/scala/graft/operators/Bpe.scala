@@ -58,15 +58,15 @@ object Bpe {
       .groupBy(col("word"))
       .agg(count(lit(1)).as("freq"))
 
-  /** `nMerges` BPE merges over a (word, freq) table: returns
-    * (merge_rank, left_sym, right_sym, pair_count), merge_rank 1-based
-    * in training order. Stops early if the vocabulary runs out of
-    * adjacent pairs (every word fully merged).
+  /** The shared training loop: runs `nMerges` rounds and returns the
+    * per-round winner frames (pinned, 1 row each) plus the FINAL symbol
+    * table (pinned). The caller owns releasing whichever half its
+    * output does not reference ([[bpeMerges]] keeps the winners,
+    * [[encodedVocab]] keeps the state).
     */
-  def bpeMerges(words: DataFrame, wordCol: String, freqCol: String,
-                nMerges: Int): DataFrame = {
+  private def trainLoop(words: DataFrame, wordCol: String, freqCol: String,
+                        nMerges: Int): (Seq[DataFrame], DataFrame) = {
     require(nMerges >= 1, "need at least one merge round")
-    val spark = words.sparkSession
     // initial state: one row per (word, char position). The
     // length > 0 guard matters: Spark's sequence(start, stop) COUNTS
     // DOWN when start > stop, so an empty word would yield positions
@@ -128,6 +128,18 @@ object Bpe {
       }
       round += 1
     }
+    (bests.toSeq, state)
+  }
+
+  /** `nMerges` BPE merges over a (word, freq) table: returns
+    * (merge_rank, left_sym, right_sym, pair_count), merge_rank 1-based
+    * in training order. Stops early if the vocabulary runs out of
+    * adjacent pairs (every word fully merged).
+    */
+  def bpeMerges(words: DataFrame, wordCol: String, freqCol: String,
+                nMerges: Int): DataFrame = {
+    val spark = words.sparkSession
+    val (bests, state) = trainLoop(words, wordCol, freqCol, nMerges)
     release(state) // the merge table unions `bests` only
     if (bests.isEmpty) {
       import org.apache.spark.sql.types._
@@ -136,5 +148,32 @@ object Bpe {
           StructField("left_sym", StringType), StructField("right_sym", StringType),
           StructField("pair_count", LongType))))
     } else bests.reduce(_ unionByName _).orderBy(col("merge_rank"))
+  }
+
+  /** ENCODE — the vocabulary after `nMerges` trained merges: one row
+    * per word with its BPE symbol sequence, (word, n_syms, encoded)
+    * where `encoded` is the space-joined symbols in position order.
+    * This IS the tokenizer-apply step for in-vocabulary words: the
+    * training state after round k equals applying merges 1..k in rank
+    * order to each word (each merge greedy left-to-right, the
+    * [[bpeMerges]] semantics), which is what a BPE encoder replays.
+    * Pairs with [[bpeMerges]] — train emits the merge table a
+    * tokenizer ships, this emits the segmentation it induces; both
+    * come from the same loop, so they cannot drift.
+    *
+    * SCALE SHAPE: everything after the corpus-sized word count runs on
+    * the vocabulary-sized symbol table (class doc); the final
+    * per-word fold is one groupBy over that table — sort_array on a
+    * (pos, sym) struct list per word, bounded by max word length.
+    */
+  def encodedVocab(words: DataFrame, wordCol: String, freqCol: String,
+                   nMerges: Int): DataFrame = {
+    val (bests, state) = trainLoop(words, wordCol, freqCol, nMerges)
+    bests.foreach(release) // the encoding references the state only
+    state.groupBy(col("word"))
+      .agg(count(lit(1)).cast("long").as("n_syms"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("sym")))),
+            s => s.getField("sym")), " ").as("encoded"))
   }
 }

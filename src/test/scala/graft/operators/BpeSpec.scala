@@ -8,7 +8,17 @@ class BpeSpec extends SparkTestBase {
 
   /** In-memory reference BPE (Sennrich get_stats + greedy merge). */
   private def refBpe(words: Map[String, Long], n: Int)
-      : Seq[(Int, String, String, Long)] = {
+      : Seq[(Int, String, String, Long)] = refBpeFull(words, n)._1
+
+  /** Reference final segmentation after `n` merges (empty words have
+    * no symbol rows, mirroring the operator's length guard).
+    */
+  private def refEncode(words: Map[String, Long], n: Int)
+      : Map[String, Vector[String]] =
+    refBpeFull(words, n)._2.filter(_._1.nonEmpty)
+
+  private def refBpeFull(words: Map[String, Long], n: Int)
+      : (Seq[(Int, String, String, Long)], Map[String, Vector[String]]) = {
     var state: Map[String, Vector[String]] =
       words.keys.map(w => w -> w.map(_.toString).toVector).toMap
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
@@ -36,7 +46,7 @@ class BpeSpec extends SparkTestBase {
       }
       k += 1
     }
-    out.toSeq
+    (out.toSeq, state)
   }
 
   private def run(words: Map[String, Long], n: Int) =
@@ -90,5 +100,46 @@ class BpeSpec extends SparkTestBase {
       }.toMap
       assert(run(words, 5) == refBpe(words, 5))
     }
+  }
+
+  private def runEncode(words: Map[String, Long], n: Int)
+      : Map[String, (Long, String)] =
+    Bpe.encodedVocab(words.toSeq.toDF("word", "freq"), "word", "freq", n)
+      .as[(String, Long, String)].collect()
+      .map { case (w, ns, enc) => w -> ((ns, enc)) }.toMap
+
+  test("encodedVocab is the reference segmentation after n merges") {
+    val words = Map("abab" -> 3L, "abc" -> 2L, "x" -> 7L)
+    val one = runEncode(words, 1)
+    // merge 1 is (a,b) — both words segment on it; "x" stays atomic
+    assert(one("abab") == ((2L, "ab ab")) && one("abc") == ((2L, "ab c")))
+    assert(one("x") == ((1L, "x")))
+    // merge 2 is (ab,ab): "abab" collapses to a single symbol
+    val two = runEncode(words, 2)
+    assert(two("abab") == ((1L, "abab")))
+    assert(two == refEncode(words, 2).map { case (w, syms) =>
+      w -> ((syms.length.toLong, syms.mkString(" ")))
+    })
+  }
+
+  test("encodedVocab past exhaustion is a fixpoint (fully merged words)") {
+    val words = Map("ab" -> 2L, "cd" -> 1L)
+    // 10 requested, 2 possible: every word collapses to one symbol
+    val got = runEncode(words, 10)
+    assert(got == Map("ab" -> ((1L, "ab")), "cd" -> ((1L, "cd"))))
+  }
+
+  test("encodedVocab matches the reference on random vocabularies") {
+    val rnd = new scala.util.Random(29)
+    val alphabet = "abcd"
+    val words = (1 to 25).map { _ =>
+      val len = 1 + rnd.nextInt(8)
+      (Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString,
+        1L + rnd.nextInt(40))
+    }.toMap
+    val want = refEncode(words, 6).map { case (w, syms) =>
+      w -> ((syms.length.toLong, syms.mkString(" ")))
+    }
+    assert(runEncode(words, 6) == want)
   }
 }
