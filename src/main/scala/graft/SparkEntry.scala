@@ -912,6 +912,20 @@ object SparkEntry {
     // single-digit rounds — the documented fast path — where q73's 0.01
     // stress threshold yields a chain-shaped graph that exercises the
     // star-contraction fallback.
+    // Leakage-safe split over the strict-threshold closure: near-dup
+    // CLASSES are the split unit, so a training doc's 98%-copy cannot
+    // land in eval. 200/26/30 of 256 ≈ 78/10/12%, keyed on md5 of the
+    // class representative — deterministic on any engine.
+    "q102_leakage_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (pairs, handle) = NearDup.jaccardPairsWithHandle(docs, "doc_id",
+        "text", "source", 3, 0.5)
+      val out = Sampling.leakageSafeSplit(docs, pairs, "doc_id",
+        train256 = 200, val256 = 26)
+      handle.release()
+      out.orderBy(col("doc_id"))
+    }),
+
     "q74_dup_clusters_strict" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val (pairs, handle) = NearDup.jaccardPairsWithHandle(docs, "doc_id",
@@ -1638,6 +1652,48 @@ object SparkEntry {
   )
 
   /** Stopword-profile marker lists for the language-ID heuristic. */
+  /** Duplicate-class closure for DuckDB: per-source 3-shingle jaccard
+    * pairs at `threshold`, then connected components via a recursive
+    * CTE — shared by the q73/q74 cluster oracles and q102's
+    * leakage-safe split, which differ only in threshold and final
+    * SELECT. Exposes `comp` (doc_id, component) to the caller.
+    */
+  private def componentsOracleChain(threshold: String): String =
+    s"""WITH RECURSIVE d AS (
+           SELECT doc_id, source,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, source,
+             unnest(list_distinct(CASE WHEN len(toks) < 3
+               THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(toks) - 2),
+                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+               END)) AS shingle
+           FROM d),
+         cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         pr AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+           FROM sh x JOIN sh y
+             ON x.source = y.source AND x.shingle = y.shingle
+             AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         edges AS (
+           SELECT a, b FROM pr
+           JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+           WHERE round(CAST(n_common AS DOUBLE)
+                       / (ca.n_sh + cb.n_sh - n_common), 6) >= $threshold),
+         sym AS (SELECT a AS src, b AS dst FROM edges
+                 UNION ALL SELECT b, a FROM edges),
+         reach(id, lab) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT sym.dst, reach.lab
+           FROM sym JOIN reach ON sym.src = reach.id),
+         comp AS (SELECT id AS doc_id, min(lab) AS component
+                  FROM reach GROUP BY id)"""
+
   /** The BPE training loop unrolled for DuckDB: one CTE block per
     * round, shared by the q93 (merge table) and q101 (encoded
     * vocabulary) oracles — same chain, different final SELECT.
@@ -2005,82 +2061,33 @@ object SparkEntry {
          ORDER BY a, b""",
 
     "q73_dup_clusters" ->
-      """WITH RECURSIVE d AS (
-           SELECT doc_id, source,
-                  string_split(trim(regexp_replace(lower(coalesce(text,
-                    '')), '\s+', ' ', 'g')), ' ') AS toks
-           FROM documents),
-         sh AS (
-           SELECT doc_id, source,
-             unnest(list_distinct(CASE WHEN len(toks) < 3
-               THEN CAST([] AS VARCHAR[])
-               ELSE list_transform(generate_series(1, len(toks) - 2),
-                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))
-               END)) AS shingle
-           FROM d),
-         cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         pr AS (
-           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
-           FROM sh x JOIN sh y
-             ON x.source = y.source AND x.shingle = y.shingle
-             AND x.doc_id < y.doc_id
-           GROUP BY 1, 2),
-         edges AS (
-           SELECT a, b FROM pr
-           JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
-           WHERE round(CAST(n_common AS DOUBLE)
-                       / (ca.n_sh + cb.n_sh - n_common), 6) >= 0.01),
-         sym AS (SELECT a AS src, b AS dst FROM edges
-                 UNION ALL SELECT b, a FROM edges),
-         reach(id, lab) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT sym.dst, reach.lab
-           FROM sym JOIN reach ON sym.src = reach.id),
-         comp AS (SELECT id AS doc_id, min(lab) AS component
-                  FROM reach GROUP BY id)
+      (componentsOracleChain("0.01") +
+        """
          SELECT doc_id, component,
                 count(*) OVER (PARTITION BY component) AS cluster_size
-         FROM comp ORDER BY doc_id""",
+         FROM comp ORDER BY doc_id"""),
 
     "q74_dup_clusters_strict" ->
-      """WITH RECURSIVE d AS (
-           SELECT doc_id, source,
-                  string_split(trim(regexp_replace(lower(coalesce(text,
-                    '')), '\s+', ' ', 'g')), ' ') AS toks
-           FROM documents),
-         sh AS (
-           SELECT doc_id, source,
-             unnest(list_distinct(CASE WHEN len(toks) < 3
-               THEN CAST([] AS VARCHAR[])
-               ELSE list_transform(generate_series(1, len(toks) - 2),
-                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))
-               END)) AS shingle
-           FROM d),
-         cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         pr AS (
-           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
-           FROM sh x JOIN sh y
-             ON x.source = y.source AND x.shingle = y.shingle
-             AND x.doc_id < y.doc_id
-           GROUP BY 1, 2),
-         edges AS (
-           SELECT a, b FROM pr
-           JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
-           WHERE round(CAST(n_common AS DOUBLE)
-                       / (ca.n_sh + cb.n_sh - n_common), 6) >= 0.5),
-         sym AS (SELECT a AS src, b AS dst FROM edges
-                 UNION ALL SELECT b, a FROM edges),
-         reach(id, lab) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT sym.dst, reach.lab
-           FROM sym JOIN reach ON sym.src = reach.id),
-         comp AS (SELECT id AS doc_id, min(lab) AS component
-                  FROM reach GROUP BY id)
+      (componentsOracleChain("0.5") +
+        """
          SELECT doc_id, component,
                 count(*) OVER (PARTITION BY component) AS cluster_size
-         FROM comp ORDER BY doc_id""",
+         FROM comp ORDER BY doc_id"""),
+
+    // 200/26/30 of 256 ≈ 78/10/12% — bounds c8 and e2 in the md5-hex
+    // bucket space, keyed on the COMPONENT so a class never straddles
+    // splits (the CASE mirrors Sampling.leakageSafeSplit exactly)
+    "q102_leakage_split" ->
+      (componentsOracleChain("0.5") +
+        """
+         SELECT doc_id, component,
+                count(*) OVER (PARTITION BY component) AS cluster_size,
+                CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 2)
+                       < 'c8' THEN 'train'
+                     WHEN substr(md5(CAST(component AS VARCHAR)), 1, 2)
+                       < 'e2' THEN 'val'
+                     ELSE 'test' END AS split
+         FROM comp ORDER BY doc_id"""),
 
     "q75_pii_redact" ->
       """WITH inj AS (

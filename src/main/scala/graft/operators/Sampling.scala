@@ -87,6 +87,40 @@ object Sampling {
       keyCol, stratumCol, thresholds, defaultThreshold256 = 0)
   }
 
+  /** LEAKAGE-SAFE train/val/test split: the assignment is keyed on the
+    * duplicate-CLASS representative ([[Components.duplicateClusters]]'
+    * component), not the document id, so a near-duplicate of a training
+    * document can never land in eval — the contamination path a plain
+    * per-doc hash split leaves open (doc A trains, its 98%-identical
+    * copy B inflates eval). Returns duplicateClusters' (id, component,
+    * cluster_size) plus `split` ∈ {train, val, test}: md5(component)
+    * hex buckets [0, train256), [train256, train256+val256), rest of
+    * 256 — the [[hashSamplePredicate]] determinism story (same class,
+    * same split, any engine, any parallelism, forever).
+    *
+    * SCALE SHAPE: the closure is the [[Components]] cost (bounded
+    * rounds, O(1) pinned plans); the split itself is one scan-stage
+    * CASE over the labeled table — no shuffle beyond
+    * duplicateClusters' own.
+    */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
+                       train256: Int, val256: Int,
+                       aCol: String = "a", bCol: String = "b"): DataFrame = {
+    require(train256 >= 0 && val256 >= 0 && train256 + val256 <= 256,
+      "train256 + val256 must be within 256")
+    val h = substring(md5(col("component").cast("string")), 1, 2)
+    // bound 256 formats as "100", which hex-string-compares WRONG —
+    // an exhausted budget means "everything below" (hashSamplePredicate's
+    // same edge)
+    def below(bound: Int): Column =
+      if (bound >= 256) lit(true) else h < lit(f"$bound%02x")
+    Components.duplicateClusters(docs, pairs, idCol, aCol, bCol)
+      .withColumn("split",
+        when(below(train256), lit("train"))
+          .when(below(train256 + val256), lit("val"))
+          .otherwise(lit("test")))
+  }
+
   /** Deterministic FRACTIONAL upsampling — the other half of mixture
     * building: small high-quality sources get repeated (epochs > 1),
     * possibly by a non-integer factor. factor = num/den: every row is

@@ -120,6 +120,44 @@ class SamplingSpec extends SparkTestBase {
     assert(half.forall(_._2 == 1))
     assert(half.length > 400 && half.length < 600)
   }
+
+  test("leakageSafeSplit: classes never straddle splits; buckets match md5") {
+    val docs = (1L to 400L).toDF("doc_id")
+    // chains of 4: {1..4}, {5..8}, ... — each class must stay together
+    val pairs = (1L to 400L).filter(i => i % 4 != 0)
+      .map(i => (i, i + 1)).toDF("a", "b")
+    val got = Sampling
+      .leakageSafeSplit(docs, pairs, "doc_id", train256 = 200, val256 = 26)
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.length == 400 && got.forall(_._3 == 4L))
+    val byComponent = got.groupBy(_._2)
+    assert(byComponent.size == 100)
+    assert(byComponent.values.forall(_.map(_._4).distinct.length == 1),
+      "a duplicate class straddled splits")
+    // assignment replays as md5 of the component id, thresholds c8/e2
+    def md5hex2(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .take(1).map("%02x".format(_)).mkString
+    got.foreach { case (_, comp, _, split) =>
+      val h = md5hex2(comp.toString)
+      val want = if (h < "c8") "train" else if (h < "e2") "val" else "test"
+      assert(split == want, s"component $comp: $split != $want")
+    }
+    val bySplit = got.groupBy(_._4).view.mapValues(_.length).toMap
+    // 78/10/12% of 400 with 100 classes — generous band, determinism is
+    // the contract, the fractions only need to be in family
+    assert(bySplit.getOrElse("train", 0) > 240)
+    assert(bySplit.getOrElse("val", 0) > 8 || bySplit.getOrElse("test", 0) > 8)
+  }
+
+  test("leakageSafeSplit: exhausted budget (train256=256) is all train") {
+    val docs = (1L to 50L).toDF("doc_id")
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    val got = Sampling
+      .leakageSafeSplit(docs, pairs, "doc_id", train256 = 256, val256 = 0)
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.forall(_._4 == "train"))
+  }
 }
 
 class KmeansIterSpec extends SparkTestBase {
