@@ -875,6 +875,17 @@ object SparkEntry {
     // grams by construction), contaminated rows from contamination()
     // with their shared-gram counts. The benchmark shingle set is
     // broadcast, so the corpus never shuffles (plan-pinned).
+    // Graded contamination: per-doc overlap RATE with the benchmark
+    // grams (q66's binary rule made a report — drop/audit/keep bands
+    // are a downstream filter on contamination_rate)
+    "q103_contamination_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      NearDup.contaminationScore(
+        docs.where(col("doc_id") % 20 =!= 0),
+        docs.where(col("doc_id") % 20 === 0), "doc_id", "text", 5)
+        .orderBy(col("doc_id"))
+    }),
+
     "q66_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val bench = docs.where(col("doc_id") % 20 === 0)
@@ -3341,6 +3352,34 @@ object SparkEntry {
                 (top_token_frac <= 0.12 AND dup_2gram_frac <= 0.05)
                   AS repetition_ok
          FROM f ORDER BY doc_id""",
+
+    "q103_contamination_score" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             unnest(list_distinct(CASE WHEN len(toks) < 5
+               THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(toks) - 4),
+                 i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+               END)) AS shingle
+           FROM d),
+         bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+         sc AS (
+           SELECT s.doc_id,
+                  CAST(count(*) AS BIGINT) AS n_grams,
+                  CAST(count(b.shingle) AS BIGINT) AS n_shared_grams
+           FROM (SELECT doc_id, shingle FROM sh
+                 WHERE doc_id % 20 != 0) s
+           LEFT JOIN bench b USING (shingle)
+           GROUP BY 1)
+         SELECT doc_id, n_grams, n_shared_grams,
+                round(CAST(n_shared_grams AS DOUBLE) / n_grams, 6)
+                  AS contamination_rate
+         FROM sc ORDER BY doc_id""",
 
     "q66_decontaminate" ->
       """WITH d AS (

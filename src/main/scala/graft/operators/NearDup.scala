@@ -479,6 +479,33 @@ object NearDup {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** GRADED contamination — [[contamination]]'s binary flag made a
+    * rate: (idCol, n_grams, n_shared_grams, contamination_rate) for
+    * EVERY training doc with at least `n` tokens (rate 0 when clean).
+    * The drop decision belongs downstream: real pipelines run graded
+    * rules ("drop ≥ 0.8, audit 0.2–0.8, keep below"), not an
+    * any-overlap kill switch — [[decontaminate]] stays the strict
+    * form.
+    *
+    * SCALE SHAPE: same broadcast benchmark-gram set as
+    * [[contamination]], except as a LEFT join with a hit marker so the
+    * per-doc total and shared counts come out of ONE aggregate over
+    * ONE scan-stage pass — the corpus never shuffles more than its
+    * (id, shingle) rows into the counting exchange.
+    */
+  def contaminationScore(train: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, n: Int): DataFrame = {
+    val benchGrams = shingleRows(bench, idCol, Seq.empty, textCol, n)
+      .select(col("shingle")).distinct().withColumn("_hit", lit(1))
+    shingleRows(train, idCol, Seq.empty, textCol, n)
+      .join(broadcast(benchGrams), Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("_hit")).as("n_shared_grams"))
+      .withColumn("contamination_rate",
+        round(col("n_shared_grams").cast("double") / col("n_grams"), 6))
+  }
+
   /** The surviving training rows: `train` minus every document
     * [[contamination]] flags. The anti-join's contaminated side is
     * usually tiny (AQE turns it into a broadcast anti-join at runtime);

@@ -301,6 +301,26 @@ class NearDupSpec extends SparkTestBase {
     assert(kept == Set(2L, 3L, 4L))
   }
 
+  test("contaminationScore grades every ≥n-token doc; rate = shared/total") {
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      // 8 tokens → 4 distinct 5-grams, 2 shared with bench
+      (1L, "intro alpha beta gamma delta epsilon zeta outro"),
+      (2L, "totally unrelated training text with many words"), // rate 0
+      (3L, "one two three") // < 5 tokens: no grams, absent from report
+    ).toDF("doc_id", "text")
+    val got = NearDup.contaminationScore(train, bench, "doc_id", "text", 5)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(1L -> ((4L, 2L, 0.5)), 2L -> ((3L, 0L, 0.0))))
+    // consistency with the binary rule: flagged == rate > 0
+    val flagged = NearDup.contamination(train, bench, "doc_id", "text", 5)
+      .as[(Long, Long)].collect().toMap.keySet
+    assert(got.filter(_._2._3 > 0).keySet == flagged)
+  }
+
   test("bloomContamination == exact contamination (bloom only prunes)") {
     val corpus = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
