@@ -875,6 +875,24 @@ object SparkEntry {
     // grams by construction), contaminated rows from contamination()
     // with their shared-gram counts. The benchmark shingle set is
     // broadcast, so the corpus never shuffles (plan-pinned).
+    // C4-style line-level boilerplate removal. The synthetic text is
+    // newline-free, so the query INJECTS the line structure (the q75
+    // PII pattern — identical injection in both engines): a header
+    // line shared by every doc (df = all ≥ 50 → boilerplate) and a
+    // 'ref block k' line shared by 1/50th of docs (df below threshold
+    // at sf0.01 → kept). Every doc must lose exactly the header.
+    "q104_boilerplate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("join our mailing list today\n"),
+            coalesce(col("text"), lit("")),
+            lit("\nref block "),
+            (col("doc_id") % 50).cast("string")).as("text"))
+      TextAnalysis
+        .removeBoilerplateLines(docs, "doc_id", "text", minDocs = 50)
+        .orderBy(col("doc_id"))
+    }),
+
     // Graded contamination: per-doc overlap RATE with the benchmark
     // grams (q66's binary rule made a report — drop/audit/keep bands
     // are a downstream filter on contamination_rate)
@@ -3352,6 +3370,32 @@ object SparkEntry {
                 (top_token_frac <= 0.12 AND dup_2gram_frac <= 0.05)
                   AS repetition_ok
          FROM f ORDER BY doc_id""",
+
+    "q104_boilerplate" ->
+      """WITH inj AS (
+           SELECT doc_id, 'join our mailing list today' || chr(10) ||
+                  coalesce(text, '') || chr(10) || 'ref block ' ||
+                  CAST(doc_id % 50 AS VARCHAR) AS text2
+           FROM documents),
+         li AS (
+           SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(ls)),
+             i -> {'pos': i, 'line': ls[i]})) AS pl
+           FROM (SELECT doc_id, string_split(text2, chr(10)) AS ls
+                 FROM inj)),
+         lines AS (SELECT doc_id, pl.pos AS pos, pl.line AS line FROM li),
+         bl AS (SELECT trim(line) AS tl FROM lines
+                WHERE trim(line) <> ''
+                GROUP BY 1 HAVING count(DISTINCT doc_id) >= 50),
+         marked AS (
+           SELECT l.doc_id, l.pos, l.line, b.tl IS NOT NULL AS is_bl
+           FROM lines l LEFT JOIN bl b ON trim(l.line) = b.tl)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+                CAST(count(*) FILTER (WHERE is_bl) AS BIGINT)
+                  AS n_removed,
+                coalesce(string_agg(line, chr(10) ORDER BY pos)
+                  FILTER (WHERE NOT is_bl), '') AS cleaned_text
+         FROM marked GROUP BY doc_id ORDER BY doc_id""",
 
     "q103_contamination_score" ->
       """WITH d AS (

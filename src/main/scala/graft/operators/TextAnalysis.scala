@@ -391,6 +391,48 @@ object TextAnalysis {
     * signature (2 independent bits per hex char). Pure expressions →
     * computable identically in any engine with md5.
     */
+  /** C4-style LINE-LEVEL boilerplate removal: lines whose document
+    * frequency reaches `minDocs` (navigation chrome, cookie banners,
+    * license headers — the lines that repeat across a crawl without the
+    * documents being duplicates) are deleted from every document.
+    * Returns (idCol, n_lines, n_removed, cleaned_text); lines match on
+    * their trimmed form, empty lines are never boilerplate.
+    *
+    * SCALE SHAPE: the corpus NEVER shuffles. Line document-frequency is
+    * one aggregate over the exploded (trimmed-line, id) pairs — the
+    * shuffle carries line strings + ids, not documents. The boilerplate
+    * set is then folded to a single array row and broadcast-cross-joined,
+    * so the removal itself is a scan-stage array filter over each doc's
+    * own lines. The set is SMALL BY CONSTRUCTION: lines with df ≥
+    * `minDocs` number at most total-line-rows / minDocs (the same
+    * boundedness argument as jaccard's maxDf cap) — a meaningful
+    * threshold (0.01% of a crawl) keeps it broadcastable by definition.
+    */
+  def removeBoilerplateLines(docs: DataFrame, idCol: String,
+                             textCol: String, minDocs: Long): DataFrame = {
+    require(minDocs >= 2, "minDocs < 2 would delete every non-empty line")
+    val txt = coalesce(col(textCol), lit(""))
+    val lines = docs
+      .select(col(idCol), explode(split(txt, "\n")).as("_l"))
+      .select(col(idCol), trim(col("_l")).as("_tl"))
+      .where(col("_tl") =!= "")
+    val bl = lines.groupBy(col("_tl"))
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .where(col("_df") >= minDocs)
+    val blArr = bl.agg(
+      coalesce(collect_set(col("_tl")),
+        array().cast("array<string>")).as("_bl"))
+    docs.crossJoin(broadcast(blArr))
+      .withColumn("_ls", split(txt, "\n"))
+      .withColumn("_keep",
+        filter(col("_ls"), l => !array_contains(col("_bl"), trim(l))))
+      .select(col(idCol),
+        size(col("_ls")).cast("long").as("n_lines"),
+        (size(col("_ls")) - size(col("_keep"))).cast("long")
+          .as("n_removed"),
+        array_join(col("_keep"), "\n").as("cleaned_text"))
+  }
+
   def simhashBitContribution(tokenMd5: Column, pos: Int): Column = {
     val ones =
       if (pos % 2 == 0) Seq("1", "3", "5", "7", "9", "b", "d", "f")

@@ -152,6 +152,36 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!p.contains("Exchange") && !p.contains("Aggregate"))
   }
 
+  test("removeBoilerplateLines: df-threshold lines vanish, order survives") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nreal content one\nfooter text"),
+      (2L, "COOKIE BANNER\nreal content two\nfooter text"),
+      (3L, "COOKIE BANNER\nunique stuff\nother ending"),
+      (4L, "  COOKIE BANNER  \nindented banner still matches"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .removeBoilerplateLines(docs, "doc_id", "text", minDocs = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // banner df=4 (trimmed match incl. doc 4) removed; footer df=2 kept
+    assert(got(1L) == ((3L, 1L, "real content one\nfooter text")))
+    assert(got(2L) == ((3L, 1L, "real content two\nfooter text")))
+    assert(got(3L) == ((3L, 1L, "unique stuff\nother ending")))
+    assert(got(4L) == ((2L, 1L, "indented banner still matches")))
+    // empty doc: one empty line, never boilerplate, survives unchanged
+    assert(got(5L) == ((1L, 0L, "")))
+  }
+
+  test("removeBoilerplateLines: no line reaches the threshold → identity") {
+    val docs = Seq((1L, "a\nb"), (2L, "c\nd")).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .removeBoilerplateLines(docs, "doc_id", "text", minDocs = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(1L -> ((2L, 0L, "a\nb")), 2L -> ((2L, 0L, "c\nd"))))
+  }
+
   test("redactPii counts per type and scrubs in precedence order") {
     val docs = Seq(
       (1L, "mail a.b+c@foo-bar.org or x@y.io thanks"),
