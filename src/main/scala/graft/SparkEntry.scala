@@ -875,6 +875,15 @@ object SparkEntry {
     // grams by construction), contaminated rows from contamination()
     // with their shared-gram counts. The benchmark shingle set is
     // broadcast, so the corpus never shuffles (plan-pinned).
+    // ExactSubstr-style repeated spans: maximal cross-document repeated
+    // token extents at 10-gram resolution (Lee et al. ACL 2022 made
+    // distributed — gram-DF marks + per-doc interval coalescing)
+    "q105_repeated_spans" -> ((s, dir) => {
+      NearDup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        n = 10, minDf = 2)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     // C4-style line-level boilerplate removal. The synthetic text is
     // newline-free, so the query INJECTS the line structure (the q75
     // PII pattern — identical injection in both engines): a header
@@ -3370,6 +3379,41 @@ object SparkEntry {
                 (top_token_frac <= 0.12 AND dup_2gram_frac <= 0.05)
                   AS repetition_ok
          FROM f ORDER BY doc_id""",
+
+    "q105_repeated_spans" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(toks) - 9),
+             i -> {'pos': i,
+                   'gh': md5(array_to_string(
+                           list_slice(toks, i, i + 9), ' '))})) AS pg
+           FROM d WHERE len(toks) >= 10),
+         gg AS (SELECT doc_id, CAST(pg.pos AS INTEGER) AS pos,
+                       pg.gh AS gh FROM g),
+         rep AS (SELECT gh FROM gg GROUP BY gh
+                 HAVING count(DISTINCT doc_id) >= 2),
+         mk AS (SELECT doc_id, pos AS s, pos + 9 AS e
+                FROM gg JOIN rep USING (gh)),
+         isl AS (
+           SELECT doc_id, s, e,
+             sum(CASE WHEN pmax IS NULL OR s > pmax + 1
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s) AS island
+           FROM (SELECT doc_id, s, e,
+                   max(e) OVER (PARTITION BY doc_id ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS pmax
+                 FROM mk))
+         SELECT doc_id, CAST(min(s) AS INTEGER) AS span_start,
+                CAST(max(e) AS INTEGER) AS span_end,
+                CAST(max(e) - min(s) + 1 AS INTEGER) AS span_tokens
+         FROM isl GROUP BY doc_id, island
+         ORDER BY doc_id, span_start""",
 
     "q104_boilerplate" ->
       """WITH inj AS (

@@ -479,6 +479,63 @@ object NearDup {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** REPEATED-SPAN detection — the distributed shape of ExactSubstr
+    * dedup ("Deduplicating Training Data Makes Language Models
+    * Better", Lee et al., ACL 2022): exact token spans of length ≥ `n`
+    * occurring in `minDf`-or-more DISTINCT documents are
+    * memorization fuel even when the documents as wholes are unique
+    * (within-doc repetition is [[TextAnalysis.repetitionSignals]]'
+    * half). The paper's corpus-wide suffix array doesn't distribute;
+    * this composition does, exactly: any repeated span of ≥ n tokens
+    * is covered precisely by its constituent repeated n-grams, so
+    * marking every gram position whose document frequency ≥ minDf and
+    * coalescing overlapping-or-adjacent marks per document (the
+    * sessionize gaps-and-islands shape on token offsets) recovers the
+    * maximal repeated extents at n-gram resolution. Returns
+    * (idCol, span_start, span_end, span_tokens), 1-based inclusive
+    * token offsets — downstream cuts the spans or drops the docs.
+    *
+    * SCALE SHAPE: gram DF shuffles md5(gram) 16-byte keys (the
+    * [[exactDedupClasses]] fingerprint-weight argument — never the
+    * n-token strings, never the documents); the mark join is id+pos
+    * ints; the islands window partitions per doc over marked positions
+    * only. Nothing is quadratic: a gram in d docs contributes d mark
+    * rows, not d² pairs.
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int, minDf: Long): DataFrame = {
+    require(n >= 2 && minDf >= 2, "need n ≥ 2 and minDf ≥ 2")
+    val grams = spread(docs)
+      .select(col(idCol), tokens(col(textCol)).as("_t"))
+      .where(size(col("_t")) >= n) // guard: sequence(1, m≤0) counts DOWN
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(1), size(col("_t")) - (n - 1)),
+          i => md5(array_join(slice(col("_t"), i, lit(n)), " "))))
+          .as(Seq("_p0", "_gh")))
+      .select(col(idCol), (col("_p0") + 1).cast("int").as("_pos"),
+        col("_gh"))
+    val repeated = grams.groupBy(col("_gh"))
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .where(col("_df") >= minDf)
+      .select(col("_gh"))
+    val marks = grams.join(repeated, Seq("_gh"), "left_semi")
+      .select(col(idCol), col("_pos").as("s"),
+        (col("_pos") + (n - 1)).cast("int").as("e"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("s"))
+    marks
+      .withColumn("_pmax", max(col("e")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_new",
+        when(col("_pmax").isNull || col("s") > col("_pmax") + 1, 1)
+          .otherwise(0))
+      .withColumn("_isl", sum(col("_new")).over(w))
+      .groupBy(col(idCol), col("_isl"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
   /** GRADED contamination — [[contamination]]'s binary flag made a
     * rate: (idCol, n_grams, n_shared_grams, contamination_rate) for
     * EVERY training doc with at least `n` tokens (rate 0 when clean).

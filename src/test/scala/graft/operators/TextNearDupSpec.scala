@@ -331,6 +331,24 @@ class NearDupSpec extends SparkTestBase {
     assert(kept == Set(2L, 3L, 4L))
   }
 
+  test("repeatedSpans finds cross-doc repeats as maximal coalesced spans") {
+    val shared = "one two three four five six seven eight nine ten " +
+      "eleven twelve" // 12 tokens, planted in docs 1 and 2
+    val docs = Seq(
+      (1L, s"aa bb cc $shared dd ee"),         // span at tokens 4..15
+      (2L, s"$shared zz yy xx ww vv uu tt"),   // span at tokens 1..12
+      (3L, "ff gg hh ii jj kk ll mm nn oo pp qq rr ss"), // unique: none
+      // within-doc-ONLY repetition: df counts DISTINCT docs, so no span
+      (4L, "rep tok rep tok rep tok rep tok rep tok rep tok rep tok")
+    ).toDF("doc_id", "text")
+    val got = NearDup.repeatedSpans(docs, "doc_id", "text", n = 5,
+        minDf = 2)
+      .as[(Long, Int, Int, Int)].collect().sortBy(r => (r._1, r._2))
+    // 12-token repeat at n=5: 8 marks [p,p+4]..[p+7,p+11] coalesce to
+    // one span of exactly the planted extent
+    assert(got.toSeq == Seq((1L, 4, 15, 12), (2L, 1, 12, 12)))
+  }
+
   test("contaminationScore grades every ≥n-token doc; rate = shared/total") {
     val bench = Seq(
       (100L, "alpha beta gamma delta epsilon zeta")
