@@ -310,6 +310,41 @@ class PlanSpec extends SparkTestBase {
         "stopped planning one, update the Profile scaladoc)")
   }
 
+  test("q103 contamination score: benchmark grams broadcast, one agg pass") {
+    // the benchmark side must ship as a broadcast (eval suites are
+    // small by nature); the corpus side contributes ONE aggregate —
+    // a shuffled bench side or a second corpus pass is the 100 TB
+    // regression this pins against
+    val p = plan("q103_contamination_score")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bench gram set must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must not sort-merge against the bench set:\n$p")
+  }
+
+  test("q104 boilerplate removal is scan-stage after the DF aggregate") {
+    // the removal itself must be an array filter in the corpus's own
+    // stage: the only exchanges allowed are the line-DF aggregate's
+    // pair and the single-row set fold — the corpus text column must
+    // never hash-shuffle for reassembly
+    val p = plan("q104_boilerplate")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"boilerplate set must arrive as a one-row broadcast:\n$p")
+    // reassembly-by-shuffle would show as a Sort or a collect_list agg
+    // over the corpus side; the scan-stage form has neither
+    assert(!p.contains("collect_list"),
+      s"removal must not reassemble docs through an aggregate:\n$p")
+  }
+
+  test("q105 repeated spans: gram DF joins back as a semi-join on hashes") {
+    val p = plan("q105_repeated_spans")
+    assert(p.contains("LeftSemi"),
+      s"repeated-gram marks must come from a semi-join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      s"span detection must never go quadratic:\n$p")
+  }
+
   test("q79/q80 mixture + upsample stay scan-stage after construction") {
     // mixtureSample's count agg happens at CONSTRUCTION (a #strata-row
     // driver scalar); the returned frame must be a pure predicate over
