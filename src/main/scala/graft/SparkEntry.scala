@@ -875,6 +875,46 @@ object SparkEntry {
     // grams by construction), contaminated rows from contamination()
     // with their shared-gram counts. The benchmark shingle set is
     // broadcast, so the corpus never shuffles (plan-pinned).
+    // Token-budget mix assembly: keep docs in deterministic md5 order
+    // until the cumulative token count would exceed the budget — exact
+    // (the oracle is one global window cumsum), distributed via the
+    // 65,536-bucket prefix decomposition
+    "q107_token_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sampling.tokenBudgetSample(docs, "doc_id",
+        TextAnalysis.tokenCount(coalesce(col("text"), lit(""))),
+        budget = 6000L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // MERGE/upsert: advance the corpus one version by changeset (q99's
+    // inverse) — %5 docs upserted with edited text, %7 docs deleted,
+    // %11 docs re-inserted under new ids; output is the next version's
+    // content fingerprint table
+    "q106_apply_changeset" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val up = base
+        .where(col("doc_id") % 5 === 0 && col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("source"),
+          concat(col("text"), lit(" [v2]")).as("text"),
+          lit("upsert").as("op"))
+      val del = base.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("source"),
+          lit(null).cast("string").as("text"), lit("delete").as("op"))
+      val ins = base.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          lit("srcnew").as("source"),
+          concat(lit("brand new doc "),
+            col("doc_id").cast("string")).as("text"),
+          lit("upsert").as("op"))
+      Snapshot.applyChangeset(base,
+          up.unionByName(del).unionByName(ins), Seq("doc_id"), "op")
+        .select(col("doc_id"), col("source"),
+          md5(coalesce(col("text"), lit(""))).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ExactSubstr-style repeated spans: maximal cross-document repeated
     // token extents at 10-gram resolution (Lee et al. ACL 2022 made
     // distributed — gram-DF marks + per-doc interval coalescing)
@@ -3379,6 +3419,42 @@ object SparkEntry {
                 (top_token_frac <= 0.12 AND dup_2gram_frac <= 0.05)
                   AS repetition_ok
          FROM f ORDER BY doc_id""",
+
+    "q107_token_budget" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CAST(len(string_split(trim(regexp_replace(lower(
+                    coalesce(text, '')), '\s+', ' ', 'g')), ' '))
+                    AS BIGINT) AS n_tokens,
+                  md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY h
+                   ROWS UNBOUNDED PRECEDING) AS cum
+               FROM d)
+         SELECT doc_id, n_tokens FROM c WHERE cum <= 6000
+         ORDER BY doc_id""",
+
+    "q106_apply_changeset" ->
+      """WITH base AS (SELECT doc_id, source, text FROM documents),
+         ch AS (
+           SELECT doc_id, source, text || ' [v2]' AS text,
+                  'upsert' AS op
+           FROM base WHERE doc_id % 5 = 0 AND doc_id % 7 != 0
+           UNION ALL
+           SELECT doc_id, source, CAST(NULL AS VARCHAR), 'delete'
+           FROM base WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id + 1000000, 'srcnew',
+                  'brand new doc ' || CAST(doc_id AS VARCHAR), 'upsert'
+           FROM base WHERE doc_id % 11 = 0),
+         nxt AS (
+           SELECT b.doc_id, b.source, b.text FROM base b
+           WHERE b.doc_id NOT IN (SELECT doc_id FROM ch)
+           UNION ALL
+           SELECT doc_id, source, text FROM ch WHERE op = 'upsert')
+         SELECT doc_id, source, md5(coalesce(text, '')) AS text_md5
+         FROM nxt ORDER BY doc_id""",
 
     "q105_repeated_spans" ->
       """WITH d AS (

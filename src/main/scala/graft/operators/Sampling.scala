@@ -121,6 +121,62 @@ object Sampling {
           .otherwise(lit("test")))
   }
 
+  /** TOKEN-BUDGET sample — "assemble exactly an N-token training mix":
+    * documents are taken in deterministic md5(key) order until the
+    * cumulative token count would exceed `budget` (a doc is kept iff
+    * its INCLUSIVE running total fits). Fraction-based sampling can't
+    * hit a token target — doc lengths vary by orders of magnitude —
+    * and nondeterministic order would make the mix unreproducible;
+    * this is exact and engine-replayable (one window cumsum in SQL).
+    *
+    * SCALE SHAPE: an exact prefix-by-order is inherently sequential AT
+    * THE BOUNDARY, so the order is split on the hash's first 4 hex
+    * chars into 65,536 buckets: one map-side-combined aggregate gives
+    * per-bucket token sums, the driver prefix-sums 65,536 longs (a
+    * bounded driver step, same contract as IVF's centroid collect) to
+    * find the cut bucket, and only THAT bucket — 1/65536 of the corpus,
+    * ~1.5 GB of metadata at 100 TB — pays a within-bucket window
+    * cumsum. Everything before the cut bucket is a scan-stage
+    * predicate; everything after is filtered at the scan.
+    */
+  def tokenBudgetSample(docs: DataFrame, keyCol: String,
+                        tokenCountCol: Column, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val spark = docs.sparkSession
+    val withH = docs.select(col(keyCol),
+      tokenCountCol.cast("long").as("n_tokens"),
+      md5(col(keyCol).cast("string")).as("_h"))
+      .withColumn("_b", substring(col("_h"), 1, 4))
+    val bucketSums = withH.groupBy(col("_b"))
+      .agg(sum(col("n_tokens")).as("_s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    var used = 0L
+    var cut = "" // first bucket whose full sum would blow the budget
+    var priorUsed = 0L
+    val it = bucketSums.iterator
+    var done = false
+    while (it.hasNext && !done) {
+      val (b, s) = it.next()
+      if (used + s > budget) { cut = b; priorUsed = used; done = true }
+      else used += s
+    }
+    if (!done) {
+      // every bucket fits: the whole corpus is within budget
+      withH.select(col(keyCol), col("n_tokens"))
+    } else {
+      val before = withH.where(col("_b") < cut)
+        .select(col(keyCol), col("n_tokens"))
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_b")).orderBy(col("_h"))
+      val boundary = withH.where(col("_b") === cut)
+        .withColumn("_cum", sum(col("n_tokens")).over(wb))
+        .where(col("_cum") <= budget - priorUsed)
+        .select(col(keyCol), col("n_tokens"))
+      before.unionByName(boundary)
+    }
+  }
+
   /** Deterministic FRACTIONAL upsampling — the other half of mixture
     * building: small high-quality sources get repeated (epochs > 1),
     * possibly by a non-integer factor. factor = num/den: every row is

@@ -22,6 +22,40 @@ import org.apache.spark.sql.functions._
   */
 object Snapshot {
 
+  /** MERGE/upsert — [[diff]]'s inverse: apply a CHANGESET to a base
+    * snapshot and produce the next version. `changes` carries `opCol`
+    * ∈ {"upsert", "delete"}: keys present in the changeset are
+    * replaced (upsert) or dropped (delete); everything else passes
+    * through. This is how an incremental corpus actually advances
+    * between the q99-audited versions — recompute-the-world is the
+    * thing a 100 TB pipeline cannot do.
+    *
+    * SCALE SHAPE: one anti-join of base against the changeset keys
+    * (null-safe — NULL keys are legal rows and must be replaceable)
+    * plus a union with the upsert rows. The changeset is small next to
+    * the base BY DEFINITION of an increment, so AQE broadcasts the
+    * anti-join's build side; bucket both tables on the key
+    * ([[graft.sources.Sinks.writeBucketed]]) and even the shuffled
+    * fallback disappears (the q45/q92 zero-exchange pattern). The base
+    * never shuffles for the union — it is partition-wise.
+    *
+    * Changesets must carry at most one row per key (the usual CDC
+    * compaction contract); `requireUniqueKeys` documents rather than
+    * scans — verifying it costs a pass over the changeset only, which
+    * callers can afford: `changes.groupBy(keys).count.where(n>1)`.
+    */
+  def applyChangeset(base: DataFrame, changes: DataFrame,
+                     keyCols: Seq[String], opCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val ck = changes.select(
+      keyCols.map(c => col(c).as(s"_ck_$c")): _*)
+    val keyEq = keyCols.map(c => col(c) <=> col(s"_ck_$c"))
+      .reduce(_ && _)
+    base.join(ck, keyEq, "left_anti")
+      .unionByName(
+        changes.where(col(opCol) === "upsert").drop(opCol))
+  }
+
   /** Row-level diff of `newDf` vs `oldDf` by `keyCols`: one row per
     * key present in either side, with `status` ∈
     * {added, removed, changed, unchanged} judged over `compareCols`

@@ -33,6 +33,7 @@ class QuerySurfaceSpec extends SparkTestBase {
     "q83_stream_dedup_gate", "q84_orc_sink", "q85_compact",
     "q86_tsv_sink", "q88_stream_file_sink", "q92_incremental_dedup",
     "q93_bpe_merges", "q101_bpe_encode", "q102_leakage_split",
+    "q107_token_budget",
     "q13_salted_agg", "q35_salted_join",
     "q25_ivf_ann", "q63_ivf_nprobe", "q50_cosine_neardup",
     "q68_quantized_ann", "q72_bloom_decontaminate", "q12_ntile",

@@ -282,6 +282,39 @@ class SnapshotSpec extends SparkTestBase {
       .as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "removed", 2L -> "unchanged", 3L -> "added"))
   }
+
+  test("applyChangeset: upsert replaces, delete drops, new keys insert") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val changes = Seq(
+      (2L, "B2", "upsert"),  // replace
+      (3L, "",   "delete"),  // drop
+      (9L, "new", "upsert")  // insert
+    ).toDF("id", "v", "op")
+    val got = Snapshot.applyChangeset(base, changes, Seq("id"), "op")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "B2", 9L -> "new"))
+  }
+
+  test("applyChangeset round-trips with diff (diff(base, next) = changeset)") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val changes = Seq((2L, "B2", "upsert"), (3L, "", "delete"),
+      (9L, "new", "upsert")).toDF("id", "v", "op")
+    val next = Snapshot.applyChangeset(base, changes, Seq("id"), "op")
+    val d = Snapshot.diff(base, next, Seq("id"), Seq("v"))
+      .as[(Long, String)].collect().toMap
+    assert(d == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 9L -> "added"))
+  }
+
+  test("applyChangeset: NULL keys are replaceable (null-safe anti-join)") {
+    val base = Seq[(java.lang.Long, String)]((1L, "a"), (null, "n"))
+      .toDF("id", "v")
+    val changes = Seq[(java.lang.Long, String, String)](
+      (null, "N2", "upsert")).toDF("id", "v", "op")
+    val got = Snapshot.applyChangeset(base, changes, Seq("id"), "op")
+      .as[(Option[Long], String)].collect().toMap
+    assert(got == Map(Some(1L) -> "a", None -> "N2"))
+  }
 }
 
 class OrderingSpec extends SparkTestBase {

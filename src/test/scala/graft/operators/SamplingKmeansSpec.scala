@@ -150,6 +150,41 @@ class SamplingSpec extends SparkTestBase {
     assert(bySplit.getOrElse("val", 0) > 8 || bySplit.getOrElse("test", 0) > 8)
   }
 
+  test("tokenBudgetSample is the exact md5-order prefix (replayed)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 300L).map(i => (i, 1L + rnd.nextInt(40)))
+    val docs = rows.toDF("id", "n")
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val inOrder = rows.sortBy(r => md5hex(r._1.toString))
+    val budget = 2000L
+    val want = scala.collection.mutable.Set[Long]()
+    var cum = 0L
+    inOrder.foreach { case (id, n) =>
+      cum += n; if (cum <= budget) want += id
+    }
+    val got = Sampling.tokenBudgetSample(docs, "id", col("n"), budget)
+      .as[(Long, Long)].collect()
+    assert(got.map(_._1).toSet == want.toSet)
+    assert(got.map(_._2).sum <= budget)
+    // determinism across re-runs (and across partition layouts)
+    val again = Sampling
+      .tokenBudgetSample(docs.repartition(7), "id", col("n"), budget)
+      .as[(Long, Long)].collect()
+    assert(again.map(_._1).toSet == want.toSet)
+  }
+
+  test("tokenBudgetSample edges: budget covers all; budget zero") {
+    val docs = Seq((1L, 5L), (2L, 5L)).toDF("id", "n")
+    val all = Sampling.tokenBudgetSample(docs, "id", col("n"), 100L)
+      .as[(Long, Long)].collect()
+    assert(all.map(_._1).toSet == Set(1L, 2L))
+    val none = Sampling.tokenBudgetSample(docs, "id", col("n"), 0L)
+      .as[(Long, Long)].collect()
+    assert(none.isEmpty)
+  }
+
   test("leakageSafeSplit: exhausted budget (train256=256) is all train") {
     val docs = (1L to 50L).toDF("doc_id")
     val pairs = Seq((1L, 2L)).toDF("a", "b")
