@@ -363,4 +363,31 @@ class PlanSpec extends SparkTestBase {
       s"upsample must be scan-stage:\n$pu")
     assert(pu.contains("Generate"), "upsample fans out via one Generate")
   }
+
+  test("q106 changeset MERGE: null-safe anti-join broadcasts the changeset") {
+    // the changeset is small by definition of an increment — the base
+    // corpus must never shuffle to subtract it. A SortMergeJoin here
+    // means 100 TB crosses the wire to drop a few thousand keys.
+    val p = plan("q106_apply_changeset")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"changeset keys must broadcast into an anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the base corpus must not sort-merge against the changeset:\n$p")
+  }
+
+  test("q107 token budget: only the cut bucket pays a window") {
+    // the prefix decomposition's whole point: buckets before the cut
+    // are a scan-stage predicate; ONE bucket (1/65536 of the corpus)
+    // sorts for the cumsum, partitioned by bucket — a global
+    // (SinglePartition) window here is the driver-killer this guards
+    val p = plan("q107_token_budget")
+    assert(p.contains("windowspecdefinition(_b#"),
+      s"boundary cumsum must be partitioned by the hash bucket:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"no stage may collapse to one partition:\n$p")
+    // the before-the-cut branch must be a pure filter at its scan
+    assert(p.linesIterator.exists(l => l.contains("DataFilters") &&
+        l.contains("substring(md5") && l.contains("< ")),
+      s"pre-cut buckets must be a scan-stage range predicate:\n$p")
+  }
 }
