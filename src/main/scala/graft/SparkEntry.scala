@@ -875,6 +875,51 @@ object SparkEntry {
     // grams by construction), contaminated rows from contamination()
     // with their shared-gram counts. The benchmark shingle set is
     // broadcast, so the corpus never shuffles (plan-pinned).
+    // Semantic dedup (SemDeDup over LSH blocks): drop vectors dominated
+    // by a smaller-id ≥-τ neighbor in a shared hyperplane band, keep
+    // the rest. τ matches q91 — the synthetic embeddings carry no mass
+    // above cosine 0.6 (probed), so a realistic 0.9+ τ would make the
+    // oracle vacuous; the threshold is a knob, the machinery is the op.
+    "q108_semdedup" -> ((s, dir) => {
+      Similarity.semanticDedup(t(s, dir, "embeddings"),
+          "vec_id", "embedding", dim = 64, bits = 32, bandBits = 8,
+          minCosine = 0.35)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Encoding-damage gate: deterministic mojibake injection (U+FFFD
+    // for %7 ids, a BEL control char for %5 ids), then detection counts
+    // + the repaired text's fingerprint — the pre-statistics hygiene
+    // pass every crawl pipeline runs
+    "q109_sanitize" -> ((s, dir) => {
+      import graft.operators.TextAnalysis._
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 5 === 0, lit("\u0007 ")).otherwise(lit("")),
+          coalesce(col("text"), lit("")),
+          when(col("doc_id") % 7 === 0, lit(" \uFFFD\uFFFDx"))
+            .otherwise(lit(""))).as("text"))
+      injected.select(col("doc_id"),
+          replacementCharCount(col("text")).cast("long").as("n_repl"),
+          controlCharCount(col("text")).cast("long").as("n_ctrl"),
+          md5(sanitizeText(col("text"))).as("clean_md5"))
+        .withColumn("is_clean",
+          col("n_repl") === 0 && col("n_ctrl") === 0)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Weighted sample without replacement (A-ES): inclusion odds
+    // proportional to document length, deterministic via the md5
+    // uniform — "prefer long documents, reproducibly"
+    "q110_weighted_sample" -> ((s, dir) => {
+      Sampling.weightedSample(
+        t(s, dir, "documents")
+          .select(col("doc_id"), (col("n_chars") + 1).as("w")),
+        "doc_id", col("w"), k = 200, seed = "aes")
+        .orderBy(col("doc_id"))
+    }),
+
     // Token-budget mix assembly: keep docs in deterministic md5 order
     // until the cumulative token count would exceed the budget — exact
     // (the oracle is one global window cumsum), distributed via the
@@ -3419,6 +3464,79 @@ object SparkEntry {
                 (top_token_frac <= 0.12 AND dup_2gram_frac <= 0.05)
                   AS repetition_ok
          FROM f ORDER BY doc_id""",
+
+    "q108_semdedup" ->
+      """WITH v AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+           FROM embeddings),
+         hp AS (
+           SELECT j.j, d.d,
+             CAST('0x' || substr(md5('hp:' || j.j || ':' || d.d), 1, 15)
+               AS BIGINT) / 1152921504606846976.0 * 2 - 1 AS comp
+           FROM range(0, 32) j(j) CROSS JOIN range(0, 64) d(d)),
+         hpl AS (SELECT j, list(comp ORDER BY d) AS rv
+                 FROM hp GROUP BY j),
+         bits AS (
+           SELECT v.vec_id, hpl.j,
+             CASE WHEN round(list_dot_product(v.ev, hpl.rv), 6) > 0
+                  THEN 1 ELSE 0 END AS bit
+           FROM v CROSS JOIN hpl),
+         sigs AS (
+           SELECT vec_id, CAST(j // 8 AS INTEGER) AS band,
+                  CAST(sum(bit << (j % 8)) AS BIGINT) AS bv
+           FROM bits GROUP BY vec_id, j // 8),
+         cands AS (
+           SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+           FROM sigs x JOIN sigs y
+             ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id),
+         dominated AS (
+           SELECT DISTINCT c.b
+           FROM cands c
+           JOIN v xa ON c.a = xa.vec_id
+           JOIN v yb ON c.b = yb.vec_id
+           WHERE round(list_dot_product(xa.ev, yb.ev)
+                       / (sqrt(list_dot_product(xa.ev, xa.ev))
+                          * sqrt(list_dot_product(yb.ev, yb.ev))), 6)
+                 >= 0.35)
+         SELECT e.vec_id, e.label FROM embeddings e
+         WHERE e.vec_id NOT IN (SELECT b FROM dominated)
+         ORDER BY e.vec_id""",
+
+    "q109_sanitize" ->
+      """WITH inj AS (
+           SELECT doc_id,
+                  (CASE WHEN doc_id % 5 = 0 THEN chr(7) || ' '
+                        ELSE '' END)
+                  || coalesce(text, '')
+                  || (CASE WHEN doc_id % 7 = 0
+                           THEN ' ' || chr(65533) || chr(65533) || 'x'
+                           ELSE '' END) AS text
+           FROM documents),
+         f AS (
+           SELECT doc_id,
+                  CAST(length(text) - length(regexp_replace(text,
+                    chr(65533), '', 'g')) AS BIGINT) AS n_repl,
+                  CAST(length(text) - length(regexp_replace(text,
+                    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'))
+                    AS BIGINT) AS n_ctrl,
+                  md5(trim(regexp_replace(regexp_replace(text,
+                    '[' || chr(65533) ||
+                    '\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', ' ', 'g'),
+                    '\s+', ' ', 'g'))) AS clean_md5
+           FROM inj)
+         SELECT doc_id, n_repl, n_ctrl, clean_md5,
+                (n_repl = 0 AND n_ctrl = 0) AS is_clean
+         FROM f ORDER BY doc_id""",
+
+    "q110_weighted_sample" ->
+      """WITH d AS (
+           SELECT doc_id, n_chars + 1 AS w,
+             CAST('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR)),
+               1, 15) AS BIGINT) / 1152921504606846976.0 AS u
+           FROM documents),
+         p AS (SELECT doc_id, w, round(pow(u, 1.0 / w), 6) AS priority
+               FROM d ORDER BY priority DESC, doc_id LIMIT 200)
+         SELECT doc_id, w, priority FROM p ORDER BY doc_id""",
 
     "q107_token_budget" ->
       """WITH d AS (

@@ -121,6 +121,39 @@ object Sampling {
           .otherwise(lit("test")))
   }
 
+  /** WEIGHTED sample WITHOUT replacement, deterministic (Efraimidis &
+    * Spirakis 2006, "A-ES"): every row gets priority u^(1/w) where u is
+    * an md5-derived uniform in [0,1) and w its weight; the k largest
+    * priorities are exactly a without-replacement sample with inclusion
+    * odds proportional to w. Same reproducibility contract as
+    * [[hashSamplePredicate]]: the hash replaces the RNG, so the sample
+    * is identical on any engine, at any parallelism, forever.
+    *
+    * ENGINE PARITY: u = (60-bit md5 prefix)/2^60 is bit-exact anywhere;
+    * pow() can differ by an ulp between libm and the JVM, so the
+    * priority is ROUNDED to 6 places and ties break on the key — the
+    * selected SET can only diverge if two rounded priorities straddle a
+    * rounding boundary by < 1 ulp (~1e-10 odds corpus-wide).
+    *
+    * SCALE SHAPE: priorities are scan-stage arithmetic; the selection
+    * is a top-k, which Catalyst plans as TakeOrderedAndProject — a
+    * per-partition k-heap plus a k-row gather, never a global sort
+    * (plan-pinned, the q6 property). k rows hit the driver-side gather
+    * by definition of top-k; keep k bounded (samples, not exports —
+    * exports go through [[tokenBudgetSample]] or the hash predicates).
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: Column,
+                     k: Int, seed: String): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val u = conv(substring(md5(
+        concat(lit(seed + ":"), col(keyCol).cast("string"))), 1, 15),
+        16, 10).cast("long").cast("double") / lit(1.152921504606846976e18)
+    df.withColumn("priority",
+        round(pow(u, lit(1.0) / weightCol.cast("double")), 6))
+      .orderBy(desc("priority"), col(keyCol))
+      .limit(k)
+  }
+
   /** TOKEN-BUDGET sample — "assemble exactly an N-token training mix":
     * documents are taken in deterministic md5(key) order until the
     * cumulative token count would exceed `budget` (a doc is kept iff

@@ -430,6 +430,32 @@ object Similarity {
       .select(col("a"), col("b"), col("sim"))
   }
 
+  /** SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023, re-expressed over
+    * LSH blocks): drop every vector that is ≥ `minCosine` similar to
+    * some SMALLER-id vector in one of its hyperplane-LSH buckets; keep
+    * the rest. The keep-first-occurrence rule is single-pass and
+    * deterministic: in a chain a~b, b~c (a≁c), BOTH b and c drop —
+    * each is dominated by an earlier neighbor, whether or not that
+    * neighbor itself survives. Callers who want one KEPT witness per
+    * transitive class instead run [[Components.duplicateClusters]]
+    * over [[hyperplaneLshPairs]]' output (the q73 path); this is the
+    * cheap non-iterative gate a curation pipeline applies first.
+    *
+    * SCALE SHAPE: candidate generation is [[hyperplaneLshPairs]] —
+    * banded, never all-pairs, fused-kernel signatures. The drop set is
+    * a DISTINCT over pair right-sides (ids only, tiny rows), removed
+    * with one hash anti-join; the corpus never carries its vectors
+    * through any of it except the pairs' exact-cosine rescoring.
+    */
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, bits: Int, bandBits: Int,
+                    minCosine: Double): DataFrame = {
+    val dominated = hyperplaneLshPairs(vectors, idCol, vecCol,
+        dim, bits, bandBits, minCosine)
+      .select(col("b").as(idCol)).distinct()
+    vectors.join(dominated, Seq(idCol), "left_anti")
+  }
+
   /** IVF ANN top-k: each query probes its `nprobe` nearest centroid
     * cells (default 1 = own cluster only). Recall < 1 by design (that's
     * the approximation); nprobe=2 recovers the boundary neighbors the

@@ -57,6 +57,41 @@ object TextAnalysis {
 
   def tokenCountOf(toks: Column): Column = size(toks)
 
+  /** ENCODING-DAMAGE detection + repair — the mojibake gate a crawl
+    * pipeline runs before any text statistic: U+FFFD replacement
+    * characters mark bytes a decoder already gave up on, and C0/DEL
+    * control characters mark binary spill or transfer corruption.
+    * Tab/newline/CR are legitimate text and deliberately NOT counted
+    * (the control class skips \x09, \x0A, \x0D). All three are pure
+    * codegen'd regexp expressions — scan-stage at any scale, and the
+    * character classes mean the same thing in Java regex and RE2, so
+    * any engine replays the counts exactly.
+    */
+  private val ControlClass = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Count of U+FFFD replacement characters (decoder-failure marks). */
+  def replacementCharCount(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    length(t) - length(regexp_replace(t, "\uFFFD", ""))
+  }
+
+  /** Count of C0 control characters (excluding tab/LF/CR) plus DEL. */
+  def controlCharCount(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    length(t) - length(regexp_replace(t, ControlClass, ""))
+  }
+
+  /** The repaired text: replacement and control characters become
+    * spaces (not deleted — deletion glues adjacent words together),
+    * then whitespace runs collapse. Clean text passes through
+    * unchanged up to that whitespace normalization.
+    */
+  def sanitizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(coalesce(text, lit("")),
+        "[\uFFFD\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", " "),
+      "\\s+", " "))
+
   /** Distinct-token ratio — low values indicate repetitive/boilerplate
     * text (a standard LLM-data quality signal).
     */

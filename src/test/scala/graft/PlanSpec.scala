@@ -364,6 +364,36 @@ class PlanSpec extends SparkTestBase {
     assert(pu.contains("Generate"), "upsample fans out via one Generate")
   }
 
+  test("q108 semantic dedup subtracts the drop set with one anti-join") {
+    val p = plan("q108_semdedup")
+    assert(p.contains("LeftAnti"),
+      s"dominated ids must leave via an anti-join:\n$p")
+    assert(p.contains("graft_hyperplane_sig"),
+      s"signatures must come from the fused kernel (the q91 property):\n$p")
+  }
+
+  test("q109 sanitize is scan-stage: zero exchanges in the operator") {
+    // same shape contract as q75 redaction: detection + repair are pure
+    // regexp projections over the scan; the query's orderBy is
+    // presentation
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val op = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.replacementCharCount(col("text")),
+      graft.operators.TextAnalysis.controlCharCount(col("text")),
+      graft.operators.TextAnalysis.sanitizeText(col("text")))
+    val p = op.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Aggregate"),
+      s"sanitization must be a pure map over the corpus:\n$p")
+  }
+
+  test("q110 weighted sample plans as TakeOrderedAndProject") {
+    // A-ES selection is a top-k: per-partition k-heaps + a k-row
+    // gather. A global Sort before the limit is the scale regression.
+    val p = plan("q110_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"A-ES top-k must be a heap, not a global sort:\n$p")
+  }
+
   test("q106 changeset MERGE: null-safe anti-join broadcasts the changeset") {
     // the changeset is small by definition of an increment — the base
     // corpus must never shuffle to subtract it. A SortMergeJoin here
@@ -386,8 +416,10 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SinglePartition"),
       s"no stage may collapse to one partition:\n$p")
     // the before-the-cut branch must be a pure filter at its scan
-    assert(p.linesIterator.exists(l => l.contains("DataFilters") &&
-        l.contains("substring(md5") && l.contains("< ")),
+    // (assert on the Filter node, not the FileScan's DataFilters
+    // metadata — that string truncates at 100 chars)
+    assert(p.linesIterator.exists(l => l.contains("Filter ") &&
+        l.contains("substring(md5") && l.contains(" < ")),
       s"pre-cut buckets must be a scan-stage range predicate:\n$p")
   }
 }

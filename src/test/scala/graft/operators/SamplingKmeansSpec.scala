@@ -185,6 +185,29 @@ class SamplingSpec extends SparkTestBase {
     assert(none.isEmpty)
   }
 
+  test("weightedSample: deterministic, partition-independent, k-bounded") {
+    val docs = (1L to 200L).map(i => (i, i % 10 + 1)).toDF("id", "w")
+    val a = Sampling.weightedSample(docs, "id", col("w"), 50, "s")
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.weightedSample(docs.repartition(7), "id", col("w"),
+      50, "s").select("id").as[Long].collect().toSet
+    assert(a == b && a.size == 50)
+    // k >= n returns everything
+    val all = Sampling.weightedSample(docs, "id", col("w"), 500, "s")
+    assert(all.count() == 200)
+  }
+
+  test("weightedSample inclusion odds track the weights (A-ES property)") {
+    // two strata: weight 20 vs weight 1, equal counts — the heavy
+    // stratum must dominate a half-size sample
+    val docs = (1L to 400L).map(i => (i, if (i <= 200) 20L else 1L))
+      .toDF("id", "w")
+    val picked = Sampling.weightedSample(docs, "id", col("w"), 200, "p")
+      .select("id").as[Long].collect()
+    val heavy = picked.count(_ <= 200)
+    assert(heavy > 150, s"heavy stratum picked only $heavy/200")
+  }
+
   test("leakageSafeSplit: exhausted budget (train256=256) is all train") {
     val docs = (1L to 50L).toDF("doc_id")
     val pairs = Seq((1L, 2L)).toDF("a", "b")
@@ -345,6 +368,25 @@ class HyperplaneLshSpec extends SparkTestBase {
       (i, 100L + i) }.toSet
     assert(planted.subsetOf(pairs),
       s"missing planted twins: ${planted -- pairs}")
+  }
+
+  test("semanticDedup keeps the smaller id; chains drop every follower") {
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    def vec() = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    val base = (0L until 20L).map(i => (i, vec()))
+    // ids 100+i are exact copies of every 5th base vector, and 200+i a
+    // copy of the copy — a chain base < copy < copycopy
+    val copies = base.collect { case (i, v) if i % 5 == 0 =>
+      Seq((100L + i, v.clone), (200L + i, v.clone)) }.flatten
+    val df = (base ++ copies).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(df, "vec_id", "embedding",
+        dim = dim, bits = 32, bandBits = 8, minCosine = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    // every base survives; every copy (and copy-of-copy) drops
+    assert((0L until 20L).forall(kept))
+    assert(copies.map(_._1).forall(id => !kept(id)),
+      s"copies must drop, kept: ${copies.map(_._1).filter(kept)}")
   }
 }
 

@@ -211,6 +211,32 @@ class TextAnalysisSpec extends SparkTestBase {
     val r = TextAnalysis.redactPii(docs, "doc_id", "text").head()
     assert(r.getString(4) == "[EMAIL] end")
   }
+
+  test("sanitize: counts and repair; tab/LF/CR are NOT control damage") {
+    val df = Seq(
+      ("a\u0007b \uFFFD c"), // one BEL, one replacement char
+      ("tab\there\nnewline\rcr"), // legitimate whitespace controls
+      (null: String)
+    ).toDF("text")
+    val got = df.select(
+        TextAnalysis.replacementCharCount($"text").as("r"),
+        TextAnalysis.controlCharCount($"text").as("c"),
+        TextAnalysis.sanitizeText($"text").as("s"))
+      .as[(Int, Int, String)].collect()
+    assert(got(0) == ((1, 1, "a b c")))
+    assert(got(1) == ((0, 0, "tab here newline cr")))
+    assert(got(2) == ((0, 0, "")))
+  }
+
+  test("sanitize is idempotent; replacement becomes a space, not glue") {
+    val df = Seq("wor\u0000ld", "a\uFFFDb").toDF("text")
+    val once = df.select(TextAnalysis.sanitizeText($"text").as("s"))
+    val twice = once.select(TextAnalysis.sanitizeText($"s").as("s"))
+    assert(once.as[String].collect().toSeq ==
+           twice.as[String].collect().toSeq)
+    // damage chars split words — "world" must NOT reassemble
+    assert(once.as[String].collect().toSeq == Seq("wor ld", "a b"))
+  }
 }
 
 class NearDupSpec extends SparkTestBase {
