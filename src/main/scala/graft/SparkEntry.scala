@@ -920,6 +920,58 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Duplicate-class canonicalization: collapse exact-dup classes
+    // keeping the BEST member (highest n_chars, min-id tie-break via the
+    // rank fold), not the min-id one — injected mirror copies (%10 ids,
+    // quality nudged by id%3) must win exactly when their quality is
+    // strictly higher
+    "q111_canonicalize" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val copies = base.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          (col("n_chars") + col("doc_id") % 3).as("n_chars"))
+      NearDup.canonicalDocs(base.unionByName(copies), "doc_id", "text",
+          col("n_chars") * lit(16777216L) - col("doc_id"))
+        .orderBy(col("fp"))
+    }),
+
+    // Asymmetric containment near-dup: injected half-length excerpts
+    // (%6 ids) score containment ≈ 1 against their source doc while
+    // Jaccard would sit near 0.5 — the sub-document duplication metric
+    "q112_containment" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val excerpts = base.where(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          substring(coalesce(col("text"), lit("")), lit(1),
+            floor(length(coalesce(col("text"), lit(""))) / 2)
+              .cast("int")).as("text"),
+          col("source"))
+      NearDup.containmentPairs(base.unionByName(excerpts), "doc_id",
+          "text", "source", 3, 0.8)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // Link-graph authority scoring: parts co-ordered on consecutive
+    // line numbers form a directed graph; 3 fixed PageRank rounds (the
+    // crawl-graph quality prior — Components' sibling iterative op,
+    // same checkpointed-loop protocol). The oracle unrolls the same 3
+    // rounds in SQL; round(·,9) absorbs double-sum association noise
+    "q113_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          col("l_linenumber").as("ln"), col("l_partkey").as("pk"))
+      val nxt = li.select(col("ok"), (col("ln") - 1).as("ln"),
+        col("pk").as("dst_pk"))
+      val edges = li.join(nxt, Seq("ok", "ln"))
+        .where(col("pk") =!= col("dst_pk"))
+        .select(col("pk").as("src"), col("dst_pk").as("dst"))
+      Graph.pageRank(edges, "src", "dst", iterations = 3)
+        .select(col("id"), round(col("pr"), 9).as("pr"))
+        .orderBy(col("id"))
+    }),
+
     // Token-budget mix assembly: keep docs in deterministic md5 order
     // until the cumulative token count would exceed the budget — exact
     // (the oracle is one global window cumsum), distributed via the
@@ -3537,6 +3589,101 @@ object SparkEntry {
          p AS (SELECT doc_id, w, round(pow(u, 1.0 / w), 6) AS priority
                FROM d ORDER BY priority DESC, doc_id LIMIT 200)
          SELECT doc_id, w, priority FROM p ORDER BY doc_id""",
+
+    "q111_canonicalize" ->
+      """WITH base AS (SELECT doc_id, text, n_chars FROM documents),
+         corpus AS (
+           SELECT doc_id, text, n_chars FROM base
+           UNION ALL
+           SELECT doc_id + 1000000, text, n_chars + doc_id % 3
+           FROM base WHERE doc_id % 10 = 0),
+         d AS (
+           SELECT substr(md5(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g'))), 1, 16) AS fp,
+                  doc_id, n_chars * 16777216 - doc_id AS r
+           FROM corpus)
+         SELECT fp, arg_max(doc_id, r) AS canonical_id,
+                count(*) AS class_size
+         FROM d GROUP BY fp ORDER BY fp""",
+
+    "q112_containment" ->
+      """WITH base AS (SELECT doc_id, text, source FROM documents),
+         corpus AS (
+           SELECT doc_id, text, source FROM base
+           UNION ALL
+           SELECT doc_id + 2000000,
+                  substr(coalesce(text, ''), 1,
+                    CAST(floor(length(coalesce(text, '')) / 2)
+                      AS INTEGER)),
+                  source
+           FROM base WHERE doc_id % 6 = 0),
+         d AS (
+           SELECT doc_id, source,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM corpus),
+         sh AS (
+           SELECT doc_id, source,
+             unnest(list_distinct(CASE WHEN len(toks) < 3
+               THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(toks) - 2),
+                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+               END)) AS shingle
+           FROM d),
+         cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         pairs AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+           FROM sh x JOIN sh y
+             ON x.source = y.source AND x.shingle = y.shingle
+             AND x.doc_id < y.doc_id
+           GROUP BY 1, 2)
+         SELECT a, b, n_common,
+           round(CAST(n_common AS DOUBLE)
+                 / least(ca.n_sh, cb.n_sh), 6) AS containment
+         FROM pairs JOIN cnt ca ON ca.doc_id = a
+                    JOIN cnt cb ON cb.doc_id = b
+         WHERE round(CAST(n_common AS DOUBLE)
+                     / least(ca.n_sh, cb.n_sh), 6) >= 0.8
+         ORDER BY a, b""",
+
+    "q113_pagerank" ->
+      """WITH e AS MATERIALIZED (
+           SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
+           FROM lineitem x JOIN lineitem y
+             ON x.l_orderkey = y.l_orderkey
+             AND y.l_linenumber = x.l_linenumber + 1
+           WHERE x.l_partkey != y.l_partkey),
+         nodes AS MATERIALIZED (
+           SELECT src AS id FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM nodes),
+         deg AS MATERIALIZED (
+           SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         p0 AS (SELECT id, 1.0 / (SELECT c FROM nn) AS pr FROM nodes),
+         p1 AS MATERIALIZED (
+           SELECT nd.id, 0.15 / (SELECT c FROM nn)
+                  + 0.85 * coalesce(m.s, 0) AS pr
+           FROM nodes nd LEFT JOIN (
+             SELECT e.dst AS id, sum(p.pr / d.outdeg) AS s
+             FROM e JOIN p0 p ON p.id = e.src
+                    JOIN deg d ON d.src = e.src
+             GROUP BY e.dst) m ON m.id = nd.id),
+         p2 AS MATERIALIZED (
+           SELECT nd.id, 0.15 / (SELECT c FROM nn)
+                  + 0.85 * coalesce(m.s, 0) AS pr
+           FROM nodes nd LEFT JOIN (
+             SELECT e.dst AS id, sum(p.pr / d.outdeg) AS s
+             FROM e JOIN p1 p ON p.id = e.src
+                    JOIN deg d ON d.src = e.src
+             GROUP BY e.dst) m ON m.id = nd.id),
+         p3 AS (
+           SELECT nd.id, 0.15 / (SELECT c FROM nn)
+                  + 0.85 * coalesce(m.s, 0) AS pr
+           FROM nodes nd LEFT JOIN (
+             SELECT e.dst AS id, sum(p.pr / d.outdeg) AS s
+             FROM e JOIN p2 p ON p.id = e.src
+                    JOIN deg d ON d.src = e.src
+             GROUP BY e.dst) m ON m.id = nd.id)
+         SELECT id, round(pr, 9) AS pr FROM p3 ORDER BY id""",
 
     "q107_token_budget" ->
       """WITH d AS (

@@ -72,7 +72,7 @@ object Components {
     * executor-local block store for the context checkpoint directory
     * (must be set; survives executor loss).
     */
-  private def pin(df: DataFrame, reliable: Boolean): DataFrame =
+  private[operators] def pin(df: DataFrame, reliable: Boolean): DataFrame =
     if (reliable) {
       require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
         "reliable=true needs spark.sparkContext.setCheckpointDir(...)")

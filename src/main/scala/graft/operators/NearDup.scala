@@ -65,6 +65,30 @@ object NearDup {
       .agg(min(col(idCol)).as("canonical_id"),
            count(lit(1)).as("class_size"))
 
+  /** Duplicate-class canonicalization: one row per exact-dup class with
+    * the member chosen by the HIGHEST `rankCol` as canonical (ties must
+    * be broken inside `rankCol` itself — fold the id into the rank, e.g.
+    * `quality * 2^24 - id` — because `max_by` on a tied rank is
+    * order-dependent). Where [[exactDedupClasses]] keeps the min-id
+    * member, this keeps the *best* member — the "keep the longest /
+    * highest-quality copy" rule every crawl pipeline applies when
+    * collapsing mirrors.
+    *
+    * Scale: identical shape to exact dedup — the shuffle carries
+    * (16B fingerprint, 8B rank, id) per doc and the pick is a map-side
+    * partial `max_by`; no window, no join back to the corpus. To keep
+    * the winning docs' payloads, semi-join the result's canonical_id
+    * back to the corpus on the id (one broadcast at moderate class
+    * counts, one hash join otherwise).
+    */
+  def canonicalDocs(docs: DataFrame, idCol: String, textCol: String,
+                    rankCol: Column): DataFrame =
+    docs.select(col(idCol), fingerprint(col(textCol)).as("fp"),
+        rankCol.cast("long").as("_rank"))
+      .groupBy(col("fp"))
+      .agg(max_by(col(idCol), col("_rank")).as("canonical_id"),
+           count(lit(1)).as("class_size"))
+
   /** One row per (id [+ extra cols]) with the doc's DISTINCT `n`-token
     * shingle SET as an array column `shingles`. The set is built per-doc
     * in the scan stage (tokens → sliding concat → array_distinct):
@@ -143,6 +167,56 @@ object NearDup {
                              textCol: String, blockCol: String, n: Int,
                              minJaccard: Double, maxDf: Int = 0)
       : (DataFrame, CacheHandle) = {
+    val (counts, handle) =
+      pairCountsWithHandle(docs, idCol, textCol, blockCol, n, maxDf)
+    val pairs = counts
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+              (col("na") + col("nb") - col("n_common")), 6))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("n_common"), col("jaccard"))
+    (pairs, handle)
+  }
+
+  /** Asymmetric near-dup: shingle-set CONTAINMENT of the smaller doc in
+    * the larger, `|A∩B| / min(|A|,|B|)`. Jaccard misses truncated /
+    * excerpted copies (a doc fully contained in one 3× its size scores
+    * J ≈ 0.33); containment scores it 1.0 — the right metric for
+    * sub-document duplication (Broder's resemblance-vs-containment
+    * distinction). Candidate generation, the maxDf cap, and the scale
+    * shape are exactly [[jaccardPairsWithHandle]]'s — one inverted-index
+    * equi-join, never all-pairs.
+    */
+  def containmentPairsWithHandle(docs: DataFrame, idCol: String,
+                                 textCol: String, blockCol: String, n: Int,
+                                 minContainment: Double, maxDf: Int = 0)
+      : (DataFrame, CacheHandle) = {
+    val (counts, handle) =
+      pairCountsWithHandle(docs, idCol, textCol, blockCol, n, maxDf)
+    val pairs = counts
+      .withColumn("containment",
+        round(col("n_common").cast("double") /
+              least(col("na"), col("nb")), 6))
+      .where(col("containment") >= minContainment)
+      .select(col("a"), col("b"), col("n_common"), col("containment"))
+    (pairs, handle)
+  }
+
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       blockCol: String, n: Int, minContainment: Double,
+                       maxDf: Int = 0): DataFrame =
+    containmentPairsWithHandle(docs, idCol, textCol, blockCol, n,
+      minContainment, maxDf)._1
+
+  /** Shared candidate generation for the shingle-set pair family:
+    * (a, b, na, nb, n_common) per unordered in-block pair with at least
+    * one common surviving shingle. The score on top (Jaccard,
+    * containment) is a pure projection — callers add it and filter.
+    */
+  private def pairCountsWithHandle(docs: DataFrame, idCol: String,
+                                   textCol: String, blockCol: String,
+                                   n: Int, maxDf: Int)
+      : (DataFrame, CacheHandle) = {
     // Per-doc shingle SETS come in as arrays (zero shuffles, |A| =
     // size(array) — no window passes at all); the operator itself is the
     // inverted-index equi-join plus one aggregation. (A posting-list +
@@ -182,16 +256,11 @@ object NearDup {
                       col("n_sh").as("na"))
     val b = sh.select(col("blk"), col("shingle"), col("id").as("b"),
                       col("n_sh").as("nb"))
-    val pairs = a.join(b, Seq("blk", "shingle"))
+    val counts = a.join(b, Seq("blk", "shingle"))
       .where(col("a") < col("b"))
       .groupBy(col("a"), col("b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("n_common"))
-      .withColumn("jaccard",
-        round(col("n_common").cast("double") /
-              (col("na") + col("nb") - col("n_common")), 6))
-      .where(col("jaccard") >= minJaccard)
-      .select(col("a"), col("b"), col("n_common"), col("jaccard"))
-    (pairs, new CacheHandle(Seq(arr)))
+    (counts, new CacheHandle(Seq(arr)))
   }
 
   /** Portable 60-bit hash of a shingle under seed `i`, as a LONG

@@ -336,6 +336,41 @@ class NearDupSpec extends SparkTestBase {
     assert(!m.keys.exists { case (a, b) => b == 5L }) // other block
   }
 
+  test("canonicalDocs keeps the highest-rank member; ties broken in rank") {
+    val ranked = Seq(
+      (1L, "same text here", 10L), (2L, "Same   TEXT here", 30L), // dup class
+      (3L, "same text here", 30L),                        // ties doc 2's rank
+      (4L, "solo doc", 5L)
+    ).toDF("doc_id", "text", "quality")
+    // fold the id into the rank so ties resolve to the SMALLER id
+    val got = NearDup.canonicalDocs(ranked, "doc_id", "text",
+        $"quality" * 100 - $"doc_id")
+      .as[(String, Long, Long)].collect()
+    assert(got.length == 2)
+    val dup = got.find(_._3 == 3L).get
+    assert(dup._2 == 2L) // rank 30 beats 10; tie vs doc 3 → smaller id
+    assert(got.find(_._3 == 1L).get._2 == 4L)
+  }
+
+  test("containmentPairs: an excerpt scores ~1 where jaccard would not") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "s1"),
+      (2L, "alpha beta gamma delta", "s1"), // strict prefix of 1
+      (3L, "iota kappa lambda mu", "s1")
+    ).toDF("doc_id", "text", "source")
+    val cont = NearDup.containmentPairs(corpus, "doc_id", "text",
+        "source", 3, 0.0)
+      .select($"a", $"b", $"containment").as[(Long, Long, Double)]
+      .collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(cont((1L, 2L)) == 1.0) // every shingle of 2 is in 1
+    val jac = NearDup.jaccardPairs(corpus, "doc_id", "text",
+        "source", 3, 0.0)
+      .select($"a", $"b", $"jaccard").as[(Long, Long, Double)]
+      .collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(jac((1L, 2L)) < 0.5)  // 2 of 6 shingles shared
+    assert(!cont.contains((1L, 3L))) // no common shingle → no pair row
+  }
+
   test("contamination flags shared n-grams; decontaminate drops exactly them") {
     val bench = Seq(
       (100L, "alpha beta gamma delta epsilon zeta"),
