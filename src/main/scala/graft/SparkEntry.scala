@@ -972,6 +972,59 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // Blob interchange round-trip: export %9 docs as one binary file
+    // each (executor-side writes, no collect), re-ingest via the
+    // binaryFile source, prove content survives byte-exactly (md5 of
+    // the read-back bytes vs the oracle's md5 of the source text).
+    // Payloads are newline-terminated so no blob is 0 bytes — the
+    // source drops empty files at split planning (Sinks scaladoc)
+    "q114_blob_roundtrip" -> ((s, dir) => {
+      val blobs = t(s, dir, "documents").where(col("doc_id") % 9 === 0)
+        .select(concat(lit("doc_"), col("doc_id").cast("string"),
+            lit(".bin")).as("fname"),
+          encode(concat(coalesce(col("text"), lit("")), lit("\n")),
+            "UTF-8").as("payload"))
+      val out = "/tmp/graft_q114_blobs"
+      graft.sources.Sinks.writeBlobFiles(blobs, "fname", "payload", out)
+      graft.sources.Sinks.readBlobFiles(s, out)
+        .select(element_at(split(col("path"), "/"), -1).as("fname"),
+          col("length").as("byte_len"),
+          md5(col("content")).as("content_md5"))
+        .orderBy(col("fname"))
+    }),
+
+    // Schema-evolution read: a v1 batch (no lang column) and a v2 batch
+    // (lang added) union into one frame via mergeSchema — v1 rows carry
+    // NULL lang; without the option the new column silently vanishes
+    "q115_schema_evolution" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = "/tmp/graft_q115"
+      docs.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"),
+          md5(coalesce(col("text"), lit(""))).as("text_md5"))
+        .write.mode("overwrite").parquet(s"$base/v1")
+      docs.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"),
+          md5(coalesce(col("text"), lit(""))).as("text_md5"),
+          col("lang"))
+        .write.mode("overwrite").parquet(s"$base/v2")
+      graft.sources.Sinks.readEvolved(s, s"$base/v1", s"$base/v2")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Robust outlier gate: per-event-type median/MAD filter — the
+    // heavy-tail-safe metric-anomaly screen (mean/stddev z-scores get
+    // dragged by the very outliers they hunt)
+    "q116_mad_outliers" -> ((s, dir) => {
+      Stats.robustOutliers(
+          t(s, dir, "events").select(col("event_id"), col("event_type"),
+            col("value")),
+          Seq("event_type"), "value", factor = 3.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"))
+        .orderBy(col("event_id"))
+    }),
+
     // Token-budget mix assembly: keep docs in deterministic md5 order
     // until the cumulative token count would exceed the budget — exact
     // (the oracle is one global window cumsum), distributed via the
@@ -3684,6 +3737,38 @@ object SparkEntry {
                     JOIN deg d ON d.src = e.src
              GROUP BY e.dst) m ON m.id = nd.id)
          SELECT id, round(pr, 9) AS pr FROM p3 ORDER BY id""",
+
+    "q114_blob_roundtrip" ->
+      """SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS fname,
+                CAST(octet_length(encode(coalesce(text, '') || chr(10)))
+                  AS BIGINT) AS byte_len,
+                md5(coalesce(text, '') || chr(10)) AS content_md5
+         FROM documents WHERE doc_id % 9 = 0 ORDER BY fname""",
+
+    "q115_schema_evolution" ->
+      """SELECT doc_id, md5(coalesce(text, '')) AS text_md5,
+                CAST(NULL AS VARCHAR) AS lang
+         FROM documents WHERE doc_id % 2 = 0
+         UNION ALL
+         SELECT doc_id, md5(coalesce(text, '')) AS text_md5, lang
+         FROM documents WHERE doc_id % 2 = 1
+         ORDER BY doc_id""",
+
+    "q116_mad_outliers" ->
+      """WITH med AS (
+           SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM events GROUP BY event_type),
+         mad AS (
+           SELECT e.event_type,
+                  quantile_cont(abs(e.value - m.med), 0.5) AS mad
+           FROM events e JOIN med m USING (event_type)
+           GROUP BY e.event_type)
+         SELECT e.event_id, e.event_type, e.value,
+                round(m.med, 6) AS med, round(d.mad, 6) AS mad
+         FROM events e JOIN med m USING (event_type)
+                       JOIN mad d USING (event_type)
+         WHERE abs(e.value - m.med) > 3 * d.mad
+         ORDER BY e.event_id""",
 
     "q107_token_budget" ->
       """WITH d AS (

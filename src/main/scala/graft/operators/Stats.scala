@@ -110,4 +110,29 @@ object Stats {
         .drop(s"_lo_$label", s"_hi_$label", s"_frac_$label")
     }
   }
+
+  /** Robust (median/MAD) outlier detection per key group: rows where
+    * `|v − median| > factor · MAD`, `MAD = median(|v − median|)` — the
+    * quality-filter form that survives heavy-tailed metrics where
+    * mean/stddev z-scores get dragged by the outliers themselves.
+    *
+    * Two aggregation passes by construction (MAD needs the median
+    * first): groupBy → join back → groupBy → join back. Both joined
+    * aggregates are one-row-per-key tables — AQE turns the joins into
+    * broadcasts for any realistic key cardinality, so the fact table
+    * shuffles only for the two aggregations. Returns the input columns
+    * plus `med` and `mad` (unrounded), filtered to outliers.
+    */
+  def robustOutliers(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                     factor: Double = 3.0): DataFrame = {
+    val key = keyCols.map(col)
+    val v = col(valueCol)
+    val med = df.groupBy(key: _*)
+      .agg(percentile(v, lit(0.5)).as("med"))
+    val withMed = df.join(med, keyCols)
+    val mad = withMed.groupBy(key: _*)
+      .agg(percentile(abs(v - col("med")), lit(0.5)).as("mad"))
+    withMed.join(mad, keyCols)
+      .where(abs(v - col("med")) > lit(factor) * col("mad"))
+  }
 }

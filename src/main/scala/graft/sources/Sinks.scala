@@ -193,4 +193,51 @@ object Sinks {
     (cached.where(col("_corrupt_record").isNull).drop("_corrupt_record"),
      cached.where(col("_corrupt_record").isNotNull))
   }
+
+  /** Per-row binary file export: one file `<nameCol>` per row under
+    * `dir`, written FROM THE EXECUTORS (`foreachPartition` — no driver
+    * collect; each task writes its partition's blobs straight to the
+    * store). Inverse of [[readBlobFiles]]; together they are the
+    * multimodal blob interchange — opaque payloads travel as files,
+    * metadata as columns (Multimodal's schema contract). Names must be
+    * unique per row (caller's contract) or last-writer-wins.
+    */
+  def writeBlobFiles(df: DataFrame, nameCol: String, payloadCol: String,
+                     dir: String): Unit = {
+    val d = new java.io.File(dir)
+    if (d.exists()) d.listFiles().foreach(_.delete()) // overwrite mode
+    d.mkdirs()
+    df.select(col(nameCol).cast("string"), col(payloadCol).cast("binary"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, r.getString(0)),
+            r.getAs[Array[Byte]](1))
+        }
+      }
+  }
+
+  /** Whole-file binary ingest (`binaryFile` source): one row per file
+    * with (path, modificationTime, length, content). The scan carries
+    * length/path WITHOUT reading content unless `content` is selected
+    * (column pruning applies to the blob) — list-then-prune is what
+    * makes a 100 TB media crawl scannable for its metadata.
+    *
+    * GOTCHA: ZERO-BYTE files yield no row — Spark's file-split planning
+    * drops empty files before the format sees them. A pipeline that
+    * must round-trip empty payloads should write a terminator byte
+    * (e.g. newline) so no blob is ever 0 bytes.
+    */
+  def readBlobFiles(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile").load(dir)
+
+  /** Schema-evolution read: parquet batches written at different corpus
+    * versions (columns added over time) union into ONE frame with the
+    * merged schema; rows from pre-addition batches carry NULLs. This is
+    * the "the crawl added a `lang` column in May" read path — without
+    * `mergeSchema` Spark serves the first footer's schema and silently
+    * drops the new column.
+    */
+  def readEvolved(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
 }

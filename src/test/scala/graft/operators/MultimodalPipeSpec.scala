@@ -144,6 +144,45 @@ class SinksSpec extends SparkTestBase {
     }
   }
 
+  test("blob files: executor-side export → binaryFile ingest, byte-exact") {
+    withTempDir("graft_blobs") { d =>
+      val dir = d.getPath + "/blobs"
+      val rows = Seq(("a.bin", "alpha"), ("b.bin", "βeta"), ("empty.bin", ""))
+      val df = rows.toDF("fname", "s")
+        .select($"fname", encode($"s", "UTF-8").as("payload"))
+      graft.sources.Sinks.writeBlobFiles(df, "fname", "payload", dir)
+      val back = graft.sources.Sinks.readBlobFiles(spark, dir)
+        .select(element_at(split($"path", "/"), -1).as("fname"),
+          $"length", $"content")
+        .as[(String, Long, Array[Byte])].collect()
+        .map(r => r._1 -> (r._2, new String(r._3, "UTF-8"))).toMap
+      // zero-byte files are DROPPED by split planning (documented
+      // source gotcha) — the empty blob's file exists but yields no row
+      assert(new java.io.File(dir, "empty.bin").exists())
+      assert(back.keySet == Set("a.bin", "b.bin"))
+      rows.filter(_._2.nonEmpty).foreach { case (f, s) =>
+        assert(back(f)._2 == s)
+        assert(back(f)._1 == s.getBytes("UTF-8").length.toLong)
+      }
+      // second write with fewer rows replaces the directory's contents
+      graft.sources.Sinks.writeBlobFiles(df.limit(1), "fname", "payload", dir)
+      assert(graft.sources.Sinks.readBlobFiles(spark, dir).count() == 1)
+    }
+  }
+
+  test("readEvolved merges schemas; plain read would drop the new column") {
+    withTempDir("graft_evolve") { d =>
+      val v1 = d.getPath + "/v1"; val v2 = d.getPath + "/v2"
+      Seq((1L, "x")).toDF("id", "a").write.parquet(v1)
+      Seq((2L, "y", "new")).toDF("id", "a", "b").write.parquet(v2)
+      val merged = graft.sources.Sinks.readEvolved(spark, v1, v2)
+      assert(merged.columns.sorted.toSeq == Seq("a", "b", "id"))
+      val m = merged.select($"id", $"b").as[(Long, Option[String])]
+        .collect().toMap
+      assert(m(1L).isEmpty && m(2L).contains("new"))
+    }
+  }
+
   test("writeCounted: metrics ride the write pass, round-trip agrees") {
     withTempDir("graft_counted") { d =>
       val dir = d.getPath + "/out"

@@ -107,6 +107,24 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("robustOutliers flags per-group median/MAD breaches only") {
+    // group A: values 1..9 (med 5, MAD 2 → |v-5| > 6 means v<-1 or v>11)
+    // plus spike 100; group B: tight cluster, spike survives factor 10
+    val df = ((1 to 9).map(v => ("A", 100L + v, v.toDouble)) :+
+        ("A", 200L, 100.0) :+ ("B", 300L, 5.0) :+ ("B", 301L, 5.0) :+
+        ("B", 302L, 5.2))
+      .toDF("g", "id", "v")
+    val out3 = Stats.robustOutliers(df, Seq("g"), "v", 3.0)
+      .select($"id").as[Long].collect().toSet
+    // A's spike, plus B's 5.2: a MAD-0 group treats ANY deviation as an
+    // outlier (0.2 > 3·0) — the documented degenerate-group semantic
+    assert(out3 == Set(200L, 302L))
+    // huge factor: A's spike drops (95 < 1000·2) but MAD-0 B stays
+    val ids = Stats.robustOutliers(df, Seq("g"), "v", 1000.0)
+      .select($"id").as[Long].collect().toSet
+    assert(ids == Set(302L))
+  }
+
   test("two-level (orderBuckets) mode is bit-identical to single-level") {
     val rnd = new scala.util.Random(17)
     // duplicates, a NULL-key group, and NULL values all in one table
