@@ -49,11 +49,14 @@ object Graph {
                iterations: Int, damping: Double = 0.85,
                reliable: Boolean = false): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
+    // persisted: nodes, outdeg and linked all derive from the distinct
+    // — uncached, each would re-pay the dedup shuffle
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
               col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -80,6 +83,7 @@ object Graph {
       Components.releasePin(ranks, reliable)
       ranks = next
     }
+    e.unpersist(false)
     nodes.unpersist(false)
     linked.unpersist(false)
     ranks

@@ -422,4 +422,33 @@ class PlanSpec extends SparkTestBase {
         l.contains("substring(md5") && l.contains(" < ")),
       s"pre-cut buckets must be a scan-stage range predicate:\n$p")
   }
+
+  test("q111 canonical pick is ONE partial-agg'd shuffle on the fingerprint") {
+    // same scale shape as q20: the shuffle carries (fp, rank, id) — the
+    // max_by must keep its map-side partial phase so duplicate-heavy
+    // corpora combine before the exchange
+    val p = plan("q111_canonicalize")
+    assert(p.contains("partial_max_by") || p.contains("partial_maxby"),
+      s"canonical pick must partial-aggregate map-side:\n$p")
+    val hashX = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashX == 1, s"expected exactly 1 hash exchange, got $hashX:\n$p")
+  }
+
+  test("q112 containment shares q21's one-hash-exchange candidate shape") {
+    val p = plan("q112_containment")
+    val hashX = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashX == 1, s"expected exactly 1 hash exchange, got $hashX:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"containment must never be all-pairs:\n$p")
+  }
+
+  test("q116 MAD passes keep partial percentile phases, no cartesian") {
+    // both median passes must combine map-side (ObjectHashAggregate
+    // partials); the join-backs are one-row-per-key tables AQE
+    // broadcasts at runtime — statically we pin the aggregate shape
+    val p = plan("q116_mad_outliers")
+    assert("partial_percentile".r.findAllIn(p).size >= 2,
+      s"median and MAD must both partial-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
 }
