@@ -1012,6 +1012,39 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Unicode hygiene: NFC + diacritic fold as native scan-stage
+    // kernels — injected decomposed sequences (é on %4 ids, ü on %6)
+    // must collapse to the composed form (n_composed counts the marks
+    // absorbed); ASCII rows ride the zero-copy fast path
+    "q117_normalize" -> ((s, dir) => {
+      graft.functions.GraftExtensions.installInto(s)
+      import graft.operators.TextAnalysis._
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 4 === 0, lit("Cafe\u0301 "))
+            .otherwise(lit("")),
+          coalesce(col("text"), lit("")),
+          when(col("doc_id") % 6 === 0, lit(" u\u0308ber"))
+            .otherwise(lit(""))).as("text"))
+      injected.select(col("doc_id"),
+          md5(nfcNormalize(col("text"))).as("nfc_md5"),
+          md5(stripAccents(nfcNormalize(col("text")))).as("folded_md5"),
+          (length(col("text")) - length(nfcNormalize(col("text"))))
+            .cast("long").as("n_composed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus-unigram "perplexity" filter (CCNet shape): per-doc mean
+    // token log-probability under the corpus's own unigram model —
+    // rare-token soup scores low, fluent stopword-y text high
+    "q118_unigram_logprob" -> ((s, dir) => {
+      TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id",
+          "text")
+        .select(col("doc_id"), col("n_toks"),
+          round(col("mean_logp"), 6).as("mean_logp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Robust outlier gate: per-event-type median/MAD filter — the
     // heavy-tail-safe metric-anomaly screen (mean/stddev z-scores get
     // dragged by the very outliers they hunt)
@@ -3753,6 +3786,42 @@ object SparkEntry {
          SELECT doc_id, md5(coalesce(text, '')) AS text_md5, lang
          FROM documents WHERE doc_id % 2 = 1
          ORDER BY doc_id""",
+
+    "q117_normalize" ->
+      """WITH inj AS (
+           SELECT doc_id,
+                  (CASE WHEN doc_id % 4 = 0
+                        THEN 'Cafe' || chr(769) || ' ' ELSE '' END)
+                  || coalesce(text, '')
+                  || (CASE WHEN doc_id % 6 = 0
+                          THEN ' u' || chr(776) || 'ber' ELSE '' END)
+                    AS text
+           FROM documents)
+         SELECT doc_id,
+                md5(nfc_normalize(text)) AS nfc_md5,
+                md5(strip_accents(nfc_normalize(text))) AS folded_md5,
+                CAST(length(text) - length(nfc_normalize(text))
+                  AS BIGINT) AS n_composed
+         FROM inj ORDER BY doc_id""",
+
+    "q118_unigram_logprob" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         tok AS (
+           SELECT doc_id, unnest(toks) AS token FROM d
+           WHERE len(toks) > 0 AND toks != ['']),
+         freq AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+         sc AS (
+           SELECT t.doc_id, count(*) AS n_toks,
+                  sum(ln(f.c / (SELECT n FROM tot))) AS lp
+           FROM tok t JOIN freq f USING (token)
+           GROUP BY t.doc_id)
+         SELECT doc_id, n_toks, round(lp / n_toks, 6) AS mean_logp
+         FROM sc ORDER BY doc_id""",
 
     "q116_mad_outliers" ->
       """WITH med AS (

@@ -244,6 +244,15 @@ object GraftExtensions {
          HyperplaneSigExpr(c.head,
            HyperplaneSigExpr.planes(args(0), args(2)), args(1))
        }),
+      // graft_nfc(str) / graft_strip_accents(str): Unicode hygiene
+      // kernels (ASCII fast path returns the input buffer untouched)
+      (FunctionIdentifier("graft_nfc"),
+       new ExpressionInfo(classOf[NfcExpr].getName, "graft_nfc"),
+       arity("graft_nfc", 1)(c => NfcExpr(c.head))),
+      (FunctionIdentifier("graft_strip_accents"),
+       new ExpressionInfo(classOf[StripAccentsExpr].getName,
+         "graft_strip_accents"),
+       arity("graft_strip_accents", 1)(c => StripAccentsExpr(c.head))),
       // graft_winnow(toks, k, w): fused winnowing-fingerprint kernel
       (FunctionIdentifier("graft_winnow"),
        new ExpressionInfo(classOf[WinnowFingerprintsExpr].getName,

@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode-hygiene kernels: `graft_nfc(str)` (NFC normalization — the
+  * composed form every downstream exact-match/dedup step should see:
+  * "Cafe" + U+0301 and "Café" are byte-different but render identically,
+  * so un-normalized corpora under-deduplicate) and
+  * `graft_strip_accents(str)` (NFD → drop combining marks — the
+  * diacritic fold used for accent-insensitive matching and langid
+  * marker robustness).
+  *
+  * Both are native expressions so the hygiene pass stays inside
+  * whole-stage codegen — they run in the scan stage on every document
+  * of a crawl. The kernels take an ASCII fast path (zero allocation:
+  * returns the input buffer untouched) since real corpora are
+  * overwhelmingly ASCII-clean; only rows containing non-ASCII bytes pay
+  * the String round-trip through `java.text.Normalizer` (the JDK's
+  * Unicode tables — the exact algorithm DuckDB's `nfc_normalize` /
+  * `strip_accents(nfc_normalize(...))` implement, which is what keeps
+  * the oracle engine-portable).
+  */
+abstract class TextNormExprBase extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a string argument, got ${other.simpleString}")
+    }
+}
+
+case class NfcExpr(child: Expression) extends TextNormExprBase {
+  override def prettyName: String = "graft_nfc"
+  override protected def nullSafeEval(s: Any): Any =
+    TextNormKernel.nfc(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextNormKernel.nfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcExpr =
+    copy(child = newChild)
+}
+
+case class StripAccentsExpr(child: Expression) extends TextNormExprBase {
+  override def prettyName: String = "graft_strip_accents"
+  override protected def nullSafeEval(s: Any): Any =
+    TextNormKernel.stripAccents(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextNormKernel.stripAccents($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): StripAccentsExpr = copy(child = newChild)
+}
+
+object TextNormKernel {
+  /** True iff every byte is ASCII — such strings are NFC by definition
+    * and contain no combining marks, so both kernels return the input
+    * UTF8String UNTOUCHED (no copy, no String).
+    */
+  private def isAscii(u: UTF8String): Boolean = {
+    val n = u.numBytes()
+    var i = 0
+    while (i < n) {
+      if ((u.getByte(i) & 0x80) != 0) return false
+      i += 1
+    }
+    true
+  }
+
+  def nfc(u: UTF8String): UTF8String =
+    if (isAscii(u)) u
+    else UTF8String.fromString(java.text.Normalizer.normalize(
+      u.toString, java.text.Normalizer.Form.NFC))
+
+  def stripAccents(u: UTF8String): UTF8String =
+    if (isAscii(u)) u
+    else {
+      val d = java.text.Normalizer.normalize(u.toString,
+        java.text.Normalizer.Form.NFD)
+      val sb = new java.lang.StringBuilder(d.length)
+      var i = 0
+      while (i < d.length) {
+        val cp = d.codePointAt(i)
+        if (Character.getType(cp) != Character.NON_SPACING_MARK)
+          sb.appendCodePoint(cp)
+        i += Character.charCount(cp)
+      }
+      UTF8String.fromString(sb.toString)
+    }
+}

@@ -92,6 +92,51 @@ object TextAnalysis {
         "[\uFFFD\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", " "),
       "\\s+", " "))
 
+  /** NFC normalization (native `graft_nfc` kernel — session must have
+    * GraftExtensions installed): byte-different renderings of the same
+    * glyphs ("Cafe"+U+0301 vs "Café") collapse to one composed form, so
+    * downstream exact dedup/fingerprinting sees one document, not two.
+    * ASCII rows take a zero-copy fast path.
+    */
+  def nfcNormalize(text: Column): Column = call_function("graft_nfc", text)
+
+  /** Diacritic fold (native `graft_strip_accents` kernel): NFD → drop
+    * combining marks. Compose with [[nfcNormalize]] for the canonical
+    * accent-insensitive form.
+    */
+  def stripAccents(text: Column): Column =
+    call_function("graft_strip_accents", text)
+
+  /** Per-document mean unigram log-probability under the corpus's own
+    * unigram distribution — the "perplexity filter" shape (CCNet-style)
+    * with the LM being the corpus unigram model: gibberish and
+    * rare-token soup score low, stopword-y fluent text scores high.
+    *
+    * Scale shape: tokens explode in the scan stage (no shuffle); the
+    * frequency table is one map-side-combined aggregation on token; the
+    * corpus total is a one-row aggregate broadcast into the scorer; the
+    * per-doc score is one more aggregation on the id. No token ever
+    * joins against anything bigger than the vocabulary.
+    * Docs with zero tokens yield no row (no defined probability).
+    * Returns (idCol, n_toks, mean_logp — unrounded).
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val tok = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "") // empty text tokenizes to [""]
+    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("_c"))
+    // corpus total = Σ vocab counts — summing the (small) frequency
+    // table spares a third full-corpus tokenize pass
+    val total = freq.agg(sum(col("_c")).cast("double").as("_n"))
+    tok.join(freq, "token").crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+           sum(log(col("_c") / col("_n"))).as("_lp"))
+      .select(col(idCol), col("n_toks"),
+        (col("_lp") / col("n_toks")).as("mean_logp"))
+  }
+
   /** Distinct-token ratio — low values indicate repetitive/boilerplate
     * text (a standard LLM-data quality signal).
     */

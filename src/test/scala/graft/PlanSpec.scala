@@ -442,6 +442,25 @@ class PlanSpec extends SparkTestBase {
       s"containment must never be all-pairs:\n$p")
   }
 
+  test("q117 unicode hygiene is scan-stage: native kernels, no exchange") {
+    val p = plan("q117_normalize")
+    assert(p.contains("graft_nfc") && p.contains("graft_strip_accents"),
+      s"normalization must run as the native kernels:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a pure per-row hygiene pass must not shuffle:\n$p")
+  }
+
+  test("q118 unigram scoring: corpus total broadcasts as ONE row") {
+    // the corpus-total scalar must ride a broadcast (1-row nested-loop),
+    // and both aggregations must keep map-side partials — re-deriving
+    // the total by re-scanning the corpus is the 100 TB regression
+    val p = plan("q118_unigram_logprob")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the one-row total must broadcast:\n$p")
+    assert(p.contains("partial_count"),
+      s"frequency counts must partial-aggregate:\n$p")
+  }
+
   test("q116 MAD passes keep partial percentile phases, no cartesian") {
     // both median passes must combine map-side (ObjectHashAggregate
     // partials); the join-backs are one-row-per-key tables AQE

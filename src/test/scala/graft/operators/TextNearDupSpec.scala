@@ -12,6 +12,46 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got.toSeq == Seq(2, 3))
   }
 
+  test("nfc/strip_accents kernels: decomposed forms fold; ASCII zero-copy") {
+    graft.functions.GraftExtensions.installInto(spark)
+    val df = Seq("Cafe\u0301", "Caf\u00e9", "plain ascii", "u\u0308ber")
+      .toDF("text")
+    val got = df.select(TextAnalysis.nfcNormalize($"text").as("n"),
+        TextAnalysis.stripAccents(TextAnalysis.nfcNormalize($"text"))
+          .as("f"))
+      .as[(String, String)].collect()
+    assert(got(0)._1 == got(1)._1)        // decomposed == precomposed
+    assert(got(0)._1 == "Caf\u00e9")      // NFC is the composed form
+    assert(got(0)._2 == "Cafe" && got(3)._2 == "uber")
+    assert(got(2)._1 == "plain ascii" && got(2)._2 == "plain ascii")
+    // codegen path: the projection must stay in WholeStageCodegen
+    // (parquet-backed — a LocalTableScan folds the projection away)
+    val plan = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(TextAnalysis.nfcNormalize($"text"))
+      .queryExecution.executedPlan.toString
+    // '*(' marks a WholeStageCodegen stage in the compact rendering
+    assert(plan.contains("*(1) Project [graft_nfc"), plan)
+  }
+
+  test("unigramLogProb: corpus-frequency scoring, empty docs dropped") {
+    // corpus = 5 tokens: 'the'×4, 'rare'×1
+    val docs = Seq(
+      (1L, "the the the"),   // every token logp = ln(4/5)
+      (2L, "the rare"),
+      (3L, ""),              // no tokens → no row
+      (4L, "  ")             // whitespace only → no row
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L)._1 == 3L)
+    assert(math.abs(got(1L)._2 - math.log(4.0 / 5)) < 1e-12)
+    val exp2 = (math.log(4.0 / 5) + math.log(1.0 / 5)) / 2
+    assert(got(2L)._1 == 2L && math.abs(got(2L)._2 - exp2) < 1e-12)
+  }
+
   test("fingerprint is whitespace/case-insensitive but content-sensitive") {
     val df = Seq(("a", "Hello   World"), ("b", "hello world"),
                  ("c", "hello worlds")).toDF("id", "text")
