@@ -1012,6 +1012,44 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // End-to-end fuzzy dedup (the SlimPajama/Gopher shape): jaccard
+    // near-dup pairs → connected-component closure → per-class
+    // canonical pick by QUALITY (longest doc, min-id tie-break) —
+    // q73 labels classes; this makes the dedup DECISION
+    "q119_fuzzy_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (pairs, handle) = NearDup.jaccardPairsWithHandle(docs,
+        "doc_id", "text", "source", 3, 0.01)
+      val labels = Components.connectedComponents(pairs, "a", "b")
+      val out = docs.select(col("doc_id"), col("n_chars"))
+        .join(labels, docs("doc_id") === labels("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"),
+          col("n_chars"))
+        .groupBy(col("component"))
+        .agg(max_by(col("doc_id"),
+            col("n_chars") * lit(16777216L) - col("doc_id"))
+          .as("keep_id"),
+          count(lit(1)).as("class_size"))
+      handle.release()
+      out.orderBy(col("component"))
+    }),
+
+    // Distribution-matching resample: thin src1 so its length histogram
+    // (100-char buckets) matches src0's shape — per-bucket md5-uniform
+    // keep rates, binding bucket kept whole (the "make the crawl look
+    // like the curated set" resampler)
+    "q120_dist_match" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sampling.matchDistribution(
+          docs.where(col("source") === "src1")
+            .select(col("doc_id"), col("n_chars")),
+          docs.where(col("source") === "src0"),
+          "doc_id", floor(col("n_chars") / 100).cast("long"), "dm")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Unicode hygiene: NFC + diacritic fold as native scan-stage
     // kernels — injected decomposed sequences (é on %4 ids, ü on %6)
     // must collapse to the composed form (n_composed counts the marks
@@ -3786,6 +3824,36 @@ object SparkEntry {
          SELECT doc_id, md5(coalesce(text, '')) AS text_md5, lang
          FROM documents WHERE doc_id % 2 = 1
          ORDER BY doc_id""",
+
+    "q119_fuzzy_dedup" ->
+      (componentsOracleChain("0.01") +
+        """
+         SELECT c.component,
+                arg_max(c.doc_id, dd.n_chars * 16777216 - c.doc_id)
+                  AS keep_id,
+                count(*) AS class_size
+         FROM comp c JOIN documents dd ON c.doc_id = dd.doc_id
+         GROUP BY c.component ORDER BY c.component"""),
+
+    "q120_dist_match" ->
+      """WITH tgt AS (
+           SELECT doc_id, n_chars,
+                  CAST(floor(n_chars / 100) AS BIGINT) AS b
+           FROM documents WHERE source = 'src1'),
+         ref AS (
+           SELECT CAST(floor(n_chars / 100) AS BIGINT) AS b
+           FROM documents WHERE source = 'src0'),
+         ht AS (SELECT b, count(*) AS ct FROM tgt GROUP BY b),
+         hr AS (SELECT b, count(*) AS cr FROM ref GROUP BY b),
+         r AS (SELECT b, CAST(cr AS DOUBLE) / CAST(ct AS DOUBLE) AS rr
+               FROM ht JOIN hr USING (b)),
+         k AS (SELECT b, rr / (SELECT max(rr) FROM r) AS keep FROM r)
+         SELECT t.doc_id, t.n_chars
+         FROM tgt t JOIN k USING (b)
+         WHERE CAST('0x' || substr(md5('dm:' || CAST(t.doc_id
+                 AS VARCHAR)), 1, 15) AS BIGINT)
+               / 1152921504606846976.0 < k.keep
+         ORDER BY t.doc_id""",
 
     "q117_normalize" ->
       """WITH inj AS (

@@ -154,6 +154,47 @@ object Sampling {
       .limit(k)
   }
 
+  /** DISTRIBUTION-MATCHING sample: thin `target` so its histogram over
+    * `bucketCol` matches `ref`'s shape — "make the web crawl's length
+    * (or score) distribution look like the curated set's" resampler.
+    * Per-bucket keep rate ∝ p_ref(b)/p_target(b), normalized so the
+    * binding bucket (largest ratio) is kept whole; buckets `ref` never
+    * exhibits drop entirely. Selection inside a bucket is the md5
+    * uniform (same determinism contract as [[hashSamplePredicate]]:
+    * engine- and parallelism-independent, forever).
+    *
+    * ENGINE PARITY: the corpus totals cancel under the max
+    * normalization — keep_b = (cr_b/ct_b) / max_b(cr_b/ct_b) — so the
+    * rate is a ratio of exact integer counts in one parenthesization;
+    * any IEEE engine computes the identical double.
+    *
+    * SCALE SHAPE: two map-side-combined histogram aggregations (bucket
+    * cardinality rows each), one tiny join + window over the bucket
+    * table, then a broadcast of per-bucket thresholds into a scan-stage
+    * predicate on `target`. The corpus shuffles ZERO rows.
+    */
+  def matchDistribution(target: DataFrame, ref: DataFrame,
+                        keyCol: String, bucketCol: Column,
+                        seed: String): DataFrame = {
+    val tb = target.withColumn("_b", bucketCol)
+    val ht = tb.groupBy(col("_b")).agg(count(lit(1)).as("_ct"))
+    val hr = ref.select(bucketCol.as("_b"))
+      .groupBy(col("_b")).agg(count(lit(1)).as("_cr"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val rates = ht.join(hr, "_b")
+      .withColumn("_r",
+        col("_cr").cast("double") / col("_ct").cast("double"))
+      .withColumn("_keep", col("_r") / max(col("_r")).over(w))
+      .select(col("_b"), col("_keep"))
+    val u = conv(substring(md5(
+        concat(lit(seed + ":"), col(keyCol).cast("string"))), 1, 15),
+        16, 10).cast("long").cast("double") / lit(1.152921504606846976e18)
+    tb.join(broadcast(rates), "_b")
+      .where(u < col("_keep"))
+      .drop("_b", "_keep")
+  }
+
   /** TOKEN-BUDGET sample — "assemble exactly an N-token training mix":
     * documents are taken in deterministic md5(key) order until the
     * cumulative token count would exceed `budget` (a doc is kept iff

@@ -150,6 +150,28 @@ class SamplingSpec extends SparkTestBase {
     assert(bySplit.getOrElse("val", 0) > 8 || bySplit.getOrElse("test", 0) > 8)
   }
 
+  test("matchDistribution: binding bucket whole, off-support dropped") {
+    import org.apache.spark.sql.functions._
+    // target: bucket 0 ×100, bucket 1 ×100, bucket 2 ×50 (not in ref)
+    // ref: bucket 0 ×90, bucket 1 ×10 → rates r0=0.9, r1=0.1;
+    // keep0 = 1 (binding), keep1 = 1/9, bucket 2 dropped
+    val target = ((1 to 100).map(i => (i.toLong, 0L)) ++
+      (101 to 200).map(i => (i.toLong, 1L)) ++
+      (201 to 250).map(i => (i.toLong, 2L))).toDF("id", "b")
+    val ref = ((1 to 90).map(_ => 0L) ++ (1 to 10).map(_ => 1L))
+      .toDF("b")
+    val got = Sampling.matchDistribution(target, ref, "id", $"b", "t")
+      .select($"id", $"b").as[(Long, Long)].collect()
+    val byB = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byB.getOrElse(2L, 0) == 0)       // off-support bucket gone
+    assert(byB(0L) == 100)                  // binding bucket kept whole
+    assert(byB(1L) > 0 && byB(1L) < 40)     // ~1/9 of 100 survive
+    // determinism: identical on re-run
+    val again = Sampling.matchDistribution(target, ref, "id", $"b", "t")
+      .select($"id").as[Long].collect().toSet
+    assert(again == got.map(_._1).toSet)
+  }
+
   test("tokenBudgetSample is the exact md5-order prefix (replayed)") {
     val rnd = new scala.util.Random(7)
     val rows = (1L to 300L).map(i => (i, 1L + rnd.nextInt(40)))
