@@ -1035,6 +1035,42 @@ object SparkEntry {
       out.orderBy(col("component"))
     }),
 
+    // Codepoint-entropy gibberish screen (native kernel): deterministic
+    // low-entropy damage injected on %13 ids ('aaaa…' suffix) must pull
+    // those docs' entropy measurably down (log2, matches DuckDB entropy)
+    "q121_char_entropy" -> ((s, dir) => {
+      graft.functions.GraftExtensions.installInto(s)
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 13 === 0,
+            concat(lit(" "), repeat(lit("a"), 200)))
+          .otherwise(lit(""))).as("text"))
+      injected.select(col("doc_id"),
+          round(TextAnalysis.charEntropy(col("text")), 6)
+            .as("entropy_bits"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Domain-shift report: per-source KL divergence of the token
+    // distribution from the corpus mix — the contamination/register
+    // screen over sources, one tokenize pass
+    "q122_source_kl" -> ((s, dir) => {
+      TextAnalysis.sourceTokenKl(t(s, dir, "documents"), "source",
+          "text")
+        .select(col("source"), col("n_tokens"),
+          round(col("kl"), 6).as("kl"))
+        .orderBy(col("source"))
+    }),
+
+    // Zipf rank-frequency slope per source: log-log regression of token
+    // frequency on rank — natural text ≈ −1, templated corpora flatten
+    "q123_zipf_slope" -> ((s, dir) => {
+      TextAnalysis.zipfSlope(t(s, dir, "documents"), "source", "text")
+        .select(col("source"), col("n_vocab"),
+          round(col("slope"), 6).as("slope"))
+        .orderBy(col("source"))
+    }),
+
     // Distribution-matching resample: thin src1 so its length histogram
     // (100-char buckets) matches src0's shape — per-bucket md5-uniform
     // keep rates, binding bucket kept whole (the "make the crawl look
@@ -3834,6 +3870,63 @@ object SparkEntry {
                 count(*) AS class_size
          FROM comp c JOIN documents dd ON c.doc_id = dd.doc_id
          GROUP BY c.component ORDER BY c.component"""),
+
+    "q121_char_entropy" ->
+      """WITH inj AS (
+           SELECT doc_id, coalesce(text, '') ||
+                  (CASE WHEN doc_id % 13 = 0
+                        THEN ' ' || repeat('a', 200) ELSE '' END) AS text
+           FROM documents),
+         ch AS (
+           SELECT doc_id, unnest(string_split(text, '')) AS c
+           FROM inj WHERE length(text) > 0),
+         e AS (SELECT doc_id, entropy(c) AS h FROM ch GROUP BY doc_id)
+         SELECT i.doc_id, round(coalesce(e.h, 0.0), 6) AS entropy_bits
+         FROM inj i LEFT JOIN e ON i.doc_id = e.doc_id
+         ORDER BY i.doc_id""",
+
+    "q122_source_kl" ->
+      """WITH d AS (
+           SELECT source,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         tok AS (
+           SELECT source, unnest(toks) AS token FROM d
+           WHERE len(toks) > 0 AND toks != ['']),
+         bg AS (SELECT source, token, count(*) AS cg
+                FROM tok GROUP BY source, token),
+         g AS (SELECT token, sum(cg) AS c FROM bg GROUP BY token),
+         ng AS (SELECT source, sum(cg) AS n FROM bg GROUP BY source),
+         nn AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM g)
+         SELECT b.source, CAST(ng.n AS BIGINT) AS n_tokens,
+                round(sum((CAST(b.cg AS DOUBLE) / CAST(ng.n AS DOUBLE))
+                  * ln((CAST(b.cg AS DOUBLE) / CAST(ng.n AS DOUBLE))
+                       / (CAST(g.c AS DOUBLE) / (SELECT n FROM nn)))),
+                  6) AS kl
+         FROM bg b JOIN g USING (token) JOIN ng USING (source)
+         GROUP BY b.source, ng.n ORDER BY b.source""",
+
+    "q123_zipf_slope" ->
+      """WITH d AS (
+           SELECT source,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         tok AS (
+           SELECT source, unnest(toks) AS token FROM d
+           WHERE len(toks) > 0 AND toks != ['']),
+         freq AS (SELECT source, token, count(*) AS f
+                  FROM tok GROUP BY source, token),
+         rk AS (
+           SELECT source, f,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY f DESC, token) AS rank
+           FROM freq)
+         SELECT source, count(*) AS n_vocab,
+                round(regr_slope(ln(CAST(f AS DOUBLE)),
+                  ln(CAST(rank AS DOUBLE))), 6) AS slope
+         FROM rk GROUP BY source ORDER BY source""",
 
     "q120_dist_match" ->
       """WITH tgt AS (

@@ -253,6 +253,11 @@ object GraftExtensions {
        new ExpressionInfo(classOf[StripAccentsExpr].getName,
          "graft_strip_accents"),
        arity("graft_strip_accents", 1)(c => StripAccentsExpr(c.head))),
+      // graft_char_entropy(str): codepoint Shannon entropy in bits
+      (FunctionIdentifier("graft_char_entropy"),
+       new ExpressionInfo(classOf[CharEntropyExpr].getName,
+         "graft_char_entropy"),
+       arity("graft_char_entropy", 1)(c => CharEntropyExpr(c.head))),
       // graft_winnow(toks, k, w): fused winnowing-fingerprint kernel
       (FunctionIdentifier("graft_winnow"),
        new ExpressionInfo(classOf[WinnowFingerprintsExpr].getName,

@@ -57,6 +57,33 @@ case class StripAccentsExpr(child: Expression) extends TextNormExprBase {
       newChild: Expression): StripAccentsExpr = copy(child = newChild)
 }
 
+/** Shannon entropy (bits) of the string's CODEPOINT distribution:
+  * `graft_char_entropy(str)`. The classic gibberish/compression screen —
+  * keyboard-mash and base64 blobs sit far from natural-language entropy
+  * (English ≈ 4.1 bits/char). One pass, one small int-histogram per row,
+  * inside whole-stage codegen; empty strings score 0.0 (DuckDB's
+  * `entropy()` aggregate over the exploded chars is the oracle form,
+  * log base 2 both sides).
+  */
+case class CharEntropyExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_char_entropy"
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a string argument, got ${other.simpleString}")
+    }
+  override protected def nullSafeEval(s: Any): Any =
+    TextNormKernel.charEntropy(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextNormKernel.charEntropy($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): CharEntropyExpr = copy(child = newChild)
+}
+
 object TextNormKernel {
   /** True iff every byte is ASCII — such strings are NFC by definition
     * and contain no combining marks, so both kernels return the input
@@ -70,6 +97,30 @@ object TextNormKernel {
       i += 1
     }
     true
+  }
+
+  private val LOG2 = math.log(2.0)
+
+  def charEntropy(u: UTF8String): Double = {
+    val s = u.toString
+    if (s.isEmpty) return 0.0
+    val counts = new java.util.HashMap[Integer, Array[Int]]()
+    var i = 0
+    var n = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val slot = counts.computeIfAbsent(cp, _ => new Array[Int](1))
+      slot(0) += 1
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var h = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next()(0).toDouble / n
+      h -= p * math.log(p) / LOG2
+    }
+    h
   }
 
   def nfc(u: UTF8String): UTF8String =

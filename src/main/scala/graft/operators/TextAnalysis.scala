@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline:
@@ -107,6 +108,14 @@ object TextAnalysis {
   def stripAccents(text: Column): Column =
     call_function("graft_strip_accents", text)
 
+  /** Codepoint Shannon entropy in bits (native `graft_char_entropy`
+    * kernel): the gibberish/compression screen — keyboard-mash and
+    * base64 blobs sit far from natural-language entropy (~4.1 bits/char
+    * for English). Scan-stage; empty strings score 0.
+    */
+  def charEntropy(text: Column): Column =
+    call_function("graft_char_entropy", text)
+
   /** Per-document mean unigram log-probability under the corpus's own
     * unigram distribution — the "perplexity filter" shape (CCNet-style)
     * with the LM being the corpus unigram model: gibberish and
@@ -135,6 +144,59 @@ object TextAnalysis {
            sum(log(col("_c") / col("_n"))).as("_lp"))
       .select(col(idCol), col("n_toks"),
         (col("_lp") / col("n_toks")).as("mean_logp"))
+  }
+
+  /** Per-source KL divergence of the token distribution from the
+    * corpus-wide distribution — the "domain shift" report: which
+    * sources' language deviates most from the mix (a high-KL source is
+    * either a different register or contamination). KL(p_src ‖ p_all)
+    * = Σ p log(p/q), natural log.
+    *
+    * Scale shape: ONE corpus tokenize pass → per-(source, token)
+    * counts; the global distribution derives from those counts (no
+    * second scan), per-source totals are a tiny aggregate joined back,
+    * and the corpus total broadcasts as one row. Everything after the
+    * first aggregation operates on vocabulary-sized tables.
+    */
+  def sourceTokenKl(docs: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    val tok = docs
+      .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+    val bg = tok.groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("_cg"))
+    val global = bg.groupBy(col("token")).agg(sum(col("_cg")).as("_c"))
+    val perGroup = bg.groupBy(col(groupCol)).agg(sum(col("_cg")).as("_ng"))
+    val total = global.agg(sum(col("_c")).cast("double").as("_n"))
+    val p = col("_cg").cast("double") / col("_ng").cast("double")
+    val q = col("_c").cast("double") / col("_n")
+    bg.join(global, "token").join(perGroup, groupCol)
+      .crossJoin(broadcast(total))
+      .groupBy(col(groupCol))
+      .agg(first(col("_ng")).as("n_tokens"),
+           sum(p * log(p / q)).as("kl"))
+  }
+
+  /** Zipf rank-frequency slope per source: the log-log regression
+    * coefficient of token frequency against rank (natural text sits
+    * near −1; templated/boilerplate corpora flatten, ID-soup steepens).
+    * Deterministic ranks: frequency desc, token asc. One tokenize pass;
+    * the window and regression run over vocabulary-sized tables only.
+    */
+  def zipfSlope(docs: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    val tok = docs
+      .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+    val freq = tok.groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("_f"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("_f").desc, col("token"))
+    freq.withColumn("_rank", row_number().over(w))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_vocab"),
+           regr_slope(log(col("_f").cast("double")),
+                      log(col("_rank").cast("double"))).as("slope"))
   }
 
   /** Distinct-token ratio — low values indicate repetitive/boilerplate

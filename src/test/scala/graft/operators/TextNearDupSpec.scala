@@ -52,6 +52,44 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(2L)._1 == 2L && math.abs(got(2L)._2 - exp2) < 1e-12)
   }
 
+  test("charEntropy: known distributions; empty → 0; kernel matches log2") {
+    graft.functions.GraftExtensions.installInto(spark)
+    val df = Seq("aabb", "abcd", "aaaa", "").toDF("text")
+    val got = df.select(TextAnalysis.charEntropy($"text"))
+      .as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12) // 2 symbols, uniform
+    assert(math.abs(got(1) - 2.0) < 1e-12) // 4 symbols, uniform
+    assert(got(2) == 0.0 && got(3) == 0.0)
+  }
+
+  test("sourceTokenKl: a source matching the mix scores 0; a skewed one > 0") {
+    val docs = Seq(
+      ("a", "x y x y"), ("b", "x y x y"),     // identical distributions
+      ("c", "z z z z")                        // all mass on a rare token
+    ).toDF("source", "text")
+    val kl = TextAnalysis.sourceTokenKl(docs, "source", "text")
+      .select($"source", $"kl").as[(String, Double)].collect().toMap
+    assert(kl("a") == kl("b"))
+    assert(kl("c") > kl("a") && kl("c") > 0.5)
+    assert(kl("a") > 0) // 'a' lacks z-mass, so it too deviates (slightly)
+  }
+
+  test("zipfSlope: regression matches the closed form on a tiny vocab") {
+    // one source, freqs 4,2,1 → ranks 1,2,3; slope = cov/var over
+    // (ln r, ln f)
+    val docs = Seq(("s", ("w " * 4 + "v " * 2 + "u").trim))
+      .toDF("source", "text")
+    val got = TextAnalysis.zipfSlope(docs, "source", "text")
+      .select($"n_vocab", $"slope").as[(Long, Double)].head()
+    val xs = Seq(1.0, 2.0, 3.0).map(math.log)
+    val ys = Seq(4.0, 2.0, 1.0).map(math.log)
+    val mx = xs.sum / 3; val my = ys.sum / 3
+    val slope = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+      xs.map(x => (x - mx) * (x - mx)).sum
+    assert(got._1 == 3L)
+    assert(math.abs(got._2 - slope) < 1e-9)
+  }
+
   test("fingerprint is whitespace/case-insensitive but content-sensitive") {
     val df = Seq(("a", "Hello   World"), ("b", "hello world"),
                  ("c", "hello worlds")).toDF("id", "text")
