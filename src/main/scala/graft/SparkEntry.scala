@@ -1035,6 +1035,45 @@ object SparkEntry {
       out.orderBy(col("component"))
     }),
 
+    // Record linkage: blocked edit-distance matching over customer
+    // names (typo'd mirrors injected on %15 keys — 3rd char dropped);
+    // levenshtein is engine-exact so the oracle is bit-for-bit
+    "q124_entity_resolution" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val typos = cust.where(col("c_custkey") % 15 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(substring(col("c_name"), 1, 2),
+            expr("substring(c_name, 4)")).as("c_name"),
+          col("c_nationkey"))
+      NearDup.editDistancePairs(cust.unionByName(typos), "c_custkey",
+          "c_name", "c_nationkey", 1)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // Ordered-step conversion funnel: view → click → purchase within
+    // 1 day of the first view, earliest-completion semantics — one
+    // user-keyed aggregation per step, never an event self-join
+    "q125_funnel" -> ((s, dir) => {
+      Funnel.conversion(
+          t(s, dir, "events").withColumn("ts_t", eventTimestamp("ts")),
+          "user_id", "ts_t", "event_type",
+          Seq("view", "click", "purchase"), windowSec = 86400L)
+        .orderBy(col("step_idx"))
+    }),
+
+    // Weekly retention cohorts: users bucketed by first-event week ×
+    // weeks-since-cohort activity counts (Monday-anchored date_trunc,
+    // integer day arithmetic — no epoch-fraction parity traps)
+    "q126_cohorts" -> ((s, dir) => {
+      Funnel.weeklyCohorts(
+          t(s, dir, "events").withColumn("ts_t", eventTimestamp("ts")),
+          "user_id", "ts_t")
+        .select(col("cohort_week").cast("timestamp").as("cohort_week"),
+          col("week_offset"), col("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
     // Codepoint-entropy gibberish screen (native kernel): deterministic
     // low-entropy damage injected on %13 ids ('aaaa…' suffix) must pull
     // those docs' entropy measurably down (log2, matches DuckDB entropy)
@@ -3870,6 +3909,67 @@ object SparkEntry {
                 count(*) AS class_size
          FROM comp c JOIN documents dd ON c.doc_id = dd.doc_id
          GROUP BY c.component ORDER BY c.component"""),
+
+    "q124_entity_resolution" ->
+      """WITH base AS (
+           SELECT c_custkey, c_name, c_nationkey FROM customer),
+         typo AS (
+           SELECT c_custkey + 1000000 AS c_custkey,
+                  substr(c_name, 1, 2) || substr(c_name, 4) AS c_name,
+                  c_nationkey
+           FROM base WHERE c_custkey % 15 = 0),
+         uni AS (SELECT * FROM base UNION ALL SELECT * FROM typo)
+         SELECT x.c_custkey AS a, y.c_custkey AS b,
+                CAST(levenshtein(x.c_name, y.c_name) AS INTEGER) AS dist
+         FROM uni x JOIN uni y
+           ON x.c_nationkey = y.c_nationkey
+           AND x.c_custkey < y.c_custkey
+         WHERE abs(length(x.c_name) - length(y.c_name)) <= 1
+           AND levenshtein(x.c_name, y.c_name) <= 1
+         ORDER BY a, b""",
+
+    "q125_funnel" ->
+      """WITH ev AS (
+           SELECT user_id, event_type,
+                  make_timestamp(epoch_ns(ts) // 1000) AS ts
+           FROM events),
+         s1 AS (
+           SELECT user_id, min(ts) AS t1 FROM ev
+           WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (
+           SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+           FROM ev e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t1
+             AND e.ts <= s1.t1 + INTERVAL 86400 SECOND
+           GROUP BY e.user_id),
+         s3 AS (
+           SELECT e.user_id, min(e.ts) AS t3
+           FROM ev e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+             AND e.ts <= s2.t1 + INTERVAL 86400 SECOND
+           GROUP BY e.user_id)
+         SELECT 1 AS step_idx, 'view' AS step,
+                (SELECT count(*) FROM s1) AS n_users
+         UNION ALL
+         SELECT 2, 'click', (SELECT count(*) FROM s2)
+         UNION ALL
+         SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+         ORDER BY step_idx""",
+
+    "q126_cohorts" ->
+      """WITH w AS (
+           SELECT user_id,
+                  CAST(date_trunc('week',
+                    make_timestamp(epoch_ns(ts) // 1000)) AS DATE) AS wk
+           FROM events),
+         c AS (SELECT user_id, min(wk) AS cohort_week
+               FROM w GROUP BY user_id)
+         SELECT CAST(c.cohort_week AS TIMESTAMP) AS cohort_week,
+                CAST(date_diff('day', c.cohort_week, w.wk) / 7
+                  AS INTEGER) AS week_offset,
+                count(DISTINCT w.user_id) AS n_users
+         FROM w JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q121_char_entropy" ->
       """WITH inj AS (

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics: conversion funnels and retention cohorts —
+  * the product-analytics pair every event-table engine ships. Both are
+  * pure aggregation pipelines (no window over the raw event stream):
+  * per-user state is ONE row per user per step, so the shuffles carry
+  * users, not events.
+  */
+object Funnel {
+
+  /** Ordered-step conversion funnel: for each prefix of `steps`, the
+    * number of users who completed it IN ORDER, with every later step
+    * landing within `windowSec` of the user's FIRST step-1 event.
+    * Earliest-completion semantics: each step's timestamp is the
+    * earliest occurrence strictly after the previous step's.
+    *
+    * Scale shape: step k is one filtered aggregation on (user) joined
+    * against step k−1's one-row-per-user table — k−1 user-keyed joins
+    * of user-sized frames, never an event-table self-join. The output
+    * is `steps.length` rows.
+    */
+  def conversion(events: DataFrame, userCol: String, tsCol: String,
+                 typeCol: String, steps: Seq[String],
+                 windowSec: Long): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    val first = events.where(col(typeCol) === steps.head)
+      .groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("_t"))
+      .withColumn("_t0", col("_t"))
+    val reached = steps.tail.scanLeft(first) { (prev, step) =>
+      events.where(col(typeCol) === step)
+        .join(prev.select(col(userCol), col("_t").as("_tp"),
+          col("_t0")), userCol)
+        .where(col(tsCol) > col("_tp") &&
+          col(tsCol) <= col("_t0") + expr(s"INTERVAL $windowSec SECOND"))
+        .groupBy(col(userCol))
+        .agg(min(col(tsCol)).as("_t"), min(col("_t0")).as("_t0"))
+    }
+    steps.zip(reached).zipWithIndex.map { case ((step, df), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step_idx"), lit(step).as("step"),
+          col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Weekly retention cohorts: users grouped by the week of their first
+    * event; one row per (cohort week, week offset) with the count of
+    * cohort users active that week. `date_trunc('week')` is
+    * Monday-anchored in Spark and DuckDB alike, and offsets are exact
+    * integer day arithmetic — no epoch-fraction parity traps.
+    */
+  def weeklyCohorts(events: DataFrame, userCol: String, tsCol: String)
+      : DataFrame = {
+    val weeks = events.select(col(userCol),
+      date_trunc("week", col(tsCol)).cast("date").as("_wk"))
+    val cohort = weeks.groupBy(col(userCol))
+      .agg(min(col("_wk")).as("cohort_week"))
+    weeks.join(cohort, userCol)
+      .groupBy(col("cohort_week"),
+        (datediff(col("_wk"), col("cohort_week")) / 7)
+          .cast("int").as("week_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+}

@@ -208,6 +208,36 @@ object NearDup {
     containmentPairsWithHandle(docs, idCol, textCol, blockCol, n,
       minContainment, maxDf)._1
 
+  /** Record linkage (entity resolution lite): unordered within-block
+    * pairs whose `strCol` values sit within `maxDist` edit distance —
+    * the misspelled-mirror / duplicate-account matcher. Levenshtein is
+    * engine-portable (identical integers everywhere), so the oracle is
+    * exact.
+    *
+    * SCALE CONTRACT: candidate generation is all-pairs WITHIN a block,
+    * so blocks must be bounded (the classic record-linkage blocking
+    * assumption — nation, zip prefix, name initial+length band…). Two
+    * guards keep the quadratic term honest: the length-difference
+    * pre-filter (|len(a)−len(b)| ≤ maxDist — a necessary condition that
+    * prunes before the O(len²) distance evaluates), and the `a < b`
+    * dedup. For unbounded blocks, compose a tighter key first; shingle
+    * methods ([[jaccardPairs]]) are the right tool once strings become
+    * documents.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        blockCol: String, maxDist: Int): DataFrame = {
+    val a = df.select(col(blockCol).as("blk"), col(idCol).as("a"),
+      col(strCol).as("_sa"))
+    val b = df.select(col(blockCol).as("blk"), col(idCol).as("b"),
+      col(strCol).as("_sb"))
+    a.join(b, Seq("blk"))
+      .where(col("a") < col("b") &&
+        abs(length(col("_sa")) - length(col("_sb"))) <= maxDist &&
+        levenshtein(col("_sa"), col("_sb")) <= maxDist)
+      .select(col("a"), col("b"),
+        levenshtein(col("_sa"), col("_sb")).as("dist"))
+  }
+
   /** Shared candidate generation for the shingle-set pair family:
     * (a, b, na, nb, n_common) per unordered in-block pair with at least
     * one common surviving shingle. The score on top (Jaccard,

@@ -62,8 +62,11 @@ class QuerySurfaceSpec extends SparkTestBase {
     //    (an ungrouped collect_set aggregate) and cross-joined so the
     //    removal is a scan-stage array filter — the BNLJ's loop side
     //    has exactly one iteration by construction.
+    //  - q118/q122: the corpus-total (one ungrouped aggregate row) is
+    //    cross-joined into the scorer — one-iteration loop side by
+    //    construction, same shape as q104.
     val allowedBnlj = Set("q24_cosine_topk", "q9_interval_overlap",
-      "q104_boilerplate")
+      "q104_boilerplate", "q118_unigram_logprob", "q122_source_kl")
     val lazyQueries = SparkEntry.queries.keySet -- eager
     val offenders = lazyQueries.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf)

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkTestBase
+import java.sql.Timestamp
+
+class FunnelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(day: Int, hour: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+
+  test("conversion: in-order within-window completion only") {
+    val events = Seq(
+      // u1 completes A→B→C in order, inside the window
+      (1L, ts(1), "A"), (1L, ts(1, 2), "B"), (1L, ts(1, 5), "C"),
+      // u2 does B BEFORE A — B after A never happens
+      (2L, ts(1), "B"), (2L, ts(2), "A"),
+      // u3 completes but C lands beyond the 1-day window from first A
+      (3L, ts(1), "A"), (3L, ts(1, 3), "B"), (3L, ts(5), "C"),
+      // u4 never starts
+      (4L, ts(1), "C")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnel.conversion(events, "user_id", "ts", "event_type",
+        Seq("A", "B", "C"), windowSec = 86400L)
+      .select($"step_idx", $"step", $"n_users")
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1, "A", 3L), (2, "B", 2L), (3, "C", 1L)))
+  }
+
+  test("conversion: earliest-completion — a later same-step event can't help") {
+    // u1's only B is before A; a funnel that scanned any-order would
+    // count it
+    val events = Seq((1L, ts(2), "A"), (1L, ts(1), "B"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Funnel.conversion(events, "user_id", "ts", "event_type",
+        Seq("A", "B"), 86400L)
+      .select($"step_idx", $"n_users").as[(Int, Long)].collect().toMap
+    assert(got(1) == 1L && got(2) == 0L)
+  }
+
+  test("weeklyCohorts: offsets are whole weeks from the cohort Monday") {
+    val events = Seq(
+      (1L, ts(1)), (1L, ts(10)),   // Mon Jan 1 cohort, active wk 0 and 1
+      (2L, ts(9)), (2L, ts(23)),   // Jan 8 cohort, offsets 0 and 2
+      (3L, ts(9))                  // Jan 8 cohort, offset 0 only
+    ).toDF("user_id", "ts")
+    val got = Funnel.weeklyCohorts(events, "user_id", "ts")
+      .select($"cohort_week".cast("string"), $"week_offset", $"n_users")
+      .as[(String, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("2024-01-01", 0)) == 1L)
+    assert(got(("2024-01-01", 1)) == 1L)
+    assert(got(("2024-01-08", 0)) == 2L)
+    assert(got(("2024-01-08", 2)) == 1L)
+    assert(got.size == 4)
+  }
+
+  test("editDistancePairs: blocked, length-pruned, exact distances") {
+    val recs = Seq(
+      (1L, "smith", "b1"), (2L, "smyth", "b1"),  // dist 1, same block
+      (3L, "smith", "b2"),                        // other block
+      (4L, "smithsonian", "b1")                   // length gap prunes
+    ).toDF("id", "name", "blk")
+    val got = NearDup.editDistancePairs(recs, "id", "name", "blk", 1)
+      .select($"a", $"b", $"dist").as[(Long, Long, Int)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 1)))
+  }
+}
