@@ -1035,6 +1035,45 @@ object SparkEntry {
       out.orderBy(col("component"))
     }),
 
+    // Incremental aggregate maintenance: per-(source,lang) stats built
+    // from the even half (the "state"), merged with the odd half's
+    // partial aggregates — must equal the batch recompute over ALL docs
+    // (the oracle) without ever rescanning history
+    "q127_agg_merge" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def aggOf(df: DataFrame): DataFrame =
+        df.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("n_chars")).as("n_chars_sum"))
+      Snapshot.mergeAggregates(
+          aggOf(docs.where(col("doc_id") % 2 === 0)),
+          aggOf(docs.where(col("doc_id") % 2 === 1)),
+          Seq("source", "lang"), Seq("n_docs", "n_chars_sum"))
+        .orderBy(col("source"), col("lang"))
+    }),
+
+    // A/B experiment report: users hash-split 50/50 (md5 buckets), arm
+    // means/variances + Welch t on purchase value in ONE ungrouped
+    // aggregate pass (conditional aggs — no per-arm join)
+    "q128_ab_report" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+      val arm = when(substring(md5(concat(lit("ab:"),
+          col("user_id").cast("string"))), 1, 2) < "80", "A")
+        .otherwise("B")
+      val a = when(arm === "A", col("value"))
+      val b = when(arm === "B", col("value"))
+      ev.agg(count(a).as("n_a"), count(b).as("n_b"),
+          avg(a).as("_ma"), avg(b).as("_mb"),
+          var_samp(a).as("_va"), var_samp(b).as("_vb"))
+        .select(col("n_a"), col("n_b"),
+          round(col("_ma"), 6).as("mean_a"),
+          round(col("_mb"), 6).as("mean_b"),
+          round((col("_ma") - col("_mb")) /
+            sqrt(col("_va") / col("n_a") + col("_vb") / col("n_b")), 4)
+            .as("t_stat"))
+    }),
+
     // Record linkage: blocked edit-distance matching over customer
     // names (typo'd mirrors injected on %15 keys — 3rd char dropped);
     // levenshtein is engine-exact so the oracle is bit-for-bit
@@ -3909,6 +3948,32 @@ object SparkEntry {
                 count(*) AS class_size
          FROM comp c JOIN documents dd ON c.doc_id = dd.doc_id
          GROUP BY c.component ORDER BY c.component"""),
+
+    "q127_agg_merge" ->
+      """SELECT source, lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+         FROM documents GROUP BY source, lang
+         ORDER BY source, lang""",
+
+    "q128_ab_report" ->
+      """WITH p AS (
+           SELECT CASE WHEN substr(md5('ab:' ||
+                    CAST(user_id AS VARCHAR)), 1, 2) < '80'
+                  THEN 'A' ELSE 'B' END AS arm, value
+           FROM events WHERE event_type = 'purchase'),
+         g AS (
+           SELECT count(*) FILTER (arm = 'A') AS n_a,
+                  count(*) FILTER (arm = 'B') AS n_b,
+                  avg(value) FILTER (arm = 'A') AS ma,
+                  avg(value) FILTER (arm = 'B') AS mb,
+                  var_samp(value) FILTER (arm = 'A') AS va,
+                  var_samp(value) FILTER (arm = 'B') AS vb
+           FROM p)
+         SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+                round((ma - mb) / sqrt(va / n_a + vb / n_b), 4)
+                  AS t_stat
+         FROM g""",
 
     "q124_entity_resolution" ->
       """WITH base AS (

@@ -56,6 +56,39 @@ object Snapshot {
         changes.where(col(opCol) === "upsert").drop(opCol))
   }
 
+  /** Incremental aggregate maintenance: merge a NEW BATCH's partial
+    * aggregates into a maintained per-key state table without
+    * recomputing history — `merged(k) = state(k) ⊕ agg(batch)(k)` for
+    * the decomposable aggregates (counts and sums; min/max merge the
+    * same way, avg = merged sum / merged count). This is the batch
+    * half of what a streaming agg's state store does, as a plain
+    * table-maintenance operator: history costs ZERO scan — only the
+    * batch aggregates, and the merge is a key-keyed outer join of two
+    * aggregate-sized (not corpus-sized) tables.
+    *
+    * `state` and `batchAgg` must share `keyCols` ++ `aggCols` schemas
+    * (the caller produces `batchAgg` with the same aggregation that
+    * built the state). Keys new to the batch appear; untouched state
+    * keys pass through (null-safe join keys, like [[applyChangeset]]).
+    */
+  def mergeAggregates(state: DataFrame, batchAgg: DataFrame,
+                      keyCols: Seq[String], aggCols: Seq[String])
+      : DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val s = state.select(
+      keyCols.map(col) ++ aggCols.map(c => col(c).as(s"_s_$c")): _*)
+    val b = batchAgg.select(
+      keyCols.map(c => col(c).as(s"_b_$c")) ++
+        aggCols.map(c => col(c).as(s"_b_$c")): _*)
+    val keyEq = keyCols.map(c => col(c) <=> col(s"_b_$c")).reduce(_ && _)
+    s.join(b, keyEq, "full_outer")
+      .select(
+        keyCols.map(c => coalesce(col(c), col(s"_b_$c")).as(c)) ++
+          aggCols.map(c =>
+            (coalesce(col(s"_s_$c"), lit(0L)) +
+             coalesce(col(s"_b_$c"), lit(0L))).as(c)): _*)
+  }
+
   /** Row-level diff of `newDf` vs `oldDf` by `keyCols`: one row per
     * key present in either side, with `status` ∈
     * {added, removed, changed, unchanged} judged over `compareCols`

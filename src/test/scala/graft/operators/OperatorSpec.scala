@@ -259,6 +259,26 @@ class DedupSpec extends SparkTestBase {
 class SnapshotSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("mergeAggregates == batch recompute; new and untouched keys flow") {
+    import org.apache.spark.sql.functions._
+    val all = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 5L),
+      ("c", 4L, 7L)).toDF("k", "id", "v")
+    def aggOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"k").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+    // state sees {a(1), b}; batch brings {a(2), c}: a merges, b passes
+    // through untouched, c is new
+    val merged = Snapshot.mergeAggregates(
+        aggOf(all.where($"id" <= 3 && $"id" =!= 2)),
+        aggOf(all.where($"id" === 2 || $"id" === 4)),
+        Seq("k"), Seq("n", "s"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    val full = aggOf(all).as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(merged == full)
+    assert(merged("a") == (2L, 30L) && merged("c") == (1L, 7L))
+  }
+
   test("diff labels added/removed/changed/unchanged; NULLs compare null-safely") {
     val old = Seq[(java.lang.Long, String)](
       (1L, "a"), (2L, "b"), (3L, null), (4L, "d")
