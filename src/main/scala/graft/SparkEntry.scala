@@ -1035,6 +1035,21 @@ object SparkEntry {
       out.orderBy(col("component"))
     }),
 
+    // Embedding-space decontamination: drop corpus vectors ≥ 0.35
+    // cosine to any benchmark vector (vec_id %40 == 0 plays the bench)
+    // within shared hyperplane-LSH buckets — the paraphrase-leakage
+    // counterpart of q66's verbatim n-gram decontamination
+    "q129_semantic_decontaminate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticDecontaminate(
+          emb.where(col("vec_id") % 40 =!= 0),
+          emb.where(col("vec_id") % 40 === 0),
+          "vec_id", "embedding", dim = 64, bits = 32, bandBits = 8,
+          minCosine = 0.35)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Incremental aggregate maintenance: per-(source,lang) stats built
     // from the even half (the "state"), merged with the odd half's
     // partial aggregates — must equal the batch recompute over ALL docs
@@ -3948,6 +3963,45 @@ object SparkEntry {
                 count(*) AS class_size
          FROM comp c JOIN documents dd ON c.doc_id = dd.doc_id
          GROUP BY c.component ORDER BY c.component"""),
+
+    "q129_semantic_decontaminate" ->
+      """WITH v AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+           FROM embeddings),
+         hp AS (
+           SELECT j.j, d.d,
+             CAST('0x' || substr(md5('hp:' || j.j || ':' || d.d), 1, 15)
+               AS BIGINT) / 1152921504606846976.0 * 2 - 1 AS comp
+           FROM range(0, 32) j(j) CROSS JOIN range(0, 64) d(d)),
+         hpl AS (SELECT j, list(comp ORDER BY d) AS rv
+                 FROM hp GROUP BY j),
+         bits AS (
+           SELECT v.vec_id, hpl.j,
+             CASE WHEN round(list_dot_product(v.ev, hpl.rv), 6) > 0
+                  THEN 1 ELSE 0 END AS bit
+           FROM v CROSS JOIN hpl),
+         sigs AS (
+           SELECT vec_id, CAST(j // 8 AS INTEGER) AS band,
+                  CAST(sum(bit << (j % 8)) AS BIGINT) AS bv
+           FROM bits GROUP BY vec_id, j // 8),
+         cands AS (
+           SELECT DISTINCT c.vec_id AS cid, b.vec_id AS bid
+           FROM sigs c JOIN sigs b
+             ON c.band = b.band AND c.bv = b.bv
+           WHERE c.vec_id % 40 != 0 AND b.vec_id % 40 = 0),
+         dominated AS (
+           SELECT DISTINCT c.cid
+           FROM cands c
+           JOIN v cv ON c.cid = cv.vec_id
+           JOIN v bv ON c.bid = bv.vec_id
+           WHERE round(list_dot_product(cv.ev, bv.ev)
+                       / (sqrt(list_dot_product(cv.ev, cv.ev))
+                          * sqrt(list_dot_product(bv.ev, bv.ev))), 6)
+                 >= 0.35)
+         SELECT e.vec_id, e.label FROM embeddings e
+         WHERE e.vec_id % 40 != 0
+           AND e.vec_id NOT IN (SELECT cid FROM dominated)
+         ORDER BY e.vec_id""",
 
     "q127_agg_merge" ->
       """SELECT source, lang, count(*) AS n_docs,

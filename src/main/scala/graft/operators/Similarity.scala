@@ -456,6 +456,52 @@ object Similarity {
     vectors.join(dominated, Seq(idCol), "left_anti")
   }
 
+  /** CROSS-SET semantic decontamination: drop every corpus vector that
+    * is ≥ `minCosine` similar to ANY benchmark vector sharing one of
+    * its hyperplane-LSH buckets — [[semanticDedup]]'s two-table sibling
+    * and the embedding-space counterpart of the n-gram
+    * decontamination (q66): n-grams catch verbatim leakage, this
+    * catches paraphrased leakage.
+    *
+    * SCALE SHAPE: the benchmark is small by definition, so its banded
+    * signatures AND its vectors ride broadcasts — the corpus is never
+    * shuffled at all: signatures are kernel-computed in the scan stage,
+    * candidates come from a broadcast band join, the exact-cosine
+    * confirmation joins corpus vectors by id, and the final removal is
+    * one broadcast anti-join of contaminated ids.
+    */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+                            idCol: String, vecCol: String,
+                            dim: Int, bits: Int, bandBits: Int,
+                            minCosine: Double): DataFrame = {
+    require(bits % bandBits == 0, s"bits=$bits not divisible by $bandBits")
+    ensureFns(corpus)
+    val bands = bits / bandBits
+    val sig = call_function("graft_hyperplane_sig", col(vecCol),
+      lit(bits), lit(bandBits), lit(dim))
+    def bandRows(df: DataFrame, out: String): DataFrame = df
+      .select(col(idCol).as(out), sig.as("_sig"))
+      .select(col(out), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          element_at(col("_sig"), b + 1).as("v"))): _*)).as("bv"))
+      .select(col(out), col("bv.band").as("band"), col("bv.v").as("v"))
+    val cands = bandRows(corpus, "cid")
+      .join(broadcast(bandRows(bench, "bid")), Seq("band", "v"))
+      .select(col("cid"), col("bid")).distinct()
+    val cv = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+      nnorm(col(vecCol)).as("cn"))
+    val bv = bench.select(col(idCol).as("bid"), col(vecCol).as("bv"),
+      nnorm(col(vecCol)).as("bn"))
+    val contaminated = cands.join(cv, Seq("cid"))
+      .join(broadcast(bv), Seq("bid"))
+      .withColumn("sim",
+        round(safeDiv(ndot(col("cv"), col("bv")),
+                      col("cn") * col("bn")), 6))
+      .where(col("sim") >= minCosine)
+      .select(col("cid").as(idCol)).distinct()
+    corpus.join(broadcast(contaminated), Seq(idCol), "left_anti")
+  }
+
   /** IVF ANN top-k: each query probes its `nprobe` nearest centroid
     * cells (default 1 = own cluster only). Recall < 1 by design (that's
     * the approximation); nprobe=2 recovers the boundary neighbors the

@@ -461,6 +461,18 @@ class PlanSpec extends SparkTestBase {
       s"frequency counts must partial-aggregate:\n$p")
   }
 
+  test("q129 decontamination: bench rides broadcasts, corpus never SMJs") {
+    // bench signatures, bench vectors, and the contaminated-id set are
+    // all broadcast-bounded — any SortMergeJoin means the corpus
+    // crossed the wire to subtract a benchmark
+    val p = plan("q129_semantic_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"contaminated ids must broadcast into an anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus SMJ:\n$p")
+    assert(p.contains("graft_hyperplane_sig"),
+      s"signatures must come from the fused kernel:\n$p")
+  }
+
   test("q116 MAD passes keep partial percentile phases, no cartesian") {
     // both median passes must combine map-side (ObjectHashAggregate
     // partials); the join-backs are one-row-per-key tables AQE

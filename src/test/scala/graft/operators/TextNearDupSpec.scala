@@ -605,6 +605,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(d.forall(v => math.abs(v - 1.0) < 1e-12))
   }
 
+  test("semanticDecontaminate drops bench-similar corpus vectors only") {
+    // corpus: 0/1 near-parallel to the bench vector, 2/4 orthogonal
+    val bench = Seq((100L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val corpus = vecs.where($"vec_id" =!= 3L)
+    val kept = Similarity.semanticDecontaminate(corpus, bench,
+        "vec_id", "embedding", dim = 3, bits = 16, bandBits = 8,
+        minCosine = 0.9)
+      .select($"vec_id").as[Long].collect().toSet
+    // ids 0 and 1 (cos 1.0 / ≈0.994 to bench) must drop; orthogonal
+    // vectors survive even if a band collides (exact rescore rejects)
+    assert(kept == Set(2L, 4L))
+  }
+
   test("bruteForceTopK ranks the nearest neighbor first") {
     val top1 = Similarity.bruteForceTopK(
         vecs.where($"vec_id" === 0), vecs, "vec_id", "embedding", 1)
