@@ -225,17 +225,69 @@ object NearDup {
     * documents.
     */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
-                        blockCol: String, maxDist: Int): DataFrame = {
+                        blockCol: String, maxDist: Int): DataFrame =
+    if (maxDist == 1) symDeletePairs(df, idCol, strCol, blockCol)
+    else blockedAllPairs(df, idCol, strCol, blockCol, maxDist)
+
+  /** maxDist=1 path — SYMMETRIC DELETE (SymSpell): two strings are
+    * within edit distance 1 iff they share a key in each other's
+    * {self} ∪ {one-char deletions} neighborhood, so candidate
+    * generation becomes an inverted-index equi-join on
+    * (block, deletion-key) — the jaccard shape — instead of all-pairs
+    * within a block. Shuffle carries len+1 short keys per row; work
+    * distributes by key hash, NOT by block count (an all-pairs block
+    * join serializes each block's quadratic pair loop onto one task).
+    * False candidates (different deletions colliding) are killed by
+    * the banded-levenshtein verification; true dist ≤ 1 pairs always
+    * share a key (equal → self; substitution at i → both delete i;
+    * ins/del → the shorter string itself).
+    */
+  private def symDeletePairs(df: DataFrame, idCol: String,
+                             strCol: String, blockCol: String)
+      : DataFrame = {
+    val s = col("_s")
+    val dels = when(length(s) > 0,
+      transform(sequence(lit(0), length(s) - 1), i =>
+        concat(substring(s, lit(1), i),
+               substring(s, i + lit(2), length(s)))))
+      .otherwise(array().cast("array<string>"))
+    val keys = spread(df)
+      .select(col(blockCol).as("blk"), col(idCol).as("id"),
+        col(strCol).as("_s"))
+      .select(col("blk"), col("id"), col("_s"),
+        explode(array_union(array(s), dels)).as("key"))
+    val cands = keys.select(col("blk"), col("key"), col("id").as("a"),
+        col("_s").as("_sa"))
+      .join(keys.select(col("blk"), col("key"), col("id").as("b"),
+        col("_s").as("_sb")), Seq("blk", "key"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("_sa"), col("_sb")).distinct()
+    cands
+      .withColumn("dist", levenshtein(col("_sa"), col("_sb"), 1))
+      .where(col("dist") >= 0)
+      .select(col("a"), col("b"), col("dist"))
+  }
+
+  /** maxDist ≥ 2 path — all-pairs within a block with a
+    * length-difference pre-filter and THRESHOLD-BANDED (3-arg)
+    * levenshtein: O(len·maxDist) with early exit instead of the full
+    * O(len²) table, returning -1 past the threshold so one evaluation
+    * serves filter and output. Blocks must be bounded (class doc).
+    */
+  private def blockedAllPairs(df: DataFrame, idCol: String,
+                              strCol: String, blockCol: String,
+                              maxDist: Int): DataFrame = {
     val a = df.select(col(blockCol).as("blk"), col(idCol).as("a"),
       col(strCol).as("_sa"))
     val b = df.select(col(blockCol).as("blk"), col(idCol).as("b"),
       col(strCol).as("_sb"))
     a.join(b, Seq("blk"))
       .where(col("a") < col("b") &&
-        abs(length(col("_sa")) - length(col("_sb"))) <= maxDist &&
-        levenshtein(col("_sa"), col("_sb")) <= maxDist)
-      .select(col("a"), col("b"),
-        levenshtein(col("_sa"), col("_sb")).as("dist"))
+        abs(length(col("_sa")) - length(col("_sb"))) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("_sa"), col("_sb"), maxDist))
+      .where(col("dist") >= 0)
+      .select(col("a"), col("b"), col("dist"))
   }
 
   /** Shared candidate generation for the shingle-set pair family:
