@@ -1035,6 +1035,39 @@ object SparkEntry {
       out.orderBy(col("component"))
     }),
 
+    // Streaming funnel: q125's semantics as per-user
+    // flatMapGroupsWithState (state = 3 numbers/user) over the event
+    // stream — counts must equal the batch funnel exactly
+    "q130_stream_funnel" -> ((s, dir) => {
+      val spark2 = s
+      import spark2.implicits._
+      val batch = t(s, dir, "events")
+      val stream = graft.streaming.Streams.fileSource(
+        s, dir, batch.schema, globFilter = Some("events.parquet"))
+      val steps = Seq("view", "click", "purchase")
+      val stepCol = steps.zipWithIndex.foldLeft(lit(-1)) {
+        case (acc, (st, i)) =>
+          when(col("event_type") === st, lit(i)).otherwise(acc)
+      }
+      val evs = stream.select(col("user_id").as("key"),
+          eventTimestamp("ts").as("ts"), stepCol.as("step"))
+        .where(col("step") >= 0)
+        .as[graft.streaming.StatefulFunnel.StepEvent]
+      val adv = graft.streaming.StatefulFunnel
+        .track(evs, steps.length, 86400L)
+      val qname = "graft_q130_funnel"
+      val query = graft.streaming.Streams
+        .drainToMemory(adv.toDF(), qname, outputMode = "append").start()
+      try query.awaitTermination() finally query.stop()
+      steps.zipWithIndex.map { case (st, i) => (i + 1, st) }
+        .toDF("step_idx", "step")
+        .join(s.table(qname).groupBy(col("step_idx"))
+          .agg(count(lit(1)).as("n")), Seq("step_idx"), "left")
+        .select(col("step_idx"), col("step"),
+          coalesce(col("n"), lit(0L)).as("n_users"))
+        .orderBy(col("step_idx"))
+    }),
+
     // Embedding-space decontamination: drop corpus vectors ≥ 0.35
     // cosine to any benchmark vector (vec_id %40 == 0 plays the bench)
     // within shared hyperplane-LSH buckets — the paraphrase-leakage
@@ -3963,6 +3996,34 @@ object SparkEntry {
                 count(*) AS class_size
          FROM comp c JOIN documents dd ON c.doc_id = dd.doc_id
          GROUP BY c.component ORDER BY c.component"""),
+
+    "q130_stream_funnel" ->
+      """WITH ev AS (
+           SELECT user_id, event_type,
+                  make_timestamp(epoch_ns(ts) // 1000) AS ts
+           FROM events),
+         s1 AS (
+           SELECT user_id, min(ts) AS t1 FROM ev
+           WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (
+           SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+           FROM ev e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t1
+             AND e.ts <= s1.t1 + INTERVAL 86400 SECOND
+           GROUP BY e.user_id),
+         s3 AS (
+           SELECT e.user_id, min(e.ts) AS t3
+           FROM ev e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+             AND e.ts <= s2.t1 + INTERVAL 86400 SECOND
+           GROUP BY e.user_id)
+         SELECT 1 AS step_idx, 'view' AS step,
+                (SELECT count(*) FROM s1) AS n_users
+         UNION ALL
+         SELECT 2, 'click', (SELECT count(*) FROM s2)
+         UNION ALL
+         SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+         ORDER BY step_idx""",
 
     "q129_semantic_decontaminate" ->
       """WITH v AS (
