@@ -1035,6 +1035,39 @@ object SparkEntry {
       out.orderBy(col("component"))
     }),
 
+    // Systematic (every-k-th) sample in deterministic md5 order: the
+    // eval-set carve-out that is provably spread across the corpus —
+    // rides the distributed global-index operator (q77's machinery)
+    "q131_systematic_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("_h", md5(concat(lit("sys:"),
+          col("doc_id").cast("string"))))
+      Ordering.withGlobalIndex(docs, Seq(col("_h")), "idx")
+        .where(col("idx") % 10 === 1) // idx is 1-based; keep 1,11,21,…
+        .select(col("doc_id"), col("idx"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Time-to-convert distribution: per-user seconds from first view to
+    // the funnel-completing purchase, bucketed into hour-wide bands —
+    // the latency histogram behind q125's counts
+    "q132_time_to_convert" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_t", eventTimestamp("ts"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_t")).as("t1"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(v, "user_id")
+        .where(col("ts_t") > col("t1"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts_t")).as("tp"), min(col("t1")).as("t1"))
+      p.select(expr("(unix_micros(tp) - unix_micros(t1)) DIV 3600000000")
+          .as("hour_band"))
+        .groupBy(col("hour_band"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("hour_band"))
+    }),
+
     // Streaming funnel: q125's semantics as per-user
     // flatMapGroupsWithState (state = 3 numbers/user) over the event
     // stream — counts must equal the batch funnel exactly
@@ -3996,6 +4029,32 @@ object SparkEntry {
                 count(*) AS class_size
          FROM comp c JOIN documents dd ON c.doc_id = dd.doc_id
          GROUP BY c.component ORDER BY c.component"""),
+
+    "q131_systematic_sample" ->
+      """WITH h AS (
+           SELECT doc_id,
+                  row_number() OVER (ORDER BY
+                    md5('sys:' || CAST(doc_id AS VARCHAR))) AS idx
+           FROM documents)
+         SELECT doc_id, idx FROM h WHERE idx % 10 = 1
+         ORDER BY doc_id""",
+
+    "q132_time_to_convert" ->
+      """WITH ev AS (
+           SELECT user_id, event_type,
+                  make_timestamp(epoch_ns(ts) // 1000) AS ts
+           FROM events),
+         v AS (SELECT user_id, min(ts) AS t1 FROM ev
+               WHERE event_type = 'view' GROUP BY user_id),
+         p AS (
+           SELECT e.user_id, min(e.ts) AS tp, min(v.t1) AS t1
+           FROM ev e JOIN v USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > v.t1
+           GROUP BY e.user_id)
+         SELECT (epoch_us(tp) - epoch_us(t1)) // 3600000000
+                  AS hour_band,
+                count(*) AS n_users
+         FROM p GROUP BY 1 ORDER BY 1""",
 
     "q130_stream_funnel" ->
       """WITH ev AS (
