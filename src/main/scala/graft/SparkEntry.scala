@@ -1035,6 +1035,41 @@ object SparkEntry {
       out.orderBy(col("component"))
     }),
 
+    // LOCF gap fill: values nulled on %3 event ids repair to the
+    // latest prior non-null per user (deterministic (ts, id) order) —
+    // the sensor-dropout feature-pipeline repair
+    "q133_locf" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("ts DIV 1000").as("tsu"),
+          when(col("event_id") % 3 === 0, lit(null).cast("double"))
+            .otherwise(col("value")).as("v"))
+      Funnel.locf(ev, Seq("user_id"), Seq(col("tsu"), col("event_id")),
+          "v", "v_filled")
+        .select(col("event_id"), col("v").isNull.as("was_gap"),
+          col("v_filled"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Last-touch attribution: each purchase credits the user's latest
+    // click within 24 h (backward as-of join with expiry — q14's
+    // operator composed into the marketing-analytics shape)
+    "q134_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("tsu", expr("ts DIV 1000"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsu").as("pts"),
+          col("event_id").as("purchase_id"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("tsu").as("cts"),
+          col("event_id").as("click_id"))
+      AsOfJoin.asofBackward(purchases, clicks, Seq("user_id"),
+          "pts", "cts", Seq("click_id"),
+          tolerance = Some(86400L * 1000000L))
+        .select(col("purchase_id"), col("value"), col("click_id"))
+        .orderBy(col("purchase_id"))
+    }),
+
     // Systematic (every-k-th) sample in deterministic md5 order: the
     // eval-set carve-out that is provably spread across the corpus —
     // rides the distributed global-index operator (q77's machinery)
@@ -4029,6 +4064,37 @@ object SparkEntry {
                 count(*) AS class_size
          FROM comp c JOIN documents dd ON c.doc_id = dd.doc_id
          GROUP BY c.component ORDER BY c.component"""),
+
+    "q133_locf" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu,
+                  CASE WHEN event_id % 3 = 0 THEN NULL
+                       ELSE value END AS v
+           FROM events)
+         SELECT event_id, (v IS NULL) AS was_gap,
+                last_value(v IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY tsu, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS v_filled
+         FROM ev ORDER BY event_id""",
+
+    "q134_attribution" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, event_type, value,
+                  epoch_ns(ts) // 1000 AS tsu
+           FROM events),
+         p AS (SELECT user_id, tsu AS pts, event_id AS purchase_id,
+                      value
+               FROM ev WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, tsu AS cts, event_id AS click_id
+               FROM ev WHERE event_type = 'click')
+         SELECT p.purchase_id, p.value,
+                arg_max(c.click_id, c.cts) AS click_id
+         FROM p LEFT JOIN c
+           ON c.user_id = p.user_id AND c.cts <= p.pts
+           AND p.pts - c.cts <= 86400000000
+         GROUP BY p.purchase_id, p.value
+         ORDER BY p.purchase_id""",
 
     "q131_systematic_sample" ->
       """WITH h AS (

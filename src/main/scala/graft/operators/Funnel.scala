@@ -46,6 +46,23 @@ object Funnel {
     }.reduce(_.unionByName(_))
   }
 
+  /** Last-observation-carried-forward gap fill: NULLs in `valueCol`
+    * take the latest non-null value within the key group under
+    * `orderCols` (which must be a deterministic total order — include a
+    * tiebreak id). The feature-pipeline "sensor dropped a reading"
+    * repair; one window pass, partitioned by key, no self-join.
+    */
+  def locf(df: DataFrame, keyCols: Seq[String],
+           orderCols: Seq[org.apache.spark.sql.Column],
+           valueCol: String, outCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols: _*)
+      .rowsBetween(Long.MinValue, 0)
+    df.withColumn(outCol,
+      last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
   /** Weekly retention cohorts: users grouped by the week of their first
     * event; one row per (cohort week, week offset) with the count of
     * cohort users active that week. `date_trunc('week')` is

@@ -79,6 +79,20 @@ class FunnelSpec extends SparkTestBase {
     }
   }
 
+  test("locf: nulls repair to latest prior non-null per key; leading stay") {
+    val df = Seq(
+      ("u", 1L, Some(1.0)), ("u", 2L, None), ("u", 3L, None),
+      ("u", 4L, Some(4.0)), ("u", 5L, None),
+      ("v", 1L, None) // leading null — nothing to carry
+    ).toDF("k", "i", "v")
+    val got = Funnel.locf(df, Seq("k"), Seq($"i"), "v", "f")
+      .select($"k", $"i", $"f").as[(String, Long, Option[Double])]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("u", 2L)).contains(1.0) && got(("u", 3L)).contains(1.0))
+    assert(got(("u", 5L)).contains(4.0))
+    assert(got(("v", 1L)).isEmpty)
+  }
+
   test("editDistancePairs: blocked, length-pruned, exact distances") {
     val recs = Seq(
       (1L, "smith", "b1"), (2L, "smyth", "b1"),  // dist 1, same block
