@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe (builder tooling, not part of the driver contract):
+  * synthesizes ~20× inputs from sf0.1 by unioning id-shifted copies and
+  * times the round's new iterative/join-heavy operators one run each.
+  * Usage: `SPARK_GRAFT_CPUS=32 sbt "runMain graft.Probe /root/testdata/sf0.1 [probe...]"`
+  * with probes ∈ {pagerank, symdelete, unigram, funnel}.
+  */
+object Probe {
+  private def timed[A](name: String)(f: => A): Unit = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[probe] $name%-12s ${(System.nanoTime() - t0) / 1e9}%8.1f s  ($r)")
+  }
+
+  private def times(df: DataFrame, copies: Int, idCols: Seq[String],
+                    shift: Long): DataFrame =
+    (0 until copies).map { i =>
+      idCols.foldLeft(df)((d, c) =>
+        d.withColumn(c, col(c) + lit(i * shift)))
+    }.reduce(_.unionByName(_))
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.head
+    val probes = if (args.length > 1) args.drop(1).toSet
+                 else Set("pagerank", "symdelete", "unigram", "funnel")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators._
+
+    if (probes("pagerank")) {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").as("ok"),
+          col("l_linenumber").as("ln"), col("l_partkey").as("pk"))
+      val nxt = li.select(col("ok"), (col("ln") - 1).as("ln"),
+        col("pk").as("dst_pk"))
+      val base = li.join(nxt, Seq("ok", "ln"))
+        .where(col("pk") =!= col("dst_pk"))
+        .select(col("pk").as("src"), col("dst_pk").as("dst"))
+      val big = times(base, 20, Seq("src", "dst"), 1000000L)
+      timed("pagerank20x") {
+        val r = Graph.pageRank(big, "src", "dst", iterations = 3)
+        r.count()
+      }
+    }
+    if (probes("symdelete")) {
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val big = times(cust, 20, Seq("c_custkey"), 1000000L)
+        .withColumn("c_nationkey",
+          col("c_nationkey") + (col("c_custkey") / 1000000L).cast("int") * 25)
+      timed("symdelete20x") {
+        NearDup.editDistancePairs(big, "c_custkey", "c_name",
+          "c_nationkey", 1).count()
+      }
+    }
+    if (probes("unigram")) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val big = times(docs, 20, Seq("doc_id"), 1000000L)
+      timed("unigram20x") {
+        TextAnalysis.unigramLogProb(big, "doc_id", "text").count()
+      }
+    }
+    if (probes("funnel")) {
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
+      val big = times(ev, 20, Seq("event_id", "user_id"), 1000000L)
+      timed("funnel20x") {
+        Funnel.conversion(big, "user_id", "ts_t", "event_type",
+          Seq("view", "click", "purchase"), 86400L).count()
+      }
+    }
+    spark.stop()
+  }
+}
