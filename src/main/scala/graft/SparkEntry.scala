@@ -1035,6 +1035,49 @@ object SparkEntry {
       out.orderBy(col("component"))
     }),
 
+    // Class-distinctive terms (c-TF-IDF): top-5 tokens per source by
+    // in-class rate × inverse class frequency — the topic-labeling
+    // report over the corpus's own clustering dimension
+    "q135_class_terms" -> ((s, dir) => {
+      TextAnalysis.classTerms(t(s, dir, "documents"), "source",
+          "text", k = 5)
+        .select(col("source"), col("rnk"), col("token"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("source"), col("rnk"))
+    }),
+
+    // Link extraction: URLs injected on %3 ids are pulled back out with
+    // regexp_extract_all and aggregated per domain — the link-graph
+    // builder feeding PageRank-style authority scoring (q113)
+    "q136_link_extract" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" see http://site"), col("doc_id") % 7,
+              lit(".example.com/p"), col("doc_id") % 11))
+          .otherwise(lit(""))).as("text"))
+      injected.select(col("doc_id"),
+          explode(regexp_extract_all(col("text"),
+            lit("http://([a-z0-9.]+)"), lit(1))).as("domain"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_mentions"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("domain"))
+    }),
+
+    // Burst collapse (debounce): keep the first event of every
+    // gap-delimited same-(user,type) burst — one window pass, the
+    // q10 session-start predicate as a dedup decision
+    "q137_debounce" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts DIV 1000").as("tsu"))
+      Sessionize.burstCollapse(ev, Seq("user_id", "event_type"),
+          "tsu", "event_id", gap = 86400L * 1000000L)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    }),
+
     // LOCF gap fill: values nulled on %3 event ids repair to the
     // latest prior non-null per user (deterministic (ts, id) order) —
     // the sensor-dropout feature-pipeline repair
@@ -4064,6 +4107,71 @@ object SparkEntry {
                 count(*) AS class_size
          FROM comp c JOIN documents dd ON c.doc_id = dd.doc_id
          GROUP BY c.component ORDER BY c.component"""),
+
+    "q135_class_terms" ->
+      """WITH d AS (
+           SELECT source,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         tok AS (
+           SELECT source, unnest(toks) AS token FROM d
+           WHERE len(toks) > 0 AND toks != ['']),
+         bg AS (SELECT source, token, count(*) AS cg
+                FROM tok GROUP BY source, token),
+         ng AS (SELECT source, sum(cg) AS n FROM bg GROUP BY source),
+         dfc AS (SELECT token, count(*) AS df FROM bg GROUP BY token),
+         nc AS (SELECT CAST(count(DISTINCT source) AS DOUBLE) AS n
+                FROM bg),
+         sc AS (
+           SELECT b.source, b.token,
+                  (CAST(b.cg AS DOUBLE) / CAST(ng.n AS DOUBLE))
+                  * ln(1.0 + (SELECT n FROM nc)
+                        / CAST(dfc.df AS DOUBLE)) AS score
+           FROM bg b JOIN ng USING (source) JOIN dfc USING (token)),
+         rk AS (
+           SELECT source, token, score,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY score DESC, token) AS rnk
+           FROM sc)
+         SELECT source, CAST(rnk AS INTEGER) AS rnk, token,
+                round(score, 6) AS score
+         FROM rk WHERE rnk <= 5 ORDER BY source, rnk""",
+
+    "q136_link_extract" ->
+      """WITH inj AS (
+           SELECT doc_id, coalesce(text, '') ||
+                  (CASE WHEN doc_id % 3 = 0
+                        THEN ' see http://site' ||
+                             CAST(doc_id % 7 AS VARCHAR) ||
+                             '.example.com/p' ||
+                             CAST(doc_id % 11 AS VARCHAR)
+                        ELSE '' END) AS text
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+                  unnest(regexp_extract_all(text,
+                    'http://([a-z0-9.]+)', 1)) AS domain
+           FROM inj)
+         SELECT domain, count(*) AS n_mentions,
+                count(DISTINCT doc_id) AS n_docs
+         FROM m GROUP BY domain ORDER BY domain""",
+
+    "q137_debounce" ->
+      """WITH e AS (
+           SELECT event_id, user_id, event_type,
+                  epoch_ns(ts) // 1000 AS tsu
+           FROM events),
+         m AS (
+           SELECT event_id, user_id, event_type, tsu,
+                  max(tsu) OVER (PARTITION BY user_id, event_type
+                    ORDER BY tsu, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS pm
+           FROM e)
+         SELECT event_id, user_id, event_type FROM m
+         WHERE pm IS NULL OR tsu > pm + 86400000000
+         ORDER BY event_id""",
 
     "q133_locf" ->
       """WITH ev AS (

@@ -64,4 +64,24 @@ object Sessionize {
                        gap: Long): DataFrame =
     coalesceIntervals(df, keyCols, tsCol, tsCol, gap)
 
+  /** Burst collapse (debounce): keep only the FIRST event of every
+    * gap-delimited burst per key — "the user mashed the button five
+    * times in two seconds" dedup, the retention-safe cousin of
+    * dropDuplicates (it keeps one representative per burst, not per
+    * value). A row survives iff no prior same-key event lies within
+    * `gap` of it — exactly the session-start test of the q10
+    * sessionization window, so this is ONE window pass, no join, and
+    * the streaming twin is `session_window` + first().
+    * `tieCol` breaks equal-timestamp order deterministically; later
+    * ties inside a burst collapse into its head.
+    */
+  def burstCollapse(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                    tieCol: String, gap: Long): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("_pm", max(col(tsCol)).over(w))
+      .where(col("_pm").isNull || col(tsCol) > col("_pm") + gap)
+      .drop("_pm")
+  }
 }

@@ -177,6 +177,36 @@ object TextAnalysis {
            sum(p * log(p / q)).as("kl"))
   }
 
+  /** Class-distinctive terms (c-TF-IDF, the BERTopic topic-labeling
+    * form): per class, the top-`k` tokens by
+    * `(tf_in_class / class_tokens) · ln(1 + n_classes / class_df)` —
+    * what makes THIS source/cluster read differently from the rest.
+    * One tokenize pass; everything after the first aggregation is
+    * vocabulary-sized. `n_classes` is a driver scalar (one tiny
+    * distinct count — same contract as Similarity's centroid collect).
+    * Deterministic: rank ties break on the token.
+    */
+  def classTerms(docs: DataFrame, classCol: String, textCol: String,
+                 k: Int): DataFrame = {
+    val tok = docs
+      .select(col(classCol), explode(tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+    val bg = tok.groupBy(col(classCol), col("token"))
+      .agg(count(lit(1)).as("_cg"))
+    val nClasses = bg.select(col(classCol)).distinct().count().toDouble
+    val ng = bg.groupBy(col(classCol)).agg(sum(col("_cg")).as("_ng"))
+    val dfc = bg.groupBy(col("token")).agg(count(lit(1)).as("_df"))
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(col("score").desc, col("token"))
+    bg.join(ng, classCol).join(dfc, "token")
+      .withColumn("score",
+        (col("_cg").cast("double") / col("_ng").cast("double")) *
+          log(lit(1.0) + lit(nClasses) / col("_df").cast("double")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col(classCol), col("rnk"), col("token"), col("score"))
+  }
+
   /** Zipf rank-frequency slope per source: the log-log regression
     * coefficient of token frequency against rank (natural text sits
     * near −1; templated/boilerplate corpora flatten, ID-soup steepens).

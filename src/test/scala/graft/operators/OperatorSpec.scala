@@ -71,6 +71,18 @@ class SessionizeSpec extends SparkTestBase {
       val s = rng.nextInt(span).toLong; (s, s + rng.nextInt(maxLen)) }
   }
 
+  test("burstCollapse keeps burst heads only; ties fold into the head") {
+    val ev = Seq(
+      // key k: bursts {0,3}, {10}, {20,20,24} with gap 5
+      ("k", 1L, 0L), ("k", 2L, 3L), ("k", 3L, 10L),
+      ("k", 4L, 20L), ("k", 5L, 20L), ("k", 6L, 24L),
+      ("j", 7L, 0L)
+    ).toDF("g", "id", "t")
+    val kept = Sessionize.burstCollapse(ev, Seq("g"), "t", "id", 5L)
+      .select($"id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L, 7L))
+  }
+
   test("window coalescing matches brute-force union (property)") {
     for (seed <- 1 to 8) {
       val iv0 = randomIntervals(seed, 60, 500, 60)

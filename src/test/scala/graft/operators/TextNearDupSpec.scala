@@ -90,6 +90,19 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(math.abs(got._2 - slope) < 1e-9)
   }
 
+  test("classTerms surfaces the class-exclusive token first") {
+    val docs = Seq(
+      ("a", "common words plus quux quux quux"),
+      ("b", "common words plus other stuff")
+    ).toDF("source", "text")
+    val top = TextAnalysis.classTerms(docs, "source", "text", 2)
+      .select($"source", $"rnk", $"token")
+      .as[(String, Int, String)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(top(("a", 1)) == "quux")  // exclusive AND frequent in a
+    assert(Set("other", "stuff").contains(top(("b", 1)))) // b-exclusive
+  }
+
   test("fingerprint is whitespace/case-insensitive but content-sensitive") {
     val df = Seq(("a", "Hello   World"), ("b", "hello world"),
                  ("c", "hello worlds")).toDF("id", "text")
