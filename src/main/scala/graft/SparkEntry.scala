@@ -1035,6 +1035,44 @@ object SparkEntry {
       out.orderBy(col("component"))
     }),
 
+    // Media-crawl ingest end-to-end: synthesize deterministic media
+    // blobs (q64's corpus, %6 subset), export each as a FILE
+    // (executor-side), re-ingest via binaryFile, recover the id from
+    // the filename, and decode formats/dims — the full
+    // files-on-disk → typed-metadata path a multimodal crawl runs
+    "q138_media_ingest" -> ((s, dir) => {
+      val spark2 = s
+      import spark2.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter(_ % 6 == 0)
+        .map { id =>
+          val bytes = (id % 4) match {
+            case 0 =>
+              Multimodal.encodeBmp((id % 37).toInt + 1, (id % 23).toInt + 1)
+            case 1 =>
+              Multimodal.encodeWav(8000 + (id % 5).toInt * 1000,
+                ((id / 5) % 2).toInt + 1, (id % 50).toInt + 100)
+            case 2 =>
+              Multimodal.encodeJpeg((id % 41).toInt + 1, (id % 29).toInt + 1,
+                (id % 16).toInt)
+            case _ =>
+              Multimodal.encodeGif((id % 31).toInt + 1, (id % 17).toInt + 1)
+          }
+          (s"m_$id.bin", bytes)
+        }.toDF("fname", "payload")
+      val out = "/tmp/graft_q138_media"
+      graft.sources.Sinks.writeBlobFiles(media, "fname", "payload", out)
+      val back = graft.sources.Sinks.readBlobFiles(s, out)
+        .select(regexp_extract(element_at(split(col("path"), "/"), -1),
+            "m_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+          col("content").as("payload"))
+      Multimodal.extractFeatures(s, back, "doc_id")
+        .select(col("doc_id"), col("format"), col("width"),
+          col("height"), col("sample_rate"), col("channels"),
+          col("n_bytes"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Class-distinctive terms (c-TF-IDF): top-5 tokens per source by
     // in-class rate × inverse class frequency — the topic-labeling
     // report over the corpus's own clustering dimension
@@ -4107,6 +4145,31 @@ object SparkEntry {
                 count(*) AS class_size
          FROM comp c JOIN documents dd ON c.doc_id = dd.doc_id
          GROUP BY c.component ORDER BY c.component"""),
+
+    "q138_media_ingest" ->
+      """SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav'
+                           WHEN 2 THEN 'jpeg' ELSE 'gif' END AS format,
+           CAST(CASE doc_id % 4 WHEN 0 THEN doc_id % 37 + 1
+                                WHEN 2 THEN doc_id % 41 + 1
+                                WHEN 3 THEN doc_id % 31 + 1
+                                ELSE -1 END AS INTEGER) AS width,
+           CAST(CASE doc_id % 4 WHEN 0 THEN doc_id % 23 + 1
+                                WHEN 2 THEN doc_id % 29 + 1
+                                WHEN 3 THEN doc_id % 17 + 1
+                                ELSE -1 END AS INTEGER) AS height,
+           CAST(CASE doc_id % 4 WHEN 1 THEN 8000 + (doc_id % 5) * 1000
+                                ELSE -1 END AS INTEGER) AS sample_rate,
+           CAST(CASE doc_id % 4 WHEN 1 THEN (doc_id // 5) % 2 + 1
+                                ELSE -1 END AS INTEGER) AS channels,
+           CAST(CASE doc_id % 4
+                WHEN 0 THEN 54 + (doc_id % 23 + 1)
+                     * (((doc_id % 37 + 1) * 3 + 3) // 4 * 4)
+                WHEN 1 THEN 44 + (doc_id % 50 + 100)
+                     * ((doc_id // 5) % 2 + 1) * 2
+                WHEN 2 THEN 21 + doc_id % 16
+                ELSE 14 END AS INTEGER) AS n_bytes
+         FROM documents WHERE doc_id % 6 = 0 ORDER BY doc_id""",
 
     "q135_class_terms" ->
       """WITH d AS (
