@@ -37,7 +37,10 @@ class QuerySurfaceSpec extends SparkTestBase {
     "q13_salted_agg", "q35_salted_join",
     "q25_ivf_ann", "q63_ivf_nprobe", "q50_cosine_neardup",
     "q68_quantized_ann", "q72_bloom_decontaminate", "q12_ntile",
-    "q41_approx_segment", "q53_percentile_bucketed")
+    "q41_approx_segment", "q53_percentile_bucketed",
+    "q113_pagerank", "q114_blob_roundtrip", "q115_schema_evolution",
+    "q119_fuzzy_dedup", "q130_stream_funnel", "q131_systematic_sample",
+    "q135_class_terms", "q138_media_ingest")
 
   test("every oracle key names a query; every query is gated") {
     val rowsOnly = Set("q34_approx_sketch", "q41_approx_segment",
