@@ -1116,6 +1116,31 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Streaming burst debounce: q137's semantics with ONE timestamp of
+    // state per (user,type) key — kept event ids must hash-match the
+    // batch window form
+    "q139_stream_debounce" -> ((s, dir) => {
+      val spark2 = s
+      import spark2.implicits._
+      val batch = t(s, dir, "events")
+      val stream = graft.streaming.Streams.fileSource(
+        s, dir, batch.schema, globFilter = Some("events.parquet"))
+      val evs = stream.select(
+          concat(col("user_id").cast("string"), lit("|"),
+            col("event_type")).as("key"),
+          eventTimestamp("ts").as("ts"),
+          col("event_id").as("tie"))
+        .as[graft.streaming.StatefulFunnel.KeyedEvent]
+      val heads = graft.streaming.StatefulFunnel
+        .debounce(evs, 86400L * 1000000L)
+      val qname = "graft_q139_debounce"
+      val query = graft.streaming.Streams
+        .drainToMemory(heads.toDF(), qname, outputMode = "append").start()
+      try query.awaitTermination() finally query.stop()
+      s.table(qname).select(col("tie").as("event_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // LOCF gap fill: values nulled on %3 event ids repair to the
     // latest prior non-null per user (deterministic (ts, id) order) —
     // the sensor-dropout feature-pipeline repair
@@ -4219,6 +4244,22 @@ object SparkEntry {
          SELECT domain, count(*) AS n_mentions,
                 count(DISTINCT doc_id) AS n_docs
          FROM m GROUP BY domain ORDER BY domain""",
+
+    "q139_stream_debounce" ->
+      """WITH e AS (
+           SELECT event_id, user_id, event_type,
+                  epoch_ns(ts) // 1000 AS tsu
+           FROM events),
+         m AS (
+           SELECT event_id, tsu,
+                  max(tsu) OVER (PARTITION BY user_id, event_type
+                    ORDER BY tsu, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS pm
+           FROM e)
+         SELECT event_id FROM m
+         WHERE pm IS NULL OR tsu > pm + 86400000000
+         ORDER BY event_id""",
 
     "q137_debounce" ->
       """WITH e AS (

@@ -19,6 +19,40 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StatefulFunnel {
 
+  /** Streaming burst collapse (debounce): emit only the head event of
+    * every gap-delimited burst per key — the streaming twin of
+    * `Sessionize.burstCollapse`, with state = ONE timestamp per key
+    * (the current burst's maximum). Exact under in-order delivery
+    * (same contract as [[track]]); each batch's events are processed
+    * in (ts, tie) order.
+    */
+  case class KeyedEvent(key: String, ts: java.sql.Timestamp, tie: Long)
+  case class BurstHead(key: String, ts: java.sql.Timestamp, tie: Long)
+
+  def debounce(events: Dataset[KeyedEvent], gapMicros: Long)
+      : Dataset[BurstHead] = {
+    implicit val eh = Encoders.product[BurstHead]
+    implicit val el = Encoders.scalaLong
+    implicit val ek = Encoders.STRING
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[Long, BurstHead](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[KeyedEvent], state: GroupState[Long]) =>
+          val evs = it.toArray.sortBy(e => (micros(e.ts), e.tie))
+          // Long.MinValue = "no burst open yet"
+          var lastMax = state.getOption.getOrElse(Long.MinValue)
+          val out = scala.collection.mutable.ArrayBuffer.empty[BurstHead]
+          evs.foreach { e =>
+            val t = micros(e.ts)
+            if (lastMax == Long.MinValue || t > lastMax + gapMicros)
+              out += BurstHead(key, e.ts, e.tie)
+            if (t > lastMax) lastMax = t
+          }
+          state.update(lastMax)
+          out.iterator
+      }
+  }
+
   /** `step` is the 0-based index into the funnel's step list; map and
     * filter event types BEFORE the stateful operator so state never
     * sees irrelevant events.
