@@ -1116,6 +1116,23 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // TF-IDF sparse-cosine near-dup: rare shared terms dominate, so
+    // templated docs separate by their distinctive content — the
+    // IR-weighted middle ground between Jaccard and embedding cosine
+    "q140_tfidf_neardup" -> ((s, dir) => {
+      NearDup.tfidfCosinePairs(t(s, dir, "documents"), "doc_id",
+          "text", "source", minSim = 0.5, maxDf = 400)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // BM25 lexical retrieval: score the corpus against a literal query
+    // and keep the top 20 — the search baseline next to the ANN index
+    "q141_bm25_search" -> ((s, dir) => {
+      TextAnalysis.bm25(t(s, dir, "documents"), "doc_id", "text",
+          query = "stream window join", k = 20)
+        .orderBy(col("doc_id"))
+    }),
+
     // Streaming burst debounce: q137's semantics with ONE timestamp of
     // state per (user,type) key — kept event ids must hash-match the
     // batch window form
@@ -4244,6 +4261,75 @@ object SparkEntry {
          SELECT domain, count(*) AS n_mentions,
                 count(DISTINCT doc_id) AS n_docs
          FROM m GROUP BY domain ORDER BY domain""",
+
+    "q140_tfidf_neardup" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         tok AS (
+           SELECT doc_id, source, unnest(toks) AS token FROM d
+           WHERE len(toks) > 0 AND toks != ['']),
+         tf AS (SELECT doc_id, source, token, count(*) AS tf
+                FROM tok GROUP BY doc_id, source, token),
+         dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         kept AS (SELECT token, df FROM dfreq WHERE df <= 400),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         w AS (
+           SELECT tf.doc_id, tf.source, tf.token,
+                  CAST(tf.tf AS DOUBLE)
+                    * ln((SELECT n FROM nn) / CAST(k.df AS DOUBLE)) AS w
+           FROM tf JOIN kept k USING (token)),
+         nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nm
+                 FROM w GROUP BY doc_id),
+         dots AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, sum(x.w * y.w) AS dot
+           FROM w x JOIN w y
+             ON x.source = y.source AND x.token = y.token
+             AND x.doc_id < y.doc_id
+           GROUP BY 1, 2)
+         SELECT a, b, round(dot / (na.nm * nb.nm), 6) AS sim
+         FROM dots JOIN nrm na ON na.doc_id = a
+                   JOIN nrm nb ON nb.doc_id = b
+         WHERE round(dot / (na.nm * nb.nm), 6) >= 0.5
+         ORDER BY a, b""",
+
+    "q141_bm25_search" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         tok AS (
+           SELECT doc_id, unnest(toks) AS token FROM d
+           WHERE len(toks) > 0 AND toks != ['']),
+         lens AS (SELECT doc_id, count(*) AS len
+                  FROM tok GROUP BY doc_id),
+         c AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                      CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                        AS avgdl
+               FROM lens),
+         qt AS (
+           SELECT doc_id, token, count(*) AS tf FROM tok
+           WHERE token IN ('stream', 'window', 'join')
+           GROUP BY doc_id, token),
+         dfq AS (SELECT token, count(*) AS df FROM qt GROUP BY token),
+         sc AS (
+           SELECT q.doc_id,
+                  ln(((SELECT n FROM c) - CAST(f.df AS DOUBLE) + 0.5)
+                     / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
+                  * (CAST(q.tf AS DOUBLE) * 2.2)
+                  / (CAST(q.tf AS DOUBLE) + 1.2 * (0.25
+                     + 0.75 * CAST(l.len AS DOUBLE)
+                       / (SELECT avgdl FROM c))) AS s
+           FROM qt q JOIN dfq f USING (token)
+                     JOIN lens l USING (doc_id)),
+         top AS (
+           SELECT doc_id, round(sum(s), 6) AS score
+           FROM sc GROUP BY doc_id
+           ORDER BY score DESC, doc_id LIMIT 20)
+         SELECT doc_id, score FROM top ORDER BY doc_id""",
 
     "q139_stream_debounce" ->
       """WITH e AS (

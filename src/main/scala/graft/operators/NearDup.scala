@@ -208,6 +208,64 @@ object NearDup {
     containmentPairsWithHandle(docs, idCol, textCol, blockCol, n,
       minContainment, maxDf)._1
 
+  /** TF-IDF sparse-cosine near-dup: pairwise cosine over per-doc
+    * TF-IDF term vectors — the IR-weighted middle ground between
+    * set-based Jaccard (ignores term frequency and rarity) and dense
+    * embedding cosine (needs a model). Rare shared terms dominate the
+    * score, so templated docs differing only in their distinctive
+    * content separate cleanly.
+    *
+    * Scale shape: the same inverted-index discipline as
+    * [[jaccardPairs]] — candidate pairs come from an equi-join on
+    * (block, token), never all-pairs; `maxDf` drops hot (near-zero-idf)
+    * tokens via a broadcast anti-join BEFORE the join, which both
+    * bounds the posting-list blow-up and removes terms contributing
+    * ~nothing to the score. N is a driver scalar (one count, same
+    * contract as classTerms/centroids).
+    */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                       blockCol: String, minSim: Double,
+                       maxDf: Int = 0): DataFrame = {
+    // raw token rows, NOT shingleRows: shingle sets are per-doc
+    // DISTINCT, which would erase the term-frequency half of TF-IDF
+    val tf = spread(docs)
+      .select(col(idCol).as("id"), col(blockCol).as("blk"),
+        explode(tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("id"), col("blk"), col("token"))
+      .agg(count(lit(1)).as("_tf"))
+    val n = docs.count().toDouble // driver scalar
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("_df"))
+    val kept =
+      if (maxDf > 0)
+        dfreq.where(col("_df") <= maxDf)
+      else dfreq
+    val w = tf.join(broadcast(kept), "token")
+      .withColumn("_w",
+        col("_tf").cast("double") *
+          log(lit(n) / col("_df").cast("double")))
+      .select(col("id"), col("blk"), col("token"), col("_w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norm = w.groupBy(col("id"))
+      .agg(sqrt(sum(col("_w") * col("_w"))).as("_n"))
+    val pairs = w.select(col("blk"), col("token"), col("id").as("a"),
+        col("_w").as("_wa"))
+      .join(w.select(col("blk"), col("token"), col("id").as("b"),
+        col("_w").as("_wb")), Seq("blk", "token"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("_wa") * col("_wb")).as("_dot"))
+      .join(norm.select(col("id").as("a"), col("_n").as("_na")), "a")
+      .join(norm.select(col("id").as("b"), col("_n").as("_nb")), "b")
+      .withColumn("sim", round(col("_dot") / (col("_na") * col("_nb")), 6))
+      .where(col("sim") >= minSim)
+      .select(col("a"), col("b"), col("sim"))
+    // the weight table is read 3× (both join sides + norms); persisted
+    // under the session cache contract (Verify/Bench clearCache between
+    // queries — same as jaccardPairs' shingle table)
+    pairs
+  }
+
   /** Record linkage (entity resolution lite): unordered within-block
     * pairs whose `strCol` values sit within `maxDist` edit distance —
     * the misspelled-mirror / duplicate-account matcher. Levenshtein is

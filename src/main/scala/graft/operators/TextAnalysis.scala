@@ -177,6 +177,58 @@ object TextAnalysis {
            sum(p * log(p / q)).as("kl"))
   }
 
+  /** BM25 retrieval: score every document against a literal query
+    * string (Robertson/Okapi, the lexical-search baseline every RAG
+    * stack keeps next to its ANN index) and return the top `k`.
+    *
+    * {{{ Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avgdl)) }}}
+    * with `idf(t) = ln((N−df+0.5)/(df+0.5) + 1)` (the +1 form — never
+    * negative). One tokenize pass; only rows containing a query term
+    * survive the semi-join onto the (tiny, broadcast) query-term
+    * frequency table; the final selection is a top-k
+    * (TakeOrderedAndProject), never a global sort. N and avgdl are the
+    * corpus constants a real deployment precomputes — here two driver
+    * scalars from one aggregate (documented small-by-contract).
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           query: String, k: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qTerms = normalizeString(query).split(" ").filter(_.nonEmpty)
+      .distinct.toSeq
+    val tok = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+    val lens = tok.groupBy(col(idCol)).agg(count(lit(1)).as("_len"))
+    val Array(nDocs, totLen) = lens
+      .agg(count(lit(1)).cast("double"), sum(col("_len")).cast("double"))
+      .head().toSeq.map(_.asInstanceOf[Double]).toArray
+    val avgdl = totLen / nDocs
+    val qdf = tok.where(col("token").isin(qTerms: _*))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("_tf"))
+      .join(broadcast(
+        tok.where(col("token").isin(qTerms: _*))
+          .select(col(idCol), col("token")).distinct()
+          .groupBy(col("token")).agg(count(lit(1)).as("_df"))), "token")
+    val idf = log(
+      (lit(nDocs) - col("_df") + lit(0.5)) / (col("_df") + lit(0.5)) +
+        lit(1.0))
+    qdf.join(lens, idCol)
+      .withColumn("_s", idf *
+        (col("_tf") * lit(k1 + 1)) /
+        (col("_tf") + lit(k1) * (lit(1 - b) +
+          lit(b) * col("_len").cast("double") / lit(avgdl))))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("_s")), 6).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  /** Normalize a plain Scala string exactly like the `normalize`
+    * Column (lowercase, whitespace collapse) — for literal queries.
+    */
+  private def normalizeString(s: String): String =
+    s.toLowerCase.replaceAll("\\s+", " ").trim
+
   /** Class-distinctive terms (c-TF-IDF, the BERTopic topic-labeling
     * form): per class, the top-`k` tokens by
     * `(tf_in_class / class_tokens) · ln(1 + n_classes / class_df)` —

@@ -40,7 +40,8 @@ class QuerySurfaceSpec extends SparkTestBase {
     "q41_approx_segment", "q53_percentile_bucketed",
     "q113_pagerank", "q114_blob_roundtrip", "q115_schema_evolution",
     "q119_fuzzy_dedup", "q130_stream_funnel", "q131_systematic_sample",
-    "q135_class_terms", "q138_media_ingest", "q139_stream_debounce")
+    "q135_class_terms", "q138_media_ingest", "q139_stream_debounce",
+    "q140_tfidf_neardup", "q141_bm25_search")
 
   test("every oracle key names a query; every query is gated") {
     val rowsOnly = Set("q34_approx_sketch", "q41_approx_segment",

@@ -90,6 +90,35 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(math.abs(got._2 - slope) < 1e-9)
   }
 
+  test("tfidfCosinePairs: identical docs ~1; template-only overlap scores low") {
+    val docs = Seq(
+      (1L, "alpha beta gamma rare1 rare1", "s"),
+      (2L, "alpha beta gamma rare1 rare1", "s"),  // identical to 1
+      (3L, "alpha beta gamma other other", "s"),  // shares template only
+      (4L, "unrelated terms entirely", "s")
+    ).toDF("doc_id", "text", "source")
+    val sim = NearDup.tfidfCosinePairs(docs, "doc_id", "text",
+        "source", 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(math.abs(sim((1L, 2L)) - 1.0) < 1e-9)
+    assert(sim((1L, 3L)) < sim((1L, 2L)))
+    assert(!sim.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("bm25 ranks term-bearing docs, never returns a no-term doc") {
+    val docs = Seq(
+      (1L, "needle in a stack of words " + ("filler " * 30).trim),
+      (2L, "needle needle short doc"),
+      (3L, "no relevant terms at all")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.bm25(docs, "doc_id", "text", "needle", 10)
+      .as[(Long, Double)].collect()
+    assert(top.map(_._1).toSet == Set(1L, 2L))
+    // doc 2: higher tf AND shorter than average → must outrank doc 1
+    assert(top.maxBy(_._2)._1 == 2L)
+  }
+
   test("classTerms surfaces the class-exclusive token first") {
     val docs = Seq(
       ("a", "common words plus quux quux quux"),
