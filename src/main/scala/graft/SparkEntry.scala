@@ -1133,6 +1133,68 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q124 at edit distance 2: SymSpell ≤2-deletion keys turn the
+    // within-block quadratic loop into an inverted-index equi-join;
+    // typos delete characters 3 AND 6, and digit-run name collisions
+    // contribute genuine substitution-distance-2 pairs
+    "q142_editdist2" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val typos = cust.where(col("c_custkey") % 17 === 0)
+        .select((col("c_custkey") + 2000000L).as("c_custkey"),
+          concat(substring(col("c_name"), 1, 2),
+            substring(col("c_name"), 4, 2),
+            expr("substring(c_name, 7)")).as("c_name"),
+          col("c_nationkey"))
+      NearDup.editDistancePairs(cust.unionByName(typos), "c_custkey",
+          "c_name", "c_nationkey", 2)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // PageRank in stochastic-matrix form: edges directed small→large
+    // partkey leave 138 genuine sinks (sf0.01) whose mass redistributes
+    // uniformly each round — Σ pr = 1 exactly, unlike q113's
+    // pseudo-PageRank where sink mass leaks
+    "q143_pagerank_sinks" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          col("l_linenumber").as("ln"), col("l_partkey").as("pk"))
+      val nxt = li.select(col("ok"), (col("ln") - 1).as("ln"),
+        col("pk").as("dst_pk"))
+      val edges = li.join(nxt, Seq("ok", "ln"))
+        .where(col("pk") < col("dst_pk"))
+        .select(col("pk").as("src"), col("dst_pk").as("dst"))
+      Graph.pageRank(edges, "src", "dst", iterations = 3,
+          redistributeSinks = true)
+        .select(col("id"), round(col("pr"), 9).as("pr"))
+        .orderBy(col("id"))
+    }),
+
+    // PMI bigram collocations: adjacent-pair association scores over
+    // the corpus (phrase mining / tokenizer-vocab extension) — two
+    // map-side-combined count aggs + broadcast one-row totals
+    "q144_pmi_collocations" -> ((s, dir) => {
+      TextAnalysis.pmiBigrams(t(s, dir, "documents"), "text",
+          minCount = 30L)
+        .orderBy(col("w1"), col("w2"))
+    }),
+
+    // Deterministic synchronous label propagation (2 rounds, min-label
+    // tie-break) over q113's co-order part graph treated undirected —
+    // the community-detection sibling of Components/PageRank
+    "q145_label_prop" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          col("l_linenumber").as("ln"), col("l_partkey").as("pk"))
+      val nxt = li.select(col("ok"), (col("ln") - 1).as("ln"),
+        col("pk").as("dst_pk"))
+      val edges = li.join(nxt, Seq("ok", "ln"))
+        .where(col("pk") =!= col("dst_pk"))
+        .select(col("pk").as("src"), col("dst_pk").as("dst"))
+      Graph.labelPropagation(edges, "src", "dst", iterations = 2)
+        .orderBy(col("id"))
+    }),
+
     // Streaming burst debounce: q137's semantics with ONE timestamp of
     // state per (user,type) key — kept event ids must hash-match the
     // batch window form
@@ -4330,6 +4392,135 @@ object SparkEntry {
            FROM sc GROUP BY doc_id
            ORDER BY score DESC, doc_id LIMIT 20)
          SELECT doc_id, score FROM top ORDER BY doc_id""",
+
+    "q142_editdist2" ->
+      """WITH base AS (
+           SELECT c_custkey, c_name, c_nationkey FROM customer),
+         typo AS (
+           SELECT c_custkey + 2000000 AS c_custkey,
+                  substr(c_name, 1, 2) || substr(c_name, 4, 2)
+                    || substr(c_name, 7) AS c_name,
+                  c_nationkey
+           FROM base WHERE c_custkey % 17 = 0),
+         uni AS (SELECT * FROM base UNION ALL SELECT * FROM typo)
+         SELECT x.c_custkey AS a, y.c_custkey AS b,
+                CAST(levenshtein(x.c_name, y.c_name) AS INTEGER) AS dist
+         FROM uni x JOIN uni y
+           ON x.c_nationkey = y.c_nationkey
+           AND x.c_custkey < y.c_custkey
+         WHERE abs(length(x.c_name) - length(y.c_name)) <= 2
+           AND levenshtein(x.c_name, y.c_name) <= 2
+         ORDER BY a, b""",
+
+    "q143_pagerank_sinks" ->
+      """WITH e AS MATERIALIZED (
+           SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
+           FROM lineitem x JOIN lineitem y
+             ON x.l_orderkey = y.l_orderkey
+             AND y.l_linenumber = x.l_linenumber + 1
+           WHERE x.l_partkey < y.l_partkey),
+         nodes AS MATERIALIZED (
+           SELECT src AS id FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM nodes),
+         deg AS MATERIALIZED (
+           SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         sink AS MATERIALIZED (
+           SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM e)),
+         p0 AS (SELECT id, 1.0 / (SELECT c FROM nn) AS pr FROM nodes),
+         d0 AS (SELECT coalesce(sum(p.pr), 0) AS v
+                FROM p0 p JOIN sink s ON s.id = p.id),
+         p1 AS MATERIALIZED (
+           SELECT nd.id, 0.15 / (SELECT c FROM nn)
+                  + 0.85 * (coalesce(m.s, 0)
+                    + (SELECT v FROM d0) / (SELECT c FROM nn)) AS pr
+           FROM nodes nd LEFT JOIN (
+             SELECT e.dst AS id, sum(p.pr / d.outdeg) AS s
+             FROM e JOIN p0 p ON p.id = e.src
+                    JOIN deg d ON d.src = e.src
+             GROUP BY e.dst) m ON m.id = nd.id),
+         d1 AS (SELECT coalesce(sum(p.pr), 0) AS v
+                FROM p1 p JOIN sink s ON s.id = p.id),
+         p2 AS MATERIALIZED (
+           SELECT nd.id, 0.15 / (SELECT c FROM nn)
+                  + 0.85 * (coalesce(m.s, 0)
+                    + (SELECT v FROM d1) / (SELECT c FROM nn)) AS pr
+           FROM nodes nd LEFT JOIN (
+             SELECT e.dst AS id, sum(p.pr / d.outdeg) AS s
+             FROM e JOIN p1 p ON p.id = e.src
+                    JOIN deg d ON d.src = e.src
+             GROUP BY e.dst) m ON m.id = nd.id),
+         d2 AS (SELECT coalesce(sum(p.pr), 0) AS v
+                FROM p2 p JOIN sink s ON s.id = p.id),
+         p3 AS (
+           SELECT nd.id, 0.15 / (SELECT c FROM nn)
+                  + 0.85 * (coalesce(m.s, 0)
+                    + (SELECT v FROM d2) / (SELECT c FROM nn)) AS pr
+           FROM nodes nd LEFT JOIN (
+             SELECT e.dst AS id, sum(p.pr / d.outdeg) AS s
+             FROM e JOIN p2 p ON p.id = e.src
+                    JOIN deg d ON d.src = e.src
+             GROUP BY e.dst) m ON m.id = nd.id)
+         SELECT id, round(pr, 9) AS pr FROM p3 ORDER BY id""",
+
+    "q144_pmi_collocations" ->
+      """WITH d AS (
+           SELECT string_split(trim(regexp_replace(lower(coalesce(text,
+             '')), '\s+', ' ', 'g')), ' ') AS rawtoks
+           FROM documents),
+         lf AS (SELECT list_filter(rawtoks, t -> t != '') AS toks
+                FROM d),
+         uc AS MATERIALIZED (
+           SELECT w, count(*) AS c
+           FROM (SELECT unnest(toks) AS w FROM lf) GROUP BY w),
+         nu AS (SELECT CAST(sum(c) AS DOUBLE) AS v FROM uc),
+         bg AS MATERIALIZED (
+           SELECT string_split(unnest(list_transform(
+                    generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i + 1])), ' ') AS pr
+           FROM lf WHERE len(toks) >= 2),
+         bc AS MATERIALIZED (
+           SELECT pr[1] AS w1, pr[2] AS w2, count(*) AS n_ab FROM bg
+           GROUP BY 1, 2),
+         nb AS (SELECT CAST(sum(n_ab) AS DOUBLE) AS v FROM bc)
+         SELECT b.w1, b.w2, b.n_ab,
+                round(ln((CAST(b.n_ab AS DOUBLE) / (SELECT v FROM nb)) /
+                  ((CAST(ua.c AS DOUBLE) / (SELECT v FROM nu)) *
+                   (CAST(ub.c AS DOUBLE) / (SELECT v FROM nu)))), 6)
+                  AS pmi
+         FROM bc b JOIN uc ua ON ua.w = b.w1
+                   JOIN uc ub ON ub.w = b.w2
+         WHERE b.n_ab >= 30
+         ORDER BY w1, w2""",
+
+    "q145_label_prop" ->
+      """WITH e0 AS MATERIALIZED (
+           SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
+           FROM lineitem x JOIN lineitem y
+             ON x.l_orderkey = y.l_orderkey
+             AND y.l_linenumber = x.l_linenumber + 1
+           WHERE x.l_partkey != y.l_partkey),
+         und AS MATERIALIZED (
+           SELECT src AS u, dst AS v FROM e0
+           UNION
+           SELECT dst, src FROM e0),
+         l0 AS (SELECT DISTINCT u AS id, u AS label FROM und),
+         l1 AS MATERIALIZED (
+           SELECT u AS id, label FROM (
+             SELECT c.u, c.label,
+                    row_number() OVER (PARTITION BY c.u
+                      ORDER BY c.cnt DESC, c.label ASC) AS rn
+             FROM (SELECT und.u, l.label, count(*) AS cnt
+                   FROM und JOIN l0 l ON l.id = und.v
+                   GROUP BY und.u, l.label) c) WHERE rn = 1),
+         l2 AS (
+           SELECT u AS id, label FROM (
+             SELECT c.u, c.label,
+                    row_number() OVER (PARTITION BY c.u
+                      ORDER BY c.cnt DESC, c.label ASC) AS rn
+             FROM (SELECT und.u, l.label, count(*) AS cnt
+                   FROM und JOIN l1 l ON l.id = und.v
+                   GROUP BY und.u, l.label) c) WHERE rn = 1)
+         SELECT id, label FROM l2 ORDER BY id""",
 
     "q139_stream_debounce" ->
       """WITH e AS (

@@ -23,11 +23,19 @@ object Graph {
     *
     * {{{ pr_{k+1}(v) = (1-d)/N + d * Σ_{u→v} pr_k(u) / outdeg(u) }}}
     *
-    * No dangling-mass redistribution — a sink node's mass leaves the
-    * system (the common "pseudo-PageRank" simplification) — so the
-    * recurrence is a pure join+agg both this code and an unrolled SQL
-    * oracle can state identically. Multi-edges collapse (simple graph);
-    * the node universe is every id appearing as src or dst.
+    * By default no dangling-mass redistribution — a sink node's mass
+    * leaves the system (the common "pseudo-PageRank" simplification) —
+    * so the recurrence is a pure join+agg both this code and an
+    * unrolled SQL oracle can state identically. `redistributeSinks =
+    * true` switches to the stochastic-matrix form: each round adds the
+    * sinks' aggregate rank back uniformly,
+    * {{{ pr_{k+1}(v) = (1-d)/N + d * (Σ_{u→v} pr_k(u)/outdeg(u) + dm_k/N) }}}
+    * where `dm_k = Σ_{sinks s} pr_k(s)`, so Σ pr = 1 exactly. The sink
+    * mass is a one-row aggregate CROSS-JOINED (broadcast) into the
+    * round's plan — never a graph-sized collect; the sink id set is
+    * derived once (nodes anti-join out-degree) and persisted.
+    * Multi-edges collapse (simple graph); the node universe is every
+    * id appearing as src or dst.
     *
     * Scale design:
     *  - The edge table is joined with out-degrees ONCE, pre-partitioned
@@ -43,11 +51,13 @@ object Graph {
     *    for the context checkpoint dir (executor-loss recovery at
     *    cluster scale — same contract as Components).
     *
-    * Returns (id, pr) with Σ pr ≤ 1 (equality iff no sinks).
+    * Returns (id, pr) with Σ pr ≤ 1 (equality iff no sinks or
+    * `redistributeSinks`).
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, damping: Double = 0.85,
-               reliable: Boolean = false): DataFrame = {
+               reliable: Boolean = false,
+               redistributeSinks: Boolean = false): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     // persisted: nodes, outdeg and linked all derive from the distinct
     // — uncached, each would re-pay the dedup shuffle
@@ -65,6 +75,14 @@ object Graph {
     val linked = e.join(outdeg, "src")
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // sink ids (no out-edges) — only materialized when their mass is
+    // redistributed; node-sized, one anti-join, reused every round
+    val sinks =
+      if (redistributeSinks)
+        Some(nodes.join(e.select(col("src").as("id")).distinct(),
+            Seq("id"), "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK))
+      else None
 
     var ranks = Components.pin(
       nodes.select(col("id"), lit(1.0 / n).as("pr")), reliable)
@@ -73,12 +91,24 @@ object Graph {
         .join(ranks.select(col("id").as("src"), col("pr")), "src")
         .select(col("dst").as("id"), (col("pr") / col("outdeg")).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("inmass"))
-      val next = Components.pin(
-        nodes.join(contrib, Seq("id"), "left")
-          .select(col("id"),
+      val base = nodes.join(contrib, Seq("id"), "left")
+      val stepped = sinks match {
+        case None =>
+          base.select(col("id"),
             (lit((1 - damping) / n) +
-             lit(damping) * coalesce(col("inmass"), lit(0.0))).as("pr")),
-        reliable)
+             lit(damping) * coalesce(col("inmass"), lit(0.0))).as("pr"))
+        case Some(sk) =>
+          // dangling mass this round: one-row aggregate over the
+          // checkpointed rank table, broadcast into every task
+          val dm = ranks.join(sk, "id")
+            .agg(coalesce(sum(col("pr")), lit(0.0)).as("_dm"))
+          base.crossJoin(broadcast(dm))
+            .select(col("id"),
+              (lit((1 - damping) / n) + lit(damping) *
+               (coalesce(col("inmass"), lit(0.0)) +
+                col("_dm") / lit(n))).as("pr"))
+      }
+      val next = Components.pin(stepped, reliable)
       // release the superseded round's blocks NOW (Components rule)
       Components.releasePin(ranks, reliable)
       ranks = next
@@ -86,6 +116,124 @@ object Graph {
     e.unpersist(false)
     nodes.unpersist(false)
     linked.unpersist(false)
+    sinks.foreach(_.unpersist(false))
     ranks
+  }
+
+  /** Synchronous label propagation (community detection) with a FIXED
+    * iteration count — the deterministic LPA variant: every node starts
+    * labeled with its own id; each round every node simultaneously
+    * adopts the most frequent label among its neighbors (the graph is
+    * treated as undirected), ties broken by SMALLEST label. Synchronous
+    * update + deterministic tie-break make the result engine-exact, so
+    * the oracle can unroll the same rounds in SQL (the async
+    * "random order" folklore variant is not reproducible across
+    * engines and is deliberately not implemented).
+    *
+    * Scale design (the [[pageRank]] protocol):
+    *  - the undirected simple edge list is materialized once
+    *    (union + distinct) and persisted; every node in the universe
+    *    has ≥ 1 neighbor by construction, so no isolated-node branch.
+    *  - each round = one rank-table join + one (node, label) count agg
+    *    + one per-node argmax agg — all map-side combined, O(|E|) rows
+    *    shuffled, nothing collected. The argmax is
+    *    `max(struct(cnt, -label))` — an AGGREGATE, not a window, so
+    *    the per-node reduction happens map-side too.
+    *  - eager checkpoint per round via Components' `pin`/`releasePin`
+    *    (O(1) plan; `reliable = true` for executor-loss recovery).
+    *
+    * Returns (id, label); nodes sharing a label after k rounds are one
+    * community. Labels are a subset of node ids.
+    */
+  /** Per-node triangle counts (undirected, simple graph) — the local
+    * clustering signal link-spam / bot-farm detection reads off a
+    * crawl graph. Edges are canonicalized to unordered pairs; each
+    * triangle contributes 1 to each of its three corners.
+    *
+    * SCALE SHAPE — degree orientation (the classic O(|E|^{3/2}) trick):
+    * every canonical edge is re-directed from its lower-(degree, id)
+    * endpoint to the higher one, so each node's out-neighborhood in
+    * the oriented graph is bounded by O(√|E|) even on power-law
+    * graphs. Wedges are generated by joining oriented edges head-to-
+    * tail and closed by a third equi-join against the oriented edge
+    * set — three hash joins, no node ever enumerates its full
+    * undirected neighborhood² (the naive wedge count explodes on hub
+    * nodes; the oriented one provably cannot). The result is
+    * orientation-independent, so the oracle states the plain
+    * a<b<c 3-way join.
+    */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val ec = edges
+      .select(col(srcCol).cast("long").as("s"),
+              col(dstCol).cast("long").as("d"))
+      .where(col("s").isNotNull && col("d").isNotNull &&
+             col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("u"),
+              greatest(col("s"), col("d")).as("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = ec.select(col("u").as("id"))
+      .union(ec.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // orient low-(deg, id) → high-(deg, id); deg rides along via two
+    // joins on the (small) degree table
+    val oriented = ec
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("a"), col("v").as("b")))
+        .otherwise(struct(col("v").as("a"), col("u").as("b")))
+        .as("e"))
+      .select(col("e.a"), col("e.b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tri = oriented
+      .join(oriented.select(col("a").as("b"), col("b").as("c")), "b")
+      .join(oriented.select(col("a"), col("b").as("c"),
+        lit(1).as("_closed")), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+    val perNode = tri.select(col("a").as("id"))
+      .union(tri.select(col("b").as("id")))
+      .union(tri.select(col("c").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val out = deg.select(col("id"))
+      .join(perNode, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n"), lit(0L)).as("triangles"))
+    out
+  }
+
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iterations: Int,
+                       reliable: Boolean = false): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = edges
+      .select(col(srcCol).cast("long").as("u"),
+              col(dstCol).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull &&
+             col("u") =!= col("v"))
+    val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = Components.pin(
+      und.select(col("u").as("id")).distinct()
+        .select(col("id"), col("id").as("label")), reliable)
+    for (_ <- 1 to iterations) {
+      val counts = und
+        .join(labels.select(col("id").as("v"), col("label")), "v")
+        .groupBy(col("u"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val next = Components.pin(
+        counts
+          .groupBy(col("u"))
+          .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
+          .select(col("u").as("id"), (-col("m.neg")).as("label")),
+        reliable)
+      Components.releasePin(labels, reliable)
+      labels = next
+    }
+    und.unpersist(false)
+    labels
   }
 }

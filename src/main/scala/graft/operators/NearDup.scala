@@ -284,36 +284,59 @@ object NearDup {
     */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
                         blockCol: String, maxDist: Int): DataFrame =
-    if (maxDist == 1) symDeletePairs(df, idCol, strCol, blockCol)
+    if (maxDist <= 2) symDeletePairs(df, idCol, strCol, blockCol, maxDist)
     else blockedAllPairs(df, idCol, strCol, blockCol, maxDist)
 
-  /** maxDist=1 path — SYMMETRIC DELETE (SymSpell): two strings are
-    * within edit distance 1 iff they share a key in each other's
-    * {self} ∪ {one-char deletions} neighborhood, so candidate
-    * generation becomes an inverted-index equi-join on
-    * (block, deletion-key) — the jaccard shape — instead of all-pairs
-    * within a block. Shuffle carries len+1 short keys per row; work
-    * distributes by key hash, NOT by block count (an all-pairs block
-    * join serializes each block's quadratic pair loop onto one task).
-    * False candidates (different deletions colliding) are killed by
-    * the banded-levenshtein verification; true dist ≤ 1 pairs always
-    * share a key (equal → self; substitution at i → both delete i;
-    * ins/del → the shorter string itself).
+  /** maxDist ≤ 2 path — SYMMETRIC DELETE (SymSpell): two strings are
+    * within edit distance d iff their {self} ∪ {≤d-char-deletion}
+    * neighborhoods intersect, so candidate generation becomes an
+    * inverted-index equi-join on (block, deletion-key) — the jaccard
+    * shape — instead of all-pairs within a block. Work distributes by
+    * key hash, NOT by block count (an all-pairs block join serializes
+    * each block's quadratic pair loop onto one task).
+    *
+    * Why the intersection property holds: take any ≤d edit script
+    * a→b with i insertions, e deletions, s substitutions
+    * (i+e+s ≤ d). Deleting from `a` the deleted+substituted positions
+    * (e+s ≤ d deletions) and from `b` the inserted+substituted
+    * positions (i+s ≤ d) leaves both at the script's common
+    * subsequence — a shared key. False candidates (different deletions
+    * colliding) are killed by the banded-levenshtein verification.
+    *
+    * Key fan-out per row: 1 + len at d=1; + C(len,2) at d=2 — the
+    * classic SymSpell trade (short linkage strings: names, titles,
+    * SKUs). For long strings shingle methods ([[jaccardPairs]]) are
+    * the right tool; for d ≥ 3 the fan-out loses to [[blockedAllPairs]].
     */
   private def symDeletePairs(df: DataFrame, idCol: String,
-                             strCol: String, blockCol: String)
-      : DataFrame = {
+                             strCol: String, blockCol: String,
+                             maxDist: Int): DataFrame = {
     val s = col("_s")
-    val dels = when(length(s) > 0,
+    // sequence() infers a NEGATIVE step when stop < start, so every
+    // range is guarded by a length predicate instead of relying on
+    // sequence(0, -1) being empty (it isn't — it's [0, -1]).
+    val del1 = when(length(s) > 0,
       transform(sequence(lit(0), length(s) - 1), i =>
         concat(substring(s, lit(1), i),
                substring(s, i + lit(2), length(s)))))
       .otherwise(array().cast("array<string>"))
+    // unordered position pairs i < j (0-based), both chars removed:
+    // prefix [1..i], middle (i+2 .. j), suffix (j+2 ..)
+    val del2 = when(length(s) > 1,
+      flatten(transform(sequence(lit(0), length(s) - 2), i =>
+        transform(sequence(i + lit(1), length(s) - 1), j =>
+          concat(substring(s, lit(1), i),
+                 substring(s, i + lit(2), j - i - 1),
+                 substring(s, j + lit(2), length(s)))))))
+      .otherwise(array().cast("array<string>"))
+    val neighborhood =
+      if (maxDist >= 2) array_union(array_union(array(s), del1), del2)
+      else array_union(array(s), del1)
     val keys = spread(df)
       .select(col(blockCol).as("blk"), col(idCol).as("id"),
         col(strCol).as("_s"))
       .select(col("blk"), col("id"), col("_s"),
-        explode(array_union(array(s), dels)).as("key"))
+        explode(neighborhood).as("key"))
     val cands = keys.select(col("blk"), col("key"), col("id").as("a"),
         col("_s").as("_sa"))
       .join(keys.select(col("blk"), col("key"), col("id").as("b"),
@@ -321,7 +344,7 @@ object NearDup {
       .where(col("a") < col("b"))
       .select(col("a"), col("b"), col("_sa"), col("_sb")).distinct()
     cands
-      .withColumn("dist", levenshtein(col("_sa"), col("_sb"), 1))
+      .withColumn("dist", levenshtein(col("_sa"), col("_sb"), maxDist))
       .where(col("dist") >= 0)
       .select(col("a"), col("b"), col("dist"))
   }

@@ -89,6 +89,43 @@ object Snapshot {
              coalesce(col(s"_b_$c"), lit(0L))).as(c)): _*)
   }
 
+  /** SCD-2 intervalization: compress a change LOG into validity
+    * intervals — per key, keep only rows whose tracked attributes
+    * differ from the previous row (change-point compression), then
+    * close each surviving version with the next change's timestamp
+    * (`valid_to` NULL = current version). The point-in-time lookup on
+    * the result is [[AsOfJoin]]; together they are the
+    * dimension-history half of a warehouse the reference's static
+    * tables never needed.
+    *
+    * Determinism: `tieCol` breaks equal-timestamp changes (same-day
+    * updates) identically in any engine. Attribute comparison is
+    * null-safe via a struct `<=>` (a NULL→NULL attribute is NOT a
+    * change).
+    *
+    * SCALE SHAPE: both windows share one partitioning (key hash) and
+    * one sort — the change-point filter preserves partition-local
+    * order, so Catalyst plans ONE exchange + ONE sort for the whole
+    * operator (PlanSpec pins it). State per key is O(1) (lag/lead of
+    * one row); nothing collects.
+    */
+  def intervalize(changes: DataFrame, keyCols: Seq[String],
+                  tsCol: String, tieCol: String,
+                  attrCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val attrs = struct(attrCols.map(col): _*)
+    val changePoints = changes
+      .withColumn("_prev", lag(attrs, 1).over(w))
+      .where(col("_prev").isNull || !(col("_prev") <=> attrs))
+    changePoints
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select((keyCols ++ attrCols).map(col) :+
+        col("valid_from") :+ col("valid_to"): _*)
+  }
+
   /** Row-level diff of `newDf` vs `oldDf` by `keyCols`: one row per
     * key present in either side, with `status` ∈
     * {added, removed, changed, unchanged} judged over `compareCols`

@@ -570,6 +570,60 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("token"))
       .limit(k)
 
+  /** PMI bigram collocations — the corpus-statistics step behind
+    * phrase mining / tokenizer-vocab extension ("new york", "machine
+    * learning" score high because they co-occur far above chance):
+    * every adjacent token pair with `n_ab ≥ minCount`, scored
+    *
+    * {{{ pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) ) }}}
+    *
+    * with p(a,b) = n_ab / N_bigrams and p(w) = n_w / N_tokens.
+    *
+    * Scale design: adjacent pairs come from `zip_with` over two slices
+    * of the SAME tokens array (one tokenize per row, zero extra
+    * passes); unigram and bigram counts are two map-side-combined
+    * aggregations; the corpus totals are ONE-ROW aggregates
+    * cross-joined (broadcast) into the scoring projection — nothing
+    * collects at the driver. The two count-table joins are
+    * vocabulary-sized (≪ corpus) and AQE-planned. The `minCount`
+    * filter applies BEFORE the unigram joins, so rare-pair noise never
+    * reaches the join.
+    */
+  def pmiBigrams(docs: DataFrame, textCol: String,
+                 minCount: Long): DataFrame = {
+    val toksOf = tokens(col(textCol))
+    val base = docs.select(toksOf.as("_toks"))
+      .select(filter(col("_toks"), t => t =!= "").as("toks"))
+    val bigrams = base.select(
+        when(size(col("toks")) >= 2,
+          zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+        .as("bgs"))
+      .select(explode(col("bgs")).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = base.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nu = uni.agg(sum(col("_c")).cast("double").as("_nu"))
+    val nb = bigrams.agg(sum(col("n_ab")).cast("double").as("_nb"))
+    bigrams
+      .where(col("n_ab") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("_c").as("_ca")), "w1")
+      .join(uni.select(col("w").as("w2"), col("_c").as("_cb")), "w2")
+      .crossJoin(broadcast(nu))
+      .crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("n_ab"),
+        round(log(
+          (col("n_ab").cast("double") / col("_nb")) /
+          ((col("_ca").cast("double") / col("_nu")) *
+           (col("_cb").cast("double") / col("_nu")))), 6).as("pmi"))
+  }
+
   /** PII patterns for [[redactPii]], ordered by redaction precedence
     * (emails first — their local/domain parts contain digit runs that
     * must not be half-eaten by the phone/IP patterns). Deliberately

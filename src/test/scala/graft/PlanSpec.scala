@@ -482,4 +482,28 @@ class PlanSpec extends SparkTestBase {
       s"median and MAD must both partial-aggregate:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
+
+  test("q142 symdelete candidates equi-join by deletion key — never a block loop") {
+    // the SymSpell rewrite's whole point: candidate generation
+    // distributes by (block, key) HASH, so no nested-loop/cartesian
+    // node may appear — a per-block quadratic loop would serialize
+    // each block onto one task
+    val p = plan("q142_editdist2")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay an equi-join:\n$p")
+    assert(p.contains("levenshtein"),
+      s"banded verification must be present:\n$p")
+  }
+
+  test("q144 PMI: one-row totals broadcast, counts partial-aggregate") {
+    // corpus totals must ride 1-row broadcasts (never a re-scan), and
+    // the unigram/bigram counts must keep their map-side partial phase
+    val p = plan("q144_pmi_collocations")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"one-row totals must broadcast:\n$p")
+    assert(p.contains("partial_count"),
+      s"counts must partial-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
 }

@@ -69,8 +69,12 @@ class QuerySurfaceSpec extends SparkTestBase {
     //  - q118/q122: the corpus-total (one ungrouped aggregate row) is
     //    cross-joined into the scorer — one-iteration loop side by
     //    construction, same shape as q104.
+    //  - q144: the two PMI corpus totals (N_tokens, N_bigrams) are
+    //    one-row ungrouped aggregates cross-joined into the scoring
+    //    projection — q118's shape twice over.
     val allowedBnlj = Set("q24_cosine_topk", "q9_interval_overlap",
-      "q104_boilerplate", "q118_unigram_logprob", "q122_source_kl")
+      "q104_boilerplate", "q118_unigram_logprob", "q122_source_kl",
+      "q144_pmi_collocations")
     val lazyQueries = SparkEntry.queries.keySet -- eager
     val offenders = lazyQueries.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf)

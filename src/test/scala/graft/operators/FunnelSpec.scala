@@ -103,4 +103,23 @@ class FunnelSpec extends SparkTestBase {
       .select($"a", $"b", $"dist").as[(Long, Long, Int)].collect()
     assert(got.toSeq == Seq((1L, 2L, 1)))
   }
+
+  test("editDistancePairs maxDist=2: symmetric-delete keys, exact distances") {
+    val recs = Seq(
+      (1L, "abcd", "b1"),   // base
+      (2L, "abXd", "b1"),   // 1 substitution
+      (3L, "ab", "b1"),     // 2 deletions
+      (4L, "abcdef", "b1"), // 2 insertions
+      (5L, "XYZW", "b1"),   // unrelated
+      (6L, "abcd", "b2"),   // other block — excluded
+      (7L, "abcd", "b1")    // exact duplicate → dist 0 via the self key
+    ).toDF("id", "name", "blk")
+    val got = NearDup.editDistancePairs(recs, "id", "name", "blk", 2)
+      .select($"a", $"b", $"dist").as[(Long, Long, Int)]
+      .collect().sortBy(p => (p._1, p._2)).toSeq
+    // (2,4) is distance 3 (sub + 2 ins): no shared ≤2-deletion key AND
+    // the banded verification would reject it — both guards agree
+    assert(got == Seq((1L, 2L, 1), (1L, 3L, 2), (1L, 4L, 2), (1L, 7L, 0),
+      (2L, 3L, 2), (2L, 7L, 1), (3L, 7L, 2), (4L, 7L, 2)))
+  }
 }

@@ -29,6 +29,40 @@ class GraphSpec extends SparkTestBase {
     assert(pr.values.sum < 1.0)
   }
 
+  test("pageRank redistributeSinks: stochastic form conserves Σpr = 1") {
+    // 1→2 with sink node 2. N=2, uniform start 1/2, dm₀ = 1/2.
+    // r1: pr(1) = 0.075 + 0.85·(0 + 0.25)        = 0.2875
+    //     pr(2) = 0.075 + 0.85·(0.5 + 0.25)      = 0.7125
+    // r2: dm₁ = 0.7125
+    //     pr(1) = 0.075 + 0.85·(0.35625)          = 0.3778125
+    //     pr(2) = 0.075 + 0.85·(0.2875 + 0.35625) = 0.6221875
+    val pr = Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"),
+        "src", "dst", 2, redistributeSinks = true)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(pr(1L) - 0.3778125) < 1e-12)
+    assert(math.abs(pr(2L) - 0.6221875) < 1e-12)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-12)
+  }
+
+  test("labelPropagation: triangle collapses to the min label") {
+    // r1: 1←min(2,3)=2 (tie), 2←1, 3←1; r2: everyone sees a 1 → all 1
+    val labs = Graph.labelPropagation(
+        Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst"),
+        "src", "dst", 2)
+      .as[(Long, Long)].collect().toMap
+    assert(labs == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("labelPropagation: synchronous rounds, min tie-break, undirected") {
+    // path 1–2–3 fed with MIXED edge directions: round 1 must read ALL
+    // round-0 labels at once (an async sweep would differ) and node 2's
+    // {1,3} tie must break to 1
+    val r1 = Graph.labelPropagation(
+        Seq((2L, 1L), (2L, 3L)).toDF("src", "dst"), "src", "dst", 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+  }
+
   test("pageRank plan stays O(1) deep across rounds (pinned lineage)") {
     // 10 rounds on a cycle: if lineage grew per round, the final plan
     // string would blow up; a pinned loop keeps it a flat scan

@@ -953,4 +953,28 @@ class SimhashSaturationSpec extends SparkTestBase {
     assert(wide * 5 < narrow,
       s"16-bit banding not beating 8-bit: wide=$wide narrow=$narrow")
   }
+
+  test("pmiBigrams: hand-computed association; degenerate docs contribute nothing") {
+    val docs = Seq(
+      (1L, "a b a b"),  // bigrams (a,b)×2, (b,a)×1
+      (2L, "a b"),      // (a,b)×1
+      (3L, "solo"),     // 1 token → no bigrams, still a unigram
+      (4L, "   "),      // whitespace-only → zero tokens
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    // unigrams a=3 b=3 solo=1 → Nu=7; bigrams (a,b)=3 (b,a)=1 → Nb=4
+    val got = TextAnalysis.pmiBigrams(docs, "text", 1L)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got.keySet == Set(("a", "b"), ("b", "a")))
+    assert(got(("a", "b"))._1 == 3L && got(("b", "a"))._1 == 1L)
+    val pab = math.log((3.0 / 4) / ((3.0 / 7) * (3.0 / 7)))
+    val pba = math.log((1.0 / 4) / ((3.0 / 7) * (3.0 / 7)))
+    assert(math.abs(got(("a", "b"))._2 - pab) < 5e-7)
+    assert(math.abs(got(("b", "a"))._2 - pba) < 5e-7)
+    // minCount prunes before the joins
+    val capped = TextAnalysis.pmiBigrams(docs, "text", 2L)
+      .as[(String, String, Long, Double)].collect()
+    assert(capped.map(r => (r._1, r._2)).toSeq == Seq(("a", "b")))
+  }
 }
