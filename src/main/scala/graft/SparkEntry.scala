@@ -1195,6 +1195,128 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // SCD-2 dimension build: each customer's order-priority change log
+    // compresses to validity intervals (valid_to NULL = current) —
+    // one exchange + one sort for both windows, pinned
+    "q146_scd2_intervals" -> ((s, dir) => {
+      Snapshot.intervalize(
+          t(s, dir, "orders").select(
+            col("o_custkey").as("custkey"),
+            col("o_orderpriority").as("priority"),
+            col("o_orderdate").as("ts"),
+            col("o_orderkey").as("ok")),
+          Seq("custkey"), "ts", "ok", Seq("priority"))
+        // o_orderdate arrives TIMESTAMP_NTZ; the session is pinned UTC,
+        // so NTZ→LTZ→long is the same epoch DuckDB's epoch_ns computes
+        .select(col("custkey"), col("priority"),
+          col("valid_from").cast("timestamp").cast("long")
+            .as("valid_from_s"),
+          col("valid_to").cast("timestamp").cast("long")
+            .as("valid_to_s"))
+        .orderBy(col("custkey"), col("valid_from_s"), col("priority"))
+    }),
+
+    // Per-node triangle counts over the undirected co-order graph,
+    // computed degree-oriented (out-neighborhoods bounded O(√E));
+    // the oracle states the orientation-free a<b<c 3-way join
+    "q147_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          col("l_linenumber").as("ln"), col("l_partkey").as("pk"))
+      val nxt = li.select(col("ok"), (col("ln") - 1).as("ln"),
+        col("pk").as("dst_pk"))
+      val edges = li.join(nxt, Seq("ok", "ln"))
+        .where(col("pk") =!= col("dst_pk"))
+        .select(col("pk").as("src"), col("dst_pk").as("dst"))
+      Graph.triangleCount(edges, "src", "dst")
+        .orderBy(col("id"))
+    }),
+
+    // Hourly OHLC bars over the event stream — first/last per bucket
+    // as ordered-argmin AGGREGATES (min_by/max_by), never a window
+    "q148_ohlc_bars" -> ((s, dir) => {
+      Stats.ohlcBars(
+          t(s, dir, "events").withColumn("sec", eventEpochSeconds("ts")),
+          "sec", "event_id", "value", widthSec = 3600L)
+        .orderBy(col("bar_id"))
+    }),
+
+    // Mergeable HLL distinct sketches: per-event-type user cardinality
+    // plus a __all__ row from sketch UNION (no re-scan). Approximate →
+    // rows-only driver check; the ≤5%-vs-exact bound is spec-tested
+    "q149_hll_mergeable" -> ((s, dir) => {
+      Profile.mergeableDistinct(t(s, dir, "events"),
+          "event_type", "user_id")
+        .orderBy(col("stratum"))
+    }),
+
+    // Market-basket association: support/confidence/lift over
+    // event-type pairs co-occurring in (user, day) baskets — pair
+    // generation equi-joins ON THE BASKET, bounded by items-per-basket
+    "q150_basket_lift" -> ((s, dir) => {
+      Association.basketLift(
+          t(s, dir, "events").select(col("user_id"),
+            expr("ts DIV 1000000000 DIV 86400").as("day"),
+            col("event_type")),
+          Seq("user_id", "day"), "event_type", minBaskets = 50L)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // Streaming twin of q148: watermarked hourly windows aggregate
+    // OHLC with the SAME ordered-argmin aggregates (min_by/max_by are
+    // order-independent state — no sort, no window function, exact
+    // under any micro-batch arrival order); the mean rides a DECIMAL
+    // sum so accumulation order can't hash-diverge it
+    "q151_stream_ohlc" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = graft.streaming.Streams.fileSource(
+        s, dir, batch.schema, globFilter = Some("events.parquet"))
+      val ev = stream.select(
+          eventEpochSeconds("ts").as("sec"),
+          col("event_id"), col("value"),
+          col("value").cast("decimal(18,4)").as("v4"))
+        .withColumn("ets", timestamp_seconds(col("sec")))
+      val ord = struct(col("sec"), col("event_id"))
+      val agg = ev.withWatermark("ets", "0 seconds")
+        .groupBy(window(col("ets"), "1 hour"))
+        .agg(
+          min_by(col("value"), ord).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), ord).as("close"),
+          count(lit(1)).as("volume"),
+          round(sum(col("v4")).cast("double") / count(lit(1)), 6)
+            .as("mean_value"))
+        .select(
+          floor(col("window.start").cast("long").cast("double") / 3600)
+            .cast("long").as("bar_id"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("volume"), col("mean_value"))
+      val qname = "graft_q151_ohlc"
+      val query = graft.streaming.Streams.drainToMemory(agg, qname).start()
+      try query.awaitTermination() finally query.stop()
+      s.table(qname).orderBy(col("bar_id"))
+    }),
+
+    // Entry-path mining: each (user, day) session's first 3 event
+    // types form a journey prefix; frequency per prefix — per-session
+    // state is a bounded sorted list (3 kept), one shuffle per level
+    "q152_journey_paths" -> ((s, dir) => {
+      val sessions = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("ts DIV 1000000000 DIV 86400").as("day"),
+          col("ts"), col("event_id"), col("event_type"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(concat_ws(">",
+          transform(
+            slice(array_sort(collect_list(struct(col("ts"),
+              col("event_id"), col("event_type")))), 1, 3),
+            st => st.getField("event_type"))).as("path"))
+      sessions.groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("path"))
+    }),
+
     // Streaming burst debounce: q137's semantics with ONE timestamp of
     // state per (user,type) key — kept event ids must hash-match the
     // batch window form
@@ -4521,6 +4643,135 @@ object SparkEntry {
                    FROM und JOIN l1 l ON l.id = und.v
                    GROUP BY und.u, l.label) c) WHERE rn = 1)
          SELECT id, label FROM l2 ORDER BY id""",
+
+    "q146_scd2_intervals" ->
+      """WITH ordered AS (
+           SELECT o_custkey AS custkey, o_orderpriority AS priority,
+                  o_orderdate AS ts, o_orderkey AS ok,
+                  lag(o_orderpriority) OVER w AS prev_attr
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey)),
+         changes AS (
+           SELECT custkey, priority, ts, ok FROM ordered
+           WHERE prev_attr IS NULL OR prev_attr != priority)
+         SELECT custkey, priority,
+                epoch_ns(ts) // 1000000000 AS valid_from_s,
+                epoch_ns(lead(ts) OVER (PARTITION BY custkey
+                  ORDER BY ts, ok)) // 1000000000 AS valid_to_s
+         FROM changes
+         ORDER BY custkey, valid_from_s, priority""",
+
+    "q147_triangles" ->
+      """WITH e0 AS (
+           SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
+           FROM lineitem x JOIN lineitem y
+             ON x.l_orderkey = y.l_orderkey
+             AND y.l_linenumber = x.l_linenumber + 1
+           WHERE x.l_partkey != y.l_partkey),
+         ec AS MATERIALIZED (
+           SELECT DISTINCT least(src, dst) AS u,
+                  greatest(src, dst) AS v FROM e0),
+         nodes AS (SELECT u AS id FROM ec UNION SELECT v FROM ec),
+         tri AS MATERIALIZED (
+           SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           FROM ec e1 JOIN ec e2 ON e2.u = e1.v
+                      JOIN ec e3 ON e3.u = e1.u AND e3.v = e2.v),
+         pern AS (
+           SELECT id, count(*) AS n FROM (
+             SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri) GROUP BY id)
+         SELECT n.id, CAST(coalesce(p.n, 0) AS BIGINT) AS triangles
+         FROM nodes n LEFT JOIN pern p ON p.id = n.id
+         ORDER BY n.id""",
+
+    "q148_ohlc_bars" ->
+      """WITH e AS (
+           SELECT epoch_ns(ts) // 1000000000 AS sec, event_id, value
+           FROM events),
+         b AS (
+           SELECT CAST(floor(CAST(sec AS DOUBLE) / 3600) AS BIGINT)
+                    AS bar_id, sec, event_id, value
+           FROM e),
+         rn AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY bar_id
+                    ORDER BY sec, event_id) AS rf,
+                  row_number() OVER (PARTITION BY bar_id
+                    ORDER BY sec DESC, event_id DESC) AS rl
+           FROM b)
+         SELECT bar_id,
+                max(CASE WHEN rf = 1 THEN value END) AS open,
+                max(value) AS high, min(value) AS low,
+                max(CASE WHEN rl = 1 THEN value END) AS close,
+                CAST(count(*) AS BIGINT) AS volume,
+                round(avg(value), 6) AS mean_value
+         FROM rn GROUP BY bar_id ORDER BY bar_id""",
+
+    "q150_basket_lift" ->
+      """WITH it AS MATERIALIZED (
+           SELECT DISTINCT user_id,
+                  epoch_ns(ts) // 1000000000 // 86400 AS day,
+                  event_type
+           FROM events),
+         nb AS (SELECT CAST(count(*) AS DOUBLE) AS n
+                FROM (SELECT DISTINCT user_id, day FROM it)),
+         ic AS (SELECT event_type, count(*) AS c FROM it
+                GROUP BY event_type),
+         pc AS (
+           SELECT x.event_type AS a, y.event_type AS b,
+                  count(*) AS n_ab
+           FROM it x JOIN it y
+             ON x.user_id = y.user_id AND x.day = y.day
+             AND x.event_type < y.event_type
+           GROUP BY 1, 2 HAVING count(*) >= 50)
+         SELECT p.a, p.b, CAST(p.n_ab AS BIGINT) AS n_ab,
+                round(CAST(p.n_ab AS DOUBLE) / (SELECT n FROM nb), 6)
+                  AS support,
+                round(CAST(p.n_ab AS DOUBLE) / CAST(ca.c AS DOUBLE), 6)
+                  AS confidence,
+                round((CAST(p.n_ab AS DOUBLE) / (SELECT n FROM nb)) /
+                  ((CAST(ca.c AS DOUBLE) / (SELECT n FROM nb)) *
+                   (CAST(cb.c AS DOUBLE) / (SELECT n FROM nb))), 6)
+                  AS lift
+         FROM pc p JOIN ic ca ON ca.event_type = p.a
+                   JOIN ic cb ON cb.event_type = p.b
+         ORDER BY a, b""",
+
+    "q151_stream_ohlc" ->
+      """WITH e AS (
+           SELECT epoch_ns(ts) // 1000000000 AS sec, event_id, value,
+                  CAST(value AS DECIMAL(18,4)) AS v4
+           FROM events),
+         b AS (
+           SELECT CAST(floor(CAST(sec AS DOUBLE) / 3600) AS BIGINT)
+                    AS bar_id, sec, event_id, value, v4
+           FROM e),
+         rn AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY bar_id
+                    ORDER BY sec, event_id) AS rf,
+                  row_number() OVER (PARTITION BY bar_id
+                    ORDER BY sec DESC, event_id DESC) AS rl
+           FROM b)
+         SELECT bar_id,
+                max(CASE WHEN rf = 1 THEN value END) AS open,
+                max(value) AS high, min(value) AS low,
+                max(CASE WHEN rl = 1 THEN value END) AS close,
+                CAST(count(*) AS BIGINT) AS volume,
+                round(CAST(sum(v4) AS DOUBLE) / count(*), 6)
+                  AS mean_value
+         FROM rn GROUP BY bar_id ORDER BY bar_id""",
+
+    "q152_journey_paths" ->
+      """WITH s AS (
+           SELECT user_id,
+                  epoch_ns(ts) // 1000000000 // 86400 AS day,
+                  list(event_type ORDER BY ts, event_id) AS types
+           FROM events GROUP BY user_id, day)
+         SELECT array_to_string(types[1:3], '>') AS path,
+                count(*) AS n_sessions
+         FROM s GROUP BY path ORDER BY path""",
 
     "q139_stream_debounce" ->
       """WITH e AS (

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Market-basket association mining — co-occurrence SETS where
+  * [[TextAnalysis.pmiBigrams]] is co-occurrence SEQUENCES: which items
+  * appear in the same basket far above chance. The classic
+  * support / confidence / lift triple over unordered item pairs, the
+  * "viewed X also viewed Y" signal behind recommenders and
+  * cross-source corpus curation ("documents tagged A are usually also
+  * tagged B").
+  */
+object Association {
+
+  /** Unordered item pairs with
+    * {{{ support(a,b)   = n_ab / N
+    *     confidence(a→b) = n_ab / n_a
+    *     lift(a,b)      = (n_ab/N) / ((n_a/N)·(n_b/N)) }}}
+    * over baskets identified by `basketCols`; pairs below `minBaskets`
+    * co-occurrences are dropped BEFORE the per-item joins.
+    *
+    * SCALE SHAPE: the item table is deduped once (one shuffle) and
+    * persisted; pair generation is an equi-join ON THE BASKET KEY, so
+    * the quadratic term is bounded by items-per-basket (the domain's
+    * distinct-items-per-basket, NOT corpus size — the record-linkage
+    * blocking argument). The basket total is a ONE-ROW aggregate
+    * cross-joined broadcast (q118's shape); per-item counts join as
+    * vocabulary-sized tables. Nothing collects at the driver.
+    */
+  def basketLift(df: DataFrame, basketCols: Seq[String], itemCol: String,
+                 minBaskets: Long): DataFrame = {
+    val items = df
+      .select(basketCols.map(col) :+ col(itemCol).as("item"): _*)
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nb = items.select(basketCols.map(col): _*).distinct()
+      .agg(count(lit(1)).cast("double").as("_n"))
+    val ic = items.groupBy(col("item")).agg(count(lit(1)).as("_c"))
+    val x = items.select(basketCols.map(col) :+ col("item").as("a"): _*)
+    val y = items.select(basketCols.map(col) :+ col("item").as("b"): _*)
+    x.join(y, basketCols)
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minBaskets)
+      .join(ic.select(col("item").as("a"), col("_c").as("_ca")), "a")
+      .join(ic.select(col("item").as("b"), col("_c").as("_cb")), "b")
+      .crossJoin(broadcast(nb))
+      .select(col("a"), col("b"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("_n"), 6).as("support"),
+        round(col("n_ab").cast("double") / col("_ca").cast("double"), 6)
+          .as("confidence"),
+        round((col("n_ab").cast("double") / col("_n")) /
+          ((col("_ca").cast("double") / col("_n")) *
+           (col("_cb").cast("double") / col("_n"))), 6).as("lift"))
+  }
+}

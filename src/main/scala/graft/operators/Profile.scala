@@ -135,4 +135,34 @@ object Profile {
         (col(s"${name}__v") === 0L).as("passed"))
     })
   }
+
+  /** MERGEABLE distinct-count sketches (Apache DataSketches HLL, the
+    * engine-native `hll_sketch_agg` family): one row per stratum with
+    * its estimated distinct `valueCol` count, plus a `__all__` row
+    * whose estimate comes from UNIONING the per-stratum sketches — not
+    * from re-scanning the data. That union IS the operator's point:
+    * sketches persisted per partition/day can answer any-window
+    * cardinality later by merge alone, the incremental-maintenance
+    * shape [[Snapshot.mergeAggregates]] gives exact aggregates,
+    * extended to DISTINCT (which has no exact mergeable form at all —
+    * only the ~1.5 KB sketch buffer makes 100 TB distinct-maintenance
+    * possible).
+    *
+    * Approximate by nature (driver check is rows-only; the error bound
+    * vs exact is spec-tested, q34's contract). Deterministic: HLL
+    * register updates are order-independent (max per bucket), so the
+    * same data gives the same estimate on any partitioning.
+    */
+  def mergeableDistinct(df: DataFrame, strataCol: String,
+                        valueCol: String): DataFrame = {
+    val sk = df.groupBy(col(strataCol).cast("string").as("stratum"))
+      .agg(hll_sketch_agg(col(valueCol)).as("_sk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val per = sk.select(col("stratum"),
+      hll_sketch_estimate(col("_sk")).as("n_distinct_est"))
+    val all = sk.agg(hll_union_agg(col("_sk")).as("_u"))
+      .select(lit("__all__").as("stratum"),
+        hll_sketch_estimate(col("_u")).as("n_distinct_est"))
+    per.unionByName(all)
+  }
 }

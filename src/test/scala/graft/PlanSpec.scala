@@ -506,4 +506,44 @@ class PlanSpec extends SparkTestBase {
       s"counts must partial-aggregate:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
+
+  test("q146 SCD2: both windows share ONE key exchange and ONE sort") {
+    // the change-point filter preserves partition-local order, so the
+    // lead() window must reuse the lag() window's exchange AND sort —
+    // a second hashpartitioning exchange or a second sort on the same
+    // keys means the operator pays its shuffle twice
+    val p = plan("q146_scd2_intervals")
+    val keyExchanges =
+      "Exchange hashpartitioning\\(custkey".r.findAllIn(p).size
+    assert(keyExchanges == 1,
+      s"expected 1 key exchange, got $keyExchanges:\n$p")
+    // the (custkey, ts, ok) sort feeds BOTH windows once; the final
+    // rangepartitioned orderBy sort is a different key list
+    val keySorts = "Sort \\[custkey[^\\n]*, ts#".r.findAllIn(p).size
+    assert(keySorts == 1, s"expected 1 window sort, got $keySorts:\n$p")
+    assert("Window".r.findAllIn(p).size == 2,
+      s"lag and lead windows expected:\n$p")
+  }
+
+  test("q148 OHLC: ordered-argmin aggregates, never a window") {
+    // open/close must be min_by/max_by AGGREGATES (map-side combined,
+    // one row per bar crosses the wire) — a row_number() window here
+    // would shuffle every event and sort each bucket
+    val p = plan("q148_ohlc_bars")
+    assert(!p.contains("Window"), s"no window allowed:\n$p")
+    assert(p.contains("min_by") && p.contains("max_by"),
+      s"ordered-argmin aggregates expected:\n$p")
+    assert(p.contains("partial_min_by") || p.contains("partial_"),
+      s"bars must partial-aggregate:\n$p")
+  }
+
+  test("q149 HLL sketches: plain partial aggregate, no Expand") {
+    // the sketch route must stay an ordinary agg buffer — an Expand
+    // here would mean the multi-distinct shape q89 documents as the
+    // 100 TB killer crept back in
+    val p = plan("q149_hll_mergeable")
+    assert(!p.contains("Expand"), s"no Expand in the sketch path:\n$p")
+    assert(p.contains("hll_sketch_agg") && p.contains("hll_union_agg"),
+      s"sketch + union aggregates expected:\n$p")
+  }
 }

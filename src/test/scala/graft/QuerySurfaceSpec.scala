@@ -41,11 +41,12 @@ class QuerySurfaceSpec extends SparkTestBase {
     "q113_pagerank", "q114_blob_roundtrip", "q115_schema_evolution",
     "q119_fuzzy_dedup", "q130_stream_funnel", "q131_systematic_sample",
     "q135_class_terms", "q138_media_ingest", "q139_stream_debounce",
-    "q140_tfidf_neardup", "q141_bm25_search")
+    "q140_tfidf_neardup", "q141_bm25_search",
+    "q143_pagerank_sinks", "q145_label_prop", "q151_stream_ohlc")
 
   test("every oracle key names a query; every query is gated") {
     val rowsOnly = Set("q34_approx_sketch", "q41_approx_segment",
-      "q90_profile_approx")
+      "q90_profile_approx", "q149_hll_mergeable")
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert((os -- qs).isEmpty, s"orphan oracles: ${os -- qs}")
@@ -72,9 +73,11 @@ class QuerySurfaceSpec extends SparkTestBase {
     //  - q144: the two PMI corpus totals (N_tokens, N_bigrams) are
     //    one-row ungrouped aggregates cross-joined into the scoring
     //    projection — q118's shape twice over.
+    //  - q150: the basket total N is the same one-row ungrouped
+    //    aggregate cross-joined into the lift projection.
     val allowedBnlj = Set("q24_cosine_topk", "q9_interval_overlap",
       "q104_boilerplate", "q118_unigram_logprob", "q122_source_kl",
-      "q144_pmi_collocations")
+      "q144_pmi_collocations", "q150_basket_lift")
     val lazyQueries = SparkEntry.queries.keySet -- eager
     val offenders = lazyQueries.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf)

@@ -63,6 +63,16 @@ class GraphSpec extends SparkTestBase {
     assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
   }
 
+  test("triangleCount: K4 corners count 3; pendant counts 0; duplicates collapse") {
+    // K4 on {1,2,3,4} = 4 triangles, every corner in 3 of them; node 5
+    // hangs off node 1; a reversed duplicate edge must not double-count
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 1L), (2L, 1L)).toDF("src", "dst")
+    val got = Graph.triangleCount(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L))
+  }
+
   test("pageRank plan stays O(1) deep across rounds (pinned lineage)") {
     // 10 rounds on a cycle: if lineage grew per round, the final plan
     // string would blow up; a pinned loop keeps it a flat scan

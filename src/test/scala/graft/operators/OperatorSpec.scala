@@ -291,6 +291,32 @@ class SnapshotSpec extends SparkTestBase {
     assert(merged("a") == (2L, 30L) && merged("c") == (1L, 7L))
   }
 
+  test("intervalize: no-op changes compress; ties break by tieCol; tail stays open") {
+    val log = Seq(
+      ("k1", 1L, 1L, "A"),  // first version
+      ("k1", 2L, 2L, "A"),  // no-op — must compress away
+      ("k1", 3L, 3L, "B"),  // change
+      ("k1", 3L, 4L, "C"),  // same-ts change: tie orders it after B
+      ("k2", 1L, 5L, "X")
+    ).toDF("k", "ts", "id", "attr")
+    val got = Snapshot.intervalize(log, Seq("k"), "ts", "id", Seq("attr"))
+      .as[(String, String, Long, Option[Long])].collect().toSet
+    assert(got == Set(
+      ("k1", "A", 1L, Some(3L)),
+      ("k1", "B", 3L, Some(3L)),  // closed by the same-ts successor
+      ("k1", "C", 3L, None),
+      ("k2", "X", 1L, None)))
+  }
+
+  test("intervalize: NULL attributes are not changes (null-safe struct compare)") {
+    val log = Seq[(String, Long, Long, String)](
+      ("k", 1L, 1L, null), ("k", 2L, 2L, null), ("k", 3L, 3L, "v")
+    ).toDF("k", "ts", "id", "attr")
+    val got = Snapshot.intervalize(log, Seq("k"), "ts", "id", Seq("attr"))
+      .as[(String, String, Long, Option[Long])].collect().toSet
+    assert(got == Set(("k", null, 1L, Some(3L)), ("k", "v", 3L, None)))
+  }
+
   test("diff labels added/removed/changed/unchanged; NULLs compare null-safely") {
     val old = Seq[(java.lang.Long, String)](
       (1L, "a"), (2L, "b"), (3L, null), (4L, "d")
@@ -415,5 +441,33 @@ class CoverageSweepSpec extends SparkTestBase {
     val r = df.select(TextAnalysis.stopwordRatio($"text", Seq("the")))
       .as[Double].head
     assert(math.abs(r - 3.0 / 6.0) < 1e-12) // 3 hits of 6 tokens, not 1
+  }
+}
+
+class AssociationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("basketLift: hand-computed support/confidence/lift; minBaskets prunes") {
+    // baskets after item dedup: b1{x,y} b2{x,y} b3{x,z} b4{y} → N=4,
+    // c_x=3 c_y=3 c_z=1, n_xy=2 n_xz=1, y·z never co-occur
+    val df = Seq(
+      ("b1", "x"), ("b1", "y"), ("b1", "x"), // duplicate item dedups
+      ("b2", "x"), ("b2", "y"),
+      ("b3", "x"), ("b3", "z"),
+      ("b4", "y")
+    ).toDF("bk", "item")
+    val got = Association.basketLift(df, Seq("bk"), "item", 1L)
+      .as[(String, String, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val xy = got(("x", "y"))
+    assert(xy._3 == 2L && xy._4 == 0.5 && xy._5 == 0.666667 &&
+      xy._6 == 0.888889)
+    val xz = got(("x", "z"))
+    assert(xz._3 == 1L && xz._4 == 0.25 && xz._5 == 0.333333 &&
+      xz._6 == 1.333333)
+    assert(!got.contains(("y", "z")))
+    val pruned = Association.basketLift(df, Seq("bk"), "item", 2L)
+      .as[(String, String, Long, Double, Double, Double)].collect()
+    assert(pruned.map(r => (r._1, r._2)).toSeq == Seq(("x", "y")))
   }
 }

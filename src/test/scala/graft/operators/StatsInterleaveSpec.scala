@@ -40,6 +40,26 @@ class ProfileSpec extends SparkTestBase {
     }
   }
 
+  test("mergeableDistinct: strata ≈ exact; __all__ comes from sketch union") {
+    val df = (1 to 5000)
+      .map(i => (s"s${i % 3}", (i * 7919) % 1200)).toDF("src", "u")
+    val got = Profile.mergeableDistinct(df, "src", "u")
+      .as[(String, Long)].collect().toMap
+    assert(got.keySet == Set("s0", "s1", "s2", "__all__"))
+    val exactAll = df.select($"u").distinct().count()
+    for (s <- Seq("s0", "s1", "s2")) {
+      val exact = df.where($"src" === s).select($"u").distinct().count()
+      assert(math.abs(got(s) - exact) <= math.max(2, (exact * 0.05).toLong),
+        s"$s: est ${got(s)} vs exact $exact")
+    }
+    assert(math.abs(got("__all__") - exactAll)
+      <= math.max(2, (exactAll * 0.05).toLong),
+      s"__all__: est ${got("__all__")} vs exact $exactAll")
+    // merged estimate must respect union bounds vs the strata estimates
+    assert(got("__all__") >= Seq("s0", "s1", "s2").map(got).max)
+    assert(got("__all__") <= Seq("s0", "s1", "s2").map(got).sum)
+  }
+
   test("string profile: nulls, empties, distincts, char-length stats") {
     val df = Seq[(java.lang.Long, String)](
       (1L, "abc"), (2L, ""), (3L, null), (4L, "abc"), (5L, "hello")
@@ -105,6 +125,19 @@ class StatsSpec extends SparkTestBase {
       val (x, y, z) = ours(g)
       assert(a == x && b == y && c == z, s"group $g: ($a,$b,$c) vs ($x,$y,$z)")
     }
+  }
+
+  test("ohlcBars: deterministic open/close under timestamp ties") {
+    val ev = Seq(
+      (10L, 1L, 5.0), (10L, 2L, 7.0),    // same second: open ties to id 1
+      (3599L, 3L, 1.0),                   // bar 0 low AND close
+      (3600L, 4L, 9.0), (7199L, 5L, 2.0)  // bar 1
+    ).toDF("sec", "id", "v")
+    val got = Stats.ohlcBars(ev, "sec", "id", "v", 3600L)
+      .as[(Long, Double, Double, Double, Double, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(0L) == ((0L, 5.0, 7.0, 1.0, 1.0, 3L, 4.333333)))
+    assert(got(1L) == ((1L, 9.0, 9.0, 2.0, 2.0, 2L, 5.5)))
   }
 
   test("robustOutliers flags per-group median/MAD breaches only") {
