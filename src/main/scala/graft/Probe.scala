@@ -76,6 +76,73 @@ object Probe {
           Seq("view", "click", "purchase"), 86400L).count()
       }
     }
+    // fourth-session additions: the round's new iterative/join-heavy ops
+    def coorderEdges(mod: Option[Int]): DataFrame = {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").as("ok"),
+          col("l_linenumber").as("ln"), col("l_partkey").as("pk"))
+      val nxt = li.select(col("ok"), (col("ln") - 1).as("ln"),
+        col("pk").as("dst_pk"))
+      val base = li.join(nxt, Seq("ok", "ln"))
+        .where(col("pk") =!= col("dst_pk") &&
+          mod.map(m => (col("pk") + col("dst_pk")) % m === 0)
+            .getOrElse(lit(true)))
+        .select(col("pk").as("src"), col("dst_pk").as("dst"))
+      times(base, 20, Seq("src", "dst"), 1000000L)
+    }
+    if (probes("lpa")) timed("lpa20x") {
+      Graph.labelPropagation(coorderEdges(None), "src", "dst", 2).count()
+    }
+    if (probes("triangles")) timed("triangles20x") {
+      Graph.triangleCount(coorderEdges(None), "src", "dst").count()
+    }
+    if (probes("kcore")) timed("kcore20x") {
+      Graph.kCorePeel(coorderEdges(Some(5)), "src", "dst", 5, 3).count()
+    }
+    if (probes("symdelete2")) {
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val big = times(cust, 20, Seq("c_custkey"), 1000000L)
+        .withColumn("c_nationkey",
+          col("c_nationkey") + (col("c_custkey") / 1000000L).cast("int") * 25)
+      timed("symdelete2_20x") {
+        NearDup.editDistancePairs(big, "c_custkey", "c_name",
+          "c_nationkey", 2).count()
+      }
+    }
+    if (probes("basket")) {
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val big = times(ev, 20, Seq("user_id"), 1000000L)
+      timed("basket20x") {
+        operators.Association.basketLift(
+          big.select(col("user_id"),
+            expr("ts DIV 1000000000 DIV 86400").as("day"),
+            col("event_type")),
+          Seq("user_id", "day"), "event_type", 50L).count()
+      }
+    }
+    if (probes("overlap")) {
+      // 20 extra sources, same text universe: sources-per-shingle grows
+      // to ~400 — the quadratic term the contract bounds by #sources
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val big = times(docs, 20, Seq("doc_id"), 1000000L)
+        .withColumn("source",
+          concat(col("source"), lit("_"),
+            (col("doc_id") / 1000000L).cast("int")))
+      timed("overlap20x") {
+        val sh = big.select(col("source"),
+            explode(TextAnalysis.wordShingles(col("text"), 3))
+              .as("shingle"))
+          .distinct()
+        val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("_n"))
+        sh.select(col("shingle"), col("source").as("a"))
+          .join(sh.select(col("shingle"), col("source").as("b")), Seq("shingle"))
+          .where(col("a") < col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+          .join(sizes.select(col("source").as("a"), col("_n").as("na")), "a")
+          .count()
+      }
+    }
     spark.stop()
   }
 }

@@ -1298,6 +1298,68 @@ object SparkEntry {
       s.table(qname).orderBy(col("bar_id"))
     }),
 
+    // Iterative k-core peel (k=5, 3 rounds) on a sparsified co-order
+    // graph where the cascade is real (sf0.01 survivors:
+    // 1992→1334→1015→780) — Components/PageRank/LPA's fourth sibling
+    "q153_kcore" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          col("l_linenumber").as("ln"), col("l_partkey").as("pk"))
+      val nxt = li.select(col("ok"), (col("ln") - 1).as("ln"),
+        col("pk").as("dst_pk"))
+      val edges = li.join(nxt, Seq("ok", "ln"))
+        .where(col("pk") =!= col("dst_pk") &&
+          (col("pk") + col("dst_pk")) % 5 === 0)
+        .select(col("pk").as("src"), col("dst_pk").as("dst"))
+      Graph.kCorePeel(edges, "src", "dst", k = 5, rounds = 3)
+        .orderBy(col("id"))
+    }),
+
+    // Winsorized per-type value report: exact p05/p95 bounds clamp the
+    // tails; the before/after means and clamp counts summarize the
+    // treatment — bounds broadcast back, the clamp is scan-stage
+    "q154_winsorize" -> ((s, dir) => {
+      Stats.winsorize(t(s, dir, "events"), Seq("event_type"), "value",
+          0.05, 0.95)
+        .groupBy(col("event_type"))
+        .agg(
+          count(when(col("value") < col("_lo"), lit(1))).as("n_low"),
+          count(when(col("value") > col("_hi"), lit(1))).as("n_high"),
+          round(avg(col("value")), 6).as("mean_before"),
+          round(avg(col("wins")), 6).as("mean_after"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Inter-source n-gram contamination matrix: Jaccard of each source
+    // PAIR's distinct 3-shingle sets — quadratic only in
+    // sources-per-shingle (bounded by #sources, a domain contract),
+    // with set sizes joined back from a 20-row aggregate
+    "q155_source_overlap" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextAnalysis.wordShingles(col("text"), 3))
+            .as("shingle"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("_n"))
+      val shared = sh.select(col("shingle"), col("source").as("src_a"))
+        .join(sh.select(col("shingle"), col("source").as("src_b")),
+          Seq("shingle"))
+        .where(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(broadcast(sizes.select(col("source").as("src_a"),
+          col("_n").as("_na"))), "src_a")
+        .join(broadcast(sizes.select(col("source").as("src_b"),
+          col("_n").as("_nb"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          round(col("n_shared").cast("double") /
+            (col("_na") + col("_nb") - col("n_shared")).cast("double"),
+            6).as("jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // Entry-path mining: each (user, day) session's first 3 event
     // types form a journey prefix; frequency per prefix — per-session
     // state is a bounded sorted list (3 kept), one shuffle per level
@@ -4772,6 +4834,89 @@ object SparkEntry {
          SELECT array_to_string(types[1:3], '>') AS path,
                 count(*) AS n_sessions
          FROM s GROUP BY path ORDER BY path""",
+
+    "q153_kcore" ->
+      """WITH e0 AS (
+           SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
+           FROM lineitem x JOIN lineitem y
+             ON x.l_orderkey = y.l_orderkey
+             AND y.l_linenumber = x.l_linenumber + 1
+           WHERE x.l_partkey != y.l_partkey
+             AND (x.l_partkey + y.l_partkey) % 5 = 0),
+         ec AS MATERIALIZED (
+           SELECT DISTINCT least(src, dst) AS u,
+                  greatest(src, dst) AS v FROM e0),
+         d0 AS (SELECT id, count(*) AS deg FROM (
+                  SELECT u AS id FROM ec UNION ALL SELECT v FROM ec)
+                GROUP BY id),
+         k1 AS (SELECT id FROM d0 WHERE deg >= 5),
+         e1 AS MATERIALIZED (
+           SELECT * FROM ec WHERE u IN (SELECT id FROM k1)
+                              AND v IN (SELECT id FROM k1)),
+         d1 AS (SELECT id, count(*) AS deg FROM (
+                  SELECT u AS id FROM e1 UNION ALL SELECT v FROM e1)
+                GROUP BY id),
+         k2 AS (SELECT id FROM d1 WHERE deg >= 5),
+         e2 AS MATERIALIZED (
+           SELECT * FROM e1 WHERE u IN (SELECT id FROM k2)
+                              AND v IN (SELECT id FROM k2)),
+         d2 AS (SELECT id, count(*) AS deg FROM (
+                  SELECT u AS id FROM e2 UNION ALL SELECT v FROM e2)
+                GROUP BY id),
+         k3 AS (SELECT id FROM d2 WHERE deg >= 5),
+         e3 AS MATERIALIZED (
+           SELECT * FROM e2 WHERE u IN (SELECT id FROM k3)
+                              AND v IN (SELECT id FROM k3))
+         SELECT id, count(*) AS deg FROM (
+           SELECT u AS id FROM e3 UNION ALL SELECT v FROM e3)
+         GROUP BY id ORDER BY id""",
+
+    "q154_winsorize" ->
+      """WITH b AS (
+           SELECT event_type,
+                  quantile_cont(value, 0.05) AS lo,
+                  quantile_cont(value, 0.95) AS hi
+           FROM events GROUP BY event_type),
+         j AS (
+           SELECT e.event_type, e.value, b.lo, b.hi,
+                  least(greatest(e.value, b.lo), b.hi) AS w
+           FROM events e JOIN b USING (event_type))
+         SELECT event_type,
+                CAST(count(*) FILTER (WHERE value < lo) AS BIGINT)
+                  AS n_low,
+                CAST(count(*) FILTER (WHERE value > hi) AS BIGINT)
+                  AS n_high,
+                round(avg(value), 6) AS mean_before,
+                round(avg(w), 6) AS mean_after
+         FROM j GROUP BY event_type ORDER BY event_type""",
+
+    "q155_source_overlap" ->
+      """WITH d AS (
+           SELECT source,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         sh AS MATERIALIZED (
+           SELECT DISTINCT source,
+             unnest(CASE WHEN len(toks) < 3
+               THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(toks) - 2),
+                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+               END) AS shingle
+           FROM d),
+         sz AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+         pr AS (
+           SELECT x.source AS src_a, y.source AS src_b,
+                  count(*) AS n_shared
+           FROM sh x JOIN sh y
+             ON x.shingle = y.shingle AND x.source < y.source
+           GROUP BY 1, 2)
+         SELECT p.src_a, p.src_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+                round(CAST(p.n_shared AS DOUBLE) /
+                  CAST(a.n + b.n - p.n_shared AS DOUBLE), 6) AS jaccard
+         FROM pr p JOIN sz a ON a.source = p.src_a
+                   JOIN sz b ON b.source = p.src_b
+         ORDER BY src_a, src_b""",
 
     "q139_stream_debounce" ->
       """WITH e AS (

@@ -120,6 +120,55 @@ object Graph {
     ranks
   }
 
+  /** Iterative k-core PEELING with a FIXED round count: each round
+    * simultaneously removes every node whose current degree is < k,
+    * then restricts the edge set to survivors — the degeneracy-ordering
+    * primitive behind "dense cluster extraction" (spam rings, boiler-
+    * plate template families) and a third member of the iterative-graph
+    * family. Fixed rounds (vs run-to-fixpoint) keep the computation
+    * oracle-unrollable; at convergence the survivors are exactly the
+    * k-core, and each extra round only ever shrinks the set, so
+    * `rounds` acts as a documented lower-bound approximation knob.
+    *
+    * SCALE SHAPE: a round is one degree aggregation (map-side combined)
+    * plus two semi-joins of the edge table against the surviving-node
+    * table — all hash-distributed, nothing collected; eager checkpoint
+    * per round via Components' pin/releasePin keeps the plan O(1)
+    * (`reliable = true` for executor-loss recovery).
+    *
+    * Returns (id, deg): survivors after `rounds` peels with their
+    * degree in the REMAINING graph.
+    */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+                k: Int, rounds: Int,
+                reliable: Boolean = false): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
+    val ec0 = edges
+      .select(col(srcCol).cast("long").as("s"),
+              col(dstCol).cast("long").as("d"))
+      .where(col("s").isNotNull && col("d").isNotNull &&
+             col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("u"),
+              greatest(col("s"), col("d")).as("v"))
+      .distinct()
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    var cur = Components.pin(ec0, reliable)
+    for (_ <- 1 to rounds) {
+      val keep = degrees(cur).where(col("deg") >= k).select(col("id"))
+      val next = Components.pin(
+        cur
+          .join(keep.select(col("id").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("id").as("v")), Seq("v"), "left_semi")
+          .select(col("u"), col("v")),
+        reliable)
+      Components.releasePin(cur, reliable)
+      cur = next
+    }
+    degrees(cur)
+  }
+
   /** Synchronous label propagation (community detection) with a FIXED
     * iteration count — the deterministic LPA variant: every node starts
     * labeled with its own id; each round every node simultaneously

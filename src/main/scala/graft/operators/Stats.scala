@@ -123,6 +123,28 @@ object Stats {
     * shuffles only for the two aggregations. Returns the input columns
     * plus `med` and `mad` (unrounded), filtered to outliers.
     */
+  /** Winsorization — clamp `valueCol` into its per-key
+    * [pLow, pHigh] exact-percentile band: the outlier treatment that
+    * KEEPS rows (vs [[robustOutliers]], which flags them), standard
+    * before computing means/regressions on heavy-tailed columns.
+    * Returns the input plus `_lo`, `_hi` and the clamped value
+    * `wins`.
+    *
+    * SCALE SHAPE: bounds come from ONE [[exactPercentiles]] pass (its
+    * own scale contract applies, incl. `orderBuckets` for huge keys);
+    * the join-back is a one-row-per-key table AQE broadcasts; the clamp
+    * itself is scan-stage. The fact table shuffles only for the
+    * percentile aggregation.
+    */
+  def winsorize(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                pLow: Double, pHigh: Double): DataFrame = {
+    val bounds = exactPercentiles(df, keyCols, valueCol,
+      Seq("_lo" -> pLow, "_hi" -> pHigh))
+    df.join(bounds, keyCols)
+      .withColumn("wins",
+        least(greatest(col(valueCol), col("_lo")), col("_hi")))
+  }
+
   /** OHLC resampling — downsample an event stream to fixed-width bars
     * (open / high / low / close / volume / mean), the time-series
     * compaction step dashboards and feature pipelines read instead of

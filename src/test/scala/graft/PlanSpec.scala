@@ -537,6 +537,33 @@ class PlanSpec extends SparkTestBase {
       s"bars must partial-aggregate:\n$p")
   }
 
+  test("q154 winsorize: percentile bounds partial-aggregate; no cartesian") {
+    // the bounds table is one row per event_type (AQE broadcasts the
+    // join-back at runtime); statically we pin the partial percentile
+    // phase and that no join degenerated to a loop
+    // bounds come from exactPercentiles' distinct-value pre-aggregate
+    // (partial_count over (key, value)) + rank windows — pin the
+    // partial phase and the final report's map-side combine; the
+    // one-row-per-key join-back must stay a hash join, never a loop
+    val p = plan("q154_winsorize")
+    assert(p.contains("partial_count") && p.contains("partial_min"),
+      s"bounds must partial-aggregate:\n$p")
+    assert(p.contains("partial_avg"),
+      s"the clamp report must partial-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      s"equi-joins only:\n$p")
+  }
+
+  test("q155 source overlap: size tables broadcast; shingle join stays equi") {
+    val p = plan("q155_source_overlap")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source sizes must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay an equi-join on the shingle:\n$p")
+  }
+
   test("q149 HLL sketches: plain partial aggregate, no Expand") {
     // the sketch route must stay an ordinary agg buffer — an Expand
     // here would mean the multi-distinct shape q89 documents as the

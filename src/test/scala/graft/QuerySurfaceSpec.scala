@@ -42,7 +42,8 @@ class QuerySurfaceSpec extends SparkTestBase {
     "q119_fuzzy_dedup", "q130_stream_funnel", "q131_systematic_sample",
     "q135_class_terms", "q138_media_ingest", "q139_stream_debounce",
     "q140_tfidf_neardup", "q141_bm25_search",
-    "q143_pagerank_sinks", "q145_label_prop", "q151_stream_ohlc")
+    "q143_pagerank_sinks", "q145_label_prop", "q151_stream_ohlc",
+    "q153_kcore")
 
   test("every oracle key names a query; every query is gated") {
     val rowsOnly = Set("q34_approx_sketch", "q41_approx_segment",

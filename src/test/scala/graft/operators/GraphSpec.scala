@@ -73,6 +73,24 @@ class GraphSpec extends SparkTestBase {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L))
   }
 
+  test("kCorePeel: cascade removes the whole path; triangle survives") {
+    // path 1–2–3–4 at k=2: round 1 peels endpoints (deg 1), round 2
+    // peels the now-degree-1 middle — the cascade IS the operator
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r1 = Graph.kCorePeel(path, "src", "dst", k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(2L -> 1L, 3L -> 1L))
+    val r2 = Graph.kCorePeel(path, "src", "dst", k = 2, rounds = 2)
+      .as[(Long, Long)].collect()
+    assert(r2.isEmpty)
+    // triangle + pendant at k=2: pendant peels, triangle is the 2-core
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 9L))
+      .toDF("src", "dst")
+    val core = Graph.kCorePeel(tri, "src", "dst", k = 2, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("pageRank plan stays O(1) deep across rounds (pinned lineage)") {
     // 10 rounds on a cycle: if lineage grew per round, the final plan
     // string would blow up; a pinned loop keeps it a flat scan

@@ -127,6 +127,23 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("winsorize clamps exactly to the per-key percentile band") {
+    // key a: values 1..100 → p10 = 10.9, p90 = 90.1 (interpolated);
+    // key b untouched within its own band
+    val df = ((1 to 100).map(i => ("a", i.toDouble)) ++
+      Seq(("b", 5.0), ("b", 6.0), ("b", 7.0))).toDF("k", "v")
+    val got = Stats.winsorize(df, Seq("k"), "v", 0.10, 0.90)
+    val a = got.where($"k" === "a")
+      .select(min($"wins"), max($"wins")).as[(Double, Double)].head()
+    assert(math.abs(a._1 - 10.9) < 1e-9 && math.abs(a._2 - 90.1) < 1e-9)
+    val aCounts = got.where($"k" === "a" && ($"v" < $"_lo"))
+      .count()
+    assert(aCounts == 10) // 1..10 all sit below 10.9
+    val b = got.where($"k" === "b").select($"v", $"wins")
+      .as[(Double, Double)].collect()
+    assert(b.forall { case (v, w) => v == w || math.abs(v - w) < 0.5 })
+  }
+
   test("ohlcBars: deterministic open/close under timestamp ties") {
     val ev = Seq(
       (10L, 1L, 5.0), (10L, 2L, 7.0),    // same second: open ties to id 1
