@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Session factory + table access for the graft engine.
   *
@@ -48,9 +50,10 @@ object GraftSession {
       .config("spark.sql.streaming.stateStore.providerClass",
               "org.apache.spark.sql.execution.streaming.state." +
                 "RocksDBStateStoreProvider")
-      // the driver's events.parquet stores ts as TIMESTAMP(NANOS), which
-      // vanilla Spark refuses; read as Long nanoseconds and convert with
-      // exact integer arithmetic (see SparkEntry.eventTimestamp).
+      // producers have shipped events.ts as TIMESTAMP(NANOS) in the past,
+      // which vanilla Spark refuses to read; with nanosAsLong those files
+      // surface as Long nanoseconds and normalizeEventTime converts them
+      // with exact integer arithmetic. Harmless for micro-encoded files.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // reliable checkpoints (Components' reliable=true rounds) are
       // NOT removed by default — without this, every superseded round
@@ -61,7 +64,37 @@ object GraftSession {
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
 
-  /** Read one of the driver-provided parquet tables from an sf directory. */
+  /** Read one of the driver-provided parquet tables from an sf directory,
+    * with the event-time column normalized (see [[normalizeEventTime]]).
+    */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    normalizeEventTime(rawTable(spark, sfDir, name))
+
+  /** Read a table exactly as encoded on disk — no event-time
+    * normalization. Streaming sources need this schema (a stream must be
+    * given the FILE schema, then normalized post-load with
+    * [[normalizeEventTime]], which is a plain projection and so works on
+    * streaming frames too).
+    */
+  def rawTable(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Lenient event-time ingest: producers encode the `ts` column
+    * differently across dataset versions — Long nanoseconds (legacy
+    * TIMESTAMP(NANOS) files read via nanosAsLong), `timestamp[us]`
+    * without a zone (Spark reads TIMESTAMP_NTZ), or a zoned timestamp.
+    * Normalize all three to TimestampType at the read boundary so every
+    * downstream operator sees one type. The session timezone is pinned
+    * UTC (see [[configure]]), so the NTZ→LTZ cast is wall-clock identity
+    * and integer epoch arithmetic agrees across encodings.
+    */
+  def normalizeEventTime(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    if (!df.columns.contains(tsCol)) df
+    else df.schema(tsCol).dataType match {
+      case LongType => // legacy nanos: integer DIV keeps exactness at 1e18
+        df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol DIV 1000")))
+      case TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case _ => df
+    }
 }

@@ -22,14 +22,27 @@ object SparkEntry {
   /** Exact, order-independent sum of a double money column. */
   private def moneySum(c: Column): Column = sum(c.cast("decimal(18,4)"))
 
-  /** events.ts is read as Long nanoseconds (nanosAsLong) — convert with
-    * integer arithmetic only; double division of ~1e18 ns loses precision.
+  /** events.ts reaches queries as TimestampType regardless of the file
+    * encoding — GraftSession.normalizeEventTime converts legacy Long-nanos
+    * and timestamp[us] NTZ files at the read boundary — so event-time
+    * helpers are plain timestamp arithmetic. Integer DIV only (epoch
+    * micros ~1.7e15: double division would lose precision).
     */
-  private def eventTimestamp(tsNanos: String): Column =
-    timestamp_micros(expr(s"$tsNanos DIV 1000"))
+  private def eventTimestamp(ts: String): Column = col(ts)
 
-  private def eventEpochSeconds(tsNanos: String): Column =
-    expr(s"$tsNanos DIV 1000000000")
+  private def eventEpochSeconds(ts: String): Column =
+    expr(s"unix_micros($ts) DIV 1000000")
+
+  /** Micro-batch stream over events.parquet: the source needs the FILE
+    * schema (not the normalized one), then the same event-time
+    * normalization is applied post-load — it is a pure projection, so it
+    * composes with streaming frames.
+    */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame =
+    GraftSession.normalizeEventTime(
+      graft.streaming.Streams.fileSource(s, dir,
+        GraftSession.rawTable(s, dir, "events").schema,
+        globFilter = Some("events.parquet")))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -693,10 +706,8 @@ object SparkEntry {
     // end.txt sentinel, S/SparkGA1.scala:94-110,1050-1081). Oracle = the
     // batch session SQL (same as q32): streaming and batch must agree.
     "q43_stream_sessions" -> ((s, dir) => {
-      val batch = t(s, dir, "events")
-      val stream = graft.streaming.Streams.fileSource(
-        s, dir, batch.schema, globFilter = Some("events.parquet"))
-      val markers = batch.select(col("user_id")).distinct()
+      val stream = eventsStream(s, dir)
+      val markers = t(s, dir, "events").select(col("user_id")).distinct()
       val ready = graft.streaming.Streams.readyFilter(
         stream, markers, "user_id")
       val sess = graft.streaming.Streams.sessionAgg(
@@ -1109,7 +1120,7 @@ object SparkEntry {
     "q137_debounce" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
-          expr("ts DIV 1000").as("tsu"))
+          expr("unix_micros(ts)").as("tsu"))
       Sessionize.burstCollapse(ev, Seq("user_id", "event_type"),
           "tsu", "event_id", gap = 86400L * 1000000L)
         .select(col("event_id"), col("user_id"), col("event_type"))
@@ -1250,13 +1261,26 @@ object SparkEntry {
         .orderBy(col("stratum"))
     }),
 
+    // q149's exact-parity twin: same strata + __all__ surface with exact
+    // countDistinct, hash-checked by the driver — so the sketch query's
+    // SHAPE is oracle-proven even though its estimates are rows-only
+    // (the ≤5% error bound lives in ProfileSpec against this same data)
+    "q156_mergeable_exact" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.groupBy(col("event_type").cast("string").as("stratum"))
+        .agg(countDistinct(col("user_id")).as("n_distinct"))
+        .unionByName(ev.agg(countDistinct(col("user_id")).as("n_distinct"))
+          .select(lit("__all__").as("stratum"), col("n_distinct")))
+        .orderBy(col("stratum"))
+    }),
+
     // Market-basket association: support/confidence/lift over
     // event-type pairs co-occurring in (user, day) baskets — pair
     // generation equi-joins ON THE BASKET, bounded by items-per-basket
     "q150_basket_lift" -> ((s, dir) => {
       Association.basketLift(
           t(s, dir, "events").select(col("user_id"),
-            expr("ts DIV 1000000000 DIV 86400").as("day"),
+            expr("unix_micros(ts) DIV 1000000 DIV 86400").as("day"),
             col("event_type")),
           Seq("user_id", "day"), "event_type", minBaskets = 50L)
         .orderBy(col("a"), col("b"))
@@ -1268,9 +1292,7 @@ object SparkEntry {
     // under any micro-batch arrival order); the mean rides a DECIMAL
     // sum so accumulation order can't hash-diverge it
     "q151_stream_ohlc" -> ((s, dir) => {
-      val batch = t(s, dir, "events")
-      val stream = graft.streaming.Streams.fileSource(
-        s, dir, batch.schema, globFilter = Some("events.parquet"))
+      val stream = eventsStream(s, dir)
       val ev = stream.select(
           eventEpochSeconds("ts").as("sec"),
           col("event_id"), col("value"),
@@ -1332,31 +1354,13 @@ object SparkEntry {
 
     // Inter-source n-gram contamination matrix: Jaccard of each source
     // PAIR's distinct 3-shingle sets — quadratic only in
-    // sources-per-shingle (bounded by #sources, a domain contract),
-    // with set sizes joined back from a 20-row aggregate
+    // sources-per-shingle, with a maxDf cap (q62's policy at source
+    // granularity) bounding the all-source boilerplate shingles that
+    // would otherwise pay #sources²/2 fan-in at thousands of sources;
+    // set sizes join back from a 20-row broadcast aggregate
     "q155_source_overlap" -> ((s, dir) => {
-      val sh = t(s, dir, "documents")
-        .select(col("source"),
-          explode(TextAnalysis.wordShingles(col("text"), 3))
-            .as("shingle"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("_n"))
-      val shared = sh.select(col("shingle"), col("source").as("src_a"))
-        .join(sh.select(col("shingle"), col("source").as("src_b")),
-          Seq("shingle"))
-        .where(col("src_a") < col("src_b"))
-        .groupBy(col("src_a"), col("src_b"))
-        .agg(count(lit(1)).as("n_shared"))
-      shared
-        .join(broadcast(sizes.select(col("source").as("src_a"),
-          col("_n").as("_na"))), "src_a")
-        .join(broadcast(sizes.select(col("source").as("src_b"),
-          col("_n").as("_nb"))), "src_b")
-        .select(col("src_a"), col("src_b"), col("n_shared"),
-          round(col("n_shared").cast("double") /
-            (col("_na") + col("_nb") - col("n_shared")).cast("double"),
-            6).as("jaccard"))
+      NearDup.sourceOverlapMatrix(t(s, dir, "documents"),
+          "source", "text", n = 3, maxDf = 15)
         .orderBy(col("src_a"), col("src_b"))
     }),
 
@@ -1366,7 +1370,7 @@ object SparkEntry {
     "q152_journey_paths" -> ((s, dir) => {
       val sessions = t(s, dir, "events")
         .select(col("user_id"),
-          expr("ts DIV 1000000000 DIV 86400").as("day"),
+          expr("unix_micros(ts) DIV 1000000 DIV 86400").as("day"),
           col("ts"), col("event_id"), col("event_type"))
         .groupBy(col("user_id"), col("day"))
         .agg(concat_ws(">",
@@ -1385,9 +1389,7 @@ object SparkEntry {
     "q139_stream_debounce" -> ((s, dir) => {
       val spark2 = s
       import spark2.implicits._
-      val batch = t(s, dir, "events")
-      val stream = graft.streaming.Streams.fileSource(
-        s, dir, batch.schema, globFilter = Some("events.parquet"))
+      val stream = eventsStream(s, dir)
       val evs = stream.select(
           concat(col("user_id").cast("string"), lit("|"),
             col("event_type")).as("key"),
@@ -1410,7 +1412,7 @@ object SparkEntry {
     "q133_locf" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("user_id"),
-          expr("ts DIV 1000").as("tsu"),
+          expr("unix_micros(ts)").as("tsu"),
           when(col("event_id") % 3 === 0, lit(null).cast("double"))
             .otherwise(col("value")).as("v"))
       Funnel.locf(ev, Seq("user_id"), Seq(col("tsu"), col("event_id")),
@@ -1425,7 +1427,7 @@ object SparkEntry {
     // operator composed into the marketing-analytics shape)
     "q134_attribution" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-        .withColumn("tsu", expr("ts DIV 1000"))
+        .withColumn("tsu", expr("unix_micros(ts)"))
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("user_id"), col("tsu").as("pts"),
           col("event_id").as("purchase_id"), col("value"))
@@ -1473,14 +1475,16 @@ object SparkEntry {
     }),
 
     // Streaming funnel: q125's semantics as per-user
-    // flatMapGroupsWithState (state = 3 numbers/user) over the event
-    // stream — counts must equal the batch funnel exactly
+    // flatMapGroupsWithState over the event stream — counts must equal
+    // the batch funnel exactly. The out-of-order-tolerant variant: no
+    // delivery-order contract (per-step candidate state + revision log;
+    // final counts come from each user's last revision), so reordered
+    // micro-batches cannot corrupt conversions (StatefulFunnelSpec
+    // pins the shuffled-delivery and retraction cases)
     "q130_stream_funnel" -> ((s, dir) => {
       val spark2 = s
       import spark2.implicits._
-      val batch = t(s, dir, "events")
-      val stream = graft.streaming.Streams.fileSource(
-        s, dir, batch.schema, globFilter = Some("events.parquet"))
+      val stream = eventsStream(s, dir)
       val steps = Seq("view", "click", "purchase")
       val stepCol = steps.zipWithIndex.foldLeft(lit(-1)) {
         case (acc, (st, i)) =>
@@ -1490,16 +1494,21 @@ object SparkEntry {
           eventTimestamp("ts").as("ts"), stepCol.as("step"))
         .where(col("step") >= 0)
         .as[graft.streaming.StatefulFunnel.StepEvent]
-      val adv = graft.streaming.StatefulFunnel
-        .track(evs, steps.length, 86400L)
+      val revs = graft.streaming.StatefulFunnel
+        .trackUnordered(evs, steps.length, 86400L)
       val qname = "graft_q130_funnel"
       val query = graft.streaming.Streams
-        .drainToMemory(adv.toDF(), qname, outputMode = "append").start()
+        .drainToMemory(revs.toDF(), qname, outputMode = "append").start()
       try query.awaitTermination() finally query.stop()
+      val fin = s.table(qname).groupBy(col("key"))
+        .agg(max_by(col("reached"), col("rev")).as("reached"))
+        .where(col("reached") >= 1)
       steps.zipWithIndex.map { case (st, i) => (i + 1, st) }
         .toDF("step_idx", "step")
-        .join(s.table(qname).groupBy(col("step_idx"))
-          .agg(count(lit(1)).as("n")), Seq("step_idx"), "left")
+        .join(fin.select(explode(sequence(lit(1), col("reached")))
+            .as("step_idx"))
+          .groupBy(col("step_idx")).agg(count(lit(1)).as("n")),
+          Seq("step_idx"), "left")
         .select(col("step_idx"), col("step"),
           coalesce(col("n"), lit(0L)).as("n_users"))
         .orderBy(col("step_idx"))
@@ -2029,7 +2038,6 @@ object SparkEntry {
     // files must equal the batch filter — that equality IS the
     // exactly-once sink contract.
     "q88_stream_file_sink" -> ((s, dir) => {
-      val batch = t(s, dir, "events")
       val out = scratch(s, "q88_out")
       val ckpt = scratch(s, "q88_ckpt")
       // fresh drain every invocation: with the checkpoint left in
@@ -2045,8 +2053,7 @@ object SparkEntry {
       // filters and low enough that the oracle compares real data (the
       // previous value > 500 exceeded the data's max ⇒ 0-vs-0 rows, a
       // vacuous exactly-once check)
-      val stream = graft.streaming.Streams.fileSource(s, dir, batch.schema,
-          globFilter = Some("events.parquet"))
+      val stream = eventsStream(s, dir)
         .where(col("value") > 50)
         .select(col("event_id"), col("user_id"),
           round(col("value"), 6).as("value"))
@@ -2148,9 +2155,7 @@ object SparkEntry {
     // not O(stream history). Single-file AvailableNow drain ⇒ the
     // result equals the batch join, which is the oracle.
     "q78_stream_join" -> ((s, dir) => {
-      val batch = t(s, dir, "events")
-      def src() = graft.streaming.Streams.fileSource(s, dir, batch.schema,
-        globFilter = Some("events.parquet"))
+      def src() = eventsStream(s, dir)
       val a = src().where(col("event_id") % 2 === 0)
         .select(col("user_id"), col("event_id").as("a_id"),
           eventTimestamp("ts").as("a_ts"))
@@ -2293,9 +2298,7 @@ object SparkEntry {
     // order-independent — a double sum would hash-diverge on micro-batch
     // accumulation order.
     "q54_stream_tumbling" -> ((s, dir) => {
-      val batch = t(s, dir, "events")
-      val stream = graft.streaming.Streams.fileSource(
-        s, dir, batch.schema, globFilter = Some("events.parquet"))
+      val stream = eventsStream(s, dir)
       val agg = graft.streaming.Streams.tumblingAgg(
         stream.select(eventTimestamp("ts").as("ets"),
                       col("value").cast("decimal(18,4)").as("v")),
@@ -2316,9 +2319,7 @@ object SparkEntry {
     // watermarked daily window aggregates per nation. LEFT enrichment:
     // events with no matching customer keep flowing (nation -1 bucket).
     "q69_stream_enrich" -> ((s, dir) => {
-      val batch = t(s, dir, "events")
-      val stream = graft.streaming.Streams.fileSource(
-        s, dir, batch.schema, globFilter = Some("events.parquet"))
+      val stream = eventsStream(s, dir)
       val dim = t(s, dir, "customer")
         .select(col("c_custkey").as("user_id"), col("c_nationkey"))
       val enriched = graft.streaming.Streams.enrich(
@@ -2344,9 +2345,7 @@ object SparkEntry {
     // exactly two windows, both reproduced by the oracle's k ∈ {0,1}
     // cross join on epoch-aligned starts. DECIMAL sums for exactness.
     "q55_stream_sliding" -> ((s, dir) => {
-      val batch = t(s, dir, "events")
-      val stream = graft.streaming.Streams.fileSource(
-        s, dir, batch.schema, globFilter = Some("events.parquet"))
+      val stream = eventsStream(s, dir)
       val agg = graft.streaming.Streams.slidingAgg(
         stream.select(eventTimestamp("ts").as("ets"),
                       col("value").cast("decimal(18,4)").as("v")),
@@ -2438,9 +2437,7 @@ object SparkEntry {
     "q49_stateful_stream_sessions" -> ((s, dir) => {
       val spark2 = s
       import spark2.implicits._
-      val batch = t(s, dir, "events")
-      val stream = graft.streaming.Streams.fileSource(
-        s, dir, batch.schema, globFilter = Some("events.parquet"))
+      val stream = eventsStream(s, dir)
       val tsEvents = stream
         .select(col("user_id").as("key"), eventTimestamp("ts").as("ts"))
         .as[graft.streaming.StatefulSessions.TsEvent]
@@ -4770,6 +4767,16 @@ object SparkEntry {
                 round(avg(value), 6) AS mean_value
          FROM rn GROUP BY bar_id ORDER BY bar_id""",
 
+    "q156_mergeable_exact" ->
+      """SELECT CAST(event_type AS VARCHAR) AS stratum,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+         FROM events GROUP BY 1
+         UNION ALL
+         SELECT '__all__' AS stratum,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+         FROM events
+         ORDER BY stratum""",
+
     "q150_basket_lift" ->
       """WITH it AS MATERIALIZED (
            SELECT DISTINCT user_id,
@@ -4904,11 +4911,14 @@ object SparkEntry {
                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))
                END) AS shingle
            FROM d),
-         sz AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+         capped AS MATERIALIZED (
+           SELECT source, shingle FROM sh
+           QUALIFY count(*) OVER (PARTITION BY shingle) <= 15),
+         sz AS (SELECT source, count(*) AS n FROM capped GROUP BY source),
          pr AS (
            SELECT x.source AS src_a, y.source AS src_b,
                   count(*) AS n_shared
-           FROM sh x JOIN sh y
+           FROM capped x JOIN capped y
              ON x.shingle = y.shingle AND x.source < y.source
            GROUP BY 1, 2)
          SELECT p.src_a, p.src_b, CAST(p.n_shared AS BIGINT) AS n_shared,

@@ -208,6 +208,59 @@ object NearDup {
     containmentPairsWithHandle(docs, idCol, textCol, blockCol, n,
       minContainment, maxDf)._1
 
+  /** Inter-SOURCE n-gram contamination matrix: Jaccard of each source
+    * pair's distinct shingle sets (which crawls/feeds share boilerplate
+    * or mirrored content). The unit is the source, not the document, so
+    * the join is quadratic only in sources-per-shingle — bounded by
+    * #sources, a domain contract at tens of sources.
+    *
+    * `maxDf` (max SOURCES per shingle) is the scale guard for when that
+    * contract weakens: at thousands of sources, one boilerplate shingle
+    * present everywhere pays the full #sources²/2 fan-in. The cap drops
+    * shingles present in more than `maxDf` sources BEFORE set sizes are
+    * counted (same self-consistent-universe policy as [[jaccardPairs]]):
+    * jaccard is computed over the surviving universe, and the shingles a
+    * cap removes are exactly the cross-source boilerplate the overlap
+    * score should not reward. Hot shingles are by definition few, so the
+    * cap is a map-side-combined count → broadcast anti-join — nothing
+    * proportional to pair volume. 0 = no cap (exact; fine at tens of
+    * sources).
+    */
+  def sourceOverlapMatrix(docs: DataFrame, sourceCol: String,
+                          textCol: String, n: Int, maxDf: Int = 0)
+      : DataFrame = {
+    val sh0 = spread(docs)
+      .select(col(sourceCol).as("source"),
+        explode(wordShingles(col(textCol), n)).as("shingle"))
+      .distinct()
+    val capped =
+      if (maxDf > 0) {
+        val hot = sh0.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("_df"))
+          .where(col("_df") > maxDf)
+          .select(col("shingle"))
+        sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
+      } else sh0
+    val sh = capped
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("_n"))
+    val shared = sh.select(col("shingle"), col("source").as("src_a"))
+      .join(sh.select(col("shingle"), col("source").as("src_b")),
+        Seq("shingle"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("_n").as("_na"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("_n").as("_nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("_na") + col("_nb") - col("n_shared")).cast("double"),
+          6).as("jaccard"))
+  }
+
   /** TF-IDF sparse-cosine near-dup: pairwise cosine over per-doc
     * TF-IDF term vectors — the IR-weighted middle ground between
     * set-based Jaccard (ignores term frequency and rarity) and dense

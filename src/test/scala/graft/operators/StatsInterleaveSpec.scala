@@ -60,6 +60,28 @@ class ProfileSpec extends SparkTestBase {
     assert(got("__all__") <= Seq("s0", "s1", "s2").map(got).sum)
   }
 
+  // q149's correctness contract: the driver's check is rows-only (no
+  // exact oracle for a sketch), so the error bound vs exact is pinned
+  // HERE on the real driver data — hll_sketch_agg's default lgConfigK=12
+  // has rsd ≈ 1.04/√4096 ≈ 1.6%; 5% is 3σ with slack. The exact-mode
+  // parity twin (q156_mergeable_exact) is hash-checked by the driver.
+  test("q149 contract: HLL strata estimates within 5% of exact on " +
+      "driver events data") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val ev = graft.GraftSession.table(spark, dir, "events")
+    val got = Profile.mergeableDistinct(ev, "event_type", "user_id")
+      .as[(String, Long)].collect().toMap
+    val exact = ev.groupBy($"event_type".cast("string").as("s"))
+      .agg(countDistinct($"user_id").as("n"))
+      .as[(String, Long)].collect().toMap +
+      ("__all__" -> ev.select($"user_id").distinct().count())
+    assert(got.keySet == exact.keySet)
+    for ((s, n) <- exact)
+      assert(math.abs(got(s) - n) <= math.max(2, (n * 0.05).toLong),
+        s"$s: est ${got(s)} vs exact $n exceeds the 5% sketch bound")
+  }
+
   test("string profile: nulls, empties, distincts, char-length stats") {
     val df = Seq[(java.lang.Long, String)](
       (1L, "abc"), (2L, ""), (3L, null), (4L, "abc"), (5L, "hello")
