@@ -1274,6 +1274,103 @@ object SparkEntry {
         .orderBy(col("stratum"))
     }),
 
+    // Exact heavy hitters over the token stream: per-partition
+    // Misra–Gries summaries (≤ k items each cross the wire) + an exact
+    // recount of candidates only — output identical to the full
+    // group-by, shuffle bounded by k·partitions instead of the token
+    // universe (Frequent.scala)
+    "q157_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .where(col("token") =!= "")
+      Frequent.heavyHitters(toks, "token", 200)
+        .orderBy(col("item"))
+    }),
+
+    // Sorted-neighborhood near-dup: simhash-ordered corpus, each doc
+    // compared with its next 7 neighbors — a FIXED (w−1)·N comparison
+    // budget immune to bucket skew (the band-blocking complement);
+    // global order via range-sort + zipWithIndex, pairing via an
+    // exploded-offset equi-join, never a corpus window function
+    "q158_sorted_neighborhood" -> ((s, dir) => {
+      NearDup.sortedNeighborhoodPairs(t(s, dir, "documents"), "doc_id",
+          "text", window = 8, maxHamming = 8)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // Recency-decayed engagement score per user: Σ value·2^−⌊age/7d⌋
+    // anchored at the newest event — half-life staircase (integer age
+    // bucket + exact power-of-two scaling) so every engine computes
+    // bit-identical terms, unlike exp()'s libm-dependent ulps
+    "q159_decayed_score" -> ((s, dir) => {
+      Stats.decayedSum(
+          t(s, dir, "events").select(col("user_id"),
+            eventEpochSeconds("ts").as("t"), col("value")),
+          Seq("user_id"), "t", "value", halfLifeSec = 86400L * 7)
+        .orderBy(col("user_id"))
+    }),
+
+    // Multi-touch linear attribution: every click within 24 h before a
+    // purchase shares its value equally — q134's last-touch sibling;
+    // user-keyed equi-join + conversion-sized window count, credits
+    // aggregate map-side
+    "q160_multitouch" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("tsu"), col("event_type"), col("value"))
+      Funnel.multiTouchLinear(
+          e.where(col("event_type") === "purchase")
+            .select(col("user_id"), col("tsu").as("pt"),
+              col("event_id").as("purchase_id"), col("value")),
+          e.where(col("event_type") === "click")
+            .select(col("user_id"), col("tsu").as("ct"),
+              col("event_id").as("click_id")),
+          Seq("user_id"), "pt", "purchase_id", "value", "ct", "click_id",
+          window = 86400L * 1000000L)
+        .orderBy(col("click_id"))
+    }),
+
+    // Trailing-hour moving average per user: a RANGE frame over event
+    // time (gaps and bursts weight by elapsed time, ties see the full
+    // peer set — deterministic, unlike a ROWS frame)
+    "q161_moving_avg" -> ((s, dir) => {
+      Stats.movingTimeAvg(
+          t(s, dir, "events").select(col("event_id"), col("user_id"),
+            eventEpochSeconds("ts").as("t"), col("value")),
+          Seq("user_id"), "t", "value", windowSec = 3600L)
+        .select(col("event_id"), col("moving_avg"), col("n_in_window"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Point-in-time enrichment: each lineitem gets the customer
+    // priority VALID AT ITS SHIP DATE from the q146 SCD2 dimension —
+    // the leak-free historical join (today's dimension on yesterday's
+    // facts trains on the future). Contiguous intervals reduce the
+    // containment to a backward as-of join on valid_from; zero-length
+    // versions (same-day supersessions) are dropped first so the
+    // lookup is deterministic
+    "q162_point_in_time" -> ((s, dir) => {
+      val scd = Snapshot.intervalize(
+          t(s, dir, "orders").select(
+            col("o_custkey").as("custkey"),
+            col("o_orderpriority").as("priority"),
+            col("o_orderdate").cast("timestamp").cast("long").as("ts"),
+            col("o_orderkey").as("ok")),
+          Seq("custkey"), "ts", "ok", Seq("priority"))
+        .where(col("valid_to").isNull ||
+          col("valid_to") > col("valid_from"))
+      val probes = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey").as("custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("custkey"),
+          col("l_shipdate").cast("timestamp").cast("long").as("pts"))
+      Snapshot.pointInTime(scd, probes, Seq("custkey"), "pts",
+          Seq("priority"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("priority").as("priority_at_ship"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // Market-basket association: support/confidence/lift over
     // event-type pairs co-occurring in (user, day) baskets — pair
     // generation equi-joins ON THE BASKET, bounded by items-per-basket
@@ -4776,6 +4873,148 @@ object SparkEntry {
                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
          FROM events
          ORDER BY stratum""",
+
+    "q157_heavy_hitters" ->
+      """WITH d AS (
+           SELECT string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         tok AS (SELECT unnest(toks) AS item FROM d),
+         t2 AS (SELECT item FROM tok WHERE item <> ''),
+         n AS (SELECT count(*) AS n FROM t2)
+         SELECT item, CAST(count(*) AS BIGINT) AS freq
+         FROM t2 GROUP BY item
+         HAVING count(*) * 200 > (SELECT n FROM n)
+         ORDER BY item""",
+
+    "q158_sorted_neighborhood" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         tk AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         h AS (SELECT doc_id, md5(tok) AS h FROM tk),
+         bits AS (
+           SELECT doc_id, p,
+             sum(CASE WHEN p % 2 = 0
+                 THEN CASE WHEN substr(h, CAST(p // 2 + 1 AS INTEGER), 1)
+                        IN ('1','3','5','7','9','b','d','f')
+                      THEN 1 ELSE -1 END
+                 ELSE CASE WHEN substr(h, CAST(p // 2 + 1 AS INTEGER), 1)
+                        IN ('2','3','6','7','a','b','e','f')
+                      THEN 1 ELSE -1 END END) AS s
+           FROM h CROSS JOIN range(0, 64) r(p)
+           GROUP BY doc_id, p),
+         bnd AS (
+           SELECT doc_id, p // 16 AS band,
+             CAST(sum(CASE WHEN s > 0 THEN (1 << (p % 16)) ELSE 0 END)
+               AS INTEGER) AS bv
+           FROM bits GROUP BY doc_id, p // 16),
+         sh AS (
+           SELECT doc_id,
+             max(CASE WHEN band = 0 THEN bv END) AS s0,
+             max(CASE WHEN band = 1 THEN bv END) AS s1,
+             max(CASE WHEN band = 2 THEN bv END) AS s2,
+             max(CASE WHEN band = 3 THEN bv END) AS s3
+           FROM bnd GROUP BY doc_id),
+         hx AS (
+           SELECT doc_id,
+                  printf('%04x%04x%04x%04x', s3, s2, s1, s0) AS hex,
+                  s0, s1, s2, s3
+           FROM sh),
+         pos AS MATERIALIZED (
+           SELECT doc_id, s0, s1, s2, s3,
+                  row_number() OVER (ORDER BY hex, doc_id) AS pos
+           FROM hx)
+         SELECT x.doc_id AS a, y.doc_id AS b,
+                CAST(bit_count(CAST(xor(x.s0, y.s0) AS BIGINT))
+                   + bit_count(CAST(xor(x.s1, y.s1) AS BIGINT))
+                   + bit_count(CAST(xor(x.s2, y.s2) AS BIGINT))
+                   + bit_count(CAST(xor(x.s3, y.s3) AS BIGINT))
+                  AS INTEGER) AS hamming
+         FROM pos x JOIN pos y
+           ON y.pos BETWEEN x.pos + 1 AND x.pos + 7
+         WHERE bit_count(CAST(xor(x.s0, y.s0) AS BIGINT))
+             + bit_count(CAST(xor(x.s1, y.s1) AS BIGINT))
+             + bit_count(CAST(xor(x.s2, y.s2) AS BIGINT))
+             + bit_count(CAST(xor(x.s3, y.s3) AS BIGINT)) <= 8
+         ORDER BY a, b""",
+
+    "q159_decayed_score" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts) // 1000000000 AS t, value
+           FROM events),
+         mx AS (SELECT max(t) AS tmax FROM e),
+         d AS (
+           SELECT user_id,
+                  value / (CAST(1 AS BIGINT) << CAST(least(
+                    (tmax - t) // 604800, 62) AS INTEGER)) AS dv
+           FROM e, mx)
+         SELECT user_id, round(sum(dv), 6) AS decayed_value,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM d GROUP BY user_id ORDER BY user_id""",
+
+    "q160_multitouch" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu,
+                  event_type, value
+           FROM events),
+         p AS (SELECT user_id, tsu AS pt, event_id AS purchase_id, value
+               FROM e WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, tsu AS ct, event_id AS click_id
+               FROM e WHERE event_type = 'click'),
+         j AS (
+           SELECT p.purchase_id, p.value, c.click_id,
+                  count(*) OVER (PARTITION BY p.purchase_id) AS n_touch
+           FROM p JOIN c ON p.user_id = c.user_id
+             AND c.ct <= p.pt AND c.ct > p.pt - 86400000000)
+         SELECT click_id, round(sum(value / n_touch), 6) AS credit,
+                CAST(count(*) AS BIGINT) AS n_conversions
+         FROM j GROUP BY click_id ORDER BY click_id""",
+
+    "q161_moving_avg" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS t,
+                  value
+           FROM events)
+         SELECT event_id,
+                round(avg(value) OVER w, 6) AS moving_avg,
+                CAST(count(*) OVER w AS BIGINT) AS n_in_window
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY t
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
+    "q162_point_in_time" ->
+      """WITH ordered AS (
+           SELECT o_custkey AS custkey, o_orderpriority AS priority,
+                  epoch_ns(o_orderdate) // 1000000000 AS ts,
+                  o_orderkey AS ok,
+                  lag(o_orderpriority) OVER w AS prev_attr
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey)),
+         changes AS (
+           SELECT custkey, priority, ts, ok FROM ordered
+           WHERE prev_attr IS NULL OR prev_attr != priority),
+         iv AS (
+           SELECT custkey, priority, ts AS valid_from,
+                  lead(ts) OVER (PARTITION BY custkey ORDER BY ts, ok)
+                    AS valid_to
+           FROM changes),
+         live AS MATERIALIZED (
+           SELECT custkey, priority, valid_from FROM iv
+           WHERE valid_to IS NULL OR valid_to > valid_from),
+         pr AS (
+           SELECT l_orderkey, l_linenumber, o_custkey AS custkey,
+                  epoch_ns(l_shipdate) // 1000000000 AS pts
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         SELECT pr.l_orderkey, pr.l_linenumber,
+                live.priority AS priority_at_ship
+         FROM pr ASOF LEFT JOIN live
+           ON pr.custkey = live.custkey AND pr.pts >= live.valid_from
+         ORDER BY pr.l_orderkey, pr.l_linenumber""",
 
     "q150_basket_lift" ->
       """WITH it AS MATERIALIZED (

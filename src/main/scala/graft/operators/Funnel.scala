@@ -63,6 +63,42 @@ object Funnel {
       last(col(valueCol), ignoreNulls = true).over(w))
   }
 
+  /** Multi-touch LINEAR attribution: every `touchDf` row (e.g. click)
+    * within `window` (in timestamp units) BEFORE a `convDf` row (e.g.
+    * purchase) of the
+    * same key shares that conversion's value equally — credit =
+    * value / #touches-in-window. The equal-split counterpart of the
+    * last-touch as-of join (q134): budget reporting wants the whole
+    * path credited, not just the final touch.
+    *
+    * SCALE SHAPE: one user-keyed equi-join (per-user event counts are
+    * bounded — the blocking contract of every per-user operator here)
+    * with the time band as a residual, then the touch count per
+    * conversion is a window over the conversion id on the JOINED frame
+    * (conversion-sized, not corpus-sized). Credits aggregate per touch
+    * with a map-side-combined sum.
+    *
+    * Columns: convDf(keyCols, convTs, convId, valueCol),
+    * touchDf(keyCols, touchTs, touchId). Timestamps numeric/orderable.
+    */
+  def multiTouchLinear(convDf: DataFrame, touchDf: DataFrame,
+                       keyCols: Seq[String], convTs: String,
+                       convId: String, valueCol: String, touchTs: String,
+                       touchId: String, window: Long): DataFrame = {
+    val joined = convDf.join(touchDf, keyCols)
+      .where(col(touchTs) <= col(convTs) &&
+        col(touchTs) > col(convTs) - lit(window))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(convId))
+    joined
+      .withColumn("_n_touch", count(lit(1)).over(w))
+      .select(col(touchId),
+        (col(valueCol) / col("_n_touch")).as("_credit"))
+      .groupBy(col(touchId))
+      .agg(round(sum(col("_credit")), 6).as("credit"),
+        count(lit(1)).as("n_conversions"))
+  }
+
   /** Weekly retention cohorts: users grouped by the week of their first
     * event; one row per (cohort week, week offset) with the count of
     * cohort users active that week. `date_trunc('week')` is

@@ -710,6 +710,47 @@ object NearDup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** SORTED-NEIGHBORHOOD near-dup (the record-linkage "sorted blocking"
+    * method): order the corpus by its 64-bit SimHash and compare each
+    * document only against the next `window`−1 documents in that order,
+    * keeping pairs within `maxHamming`. Complements [[simhashPairs]]'
+    * band blocking: banding guarantees recall for hamming ≤ 3 but its
+    * bucket sizes follow the data; the sorted window spends EXACTLY
+    * (window−1)·N comparisons regardless of skew — a fixed, budgetable
+    * candidate count (recall is best-effort for dups whose signatures
+    * sort far apart, the classic trade of the method).
+    *
+    * SCALE SHAPE: one range-sort to a global position
+    * ([[Ordering.withGlobalIndex]] — zipWithIndex, never a
+    * single-partition window), then the neighbor pairing is an
+    * EQUI-join on (position + offset) with offsets exploded 1..w−1 —
+    * hash-distributed, no window function over the corpus, no
+    * quadratic term anywhere.
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String,
+                              textCol: String, window: Int,
+                              maxHamming: Int): DataFrame = {
+    require(window >= 2, "window must pair each doc with >= 1 neighbor")
+    val sh = simhash(docs, idCol, textCol)
+      .select(col(idCol).as("id"), col("simhash_hex"),
+        col("s0"), col("s1"), col("s2"), col("s3"))
+    val idx = Ordering.withGlobalIndex(sh,
+      Seq(col("simhash_hex"), col("id")), "pos")
+    val l = idx.select(col("pos") +: col("id").as("a") +:
+        (0 to 3).map(j => col(s"s$j").as(s"a$j")) :+
+        explode(sequence(lit(1), lit(window - 1))).as("_off"): _*)
+      .select((col("pos") + col("_off")).as("rpos") +: col("a") +:
+        (0 to 3).map(j => col(s"a$j")): _*)
+    val r = idx.select(col("pos").as("rpos") +: col("id").as("b") +:
+      (0 to 3).map(j => col(s"s$j").as(s"b$j")): _*)
+    val ham = (0 to 3)
+      .map(j => bit_count(col(s"a$j").bitwiseXOR(col(s"b$j"))))
+      .reduce(_ + _)
+    l.join(r, "rpos")
+      .select(col("a"), col("b"), ham.cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** 64-bit SimHash per document, computed by the fused native
     * `graft_simhash` kernel in ONE zero-shuffle scan-stage pass: token
     * md5s, the 64 ±1 bit sums and the majority threshold never leave

@@ -126,6 +126,32 @@ object Snapshot {
         col("valid_from") :+ col("valid_to"): _*)
   }
 
+  /** POINT-IN-TIME lookup against an [[intervalize]]d dimension: each
+    * probe row receives the attribute version valid at its timestamp —
+    * the "as of when it happened" enrichment (training-feature
+    * correctness depends on it: joining TODAY's dimension onto
+    * historical facts leaks the future).
+    *
+    * Because intervalize emits CONTIGUOUS intervals per key
+    * (valid_to = next valid_from), containment reduces to a backward
+    * as-of join on valid_from alone — [[AsOfJoin.asofBackward]]'s
+    * union+LOCF single-shuffle plan, never an interval range join.
+    * Probes before the key's first version keep NULL attributes (left
+    * semantics).
+    *
+    * `intervals` must be intervalize output (or share its contract);
+    * `probeTs` and `valid_from` must be union-compatible orderable
+    * types (caller aligns, same as AsOfJoin).
+    */
+  def pointInTime(intervals: DataFrame, probes: DataFrame,
+                  keyCols: Seq[String], probeTs: String,
+                  attrCols: Seq[String]): DataFrame =
+    AsOfJoin.asofBackward(
+      probes,
+      intervals.select((keyCols :+ "valid_from").map(col) ++
+        attrCols.map(col): _*),
+      keyCols, probeTs, "valid_from", attrCols)
+
   /** Row-level diff of `newDf` vs `oldDf` by `keyCols`: one row per
     * key present in either side, with `status` ∈
     * {added, removed, changed, unchanged} judged over `compareCols`

@@ -188,4 +188,57 @@ object Stats {
     withMed.join(mad, keyCols)
       .where(abs(v - col("med")) > lit(factor) * col("mad"))
   }
+
+  /** Time-decayed per-key score: Σ value · 2^−⌊age/halfLife⌋, with age
+    * measured back from the dataset's latest event (one-row broadcast).
+    * The recency-weighted activity/engagement feature every behavioral
+    * ranking pipeline derives.
+    *
+    * The decay is a HALF-LIFE STAIRCASE, not exp(−λ·age), on purpose:
+    * ⌊age/halfLife⌋ is integer arithmetic and 2^−k scales a double's
+    * exponent EXACTLY, so every engine computes bit-identical terms —
+    * exp() differs in final ulps across libm implementations, which an
+    * oracle hash would catch. Same decay law to within a factor of 2,
+    * engine-portable exactness. The shift is clamped at 62 (beyond that
+    * the term underflows any realistic sum anyway).
+    *
+    * SCALE SHAPE: one scan-stage projection (the division) + one
+    * map-side-combined aggregate; the max-timestamp anchor is a one-row
+    * broadcast cross join. Nothing shuffles but (key, partial sum).
+    */
+  def decayedSum(df: DataFrame, keyCols: Seq[String], tsSecCol: String,
+                 valueCol: String, halfLifeSec: Long): DataFrame = {
+    require(halfLifeSec > 0, "halfLifeSec must be positive")
+    val anchor = df.agg(max(col(tsSecCol)).as("_tmax"))
+    val decayDiv = expr(s"shiftleft(1L, cast(least(" +
+      s"(_tmax - $tsSecCol) DIV $halfLifeSec, 62L) as int))")
+    df.crossJoin(broadcast(anchor))
+      .select(keyCols.map(col) :+
+        (col(valueCol) / decayDiv).as("_dv"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(round(sum(col("_dv")), 6).as("decayed_value"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Per-key moving average/count over a trailing TIME window — a
+    * RANGE frame ([t−windowSec, t] over the numeric time column), not a
+    * ROWS frame: the window is defined by elapsed time, so gaps and
+    * bursts weight correctly (5 events in the last hour vs exactly-5
+    * preceding rows). Equal-time peers all see the full peer set —
+    * deterministic under ties, unlike a ROWS frame whose tie order is
+    * partition-dependent.
+    *
+    * SCALE SHAPE: one hash exchange on the key + one partition-local
+    * sort — the standard window plan; state per key is the in-frame
+    * row buffer, bounded by events-per-window.
+    */
+  def movingTimeAvg(df: DataFrame, keyCols: Seq[String], tsSecCol: String,
+                    valueCol: String, windowSec: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsSecCol))
+      .rangeBetween(-windowSec, 0)
+    df.withColumn("moving_avg", round(avg(col(valueCol)).over(w), 6))
+      .withColumn("n_in_window", count(lit(1)).over(w))
+  }
 }

@@ -79,6 +79,25 @@ class FunnelSpec extends SparkTestBase {
     }
   }
 
+  test("multiTouchLinear: equal split among in-window touches only") {
+    val conv = Seq(
+      (1L, 100L, 900L, 10.0),  // two touches in (50, 100] → 5.0 each
+      (1L, 200L, 901L, 6.0)    // one touch in (150, 200]
+    ).toDF("u", "pt", "purchase_id", "value")
+    val touch = Seq(
+      (1L, 95L, 800L), (1L, 99L, 801L),  // credit p900
+      (1L, 151L, 802L),                  // credit p901 (boundary-in)
+      (1L, 10L, 803L),                   // outside every window
+      (2L, 90L, 804L)                    // wrong user
+    ).toDF("u", "ct", "click_id")
+    val got = Funnel.multiTouchLinear(conv, touch, Seq("u"),
+        "pt", "purchase_id", "value", "ct", "click_id", window = 50L)
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      800L -> ((5.0, 1L)), 801L -> ((5.0, 1L)), 802L -> ((6.0, 1L))))
+  }
+
   test("locf: nulls repair to latest prior non-null per key; leading stay") {
     val df = Seq(
       ("u", 1L, Some(1.0)), ("u", 2L, None), ("u", 3L, None),

@@ -317,6 +317,29 @@ class SnapshotSpec extends SparkTestBase {
     assert(got == Set(("k", null, 1L, Some(3L)), ("k", "v", 3L, None)))
   }
 
+  test("pointInTime: probes get the version valid at their timestamp") {
+    val log = Seq(
+      ("k1", 10L, 1L, "A"),
+      ("k1", 20L, 2L, "B"),  // superseded same-ts by C — zero-length
+      ("k1", 20L, 3L, "C"),
+      ("k2", 5L, 4L, "X")
+    ).toDF("k", "ts", "id", "attr")
+    val iv = Snapshot.intervalize(log, Seq("k"), "ts", "id", Seq("attr"))
+      .where($"valid_to".isNull || $"valid_to" > $"valid_from")
+    val probes = Seq(
+      ("k1", 9L, 1), ("k1", 10L, 2), ("k1", 19L, 3),
+      ("k1", 20L, 4), ("k1", 99L, 5), ("k2", 6L, 6)
+    ).toDF("k", "pts", "pid")
+    val got = Snapshot.pointInTime(iv, probes, Seq("k"), "pts",
+        Seq("attr"))
+      .select($"pid", $"attr").as[(Int, Option[String])].collect().toMap
+    assert(got == Map(
+      1 -> None,        // before the first version: left-null
+      2 -> Some("A"), 3 -> Some("A"),
+      4 -> Some("C"),   // same-ts supersession resolves to the survivor
+      5 -> Some("C"), 6 -> Some("X")))
+  }
+
   test("diff labels added/removed/changed/unchanged; NULLs compare null-safely") {
     val old = Seq[(java.lang.Long, String)](
       (1L, "a"), (2L, "b"), (3L, null), (4L, "d")

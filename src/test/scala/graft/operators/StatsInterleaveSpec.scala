@@ -179,6 +179,38 @@ class StatsSpec extends SparkTestBase {
     assert(got(1L) == ((1L, 9.0, 9.0, 2.0, 2.0, 2L, 5.5)))
   }
 
+  test("decayedSum: exact power-of-two staircase decay from the anchor") {
+    val df = Seq(
+      (1L, 100L, 8.0),  // age 0  → /1
+      (1L, 90L, 8.0),   // age 10 → /2
+      (1L, 75L, 8.0),   // age 25 → /4
+      (2L, 100L, 1.0)
+    ).toDF("k", "t", "v")
+    val byKey = Stats.decayedSum(df, Seq("k"), "t", "v", halfLifeSec = 10L)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    assert(byKey(1L) == ((8.0 + 4.0 + 2.0, 3L)))
+    assert(byKey(2L) == ((1.0, 1L)))
+  }
+
+  test("movingTimeAvg: RANGE frame spans elapsed time and includes ties") {
+    val df = Seq(
+      (1L, 0L, 2.0, 10), (1L, 1800L, 4.0, 11),
+      (1L, 3600L, 6.0, 12), (1L, 3601L, 8.0, 13),
+      (2L, 10L, 1.0, 20), (2L, 10L, 3.0, 21) // equal-time peers
+    ).toDF("k", "t", "v", "id")
+    val got = Stats.movingTimeAvg(df, Seq("k"), "t", "v", 3600L)
+      .collect().map(r => r.getInt(r.fieldIndex("id")) ->
+        ((r.getDouble(r.fieldIndex("moving_avg")),
+          r.getLong(r.fieldIndex("n_in_window"))))).toMap
+    assert(got(10) == ((2.0, 1L)))
+    assert(got(11) == ((3.0, 2L)))
+    assert(got(12) == ((4.0, 3L)))          // [0, 3600] all three
+    assert(got(13) == ((6.0, 3L)))          // [1, 3601] drops t=0
+    assert(got(20) == ((2.0, 2L)) && got(21) == ((2.0, 2L)),
+      "equal-time peers must both see the full peer set")
+  }
+
   test("robustOutliers flags per-group median/MAD breaches only") {
     // group A: values 1..9 (med 5, MAD 2 → |v-5| > 6 means v<-1 or v>11)
     // plus spike 100; group B: tight cluster, spike survives factor 10

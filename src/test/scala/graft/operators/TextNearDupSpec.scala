@@ -106,6 +106,24 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!sim.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("sortedNeighborhoodPairs: identical docs sort adjacent and pair " +
+      "at hamming 0; every pair respects the threshold") {
+    val filler = (1 to 60).map(i =>
+      (i.toLong, s"wholly distinct filler document number $i " +
+        s"about topic${i % 7} carrying payload token$i and token${i + 1}"))
+    val planted = Seq(
+      (100L, "the planted twin document shared verbatim between copies"),
+      (101L, "the planted twin document shared verbatim between copies"))
+    val docs = (filler ++ planted).toDF("id", "text")
+    val got = NearDup.sortedNeighborhoodPairs(docs, "id", "text",
+        window = 4, maxHamming = 2)
+      .as[(Long, Long, Int)].collect()
+    val twins = got.filter(p => Set(p._1, p._2) == Set(100L, 101L))
+    assert(twins.length == 1 && twins.head._3 == 0,
+      s"planted twins must pair at hamming 0: ${got.toSeq}")
+    assert(got.forall(_._3 <= 2))
+  }
+
   test("bm25 ranks term-bearing docs, never returns a no-term doc") {
     val docs = Seq(
       (1L, "needle in a stack of words " + ("filler " * 30).trim),
