@@ -76,9 +76,14 @@ class QuerySurfaceSpec extends SparkTestBase {
     //    projection — q118's shape twice over.
     //  - q150: the basket total N is the same one-row ungrouped
     //    aggregate cross-joined into the lift projection.
+    //  - q157: the heavy-hitter threshold total (count(*)) is a one-row
+    //    ungrouped aggregate cross-joined into the candidate filter.
+    //  - q159: the decay anchor (max timestamp) is a one-row ungrouped
+    //    aggregate cross-joined into the scan-stage decay projection.
     val allowedBnlj = Set("q24_cosine_topk", "q9_interval_overlap",
       "q104_boilerplate", "q118_unigram_logprob", "q122_source_kl",
-      "q144_pmi_collocations", "q150_basket_lift")
+      "q144_pmi_collocations", "q150_basket_lift", "q157_heavy_hitters",
+      "q159_decayed_score")
     val lazyQueries = SparkEntry.queries.keySet -- eager
     val offenders = lazyQueries.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
