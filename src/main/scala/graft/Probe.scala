@@ -68,8 +68,8 @@ object Probe {
       }
     }
     if (probes("funnel")) {
-      val ev = spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
+      val ev = GraftSession.table(spark, dir, "events")
+        .withColumn("ts_t", col("ts"))
       val big = times(ev, 20, Seq("event_id", "user_id"), 1000000L)
       timed("funnel20x") {
         Funnel.conversion(big, "user_id", "ts_t", "event_type",
@@ -111,14 +111,70 @@ object Probe {
       }
     }
     if (probes("basket")) {
-      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val ev = GraftSession.table(spark, dir, "events")
       val big = times(ev, 20, Seq("user_id"), 1000000L)
       timed("basket20x") {
         operators.Association.basketLift(
           big.select(col("user_id"),
-            expr("ts DIV 1000000000 DIV 86400").as("day"),
+            expr("unix_micros(ts) DIV 1000000 DIV 86400").as("day"),
             col("event_type")),
           Seq("user_id", "day"), "event_type", 50L).count()
+      }
+    }
+    // round-7 second-session additions
+    if (probes("bfs")) timed("bfs20x") {
+      val e = coorderEdges(None)
+      val seeds = spark.read.parquet(s"$dir/part.parquet")
+        .where(col("p_partkey") % 97 === 0)
+        .select(col("p_partkey").as("id"))
+      Graph.bfsDistances(e, "src", "dst", seeds, "id", 4).count()
+    }
+    if (probes("pareto")) timed("pareto20x") {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val ords = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val big = times(
+        li.join(ords, col("l_orderkey") === col("o_orderkey")),
+        20, Seq("o_custkey"), 10000000L)
+      val rev = big.groupBy(col("o_custkey").as("custkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)"))
+          .as("rev"))
+      Stats.paretoCover(rev, "custkey", "rev", 4, 5).count()
+    }
+    if (probes("prorate")) timed("prorate20x") {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val ords = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val big = times(
+        li.join(ords, col("l_orderkey") === col("o_orderkey")),
+        20, Seq("l_orderkey"), 100000000L)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity")).cast("long").as("w"),
+          round(col("o_totalprice") * 100).cast("long").as("total"))
+      Allocate.largestRemainder(big, Seq("l_orderkey"), "w", "total",
+        Seq("l_linenumber")).count()
+    }
+    if (probes("typo")) {
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val big = times(cust, 20, Seq("c_custkey"), 1000000L)
+        .withColumn("c_nationkey",
+          col("c_nationkey") + (col("c_custkey") / 1000000L).cast("int") * 25)
+      timed("typo20x") {
+        NearDup.typoPairs(big, "c_custkey", "c_name",
+          "c_nationkey", 1).count()
+      }
+    }
+    if (probes("gapfill")) {
+      val ev = GraftSession.table(spark, dir, "events")
+      // 20× users, same time span: grid grows linearly with keys
+      val big = times(ev, 20, Seq("event_id", "user_id"), 1000000L)
+      timed("gapfill20x") {
+        Stats.gapFillLocf(
+          big.select(col("user_id"),
+            expr("unix_micros(ts) DIV 1000000").as("t"),
+            col("event_id"), col("value")),
+          Seq("user_id"), "t", "value", "event_id", 3600L).count()
       }
     }
     if (probes("overlap")) {

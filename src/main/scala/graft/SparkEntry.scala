@@ -1371,6 +1371,106 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // Multi-source BFS over the part-adjacency graph: min hop distance
+    // from the seed set within 4 rounds — delta-frontier expansion
+    // (only last round's fresh nodes join the edge table), eager
+    // checkpoint per round (Graph.bfsDistances)
+    "q163_bfs_hops" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          col("l_linenumber").as("ln"), col("l_partkey").as("pk"))
+      val nxt = li.select(col("ok"), (col("ln") - 1).as("ln"),
+        col("pk").as("dst_pk"))
+      val edges = li.join(nxt, Seq("ok", "ln"))
+        .where(col("pk") =!= col("dst_pk"))
+        .select(col("pk").as("src"), col("dst_pk").as("dst"))
+      val seeds = t(s, dir, "part")
+        .where(col("p_partkey") % 97 === 0)
+        .select(col("p_partkey").as("id"))
+      Graph.bfsDistances(edges, "src", "dst", seeds, "id", maxHops = 4)
+        .orderBy(col("id"))
+    }),
+
+    // First-order Markov transition matrix over per-user event
+    // sequences: (state → next state) counts + row-normalized
+    // probabilities; successor from ONE lead() window, the |states|²
+    // normalization runs over the tiny transition table
+    "q164_transitions" -> ((s, dir) => {
+      Stats.transitionMatrix(
+          t(s, dir, "events").select(col("user_id"), col("ts"),
+            col("event_id"), col("event_type")),
+          Seq("user_id"), "ts", "event_id", "event_type")
+        .orderBy(col("from_state"), col("to_state"))
+    }),
+
+    // Regular hourly grid per user with LOCF fill: events aggregate to
+    // one row per (user, hour) via ordered-argmax (max_by), the grid
+    // explodes from a one-row-per-user span, the carry-forward window
+    // runs over the GRID — never a window over raw events
+    "q165_gap_fill" -> ((s, dir) => {
+      Stats.gapFillLocf(
+          t(s, dir, "events").select(col("user_id"),
+            eventEpochSeconds("ts").as("t"), col("event_id"),
+            col("value")),
+          Seq("user_id"), "t", "value", "event_id", stepSec = 3600L)
+        .orderBy(col("user_id"), col("bucket"))
+    }),
+
+    // Pareto coverage: the smallest customer prefix (by revenue desc)
+    // covering ≥ 4/5 of total revenue — rational-share boundary test in
+    // exact DECIMAL, two-level prefix sum (range partitions + ≤32-row
+    // offset window), never a global single-partition window
+    "q166_pareto_cover" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey")), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+               (lit(1).cast("decimal(18,4)") -
+                col("l_discount").cast("decimal(18,4)"))).as("rev"))
+      Stats.paretoCover(rev, "custkey", "rev", shareNum = 4, shareDen = 5)
+        .select(col("custkey"),
+          round(col("rev"), 2).cast("double").as("revenue"))
+        .orderBy(col("custkey"))
+    }),
+
+    // Exact integer proration: each order's total (cents) split across
+    // its lines by quantity with largest-remainder rounding — Σ alloc
+    // per order equals the total EXACTLY, all 64-bit integer arithmetic
+    // (Allocate.largestRemainder)
+    "q167_proration" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_totalprice")), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity")).cast("long").as("w"),
+          round(col("o_totalprice") * 100).cast("long").as("total"))
+      Allocate.largestRemainder(l, Seq("l_orderkey"), "w", "total",
+          Seq("l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("alloc").as("alloc_cents"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Typo-model record linkage: pairs within unrestricted
+    // DAMERAU-LEVENSHTEIN distance 1 (adjacent transposition costs 1 —
+    // the q142 levenshtein path scores it 2 and misses these pairs at
+    // maxDist=1); symdelete candidate generation + the native codegen
+    // DL kernel (functions/DamerauExpression.scala) over candidates
+    "q168_typo_pairs" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val typos = cust.where(col("c_custkey") % 13 === 0)
+        .select((col("c_custkey") + 3000000L).as("c_custkey"),
+          concat(substring(col("c_name"), 1, 16),
+            substring(col("c_name"), 18, 1),
+            substring(col("c_name"), 17, 1)).as("c_name"),
+          col("c_nationkey"))
+      NearDup.typoPairs(cust.unionByName(typos), "c_custkey", "c_name",
+          "c_nationkey", maxDist = 1)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Market-basket association: support/confidence/lift over
     // event-type pairs co-occurring in (user, day) baskets — pair
     // generation equi-joins ON THE BASKET, bounded by items-per-basket
@@ -5015,6 +5115,124 @@ object SparkEntry {
          FROM pr ASOF LEFT JOIN live
            ON pr.custkey = live.custkey AND pr.pts >= live.valid_from
          ORDER BY pr.l_orderkey, pr.l_linenumber""",
+
+    "q163_bfs_hops" ->
+      """WITH RECURSIVE li AS (
+           SELECT l_orderkey AS ok, l_linenumber AS ln, l_partkey AS pk
+           FROM lineitem),
+         e0 AS (
+           SELECT DISTINCT x.pk AS s, y.pk AS d
+           FROM li x JOIN li y ON x.ok = y.ok AND y.ln = x.ln + 1
+           WHERE x.pk <> y.pk),
+         e AS MATERIALIZED (
+           SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+         src AS (SELECT p_partkey AS id FROM part
+                 WHERE p_partkey % 97 = 0),
+         walk(id, dist) AS (
+           SELECT id, 0 FROM src
+           UNION
+           SELECT e.d, w.dist + 1 FROM walk w JOIN e ON e.s = w.id
+           WHERE w.dist < 4)
+         SELECT id, CAST(min(dist) AS INTEGER) AS dist
+         FROM walk GROUP BY id ORDER BY id""",
+
+    "q164_transitions" ->
+      """WITH s AS (
+           SELECT event_type AS f,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS nx
+           FROM events),
+         c AS (SELECT f AS from_state, nx AS to_state, count(*) AS n
+               FROM s WHERE nx IS NOT NULL GROUP BY 1, 2)
+         SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
+                round(CAST(n AS DOUBLE) /
+                      CAST(sum(n) OVER (PARTITION BY from_state)
+                           AS DOUBLE), 6) AS prob
+         FROM c ORDER BY from_state, to_state""",
+
+    "q165_gap_fill" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts) // 1000000000 AS t, event_id,
+                  value
+           FROM events),
+         b AS (SELECT user_id, t // 3600 AS bkt, t, event_id, value
+               FROM e),
+         pb AS (
+           SELECT user_id, bkt, value AS v FROM (
+             SELECT user_id, bkt, value,
+                    row_number() OVER (PARTITION BY user_id, bkt
+                      ORDER BY t DESC, event_id DESC) AS rn
+             FROM b) WHERE rn = 1),
+         span AS (SELECT user_id, min(bkt) AS b0, max(bkt) AS b1
+                  FROM b GROUP BY user_id),
+         grid AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bucket
+                  FROM span),
+         j AS (SELECT g.user_id, g.bucket, pb.v
+               FROM grid g LEFT JOIN pb
+                 ON pb.user_id = g.user_id AND pb.bkt = g.bucket)
+         SELECT user_id, bucket,
+                last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+                  ORDER BY bucket) AS value_filled
+         FROM j ORDER BY user_id, bucket""",
+
+    "q166_pareto_cover" ->
+      """WITH r AS (
+           SELECT o_custkey AS custkey,
+                  sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                      (CAST(1 AS DECIMAL(18,4)) -
+                       CAST(l_discount AS DECIMAL(18,4)))) AS rev
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1),
+         tot AS (SELECT sum(rev) AS t FROM r),
+         c AS (SELECT custkey, rev,
+                      sum(rev) OVER (ORDER BY rev DESC, custkey) AS cum
+               FROM r)
+         SELECT custkey, CAST(round(rev, 2) AS DOUBLE) AS revenue
+         FROM c, tot WHERE (cum - rev) * 5 < t * 4 ORDER BY custkey""",
+
+    "q167_proration" ->
+      """WITH l AS (
+           SELECT l_orderkey, l_linenumber,
+                  CAST(round(l_quantity) AS BIGINT) AS w,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS total
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         x AS (
+           SELECT *, sum(w) OVER (PARTITION BY l_orderkey) AS wsum
+           FROM l),
+         y AS (
+           SELECT *, (total * w) // wsum AS base,
+                  (total * w) % wsum AS rem
+           FROM x),
+         z AS (
+           SELECT *,
+                  total - sum(base) OVER (PARTITION BY l_orderkey)
+                    AS deficit,
+                  row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY rem DESC, l_linenumber) AS rnk
+           FROM y)
+         SELECT l_orderkey, l_linenumber,
+                CAST(base + CASE WHEN rnk <= deficit THEN 1 ELSE 0 END
+                     AS BIGINT) AS alloc_cents
+         FROM z ORDER BY l_orderkey, l_linenumber""",
+
+    "q168_typo_pairs" ->
+      """WITH base AS (
+           SELECT c_custkey, c_name, c_nationkey FROM customer),
+         typo AS (
+           SELECT c_custkey + 3000000 AS c_custkey,
+                  substr(c_name, 1, 16) || substr(c_name, 18, 1)
+                    || substr(c_name, 17, 1) AS c_name,
+                  c_nationkey
+           FROM base WHERE c_custkey % 13 = 0),
+         uni AS (SELECT * FROM base UNION ALL SELECT * FROM typo)
+         SELECT x.c_custkey AS a, y.c_custkey AS b,
+                CAST(damerau_levenshtein(x.c_name, y.c_name) AS INTEGER)
+                  AS dist
+         FROM uni x JOIN uni y
+           ON x.c_nationkey = y.c_nationkey
+           AND x.c_custkey < y.c_custkey
+         WHERE damerau_levenshtein(x.c_name, y.c_name) <= 1
+         ORDER BY a, b""",
 
     "q150_basket_lift" ->
       """WITH it AS MATERIALIZED (

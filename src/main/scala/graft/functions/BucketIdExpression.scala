@@ -258,6 +258,10 @@ object GraftExtensions {
        new ExpressionInfo(classOf[CharEntropyExpr].getName,
          "graft_char_entropy"),
        arity("graft_char_entropy", 1)(c => CharEntropyExpr(c.head))),
+      // graft_damerau(a, b): unrestricted Damerau-Levenshtein distance
+      (FunctionIdentifier("graft_damerau"),
+       new ExpressionInfo(classOf[DamerauExpr].getName, "graft_damerau"),
+       arity("graft_damerau", 2)(c => DamerauExpr(c(0), c(1)))),
       // graft_winnow(toks, k, w): fused winnowing-fingerprint kernel
       (FunctionIdentifier("graft_winnow"),
        new ExpressionInfo(classOf[WinnowFingerprintsExpr].getName,

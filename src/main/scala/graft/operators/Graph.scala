@@ -252,6 +252,61 @@ object Graph {
     out
   }
 
+  /** Multi-source BFS: minimum hop distance from any seed node, up to
+    * `maxHops` rounds — the reachability/proximity primitive behind
+    * "within-k-hops of a known-spam domain" crawl filters and seed-set
+    * expansion. Fixed rounds (vs run-to-fixpoint) keep the computation
+    * oracle-unrollable and the job count static; a round whose frontier
+    * is already empty unions zero rows and costs one no-op job, so
+    * `maxHops` past the true eccentricity is safe, merely wasteful.
+    *
+    * SCALE SHAPE — delta-frontier expansion, not dense relaxation: each
+    * round joins the EDGE table against only the nodes first reached
+    * last round (`dist = h−1`), dedups the neighbor set, and anti-joins
+    * out everything already labeled — O(|frontier edges|) shuffled per
+    * round, not O(|V|)·rounds. The settled-distance table is eagerly
+    * checkpointed per round (Components' pin/releasePin → O(1) plan;
+    * `reliable = true` for executor-loss recovery). Nothing is ever
+    * collected.
+    *
+    * Returns (id, dist: int) for every node within `maxHops` of a seed;
+    * seeds themselves are dist 0 (even if isolated). Unreached nodes
+    * are absent, not NULL — at corpus scale the reached set is the
+    * small one.
+    */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   sources: DataFrame, idCol: String, maxHops: Int,
+                   undirected: Boolean = true,
+                   reliable: Boolean = false): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("s"),
+              col(dstCol).cast("long").as("d"))
+      .where(col("s").isNotNull && col("d").isNotNull &&
+             col("s") =!= col("d"))
+    val e = (if (undirected)
+               e0.union(e0.select(col("d").as("s"), col("s").as("d")))
+             else e0)
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = Components.pin(
+      sources.select(col(idCol).cast("long").as("id")).distinct()
+        .select(col("id"), lit(0).as("dist")), reliable)
+    for (h <- 1 to maxHops) {
+      val frontier = dist.where(col("dist") === h - 1)
+        .select(col("id").as("s"))
+      val fresh = e.join(frontier, "s")
+        .select(col("d").as("id")).distinct()
+        .join(dist.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), lit(h).as("dist"))
+      val next = Components.pin(dist.union(fresh), reliable)
+      Components.releasePin(dist, reliable)
+      dist = next
+    }
+    e.unpersist(false)
+    dist
+  }
+
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        iterations: Int,
                        reliable: Boolean = false): DataFrame = {

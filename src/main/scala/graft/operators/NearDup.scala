@@ -363,6 +363,38 @@ object NearDup {
     */
   private def symDeletePairs(df: DataFrame, idCol: String,
                              strCol: String, blockCol: String,
+                             maxDist: Int): DataFrame =
+    symDeleteCands(df, idCol, strCol, blockCol, maxDist)
+      .withColumn("dist", levenshtein(col("_sa"), col("_sb"), maxDist))
+      .where(col("dist") >= 0)
+      .select(col("a"), col("b"), col("dist"))
+
+  /** [[editDistancePairs]]' typo-model sibling: pairs within
+    * `maxDist` UNRESTRICTED DAMERAU-LEVENSHTEIN distance (adjacent
+    * transposition costs 1 — see [[graft.functions.DamerauExpr]]),
+    * the distance human typos actually live under. Same symmetric-
+    * delete candidate generation: the delete-neighborhood
+    * intersection property extends to transpositions (deleting either
+    * transposed character from each side meets at a common key, one
+    * deletion per side), so d deletions still cover DL ≤ d — the
+    * standard SymSpell-with-DL contract. Verification runs the native
+    * codegen DL kernel over candidates only; maxDist ≤ 2 by the same
+    * fan-out trade as the levenshtein path.
+    */
+  def typoPairs(df: DataFrame, idCol: String, strCol: String,
+                blockCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      "typoPairs covers maxDist 1..2 (symdelete fan-out contract)")
+    graft.functions.GraftExtensions.installInto(df.sparkSession)
+    symDeleteCands(df, idCol, strCol, blockCol, maxDist)
+      .withColumn("dist",
+        call_function("graft_damerau", col("_sa"), col("_sb")))
+      .where(col("dist") <= maxDist)
+      .select(col("a"), col("b"), col("dist"))
+  }
+
+  private def symDeleteCands(df: DataFrame, idCol: String,
+                             strCol: String, blockCol: String,
                              maxDist: Int): DataFrame = {
     val s = col("_s")
     // sequence() infers a NEGATIVE step when stop < start, so every
@@ -397,9 +429,6 @@ object NearDup {
       .where(col("a") < col("b"))
       .select(col("a"), col("b"), col("_sa"), col("_sb")).distinct()
     cands
-      .withColumn("dist", levenshtein(col("_sa"), col("_sb"), maxDist))
-      .where(col("dist") >= 0)
-      .select(col("a"), col("b"), col("dist"))
   }
 
   /** maxDist ≥ 2 path — all-pairs within a block with a

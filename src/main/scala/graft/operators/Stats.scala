@@ -220,6 +220,131 @@ object Stats {
         count(lit(1)).as("n_events"))
   }
 
+  /** First-order Markov transition matrix over per-key event sequences:
+    * count + conditional probability of each (state → next state) step,
+    * the navigation/churn model behind "what do users do after X" and
+    * the transition features sequence models train on. Determinism: the
+    * successor is defined by (tsCol, tieCol) lexicographic order, so
+    * equal timestamps cannot flip transitions between engines.
+    *
+    * SCALE SHAPE: one hash exchange on the sequence key + a partition-
+    * local sort for the lead() window (state = one row), then a
+    * map-side-combined count over (from, to) — the |states|² result is
+    * tiny, and the row-normalizing window runs over THAT table, never
+    * the events. No self-join: the successor comes from lead(), so the
+    * cost is one window pass over the events, O(|E|).
+    *
+    * Returns (from_state, to_state, n, prob) with Σ prob = 1 per
+    * from_state (prob rounded to 6 — a ratio of exact longs, but the
+    * division itself is engine-exact IEEE so rounding is belt only).
+    */
+  def transitionMatrix(df: DataFrame, keyCols: Seq[String],
+                       tsCol: String, tieCol: String,
+                       stateCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val steps = df
+      .withColumn("_next", lead(col(stateCol), 1).over(w))
+      .where(col("_next").isNotNull)
+      .groupBy(col(stateCol).as("from_state"), col("_next").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val wRow = Window.partitionBy(col("from_state"))
+    steps.withColumn("prob",
+        round(col("n").cast("double") / sum(col("n")).over(wRow), 6))
+  }
+
+  /** Regular-grid resampling with LOCF (last-observation-carried-
+    * forward) gap fill: per key, one row per `stepSec` bucket from the
+    * key's first to last event, carrying the latest observed value —
+    * the "as-of every hour" densification feature stores and training
+    * pipelines need from sparse event streams. The per-bucket
+    * observation is the LAST event in the bucket by (time, tieCol) —
+    * an ordered-argmax AGGREGATE (max_by), not a window over events.
+    *
+    * SCALE SHAPE: events aggregate map-side to one row per (key,
+    * bucket); the grid explodes from a one-row-per-key span table
+    * (sequence + explode — generated, never shuffled at event grain);
+    * the LOCF fill is a window over the GRID (rows = span/step per
+    * key), ordered by bucket. Grid size is the contract: span·keys/step
+    * rows, independent of event count — the operator's output is the
+    * denser of the two by design.
+    *
+    * Returns (keyCols..., bucket, value_filled). Buckets before a
+    * key's first observation cannot exist (grid starts at the first
+    * event), so value_filled is never NULL.
+    */
+  def gapFillLocf(df: DataFrame, keyCols: Seq[String], tsSecCol: String,
+                  valueCol: String, tieCol: String,
+                  stepSec: Long): DataFrame = {
+    require(stepSec > 0, "stepSec must be positive")
+    val key = keyCols.map(col)
+    val bucketed = df.withColumn("_bkt",
+      expr(s"$tsSecCol DIV $stepSec"))
+    val perBucket = bucketed
+      .groupBy(key :+ col("_bkt"): _*)
+      .agg(max_by(col(valueCol),
+        struct(col(tsSecCol), col(tieCol))).as("_v"))
+      .withColumnRenamed("_bkt", "bucket")
+    val grid = bucketed
+      .groupBy(key: _*)
+      .agg(min(col("_bkt")).as("_b0"), max(col("_bkt")).as("_b1"))
+      .select(key :+ explode(sequence(col("_b0"), col("_b1")))
+        .as("bucket"): _*)
+    val wFill = Window.partitionBy(key: _*).orderBy(col("bucket"))
+    grid.join(perBucket, keyCols :+ "bucket", "left")
+      .withColumn("value_filled",
+        last(col("_v"), ignoreNulls = true).over(wFill))
+      .drop("_v")
+  }
+
+  /** Pareto coverage — the smallest prefix of entities (by value,
+    * descending) whose values sum to at least `shareNum/shareDen` of
+    * the total: "which customers are 80% of revenue", the
+    * concentration/prioritization cut every ops review asks for. The
+    * share is a RATIONAL, not a double: membership is decided by
+    * `(cum − v) · shareDen < total · shareNum` in exact DECIMAL
+    * arithmetic, so no engine's float rounding can flip the boundary
+    * entity. Ties in value are broken by `entityCol` so the prefix is
+    * unique.
+    *
+    * SCALE SHAPE — two-level prefix sum, no global single-partition
+    * window: the per-entity table is range-partitioned on the
+    * (value desc, entity) order, each partition computes its local
+    * running sum, and only the ≤`buckets` partition totals go through
+    * a global prefix window (the exactPercentiles orderBuckets
+    * protocol). Split points come from range sampling — ANY split
+    * preserves exactness since the offsets are summed, not estimated.
+    * The grand total is a one-row broadcast.
+    *
+    * Input must be one row per entity with an exact (DECIMAL/integer)
+    * value column. Returns the covering entities with their value.
+    */
+  def paretoCover(per: DataFrame, entityCol: String, valueCol: String,
+                  shareNum: Int, shareDen: Int,
+                  buckets: Int = 32): DataFrame = {
+    require(shareNum > 0 && shareDen > shareNum,
+      "share must be a proper fraction")
+    val tot = per.agg(sum(col(valueCol)).as("_tot"))
+    val ranged = per
+      .repartitionByRange(buckets, col(valueCol).desc, col(entityCol))
+      .withColumn("_pid", spark_partition_id())
+    val wIn = Window.partitionBy(col("_pid"))
+      .orderBy(col(valueCol).desc, col(entityCol))
+    val withCum = ranged.withColumn("_cumIn", sum(col(valueCol)).over(wIn))
+    // ≤ buckets rows: per-partition totals → exclusive global prefix
+    val wOff = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withCum.groupBy(col("_pid"))
+      .agg(max(col("_cumIn")).as("_pt"))
+      .withColumn("_off", coalesce(sum(col("_pt")).over(wOff), lit(0)))
+      .select(col("_pid"), col("_off"))
+    withCum.join(broadcast(offsets), "_pid")
+      .crossJoin(broadcast(tot))
+      .where((col("_cumIn") + col("_off") - col(valueCol)) *
+        lit(shareDen) < col("_tot") * lit(shareNum))
+      .select(col(entityCol), col(valueCol))
+  }
+
   /** Per-key moving average/count over a trailing TIME window — a
     * RANGE frame ([t−windowSec, t] over the numeric time column), not a
     * ROWS frame: the window is defined by elapsed time, so gaps and

@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-7 exact-arithmetic operators: largest-remainder
+  * allocation, Markov transitions, LOCF gap fill, Pareto coverage.
+  */
+class AllocateStatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("largestRemainder: allocations sum back to the total exactly") {
+    // 100 split 1:1:1 → 34/33/33 with the extra unit on the smallest
+    // tie-break; 7 split 2:3 → 3/4 (remainders 4/5 and 1/5)
+    val df = Seq(
+      ("a", 1, 1L, 100L), ("a", 2, 1L, 100L), ("a", 3, 1L, 100L),
+      ("b", 1, 2L, 7L), ("b", 2, 3L, 7L)
+    ).toDF("grp", "line", "w", "total")
+    val got = Allocate.largestRemainder(df, Seq("grp"), "w", "total",
+        Seq("line"))
+      .select(col("grp"), col("line"), col("alloc"))
+      .as[(String, Int, Long)].collect()
+      .map { case (g, l, a) => (g, l) -> a }.toMap
+    assert(got == Map(("a", 1) -> 34L, ("a", 2) -> 33L, ("a", 3) -> 33L,
+      ("b", 1) -> 3L, ("b", 2) -> 4L))
+  }
+
+  test("largestRemainder: exact-proportion split needs no correction") {
+    val df = Seq(("g", 1, 2L, 10L), ("g", 2, 3L, 10L))
+      .toDF("grp", "line", "w", "total")
+    val got = Allocate.largestRemainder(df, Seq("grp"), "w", "total",
+        Seq("line"))
+      .select(col("line"), col("alloc")).as[(Int, Long)].collect().toMap
+    assert(got == Map(1 -> 4L, 2 -> 6L))
+  }
+
+  test("largestRemainder: sum invariant on random groups") {
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 50).flatMap { g =>
+      val n = 1 + rng.nextInt(6)
+      val total = 100L + rng.nextInt(100000).toLong
+      (1 to n).map(l => (g, l, 1L + rng.nextInt(40).toLong, total))
+    }
+    val df = rows.toDF("grp", "line", "w", "total")
+    val sums = Allocate.largestRemainder(df, Seq("grp"), "w", "total",
+        Seq("line"))
+      .groupBy("grp")
+      .agg(sum("alloc").as("s"), first("total").as("t"))
+      .where(col("s") =!= col("t"))
+    assert(sums.count() == 0)
+  }
+
+  test("transitionMatrix: counts and row-normalized probs") {
+    // user 1: A→B→A ; user 2: A→B — transitions: A→B ×2, B→A ×1
+    val df = Seq((1L, 10L, 1L, "A"), (1L, 20L, 2L, "B"),
+      (1L, 30L, 3L, "A"), (2L, 10L, 4L, "A"), (2L, 20L, 5L, "B"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Stats.transitionMatrix(df, Seq("user_id"), "ts",
+        "event_id", "event_type")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got == Map(("A", "B") -> ((2L, 1.0)), ("B", "A") -> ((1L, 1.0))))
+  }
+
+  test("transitionMatrix: equal timestamps ordered by tie column") {
+    val df = Seq((1L, 10L, 2L, "B"), (1L, 10L, 1L, "A"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Stats.transitionMatrix(df, Seq("user_id"), "ts",
+        "event_id", "event_type")
+      .select(col("from_state"), col("to_state"))
+      .as[(String, String)].collect().toSeq
+    assert(got == Seq(("A", "B"))) // event_id 1 precedes 2
+  }
+
+  test("gapFillLocf: grid spans min..max, carries last observation") {
+    // user 1 observes at buckets 0 and 3 (step 10): buckets 1,2 carry
+    // the bucket-0 value; bucket 0 takes the LATER of two in-bucket
+    // events (t=9 wins over t=1)
+    val df = Seq((1L, 1L, 1L, 10.0), (1L, 9L, 2L, 20.0),
+      (1L, 35L, 3L, 30.0))
+      .toDF("user_id", "t", "event_id", "value")
+    val got = Stats.gapFillLocf(df, Seq("user_id"), "t", "value",
+        "event_id", stepSec = 10L)
+      .select(col("bucket"), col("value_filled"))
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(0L -> 20.0, 1L -> 20.0, 2L -> 20.0, 3L -> 30.0))
+  }
+
+  test("gapFillLocf: in-bucket tie on t resolved by tie column") {
+    val df = Seq((1L, 5L, 1L, 1.0), (1L, 5L, 2L, 2.0))
+      .toDF("user_id", "t", "event_id", "value")
+    val got = Stats.gapFillLocf(df, Seq("user_id"), "t", "value",
+        "event_id", stepSec = 10L)
+      .select(col("value_filled")).as[Double].collect().toSeq
+    assert(got == Seq(2.0)) // higher event_id wins
+  }
+
+  test("paretoCover: unique minimal prefix; boundary entity included") {
+    // values 50,30,20 of total 100 at 4/5: 50+30=80 → needs the 20?
+    // (80 − nothing) rule: row qualifies iff cum−v < 80 → 50 (0<80),
+    // 30 (50<80), 20 (80<80 false) — exactly the 80% prefix
+    val per = Seq(("a", 50), ("b", 30), ("c", 20)).toDF("e", "v")
+      .select(col("e"), col("v").cast("decimal(18,4)").as("v"))
+    val got = Stats.paretoCover(per, "e", "v", 4, 5)
+      .select(col("e")).as[String].collect().toSet
+    assert(got == Set("a", "b"))
+  }
+
+  test("paretoCover: value ties broken by entity; exact boundary") {
+    // four equal values at 1/2: cover must be the first two by entity
+    val per = Seq(("d", 10), ("c", 10), ("b", 10), ("a", 10))
+      .toDF("e", "v")
+      .select(col("e"), col("v").cast("decimal(18,4)").as("v"))
+    val got = Stats.paretoCover(per, "e", "v", 1, 2)
+      .select(col("e")).as[String].collect().toSet
+    assert(got == Set("a", "b"))
+  }
+
+  test("paretoCover: bucketed prefix equals the single-window form") {
+    val rng = new scala.util.Random(11)
+    val per = (1 to 500).map(i => (i.toLong, rng.nextInt(10000)))
+      .toDF("e", "v")
+      .select(col("e"), col("v").cast("decimal(18,4)").as("v"))
+    val got = Stats.paretoCover(per, "e", "v", 4, 5, buckets = 7)
+      .select(col("e")).as[Long].collect().toSet
+    // reference: plain global cumulative in one partition
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("v").desc, col("e"))
+    val tot = per.agg(sum("v")).as[java.math.BigDecimal].head
+    val want = per.withColumn("cum", sum("v").over(w))
+      .where((col("cum") - col("v")) * lit(5) < lit(tot) * lit(4))
+      .select(col("e")).as[Long].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty && got.size < 500)
+  }
+}

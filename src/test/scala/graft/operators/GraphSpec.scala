@@ -91,6 +91,43 @@ class GraphSpec extends SparkTestBase {
     assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("bfsDistances: min hop distance on a path with a shortcut") {
+    // path 1-2-3-4-5 plus shortcut 1-4: dist(4) must take the shortcut
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val d = Graph.bfsDistances(e, "src", "dst", seeds, "id", maxHops = 4)
+      .as[(Long, Int)].collect().toMap
+    assert(d == Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2))
+  }
+
+  test("bfsDistances: maxHops truncates; unreached nodes absent") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("src", "dst")
+    val d = Graph.bfsDistances(e, "src", "dst", Seq(1L).toDF("id"),
+        "id", maxHops = 2)
+      .as[(Long, Int)].collect().toMap
+    // node 4 is 3 hops away → absent; the 10-11 component is unreached
+    assert(d == Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
+
+  test("bfsDistances: multi-source minimum; isolated seed kept at 0") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val d = Graph.bfsDistances(e, "src", "dst",
+        Seq(1L, 4L, 99L).toDF("id"), "id", maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    // 2 and 3 are 1 hop from each end; 99 has no edges but is a seed
+    assert(d == Map(1L -> 0, 4L -> 0, 99L -> 0, 2L -> 1, 3L -> 1))
+  }
+
+  test("bfsDistances: directed mode follows edge direction only") {
+    val e = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst")
+    val d = Graph.bfsDistances(e, "src", "dst", Seq(1L).toDF("id"),
+        "id", maxHops = 2, undirected = false)
+      .as[(Long, Int)].collect().toMap
+    assert(d == Map(1L -> 0, 2L -> 1)) // 3 only reachable backwards
+  }
+
   test("pageRank plan stays O(1) deep across rounds (pinned lineage)") {
     // 10 rounds on a cycle: if lineage grew per round, the final plan
     // string would blow up; a pinned loop keeps it a flat scan
