@@ -1471,6 +1471,88 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Per-segment OLS trend over daily value sums: exact-DECIMAL sums
+    // cast to double ONCE, then a fixed-shape closed form — never a
+    // float sum (order-dependent across engines/partitionings). x is
+    // centered to a small day index so x·y stays inside DECIMAL range
+    "q169_trend_slope" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          (expr("unix_micros(ts) DIV 1000000 DIV 86400") - 19700L)
+            .cast("int").as("day"))
+        .agg(sum(col("value").cast("decimal(18,4)"))
+          .cast("decimal(18,4)").as("y"))
+      Stats.groupTrend(daily, Seq("event_type"), "day", "y")
+        .orderBy(col("event_type"))
+    }),
+
+    // RFM segmentation: per-customer recency/frequency/monetary
+    // quintile codes — boundaries from ONE exact-percentile pass per
+    // metric, broadcast to a scan-stage when-chain (Stats.quantileBin);
+    // ties sit in the lower bin so the coding is engine-exact
+    "q170_rfm" -> ((s, dir) => {
+      val m = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(max(col("o_orderdate").cast("timestamp").cast("long"))
+            .as("rec"),
+          count(lit(1)).as("freq"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).as("mon"))
+      val binned = Seq(("rec", "r_bin"), ("freq", "f_bin"),
+          ("mon", "m_bin"))
+        .foldLeft(m) { case (d, (v, b)) =>
+          Stats.quantileBin(d, v, Seq(0.2, 0.4, 0.6, 0.8), b) }
+      binned.select(col("custkey"), col("r_bin"), col("f_bin"),
+          col("m_bin"),
+          (col("r_bin") * 100 + col("f_bin") * 10 + col("m_bin"))
+            .as("segment"))
+        .orderBy(col("custkey"))
+    }),
+
+    // Inter-event gap distribution: per-user lead() gap in seconds,
+    // bucketed by INTEGER threshold comparisons (no log() — libm-free
+    // exponential bins), counted map-side
+    "q171_gap_histogram" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "events").select(col("user_id"),
+        expr("unix_micros(ts)").as("tu"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tu"), col("event_id"))
+      val gaps = e.withColumn("_nxt", lead(col("tu"), 1).over(w))
+        .where(col("_nxt").isNotNull)
+        .withColumn("gap_s", expr("(_nxt - tu) DIV 1000000"))
+      gaps.withColumn("gap_bin",
+          when(col("gap_s") < 60, "a_lt_1m")
+            .when(col("gap_s") < 600, "b_1m_10m")
+            .when(col("gap_s") < 3600, "c_10m_1h")
+            .when(col("gap_s") < 86400, "d_1h_1d")
+            .otherwise("e_ge_1d"))
+        .groupBy(col("gap_bin")).agg(count(lit(1)).as("n_gaps"))
+        .orderBy(col("gap_bin"))
+    }),
+
+    // Streaming twin of q159's decay staircase with a FIXED anchor:
+    // the per-event weight is stateless (anchor is a literal), so the
+    // per-user sum is a commutative aggregate — exact under ANY
+    // micro-batch arrival order, state = one row per user. The
+    // data-derived-anchor form stays batch (q159); a stream can't know
+    // max(ts) before it ends
+    "q172_stream_decayed" -> ((s, dir) => {
+      val stream = eventsStream(s, dir)
+      val agg = stream
+        .select(col("user_id"),
+          expr("value / shiftleft(1L, cast(least(" +
+            "(1706745600 - unix_micros(ts) DIV 1000000) DIV 604800," +
+            " 62L) as int))").as("_dv"))
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("_dv")), 6).as("decayed_value"),
+          count(lit(1)).as("n_events"))
+      val qname = "graft_q172_decay"
+      val query = graft.streaming.Streams.drainToMemory(agg, qname)
+        .start()
+      try query.awaitTermination() finally query.stop()
+      s.table(qname).orderBy(col("user_id"))
+    }),
+
     // Market-basket association: support/confidence/lift over
     // event-type pairs co-occurring in (user, day) baskets — pair
     // generation equi-joins ON THE BASKET, bounded by items-per-basket
@@ -5233,6 +5315,95 @@ object SparkEntry {
            AND x.c_custkey < y.c_custkey
          WHERE damerau_levenshtein(x.c_name, y.c_name) <= 1
          ORDER BY a, b""",
+
+    "q169_trend_slope" ->
+      """WITH daily AS (
+           SELECT event_type,
+                  CAST(epoch_ns(ts) // 1000000000 // 86400 - 19700
+                       AS INTEGER) AS day,
+                  CAST(sum(CAST(value AS DECIMAL(18,4)))
+                       AS DECIMAL(18,4)) AS y
+           FROM events GROUP BY 1, 2),
+         s AS (
+           SELECT event_type,
+                  CAST(count(*) AS DOUBLE) AS n,
+                  CAST(count(*) AS BIGINT) AS n_points,
+                  CAST(sum(day) AS DOUBLE) AS sx,
+                  CAST(sum(y) AS DOUBLE) AS sy,
+                  CAST(sum(day * y) AS DOUBLE) AS sxy,
+                  CAST(sum(day * day) AS DOUBLE) AS sxx
+           FROM daily GROUP BY 1)
+         SELECT event_type, n_points,
+                CASE WHEN n * sxx - sx * sx <> 0 THEN
+                  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                END AS slope,
+                CASE WHEN n * sxx - sx * sx <> 0 THEN
+                  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                         * sx) / n, 6)
+                END AS intercept
+         FROM s ORDER BY event_type""",
+
+    "q170_rfm" ->
+      """WITH m AS (
+           SELECT o_custkey AS custkey,
+                  CAST(max(epoch_ns(o_orderdate) // 1000000000)
+                       AS DOUBLE) AS rec,
+                  CAST(count(*) AS DOUBLE) AS freq,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                       AS DOUBLE) AS mon
+           FROM orders GROUP BY 1),
+         b AS (
+           SELECT quantile_cont(rec, [0.2, 0.4, 0.6, 0.8]) AS rb,
+                  quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fb,
+                  quantile_cont(mon, [0.2, 0.4, 0.6, 0.8]) AS mb
+           FROM m),
+         coded AS (
+           SELECT custkey,
+                  1 + CAST(rec > rb[1] AS INTEGER)
+                    + CAST(rec > rb[2] AS INTEGER)
+                    + CAST(rec > rb[3] AS INTEGER)
+                    + CAST(rec > rb[4] AS INTEGER) AS r_bin,
+                  1 + CAST(freq > fb[1] AS INTEGER)
+                    + CAST(freq > fb[2] AS INTEGER)
+                    + CAST(freq > fb[3] AS INTEGER)
+                    + CAST(freq > fb[4] AS INTEGER) AS f_bin,
+                  1 + CAST(mon > mb[1] AS INTEGER)
+                    + CAST(mon > mb[2] AS INTEGER)
+                    + CAST(mon > mb[3] AS INTEGER)
+                    + CAST(mon > mb[4] AS INTEGER) AS m_bin
+           FROM m, b)
+         SELECT custkey, r_bin, f_bin, m_bin,
+                r_bin * 100 + f_bin * 10 + m_bin AS segment
+         FROM coded ORDER BY custkey""",
+
+    "q171_gap_histogram" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts) // 1000 AS tu, event_id
+           FROM events),
+         g AS (
+           SELECT (lead(tu) OVER (PARTITION BY user_id
+                     ORDER BY tu, event_id) - tu) // 1000000 AS gap_s
+           FROM e),
+         binned AS (
+           SELECT CASE WHEN gap_s < 60 THEN 'a_lt_1m'
+                       WHEN gap_s < 600 THEN 'b_1m_10m'
+                       WHEN gap_s < 3600 THEN 'c_10m_1h'
+                       WHEN gap_s < 86400 THEN 'd_1h_1d'
+                       ELSE 'e_ge_1d' END AS gap_bin
+           FROM g WHERE gap_s IS NOT NULL)
+         SELECT gap_bin, CAST(count(*) AS BIGINT) AS n_gaps
+         FROM binned GROUP BY gap_bin ORDER BY gap_bin""",
+
+    "q172_stream_decayed" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts) // 1000000000 AS t, value
+           FROM events)
+         SELECT user_id,
+                round(sum(value / (CAST(1 AS BIGINT) <<
+                  CAST(least((1706745600 - t) // 604800, 62)
+                       AS INTEGER))), 6) AS decayed_value,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM e GROUP BY user_id ORDER BY user_id""",
 
     "q150_basket_lift" ->
       """WITH it AS MATERIALIZED (

@@ -124,7 +124,10 @@ object Skew {
                           segCol: String = "segment"): DataFrame = {
     val b = boundaries.select(
       keyCols.map(c => col(c).as(s"_bk_$c")) :+ col("boundaries"): _*)
-    val cond = keyCols.map(c => col(c) <=> col(s"_bk_$c")).reduce(_ && _)
+    // foldLeft, not reduce: keyCols may be EMPTY (global boundaries —
+    // the quantileBin path), where the lookup is a pure one-row cross
+    val cond = keyCols.map(c => col(c) <=> col(s"_bk_$c"))
+      .foldLeft(lit(true))(_ && _)
     df.join(broadcast(b), cond)
       .withColumn(segCol,
         lit(1) + aggregate(col("boundaries"), lit(0),

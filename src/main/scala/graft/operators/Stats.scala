@@ -78,7 +78,7 @@ object Stats {
         // offset, and an all-NULL-values group has NULL boundaries hence
         // a NULL bucket id — null-unsafe equality would drop it here
         val cond = keyCols.map(c => col(c) <=> col(s"_ok_$c"))
-          .reduce(_ && _) && col("_ob") <=> col("_oob")
+          .foldLeft(col("_ob") <=> col("_oob"))(_ && _)
         withIn.join(broadcast(offs), cond)
           .withColumn("_cum", col("_off") + col("_cumIn"))
       } else {
@@ -343,6 +343,72 @@ object Stats {
       .where((col("_cumIn") + col("_off") - col(valueCol)) *
         lit(shareDen) < col("_tot") * lit(shareNum))
       .select(col(entityCol), col(valueCol))
+  }
+
+  /** Per-key ordinary-least-squares trend (slope + intercept) over
+    * (x, y) points — the "is this metric drifting" feature computed per
+    * segment: daily-revenue slope per region, quality-score trend per
+    * source. Closed form over the five classic sums:
+    * {{{ slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) }}}
+    *
+    * ENGINE-EXACT BY CONSTRUCTION: the five sums aggregate in exact
+    * arithmetic (x integral, y DECIMAL — both sum without rounding,
+    * order-independent), are cast to double ONCE (IEEE rounding of an
+    * exact value — every engine produces the same double), and the
+    * closed form is then fixed-shape double arithmetic. Never sum
+    * doubles: a float Σxy differs by summation order across engines
+    * and partitionings. Caller contract: x·y and x² must fit the
+    * DECIMAL/long range (center x to a small index first for epoch-
+    * scale x).
+    *
+    * SCALE SHAPE: one map-side-combined aggregate — five sums per key,
+    * nothing else moves. Groups with n < 2 or zero x-variance emit
+    * NULL slope/intercept (vertical line), not a division error.
+    */
+  def groupTrend(df: DataFrame, keyCols: Seq[String], xCol: String,
+                 yCol: String): DataFrame = {
+    val x = col(xCol)
+    val y = col(yCol)
+    val sums = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"), sum(x).as("_sx"), sum(y).as("_sy"),
+        sum(x * y).as("_sxy"), sum(x * x).as("_sxx"))
+    val n = col("_n").cast("double")
+    val sx = col("_sx").cast("double")
+    val sy = col("_sy").cast("double")
+    val den = n * col("_sxx").cast("double") - sx * sx
+    val rawSlope = (n * col("_sxy").cast("double") - sx * sy) / den
+    sums
+      .withColumn("slope",
+        when(den =!= 0d, round(rawSlope, 6)))
+      .withColumn("intercept",
+        when(den =!= 0d, round((sy - rawSlope * sx) / n, 6)))
+      .drop("_sx", "_sy", "_sxy", "_sxx")
+      .withColumnRenamed("_n", "n_points")
+  }
+
+  /** Quantile binning: assign each row the 1-based bin of its value
+    * among the GLOBAL interpolated quantile boundaries at `probs`
+    * (bin = 1 + #boundaries strictly below the value) — the
+    * quintile/decile coding step behind RFM segmentation and score
+    * calibration. Boundaries come from ONE [[exactPercentiles]] pass
+    * (its `orderBuckets` knob is the global-sort scale path) and reach
+    * every row as a one-row broadcast; the assignment itself is a
+    * scan-stage when-chain. Boundary semantics are "strictly greater
+    * than the boundary advances the bin" — ties sit in the lower bin,
+    * the same rule an oracle can state with comparisons.
+    */
+  def quantileBin(df: DataFrame, valueCol: String, probs: Seq[Double],
+                  binCol: String, orderBuckets: Int = 0): DataFrame = {
+    val labeled = probs.zipWithIndex.map { case (p, i) => (s"_qb_$i", p) }
+    val bounds = exactPercentiles(
+      df.select(col(valueCol).cast("double").as("_qv")), Nil, "_qv",
+      labeled, orderBuckets)
+    val bin = labeled.map { case (l, _) =>
+      when(col(valueCol).cast("double") > col(l), 1).otherwise(0)
+    }.reduce(_ + _) + lit(1)
+    df.crossJoin(broadcast(bounds))
+      .withColumn(binCol, bin)
+      .drop(labeled.map(_._1): _*)
   }
 
   /** Per-key moving average/count over a trailing TIME window — a

@@ -43,7 +43,7 @@ class QuerySurfaceSpec extends SparkTestBase {
     "q135_class_terms", "q138_media_ingest", "q139_stream_debounce",
     "q140_tfidf_neardup", "q141_bm25_search",
     "q143_pagerank_sinks", "q145_label_prop", "q151_stream_ohlc",
-    "q153_kcore", "q163_bfs_hops")
+    "q153_kcore", "q163_bfs_hops", "q172_stream_decayed")
 
   test("every oracle key names a query; every query is gated") {
     val rowsOnly = Set("q34_approx_sketch", "q41_approx_segment",
@@ -82,10 +82,12 @@ class QuerySurfaceSpec extends SparkTestBase {
     //    aggregate cross-joined into the scan-stage decay projection.
     //  - q166: the Pareto grand total is a one-row ungrouped aggregate
     //    cross-joined into the boundary test.
+    //  - q170: each quantile-boundary table is a one-row ungrouped
+    //    aggregate cross-joined into the scan-stage bin when-chain.
     val allowedBnlj = Set("q24_cosine_topk", "q9_interval_overlap",
       "q104_boilerplate", "q118_unigram_logprob", "q122_source_kl",
       "q144_pmi_collocations", "q150_basket_lift", "q157_heavy_hitters",
-      "q159_decayed_score", "q166_pareto_cover")
+      "q159_decayed_score", "q166_pareto_cover", "q170_rfm")
     val lazyQueries = SparkEntry.queries.keySet -- eager
     val offenders = lazyQueries.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf)

@@ -95,6 +95,61 @@ class AllocateStatsSpec extends SparkTestBase {
     assert(got == Seq(2.0)) // higher event_id wins
   }
 
+  test("groupTrend: exact line recovered; degenerate groups are NULL") {
+    // group a: y = 3x + 2 exactly; group b: one point (no slope);
+    // group c: zero x-variance (vertical)
+    val df = Seq(("a", 0, 2.0), ("a", 1, 5.0), ("a", 2, 8.0),
+      ("b", 5, 1.0), ("c", 7, 1.0), ("c", 7, 9.0))
+      .toDF("g", "x", "y")
+      .select(col("g"), col("x"), col("y").cast("decimal(18,4)").as("y"))
+    val got = Stats.groupTrend(df, Seq("g"), "x", "y")
+      .select(col("g"), col("slope"), col("intercept"))
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(got("a") == ((Some(3.0), Some(2.0))))
+    assert(got("b") == ((None, None)))
+    assert(got("c") == ((None, None)))
+  }
+
+  test("groupTrend matches the closed form on noisy data") {
+    val pts = Seq((0, 1.5), (1, 2.25), (2, 2.0), (3, 4.75), (4, 4.0))
+    val df = pts.map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y")
+      .select(col("g"), col("x"), col("y").cast("decimal(18,4)").as("y"))
+    val n = pts.size.toDouble
+    val sx = pts.map(_._1).sum.toDouble
+    val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val r = Stats.groupTrend(df, Seq("g"), "x", "y")
+      .select(col("slope"), col("intercept")).collect().head
+    assert(math.abs(r.getDouble(0) - slope) < 1e-6)
+    assert(math.abs(r.getDouble(1) - (sy - slope * sx) / n) < 1e-6)
+  }
+
+  test("quantileBin: quartile coding with ties in the lower bin") {
+    // values 1..8: quartile boundaries at 2.75, 4.5, 6.25 → bins
+    // {1,2}:1 {3,4}:2 {5,6}:3 {7,8}:4 ; a tie ON the boundary stays low
+    val df = (1 to 8).map(v => (v.toLong, v.toDouble)).toDF("id", "v")
+    val got = Stats.quantileBin(df, "v", Seq(0.25, 0.5, 0.75), "bin")
+      .select(col("id"), col("bin")).as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2,
+      5L -> 3, 6L -> 3, 7L -> 4, 8L -> 4))
+  }
+
+  test("quantileBin: bucketed boundaries equal the single-window form") {
+    val rng = new scala.util.Random(3)
+    val df = (1 to 400).map(i => (i.toLong, rng.nextInt(1000).toDouble))
+      .toDF("id", "v")
+    val a = Stats.quantileBin(df, "v", Seq(0.2, 0.4, 0.6, 0.8), "bin")
+      .select(col("id"), col("bin")).as[(Long, Int)].collect().toMap
+    val b = Stats.quantileBin(df, "v", Seq(0.2, 0.4, 0.6, 0.8), "bin",
+        orderBuckets = 5)
+      .select(col("id"), col("bin")).as[(Long, Int)].collect().toMap
+    assert(a == b)
+    assert(a.values.toSet == Set(1, 2, 3, 4, 5))
+  }
+
   test("paretoCover: unique minimal prefix; boundary entity included") {
     // values 50,30,20 of total 100 at 4/5: 50+30=80 → needs the 20?
     // (80 − nothing) rule: row qualifies iff cum−v < 80 → 50 (0<80),
