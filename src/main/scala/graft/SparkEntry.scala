@@ -1553,6 +1553,70 @@ object SparkEntry {
       s.table(qname).orderBy(col("user_id"))
     }),
 
+    // Lower weighted median: each lineitem votes with its quantity —
+    // per-(flag, price) weights aggregate map-side, the cumulative
+    // window runs over distinct prices, the winner is a conditional-min
+    // aggregate; `2·cumW ≥ W` needs no division, so it is integer-exact
+    "q173_weighted_median" -> ((s, dir) => {
+      Stats.weightedMedian(
+          t(s, dir, "lineitem").select(col("l_returnflag"),
+            col("l_extendedprice"),
+            round(col("l_quantity")).cast("long").as("w")),
+          Seq("l_returnflag"), "l_extendedprice", "w")
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Incremental aggregate maintenance: pre-1999 base states merge
+    // with the 1999+ delta batch through ONE full-outer join — no
+    // rescan of base — and the result must equal the full recompute,
+    // which is exactly what the oracle states
+    "q174_agg_merge" -> ((s, dir) => {
+      def aggOf(d: DataFrame) = d
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).as("total"),
+          min(col("o_orderdate")).as("first_date"),
+          max(col("o_orderdate")).as("last_date"))
+      val o = t(s, dir, "orders")
+      val cut = "1999-01-01"
+      val merged = Stats.mergeAggStates(
+        aggOf(o.where(col("o_orderdate") < lit(cut))),
+        aggOf(o.where(col("o_orderdate") >= lit(cut))),
+        Seq("custkey"), "n_orders", "total", "first_date", "last_date")
+      merged.select(col("custkey"), col("n_orders"),
+          round(col("total"), 2).cast("double").as("total"),
+          col("first_date"), col("last_date"))
+        .orderBy(col("custkey"))
+    }),
+
+    // One-sided CUSUM drift alerts per user: the sequential
+    // max(0, S+dev) recursion distributed as prefix-sum minus running
+    // low-water-mark (two stacked windows, DECIMAL-exact) — no loop,
+    // no UDF, no mapPartitions
+    "q175_cusum" -> ((s, dir) => {
+      Stats.cusumAlerts(
+          t(s, dir, "events").select(col("event_id"), col("user_id"),
+            expr("unix_micros(ts)").as("tu"), col("value")),
+          Seq("user_id"), "tu", "event_id", "value",
+          target = 60.0, threshold = 500.0)
+        .select(col("event_id"), col("user_id"),
+          round(col("cusum"), 4).cast("double").as("cusum"))
+        .orderBy(col("event_id"))
+    }),
+
+    // 2-D skyline (min price, max size): collapse to max-size-per-
+    // price map-side, then a range-partitioned prefix max decides every
+    // price in one pass — never the quadratic NOT EXISTS the oracle
+    // states as the semantics
+    "q176_skyline" -> ((s, dir) => {
+      Stats.skyline2d(
+          t(s, dir, "part").select(col("p_partkey"),
+            col("p_retailprice"), col("p_size")),
+          "p_retailprice", "p_size")
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // Market-basket association: support/confidence/lift over
     // event-type pairs co-occurring in (user, day) baskets — pair
     // generation equi-joins ON THE BASKET, bounded by items-per-basket
@@ -5404,6 +5468,64 @@ object SparkEntry {
                        AS INTEGER))), 6) AS decayed_value,
                 CAST(count(*) AS BIGINT) AS n_events
          FROM e GROUP BY user_id ORDER BY user_id""",
+
+    "q173_weighted_median" ->
+      """WITH pv AS (
+           SELECT l_returnflag, l_extendedprice AS v,
+                  sum(CAST(round(l_quantity) AS BIGINT)) AS w
+           FROM lineitem GROUP BY 1, 2),
+         c AS (
+           SELECT l_returnflag, v,
+                  sum(w) OVER (PARTITION BY l_returnflag ORDER BY v)
+                    AS cum,
+                  sum(w) OVER (PARTITION BY l_returnflag) AS tot
+           FROM pv)
+         SELECT l_returnflag,
+                min(CASE WHEN cum * 2 >= tot THEN v END) AS w_median
+         FROM c GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q174_agg_merge" ->
+      """SELECT o_custkey AS custkey,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                     AS DOUBLE) AS total,
+                min(o_orderdate) AS first_date,
+                max(o_orderdate) AS last_date
+         FROM orders GROUP BY 1 ORDER BY custkey""",
+
+    "q175_cusum" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tu,
+                  CAST(value AS DECIMAL(18,4)) - CAST(60.0 AS
+                    DECIMAL(18,4)) AS dev
+           FROM events),
+         p AS (
+           SELECT event_id, user_id, tu,
+                  sum(dev) OVER (PARTITION BY user_id
+                    ORDER BY tu, event_id) AS pf
+           FROM e),
+         s AS (
+           SELECT event_id, user_id,
+                  pf - least(CAST(0 AS DECIMAL(38,4)),
+                    min(pf) OVER (PARTITION BY user_id
+                      ORDER BY tu, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                    AS cusum
+           FROM p)
+         SELECT event_id, user_id,
+                CAST(round(cusum, 4) AS DOUBLE) AS cusum
+         FROM s WHERE cusum > 500.0 ORDER BY event_id""",
+
+    "q176_skyline" ->
+      """SELECT p.p_partkey, p.p_retailprice, p.p_size
+         FROM part p
+         WHERE NOT EXISTS (
+           SELECT 1 FROM part q
+           WHERE q.p_retailprice <= p.p_retailprice
+             AND q.p_size >= p.p_size
+             AND (q.p_retailprice < p.p_retailprice
+                  OR q.p_size > p.p_size))
+         ORDER BY p.p_partkey""",
 
     "q150_basket_lift" ->
       """WITH it AS MATERIALIZED (

@@ -411,6 +411,141 @@ object Stats {
       .drop(labeled.map(_._1): _*)
   }
 
+  /** Lower weighted median per key: the smallest value whose cumulative
+    * weight reaches half the total, `min{ v : 2·cumW(v) ≥ W }` — the
+    * "median document quality weighted by token count" form where every
+    * row votes with its size, not once. The LOWER median (not
+    * interpolated) keeps the arithmetic INTEGER-EXACT for integral
+    * weights: the defining comparison is `2·cumW ≥ W`, no division, so
+    * the oracle can state it verbatim.
+    *
+    * SCALE SHAPE: weights aggregate per (key, value) map-side first;
+    * the cumulative window runs over DISTINCT values per key (the
+    * exactPercentiles shape); the winner is a conditional-min
+    * AGGREGATE, not another sort. NULL values carry no weight and
+    * cannot win.
+    */
+  def weightedMedian(df: DataFrame, keyCols: Seq[String],
+                     valueCol: String, weightCol: String): DataFrame = {
+    val key = keyCols.map(col)
+    val perValue = df
+      .where(col(valueCol).isNotNull)
+      .groupBy(key :+ col(valueCol): _*)
+      .agg(sum(col(weightCol)).as("_w"))
+    val wCum = Window.partitionBy(key: _*).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(key: _*)
+    perValue
+      .withColumn("_cum", sum(col("_w")).over(wCum))
+      .withColumn("_tot", sum(col("_w")).over(wAll))
+      .groupBy(key: _*)
+      .agg(min(when(col("_cum") * 2 >= col("_tot"), col(valueCol)))
+        .as("w_median"))
+  }
+
+  /** Mergeable aggregate-state maintenance: combine a BASE aggregate
+    * table with a DELTA batch's aggregates without rescanning base —
+    * the incremental-view-maintenance step a daily pipeline runs
+    * instead of a full recompute. Works for any commutative state
+    * (sum/count/min/max here); correctness contract: merge(base(A),
+    * agg(B)) == agg(A ∪ B), which the oracle states as the full
+    * recompute.
+    *
+    * SCALE SHAPE: one full-outer hash join on the key — the delta side
+    * is the day's data (small); base never rescans its history. At
+    * warehouse scale base is a bucketed table and the join is
+    * zero-exchange on the bucket key (the q45/q92 pattern).
+    */
+  def mergeAggStates(base: DataFrame, delta: DataFrame,
+                     keyCols: Seq[String], nCol: String, sumCol: String,
+                     minCol: String, maxCol: String): DataFrame = {
+    val b = base.select(keyCols.map(col) ++ Seq(col(nCol).as("_bn"),
+      col(sumCol).as("_bs"), col(minCol).as("_bmin"),
+      col(maxCol).as("_bmax")): _*)
+    val d = delta.select(keyCols.map(col) ++ Seq(col(nCol).as("_dn"),
+      col(sumCol).as("_ds"), col(minCol).as("_dmin"),
+      col(maxCol).as("_dmax")): _*)
+    b.join(d, keyCols, "full_outer")
+      .select(keyCols.map(col) ++ Seq(
+        (coalesce(col("_bn"), lit(0L)) + coalesce(col("_dn"), lit(0L)))
+          .as(nCol),
+        (coalesce(col("_bs"), lit(0).cast(b.schema("_bs").dataType)) +
+         coalesce(col("_ds"), lit(0).cast(b.schema("_bs").dataType)))
+          .as(sumCol),
+        least(coalesce(col("_bmin"), col("_dmin")),
+          coalesce(col("_dmin"), col("_bmin"))).as(minCol),
+        greatest(coalesce(col("_bmax"), col("_dmax")),
+          coalesce(col("_dmax"), col("_bmax"))).as(maxCol)): _*)
+  }
+
+  /** One-sided CUSUM (cumulative sum control chart) per key: the
+    * classic drift detector `S_i = max(0, S_{i−1} + (x_i − target))`,
+    * flagging rows where S exceeds a threshold. The recursion LOOKS
+    * sequential, but distributes exactly via the prefix identity
+    * {{{ S_i = P_i − min(0, min_{j≤i} P_j) }}}
+    * (P = running sum of deviations): max-with-zero resets are
+    * equivalent to subtracting the lowest water mark. Two stacked
+    * windows per key — a prefix sum and a running min — replace the
+    * row-at-a-time loop; DECIMAL deviations keep every S engine-exact.
+    *
+    * Returns input + `cusum`, filtered to `cusum > threshold` rows
+    * (the alerts). Order within a key is (tsCol, tieCol).
+    */
+  def cusumAlerts(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                  tieCol: String, valueCol: String, target: Double,
+                  threshold: Double): DataFrame = {
+    val key = keyCols.map(col)
+    val w = Window.partitionBy(key: _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val dev = col(valueCol).cast("decimal(18,4)") -
+      lit(target).cast("decimal(18,4)")
+    val withP = df.withColumn("_p", sum(dev).over(w))
+    val s = col("_p") - least(lit(0).cast("decimal(38,4)"),
+      min(col("_p")).over(w))
+    withP.withColumn("cusum", s)
+      .where(col("cusum") > lit(threshold).cast("decimal(18,4)"))
+      .drop("_p")
+  }
+
+  /** 2-D skyline (Pareto frontier): rows not strictly dominated under
+    * (minimize x, maximize y) — "cheapest for its capability" frontier
+    * extraction. Dominance: q beats p iff q.x ≤ p.x ∧ q.y ≥ p.y with
+    * one inequality strict; equal-(x,y) duplicates are mutually
+    * non-dominated and all survive.
+    *
+    * SCALE SHAPE — no self-join, no all-pairs: collapse to the max y
+    * per distinct x (map-side agg; anything below it at the same x is
+    * dominated), then a RANGE-PARTITIONED prefix max over x-ascending
+    * order decides each x in one pass — per-partition running max +
+    * a ≤`buckets`-row offset table, the paretoCover protocol. A row
+    * survives iff y equals its x's max AND every strictly-smaller x
+    * has prefix-max < y.
+    */
+  def skyline2d(df: DataFrame, xCol: String, yCol: String,
+                buckets: Int = 32): DataFrame = {
+    val perX = df.groupBy(col(xCol)).agg(max(col(yCol)).as("_my"))
+    val ranged = perX.repartitionByRange(buckets, col(xCol))
+      .withColumn("_pid", spark_partition_id())
+    val wIn = Window.partitionBy(col("_pid")).orderBy(col(xCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withPrev = ranged.withColumn("_pmaxIn",
+      max(col("_my")).over(wIn))
+    val wOff = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withPrev.groupBy(col("_pid"))
+      .agg(max(col("_my")).as("_pt"))
+      .withColumn("_off", max(col("_pt")).over(wOff))
+      .select(col("_pid"), col("_off"))
+    val frontier = withPrev.join(broadcast(offsets), "_pid")
+      .withColumn("_pmax", greatest(
+        coalesce(col("_pmaxIn"), col("_off")),
+        coalesce(col("_off"), col("_pmaxIn"))))
+      .where(col("_pmax").isNull || col("_pmax") < col("_my"))
+      .select(col(xCol), col("_my"))
+    df.join(frontier.withColumnRenamed("_my", "_fy"), Seq(xCol))
+      .where(col(yCol) === col("_fy"))
+      .drop("_fy")
+  }
+
   /** Per-key moving average/count over a trailing TIME window — a
     * RANGE frame ([t−windowSec, t] over the numeric time column), not a
     * ROWS frame: the window is defined by elapsed time, so gaps and

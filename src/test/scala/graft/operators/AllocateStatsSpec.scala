@@ -150,6 +150,96 @@ class AllocateStatsSpec extends SparkTestBase {
     assert(a.values.toSet == Set(1, 2, 3, 4, 5))
   }
 
+  test("weightedMedian: lower median by cumulative weight") {
+    // g: values 1(w5), 2(w1), 3(w10) → W=16, half=8 → first cum*2≥16
+    // is value 3 (cum 16); h: symmetric 1(w1),2(w1) → lower median 1
+    val df = Seq(("g", 1.0, 5L), ("g", 2.0, 1L), ("g", 3.0, 10L),
+      ("h", 1.0, 1L), ("h", 2.0, 1L)).toDF("k", "v", "w")
+    val got = Stats.weightedMedian(df, Seq("k"), "v", "w")
+      .as[(String, Double)].collect().toMap
+    assert(got == Map("g" -> 3.0, "h" -> 1.0))
+  }
+
+  test("weightedMedian with unit weights is the lower median") {
+    val df = (1 to 9).map(i => ("k", i.toDouble, 1L)).toDF("k", "v", "w")
+    val got = Stats.weightedMedian(df, Seq("k"), "v", "w")
+      .as[(String, Double)].collect().toMap
+    assert(got == Map("k" -> 5.0))
+  }
+
+  test("mergeAggStates(base, delta) equals the full recompute") {
+    val rng = new scala.util.Random(5)
+    val rows = (1 to 300).map(i =>
+      (i % 37, rng.nextInt(1000).toLong, rng.nextInt(2) == 0))
+    def aggOf(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy(col("k")).agg(count(lit(1)).as("n"),
+        sum(col("v")).as("s"), min(col("v")).as("mn"),
+        max(col("v")).as("mx"))
+    val all = rows.map(r => (r._1, r._2)).toDF("k", "v")
+    val base = rows.filter(_._3).map(r => (r._1, r._2)).toDF("k", "v")
+    val delta = rows.filterNot(_._3).map(r => (r._1, r._2)).toDF("k", "v")
+    val merged = Stats.mergeAggStates(aggOf(base), aggOf(delta),
+      Seq("k"), "n", "s", "mn", "mx")
+      .as[(Int, Long, Long, Long, Long)].collect().toSet
+    val want = aggOf(all)
+      .as[(Int, Long, Long, Long, Long)].collect().toSet
+    assert(merged == want)
+  }
+
+  test("mergeAggStates: keys present on only one side survive") {
+    val base = Seq((1, 2L, 10L, 3L, 7L)).toDF("k", "n", "s", "mn", "mx")
+    val delta = Seq((2, 1L, 5L, 5L, 5L)).toDF("k", "n", "s", "mn", "mx")
+    val got = Stats.mergeAggStates(base, delta, Seq("k"), "n", "s",
+        "mn", "mx")
+      .as[(Int, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1, 2L, 10L, 3L, 7L), (2, 1L, 5L, 5L, 5L)))
+  }
+
+  test("cusumAlerts matches the sequential recursion") {
+    // hand-run max(0, S + (x-10)) with threshold 5:
+    // x: 12,13,8,14,9 → S: 2,5,3,7,6 → alerts at x=14 (7) and x=9 (6)
+    val df = Seq((1L, 1L, 12.0), (1L, 2L, 13.0), (1L, 3L, 8.0),
+      (1L, 4L, 14.0), (1L, 5L, 9.0)).toDF("k", "t", "v")
+    val got = Stats.cusumAlerts(df, Seq("k"), "t", "t", "v", 10.0, 5.0)
+      .select(col("t"), col("cusum").cast("double"))
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(4L -> 7.0, 5L -> 6.0))
+  }
+
+  test("cusumAlerts: reset clamps at zero (deep dips don't bank credit)") {
+    // x: 0,15,16 → S: max(0,-10)=0, 5, 11 — without the reset the dip
+    // would carry -10 and suppress the second alert
+    val df = Seq((1L, 1L, 0.0), (1L, 2L, 15.0), (1L, 3L, 16.0))
+      .toDF("k", "t", "v")
+    val got = Stats.cusumAlerts(df, Seq("k"), "t", "t", "v", 10.0, 4.0)
+      .select(col("t"), col("cusum").cast("double"))
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(2L -> 5.0, 3L -> 11.0))
+  }
+
+  test("skyline2d equals the quadratic dominance definition") {
+    val rng = new scala.util.Random(13)
+    val pts = (1 to 200).map(i =>
+      (i.toLong, rng.nextInt(100).toDouble, rng.nextInt(100)))
+    val df = pts.toDF("id", "x", "y")
+    val got = Stats.skyline2d(df, "x", "y")
+      .select(col("id")).as[Long].collect().toSet
+    val want = pts.filter { p =>
+      !pts.exists(q => q._2 <= p._2 && q._3 >= p._3 &&
+        (q._2 < p._2 || q._3 > p._3))
+    }.map(_._1).toSet
+    assert(got == want)
+    assert(got.nonEmpty && got.size < pts.size)
+  }
+
+  test("skyline2d: equal-(x,y) duplicates all survive") {
+    val df = Seq((1L, 1.0, 5), (2L, 1.0, 5), (3L, 2.0, 4))
+      .toDF("id", "x", "y")
+    val got = Stats.skyline2d(df, "x", "y")
+      .select(col("id")).as[Long].collect().toSet
+    assert(got == Set(1L, 2L)) // 3 dominated by both (higher x, lower y)
+  }
+
   test("paretoCover: unique minimal prefix; boundary entity included") {
     // values 50,30,20 of total 100 at 4/5: 50+30=80 → needs the 20?
     // (80 − nothing) rule: row qualifies iff cum−v < 80 → 50 (0<80),
