@@ -364,6 +364,61 @@ class PlanSpec extends SparkTestBase {
     assert(pu.contains("Generate"), "upsample fans out via one Generate")
   }
 
+  test("q167 proration: both windows share ONE exchange on the group key") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(100).select(
+      (col("id") / 7).cast("long").as("g"), col("id").as("line"),
+      (col("id") % 5 + 1).as("w"), lit(1000L).as("total"))
+    val p = graft.operators.Allocate
+      .largestRemainder(df, Seq("g"), "w", "total", Seq("line"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected one hash exchange, got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"allocation must not join:\n$p")
+  }
+
+  test("q166/q176 prefix scans range-partition; no global one-partition window over the data") {
+    // the two-level prefix protocol: the DATA window partitions by _pid
+    // (range partitions), and the only partition-less window runs over
+    // the <=buckets-row offset table
+    for (name <- Seq("q166_pareto_cover", "q176_skyline")) {
+      val p = plan(name)
+      assert(p.toLowerCase.contains("rangepartitioning"),
+        s"$name must range-partition for the prefix pass:\n$p")
+      assert(p.contains("_pid"),
+        s"$name prefix windows must key on the range partition id:\n$p")
+    }
+  }
+
+  test("q165 gap fill: grid generates from the span table; per-bucket state is an aggregate") {
+    val p = plan("q165_gap_fill")
+    assert(p.contains("Generate") && p.contains("sequence"),
+      s"grid must explode from sequence():\n$p")
+    assert(p.contains("max_by") || p.contains("partial_max_by") ||
+      p.contains("HashAggregate"),
+      s"per-bucket observation must be an ordered-argmax aggregate:\n$p")
+  }
+
+  test("q175 cusum: stacked windows reuse one exchange per key") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(100).select(
+      (col("id") / 10).cast("long").as("k"), col("id").as("t"),
+      col("id").cast("double").as("v"))
+    val p = graft.operators.Stats
+      .cusumAlerts(df, Seq("k"), "t", "t", "v", 10.0, 5.0)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"prefix-sum and low-water windows must share one exchange, got $exchanges:\n$p")
+  }
+
+  test("q173 weighted median: per-value weights aggregate with a partial phase") {
+    val p = plan("q173_weighted_median")
+    assert(p.contains("partial_sum") || p.contains("partial"),
+      s"weight aggregation must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q108 semantic dedup subtracts the drop set with one anti-join") {
     val p = plan("q108_semdedup")
     assert(p.contains("LeftAnti"),
