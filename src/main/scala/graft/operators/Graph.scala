@@ -264,10 +264,11 @@ object Graph {
     * round joins the EDGE table against only the nodes first reached
     * last round (`dist = h−1`), dedups the neighbor set, and anti-joins
     * out everything already labeled — O(|frontier edges|) shuffled per
-    * round, not O(|V|)·rounds. The settled-distance table is eagerly
-    * checkpointed per round (Components' pin/releasePin → O(1) plan;
-    * `reliable = true` for executor-loss recovery). Nothing is ever
-    * collected.
+    * round, not O(|V|)·rounds. Only each round's FRESH level is
+    * checkpointed (Components' pin; `reliable = true` for
+    * executor-loss recovery): the settled set is the lazy union of the
+    * ≤maxHops pinned levels, so no round re-materializes what earlier
+    * rounds already wrote. Nothing is ever collected.
     *
     * Returns (id, dist: int) for every node within `maxHops` of a seed;
     * seeds themselves are dist 0 (even if isolated). Unreached nodes
@@ -289,22 +290,26 @@ object Graph {
              else e0)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var dist = Components.pin(
+    // one pinned table PER LEVEL, never a re-materialized union: round
+    // h checkpoints only the fresh frontier (which SHRINKS as the
+    // search saturates), and the settled set is the lazy union of the
+    // ≤maxHops pinned levels — each already materialized, so the union
+    // is maxHops scans, not a re-write of everything settled so far.
+    var levels = List(Components.pin(
       sources.select(col(idCol).cast("long").as("id")).distinct()
-        .select(col("id"), lit(0).as("dist")), reliable)
+        .select(col("id"), lit(0).as("dist")), reliable))
     for (h <- 1 to maxHops) {
-      val frontier = dist.where(col("dist") === h - 1)
-        .select(col("id").as("s"))
-      val fresh = e.join(frontier, "s")
-        .select(col("d").as("id")).distinct()
-        .join(dist.select(col("id")), Seq("id"), "left_anti")
-        .select(col("id"), lit(h).as("dist"))
-      val next = Components.pin(dist.union(fresh), reliable)
-      Components.releasePin(dist, reliable)
-      dist = next
+      val frontier = levels.head.select(col("id").as("s"))
+      val settled = levels.map(_.select(col("id"))).reduce(_.union(_))
+      val fresh = Components.pin(
+        e.join(frontier, "s")
+          .select(col("d").as("id")).distinct()
+          .join(settled, Seq("id"), "left_anti")
+          .select(col("id"), lit(h).as("dist")), reliable)
+      levels = fresh :: levels
     }
     e.unpersist(false)
-    dist
+    levels.reduce(_.union(_))
   }
 
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
