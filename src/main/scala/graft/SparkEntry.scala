@@ -1604,6 +1604,63 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // End-to-end entity resolution: typo-model pair generation (q168's
+    // symdelete + native DL kernel) → connected-components closure
+    // (q73's hash-min machinery) → one entity id + cluster size per
+    // record — the full "dedupe the customer table" pipeline in three
+    // composed operators
+    "q179_entity_clusters" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val typos = cust.where(col("c_custkey") % 13 === 0)
+        .select((col("c_custkey") + 3000000L).as("c_custkey"),
+          concat(substring(col("c_name"), 1, 16),
+            substring(col("c_name"), 18, 1),
+            substring(col("c_name"), 17, 1)).as("c_name"),
+          col("c_nationkey"))
+      val uni = cust.unionByName(typos)
+      val pairs = NearDup.typoPairs(uni, "c_custkey", "c_name",
+        "c_nationkey", maxDist = 1)
+      Components.duplicateClusters(uni, pairs, "c_custkey")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Reciprocal nearest neighbor (mutual best match) within label
+    // blocks: argmax AGGREGATE per vector (max_by over a (sim, -id)
+    // struct — no per-pair window), then one self-join of the
+    // #vectors-sized best table for the reciprocity cut
+    "q177_mutual_best" -> ((s, dir) => {
+      Similarity.mutualBestMatch(t(s, dir, "embeddings"), "vec_id",
+          "embedding", "label")
+        .orderBy(col("a"))
+    }),
+
+    // Conversion-latency percentiles per day: backward as-of join with
+    // 7-day expiry (q14/q134's operator) feeding exact interpolated
+    // percentiles (q33's operator) — the funnel-health composition
+    "q178_latency_percentiles" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"),
+        col("user_id"), expr("unix_micros(ts)").as("tsu"),
+        col("event_type"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsu").as("pt"),
+          col("event_id").as("purchase_id"))
+      val clicks = AsOfJoin.latestPerTs(
+        e.where(col("event_type") === "click")
+          .select(col("user_id"), col("tsu").as("ct"),
+            col("event_id").as("click_id")),
+        Seq("user_id"), "ct", "click_id")
+      val joined = AsOfJoin.asofBackward(purchases, clicks,
+          Seq("user_id"), "pt", "ct", Seq("click_id"),
+          tolerance = Some(7L * 86400L * 1000000L))
+        .where(col("click_id").isNotNull)
+        .select(expr("pt DIV 1000000 DIV 86400").as("day"),
+          expr("(pt - asof_ts) DIV 1000000").as("latency_s"))
+      Stats.exactPercentiles(joined, Seq("day"), "latency_s",
+          Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)))
+        .orderBy(col("day"))
+    }),
+
     // 2-D skyline (min price, max size): collapse to max-size-per-
     // price map-side, then a range-partitioned prefix max decides every
     // price in one pass — never the quadratic NOT EXISTS the oracle
@@ -5515,6 +5572,85 @@ object SparkEntry {
          SELECT event_id, user_id,
                 CAST(round(cusum, 4) AS DOUBLE) AS cusum
          FROM s WHERE cusum > 500.0 ORDER BY event_id""",
+
+    "q179_entity_clusters" ->
+      """WITH RECURSIVE base AS (
+           SELECT c_custkey, c_name, c_nationkey FROM customer),
+         typo AS (
+           SELECT c_custkey + 3000000 AS c_custkey,
+                  substr(c_name, 1, 16) || substr(c_name, 18, 1)
+                    || substr(c_name, 17, 1) AS c_name,
+                  c_nationkey
+           FROM base WHERE c_custkey % 13 = 0),
+         uni AS (SELECT * FROM base UNION ALL SELECT * FROM typo),
+         edges AS (
+           SELECT x.c_custkey AS a, y.c_custkey AS b
+           FROM uni x JOIN uni y
+             ON x.c_nationkey = y.c_nationkey
+             AND x.c_custkey < y.c_custkey
+           WHERE damerau_levenshtein(x.c_name, y.c_name) <= 1),
+         sym AS (SELECT a AS src, b AS dst FROM edges
+                 UNION ALL SELECT b, a FROM edges),
+         reach(id, lab) AS (
+           SELECT c_custkey, c_custkey FROM uni
+           UNION
+           SELECT sym.dst, reach.lab
+           FROM sym JOIN reach ON sym.src = reach.id),
+         comp AS (SELECT id AS c_custkey, min(lab) AS component
+                  FROM reach GROUP BY id)
+         SELECT c_custkey, component,
+                CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+                  AS cluster_size
+         FROM comp ORDER BY c_custkey""",
+
+    "q177_mutual_best" ->
+      """WITH v AS (
+           SELECT label, vec_id,
+                  CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+         p AS (
+           SELECT x.vec_id AS qa, y.vec_id AS qb,
+                  list_dot_product(x.emb, y.emb) /
+                    (sqrt(list_dot_product(x.emb, x.emb)) *
+                     sqrt(list_dot_product(y.emb, y.emb))) AS sim
+           FROM v x JOIN v y
+             ON x.label = y.label AND x.vec_id <> y.vec_id),
+         b AS (
+           SELECT qa, qb, sim FROM (
+             SELECT qa, qb, sim,
+                    row_number() OVER (PARTITION BY qa
+                      ORDER BY sim DESC, qb) AS rn
+             FROM p) WHERE rn = 1)
+         SELECT x.qa AS a, x.qb AS b, round(x.sim, 6) AS sim
+         FROM b x JOIN b y ON x.qa = y.qb AND x.qb = y.qa
+         WHERE x.qa < x.qb
+         ORDER BY a""",
+
+    "q178_latency_percentiles" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu,
+                  event_type
+           FROM events),
+         pur AS (SELECT user_id, tsu AS pt, event_id AS purchase_id
+                 FROM e WHERE event_type = 'purchase'),
+         clk0 AS (SELECT user_id, tsu AS ct, event_id AS click_id
+                  FROM e WHERE event_type = 'click'),
+         clk AS (
+           SELECT user_id, ct, max(click_id) AS click_id
+           FROM clk0 GROUP BY 1, 2),
+         j AS (
+           SELECT pur.pt, clk.ct
+           FROM pur ASOF LEFT JOIN clk
+             ON pur.user_id = clk.user_id AND pur.pt >= clk.ct),
+         lat AS (
+           SELECT pt // 1000000 // 86400 AS day,
+                  (pt - ct) // 1000000 AS latency_s
+           FROM j
+           WHERE ct IS NOT NULL AND pt - ct <= 604800000000)
+         SELECT day, quantile_cont(latency_s, 0.5) AS p50,
+                quantile_cont(latency_s, 0.9) AS p90,
+                quantile_cont(latency_s, 0.99) AS p99
+         FROM lat GROUP BY day ORDER BY day""",
 
     "q176_skyline" ->
       """SELECT p.p_partkey, p.p_retailprice, p.p_size

@@ -531,4 +531,47 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("rnk"),
               round(col("sim"), 6).as("sim"))
   }
+
+  /** Mutual best match (reciprocal nearest neighbor): within each
+    * block, pairs where each vector is the other's single most-similar
+    * neighbor — the high-precision entity-resolution cut (a one-way
+    * top-1 match is often a hub; a RECIPROCAL one almost never is).
+    * Ties break toward the smaller candidate id so "best" is unique
+    * and the oracle can state it.
+    *
+    * SCALE CONTRACT: candidate generation is all-pairs WITHIN a block
+    * (blocks must be bounded — a coarse cluster id, an LSH band, a
+    * category; [[hyperplaneLshPairs]] is the blocking generator for
+    * the no-label regime). The best-neighbor reduction is an ARGMAX
+    * AGGREGATE (max_by over a (sim, −id) struct), map-side combined —
+    * never a per-pair window; the reciprocity check is one self-join
+    * of the #vectors-sized best table.
+    *
+    * Returns (a, b, sim) with a < b, sim rounded to 6.
+    */
+  def mutualBestMatch(vectors: DataFrame, idCol: String, vecCol: String,
+                      blockCol: String): DataFrame = {
+    ensureFns(vectors)
+    val v = vectors.select(col(blockCol).as("_blk"),
+      col(idCol).as("_id"), col(vecCol).as("_v"),
+      nnorm(col(vecCol)).as("_n"))
+    val pairs = v.select(col("_blk"), col("_id").as("_qa"),
+        col("_v").as("_va"), col("_n").as("_na"))
+      .join(v.select(col("_blk"), col("_id").as("_qb"),
+        col("_v").as("_vb"), col("_n").as("_nb")), Seq("_blk"))
+      .where(col("_qa") =!= col("_qb"))
+      .select(col("_qa"), col("_qb"),
+        safeDiv(ndot(col("_va"), col("_vb")), col("_na") * col("_nb"))
+          .as("_sim"))
+    val best = pairs.groupBy(col("_qa"))
+      .agg(max_by(struct(col("_qb"), col("_sim")),
+        struct(col("_sim"), -col("_qb"))).as("_best"))
+      .select(col("_qa"), col("_best._qb").as("_bb"),
+        col("_best._sim").as("_sim"))
+    best.join(best.select(col("_qa").as("_bb"), col("_bb").as("_qa"),
+        lit(1).as("_mutual")), Seq("_qa", "_bb"))
+      .where(col("_qa") < col("_bb"))
+      .select(col("_qa").as("a"), col("_bb").as("b"),
+        round(col("_sim"), 6).as("sim"))
+  }
 }

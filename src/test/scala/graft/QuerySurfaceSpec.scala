@@ -43,7 +43,8 @@ class QuerySurfaceSpec extends SparkTestBase {
     "q135_class_terms", "q138_media_ingest", "q139_stream_debounce",
     "q140_tfidf_neardup", "q141_bm25_search",
     "q143_pagerank_sinks", "q145_label_prop", "q151_stream_ohlc",
-    "q153_kcore", "q163_bfs_hops", "q172_stream_decayed")
+    "q153_kcore", "q163_bfs_hops", "q172_stream_decayed",
+    "q179_entity_clusters")
 
   test("every oracle key names a query; every query is gated") {
     val rowsOnly = Set("q34_approx_sketch", "q41_approx_segment",
