@@ -1604,6 +1604,41 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Exact global percent rank per lineitem price — the SQL
+    // percent_rank() semantics WITHOUT its global one-partition window:
+    // distinct-value counts + range-partitioned prefix counts + a
+    // value-keyed rank join (the paretoCover/skyline prefix protocol)
+    "q180_percent_rank" -> ((s, dir) => {
+      Stats.percentRank(
+          t(s, dir, "lineitem").select(col("l_orderkey"),
+            col("l_linenumber"), col("l_extendedprice")),
+          "l_extendedprice")
+        .select(col("l_orderkey"), col("l_linenumber"), col("pct_rank"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Nearest as-of join: each error matched to the closest click of
+    // the same user within 1 h in EITHER direction (ties backward) —
+    // both direction passes ride ONE exchange as ascending/descending
+    // LOCF windows, never a theta join (AsOfJoin.asofNearest)
+    "q181_nearest_event" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"),
+        col("user_id"), expr("unix_micros(ts)").as("tsu"),
+        col("event_type"))
+      val errors = e.where(col("event_type") === "error")
+        .select(col("user_id"), col("tsu").as("et"),
+          col("event_id").as("error_id"))
+      val clicks = AsOfJoin.latestPerTs(
+        e.where(col("event_type") === "click")
+          .select(col("user_id"), col("tsu").as("ct"),
+            col("event_id").as("click_id")),
+        Seq("user_id"), "ct", "click_id")
+      AsOfJoin.asofNearest(errors, clicks, Seq("user_id"), "et", "ct",
+          Seq("click_id"), tolerance = 3600L * 1000000L)
+        .select(col("error_id"), col("click_id"), col("delta"))
+        .orderBy(col("error_id"))
+    }),
+
     // End-to-end entity resolution: typo-model pair generation (q168's
     // symdelete + native DL kernel) → connected-components closure
     // (q73's hash-min machinery) → one entity id + cluster size per
@@ -5572,6 +5607,53 @@ object SparkEntry {
          SELECT event_id, user_id,
                 CAST(round(cusum, 4) AS DOUBLE) AS cusum
          FROM s WHERE cusum > 500.0 ORDER BY event_id""",
+
+    "q180_percent_rank" ->
+      """SELECT l_orderkey, l_linenumber,
+                percent_rank() OVER (ORDER BY l_extendedprice)
+                  AS pct_rank
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "q181_nearest_event" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu,
+                  event_type
+           FROM events),
+         err AS (SELECT user_id, tsu AS et, event_id AS error_id
+                 FROM e WHERE event_type = 'error'),
+         clk AS (
+           SELECT user_id, ct, max(click_id) AS click_id FROM (
+             SELECT user_id, tsu AS ct, event_id AS click_id
+             FROM e WHERE event_type = 'click')
+           GROUP BY 1, 2),
+         b AS (
+           SELECT err.error_id, err.et, clk.ct AS bct,
+                  clk.click_id AS bid
+           FROM err ASOF LEFT JOIN clk
+             ON err.user_id = clk.user_id AND err.et >= clk.ct),
+         f AS (
+           SELECT err.error_id, clk.ct AS fct, clk.click_id AS fid
+           FROM err ASOF LEFT JOIN clk
+             ON err.user_id = clk.user_id AND err.et <= clk.ct),
+         j AS (
+           SELECT b.error_id, b.et, b.bct, b.bid, f.fct, f.fid,
+                  (b.bct IS NOT NULL AND b.et - b.bct <= 3600000000)
+                    AS okb,
+                  (f.fct IS NOT NULL AND f.fct - b.et <= 3600000000)
+                    AS okf
+           FROM b JOIN f USING (error_id)),
+         p AS (
+           SELECT error_id,
+                  CASE WHEN okb AND (NOT okf OR et - bct <= fct - et)
+                       THEN TRUE ELSE FALSE END AS takeb,
+                  et, bct, bid, fct, fid, okf
+           FROM j)
+         SELECT error_id,
+                CASE WHEN takeb THEN bid
+                     WHEN okf THEN fid END AS click_id,
+                CASE WHEN takeb THEN -(et - bct)
+                     WHEN okf THEN fct - et END AS delta
+         FROM p ORDER BY error_id""",
 
     "q179_entity_clusters" ->
       """WITH RECURSIVE base AS (

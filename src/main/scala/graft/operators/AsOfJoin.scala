@@ -86,4 +86,73 @@ object AsOfJoin {
           rightPayload.map(c =>
             when(inTol, col(s"_m.$c")).as(c)): _*)
   }
+
+  /** NEAREST as-of join: attach the right row closest in time in
+    * EITHER direction within `tolerance`, ties (equidistant before/
+    * after) breaking backward — "the sensor reading nearest this
+    * event", where backward-only drops every left row that precedes
+    * its first right row. Spark has no built-in for this either.
+    *
+    * Same union-LOCF formulation as [[asofBackward]], run in BOTH
+    * directions over ONE shuffle: the key-group sort serves an
+    * ascending carry (previous right row) and a descending carry (next
+    * right row) as two window passes over the same exchange — still
+    * linear per key group, never the quadratic theta join. Right rows
+    * at the exact left timestamp count as the backward match (Δ = 0).
+    * Right side must be one row per (key, ts) ([[latestPerTs]]).
+    *
+    * Output: left + `asof_ts` + payload + `delta` (signed
+    * rightTs − leftTs of the winner; NULL when nothing is in
+    * tolerance).
+    */
+  def asofNearest(left: DataFrame, right: DataFrame, on: Seq[String],
+                  leftTs: String, rightTs: String,
+                  rightPayload: Seq[String],
+                  tolerance: Long): DataFrame = {
+    require(tolerance >= 0, "tolerance must be >= 0")
+    val leftCols = left.columns.filterNot(c => on.contains(c) || c == leftTs)
+    val tsType = right.schema(rightTs).dataType
+    val rStruct = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("_rt", tsType) +:
+      rightPayload.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType)))
+    val l2 = left.select(
+      on.map(col) ++
+        Seq(col(leftTs).as("_t"), lit(1).as("_side"),
+            lit(null).cast(rStruct).as("_r")) ++
+        leftCols.map(col): _*)
+    val r2 = right.select(
+      on.map(col) ++
+        Seq(col(rightTs).as("_t"), lit(0).as("_side"),
+            struct(col(rightTs).as("_rt") +:
+                   rightPayload.map(col): _*).as("_r")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    // ascending pass: latest right at or before; descending pass: the
+    // reversed order makes "next right at or after" a LOCF too. Both
+    // windows share the exchange (same partition keys).
+    val wPrev = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("_t").desc, col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l2.unionByName(r2)
+      .withColumn("_mp", last(col("_r"), ignoreNulls = true).over(wPrev))
+      .withColumn("_mn", last(col("_r"), ignoreNulls = true).over(wNext))
+    val dPrev = col("_t") - col("_mp._rt")   // >= 0
+    val dNext = col("_mn._rt") - col("_t")   // >= 0
+    val okPrev = col("_mp").isNotNull && dPrev <= tolerance
+    val okNext = col("_mn").isNotNull && dNext <= tolerance
+    // backward wins ties (dPrev <= dNext keeps the backward row)
+    val takePrev = okPrev && (!okNext || dPrev <= dNext)
+    val takeNext = okNext && !takePrev
+    val win = when(takePrev, col("_mp")).when(takeNext, col("_mn"))
+    val delta = when(takePrev, -dPrev).when(takeNext, dNext)
+    carried
+      .where(col("_side") === 1)
+      .select(
+        on.map(col) ++ Seq(col("_t").as(leftTs)) ++ leftCols.map(col) ++
+          Seq(win.getField("_rt").as("asof_ts"), delta.as("delta")) ++
+          rightPayload.map(c => win.getField(c).as(c)): _*)
+  }
 }

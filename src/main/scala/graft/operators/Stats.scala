@@ -506,6 +506,47 @@ object Stats {
       .drop("_p")
   }
 
+  /** Exact global percent rank per row — `#values strictly below /
+    * (n − 1)`, the SQL `percent_rank()` definition with ties sharing a
+    * rank — WITHOUT the global single-partition window that definition
+    * tempts: score calibration ("this document is cleaner than 93% of
+    * the corpus") over billions of rows can't funnel through one task.
+    *
+    * SCALE SHAPE (the paretoCover/skyline prefix protocol): counts per
+    * DISTINCT value map-side, range-partition the distinct-value table,
+    * per-partition running count + a ≤`buckets`-row offset prefix, then
+    * ONE broadcastable (distinct-value-sized) rank table joins back to
+    * the rows. n arrives as a one-row broadcast. A single-row input
+    * gets rank 0 (the SQL convention), not a 0/0.
+    */
+  def percentRank(df: DataFrame, valueCol: String,
+                  buckets: Int = 32): DataFrame = {
+    val counts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("_c"))
+    val ranged = counts.repartitionByRange(buckets, col(valueCol))
+      .withColumn("_pid", spark_partition_id())
+    val wIn = Window.partitionBy(col("_pid")).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withIn = ranged.withColumn("_below_in",
+      coalesce(sum(col("_c")).over(wIn), lit(0L)))
+    val wOff = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withIn.groupBy(col("_pid"))
+      .agg(sum(col("_c")).as("_pt"))
+      .withColumn("_off", coalesce(sum(col("_pt")).over(wOff), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    val n = df.agg(count(lit(1)).as("_n"))
+    val ranks = withIn.join(broadcast(offsets), "_pid")
+      .select(col(valueCol),
+        (col("_below_in") + col("_off")).as("_below"))
+    df.join(ranks, Seq(valueCol))
+      .crossJoin(broadcast(n))
+      .withColumn("pct_rank",
+        when(col("_n") > 1,
+          col("_below").cast("double") / (col("_n") - 1).cast("double"))
+          .otherwise(lit(0.0)))
+      .drop("_below", "_n")
+  }
+
   /** 2-D skyline (Pareto frontier): rows not strictly dominated under
     * (minimize x, maximize y) — "cheapest for its capability" frontier
     * extraction. Dominance: q beats p iff q.x ≤ p.x ∧ q.y ≥ p.y with

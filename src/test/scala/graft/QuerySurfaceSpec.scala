@@ -85,10 +85,13 @@ class QuerySurfaceSpec extends SparkTestBase {
     //    cross-joined into the boundary test.
     //  - q170: each quantile-boundary table is a one-row ungrouped
     //    aggregate cross-joined into the scan-stage bin when-chain.
+    //  - q180: the total row count n is a one-row ungrouped aggregate
+    //    cross-joined into the rank division.
     val allowedBnlj = Set("q24_cosine_topk", "q9_interval_overlap",
       "q104_boilerplate", "q118_unigram_logprob", "q122_source_kl",
       "q144_pmi_collocations", "q150_basket_lift", "q157_heavy_hitters",
-      "q159_decayed_score", "q166_pareto_cover", "q170_rfm")
+      "q159_decayed_score", "q166_pareto_cover", "q170_rfm",
+      "q180_percent_rank")
     val lazyQueries = SparkEntry.queries.keySet -- eager
     val offenders = lazyQueries.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf)

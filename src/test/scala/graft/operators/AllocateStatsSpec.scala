@@ -240,6 +240,27 @@ class AllocateStatsSpec extends SparkTestBase {
     assert(got == Set(1L, 2L)) // 3 dominated by both (higher x, lower y)
   }
 
+  test("percentRank equals the window percent_rank, ties share ranks") {
+    val rng = new scala.util.Random(23)
+    val df = (1 to 300).map(i => (i.toLong, rng.nextInt(40).toDouble))
+      .toDF("id", "v")
+    val got = Stats.percentRank(df, "v", buckets = 7)
+      .select(col("id"), col("pct_rank"))
+      .as[(Long, Double)].collect().toMap
+    import org.apache.spark.sql.expressions.Window
+    val want = df.withColumn("pr",
+        percent_rank().over(Window.orderBy(col("v"))))
+      .select(col("id"), col("pr")).as[(Long, Double)].collect().toMap
+    assert(got == want)
+  }
+
+  test("percentRank: single row is 0, not a division error") {
+    val df = Seq((1L, 5.0)).toDF("id", "v")
+    val got = Stats.percentRank(df, "v")
+      .select(col("pct_rank")).as[Double].collect().toSeq
+    assert(got == Seq(0.0))
+  }
+
   test("paretoCover: unique minimal prefix; boundary entity included") {
     // values 50,30,20 of total 100 at 4/5: 50+30=80 → needs the 20?
     // (80 − nothing) rule: row qualifies iff cum−v < 80 → 50 (0<80),

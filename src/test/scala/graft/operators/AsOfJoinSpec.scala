@@ -62,4 +62,39 @@ class AsOfJoinSpec extends SparkTestBase {
       .as[(String, Long, Double)].collect().toSeq
     assert(r == Seq(("A", 10L, 7.0)))
   }
+
+  test("asofNearest: closer side wins; equidistant breaks backward") {
+    // rights at t=10 and t=20. left 13 → backward (Δ-3 beats Δ+7);
+    // left 18 → forward (Δ+2); left 15 → equidistant, backward wins
+    val l = Seq(("A", 13L, 1), ("A", 18L, 2), ("A", 15L, 3))
+      .toDF("sym", "t", "lid")
+    val r = Seq(("A", 10L, 100L), ("A", 20L, 200L))
+      .toDF("sym", "rt", "rid")
+    val got = AsOfJoin.asofNearest(l, r, Seq("sym"), "t", "rt",
+        Seq("rid"), tolerance = 100L)
+      .select($"lid", $"rid", $"delta")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(got == Set((1, 100L, -3L), (2, 200L, 2L), (3, 100L, -5L)))
+  }
+
+  test("asofNearest: tolerance nulls both directions; forward-only left edge") {
+    // left at t=1 precedes every right → forward match (backward-only
+    // would drop it); left at t=500 is out of tolerance both ways
+    val l = Seq(("A", 1L, 1), ("A", 500L, 2)).toDF("sym", "t", "lid")
+    val r = Seq(("A", 10L, 100L)).toDF("sym", "rt", "rid")
+    val got = AsOfJoin.asofNearest(l, r, Seq("sym"), "t", "rt",
+        Seq("rid"), tolerance = 50L)
+      .select($"lid", $"rid", $"delta")
+      .as[(Int, Option[Long], Option[Long])].collect().toSet
+    assert(got == Set((1, Some(100L), Some(9L)), (2, None, None)))
+  }
+
+  test("asofNearest: right row at the exact left ts is the backward match") {
+    val l = Seq(("A", 10L, 1)).toDF("sym", "t", "lid")
+    val r = Seq(("A", 10L, 100L), ("A", 11L, 200L)).toDF("sym", "rt", "rid")
+    val got = AsOfJoin.asofNearest(l, r, Seq("sym"), "t", "rt",
+        Seq("rid"), tolerance = 5L)
+      .select($"rid", $"delta").as[(Long, Long)].collect().head
+    assert(got == ((100L, 0L)))
+  }
 }
