@@ -1604,6 +1604,33 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Pivot: per-user event-type counts widened to one column per type.
+    // The value list is EXPLICIT — an unlisted pivot makes Spark run a
+    // distinct-collect job at plan time; listing the domain keeps the
+    // whole thing one partial+final aggregate
+    "q182_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    }),
+
+    // Unpivot (melt): the q182 wide table stacked back to long form via
+    // the native stack() generator — scan-stage, no shuffle beyond
+    // q182's own aggregate
+    "q183_unpivot" -> ((s, dir) => {
+      queries("q182_pivot")(s, dir)
+        .select(col("user_id"), expr(
+          "stack(5, 'click', click, 'error', error, " +
+          "'purchase', purchase, 'signup', signup, 'view', view) " +
+          "AS (event_type, n)"))
+        .where(col("n") > 0)
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // Exact global percent rank per lineitem price — the SQL
     // percent_rank() semantics WITHOUT its global one-partition window:
     // distinct-value counts + range-partitioned prefix counts + a
@@ -5607,6 +5634,28 @@ object SparkEntry {
          SELECT event_id, user_id,
                 CAST(round(cusum, 4) AS DOUBLE) AS cusum
          FROM s WHERE cusum > 500.0 ORDER BY event_id""",
+
+    "q182_pivot" ->
+      """SELECT user_id,
+                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                  END) AS BIGINT) AS click,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                  END) AS BIGINT) AS error,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                  END) AS BIGINT) AS purchase,
+                CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0
+                  END) AS BIGINT) AS signup,
+                CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                  END) AS BIGINT) AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q183_unpivot" ->
+      """SELECT user_id, event_type,
+                CAST(count(*) AS BIGINT) AS n
+         FROM events
+         GROUP BY user_id, event_type
+         HAVING count(*) > 0
+         ORDER BY user_id, event_type""",
 
     "q180_percent_rank" ->
       """SELECT l_orderkey, l_linenumber,
