@@ -1604,6 +1604,50 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Lag-1 autocorrelation of event values per type: lead() pairs +
+    // exact-DECIMAL sums + the closed-form Pearson r — never the
+    // engine-dependent streaming corr() recurrence
+    "q186_autocorr" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = t(s, dir, "events")
+        .select(col("event_type"), col("ts"), col("event_id"),
+          col("value").cast("decimal(18,4)").as("x"))
+        .withColumn("y", lead(col("x"), 1).over(w))
+        .where(col("y").isNotNull)
+      Stats.groupCorr(pairs, Seq("event_type"), "x", "y")
+        .orderBy(col("event_type"))
+    }),
+
+    // Keyed top-mass cut: per language, the source prefix covering
+    // ≥ 9/10 of its characters — nucleus-style stratum pruning; exact
+    // integer boundary test, key-partitioned windows only
+    "q184_top_mass" -> ((s, dir) => {
+      val per = t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(sum(col("n_chars")).as("chars"))
+      Stats.topMassPerKey(per, Seq("lang"), "source", "chars", 9, 10)
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    // Top-k per key as a BOUNDED AGGREGATE (functions/TopKAgg): the
+    // k-row state combines map-side, so the shuffle carries ≤ k rows
+    // per partition per key — the window row_number() formulation
+    // (q97) shuffles every row. Same output, different 100 TB cost
+    "q185_topk_agg" -> ((s, dir) => {
+      val tk = udaf(graft.functions.TopKAgg(3))
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("id"))
+        .groupBy(col("l_returnflag"))
+        .agg(tk(col("l_extendedprice"), col("id")).as("top"))
+        .select(col("l_returnflag"), posexplode(col("top")))
+        .select(col("l_returnflag"), (col("pos") + 1).cast("int")
+          .as("rnk"), col("col.ord").as("price"), col("col.id").as("id"))
+        .orderBy(col("l_returnflag"), col("rnk"))
+    }),
+
     // Pivot: per-user event-type counts widened to one column per type.
     // The value list is EXPLICIT — an unlisted pivot makes Spark run a
     // distinct-collect job at plan time; listing the domain keeps the
@@ -5634,6 +5678,63 @@ object SparkEntry {
          SELECT event_id, user_id,
                 CAST(round(cusum, 4) AS DOUBLE) AS cusum
          FROM s WHERE cusum > 500.0 ORDER BY event_id""",
+
+    "q186_autocorr" ->
+      """WITH e AS (
+           SELECT event_type, ts, event_id,
+                  CAST(value AS DECIMAL(18,4)) AS x
+           FROM events),
+         p AS (
+           SELECT event_type, x,
+                  lead(x) OVER (PARTITION BY event_type
+                    ORDER BY ts, event_id) AS y
+           FROM e),
+         q AS (SELECT * FROM p WHERE y IS NOT NULL),
+         s AS (
+           SELECT event_type,
+                  CAST(count(*) AS DOUBLE) AS n,
+                  CAST(count(*) AS BIGINT) AS n_points,
+                  CAST(sum(x) AS DOUBLE) AS sx,
+                  CAST(sum(y) AS DOUBLE) AS sy,
+                  CAST(sum(x * y) AS DOUBLE) AS sxy,
+                  CAST(sum(x * x) AS DOUBLE) AS sxx,
+                  CAST(sum(y * y) AS DOUBLE) AS syy
+           FROM q GROUP BY 1)
+         SELECT event_type, n_points,
+                CASE WHEN n * sxx - sx * sx > 0
+                      AND n * syy - sy * sy > 0 THEN
+                  round((n * sxy - sx * sy) /
+                        sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                        6) END AS corr
+         FROM s ORDER BY event_type""",
+
+    "q184_top_mass" ->
+      """WITH per AS (
+           SELECT lang, source,
+                  CAST(sum(n_chars) AS BIGINT) AS chars
+           FROM documents GROUP BY 1, 2),
+         c AS (
+           SELECT lang, source, chars,
+                  sum(chars) OVER (PARTITION BY lang
+                    ORDER BY chars DESC, source) AS cum,
+                  sum(chars) OVER (PARTITION BY lang) AS tot
+           FROM per)
+         SELECT lang, source, chars
+         FROM c WHERE (cum - chars) * 10 < tot * 9
+         ORDER BY lang, source""",
+
+    "q185_topk_agg" ->
+      """WITH l AS (
+           SELECT l_returnflag, l_extendedprice AS price,
+                  l_orderkey * 10 + l_linenumber AS id
+           FROM lineitem),
+         r AS (
+           SELECT l_returnflag, price, id,
+                  CAST(row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY price DESC, id) AS INTEGER) AS rnk
+           FROM l)
+         SELECT l_returnflag, rnk, price, id
+         FROM r WHERE rnk <= 3 ORDER BY l_returnflag, rnk""",
 
     "q182_pivot" ->
       """SELECT user_id,

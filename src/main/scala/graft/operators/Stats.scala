@@ -506,6 +506,70 @@ object Stats {
       .drop("_p")
   }
 
+  /** Per-key Pearson correlation with the [[groupTrend]] exactness
+    * contract: the five sums aggregate in exact arithmetic (DECIMAL /
+    * integral), cast to double once, and
+    * {{{ r = (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²)(n·Σy² − (Σy)²)) }}}
+    * is fixed-shape double arithmetic — NOT the streaming-covariance
+    * recurrence built-in `corr()`s use, whose intermediate rounding is
+    * engine- and order-dependent and can never hash-match an oracle.
+    * Zero variance on either side yields NULL. One map-side-combined
+    * aggregate; nothing else moves.
+    */
+  def groupCorr(df: DataFrame, keyCols: Seq[String], xCol: String,
+                yCol: String): DataFrame = {
+    val x = col(xCol)
+    val y = col(yCol)
+    val both = df.where(x.isNotNull && y.isNotNull)
+    val sums = both.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"), sum(x).as("_sx"), sum(y).as("_sy"),
+        sum(x * y).as("_sxy"), sum(x * x).as("_sxx"),
+        sum(y * y).as("_syy"))
+    val n = col("_n").cast("double")
+    val sx = col("_sx").cast("double")
+    val sy = col("_sy").cast("double")
+    val varX = n * col("_sxx").cast("double") - sx * sx
+    val varY = n * col("_syy").cast("double") - sy * sy
+    val cov = n * col("_sxy").cast("double") - sx * sy
+    sums
+      .withColumn("corr",
+        when(varX > 0d && varY > 0d,
+          round(cov / sqrt(varX * varY), 6)))
+      .drop("_sx", "_sy", "_sxy", "_sxx", "_syy")
+      .withColumnRenamed("_n", "n_points")
+  }
+
+  /** Keyed top-mass cut (the per-key [[paretoCover]]): within each
+    * key, the smallest value-descending prefix of entities whose
+    * values reach `shareNum/shareDen` of the KEY's total — "which
+    * sources are 90% of each language's characters", the nucleus-style
+    * pruning step mixture pipelines run per stratum. Membership is the
+    * same rational boundary test, `(cum − v)·den < tot·num`, in exact
+    * integer/DECIMAL arithmetic; ties break by entity.
+    *
+    * SCALE SHAPE: both windows partition BY THE KEY (cumulative over
+    * the per-key entity list, total as a same-partition window) — one
+    * exchange, state bounded by entities-per-key. The global form with
+    * its range-partitioned prefix is [[paretoCover]]; use that when
+    * there is only one (or a skewed-huge) key.
+    */
+  def topMassPerKey(per: DataFrame, keyCols: Seq[String],
+                    entityCol: String, valueCol: String,
+                    shareNum: Int, shareDen: Int): DataFrame = {
+    require(shareNum > 0 && shareDen > shareNum,
+      "share must be a proper fraction")
+    val key = keyCols.map(col)
+    val wCum = Window.partitionBy(key: _*)
+      .orderBy(col(valueCol).desc, col(entityCol))
+    val wAll = Window.partitionBy(key: _*)
+    per
+      .withColumn("_cum", sum(col(valueCol)).over(wCum))
+      .withColumn("_tot", sum(col(valueCol)).over(wAll))
+      .where((col("_cum") - col(valueCol)) * lit(shareDen) <
+        col("_tot") * lit(shareNum))
+      .drop("_cum", "_tot")
+  }
+
   /** Exact global percent rank per row — `#values strictly below /
     * (n − 1)`, the SQL `percent_rank()` definition with ties sharing a
     * rank — WITHOUT the global single-partition window that definition

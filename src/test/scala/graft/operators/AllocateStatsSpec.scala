@@ -261,6 +261,50 @@ class AllocateStatsSpec extends SparkTestBase {
     assert(got == Seq(0.0))
   }
 
+  test("groupCorr: exact correlation on a perfect line and a flat one") {
+    // y = 2x exactly → r = 1; constant y → NULL (zero variance)
+    val df = Seq(("a", 1, 2), ("a", 2, 4), ("a", 3, 6),
+      ("b", 1, 5), ("b", 2, 5), ("b", 3, 5)).toDF("k", "x", "y")
+      .select(col("k"), col("x").cast("decimal(18,4)").as("x"),
+        col("y").cast("decimal(18,4)").as("y"))
+    val got = Stats.groupCorr(df, Seq("k"), "x", "y")
+      .select(col("k"), col("corr")).collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got("a") == Some(1.0))
+    assert(got("b") == None)
+  }
+
+  test("groupCorr matches the closed form on noisy data") {
+    val pts = Seq((1.0, 2.5), (2.0, 1.5), (3.0, 4.0), (4.0, 3.5),
+      (5.0, 6.25))
+    val df = pts.map { case (x, y) => ("g", x, y) }.toDF("k", "x", "y")
+      .select(col("k"), col("x").cast("decimal(18,4)").as("x"),
+        col("y").cast("decimal(18,4)").as("y"))
+    val n = pts.size.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val want = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val got = Stats.groupCorr(df, Seq("k"), "x", "y")
+      .select(col("corr")).as[Double].collect().head
+    assert(math.abs(got - want) < 1e-6)
+  }
+
+  test("topMassPerKey: per-key nucleus cut with boundary semantics") {
+    // key g: 50,30,20 at 4/5 → {a,b}; key h: 10,10 at 1/2 → first by
+    // entity tie-break only
+    val per = Seq(("g", "a", 50L), ("g", "b", 30L), ("g", "c", 20L),
+      ("h", "x", 10L), ("h", "y", 10L)).toDF("k", "e", "v")
+    val got = Stats.topMassPerKey(per, Seq("k"), "e", "v", 4, 5)
+      .select(col("k"), col("e")).as[(String, String)].collect().toSet
+    assert(got == Set(("g", "a"), ("g", "b"), ("h", "x"), ("h", "y")))
+    val half = Stats.topMassPerKey(per, Seq("k"), "e", "v", 1, 2)
+      .select(col("k"), col("e")).as[(String, String)].collect().toSet
+    assert(half == Set(("g", "a"), ("h", "x")))
+  }
+
   test("paretoCover: unique minimal prefix; boundary entity included") {
     // values 50,30,20 of total 100 at 4/5: 50+30=80 → needs the 20?
     // (80 − nothing) rule: row qualifies iff cum−v < 80 → 50 (0<80),
