@@ -1604,6 +1604,28 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Streaming twin of the bounded top-k aggregate: TopKAgg's k-row
+    // state is a commutative monoid (bounded insert/merge), so the
+    // per-type top-3 is EXACT under any micro-batch arrival order —
+    // complete-mode output, state = k rows per key, never the history
+    "q187_stream_topk" -> ((s, dir) => {
+      val tk = udaf(graft.functions.TopKAgg(3))
+      val agg = eventsStream(s, dir)
+        .select(col("event_type"), col("value"), col("event_id"))
+        .groupBy(col("event_type"))
+        .agg(tk(col("value"), col("event_id")).as("top"))
+      val qname = "graft_q187_topk"
+      val query = graft.streaming.Streams.drainToMemory(agg, qname)
+        .start()
+      try query.awaitTermination() finally query.stop()
+      s.table(qname)
+        .select(col("event_type"), posexplode(col("top")))
+        .select(col("event_type"),
+          (col("pos") + 1).cast("int").as("rnk"),
+          col("col.ord").as("value"), col("col.id").as("event_id"))
+        .orderBy(col("event_type"), col("rnk"))
+    }),
+
     // Lag-1 autocorrelation of event values per type: lead() pairs +
     // exact-DECIMAL sums + the closed-form Pearson r — never the
     // engine-dependent streaming corr() recurrence
@@ -5678,6 +5700,15 @@ object SparkEntry {
          SELECT event_id, user_id,
                 CAST(round(cusum, 4) AS DOUBLE) AS cusum
          FROM s WHERE cusum > 500.0 ORDER BY event_id""",
+
+    "q187_stream_topk" ->
+      """WITH r AS (
+           SELECT event_type, value, event_id,
+                  CAST(row_number() OVER (PARTITION BY event_type
+                    ORDER BY value DESC, event_id) AS INTEGER) AS rnk
+           FROM events)
+         SELECT event_type, rnk, value, event_id
+         FROM r WHERE rnk <= 3 ORDER BY event_type, rnk""",
 
     "q186_autocorr" ->
       """WITH e AS (

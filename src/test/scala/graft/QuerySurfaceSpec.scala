@@ -44,7 +44,7 @@ class QuerySurfaceSpec extends SparkTestBase {
     "q140_tfidf_neardup", "q141_bm25_search",
     "q143_pagerank_sinks", "q145_label_prop", "q151_stream_ohlc",
     "q153_kcore", "q163_bfs_hops", "q172_stream_decayed",
-    "q179_entity_clusters")
+    "q179_entity_clusters", "q187_stream_topk")
 
   test("every oracle key names a query; every query is gated") {
     val rowsOnly = Set("q34_approx_sketch", "q41_approx_segment",
