@@ -1608,6 +1608,80 @@ object SparkEntry {
     // state is a commutative monoid (bounded insert/merge), so the
     // per-type top-3 is EXACT under any micro-batch arrival order —
     // complete-mode output, state = k rows per key, never the history
+    // Z-order (Morton-curve) layout: key rows by the native codegen
+    // graft_zorder interleave of (user bucket, value bucket), cut the
+    // z-sorted order into 512-row files, emit each file's min/max
+    // pruning envelope — tight on BOTH dimensions, the property that
+    // lets a 100 TB scan filtered on either column skip files (a
+    // one-column sort leaves the other envelope full-width)
+    "q190_zorder_layout" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      Layout.zorderFileStats(e,
+          pmod(col("user_id"), lit(1024L)),
+          floor(col("value")).cast("long"),
+          col("event_id"), rowsPerFile = 512L)
+        .orderBy(col("file_id"))
+    }),
+
+    // Target-size compaction plan (the small-files problem): per
+    // source, fill 4000-byte bins in size-descending order — bin id =
+    // prior cumulative DIV target, all integer window arithmetic; the
+    // Delta-OPTIMIZE / Iceberg-rewrite bin-packing model over what is
+    // metadata (a file listing), never data
+    "q191_compaction_plan" -> ((s, dir) => {
+      Layout.compactionPlan(
+          t(s, dir, "documents")
+            .select(col("source"), col("doc_id"), col("n_chars")),
+          Seq("source"), "n_chars", "doc_id", targetBytes = 4000L)
+        .orderBy(col("source"), col("bin"))
+    }),
+
+    // HITS hubs & authorities (2 rounds, L1-normalized) on the
+    // part-sequence graph — separates "links to quality" (hub) from
+    // "is linked by quality" (auth); the seed-list-vs-admission split
+    // PageRank alone can't express. One-row normalizer broadcasts;
+    // pinned rounds (pageRank protocol)
+    "q188_hits" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          col("l_linenumber").as("ln"), col("l_partkey").as("pk"))
+      val nxt = li.select(col("ok"), (col("ln") - 1).as("ln"),
+        col("pk").as("dst_pk"))
+      val edges = li.join(nxt, Seq("ok", "ln"))
+        .where(col("pk") =!= col("dst_pk"))
+        .select(col("pk").as("src"), col("dst_pk").as("dst"))
+      Graph.hits(edges, "src", "dst", iterations = 2)
+        .select(col("id"), round(col("hub"), 9).as("hub"),
+          round(col("auth"), 9).as("auth"))
+        .orderBy(col("id"))
+    }),
+
+    // Adamic–Adar link prediction on the support-≥2 part co-purchase
+    // graph (unordered part pairs within an order, kept only when they
+    // co-occur in ≥ 2 orders — the support cut is what makes the graph
+    // sparse and the missing-link score meaningful): scores for
+    // non-adjacent pairs sharing neighbors, hub centers excluded by
+    // maxDegree (the maxDf doctrine — a degree-d center emits C(d,2)
+    // wedges while contributing the sum's SMALLEST term)
+    "q189_adamic_adar" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          col("l_linenumber").as("ln"), col("l_partkey").as("pk"))
+      val other = li.select(col("ok"), col("ln").as("ln2"),
+        col("pk").as("pk2"))
+      val edges = li.join(other, Seq("ok"))
+        .where(col("ln") < col("ln2") && col("pk") =!= col("pk2"))
+        .select(least(col("pk"), col("pk2")).as("u"),
+          greatest(col("pk"), col("pk2")).as("v"))
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("support"))
+        .where(col("support") >= 2)
+      Graph.adamicAdar(edges, "u", "v", maxDegree = 30)
+        .select(col("a"), col("b"), col("common"),
+          round(col("aa"), 6).as("aa"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     "q187_stream_topk" -> ((s, dir) => {
       val tk = udaf(graft.functions.TopKAgg(3))
       val agg = eventsStream(s, dir)
@@ -5700,6 +5774,116 @@ object SparkEntry {
          SELECT event_id, user_id,
                 CAST(round(cusum, 4) AS DOUBLE) AS cusum
          FROM s WHERE cusum > 500.0 ORDER BY event_id""",
+
+    "q190_zorder_layout" ->
+      """WITH k AS (
+           SELECT user_id % 1024 AS x,
+                  CAST(floor(value) AS BIGINT) AS y, event_id
+           FROM events),
+         z AS (
+           SELECT x, y, event_id,
+                  CAST(list_sum(list_transform(range(0, 21), i ->
+                    (((x >> i) & 1) << (2 * i)) +
+                    (((y >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS z
+           FROM k),
+         idx AS (
+           SELECT x, y, z,
+                  row_number() OVER (ORDER BY z, event_id) AS rn
+           FROM z)
+         SELECT (rn - 1) // 512 AS file_id, count(*) AS n_rows,
+                min(x) AS x_min, max(x) AS x_max,
+                min(y) AS y_min, max(y) AS y_max,
+                min(z) AS z_min, max(z) AS z_max
+         FROM idx GROUP BY 1 ORDER BY file_id""",
+
+    "q191_compaction_plan" ->
+      """WITH c AS (
+           SELECT source, doc_id, n_chars,
+                  sum(n_chars) OVER (PARTITION BY source
+                    ORDER BY n_chars DESC, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS cum
+           FROM documents)
+         SELECT source, CAST((cum - n_chars) // 4000 AS BIGINT) AS bin,
+                count(*) AS n_files,
+                CAST(sum(n_chars) AS BIGINT) AS total_bytes
+         FROM c GROUP BY source, bin ORDER BY source, bin""",
+
+    "q188_hits" ->
+      """WITH e AS MATERIALIZED (
+           SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
+           FROM lineitem x JOIN lineitem y
+             ON x.l_orderkey = y.l_orderkey
+             AND y.l_linenumber = x.l_linenumber + 1
+           WHERE x.l_partkey != y.l_partkey),
+         nodes AS MATERIALIZED (
+           SELECT src AS id FROM e UNION SELECT dst FROM e),
+         h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM nodes),
+         a1r AS MATERIALIZED (
+           SELECT nd.id, coalesce(m.s, 0) AS auth
+           FROM nodes nd LEFT JOIN (
+             SELECT e.dst AS id, sum(h.hub) AS s
+             FROM e JOIN h0 h ON h.id = e.src GROUP BY e.dst) m
+             ON m.id = nd.id),
+         a1 AS MATERIALIZED (
+           SELECT id, auth / (SELECT sum(auth) FROM a1r) AS auth FROM a1r),
+         h1r AS MATERIALIZED (
+           SELECT nd.id, coalesce(m.s, 0) AS hub
+           FROM nodes nd LEFT JOIN (
+             SELECT e.src AS id, sum(a.auth) AS s
+             FROM e JOIN a1 a ON a.id = e.dst GROUP BY e.src) m
+             ON m.id = nd.id),
+         h1 AS MATERIALIZED (
+           SELECT id, hub / (SELECT sum(hub) FROM h1r) AS hub FROM h1r),
+         a2r AS MATERIALIZED (
+           SELECT nd.id, coalesce(m.s, 0) AS auth
+           FROM nodes nd LEFT JOIN (
+             SELECT e.dst AS id, sum(h.hub) AS s
+             FROM e JOIN h1 h ON h.id = e.src GROUP BY e.dst) m
+             ON m.id = nd.id),
+         a2 AS MATERIALIZED (
+           SELECT id, auth / (SELECT sum(auth) FROM a2r) AS auth FROM a2r),
+         h2r AS MATERIALIZED (
+           SELECT nd.id, coalesce(m.s, 0) AS hub
+           FROM nodes nd LEFT JOIN (
+             SELECT e.src AS id, sum(a.auth) AS s
+             FROM e JOIN a2 a ON a.id = e.dst GROUP BY e.src) m
+             ON m.id = nd.id),
+         h2 AS (
+           SELECT id, hub / (SELECT sum(hub) FROM h2r) AS hub FROM h2r)
+         SELECT n.id, round(h2.hub, 9) AS hub, round(a2.auth, 9) AS auth
+         FROM nodes n JOIN h2 ON h2.id = n.id JOIN a2 ON a2.id = n.id
+         ORDER BY n.id""",
+
+    "q189_adamic_adar" ->
+      """WITH raw AS (
+           SELECT least(x.l_partkey, y.l_partkey) AS u,
+                  greatest(x.l_partkey, y.l_partkey) AS v
+           FROM lineitem x JOIN lineitem y
+             ON x.l_orderkey = y.l_orderkey
+             AND x.l_linenumber < y.l_linenumber
+           WHERE x.l_partkey != y.l_partkey),
+         und AS MATERIALIZED (
+           SELECT u, v FROM raw GROUP BY u, v HAVING count(*) >= 2),
+         nb AS (SELECT u AS v0, v AS n FROM und
+                UNION ALL SELECT v, u FROM und),
+         deg AS MATERIALIZED (
+           SELECT v0, count(*) AS deg FROM nb GROUP BY v0),
+         center AS (
+           SELECT nb.v0, nb.n, deg.deg FROM nb JOIN deg USING (v0)
+           WHERE deg <= 30),
+         wedges AS (
+           SELECT c1.v0, c1.n AS a, c2.n AS b, c1.deg
+           FROM center c1 JOIN center c2 USING (v0)
+           WHERE c1.n < c2.n),
+         scored AS (
+           SELECT a, b, count(*) AS common,
+                  sum(1.0 / ln(deg)) AS aa
+           FROM wedges GROUP BY a, b)
+         SELECT a, b, common, round(aa, 6) AS aa
+         FROM scored s
+         WHERE NOT EXISTS (
+           SELECT 1 FROM und WHERE und.u = s.a AND und.v = s.b)
+         ORDER BY a, b""",
 
     "q187_stream_topk" ->
       """WITH r AS (

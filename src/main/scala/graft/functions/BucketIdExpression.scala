@@ -273,7 +273,12 @@ object GraftExtensions {
              "graft_winnow k and w must be INT literals")
          }
          WinnowFingerprintsExpr(c.head, args(0), args(1))
-       }))
+       }),
+      // graft_zorder(x, y): Morton interleave of two bucket coords
+      (FunctionIdentifier("graft_zorder"),
+       new ExpressionInfo(classOf[ZorderExpr].getName, "graft_zorder"),
+       arity("graft_zorder", 2)(c =>
+         ZorderExpr(Cast(c(0), LongType), Cast(c(1), LongType)))))
 
   /** Register the engine's functions on a live session. */
   def installInto(spark: SparkSession): Unit =

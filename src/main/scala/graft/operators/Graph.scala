@@ -345,4 +345,124 @@ object Graph {
     und.unpersist(false)
     labels
   }
+
+  /** HITS hubs & authorities with a FIXED iteration count and L1
+    * normalization — the bipartite-flavored authority signal (a page
+    * is a good authority if good hubs link to it; a good hub if it
+    * links to good authorities). Complements [[pageRank]]: HITS
+    * separates "points at quality" from "is quality", which is the
+    * right shape for crawl seed-list curation (hubs) vs corpus
+    * admission (authorities).
+    *
+    * Per round: `a(v) = Σ_{u→v} h(u)` then L1-normalize;
+    * `h(u) = Σ_{u→v} a(v)` then L1-normalize. L1 (sum) rather than the
+    * textbook L2 keeps the oracle sqrt-free; the fixed-point direction
+    * is identical (normalization only rescales). Both normalizers are
+    * ONE-ROW aggregates broadcast into the round's plan — never a
+    * graph-sized collect.
+    *
+    * SCALE SHAPE (the [[pageRank]] protocol): the distinct edge list is
+    * persisted once; each half-step is one score-table join + one
+    * map-side-combined aggregation over O(|E|) rows; eager checkpoint
+    * per round (pin/releasePin, `reliable = true` for executor-loss
+    * recovery). Returns (id, hub, auth) over the full node universe —
+    * nodes with no in-edges have auth 0, no out-edges hub 0.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int, reliable: Boolean = false): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+              col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // normalize to a ONE-ROW l1 total, broadcast-cross-joined: the
+    // round's plan stays collect-free
+    def l1Normalize(scores: DataFrame, c: String): DataFrame = {
+      val tot = scores.agg(sum(col(c)).as("_tot"))
+      scores.crossJoin(broadcast(tot))
+        .select(col("id"), (col(c) / col("_tot")).as(c))
+    }
+    var hubs = Components.pin(
+      nodes.select(col("id"), lit(1.0).as("hub")), reliable)
+    var auths: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val aRaw = e.join(hubs.select(col("id").as("src"), col("hub")), "src")
+        .groupBy(col("dst")).agg(sum(col("hub")).as("auth"))
+      val aAll = nodes.join(
+          aRaw.select(col("dst").as("id"), col("auth")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("auth"), lit(0.0)).as("auth"))
+      val aNext = Components.pin(l1Normalize(aAll, "auth"), reliable)
+      if (auths != null) Components.releasePin(auths, reliable)
+      auths = aNext
+      val hRaw = e.join(auths.select(col("id").as("dst"), col("auth")), "dst")
+        .groupBy(col("src")).agg(sum(col("auth")).as("hub"))
+      val hAll = nodes.join(
+          hRaw.select(col("src").as("id"), col("hub")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub"))
+      val hNext = Components.pin(l1Normalize(hAll, "hub"), reliable)
+      Components.releasePin(hubs, reliable)
+      hubs = hNext
+    }
+    val out = hubs.join(auths, Seq("id"))
+      .select(col("id"), col("hub"), col("auth"))
+    e.unpersist(false)
+    nodes.unpersist(false)
+    out
+  }
+
+  /** Adamic–Adar link prediction over an undirected simple graph:
+    * for every NON-adjacent pair (a, b) sharing ≥ 1 neighbor,
+    * `aa(a,b) = Σ_{v ∈ N(a)∩N(b)} 1/ln(deg(v))` — the classic
+    * "which links are missing" score (near-dup sources that should
+    * share an edge, entity pairs one noisy record short of linking).
+    *
+    * SCALE SHAPE — the wedge join is quadratic IN EACH SHARED
+    * NEIGHBOR's degree, so hub nodes are excluded up front by
+    * `maxDegree` (the [[NearDup]] `maxDf` doctrine: a node of degree
+    * d contributes C(d,2) wedge pairs; a celebrity node would emit
+    * billions while carrying ~zero AA mass — its 1/ln(deg) term is
+    * the smallest in the sum). With the cap, wedge count is bounded
+    * by |V|·maxDegree², hash-distributed on the shared neighbor.
+    * One anti-join removes already-adjacent pairs. deg(v) is always
+    * the TRUE degree (computed before the cap) — the cap limits which
+    * wedges are enumerated, not the score definition.
+    *
+    * Returns (a, b, common, aa) with a < b, aa rounded caller-side.
+    */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+                 maxDegree: Int): DataFrame = {
+    require(maxDegree >= 2, "maxDegree must be >= 2")
+    val und0 = edges
+      .select(col(srcCol).cast("long").as("s"),
+              col(dstCol).cast("long").as("d"))
+      .where(col("s").isNotNull && col("d").isNotNull &&
+             col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("u"),
+              greatest(col("s"), col("d")).as("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // adjacency (both directions) + true degrees
+    val nb = und0.select(col("u").as("v0"), col("v").as("n"))
+      .union(und0.select(col("v").as("v0"), col("u").as("n")))
+    val deg = nb.groupBy(col("v0")).agg(count(lit(1)).as("deg"))
+    // wedges through capped-degree centers only
+    val center = nb.join(deg.where(col("deg") <= maxDegree), "v0")
+    val wedges = center.select(col("v0"), col("n").as("a"), col("deg"))
+      .join(center.select(col("v0"), col("n").as("b")), "v0")
+      .where(col("a") < col("b"))
+    val scored = wedges
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"),
+        sum(lit(1.0) / log(col("deg").cast("double"))).as("aa"))
+    val out = scored
+      .join(und0.select(col("u").as("a"), col("v").as("b")),
+        Seq("a", "b"), "left_anti")
+    und0.unpersist(false)
+    out
+  }
 }

@@ -44,7 +44,10 @@ class QuerySurfaceSpec extends SparkTestBase {
     "q140_tfidf_neardup", "q141_bm25_search",
     "q143_pagerank_sinks", "q145_label_prop", "q151_stream_ohlc",
     "q153_kcore", "q163_bfs_hops", "q172_stream_decayed",
-    "q179_entity_clusters", "q187_stream_topk")
+    "q179_entity_clusters", "q187_stream_topk",
+    // q188 pins HITS rounds (localCheckpoint) at construction; q190's
+    // global z-index zips the sorted RDD eagerly
+    "q188_hits", "q190_zorder_layout")
 
   test("every oracle key names a query; every query is gated") {
     val rowsOnly = Set("q34_approx_sketch", "q41_approx_segment",
@@ -87,11 +90,14 @@ class QuerySurfaceSpec extends SparkTestBase {
     //    aggregate cross-joined into the scan-stage bin when-chain.
     //  - q180: the total row count n is a one-row ungrouped aggregate
     //    cross-joined into the rank division.
+    //  - q188: each HITS L1 normalizer is a one-row ungrouped sum
+    //    cross-joined into the round's rescale projection (2 rounds ×
+    //    2 half-steps = 4 one-row broadcasts).
     val allowedBnlj = Set("q24_cosine_topk", "q9_interval_overlap",
       "q104_boilerplate", "q118_unigram_logprob", "q122_source_kl",
       "q144_pmi_collocations", "q150_basket_lift", "q157_heavy_hitters",
       "q159_decayed_score", "q166_pareto_cover", "q170_rfm",
-      "q180_percent_rank")
+      "q180_percent_rank", "q188_hits")
     val lazyQueries = SparkEntry.queries.keySet -- eager
     val offenders = lazyQueries.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf)

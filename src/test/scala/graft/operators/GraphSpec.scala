@@ -140,4 +140,58 @@ class GraphSpec extends SparkTestBase {
     // symmetric cycle stays uniform at 1/3 forever
     pr.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
   }
+
+  test("hits matches the hand-computed L1-normalized recurrence") {
+    // 1→3, 2→3, 3→4: h0 = 1 each.
+    // a1 raw: a(3)=h(1)+h(2)=2, a(4)=h(3)=1 → L1 a1 = (0,0,2/3,1/3)
+    // h1 raw: h(1)=a(3)=2/3, h(2)=2/3, h(3)=a(4)=1/3
+    //   → L1 h1 = (2/5, 2/5, 1/5, 0)
+    val out = Graph.hits(
+        Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst"),
+        "src", "dst", iterations = 1)
+      .as[(Long, Double, Double)].collect()
+      .map { case (id, h, a) => id -> (h, a) }.toMap
+    assert(math.abs(out(1L)._1 - 0.4) < 1e-12)
+    assert(math.abs(out(2L)._1 - 0.4) < 1e-12)
+    assert(math.abs(out(3L)._1 - 0.2) < 1e-12)
+    assert(math.abs(out(4L)._1 - 0.0) < 1e-12) // no out-edges → hub 0
+    assert(math.abs(out(3L)._2 - 2.0 / 3) < 1e-12)
+    assert(math.abs(out(4L)._2 - 1.0 / 3) < 1e-12)
+    assert(math.abs(out(1L)._2 - 0.0) < 1e-12) // no in-edges → auth 0
+    // both score vectors L1-normalize to 1 every round
+    assert(math.abs(out.values.map(_._1).sum - 1.0) < 1e-12)
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-12)
+  }
+
+  test("adamicAdar: path scores the missing link, adjacents excluded") {
+    // path 1–2–3 plus triangle 4–5, 5–6, 4–6:
+    //  (1,3) share neighbor 2 (deg 2) → aa = 1/ln 2, NOT adjacent ✓
+    //  triangle pairs all adjacent → excluded entirely
+    val out = Graph.adamicAdar(
+        Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+          .toDF("src", "dst"), "src", "dst", maxDegree = 30)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.length == 1)
+    val (a, b, common, aa) = out.head
+    assert((a, b, common) == (1L, 3L, 1L))
+    assert(math.abs(aa - 1.0 / math.log(2)) < 1e-12)
+  }
+
+  test("adamicAdar: maxDegree drops wedges through hubs, keeps true deg") {
+    // star center 10 connects 1..4 (deg 4); 1–2 also direct.
+    // maxDegree=3 excludes the center → no wedges at all survive.
+    val star = (1L to 4L).map(i => (10L, i)) :+ ((1L, 2L))
+    val none = Graph.adamicAdar(star.toDF("src", "dst"),
+      "src", "dst", maxDegree = 3)
+    assert(none.count() == 0)
+    // with the center allowed, (3,4) scores 1/ln(4) — deg is the TRUE
+    // degree even though nodes 1..4 have degree ≤ 2
+    val out = Graph.adamicAdar(star.toDF("src", "dst"),
+        "src", "dst", maxDegree = 30)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(math.abs(out((3L, 4L)) - 1.0 / math.log(4)) < 1e-12)
+    // (1,2) is adjacent → absent despite sharing the center
+    assert(!out.contains((1L, 2L)))
+  }
 }
