@@ -1608,6 +1608,55 @@ object SparkEntry {
     // state is a commutative monoid (bounded insert/merge), so the
     // per-type top-3 is EXACT under any micro-batch arrival order —
     // complete-mode output, state = k rows per key, never the history
+    // Exact systematic PPS sample: fixed stride over the md5-shuffled
+    // cumulative weight line — all-integer boundary test (no RNG, no
+    // float thresholds), certainty inclusion for heavy items with
+    // multiplicity in `hits`; prefix sums via the range-partition +
+    // offset-window protocol, never a one-partition window
+    "q192_pps_sample" -> ((s, dir) => {
+      Sampling.ppsSystematic(
+          t(s, dir, "orders").select(col("o_orderkey"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long").as("cents")),
+          "o_orderkey", "cents", n = 500L)
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Add-one-smoothed corpus bigram LM score per doc: catches
+    // real-words-in-implausible-order spam that the unigram model
+    // (q118) scores as fluent; one tokenize pass feeds both count
+    // tables, V broadcasts as one row
+    "q193_bigram_lm" -> ((s, dir) => {
+      TextAnalysis.bigramLogProb(t(s, dir, "documents"), "doc_id",
+          "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("mean_logp"), 6).as("mean_logp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Source-overlap at SKETCH cost: one mergeable k=16 MinHash
+    // signature per source (component-wise min combines map-side),
+    // pairwise estimated Jaccard over #sources² signatures — the
+    // fixed-size estimate of q155's exact posting-list matrix
+    "q194_source_minhash" -> ((s, dir) => {
+      NearDup.sourceMinhashSim(t(s, dir, "documents"), "source",
+          "text", shingleN = 3, k = 16)
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // Frequent contiguous 3-step event sequences per user stream —
+    // funnel discovery: two lead()s over ONE per-user sort, map-side
+    // count, support cut; no n-way self-join
+    "q195_event_sequences" -> ((s, dir) => {
+      Stats.sequenceSupport(
+          t(s, dir, "events")
+            .select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type")),
+          "user_id", Seq(col("ts"), col("event_id")), "event_type",
+          n = 3, minSupport = 5L)
+        .orderBy(col("step_1"), col("step_2"), col("step_3"))
+    }),
+
     // Z-order (Morton-curve) layout: key rows by the native codegen
     // graft_zorder interleave of (user bucket, value bucket), cut the
     // z-sorted order into 512-row files, emit each file's min/max
@@ -5774,6 +5823,101 @@ object SparkEntry {
          SELECT event_id, user_id,
                 CAST(round(cusum, 4) AS DOUBLE) AS cusum
          FROM s WHERE cusum > 500.0 ORDER BY event_id""",
+
+    "q192_pps_sample" ->
+      """WITH w AS (
+           SELECT o_orderkey,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS wt,
+                  md5(CAST(o_orderkey AS VARCHAR)) AS h
+           FROM orders
+           WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT) > 0),
+         t AS (SELECT CAST(sum(wt) AS BIGINT) AS tot FROM w),
+         c AS (
+           SELECT o_orderkey, wt,
+                  CAST(sum(wt) OVER (ORDER BY h
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM w)
+         SELECT o_orderkey, wt AS weight,
+                CAST((cum * 500) // tot
+                     - ((cum - wt) * 500) // tot AS BIGINT) AS hits
+         FROM c, t
+         WHERE (cum * 500) // tot - ((cum - wt) * 500) // tot >= 1
+         ORDER BY o_orderkey""",
+
+    "q193_bigram_lm" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         tok AS (
+           SELECT doc_id, unnest(toks) AS w,
+                  generate_subscripts(toks, 1) AS pos
+           FROM d WHERE len(toks) > 0 AND toks != ['']),
+         cu AS (SELECT w AS w1, count(*) AS c1 FROM tok GROUP BY w),
+         v AS (SELECT count(*) AS nv FROM cu),
+         big AS (
+           SELECT a.doc_id, a.w AS w1, b.w AS w2
+           FROM tok a JOIN tok b
+             ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         cb AS (
+           SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+         sc AS (
+           SELECT g.doc_id, count(*) AS n_bigrams,
+                  sum(ln((cb.c2 + 1) /
+                    CAST(cu.c1 + (SELECT nv FROM v) AS DOUBLE))) AS lp
+           FROM big g JOIN cb ON cb.w1 = g.w1 AND cb.w2 = g.w2
+                      JOIN cu ON cu.w1 = g.w1
+           GROUP BY g.doc_id)
+         SELECT doc_id, n_bigrams, round(lp / n_bigrams, 6) AS mean_logp
+         FROM sc ORDER BY doc_id""",
+
+    "q194_source_minhash" ->
+      """WITH d AS (
+           SELECT source,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         sh AS (
+           SELECT source,
+             unnest(list_distinct(CASE WHEN len(toks) < 3
+               THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(toks) - 2),
+                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+               END)) AS shingle
+           FROM d),
+         sigs AS (
+           SELECT source, i,
+                  min(CAST(('0x' ||
+                    substr(md5(shingle || '#' || CAST(i // 2 AS VARCHAR)),
+                      CAST(1 + 16 * (i % 2) AS INTEGER), 15)) AS BIGINT))
+                    AS mh
+           FROM sh CROSS JOIN range(0, 16) r(i)
+           GROUP BY source, i),
+         m AS (
+           SELECT a.source AS src_a, b.source AS src_b,
+                  CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+                    AS BIGINT) AS matches
+           FROM sigs a JOIN sigs b
+             ON a.i = b.i AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT src_a, src_b, matches,
+                round(matches / 16.0, 6) AS est_jaccard
+         FROM m ORDER BY src_a, src_b""",
+
+    "q195_event_sequences" ->
+      """WITH g AS (
+           SELECT event_type AS step_1,
+                  lead(event_type, 1) OVER w AS step_2,
+                  lead(event_type, 2) OVER w AS step_3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT step_1, step_2, step_3, count(*) AS support
+         FROM g WHERE step_3 IS NOT NULL
+         GROUP BY 1, 2, 3 HAVING count(*) >= 5
+         ORDER BY step_1, step_2, step_3""",
 
     "q190_zorder_layout" ->
       """WITH k AS (

@@ -24,6 +24,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * hash-bucket coordinates are produced upstream (`pmod`). A native
   * BinaryExpression with a static-kernel `doGenCode`, so the key
   * computation stays inside whole-stage codegen on the write path.
+  *
+  * Relationship to [[graft.sources.Layout.zValue2]]: that is the same
+  * interleave as a PARAMETERIZED Column-arithmetic tree (any bit
+  * width, replayable verbatim in an external oracle); this is the
+  * fixed-width codegen kernel for hot write paths. They agree bit-for-
+  * bit on inputs inside the narrower width (LayoutSpec pins it).
   */
 case class ZorderExpr(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -1038,4 +1038,43 @@ object NearDup {
         format_string("%04x%04x%04x%04x", hexPieces: _*))
       .drop("_sig" +: (0 until bands).map(j => s"_b$j"): _*)
   }
+
+  /** SOURCE-level MinHash sketch + pairwise similarity estimate: one
+    * k-wide signature per corpus source (the same md5-seeded min
+    * family as [[minhashSignatures]], GROUPED BY SOURCE — `min` is a
+    * commutative monoid, so the per-source signature is a MERGEABLE
+    * SKETCH: shard-local signatures combine by component-wise min,
+    * which is exactly what the map-side partial aggregation does),
+    * then estimated Jaccard between every source pair = matching
+    * components / k.
+    *
+    * This is the "how much do my crawl sources overlap" report at
+    * sketch cost: each source is reduced to k longs regardless of
+    * corpus size, so the pairwise stage touches #sources² SIGNATURES,
+    * never documents — at 100 TB the corpus pass is one map-side-
+    * combined aggregate and the comparison is driver-trivial. The
+    * EXACT counterpart (true shingle-set overlap, quadratic in the
+    * posting lists) is [[sourceOverlapMatrix]]; this is its
+    * fixed-size-sketch estimate. The pair join is a broadcast
+    * nested-loop by construction — the signature table has one row
+    * per SOURCE (a bounded catalog, not data).
+    *
+    * Returns (src_a, src_b, matches, est_jaccard) for a < b.
+    */
+  def sourceMinhashSim(docs: DataFrame, sourceCol: String,
+                       textCol: String, shingleN: Int, k: Int)
+      : DataFrame = {
+    val sigs = minhashSignatures(docs, sourceCol, textCol, shingleN, k)
+    val a = sigs.select(col(sourceCol).as("src_a") +:
+      (0 until k).map(i => col(s"mh$i").as(s"_a$i")): _*)
+    val b = sigs.select(col(sourceCol).as("src_b") +:
+      (0 until k).map(i => col(s"mh$i").as(s"_b$i")): _*)
+    val matches = (0 until k)
+      .map(i => when(col(s"_a$i") === col(s"_b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .withColumn("matches", matches.cast("long"))
+      .select(col("src_a"), col("src_b"), col("matches"),
+        round(col("matches").cast("double") / k, 6).as("est_jaccard"))
+  }
 }

@@ -279,4 +279,63 @@ object Sampling {
         explode(sequence(lit(1), col("_n_copies"))))
       .drop("_n_copies")
   }
+
+  /** Systematic probability-proportional-to-size (PPS) sampling:
+    * walk the md5-shuffled population once with a fixed stride of
+    * `total_weight / n` and emit every item the stride lands in —
+    * the classic exact-weighted design (an item of weight w is
+    * selected with probability n·w/W, items with w ≥ W/n are
+    * selected with certainty, possibly with multiplicity > 1, which
+    * `hits` reports). ALL-INTEGER: the "did a stride boundary fall
+    * inside this item's weight interval" test is
+    * {{{ hits = (cum·n) DIV W − ((cum − w)·n) DIV W }}}
+    * so the draw is engine-exact and reproducible — no float
+    * thresholds, no RNG state (md5 order is the determinism contract
+    * shared with every sampler in this file). This is the exact
+    * counterpart to [[weightedSample]]'s keep-rate model: that one
+    * targets expected proportions, this one pins the SELECTED SET.
+    *
+    * SCALE SHAPE — tokenBudgetSample's HASH-PREFIX decomposition, not
+    * the sampled range partitioner: buckets are the first 2 hex chars
+    * of the md5 key (256 deterministic, uniform buckets whose order
+    * refines into the key order), the per-bucket cumsum is one
+    * window, and the 256-row offset table derives from a PURE
+    * AGGREGATE of the input — so the two plan branches that consume
+    * the bucketing can never disagree. (A `repartitionByRange` here
+    * samples boundaries per evaluation; with the offset branch and
+    * the row branch evaluating independently, one recorded run
+    * produced overlapping cum intervals and a 501-row "500-item"
+    * sample. Deterministic bucketing removes that failure mode
+    * structurally.) The population total W is a one-row aggregate
+    * broadcast. Nothing driver-side. Caller contract: `idCol` unique
+    * (md5 order total) and W·n fits a long.
+    */
+  def ppsSystematic(df: DataFrame, idCol: String, weightCol: String,
+                    n: Long): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol),
+        col(weightCol).cast("long").as("_w"),
+        md5(col(idCol).cast("string")).as("_h"))
+      .where(col("_w") > 0)
+      .withColumn("_b", substring(col("_h"), 1, 2))
+    val tot = base.agg(sum(col("_w")).as("_tot"))
+    val wIn = Window.partitionBy(col("_b")).orderBy(col("_h"))
+    val withCum = base.withColumn("_cumIn", sum(col("_w")).over(wIn))
+    // exclusive prefix of per-bucket totals — an aggregate of the
+    // INPUT (not of the window output), re-evaluation-stable
+    val wOff = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("_b"))
+      .agg(sum(col("_w")).as("_pt"))
+      .withColumn("_off", coalesce(sum(col("_pt")).over(wOff), lit(0L)))
+      .select(col("_b"), col("_off"))
+    withCum.join(broadcast(offsets), "_b")
+      .crossJoin(broadcast(tot))
+      .withColumn("_cum", col("_cumIn") + col("_off"))
+      .withColumn("hits",
+        expr(s"(_cum * $n) DIV _tot - ((_cum - _w) * $n) DIV _tot"))
+      .where(col("hits") >= 1)
+      .select(col(idCol), col("_w").as("weight"), col("hits"))
+  }
 }

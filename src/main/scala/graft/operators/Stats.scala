@@ -325,9 +325,17 @@ object Stats {
     require(shareNum > 0 && shareDen > shareNum,
       "share must be a proper fraction")
     val tot = per.agg(sum(col(valueCol)).as("_tot"))
+    // persisted: the offsets branch and the row branch both consume
+    // this partitioning; uncached they'd re-run the range sampler
+    // independently, and boundaries that disagree between the two
+    // evaluations silently corrupt the prefix (observed once on the
+    // PPS sampler before it moved to hash-prefix buckets — here the
+    // order is by VALUE, so a deterministic hash prefix can't apply
+    // and the cache is the correctness device)
     val ranged = per
       .repartitionByRange(buckets, col(valueCol).desc, col(entityCol))
       .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wIn = Window.partitionBy(col("_pid"))
       .orderBy(col(valueCol).desc, col(entityCol))
     val withCum = ranged.withColumn("_cumIn", sum(col(valueCol)).over(wIn))
@@ -586,8 +594,11 @@ object Stats {
   def percentRank(df: DataFrame, valueCol: String,
                   buckets: Int = 32): DataFrame = {
     val counts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("_c"))
+    // persisted — offsets and ranks branches must see ONE range
+    // partitioning (see paretoCover's note)
     val ranged = counts.repartitionByRange(buckets, col(valueCol))
       .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wIn = Window.partitionBy(col("_pid")).orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val withIn = ranged.withColumn("_below_in",
@@ -628,8 +639,11 @@ object Stats {
   def skyline2d(df: DataFrame, xCol: String, yCol: String,
                 buckets: Int = 32): DataFrame = {
     val perX = df.groupBy(col(xCol)).agg(max(col(yCol)).as("_my"))
+    // persisted — offsets and frontier branches must see ONE range
+    // partitioning (see paretoCover's note)
     val ranged = perX.repartitionByRange(buckets, col(xCol))
       .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wIn = Window.partitionBy(col("_pid")).orderBy(col(xCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val withPrev = ranged.withColumn("_pmaxIn",
@@ -671,5 +685,40 @@ object Stats {
       .rangeBetween(-windowSec, 0)
     df.withColumn("moving_avg", round(avg(col(valueCol)).over(w), 6))
       .withColumn("n_in_window", count(lit(1)).over(w))
+  }
+
+  /** Frequent contiguous event SEQUENCES of length `n` (sequential
+    * pattern mining, the contiguous special case): within each
+    * `partCol` stream ordered by `orderCols`, every window of n
+    * consecutive items is an occurrence; sequences occurring at least
+    * `minSupport` times across all streams are emitted with their
+    * support. The contiguous restriction is what keeps this ONE
+    * window pass + ONE aggregation — general (gappy) PrefixSpan
+    * grows a candidate lattice; contiguous n-grams over event streams
+    * are the funnel-discovery workhorse ("which 3-step paths actually
+    * happen", feeding [[graft.operators.Funnel]] with candidates).
+    *
+    * SCALE SHAPE: n−1 `lead()`s over one per-key window (a single
+    * exchange on partCol — the same sort also serves all n leads),
+    * then a map-side-combined count. No self-joins: an n-gram join
+    * formulation would shuffle the stream n times.
+    *
+    * Returns (step_1 … step_n, support) — only complete windows
+    * count (streams shorter than n emit nothing).
+    */
+  def sequenceSupport(df: DataFrame, partCol: String,
+                      orderCols: Seq[Column], itemCol: String,
+                      n: Int, minSupport: Long): DataFrame = {
+    require(n >= 2, "n must be >= 2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol)).orderBy(orderCols: _*)
+    val stepCols = (1 until n).map(j =>
+      lead(col(itemCol), j).over(w).as(s"step_${j + 1}"))
+    val grams = df
+      .select(col(partCol) +: col(itemCol).as("step_1") +: stepCols: _*)
+      .where(col(s"step_$n").isNotNull)
+    grams.groupBy((1 to n).map(j => col(s"step_$j")): _*)
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
   }
 }

@@ -146,6 +146,48 @@ object TextAnalysis {
         (col("_lp") / col("n_toks")).as("mean_logp"))
   }
 
+  /** Per-document mean bigram log-probability under an add-one
+    * (Laplace) smoothed corpus bigram model:
+    * {{{ p(w₂|w₁) = (c(w₁w₂) + 1) / (c(w₁) + V) }}}
+    * — the next step up from [[unigramLogProb]]'s CCNet-style score:
+    * a document full of real words in IMPLAUSIBLE ORDER (spam keyword
+    * stuffing, shuffled boilerplate) scores near the unigram model but
+    * craters here. Smoothing is what makes the score total: an unseen
+    * bigram contributes ln(1/(c(w₁)+V)), never −∞.
+    *
+    * SCALE SHAPE: one tokenize pass feeds both count tables (bigrams
+    * via a scan-stage array zip, no self-join); the vocabulary size V
+    * is a one-row aggregate broadcast; scoring joins each doc bigram
+    * against the two count tables — vocabulary-sized, hash-
+    * distributed. Per-doc log sums are doubles (caller rounds).
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val tk = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .where(size(col("_toks")) > 0 &&
+        !(size(col("_toks")) === 1 && element_at(col("_toks"), 1) === ""))
+    val uni = tk.select(col(idCol), explode(col("_toks")).as("w1"))
+    val cu = uni.groupBy(col("w1")).agg(count(lit(1)).as("_cu"))
+    val vocab = cu.agg(count(lit(1)).as("_v"))
+    val bi = tk.where(size(col("_toks")) > 1)
+      .select(col(idCol), explode(expr(
+        """transform(sequence(1, size(_toks) - 1),
+           i -> struct(element_at(_toks, CAST(i AS INT)) AS w1,
+                       element_at(_toks, CAST(i + 1 AS INT)) AS w2))"""))
+        .as("_b"))
+      .select(col(idCol), col("_b.w1"), col("_b.w2"))
+    val cb = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("_cb"))
+    bi.join(cb, Seq("w1", "w2"))
+      .join(cu, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(log((col("_cb") + lit(1)).cast("double") /
+          (col("_cu") + col("_v")).cast("double"))).as("_lp"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("_lp") / col("n_bigrams")).as("mean_logp"))
+  }
+
   /** Per-source KL divergence of the token distribution from the
     * corpus-wide distribution — the "domain shift" report: which
     * sources' language deviates most from the mix (a high-KL source is

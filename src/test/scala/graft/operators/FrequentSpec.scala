@@ -34,4 +34,31 @@ class FrequentSpec extends SparkTestBase {
       .as[(String, Long)].collect().toMap
     assert(got == Map("hot" -> 500L))
   }
+
+  test("sequenceSupport counts contiguous n-grams per stream") {
+    import org.apache.spark.sql.functions.col
+    // user 1: a b a b a → (a,b,a)×2, (b,a,b)×1; user 2: a b a → (a,b,a)
+    val ev = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"),
+        (1L, 4L, "b"), (1L, 5L, "a"),
+        (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "a"))
+      .toDF("u", "t", "e")
+    val got = Stats.sequenceSupport(ev, "u", Seq(col("t")), "e",
+        n = 3, minSupport = 1L)
+      .as[(String, String, String, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    assert(got == Map(("a", "b", "a") -> 3L, ("b", "a", "b") -> 1L))
+    // support cut; streams shorter than n emit nothing
+    val cut = Stats.sequenceSupport(ev, "u", Seq(col("t")), "e", 3, 2L)
+      .as[(String, String, String, Long)].collect()
+    assert(cut.toSeq == Seq(("a", "b", "a", 3L)))
+    val short = Stats.sequenceSupport(
+      Seq((9L, 1L, "x"), (9L, 2L, "y")).toDF("u", "t", "e"),
+      "u", Seq(col("t")), "e", 3, 1L)
+    assert(short.count() == 0)
+    // n = 2 pairs come from the same machinery
+    val pairs = Stats.sequenceSupport(ev, "u", Seq(col("t")), "e", 2, 1L)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs == Map(("a", "b") -> 3L, ("b", "a") -> 3L))
+  }
 }

@@ -21,6 +21,21 @@ class LayoutSpec extends SparkTestBase {
       ZorderKernel.interleave(7L, 9L))
   }
 
+  test("kernel agrees with the Column-arithmetic zValue2 on 16-bit input") {
+    graft.functions.GraftExtensions.installInto(spark)
+    val xs = Seq(0L, 1L, 2L, 255L, 256L, 4095L, 65535L, 31337L)
+    val df = (for (x <- xs; y <- xs) yield (x, y)).toDF("x", "y")
+      .withColumn("k", org.apache.spark.sql.functions.call_function(
+        "graft_zorder",
+        org.apache.spark.sql.functions.col("x"),
+        org.apache.spark.sql.functions.col("y")))
+      .withColumn("t", graft.sources.Layout.zValue2(
+        org.apache.spark.sql.functions.col("x"),
+        org.apache.spark.sql.functions.col("y"), bits = 16))
+    assert(df.where(org.apache.spark.sql.functions.col("k") =!=
+      org.apache.spark.sql.functions.col("t")).count() == 0)
+  }
+
   test("z-order layout: BOTH envelopes tight where a 1-D sort is not") {
     // full 32×32 grid, one row per cell; 64 rows per file ⇒ 16 files.
     // Perfect z-order cuts the grid into 8×8 blocks: every file's x

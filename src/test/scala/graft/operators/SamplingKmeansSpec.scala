@@ -238,6 +238,50 @@ class SamplingSpec extends SparkTestBase {
       .as[(Long, Long, Long, String)].collect()
     assert(got.forall(_._4 == "train"))
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("ppsSystematic matches the single-pass stride walk exactly") {
+    val pop = (1L to 200L).map(i => (i, (i % 13) + 1L))
+    val df = pop.toDF("id", "w")
+    val n = 17L
+    val got = Sampling.ppsSystematic(df, "id", "w", n)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    // reference: walk the md5-ordered population on one thread
+    val ordered = pop.sortBy { case (id, _) => md5hex(id.toString) }
+    val tot = pop.map(_._2).sum
+    var cum = 0L
+    val want = ordered.flatMap { case (id, w) =>
+      cum += w
+      val hits = (cum * n) / tot - ((cum - w) * n) / tot
+      if (hits >= 1) Some(id -> ((w, hits))) else None
+    }.toMap
+    assert(got == want)
+    assert(got.values.map(_._2).sum == n) // strides all land somewhere
+    // partitioning-invariant: same draw from a repartitioned input
+    val re = Sampling.ppsSystematic(df.repartition(7), "id", "w", n)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(re == want)
+  }
+
+  test("ppsSystematic: heavy item certain, multiplicity reported") {
+    // one item holds > 2 strides of the total weight
+    val df = Seq((1L, 100L), (2L, 5L), (3L, 5L), (4L, 5L), (5L, 5L))
+      .toDF("id", "w")
+    val got = Sampling.ppsSystematic(df, "id", "w", 4L)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got(1L) >= 3L) // w=100 of W=120, stride=30 ⇒ ≥3 hits
+    assert(got.values.sum == 4L)
+    // zero/negative weights are excluded, never divide the stride
+    val z = Sampling.ppsSystematic(
+      Seq((1L, 10L), (2L, 0L), (3L, -4L)).toDF("id", "w"), "id", "w", 2L)
+      .as[(Long, Long, Long)].collect()
+    assert(z.map(_._1).toSet == Set(1L) && z.head._3 == 2L)
+  }
 }
 
 class KmeansIterSpec extends SparkTestBase {
@@ -424,4 +468,5 @@ class RegexTokensSpec extends SparkTestBase {
     assert(got(0)._2 == 8)
     assert(got(1)._2 == 0 && got(2)._2 == 0) // '' and NULL both count 0
   }
+
 }

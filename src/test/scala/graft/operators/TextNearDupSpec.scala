@@ -375,6 +375,25 @@ class TextAnalysisSpec extends SparkTestBase {
     // damage chars split words — "world" must NOT reassemble
     assert(once.as[String].collect().toSeq == Seq("wor ld", "a b"))
   }
+
+  test("bigramLogProb: Laplace-smoothed corpus model, hand-computed") {
+    // corpus: "a b" ×2 and "a c" ⇒ c(a)=3, c(b)=1, c(c)=1, V=3
+    //   c(a b)=2, c(a c)=1
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val pab = math.log(3.0 / 6) // (2+1)/(3+3)
+    val pac = math.log(2.0 / 6) // (1+1)/(3+3)
+    assert(got(1L)._1 == 1L && math.abs(got(1L)._2 - pab) < 1e-12)
+    assert(math.abs(got(3L)._2 - pac) < 1e-12)
+    // single-token and empty docs emit nothing (no bigram to score)
+    val degenerate = TextAnalysis.bigramLogProb(
+      Seq((1L, "solo"), (2L, ""), (3L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    assert(degenerate.count() == 0)
+  }
 }
 
 class NearDupSpec extends SparkTestBase {
@@ -645,6 +664,28 @@ class NearDupSpec extends SparkTestBase {
       bands.forall(v => v >= 0 && v < 65536) &&
         hex == f"${bands(3)}%04x${bands(2)}%04x${bands(1)}%04x${bands(0)}%04x"
     })
+  }
+
+  test("sourceMinhashSim: identical sources estimate 1, sketch merges") {
+    val mk = (src: String, texts: Seq[String]) =>
+      texts.zipWithIndex.map { case (t, i) => (src, i.toLong, t) }
+    val docs = (mk("A", Seq("one two three four five", "six seven eight")) ++
+      mk("B", Seq("one two three four five", "six seven eight")) ++
+      mk("C", Seq("totally different words here now then")))
+      .toDF("source", "doc_id", "text")
+    val got = NearDup.sourceMinhashSim(docs, "source", "text", 3, 16)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("A", "B")) == ((16L, 1.0))) // same doc set ⇒ same sketch
+    assert(got(("A", "C"))._1 < 16L)
+    // mergeability: splitting a source's docs across partitions cannot
+    // change its signature (min is commutative) — the estimate is the
+    // same under any physical layout
+    val re = NearDup.sourceMinhashSim(docs.repartition(13), "source",
+        "text", 3, 16)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(re == got)
   }
 }
 
@@ -995,4 +1036,5 @@ class SimhashSaturationSpec extends SparkTestBase {
       .as[(String, String, Long, Double)].collect()
     assert(capped.map(r => (r._1, r._2)).toSeq == Seq(("a", "b")))
   }
+
 }
