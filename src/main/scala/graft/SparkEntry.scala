@@ -1608,6 +1608,25 @@ object SparkEntry {
     // state is a commutative monoid (bounded insert/merge), so the
     // per-type top-3 is EXACT under any micro-batch arrival order —
     // complete-mode output, state = k rows per key, never the history
+    // Two-stage record linkage: symdelete candidate generation (exact
+    // DL≤1 cover) + native graft_jaro_winkler confidence — the smooth
+    // [0,1] score an auto-merge threshold needs, bit-matching DuckDB's
+    // jaro_winkler_similarity on the oracle side
+    "q196_jw_linkage" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val typos = cust.where(col("c_custkey") % 13 === 0)
+        .select((col("c_custkey") + 3000000L).as("c_custkey"),
+          concat(substring(col("c_name"), 1, 16),
+            substring(col("c_name"), 18, 1),
+            substring(col("c_name"), 17, 1)).as("c_name"),
+          col("c_nationkey"))
+      NearDup.jaroWinklerLinkage(cust.unionByName(typos), "c_custkey",
+          "c_name", "c_nationkey", minSim = 0.85)
+        .select(col("a"), col("b"), round(col("jw"), 6).as("jw"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Exact systematic PPS sample: fixed stride over the md5-shuffled
     // cumulative weight line — all-integer boundary test (no RNG, no
     // float thresholds), certainty inclusion for heavy items with
@@ -5823,6 +5842,26 @@ object SparkEntry {
          SELECT event_id, user_id,
                 CAST(round(cusum, 4) AS DOUBLE) AS cusum
          FROM s WHERE cusum > 500.0 ORDER BY event_id""",
+
+    "q196_jw_linkage" ->
+      """WITH base AS (
+           SELECT c_custkey, c_name, c_nationkey FROM customer),
+         typo AS (
+           SELECT c_custkey + 3000000 AS c_custkey,
+                  substr(c_name, 1, 16) || substr(c_name, 18, 1)
+                    || substr(c_name, 17, 1) AS c_name,
+                  c_nationkey
+           FROM base WHERE c_custkey % 13 = 0),
+         uni AS (SELECT * FROM base UNION ALL SELECT * FROM typo)
+         SELECT x.c_custkey AS a, y.c_custkey AS b,
+                round(jaro_winkler_similarity(x.c_name, y.c_name), 6)
+                  AS jw
+         FROM uni x JOIN uni y
+           ON x.c_nationkey = y.c_nationkey
+           AND x.c_custkey < y.c_custkey
+         WHERE damerau_levenshtein(x.c_name, y.c_name) <= 1
+           AND jaro_winkler_similarity(x.c_name, y.c_name) >= 0.85
+         ORDER BY a, b""",
 
     "q192_pps_sample" ->
       """WITH w AS (

@@ -278,7 +278,13 @@ object GraftExtensions {
       (FunctionIdentifier("graft_zorder"),
        new ExpressionInfo(classOf[ZorderExpr].getName, "graft_zorder"),
        arity("graft_zorder", 2)(c =>
-         ZorderExpr(Cast(c(0), LongType), Cast(c(1), LongType)))))
+         ZorderExpr(Cast(c(0), LongType), Cast(c(1), LongType)))),
+      // graft_jaro_winkler(a, b): order-tolerant linkage confidence
+      (FunctionIdentifier("graft_jaro_winkler"),
+       new ExpressionInfo(classOf[JaroWinklerExpr].getName,
+         "graft_jaro_winkler"),
+       arity("graft_jaro_winkler", 2)(c =>
+         JaroWinklerExpr(c(0), c(1)))))
 
   /** Register the engine's functions on a live session. */
   def installInto(spark: SparkSession): Unit =

@@ -393,6 +393,28 @@ object NearDup {
       .select(col("a"), col("b"), col("dist"))
   }
 
+  /** Typo-candidate pairs with a Jaro–Winkler CONFIDENCE attached:
+    * candidate generation is [[typoPairs]]' symmetric-delete index
+    * (exact cover of DL ≤ 1 within a block), the DL filter keeps the
+    * cover tight, and `graft_jaro_winkler` scores each survivor on
+    * the smooth [0,1] linkage scale a downstream clerical-review /
+    * auto-merge threshold needs — the classic two-stage record-
+    * linkage shape (cheap blocked generator, informative scorer).
+    * Both kernels run inside one codegen stage over the candidate
+    * rows; nothing here is ever corpus × corpus.
+    */
+  def jaroWinklerLinkage(df: DataFrame, idCol: String, strCol: String,
+                         blockCol: String, minSim: Double): DataFrame = {
+    graft.functions.GraftExtensions.installInto(df.sparkSession)
+    symDeleteCands(df, idCol, strCol, blockCol, maxDist = 1)
+      .where(call_function("graft_damerau",
+        col("_sa"), col("_sb")) <= 1)
+      .withColumn("jw", call_function("graft_jaro_winkler",
+        col("_sa"), col("_sb")))
+      .where(col("jw") >= minSim)
+      .select(col("a"), col("b"), col("jw"))
+  }
+
   private def symDeleteCands(df: DataFrame, idCol: String,
                              strCol: String, blockCol: String,
                              maxDist: Int): DataFrame = {
