@@ -199,6 +199,77 @@ object Probe {
           .count()
       }
     }
+    if (probes("hits")) {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").as("ok"),
+          col("l_linenumber").as("ln"), col("l_partkey").as("pk"))
+      val nxt = li.select(col("ok"), (col("ln") - 1).as("ln"),
+        col("pk").as("dst_pk"))
+      val base = li.join(nxt, Seq("ok", "ln"))
+        .where(col("pk") =!= col("dst_pk"))
+        .select(col("pk").as("src"), col("dst_pk").as("dst"))
+      val big = times(base, 20, Seq("src", "dst"), 1000000L)
+      timed("hits20x") {
+        Graph.hits(big, "src", "dst", iterations = 2).count()
+      }
+    }
+    if (probes("adamic")) {
+      // support-≥2 co-purchase graph, 20 id-shifted copies: ~57k edges,
+      // wedge fan-out bounded by maxDegree
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").as("ok"),
+          col("l_linenumber").as("ln"), col("l_partkey").as("pk"))
+      val other = li.select(col("ok"), col("ln").as("ln2"),
+        col("pk").as("pk2"))
+      val base = li.join(other, Seq("ok"))
+        .where(col("ln") < col("ln2") && col("pk") =!= col("pk2"))
+        .select(least(col("pk"), col("pk2")).as("u"),
+          greatest(col("pk"), col("pk2")).as("v"))
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("support"))
+        .where(col("support") >= 2)
+        .select(col("u"), col("v"))
+      val big = times(base, 20, Seq("u", "v"), 1000000L)
+      timed("adamic20x") {
+        Graph.adamicAdar(big, "u", "v", maxDegree = 30).count()
+      }
+    }
+    if (probes("pps")) {
+      // 20× orders (3M rows at sf0.1): the draw is one agg + one
+      // bucketed window + broadcast joins, n scaled with the data
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+      val big = times(o, 20, Seq("o_orderkey"), 100000000L)
+      timed("pps20x") {
+        Sampling.ppsSystematic(big, "o_orderkey", "cents", 10000L)
+          .count()
+      }
+    }
+    if (probes("jw")) {
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val big = times(cust, 20, Seq("c_custkey"), 1000000L)
+        .withColumn("c_nationkey",
+          col("c_nationkey") + (col("c_custkey") / 1000000L).cast("int") * 25)
+      timed("jw20x") {
+        NearDup.jaroWinklerLinkage(big, "c_custkey", "c_name",
+          "c_nationkey", 0.85).count()
+      }
+    }
+    if (probes("zorder")) {
+      // 20× events (2M rows): z-key + range sort + zipWithIndex + agg
+      val e = spark.read.parquet(s"$dir/events.parquet")
+      val big = times(GraftSession.normalizeEventTime(e), 20,
+        Seq("event_id"), 10000000L)
+      timed("zorder20x") {
+        operators.Layout.zorderFileStats(big,
+          pmod(col("user_id"), lit(1024L)),
+          floor(col("value")).cast("long"),
+          col("event_id"), rowsPerFile = 512L).count()
+      }
+    }
     spark.stop()
   }
 }

@@ -1608,6 +1608,68 @@ object SparkEntry {
     // state is a commutative monoid (bounded insert/merge), so the
     // per-type top-3 is EXACT under any micro-batch arrival order —
     // complete-mode output, state = k rows per key, never the history
+    // Cross-table referential-integrity audit: orphan counts + row
+    // coverage for every FK edge of the star schema in one report —
+    // each edge is ONE left-anti-join count (broadcast for the small
+    // parents), the data-quality sweep a 100 TB ingest runs before
+    // publishing a snapshot
+    "q198_fk_audit" -> ((s, dir) => {
+      def edge(name: String, child: DataFrame, fk: String,
+               parent: DataFrame, pk: String): DataFrame = {
+        val orphans = child.select(col(fk).as("_k"))
+          .join(parent.select(col(pk).as("_k")), Seq("_k"), "left_anti")
+          .agg(count(lit(1)).as("orphan_rows"))
+        child.agg(count(lit(1)).as("child_rows"))
+          .crossJoin(orphans)
+          .select(lit(name).as("fk"), col("child_rows"),
+            col("orphan_rows"))
+      }
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val p = t(s, dir, "part")
+      val n = t(s, dir, "nation")
+      edge("lineitem.orderkey", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(edge("lineitem.partkey", li, "l_partkey", p,
+          "p_partkey"))
+        .unionByName(edge("lineitem.suppkey", li, "l_suppkey", su,
+          "s_suppkey"))
+        .unionByName(edge("orders.custkey", o, "o_custkey", c,
+          "c_custkey"))
+        .unionByName(edge("customer.nationkey", c, "c_nationkey", n,
+          "n_nationkey"))
+        .unionByName(edge("supplier.nationkey", su, "s_nationkey", n,
+          "n_nationkey"))
+        .orderBy(col("fk"))
+    }),
+
+    // Streaming EXACT distinct count: watermarked dropDuplicates on
+    // (window, type, user) feeding a windowed count — the standard
+    // two-stage workaround for streaming's unsupported COUNT(DISTINCT)
+    // (dedup state holds one row per distinct key and EVICTS with the
+    // watermark; the count is then a plain commutative agg). Matches
+    // the batch COUNT(DISTINCT) oracle exactly under any arrival order
+    "q197_stream_distinct" -> ((s, dir) => {
+      val deduped = eventsStream(s, dir)
+        .select(eventTimestamp("ts").as("ets"), col("event_type"),
+          col("user_id"))
+        .withWatermark("ets", "1 day")
+        .select(window(col("ets"), "1 day").as("w"), col("event_type"),
+          col("user_id"))
+        .dropDuplicates("w", "event_type", "user_id")
+      val agg = deduped.groupBy(col("w"), col("event_type"))
+        .agg(count(lit(1)).as("distinct_users"))
+      val qname = "graft_q197_distinct"
+      val query = graft.streaming.Streams.drainToMemory(agg, qname)
+        .start()
+      try query.awaitTermination() finally query.stop()
+      s.table(qname)
+        .select(col("w.start").cast("long").as("w_start"),
+          col("event_type"), col("distinct_users"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
     // Two-stage record linkage: symdelete candidate generation (exact
     // DL≤1 cover) + native graft_jaro_winkler confidence — the smooth
     // [0,1] score an auto-merge threshold needs, bit-matching DuckDB's
@@ -5843,6 +5905,51 @@ object SparkEntry {
                 CAST(round(cusum, 4) AS DOUBLE) AS cusum
          FROM s WHERE cusum > 500.0 ORDER BY event_id""",
 
+    "q198_fk_audit" ->
+      """WITH e AS (
+           SELECT 'lineitem.orderkey' AS fk,
+                  (SELECT count(*) FROM lineitem) AS child_rows,
+                  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                    (SELECT 1 FROM orders o
+                     WHERE o.o_orderkey = l.l_orderkey)) AS orphan_rows
+           UNION ALL
+           SELECT 'lineitem.partkey',
+                  (SELECT count(*) FROM lineitem),
+                  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                    (SELECT 1 FROM part p
+                     WHERE p.p_partkey = l.l_partkey))
+           UNION ALL
+           SELECT 'lineitem.suppkey',
+                  (SELECT count(*) FROM lineitem),
+                  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                    (SELECT 1 FROM supplier s
+                     WHERE s.s_suppkey = l.l_suppkey))
+           UNION ALL
+           SELECT 'orders.custkey',
+                  (SELECT count(*) FROM orders),
+                  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                    (SELECT 1 FROM customer c
+                     WHERE c.c_custkey = o.o_custkey))
+           UNION ALL
+           SELECT 'customer.nationkey',
+                  (SELECT count(*) FROM customer),
+                  (SELECT count(*) FROM customer c WHERE NOT EXISTS
+                    (SELECT 1 FROM nation n
+                     WHERE n.n_nationkey = c.c_nationkey))
+           UNION ALL
+           SELECT 'supplier.nationkey',
+                  (SELECT count(*) FROM supplier),
+                  (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+                    (SELECT 1 FROM nation n
+                     WHERE n.n_nationkey = s.s_nationkey)))
+         SELECT fk, child_rows, orphan_rows FROM e ORDER BY fk""",
+
+    "q197_stream_distinct" ->
+      """SELECT (epoch_ns(ts) // 1000000000 // 86400) * 86400 AS w_start,
+                event_type,
+                count(DISTINCT user_id) AS distinct_users
+         FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""",
+
     "q196_jw_linkage" ->
       """WITH base AS (
            SELECT c_custkey, c_name, c_nationkey FROM customer),
@@ -6001,41 +6108,26 @@ object SparkEntry {
          nodes AS MATERIALIZED (
            SELECT src AS id FROM e UNION SELECT dst FROM e),
          h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM nodes),
-         a1r AS MATERIALIZED (
-           SELECT nd.id, coalesce(m.s, 0) AS auth
-           FROM nodes nd LEFT JOIN (
-             SELECT e.dst AS id, sum(h.hub) AS s
-             FROM e JOIN h0 h ON h.id = e.src GROUP BY e.dst) m
-             ON m.id = nd.id),
          a1 AS MATERIALIZED (
-           SELECT id, auth / (SELECT sum(auth) FROM a1r) AS auth FROM a1r),
-         h1r AS MATERIALIZED (
-           SELECT nd.id, coalesce(m.s, 0) AS hub
-           FROM nodes nd LEFT JOIN (
-             SELECT e.src AS id, sum(a.auth) AS s
-             FROM e JOIN a1 a ON a.id = e.dst GROUP BY e.src) m
-             ON m.id = nd.id),
+           SELECT e.dst AS id, sum(h.hub) AS auth
+           FROM e JOIN h0 h ON h.id = e.src GROUP BY e.dst),
          h1 AS MATERIALIZED (
-           SELECT id, hub / (SELECT sum(hub) FROM h1r) AS hub FROM h1r),
-         a2r AS MATERIALIZED (
-           SELECT nd.id, coalesce(m.s, 0) AS auth
-           FROM nodes nd LEFT JOIN (
-             SELECT e.dst AS id, sum(h.hub) AS s
-             FROM e JOIN h1 h ON h.id = e.src GROUP BY e.dst) m
-             ON m.id = nd.id),
+           SELECT e.src AS id, sum(a.auth) AS hub
+           FROM e JOIN a1 a ON a.id = e.dst GROUP BY e.src),
          a2 AS MATERIALIZED (
-           SELECT id, auth / (SELECT sum(auth) FROM a2r) AS auth FROM a2r),
-         h2r AS MATERIALIZED (
-           SELECT nd.id, coalesce(m.s, 0) AS hub
-           FROM nodes nd LEFT JOIN (
-             SELECT e.src AS id, sum(a.auth) AS s
-             FROM e JOIN a2 a ON a.id = e.dst GROUP BY e.src) m
-             ON m.id = nd.id),
-         h2 AS (
-           SELECT id, hub / (SELECT sum(hub) FROM h2r) AS hub FROM h2r)
-         SELECT n.id, round(h2.hub, 9) AS hub, round(a2.auth, 9) AS auth
-         FROM nodes n JOIN h2 ON h2.id = n.id JOIN a2 ON a2.id = n.id
-         ORDER BY n.id""",
+           SELECT e.dst AS id, sum(h.hub) AS auth
+           FROM e JOIN h1 h ON h.id = e.src GROUP BY e.dst),
+         h2 AS MATERIALIZED (
+           SELECT e.src AS id, sum(a.auth) AS hub
+           FROM e JOIN a2 a ON a.id = e.dst GROUP BY e.src),
+         j AS MATERIALIZED (
+           SELECT n.id, coalesce(h2.hub, 0) AS hub,
+                  coalesce(a2.auth, 0) AS auth
+           FROM nodes n LEFT JOIN h2 ON h2.id = n.id
+                        LEFT JOIN a2 ON a2.id = n.id)
+         SELECT id, round(hub / (SELECT sum(hub) FROM j), 9) AS hub,
+                round(auth / (SELECT sum(auth) FROM j), 9) AS auth
+         FROM j ORDER BY id""",
 
     "q189_adamic_adar" ->
       """WITH raw AS (

@@ -354,17 +354,24 @@ object Graph {
     * right shape for crawl seed-list curation (hubs) vs corpus
     * admission (authorities).
     *
-    * Per round: `a(v) = Σ_{u→v} h(u)` then L1-normalize;
-    * `h(u) = Σ_{u→v} a(v)` then L1-normalize. L1 (sum) rather than the
-    * textbook L2 keeps the oracle sqrt-free; the fixed-point direction
-    * is identical (normalization only rescales). Both normalizers are
-    * ONE-ROW aggregates broadcast into the round's plan — never a
-    * graph-sized collect.
+    * Per round: `a(v) = Σ_{u→v} h(u)`, `h(u) = Σ_{u→v} a(v)`; ONE L1
+    * normalization at the very end. Intermediate normalizations
+    * CANCEL: the recurrence is linear, so rescaling an iterate
+    * rescales every later iterate by the same constant and the final
+    * normalized vectors are identical — running them would cost a
+    * one-row aggregate + rebroadcast per half-step for nothing
+    * (magnitudes grow ~⟨deg⟩^2k, nowhere near double range for the
+    * fixed small k this API takes). L1 (sum) rather than the textbook
+    * L2 keeps the oracle sqrt-free; the fixed-point direction is
+    * identical. The final normalizer is a ONE-ROW aggregate broadcast
+    * — never a graph-sized collect.
     *
     * SCALE SHAPE (the [[pageRank]] protocol): the distinct edge list is
-    * persisted once; each half-step is one score-table join + one
-    * map-side-combined aggregation over O(|E|) rows; eager checkpoint
-    * per round (pin/releasePin, `reliable = true` for executor-loss
+    * persisted once; each half-step is ONE score-table join + ONE
+    * map-side-combined aggregation over O(|E|) rows (zero-score nodes
+    * are simply absent from intermediates — they contribute nothing —
+    * and are 0-filled once at the end); eager checkpoint per
+    * half-step (pin/releasePin, `reliable = true` for executor-loss
     * recovery). Returns (id, hub, auth) over the full node universe —
     * nodes with no in-edges have auth 0, no out-edges hub 0.
     */
@@ -380,36 +387,35 @@ object Graph {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // normalize to a ONE-ROW l1 total, broadcast-cross-joined: the
-    // round's plan stays collect-free
-    def l1Normalize(scores: DataFrame, c: String): DataFrame = {
-      val tot = scores.agg(sum(col(c)).as("_tot"))
-      scores.crossJoin(broadcast(tot))
-        .select(col("id"), (col(c) / col("_tot")).as(c))
-    }
     var hubs = Components.pin(
       nodes.select(col("id"), lit(1.0).as("hub")), reliable)
     var auths: DataFrame = null
     for (_ <- 1 to iterations) {
-      val aRaw = e.join(hubs.select(col("id").as("src"), col("hub")), "src")
-        .groupBy(col("dst")).agg(sum(col("hub")).as("auth"))
-      val aAll = nodes.join(
-          aRaw.select(col("dst").as("id"), col("auth")), Seq("id"), "left")
-        .select(col("id"), coalesce(col("auth"), lit(0.0)).as("auth"))
-      val aNext = Components.pin(l1Normalize(aAll, "auth"), reliable)
+      val aNext = Components.pin(
+        e.join(hubs.select(col("id").as("src"), col("hub")), "src")
+          .groupBy(col("dst")).agg(sum(col("hub")).as("auth"))
+          .select(col("dst").as("id"), col("auth")),
+        reliable)
       if (auths != null) Components.releasePin(auths, reliable)
       auths = aNext
-      val hRaw = e.join(auths.select(col("id").as("dst"), col("auth")), "dst")
-        .groupBy(col("src")).agg(sum(col("auth")).as("hub"))
-      val hAll = nodes.join(
-          hRaw.select(col("src").as("id"), col("hub")), Seq("id"), "left")
-        .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub"))
-      val hNext = Components.pin(l1Normalize(hAll, "hub"), reliable)
+      val hNext = Components.pin(
+        e.join(auths.select(col("id").as("dst"), col("auth")), "dst")
+          .groupBy(col("src")).agg(sum(col("auth")).as("hub"))
+          .select(col("src").as("id"), col("hub")),
+        reliable)
       Components.releasePin(hubs, reliable)
       hubs = hNext
     }
-    val out = hubs.join(auths, Seq("id"))
-      .select(col("id"), col("hub"), col("auth"))
+    val joined = nodes
+      .join(hubs, Seq("id"), "left")
+      .join(auths, Seq("id"), "left")
+      .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub"),
+        coalesce(col("auth"), lit(0.0)).as("auth"))
+    val tots = joined.agg(sum(col("hub")).as("_th"),
+      sum(col("auth")).as("_ta"))
+    val out = joined.crossJoin(broadcast(tots))
+      .select(col("id"), (col("hub") / col("_th")).as("hub"),
+        (col("auth") / col("_ta")).as("auth"))
     e.unpersist(false)
     nodes.unpersist(false)
     out

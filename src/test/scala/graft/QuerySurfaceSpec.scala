@@ -46,8 +46,8 @@ class QuerySurfaceSpec extends SparkTestBase {
     "q153_kcore", "q163_bfs_hops", "q172_stream_decayed",
     "q179_entity_clusters", "q187_stream_topk",
     // q188 pins HITS rounds (localCheckpoint) at construction; q190's
-    // global z-index zips the sorted RDD eagerly
-    "q188_hits", "q190_zorder_layout")
+    // global z-index zips the sorted RDD eagerly; q197 drains a stream
+    "q188_hits", "q190_zorder_layout", "q197_stream_distinct")
 
   test("every oracle key names a query; every query is gated") {
     val rowsOnly = Set("q34_approx_sketch", "q41_approx_segment",
@@ -93,11 +93,16 @@ class QuerySurfaceSpec extends SparkTestBase {
     //  - q188: each HITS L1 normalizer is a one-row ungrouped sum
     //    cross-joined into the round's rescale projection (2 rounds ×
     //    2 half-steps = 4 one-row broadcasts).
+    //  - q194: the pairwise signature comparison is a #sources-sized
+    //    broadcast loop join by construction (bounded catalog).
+    //  - q198: each FK edge's report row cross-joins two ONE-ROW
+    //    ungrouped counts (child total × orphan total).
     val allowedBnlj = Set("q24_cosine_topk", "q9_interval_overlap",
       "q104_boilerplate", "q118_unigram_logprob", "q122_source_kl",
       "q144_pmi_collocations", "q150_basket_lift", "q157_heavy_hitters",
       "q159_decayed_score", "q166_pareto_cover", "q170_rfm",
-      "q180_percent_rank", "q188_hits")
+      "q180_percent_rank", "q188_hits", "q194_source_minhash",
+      "q198_fk_audit")
     val lazyQueries = SparkEntry.queries.keySet -- eager
     val offenders = lazyQueries.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
