@@ -97,12 +97,16 @@ class QuerySurfaceSpec extends SparkTestBase {
     //    broadcast loop join by construction (bounded catalog).
     //  - q198: each FK edge's report row cross-joins two ONE-ROW
     //    ungrouped counts (child total × orphan total).
+    //  - q192: the population weight total W is a one-row ungrouped
+    //    sum cross-joined into the stride test.
+    //  - q193: the vocabulary size V is a one-row ungrouped count
+    //    cross-joined into the smoothing denominator.
     val allowedBnlj = Set("q24_cosine_topk", "q9_interval_overlap",
       "q104_boilerplate", "q118_unigram_logprob", "q122_source_kl",
       "q144_pmi_collocations", "q150_basket_lift", "q157_heavy_hitters",
       "q159_decayed_score", "q166_pareto_cover", "q170_rfm",
-      "q180_percent_rank", "q188_hits", "q194_source_minhash",
-      "q198_fk_audit")
+      "q180_percent_rank", "q188_hits", "q192_pps_sample",
+      "q193_bigram_lm", "q194_source_minhash", "q198_fk_audit")
     val lazyQueries = SparkEntry.queries.keySet -- eager
     val offenders = lazyQueries.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
