@@ -1608,6 +1608,36 @@ object SparkEntry {
     // state is a commutative monoid (bounded insert/merge), so the
     // per-type top-3 is EXACT under any micro-batch arrival order —
     // complete-mode output, state = k rows per key, never the history
+    // Point-in-interval theta join through the RangeJoinRewrite
+    // OPTIMIZER RULE (plans/RangeJoinRewrite.scala): the query is the
+    // natural inequality join — no manual bucketing — and the opt-in
+    // rule rewrites it to the exploded-bucket equi-join (hash shuffle,
+    // no BNLJ/cartesian). Conf is scoped by materializing inside the
+    // closure; RangeJoinRewriteSpec pins the plan shape and parity
+    "q199_range_band_join" -> ((s, dir) => {
+      graft.functions.GraftExtensions.installInto(s)
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      val bands = o.where(col("o_orderkey") % 75 === 0)
+        .select(col("o_orderkey").as("band_id"),
+          (col("cents") - 5000L).as("lo"),
+          (col("cents") + 5000L).as("hi"))
+      val out = try {
+        s.conf.set(graft.plans.RangeJoinRewrite.BinSizeKey, "10000")
+        val joined = o.join(bands,
+            col("lo") <= col("cents") && col("cents") < col("hi") &&
+              col("o_orderkey") =!= col("band_id"))
+          .groupBy(col("band_id"))
+          .agg(count(lit(1)).as("n_in_band"),
+            min(col("o_orderkey")).as("first_pt"))
+        val path = scratch(s, "q199")
+        joined.write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
+      } finally s.conf.unset(graft.plans.RangeJoinRewrite.BinSizeKey)
+      out.orderBy(col("band_id"))
+    }),
+
     // Cross-table referential-integrity audit: orphan counts + row
     // coverage for every FK edge of the star schema in one report —
     // each edge is ONE left-anti-join count (broadcast for the small
@@ -5904,6 +5934,23 @@ object SparkEntry {
          SELECT event_id, user_id,
                 CAST(round(cusum, 4) AS DOUBLE) AS cusum
          FROM s WHERE cusum > 500.0 ORDER BY event_id""",
+
+    "q199_range_band_join" ->
+      """WITH o AS (
+           SELECT o_orderkey,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents
+           FROM orders),
+         b AS (
+           SELECT o_orderkey AS band_id, cents - 5000 AS lo,
+                  cents + 5000 AS hi
+           FROM o WHERE o_orderkey % 75 = 0)
+         SELECT band_id, count(*) AS n_in_band,
+                min(p.o_orderkey) AS first_pt
+         FROM b JOIN o p
+           ON b.lo <= p.cents AND p.cents < b.hi
+           AND p.o_orderkey != b.band_id
+         GROUP BY band_id ORDER BY band_id""",
 
     "q198_fk_audit" ->
       """WITH e AS (

@@ -66,8 +66,10 @@ object BucketId {
   * already-running session, `GraftExtensions.installInto(spark)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.entries.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -287,9 +289,17 @@ object GraftExtensions {
          JaroWinklerExpr(c(0), c(1)))))
 
   /** Register the engine's functions on a live session. */
-  def installInto(spark: SparkSession): Unit =
+  def installInto(spark: SparkSession): Unit = {
     entries.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(ident, info, builder)
     }
+    // optimizer rules for a LIVE session ride experimentalMethods
+    // (builder-time sessions get them via injectOptimizerRule); the
+    // append is idempotent so repeated self-registration is safe
+    val em = spark.experimental
+    if (!em.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
+      em.extraOptimizations =
+        em.extraOptimizations :+ graft.plans.RangeJoinRewrite
+  }
 }

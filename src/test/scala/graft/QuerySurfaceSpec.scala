@@ -47,7 +47,9 @@ class QuerySurfaceSpec extends SparkTestBase {
     "q179_entity_clusters", "q187_stream_topk",
     // q188 pins HITS rounds (localCheckpoint) at construction; q190's
     // global z-index zips the sorted RDD eagerly; q197 drains a stream
-    "q188_hits", "q190_zorder_layout", "q197_stream_distinct")
+    "q188_hits", "q190_zorder_layout", "q197_stream_distinct",
+    // q199 materializes under a scoped optimizer conf (sink round-trip)
+    "q199_range_band_join")
 
   test("every oracle key names a query; every query is gated") {
     val rowsOnly = Set("q34_approx_sketch", "q41_approx_segment",
@@ -90,9 +92,8 @@ class QuerySurfaceSpec extends SparkTestBase {
     //    aggregate cross-joined into the scan-stage bin when-chain.
     //  - q180: the total row count n is a one-row ungrouped aggregate
     //    cross-joined into the rank division.
-    //  - q188: each HITS L1 normalizer is a one-row ungrouped sum
-    //    cross-joined into the round's rescale projection (2 rounds ×
-    //    2 half-steps = 4 one-row broadcasts).
+    //  - q188: the final HITS L1 normalizer (one row carrying both
+    //    totals) is cross-joined into the rescale projection.
     //  - q194: the pairwise signature comparison is a #sources-sized
     //    broadcast loop join by construction (bounded catalog).
     //  - q198: each FK edge's report row cross-joins two ONE-ROW

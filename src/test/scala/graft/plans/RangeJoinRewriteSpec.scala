@@ -1,0 +1,102 @@
+package graft.plans
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class RangeJoinRewriteSpec extends SparkTestBase {
+  import spark.implicits._
+
+  graft.functions.GraftExtensions.installInto(spark)
+
+  private def intervals: DataFrame =
+    Seq((1L, 0L, 99L), (2L, 50L, 149L), (3L, 500L, 500L),
+        (4L, 700L, 650L)) // inverted — can never match
+      .toDF("iv_id", "lo", "hi")
+
+  private def points: DataFrame =
+    Seq((10L, 5L), (11L, 120L), (12L, 499L), (13L, 500L), (14L, 75L))
+      .toDF("pt_id", "pt")
+
+  private def thetaJoin: DataFrame =
+    points.join(intervals, col("lo") <= col("pt") && col("pt") <= col("hi"))
+      .select(col("pt_id"), col("iv_id"))
+
+  private def withBin[A](size: Long)(f: => A): A = {
+    spark.conf.set(RangeJoinRewrite.BinSizeKey, size.toString)
+    try f finally spark.conf.unset(RangeJoinRewrite.BinSizeKey)
+  }
+
+  test("disabled: plan keeps the nested loop; no silent rewrite") {
+    val plan = thetaJoin.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("_graft_bkt"), plan)
+  }
+
+  test("opt-in: bucketed equi-join plan, identical rows") {
+    val expected = thetaJoin.collect().map(r => (r.getLong(0),
+      r.getLong(1))).sorted.toSeq
+    withBin(64L) {
+      val q = thetaJoin // rebuilt under the conf: optimization re-runs
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(plan.contains("_graft_bkt"), plan) // the exploded buckets
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq
+      assert(got == expected)
+      assert(got.contains((13L, 3L))) // closed upper bound kept exact
+      assert(!got.exists(_._2 == 4L)) // inverted interval matches nothing
+    }
+  }
+
+  test("strict bounds and interval-on-left orientation both rewrite") {
+    def q = intervals.join(points,
+        col("lo") < col("pt") && col("pt") < col("hi"))
+      .select(col("pt_id"), col("iv_id"))
+    val expected = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    withBin(32L) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("_graft_bkt"), plan)
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq
+      assert(got == expected)
+      // boundary points excluded under strict bounds
+      assert(!got.contains((13L, 3L)))
+    }
+  }
+
+  test("equi-keyed joins are left alone — Catalyst already hashes them") {
+    val l = Seq((1L, 10L, 0L, 99L)).toDF("k", "iv_id", "lo", "hi")
+    val p = Seq((1L, 20L, 50L)).toDF("k", "pt_id", "pt")
+    withBin(64L) {
+      val q = l.join(p, l("k") === p("k") &&
+        col("lo") <= col("pt") && col("pt") <= col("hi"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("_graft_bkt"), plan)
+      assert(q.count() == 1)
+    }
+  }
+
+  test("randomized parity: rewritten result equals the nested-loop result") {
+    val rnd = new scala.util.Random(41)
+    val ivs = (1 to 300).map { i =>
+      val lo = rnd.nextInt(10000).toLong
+      (i.toLong, lo, lo + rnd.nextInt(500).toLong)
+    }.toDF("iv_id", "lo", "hi")
+    val pts = (1 to 500).map(i => (i.toLong, rnd.nextInt(11000).toLong))
+      .toDF("pt_id", "pt")
+    def q = pts.join(ivs,
+        col("lo") <= col("pt") && col("pt") < col("hi"))
+      .select(col("pt_id"), col("iv_id"))
+    val naive = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    val rewritten = withBin(128L) {
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("_graft_bkt"), p)
+      q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    }
+    assert(rewritten == naive && naive.nonEmpty)
+  }
+}
