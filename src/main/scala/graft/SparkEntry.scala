@@ -1608,6 +1608,85 @@ object SparkEntry {
     // state is a commutative monoid (bounded insert/merge), so the
     // per-type top-3 is EXACT under any micro-batch arrival order —
     // complete-mode output, state = k rows per key, never the history
+    // Position-based (U-shaped) multi-touch attribution: clicks before
+    // a user's first purchase earn 40/20/40 credit (first/middle/last;
+    // 1.0 solo, 0.5/0.5 for a pair) — q134's last-touch model
+    // generalized; per-user windows only, daily roll-up
+    "q200_position_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "events").select(col("user_id"),
+        expr("unix_micros(ts)").as("tsu"), col("event_id"),
+        col("event_type"))
+      val fp = e.where(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("tsu")).as("fpt"))
+      val clicks = e.where(col("event_type") === "click")
+        .join(fp, "user_id").where(col("tsu") < col("fpt"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tsu"), col("event_id"))
+      val wAll = Window.partitionBy(col("user_id"))
+      val credited = clicks
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("credit",
+          when(col("n") === 1, lit(1.0))
+            .when(col("n") === 2, lit(0.5))
+            .when(col("rn") === 1 || col("rn") === col("n"), lit(0.4))
+            .otherwise(lit(0.2) / (col("n") - 2).cast("double")))
+      credited
+        .groupBy(expr("tsu DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("n_clicks"),
+          round(sum(col("credit")), 6).as("credit"))
+        .orderBy(col("day"))
+    }),
+
+    // Difference-in-differences report: 2×2 (treated × post) means in
+    // ONE conditional-aggregate pass — exact DECIMAL sums, one cast to
+    // double, closed-form DiD estimate (q128's A/B shape with a time
+    // axis); treatment = hash arm, post = second half of the window
+    "q201_did_report" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        (substring(md5(concat(lit("did:"),
+          col("user_id").cast("string"))), 1, 2) < "80").as("treated"),
+        // 2024-01-16T00:00:00Z — the window midpoint, as an epoch-µs
+        // literal (never a TZ-dependent local-time parse)
+        (expr("unix_micros(ts)") >= lit(1705363200000000L)).as("post"),
+        col("value").cast("decimal(18,4)").as("v"))
+      def m(t: Boolean, p: Boolean) =
+        (sum(when(col("treated") === t && col("post") === p, col("v")))
+          .cast("double") /
+         sum(when(col("treated") === t && col("post") === p, 1L))
+           .cast("double"))
+      e.agg(round(m(false, false), 6).as("ctrl_pre"),
+          round(m(false, true), 6).as("ctrl_post"),
+          round(m(true, false), 6).as("treat_pre"),
+          round(m(true, true), 6).as("treat_post"),
+          round((m(true, true) - m(true, false)) -
+            (m(false, true) - m(false, false)), 6).as("did"))
+    }),
+
+    // Per-source longest common prefix — template detection via the
+    // min/max trick: LCP of a whole GROUP equals LCP(min(text),
+    // max(text)) under binary string order, so the scan aggregates two
+    // strings per source and the O(L²) char comparison runs on
+    // #sources rows, never documents
+    "q202_common_prefix" -> ((s, dir) => {
+      val mm = t(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .groupBy(col("source"))
+        .agg(min(col("text")).as("mn"), max(col("text")).as("mx"))
+      mm.withColumn("lcp_len",
+          // prefix equality is monotone in i, so the count of equal
+          // prefixes IS the LCP length; guard the empty-string case
+          // (sequence(1, 0) would infer a NEGATIVE step)
+          expr("""CASE WHEN least(length(mn), length(mx)) < 1 THEN 0
+                  ELSE size(filter(
+                    sequence(1, least(length(mn), length(mx))),
+                    i -> substr(mn, 1, i) = substr(mx, 1, i))) END""")
+            .cast("long"))
+        .select(col("source"), col("lcp_len"))
+        .orderBy(col("source"))
+    }),
+
     // Point-in-interval theta join through the RangeJoinRewrite
     // OPTIMIZER RULE (plans/RangeJoinRewrite.scala): the query is the
     // natural inequality join — no manual bucketing — and the opt-in
@@ -5934,6 +6013,77 @@ object SparkEntry {
          SELECT event_id, user_id,
                 CAST(round(cusum, 4) AS DOUBLE) AS cusum
          FROM s WHERE cusum > 500.0 ORDER BY event_id""",
+
+    "q200_position_attribution" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts) // 1000 AS tsu, event_id,
+                  event_type
+           FROM events),
+         fp AS (
+           SELECT user_id, min(tsu) AS fpt FROM e
+           WHERE event_type = 'purchase' GROUP BY user_id),
+         c AS (
+           SELECT e.user_id, e.tsu, e.event_id
+           FROM e JOIN fp USING (user_id)
+           WHERE e.event_type = 'click' AND e.tsu < fp.fpt),
+         r AS (
+           SELECT tsu,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY tsu, event_id) AS rn,
+                  count(*) OVER (PARTITION BY user_id) AS n
+           FROM c)
+         SELECT tsu // 86400000000 AS day, count(*) AS n_clicks,
+                round(sum(CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+                               WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+                               WHEN rn = 1 OR rn = n
+                                 THEN CAST(0.4 AS DOUBLE)
+                               ELSE CAST(0.2 AS DOUBLE) / (n - 2)
+                          END), 6) AS credit
+         FROM r GROUP BY 1 ORDER BY day""",
+
+    "q201_did_report" ->
+      """WITH e AS (
+           SELECT substr(md5('did:' || CAST(user_id AS VARCHAR)), 1, 2)
+                    < '80' AS treated,
+                  epoch_ns(ts) // 1000 >= 1705363200000000 AS post,
+                  CAST(value AS DECIMAL(18,4)) AS v
+           FROM events),
+         m AS (
+           SELECT
+             CAST(sum(CASE WHEN NOT treated AND NOT post THEN v END)
+               AS DOUBLE) /
+             CAST(sum(CASE WHEN NOT treated AND NOT post THEN 1 END)
+               AS DOUBLE) AS m00,
+             CAST(sum(CASE WHEN NOT treated AND post THEN v END)
+               AS DOUBLE) /
+             CAST(sum(CASE WHEN NOT treated AND post THEN 1 END)
+               AS DOUBLE) AS m01,
+             CAST(sum(CASE WHEN treated AND NOT post THEN v END)
+               AS DOUBLE) /
+             CAST(sum(CASE WHEN treated AND NOT post THEN 1 END)
+               AS DOUBLE) AS m10,
+             CAST(sum(CASE WHEN treated AND post THEN v END)
+               AS DOUBLE) /
+             CAST(sum(CASE WHEN treated AND post THEN 1 END)
+               AS DOUBLE) AS m11
+           FROM e)
+         SELECT round(m00, 6) AS ctrl_pre, round(m01, 6) AS ctrl_post,
+                round(m10, 6) AS treat_pre, round(m11, 6) AS treat_post,
+                round((m11 - m10) - (m01 - m00), 6) AS did
+         FROM m""",
+
+    "q202_common_prefix" ->
+      """WITH mm AS (
+           SELECT source, min(text) AS mn, max(text) AS mx
+           FROM documents WHERE text IS NOT NULL GROUP BY source)
+         SELECT source,
+                CAST(CASE WHEN least(len(mn), len(mx)) < 1 THEN 0
+                     ELSE len(list_filter(
+                       range(1, least(len(mn), len(mx)) + 1),
+                       i -> substr(mn, 1, CAST(i AS INTEGER))
+                            = substr(mx, 1, CAST(i AS INTEGER)))) END
+                  AS BIGINT) AS lcp_len
+         FROM mm ORDER BY source""",
 
     "q199_range_band_join" ->
       """WITH o AS (
