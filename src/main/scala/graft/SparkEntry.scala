@@ -1608,6 +1608,56 @@ object SparkEntry {
     // state is a commutative monoid (bounded insert/merge), so the
     // per-type top-3 is EXACT under any micro-batch arrival order —
     // complete-mode output, state = k rows per key, never the history
+    // Run-length compression of event streams: consecutive same-type
+    // events collapse to (type, run_len) — gaps-and-islands with the
+    // lag≠current change marker; the replay-compression preprocessing
+    // step for sequence models, per-user windows only
+    "q203_run_length" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tsu"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), expr("unix_micros(ts)").as("tsu"),
+          col("event_id"), col("event_type"))
+        .withColumn("_chg",
+          when(lag(col("event_type"), 1).over(w).isNull ||
+            lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("run_id", sum(col("_chg")).over(w))
+        .groupBy(col("user_id"), col("run_id"))
+        .agg(min(col("event_type")).as("event_type"),
+          count(lit(1)).as("run_len"), min(col("tsu")).as("t_start"))
+        .where(col("run_len") >= 2)
+        .orderBy(col("user_id"), col("run_id"))
+    }),
+
+    // Cohort LTV curves: users cohorted by first-purchase week, weekly
+    // revenue by cohort age, cumulative in exact DECIMAL (the
+    // retention-economics table every growth team reads); one window
+    // over the cohort×age aggregate, never over events
+    "q204_ltv_curves" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wk = 7L * 86400L * 1000000L
+      val p = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), expr("unix_micros(ts)").as("tsu"),
+          col("value").cast("decimal(18,4)").as("v"))
+      val cohorts = p.groupBy(col("user_id"))
+        .agg(expr(s"min(tsu) DIV $wk").as("cohort_wk"))
+      val weekly = p.join(cohorts, "user_id")
+        .groupBy(col("cohort_wk"),
+          (expr(s"tsu DIV $wk") - col("cohort_wk")).as("age_wk"))
+        .agg(sum(col("v")).as("_rev"))
+      val wc = Window.partitionBy(col("cohort_wk")).orderBy(col("age_wk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      weekly
+        .withColumn("_cum", sum(col("_rev")).over(wc))
+        .select(col("cohort_wk"), col("age_wk"),
+          round(col("_rev"), 4).cast("double").as("rev"),
+          round(col("_cum"), 4).cast("double").as("cum_rev"))
+        .orderBy(col("cohort_wk"), col("age_wk"))
+    }),
+
     // Position-based (U-shaped) multi-touch attribution: clicks before
     // a user's first purchase earn 40/20/40 credit (first/middle/last;
     // 1.0 solo, 0.5/0.5 for a pair) — q134's last-touch model
@@ -6013,6 +6063,52 @@ object SparkEntry {
          SELECT event_id, user_id,
                 CAST(round(cusum, 4) AS DOUBLE) AS cusum
          FROM s WHERE cusum > 500.0 ORDER BY event_id""",
+
+    "q203_run_length" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts) // 1000 AS tsu, event_id,
+                  event_type
+           FROM events),
+         m AS (
+           SELECT user_id, tsu, event_id, event_type,
+                  CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w != event_type
+                       THEN 1 ELSE 0 END AS chg
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         r AS (
+           SELECT user_id, tsu, event_type,
+                  sum(chg) OVER (PARTITION BY user_id
+                    ORDER BY tsu, event_id
+                    ROWS UNBOUNDED PRECEDING) AS run_id
+           FROM m)
+         SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+                min(event_type) AS event_type,
+                count(*) AS run_len, min(tsu) AS t_start
+         FROM r GROUP BY user_id, run_id
+         HAVING count(*) >= 2
+         ORDER BY user_id, run_id""",
+
+    "q204_ltv_curves" ->
+      """WITH p AS (
+           SELECT user_id, epoch_ns(ts) // 1000 AS tsu,
+                  CAST(value AS DECIMAL(18,4)) AS v
+           FROM events WHERE event_type = 'purchase'),
+         c AS (
+           SELECT user_id, min(tsu) // 604800000000 AS cohort_wk
+           FROM p GROUP BY user_id),
+         weekly AS (
+           SELECT c.cohort_wk,
+                  p.tsu // 604800000000 - c.cohort_wk AS age_wk,
+                  sum(p.v) AS rev
+           FROM p JOIN c USING (user_id)
+           GROUP BY 1, 2)
+         SELECT cohort_wk, age_wk,
+                CAST(round(rev, 4) AS DOUBLE) AS rev,
+                CAST(round(sum(rev) OVER (PARTITION BY cohort_wk
+                  ORDER BY age_wk ROWS UNBOUNDED PRECEDING), 4)
+                  AS DOUBLE) AS cum_rev
+         FROM weekly ORDER BY cohort_wk, age_wk""",
 
     "q200_position_attribution" ->
       """WITH e AS (
