@@ -1608,6 +1608,53 @@ object SparkEntry {
     // state is a commutative monoid (bounded insert/merge), so the
     // per-type top-3 is EXACT under any micro-batch arrival order —
     // complete-mode output, state = k rows per key, never the history
+    // STREAMING LEFT-OUTER interval join: unmatched left rows emit
+    // with NULL right columns once the watermark PROVES no match can
+    // arrive — state-expiry-driven null emission, the semantics an
+    // inner join (q78) never exercises. Two far-future sentinel rows
+    // (one per side's filter parity) push the final watermark past
+    // every real row + band so the drain surfaces ALL unmatched rows;
+    // sentinels are filtered from the result
+    "q205_stream_left_join" -> ((s, dir) => {
+      val stage = scratch(s, "q205_src")
+      val ev = t(s, dir, "events")
+      // one far-future sentinel per filter parity pushes BOTH sides'
+      // watermarks (multipleWatermarkPolicy=min) past every real row +
+      // band; AvailableNow then runs the extra empty batches in which
+      // the advanced watermark actually EVICTS — that is where the
+      // unmatched-left nulls are emitted. CRITICAL: the sentinel
+      // filter must NOT live inside the streaming plan — Catalyst
+      // pushes a post-join predicate below the watermark operator,
+      // which silently drops the sentinels before they can advance it
+      // (observed: the latest left row never flushed); the filter is
+      // applied on the SINK TABLE instead.
+      val sentinels = s.range(2).select(
+        (col("id") - 2).as("event_id"), // -2 even side, -1 odd side
+        expr("timestamp_micros(1893456000000000L)").as("ts"), // 2030
+        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"), lit(null).cast("string").as("props"))
+      ev.unionByName(sentinels).write.mode("overwrite").parquet(stage)
+      val staged = s.read.parquet(stage).schema
+      def src() = GraftSession.normalizeEventTime(
+        graft.streaming.Streams.fileSource(s, stage, staged))
+      val a = src().where(pmod(col("event_id"), lit(2)) === 0)
+        .select(col("user_id"), col("event_id").as("a_id"),
+          eventTimestamp("ts").as("a_ts"))
+      val b = src().where(pmod(col("event_id"), lit(2)) === 1)
+        .select(col("user_id"), col("event_id").as("b_id"),
+          eventTimestamp("ts").as("b_ts"))
+      val joined = graft.streaming.Streams.intervalJoin(a, b,
+          Seq("user_id"), "a_ts", "b_ts", "10 minutes", "1 minute",
+          joinType = "left_outer")
+        .select(col("user_id"), col("a_id"), col("b_id"))
+      val qname = "graft_q205_left_join"
+      val query = graft.streaming.Streams.drainToMemory(joined, qname,
+        "append").start()
+      try query.awaitTermination() finally query.stop()
+      s.table(qname).where(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("a_id"), col("b_id"))
+    }),
+
     // Run-length compression of event streams: consecutive same-type
     // events collapse to (type, run_len) — gaps-and-islands with the
     // lag≠current change marker; the replay-compression preprocessing
@@ -6063,6 +6110,20 @@ object SparkEntry {
          SELECT event_id, user_id,
                 CAST(round(cusum, 4) AS DOUBLE) AS cusum
          FROM s WHERE cusum > 500.0 ORDER BY event_id""",
+
+    "q205_stream_left_join" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tsu
+           FROM events),
+         a AS (SELECT user_id, event_id AS a_id, tsu AS a_ts FROM e
+               WHERE event_id % 2 = 0),
+         b AS (SELECT user_id, event_id AS b_id, tsu AS b_ts FROM e
+               WHERE event_id % 2 = 1)
+         SELECT a.user_id, a.a_id, b.b_id
+         FROM a LEFT JOIN b
+           ON a.user_id = b.user_id
+           AND b.b_ts >= a.a_ts AND b.b_ts <= a.a_ts + 600000000
+         ORDER BY a.user_id, a.a_id, b.b_id""",
 
     "q203_run_length" ->
       """WITH e AS (

@@ -120,19 +120,28 @@ object Streams {
     * evict buffered rows once the watermark passes leftTs + band: state
     * is O(rows inside watermark + band), NOT O(stream history) — the
     * property that keeps this runnable forever at production rates.
-    * Inner join; append output mode. Key columns are emitted once (the
-    * left side's); callers keep non-key column names disjoint.
+    * Append output mode. Key columns are emitted once (the left
+    * side's); callers keep non-key column names disjoint.
+    *
+    * `joinType` "inner" (default) or "left_outer": the outer form
+    * emits an unmatched left row WITH NULL right columns only once
+    * the watermark proves no match can still arrive — so a drain that
+    * must surface ALL unmatched rows needs the source to carry a
+    * far-future sentinel row per side that pushes the final watermark
+    * past every real row + band (the reference's `end.txt` semantics,
+    * in-band; q205 stages exactly that).
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTs: String, rightTs: String, band: String,
-                   watermark: String): DataFrame = {
+                   watermark: String,
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark).alias("l")
     val r = right.withWatermark(rightTs, watermark).alias("r")
     val keyCond = keys.map(k => col(s"l.$k") === col(s"r.$k"))
       .reduce(_ && _)
     val timeCond = col(s"r.$rightTs") >= col(s"l.$leftTs") &&
       col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $band")
-    keys.foldLeft(l.join(r, keyCond && timeCond, "inner")) {
+    keys.foldLeft(l.join(r, keyCond && timeCond, joinType)) {
       (d, k) => d.drop(col(s"r.$k"))
     }
   }
