@@ -1655,6 +1655,30 @@ object SparkEntry {
         .orderBy(col("user_id"), col("a_id"), col("b_id"))
     }),
 
+    // EXACT rolling 7-day distinct users per day: dedupe to (user,day)
+    // once, then each user-day contributes to its 7 covering windows
+    // via a scan-stage offset explode — bounded ×7 fan-out replaces
+    // the unbounded self-join a naive "DISTINCT over a RANGE window"
+    // implies (count(DISTINCT) over windows is unsupported for good
+    // reason); two-level distinct-then-count aggregation, all
+    // map-side-combinable
+    "q206_rolling_distinct" -> ((s, dir) => {
+      val userDays = t(s, dir, "events")
+        .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000")
+          .as("day"))
+        .distinct()
+      val allDays = userDays.select(col("day")).distinct()
+      userDays
+        .withColumn("wday", explode(sequence(col("day"),
+          col("day") + 6)))
+        .select(col("wday"), col("user_id")).distinct()
+        .join(allDays.select(col("day").as("wday")), Seq("wday"),
+          "left_semi") // only report real days, not the +6 overhang
+        .groupBy(col("wday"))
+        .agg(count(lit(1)).as("distinct_users_7d"))
+        .orderBy(col("wday"))
+    }),
+
     // Run-length compression of event streams: consecutive same-type
     // events collapse to (type, run_len) — gaps-and-islands with the
     // lag≠current change marker; the replay-compression preprocessing
@@ -6110,6 +6134,19 @@ object SparkEntry {
          SELECT event_id, user_id,
                 CAST(round(cusum, 4) AS DOUBLE) AS cusum
          FROM s WHERE cusum > 500.0 ORDER BY event_id""",
+
+    "q206_rolling_distinct" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id,
+                  epoch_ns(ts) // 1000 // 86400000000 AS day
+           FROM events),
+         days AS (SELECT DISTINCT day FROM ud),
+         cov AS (
+           SELECT DISTINCT d.day AS wday, u.user_id
+           FROM days d JOIN ud u
+             ON u.day BETWEEN d.day - 6 AND d.day)
+         SELECT wday, count(*) AS distinct_users_7d
+         FROM cov GROUP BY wday ORDER BY wday""",
 
     "q205_stream_left_join" ->
       """WITH e AS (
