@@ -628,4 +628,59 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("hll_sketch_agg") && p.contains("hll_union_agg"),
       s"sketch + union aggregates expected:\n$p")
   }
+
+  test("q189 adamic-adar: wedges + adjacency cut stay equi/semi joins") {
+    val p = plan("q189_adamic_adar")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge generation must never go all-pairs:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"already-adjacent pairs must leave via an anti-join:\n$p")
+  }
+
+  test("q192 PPS: prefix decomposition windows are bucket-partitioned") {
+    // the per-row cumsum must partition on the hash-prefix bucket; the
+    // only unpartitioned window is the ≤256-row offsets table
+    val p = plan("q192_pps_sample")
+    assert(p.contains("Window"), p)
+    // executed-plan rendering: Window [fns], [partitionExprs], [order]
+    assert(p.contains("], [_b#"),
+      s"row cumsum must partition on the md5-prefix bucket:\n$p")
+  }
+
+  test("q195 sequences: both leads ride ONE exchange and ONE sort") {
+    val p = plan("q195_event_sequences")
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(p).length
+    assert(exchanges <= 2, // lead window + final aggregation
+      s"n-gram leads must share a single per-user exchange:\n$p")
+    assert(p.contains("lead("), p)
+  }
+
+  test("q196 JW linkage: both kernels evaluate inside codegen stages") {
+    val p = plan("q196_jw_linkage")
+    assert(p.contains("graft_jaro_winkler") && p.contains("graft_damerau"),
+      s"native kernels expected in the plan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay the symdelete equi-join:\n$p")
+  }
+
+  test("q204 LTV: the cumulative window runs over the cohort aggregate") {
+    // the window's input must be the (cohort, age) aggregate — a
+    // window whose child scans raw events would shuffle the fact table
+    val p = plan("q204_ltv_curves")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, p)
+    assert(p.substring(winIdx).contains("HashAggregate"),
+      s"window must sit above the weekly aggregate, not raw events:\n$p")
+  }
+
+  test("q206 rolling distinct: bounded explode, distinct before count") {
+    val p = plan("q206_rolling_distinct")
+    assert(p.contains("Generate explode"),
+      s"the 7-offset fan-out must be a generate, not a join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
