@@ -1655,6 +1655,17 @@ object SparkEntry {
         .orderBy(col("user_id"), col("a_id"), col("b_id"))
     }),
 
+    // Gopher quality gates (Rae et al. 2021 §A1.1): the published
+    // hard thresholds — word count, mean word length, alpha-word
+    // fraction, ≥2 distinct common stopwords — as one zero-shuffle
+    // scan-stage report; repetitionSignals (q67) carries the
+    // repetition half of the rule set
+    "q207_gopher_rules" -> ((s, dir) => {
+      TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text",
+          minWords = 20)
+        .orderBy(col("doc_id"))
+    }),
+
     // EXACT rolling 7-day distinct users per day: dedupe to (user,day)
     // once, then each user-day contributes to its 7 covering windows
     // via a scan-stage offset explode — bounded ×7 fan-out replaces
@@ -6134,6 +6145,40 @@ object SparkEntry {
          SELECT event_id, user_id,
                 CAST(round(cusum, 4) AS DOUBLE) AS cusum
          FROM s WHERE cusum > 500.0 ORDER BY event_id""",
+
+    "q207_gopher_rules" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         sig AS (
+           SELECT doc_id,
+                  CASE WHEN toks = [''] THEN 0 ELSE len(toks) END
+                    AS n_words,
+                  CAST(list_sum(list_transform(toks, x -> len(x)))
+                    AS BIGINT) AS chars,
+                  len(list_filter(toks,
+                    x -> regexp_matches(x, '[a-z]'))) AS alpha,
+                  CAST(len(list_intersect(toks,
+                    ['the','be','to','of','and','that','have','with',
+                     'a','in'])) AS BIGINT) AS stop_hits
+           FROM d),
+         r AS (
+           SELECT doc_id, n_words,
+                  CASE WHEN n_words > 0
+                       THEN round(chars / CAST(n_words AS DOUBLE), 6)
+                       ELSE 0.0 END AS mean_word_len,
+                  CASE WHEN n_words > 0
+                       THEN round(alpha / CAST(n_words AS DOUBLE), 6)
+                       ELSE 0.0 END AS alpha_frac,
+                  stop_hits
+           FROM sig)
+         SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+                (n_words >= 20 AND n_words <= 100000
+                 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                 AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep
+         FROM r ORDER BY doc_id""",
 
     "q206_rolling_distinct" ->
       """WITH ud AS (

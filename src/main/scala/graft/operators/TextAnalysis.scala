@@ -554,6 +554,58 @@ object TextAnalysis {
       .drop("_n2", "_d2")
   }
 
+  /** Gopher-style quality rule bundle (Rae et al. 2021 §A1.1): the
+    * published pretraining-filter thresholds as one scan-stage report —
+    * word-count bounds, mean-word-length band, minimum alphabetic-word
+    * fraction, and the ≥2-common-stopwords requirement (the cheap
+    * "is this prose at all" test). Complements [[repetitionSignals]]
+    * (which carries the repetition half of the Gopher rules) and
+    * [[qualityScoreOf]] (a continuous score, where these are the
+    * published hard gates).
+    *
+    * SCALE SHAPE: zero shuffles — every signal is array arithmetic
+    * over the one tokenization (mean word length via an aggregate()
+    * fold, distinct-stopword hits via array_intersect); the report is
+    * a pure scan-stage projection.
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  minAlphaFrac: Double = 0.8,
+                  minStopHits: Int = 2): DataFrame = {
+    graft.functions.GraftExtensions.installInto(docs.sparkSession)
+    val stopwords = Seq("the", "be", "to", "of", "and", "that", "have",
+      "with", "a", "in")
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_toks"),
+        when(element_at(col("_toks"), 1) === "" &&
+          size(col("_toks")) === 1, 0L)
+          .otherwise(size(col("_toks")).cast("long")).as("n_words"))
+    base
+      .withColumn("mean_word_len",
+        when(col("n_words") > 0, round(
+          expr("aggregate(_toks, 0L, (acc, x) -> acc + length(x))")
+            .cast("double") / col("n_words"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("alpha_frac",
+        when(col("n_words") > 0, round(
+          expr("size(filter(_toks, x -> x rlike '[a-z]'))")
+            .cast("double") / col("n_words"), 6))
+          .otherwise(lit(0.0)))
+      // DISTINCT stopwords present (array_intersect dedups) — the
+      // paper's "contain at least two of the following words"
+      .withColumn("stop_hits",
+        size(array_intersect(col("_toks"),
+          array(stopwords.map(lit): _*))).cast("long"))
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minMeanLen &&
+          col("mean_word_len") <= maxMeanLen &&
+          col("alpha_frac") >= minAlphaFrac &&
+          col("stop_hits") >= minStopHits)
+      .drop("_toks")
+  }
+
   /** Overlapping token-window chunks per document — the context-window
     * preparation step of a RAG / training pipeline: chunk k covers
     * tokens [k·stride, k·stride + chunkSize), so consecutive chunks
