@@ -7,32 +7,37 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
 
-/** Optimizer rule: rewrite a POINT-IN-INTERVAL theta join into a
-  * bucketed equi-join — the whole-plan form of
+/** Optimizer rule: rewrite RANGE theta joins into bucketed
+  * equi-joins — the whole-plan form of
   * [[graft.operators.RangeJoin.bucketedOverlapJoin]], applied
   * AUTOMATICALLY so a user can write the natural
   * {{{ events JOIN intervals ON lo <= pt AND pt < hi }}}
-  * and still get the 100 TB plan. Without an equi conjunct Spark has
+  * (or the interval-overlap `a.lo <= b.hi AND b.lo <= a.hi`) and
+  * still get the 100 TB plan. Without an equi conjunct Spark has
   * only BroadcastNestedLoopJoin (fine when one side broadcasts) or a
-  * cartesian product (never fine); this rule explodes each interval
-  * into the width-W buckets it covers, adds `pt DIV W` on the point
-  * side, joins hash-on-bucket (plus any original equi keys), and
-  * re-applies the exact original predicate above the join. The
-  * point's bucket is unique and appears exactly once in the
-  * interval's bucket sequence, so no dedup step is needed (contrast
-  * the interval×interval operator form, which must credit one shared
-  * bucket).
+  * cartesian product (never fine); this rule explodes interval sides
+  * into the width-W buckets they cover, joins hash-on-bucket, and
+  * re-applies the exact original predicate above the join. Two
+  * shapes:
+  *
+  *  - POINT IN INTERVAL (`lo ≤ pt ∧ pt ≤ hi`, bounds one side, point
+  *    the other): only the interval side explodes; the point's
+  *    bucket is unique and appears exactly once in the interval's
+  *    sequence, so the match is exactly-once with no dedup step.
+  *  - INTERVAL OVERLAP (`a.lo ≤ b.hi ∧ b.lo ≤ a.hi`, one bound pair
+  *    per side): both sides explode, and the join keeps only the
+  *    bucket holding `max(a.lo, b.lo)` — covered by both intervals
+  *    of every overlapping pair — so each pair matches exactly once.
   *
   * OPT-IN: active only when `spark.graft.rangeJoin.binSize` is a
   * positive long — bin width is a data statement (interval scale)
   * the engine must not guess, and when the small side fits a
   * broadcast the BNLJ it replaces is already optimal. Scope: INNER
   * joins, integral-typed bounds (the engine's event-time joins are
-  * epoch integers), bounds from one side + point from the other,
-  * any mix of strict/non-strict inequalities. Inverted intervals
-  * (lo > hi) are pre-filtered — they cannot satisfy the original
-  * predicate, and an unguarded descending `sequence()` would
-  * fabricate buckets for them.
+  * epoch integers), any mix of strict/non-strict inequalities.
+  * Inverted intervals (lo > hi) are pre-filtered — they cannot
+  * satisfy the original predicate, and an unguarded descending
+  * `sequence()` would fabricate buckets for them.
   *
   * Registered via [[graft.functions.GraftExtensions]] (builder
   * `withExtensions` → `injectOptimizerRule`) or on a live session
@@ -94,53 +99,97 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     if (hasEqui) return None
 
     val bounds = conjuncts.flatMap(asBound)
-    // find lo ≤ PT and PT ≤ hi with pt one side, lo/hi the other
-    val hit = bounds.iterator.flatMap { case (lo, pt1) =>
-      bounds.collectFirst {
-        case (pt2, hi) if pt1.semanticEquals(pt2) &&
-          oneSided(pt1) && oneSided(lo) && oneSided(hi) &&
-          (fromLeft(pt1) != fromLeft(lo)) &&
-          (fromLeft(lo) == fromLeft(hi)) &&
-          integral(pt1) && integral(lo) && integral(hi) =>
-          PointBound(lo, pt1, hi)
-      }
-    }.take(1).toList.headOption
-    hit.flatMap { case PointBound(lo, pt, hi) =>
-      val ptOnLeft = fromLeft(pt)
-      val ptSide = if (ptOnLeft) l else r
-      val ivSide = if (ptOnLeft) r else l
+    def eligibleExprs(es: Expression*): Boolean =
+      es.forall(e => oneSided(e) && integral(e))
 
-      def bucketOf(e: Expression): Expression =
-        Cast(Floor(Divide(Cast(e, DoubleType),
-          Literal(w.toDouble))), LongType)
+    def bucketOf(e: Expression): Expression =
+      Cast(Floor(Divide(Cast(e, DoubleType),
+        Literal(w.toDouble))), LongType)
 
-      // interval side: drop can't-match inverted intervals, then
-      // explode the covered bucket range
-      val ivBkt = AttributeReference("_graft_bkt", LongType,
+    /** Explode `child` into the width-w buckets [lo..hi] covers,
+      * dropping inverted intervals (they cannot satisfy the original
+      * predicate, and an unguarded descending sequence() would
+      * fabricate buckets for them). Sequence is TimeZoneAware: without
+      * an explicit zone the optimizer-built node stays unresolved.
+      */
+    def explodeBuckets(child: LogicalPlan, lo: Expression,
+                       hi: Expression): (LogicalPlan, Attribute) = {
+      val bkt = AttributeReference("_graft_bkt", LongType,
         nullable = false)()
-      val ivFiltered = Filter(LessThanOrEqual(
-        Cast(lo, LongType), Cast(hi, LongType)), ivSide)
-      // Sequence is TimeZoneAware: without an explicit zone it stays
-      // unresolved, and nothing re-resolves optimizer output
-      val ivExploded = Generate(
+      val filtered = Filter(LessThanOrEqual(
+        Cast(lo, LongType), Cast(hi, LongType)), child)
+      (Generate(
         Explode(Sequence(bucketOf(lo), bucketOf(hi),
           Some(Literal(1L)), Some(SQLConf.get.sessionLocalTimeZone))),
         unrequiredChildIndex = Nil, outer = false, qualifier = None,
-        generatorOutput = Seq(ivBkt), child = ivFiltered)
+        generatorOutput = Seq(bkt), child = filtered), bkt)
+    }
 
-      // point side: project the point's bucket alongside
-      val ptBktAlias = Alias(bucketOf(pt), "_graft_pt_bkt")()
-      val ptProjected = Project(ptSide.output :+ ptBktAlias, ptSide)
-
-      val bucketEq = EqualTo(ivBkt, ptBktAlias.toAttribute)
-      val (newL, newR) =
-        if (ptOnLeft) (ptProjected, ivExploded)
-        else (ivExploded, ptProjected)
-      val newJoin = Join(newL, newR, Inner, Some(bucketEq), hint)
+    def finish(newL: LogicalPlan, newR: LogicalPlan,
+               joinCond: Expression): LogicalPlan = {
+      val newJoin = Join(newL, newR, Inner, Some(joinCond), hint)
       // the exact original predicate re-applies above the join; the
       // final project restores the original output (pruning the
       // bucket columns)
-      Some(Project(j.output, Filter(cond, newJoin)))
+      Project(j.output, Filter(cond, newJoin))
+    }
+
+    // shape 1 -- point in interval: lo <= PT and PT <= hi with pt one
+    // side, lo/hi the other. The point's bucket is unique and appears
+    // exactly once in the interval's bucket sequence -> no dedup step.
+    val pointHit = bounds.iterator.flatMap { case (lo, pt1) =>
+      bounds.collectFirst {
+        case (pt2, hi) if pt1.semanticEquals(pt2) &&
+          eligibleExprs(pt1, lo, hi) &&
+          (fromLeft(pt1) != fromLeft(lo)) &&
+          (fromLeft(lo) == fromLeft(hi)) =>
+          PointBound(lo, pt1, hi)
+      }
+    }.take(1).toList.headOption
+    pointHit.map { case PointBound(lo, pt, hi) =>
+      val ptOnLeft = fromLeft(pt)
+      val ptSide = if (ptOnLeft) l else r
+      val ivSide = if (ptOnLeft) r else l
+      val (ivExploded, ivBkt) = explodeBuckets(ivSide, lo, hi)
+      val ptBktAlias = Alias(bucketOf(pt), "_graft_pt_bkt")()
+      val ptProjected = Project(ptSide.output :+ ptBktAlias, ptSide)
+      val (newL, newR) =
+        if (ptOnLeft) (ptProjected, ivExploded)
+        else (ivExploded, ptProjected)
+      finish(newL, newR, EqualTo(ivBkt, ptBktAlias.toAttribute))
+    }.orElse {
+      // shape 2 -- interval OVERLAP: lLo <= rHi and rLo <= lHi, each
+      // bound pair from one side (the classic a.start <= b.end AND
+      // b.start <= a.end). Both sides explode; a pair overlapping k
+      // shared buckets would match k times, so the join keeps only
+      // the bucket holding max(lLo, rLo) -- both intervals cover it
+      // (it is >= both starts and <= min(lHi, rHi), the overlap
+      // point), making the match exactly-once. The credit predicate
+      // references both sides, so it rides the join condition, not
+      // the generators.
+      val overlapHit = bounds.iterator.flatMap { case (lLo, rHi) =>
+        bounds.collectFirst {
+          case (rLo, lHi) if eligibleExprs(lLo, rHi, rLo, lHi) &&
+            !lLo.semanticEquals(rLo) &&
+            (fromLeft(lLo) == fromLeft(lHi)) &&
+            (fromLeft(rLo) == fromLeft(rHi)) &&
+            (fromLeft(lLo) != fromLeft(rLo)) =>
+            (lLo, lHi, rLo, rHi)
+        }
+      }.take(1).toList.headOption
+      overlapHit.map { case (lo1, hi1, lo2, hi2) =>
+        // orient: (aLo, aHi) from the LEFT child
+        val (aLo, aHi, bLo, bHi) =
+          if (fromLeft(lo1)) (lo1, hi1, lo2, hi2)
+          else (lo2, hi2, lo1, hi1)
+        val (lExploded, lBkt) = explodeBuckets(l, aLo, aHi)
+        val (rExploded, rBkt) = explodeBuckets(r, bLo, bHi)
+        val credit = EqualTo(lBkt,
+          bucketOf(Greatest(Seq(Cast(aLo, LongType),
+            Cast(bLo, LongType)))))
+        finish(lExploded, rExploded,
+          And(EqualTo(lBkt, rBkt), credit))
+      }
     }
   }
 }

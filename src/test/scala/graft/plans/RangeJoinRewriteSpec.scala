@@ -79,6 +79,53 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("interval overlap rewrites: both sides explode, exactly-once match") {
+    def q = intervals.join(
+        points.select(col("pt_id"), col("pt").as("lo2"),
+          (col("pt") + 40L).as("hi2")),
+        col("lo") <= col("hi2") && col("lo2") <= col("hi"))
+      .select(col("pt_id"), col("iv_id"))
+    val expected = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    withBin(64L) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      // both sides carry the exploded bucket column
+      assert("_graft_bkt".r.findAllIn(plan).length >= 2, plan)
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq
+      assert(got == expected && got.nonEmpty)
+      // exactly-once: a wide×wide overlap spanning many shared
+      // buckets must not duplicate
+      assert(got.distinct == got)
+    }
+  }
+
+  test("overlap randomized parity across bucket widths") {
+    val rnd = new scala.util.Random(17)
+    val ivsA = (1 to 150).map { i =>
+      val lo = rnd.nextInt(5000).toLong
+      (i.toLong, lo, lo + rnd.nextInt(800).toLong)
+    }.toDF("a_id", "a_lo", "a_hi")
+    val ivsB = (1 to 150).map { i =>
+      val lo = rnd.nextInt(5000).toLong
+      (i.toLong, lo, lo + rnd.nextInt(800).toLong)
+    }.toDF("b_id", "b_lo", "b_hi")
+    def q = ivsA.join(ivsB,
+        col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select(col("a_id"), col("b_id"))
+    val naive = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    for (w <- Seq(16L, 100L, 1024L)) {
+      val got = withBin(w) {
+        val p = q.queryExecution.executedPlan.toString
+        assert(p.contains("_graft_bkt"), p)
+        q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      }
+      assert(got == naive, s"bin $w")
+    }
+  }
+
   test("randomized parity: rewritten result equals the nested-loop result") {
     val rnd = new scala.util.Random(41)
     val ivs = (1 to 300).map { i =>
