@@ -258,6 +258,29 @@ object Probe {
           "c_nationkey", 0.85).count()
       }
     }
+    if (probes("rangejoin")) {
+      // big×big point-in-interval theta join through the OPTIMIZER
+      // RULE: 3M points × 40k bands = 1.2e11 predicate evaluations as
+      // a nested loop (infeasible); the rewrite hash-partitions on the
+      // bucket and finishes in seconds. The 1× bench (q199) carries
+      // the oracle; this is the scale evidence.
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+      val pts = times(o, 20, Seq("o_orderkey"), 100000000L)
+      val bands = o.where(col("o_orderkey") % 75 === 0)
+        .select(col("o_orderkey").as("band_id"),
+          (col("cents") - 5000L).as("lo"),
+          (col("cents") + 5000L).as("hi"))
+      graft.functions.GraftExtensions.installInto(spark)
+      spark.conf.set(graft.plans.RangeJoinRewrite.BinSizeKey, "10000")
+      try timed("rangejoin20x") {
+        pts.join(bands,
+            col("lo") <= col("cents") && col("cents") < col("hi"))
+          .count()
+      } finally spark.conf.unset(graft.plans.RangeJoinRewrite.BinSizeKey)
+    }
     if (probes("zorder")) {
       // 20× events (2M rows): z-key + range sort + zipWithIndex + agg
       val e = spark.read.parquet(s"$dir/events.parquet")
