@@ -1655,6 +1655,49 @@ object SparkEntry {
         .orderBy(col("user_id"), col("a_id"), col("b_id"))
     }),
 
+    // Personalized PageRank: random walk with restart to a seed set —
+    // seed-relative relevance (crawl-frontier expansion), not global
+    // authority; restart mass returns to seeds only, sink mass leaves
+    // (pseudo-PPR, oracle-unrollable); pageRank's pinned-round shape
+    "q208_personalized_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          col("l_linenumber").as("ln"), col("l_partkey").as("pk"))
+      val nxt = li.select(col("ok"), (col("ln") - 1).as("ln"),
+        col("pk").as("dst_pk"))
+      val edges = li.join(nxt, Seq("ok", "ln"))
+        .where(col("pk") =!= col("dst_pk"))
+        .select(col("pk").as("src"), col("dst_pk").as("dst"))
+      val seeds = t(s, dir, "part")
+        .where(col("p_partkey") % 500 === 0)
+        .select(col("p_partkey"))
+      Graph.personalizedPageRank(edges, "src", "dst", seeds,
+          "p_partkey", iterations = 3)
+        .select(col("id"), round(col("ppr"), 9).as("ppr"))
+        .orderBy(col("id"))
+    }),
+
+    // Linear interpolation of gaps in a per-type minute series:
+    // interior holes lerp between nearest known neighbors (LOCF's
+    // step fill says 10 where the truth between 10 and 20 is ~15),
+    // edges take the nearest known value; both window passes share
+    // one exchange
+    "q209_linear_interp" -> ((s, dir) => {
+      val series = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) DIV 60000000").as("minute"))
+        .agg(round(sum(col("value").cast("decimal(18,4)"))
+            .cast("double") / count(lit(1)).cast("double"), 6)
+          .as("v"))
+        .withColumn("v", when(col("minute") % 13 === 0,
+          lit(null).cast("double")).otherwise(col("v")))
+      Stats.linearInterp(series, Seq("event_type"), "minute", "v")
+        .select(col("event_type"), col("minute"),
+          col("v").isNull.as("was_gap"),
+          round(col("interp"), 6).as("interp"))
+        .orderBy(col("event_type"), col("minute"))
+    }),
+
     // Gopher quality gates (Rae et al. 2021 §A1.1): the published
     // hard thresholds — word count, mean word length, alpha-word
     // fraction, ≥2 distinct common stopwords — as one zero-shuffle
@@ -6145,6 +6188,83 @@ object SparkEntry {
          SELECT event_id, user_id,
                 CAST(round(cusum, 4) AS DOUBLE) AS cusum
          FROM s WHERE cusum > 500.0 ORDER BY event_id""",
+
+    "q208_personalized_pagerank" ->
+      """WITH e AS MATERIALIZED (
+           SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
+           FROM lineitem x JOIN lineitem y
+             ON x.l_orderkey = y.l_orderkey
+             AND y.l_linenumber = x.l_linenumber + 1
+           WHERE x.l_partkey != y.l_partkey),
+         nodes AS MATERIALIZED (
+           SELECT src AS id FROM e UNION SELECT dst FROM e),
+         seeds AS MATERIALIZED (
+           SELECT n.id FROM nodes n JOIN part p
+             ON p.p_partkey = n.id
+           WHERE p.p_partkey % 500 = 0),
+         ns AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM seeds),
+         rv AS MATERIALIZED (
+           SELECT n.id,
+                  CASE WHEN s.id IS NOT NULL
+                       THEN 1.0 / (SELECT c FROM ns)
+                       ELSE CAST(0 AS DOUBLE) END AS s
+           FROM nodes n LEFT JOIN seeds s ON s.id = n.id),
+         deg AS MATERIALIZED (
+           SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         p0 AS (SELECT id, s AS ppr FROM rv),
+         p1 AS MATERIALIZED (
+           SELECT rv.id, 0.15 * rv.s + 0.85 * coalesce(m.s, 0) AS ppr
+           FROM rv LEFT JOIN (
+             SELECT e.dst AS id, sum(p.ppr / d.outdeg) AS s
+             FROM e JOIN p0 p ON p.id = e.src
+                    JOIN deg d ON d.src = e.src
+             GROUP BY e.dst) m ON m.id = rv.id),
+         p2 AS MATERIALIZED (
+           SELECT rv.id, 0.15 * rv.s + 0.85 * coalesce(m.s, 0) AS ppr
+           FROM rv LEFT JOIN (
+             SELECT e.dst AS id, sum(p.ppr / d.outdeg) AS s
+             FROM e JOIN p1 p ON p.id = e.src
+                    JOIN deg d ON d.src = e.src
+             GROUP BY e.dst) m ON m.id = rv.id),
+         p3 AS (
+           SELECT rv.id, 0.15 * rv.s + 0.85 * coalesce(m.s, 0) AS ppr
+           FROM rv LEFT JOIN (
+             SELECT e.dst AS id, sum(p.ppr / d.outdeg) AS s
+             FROM e JOIN p2 p ON p.id = e.src
+                    JOIN deg d ON d.src = e.src
+             GROUP BY e.dst) m ON m.id = rv.id)
+         SELECT id, round(ppr, 9) AS ppr FROM p3 ORDER BY id""",
+
+    "q209_linear_interp" ->
+      """WITH srs AS (
+           SELECT event_type,
+                  epoch_ns(ts) // 1000 // 60000000 AS minute,
+                  CASE WHEN (epoch_ns(ts) // 1000 // 60000000) % 13 = 0
+                       THEN NULL
+                       ELSE round(CAST(sum(CAST(value AS DECIMAL(18,4)))
+                         AS DOUBLE) / count(*), 6) END AS v
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, minute, v,
+                  last_value(CASE WHEN v IS NOT NULL THEN minute END
+                    IGNORE NULLS) OVER wb AS pt,
+                  last_value(v IGNORE NULLS) OVER wb AS pv,
+                  first_value(CASE WHEN v IS NOT NULL THEN minute END
+                    IGNORE NULLS) OVER wf AS nt,
+                  first_value(v IGNORE NULLS) OVER wf AS nv
+           FROM srs
+           WINDOW wb AS (PARTITION BY event_type ORDER BY minute
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  wf AS (PARTITION BY event_type ORDER BY minute
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT event_type, minute, v IS NULL AS was_gap,
+                round(CASE WHEN v IS NOT NULL THEN v
+                           WHEN pv IS NULL THEN nv
+                           WHEN nv IS NULL THEN pv
+                           ELSE pv + (nv - pv) *
+                             (CAST(minute - pt AS DOUBLE) /
+                              CAST(nt - pt AS DOUBLE)) END, 6) AS interp
+         FROM w ORDER BY event_type, minute""",
 
     "q207_gopher_rules" ->
       """WITH d AS (

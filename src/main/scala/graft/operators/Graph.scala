@@ -421,6 +421,77 @@ object Graph {
     out
   }
 
+  /** PERSONALIZED PageRank: random walk with restart to a SEED SET —
+    * relevance relative to a starting neighborhood rather than global
+    * authority, the seed-expansion primitive ("find more pages like
+    * these known-good domains") a crawl-frontier curator runs.
+    * {{{ ppr_{k+1}(v) = (1-d)·s(v) + d·Σ_{u→v} ppr_k(u)/outdeg(u) }}}
+    * with s uniform over the seeds (restart mass returns to seeds,
+    * not the whole graph — the only difference from [[pageRank]]'s
+    * recurrence, and the whole point: mass concentrates near the
+    * seeds). Sink mass leaves the system (pseudo-PPR), keeping the
+    * recurrence oracle-unrollable.
+    *
+    * SCALE SHAPE: identical to [[pageRank]] — pre-joined persisted
+    * edge+outdeg table, two shuffles per round, pinned rounds with
+    * eager release; the seed indicator is a broadcast semi/left join,
+    * never a collect. Returns (id, ppr) over the node universe.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+                           dstCol: String, seeds: DataFrame,
+                           seedCol: String, iterations: Int,
+                           damping: Double = 0.85,
+                           reliable: Boolean = false): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+              col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seedIds = seeds.select(col(seedCol).cast("long").as("id"))
+      .distinct()
+    // restart vector: 1/|S| on seeds present in the graph, 0 elsewhere
+    val s = nodes.join(seedIds, Seq("id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nSeeds = s.count().toDouble // driver scalar, O(1) bytes
+    require(nSeeds > 0, "no seed is a graph node")
+    val restart = nodes
+      .join(s.select(col("id"), lit(1.0 / nSeeds).as("_s")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("_s"), lit(0.0)).as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val linked = e.join(outdeg, "src")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = Components.pin(
+      restart.select(col("id"), col("s").as("ppr")), reliable)
+    for (_ <- 1 to iterations) {
+      val contrib = linked
+        .join(ranks.select(col("id").as("src"), col("ppr")), "src")
+        .select(col("dst").as("id"), (col("ppr") / col("outdeg")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("inmass"))
+      val next = Components.pin(
+        restart.join(contrib, Seq("id"), "left")
+          .select(col("id"),
+            (lit(1 - damping) * col("s") + lit(damping) *
+             coalesce(col("inmass"), lit(0.0))).as("ppr")),
+        reliable)
+      Components.releasePin(ranks, reliable)
+      ranks = next
+    }
+    e.unpersist(false)
+    nodes.unpersist(false)
+    linked.unpersist(false)
+    s.unpersist(false)
+    restart.unpersist(false)
+    ranks
+  }
+
   /** Adamic–Adar link prediction over an undirected simple graph:
     * for every NON-adjacent pair (a, b) sharing ≥ 1 neighbor,
     * `aa(a,b) = Σ_{v ∈ N(a)∩N(b)} 1/ln(deg(v))` — the classic

@@ -687,6 +687,44 @@ object Stats {
       .withColumn("n_in_window", count(lit(1)).over(w))
   }
 
+  /** Linear interpolation of missing values over a per-key time
+    * series: interior NULLs lerp between the nearest non-null
+    * neighbors, leading/trailing NULLs take the nearest known value —
+    * the telemetry gap-repair [[gapFillLocf]]'s step-function fill is
+    * too crude for (a slowly varying sensor reads 10 … NULL … 20:
+    * LOCF says 10, the truth is ~15).
+    *
+    * SCALE SHAPE: two stacked window passes (last-non-null looking
+    * back, first-non-null looking forward) sharing ONE exchange and
+    * ONE sort — both frames run over the same ascending per-key
+    * order. The lerp itself is a scan-stage projection; nothing else
+    * moves.
+    */
+  def linearInterp(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                   valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wBack = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val known = when(col(valCol).isNotNull,
+      struct(col(tsCol).as("t"), col(valCol).as("v")))
+    val pv = last(known, ignoreNulls = true).over(wBack)
+    val nv = first(known, ignoreNulls = true).over(wFwd)
+    df.withColumn("_pv", pv).withColumn("_nv", nv)
+      .withColumn("interp",
+        when(col(valCol).isNotNull, col(valCol))
+          .when(col("_pv").isNull, col("_nv.v"))
+          .when(col("_nv").isNull, col("_pv.v"))
+          .otherwise(col("_pv.v") +
+            (col("_nv.v") - col("_pv.v")) *
+            ((col(tsCol) - col("_pv.t")).cast("double") /
+             (col("_nv.t") - col("_pv.t")).cast("double"))))
+      .drop("_pv", "_nv")
+  }
+
   /** Frequent contiguous event SEQUENCES of length `n` (sequential
     * pattern mining, the contiguous special case): within each
     * `partCol` stream ordered by `orderCols`, every window of n

@@ -49,7 +49,9 @@ class QuerySurfaceSpec extends SparkTestBase {
     // global z-index zips the sorted RDD eagerly; q197 drains a stream
     "q188_hits", "q190_zorder_layout", "q197_stream_distinct",
     // q199 materializes under a scoped optimizer conf (sink round-trip)
-    "q199_range_band_join", "q205_stream_left_join")
+    "q199_range_band_join", "q205_stream_left_join",
+    // q208 pins PPR rounds + counts the seed set at construction
+    "q208_personalized_pagerank")
 
   test("every oracle key names a query; every query is gated") {
     val rowsOnly = Set("q34_approx_sketch", "q41_approx_segment",
