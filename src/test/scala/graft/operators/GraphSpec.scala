@@ -163,6 +163,31 @@ class GraphSpec extends SparkTestBase {
     assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-12)
   }
 
+  test("personalizedPageRank: restart mass returns to the seed only") {
+    // 1→2, 2→3, 3→1 cycle; seed {1}. s = (1,0,0).
+    // p0 = (1,0,0)
+    // p1: ppr(1)=0.15·1 + 0.85·p0(3)=0.15; ppr(2)=0.85·1=0.85; ppr(3)=0
+    // p2: ppr(1)=0.15;   ppr(2)=0.85·0.15=0.1275; ppr(3)=0.85·0.85=0.7225
+    val ppr = Graph.personalizedPageRank(
+        Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"),
+        "src", "dst", Seq(Tuple1(1L)).toDF("seed"), "seed",
+        iterations = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(ppr(1L) - 0.15) < 1e-12)
+    assert(math.abs(ppr(2L) - 0.1275) < 1e-12)
+    assert(math.abs(ppr(3L) - 0.7225) < 1e-12)
+    // no sinks + restart-to-seed ⇒ total mass conserved at 1
+    assert(math.abs(ppr.values.sum - 1.0) < 1e-12)
+    // a seed that is not a graph node contributes nothing
+    val two = Graph.personalizedPageRank(
+        Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"),
+        "src", "dst", Seq(1L, 99L).toDF("seed"), "seed", 1)
+      .as[(Long, Double)].collect().toMap
+    // |S ∩ V| = 1 ⇒ s(1) = 1: ppr(1) = 0.15, ppr(2) = 0.85
+    assert(math.abs(two(1L) - 0.15) < 1e-12)
+    assert(math.abs(two(2L) - 0.85) < 1e-12)
+  }
+
   test("adamicAdar: path scores the missing link, adjacents excluded") {
     // path 1–2–3 plus triangle 4–5, 5–6, 4–6:
     //  (1,3) share neighbor 2 (deg 2) → aa = 1/ln 2, NOT adjacent ✓

@@ -275,6 +275,28 @@ class StatsSpec extends SparkTestBase {
     assert(got(0) == 42.0)
     assert(got(1) == 7.0) // median of 100×7.0 + one 9.0
   }
+
+  test("linearInterp: interior lerp, nearest-known edges, passthrough") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("a", 0L, Some(10.0)), ("a", 2L, None), ("a", 3L, None),
+      ("a", 4L, Some(20.0)), ("a", 9L, Some(5.0)),
+      ("b", 1L, None), ("b", 2L, Some(7.0)), ("b", 5L, None),
+      ("c", 1L, None), ("c", 2L, None) // all-null key stays null
+    ).toDF("k", "t", "v")
+    val got = Stats.linearInterp(df, Seq("k"), "t", "v")
+      .select(col("k"), col("t"), col("interp"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got(("a", 0L)) == Some(10.0)) // known values pass through
+    assert(got(("a", 2L)) == Some(15.0)) // 10 + (20-10)·(2/4)
+    assert(got(("a", 3L)) == Some(17.5))
+    assert(got(("a", 9L)) == Some(5.0))
+    assert(got(("b", 1L)) == Some(7.0))  // leading edge → next known
+    assert(got(("b", 5L)) == Some(7.0))  // trailing edge → last known
+    assert(got(("c", 1L)).isEmpty && got(("c", 2L)).isEmpty)
+  }
 }
 
 class InterleaveSpec extends SparkTestBase {
