@@ -1655,6 +1655,67 @@ object SparkEntry {
         .orderBy(col("user_id"), col("a_id"), col("b_id"))
     }),
 
+    // File-skipping effectiveness of the z-order layout: probe the
+    // q190 envelopes with a 64-point filter workload on EACH dimension
+    // and count candidate files per probe — the metric that tells a
+    // layout owner whether min/max skipping will actually prune at
+    // 100 TB. Probe coverage is a scan-stage sequence explode over
+    // the (tiny) envelope table, never an inequality join; the file
+    // total is a one-row broadcast
+    "q211_skip_rate" -> ((s, dir) => {
+      val env = Layout.zorderFileStats(t(s, dir, "events"),
+        pmod(col("user_id"), lit(1024L)),
+        floor(col("value")).cast("long"),
+        col("event_id"), rowsPerFile = 512L)
+      val tot = env.agg(count(lit(1)).as("total_files"))
+      def hitsFor(minC: String, maxC: String, dim: String) = {
+        val spine = s.range(64).select(lit(dim).as("dim"),
+          (col("id") * 16).as("probe"))
+        val hit = env
+          .where(expr(s"($minC + 15) DIV 16 <= $maxC DIV 16"))
+          .select(explode(sequence(expr(s"($minC + 15) DIV 16"),
+            expr(s"$maxC DIV 16"))).as("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("files_hit"))
+        spine.join(hit, spine("probe") === hit("k") * 16, "left")
+          .select(col("dim"), col("probe"),
+            coalesce(col("files_hit"), lit(0L)).as("files_hit"))
+      }
+      hitsFor("x_min", "x_max", "x")
+        .unionByName(hitsFor("y_min", "y_max", "y"))
+        .crossJoin(broadcast(tot))
+        .withColumn("skip_rate", round(lit(1.0) -
+          col("files_hit").cast("double") /
+          col("total_files").cast("double"), 6))
+        .orderBy(col("dim"), col("probe"))
+    }),
+
+    // Seasonality-adjusted anomaly screen: remove the (event_type,
+    // weekday) mean, z-score the residual against the type's residual
+    // spread — the "Monday is always high, that's not an anomaly"
+    // correction a raw z-score lacks; two aggregate passes, exact
+    // DECIMAL sums, one cast each
+    "q210_seasonal_anomaly" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"),
+        col("event_type"),
+        expr("(unix_micros(ts) DIV 86400000000 + 4) % 7").as("wd"),
+        col("value").cast("decimal(18,4)").as("v"))
+      // weekday mean from the exact DECIMAL sum, one cast, rounded —
+      // both engines derive the identical double
+      val wdMean = e.groupBy(col("event_type"), col("wd"))
+        .agg(round(sum(col("v")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mu"))
+      val res = e.join(wdMean, Seq("event_type", "wd"))
+        .select(col("event_id"), col("event_type"), col("wd"),
+          round(col("v").cast("double") - col("mu"), 6).as("res"))
+      // the screen itself is q116's exact median/MAD machinery over
+      // the ROUNDED residuals — no float-sum thresholds anywhere
+      Stats.robustOutliers(res, Seq("event_type"), "res", factor = 3.0)
+        .select(col("event_id"), col("event_type"), col("wd"),
+          col("res"), round(col("med"), 6).as("med"),
+          round(col("mad"), 6).as("mad"))
+        .orderBy(col("event_id"))
+    }),
+
     // Personalized PageRank: random walk with restart to a seed set —
     // seed-relative relevance (crawl-frontier expansion), not global
     // authority; restart mass returns to seeds only, sink mass leaves
@@ -6188,6 +6249,71 @@ object SparkEntry {
          SELECT event_id, user_id,
                 CAST(round(cusum, 4) AS DOUBLE) AS cusum
          FROM s WHERE cusum > 500.0 ORDER BY event_id""",
+
+    "q210_seasonal_anomaly" ->
+      """WITH e AS (
+           SELECT event_id, event_type,
+                  (epoch_ns(ts) // 1000 // 86400000000 + 4) % 7 AS wd,
+                  CAST(value AS DECIMAL(18,4)) AS v
+           FROM events),
+         m AS (
+           SELECT event_type, wd,
+                  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mu
+           FROM e GROUP BY 1, 2),
+         r AS (
+           SELECT e.event_id, e.event_type, e.wd,
+                  round(CAST(e.v AS DOUBLE) - m.mu, 6) AS res
+           FROM e JOIN m USING (event_type, wd)),
+         med AS (
+           SELECT event_type, quantile_cont(res, 0.5) AS med
+           FROM r GROUP BY 1),
+         mad AS (
+           SELECT r.event_type,
+                  quantile_cont(abs(r.res - med.med), 0.5) AS mad
+           FROM r JOIN med USING (event_type) GROUP BY 1)
+         SELECT r.event_id, r.event_type, r.wd, r.res,
+                round(med.med, 6) AS med, round(mad.mad, 6) AS mad
+         FROM r JOIN med USING (event_type) JOIN mad USING (event_type)
+         WHERE abs(r.res - med.med) > 3 * mad.mad
+         ORDER BY r.event_id""",
+
+    "q211_skip_rate" ->
+      """WITH k AS (
+           SELECT user_id % 1024 AS x,
+                  CAST(floor(value) AS BIGINT) AS y, event_id
+           FROM events),
+         z AS (
+           SELECT x, y, event_id,
+                  CAST(list_sum(list_transform(range(0, 21), i ->
+                    (((x >> i) & 1) << (2 * i)) +
+                    (((y >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS z
+           FROM k),
+         idx AS (
+           SELECT x, y, z,
+                  row_number() OVER (ORDER BY z, event_id) AS rn
+           FROM z),
+         env AS (
+           SELECT (rn - 1) // 512 AS file_id,
+                  min(x) AS x_min, max(x) AS x_max,
+                  min(y) AS y_min, max(y) AS y_max
+           FROM idx GROUP BY 1),
+         tot AS (SELECT count(*) AS total_files FROM env),
+         probes AS (
+           SELECT d.dim, 16 * r.range AS probe
+           FROM range(0, 64) r
+           CROSS JOIN (SELECT 'x' AS dim UNION ALL SELECT 'y') d),
+         hits AS (
+           SELECT p.dim, p.probe, count(e.file_id) AS files_hit
+           FROM probes p LEFT JOIN env e
+             ON (p.dim = 'x' AND e.x_min <= p.probe
+                 AND p.probe <= e.x_max)
+             OR (p.dim = 'y' AND e.y_min <= p.probe
+                 AND p.probe <= e.y_max)
+           GROUP BY 1, 2)
+         SELECT h.dim, h.probe, h.files_hit, t.total_files,
+                round(1.0 - h.files_hit /
+                  CAST(t.total_files AS DOUBLE), 6) AS skip_rate
+         FROM hits h, tot t ORDER BY h.dim, h.probe""",
 
     "q208_personalized_pagerank" ->
       """WITH e AS MATERIALIZED (

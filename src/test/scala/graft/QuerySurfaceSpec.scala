@@ -50,8 +50,9 @@ class QuerySurfaceSpec extends SparkTestBase {
     "q188_hits", "q190_zorder_layout", "q197_stream_distinct",
     // q199 materializes under a scoped optimizer conf (sink round-trip)
     "q199_range_band_join", "q205_stream_left_join",
-    // q208 pins PPR rounds + counts the seed set at construction
-    "q208_personalized_pagerank")
+    // q208 pins PPR rounds + counts the seed set at construction;
+    // q211 zips the z-sorted RDD eagerly (q190 machinery)
+    "q208_personalized_pagerank", "q211_skip_rate")
 
   test("every oracle key names a query; every query is gated") {
     val rowsOnly = Set("q34_approx_sketch", "q41_approx_segment",
