@@ -1689,6 +1689,73 @@ object SparkEntry {
         .orderBy(col("dim"), col("probe"))
     }),
 
+    // Exact ROC AUC per weekday of event value predicting purchase —
+    // the quality-classifier evaluation primitive; Mann-Whitney midrank
+    // form, integer until one final division (Stats.aucByKey scaladoc),
+    // rank pass split 8 ways so no weekday funnels through one task
+    "q212_auc" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        expr("(unix_micros(ts) DIV 86400000000 + 4) % 7").as("wd"),
+        col("value"),
+        (col("event_type") === "purchase").as("pos"))
+      Stats.aucByKey(e, Seq("wd"), "value", col("pos"), orderBuckets = 8)
+        .orderBy(col("wd"))
+    }),
+
+    // Gini concentration of customer spend per nation — revenue-
+    // concentration audit; ranks never materialize per row (distinct-
+    // value rank mass, Stats.giniByKey scaladoc), DECIMAL-exact until
+    // the final division
+    "q213_gini" -> ((s, dir) => {
+      val spend = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(moneySum(col("o_totalprice")).cast("decimal(18,4)")
+          .as("spend"))
+      val k = spend.join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), col("spend"))
+      Stats.giniByKey(k, Seq("c_nationkey"), "spend", orderBuckets = 4)
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // Item-item co-occurrence cosine neighbors over order baskets
+    // (500 part categories): the collaborative-filtering similarity
+    // table; pair generation blocked on the basket key, top-3 over each
+    // item's thresholded neighbor list
+    "q214_item_similarity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        pmod(col("l_partkey"), lit(500L)).as("item"))
+      Association.itemCosine(li, Seq("l_orderkey"), "item",
+          minCo = 3, topK = 3)
+        .orderBy(col("item"), col("rank"))
+    }),
+
+    // Benford first-digit screen of order totals per priority class —
+    // fabricated-data audit; digit via DECIMAL-string regexp (no float
+    // log digit math), chi-square from DECIMAL-summed rounded
+    // contributions (order-independent)
+    "q215_benford" -> ((s, dir) => {
+      Stats.benfordScreen(t(s, dir, "orders"), Seq("o_orderpriority"),
+          "o_totalprice")
+        .orderBy(col("o_orderpriority"), col("digit"))
+    }),
+
+    // Calibration (reliability) table: exact value deciles (q170's
+    // quantileBin) vs realized purchase rate — is the score monotone in
+    // the outcome; one broadcast of 9 boundaries + one aggregate
+    "q216_calibration" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("value"),
+        (col("event_type") === "purchase").as("pos"))
+      Stats.quantileBin(e, "value", (1 to 9).map(_ / 10.0), "decile")
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,4)")).cast("double") /
+            count(lit(1)), 6).as("mean_score"),
+          round(sum(when(col("pos"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1)), 6).as("pos_rate"))
+        .orderBy(col("decile"))
+    }),
+
     // Seasonality-adjusted anomaly screen: remove the (event_type,
     // weekday) mean, z-score the residual against the type's residual
     // spread — the "Monday is always high, that's not an anomaly"
@@ -6314,6 +6381,137 @@ object SparkEntry {
                 round(1.0 - h.files_hit /
                   CAST(t.total_files AS DOUBLE), 6) AS skip_rate
          FROM hits h, tot t ORDER BY h.dim, h.probe""",
+
+    "q212_auc" ->
+      """WITH e AS (
+           SELECT (epoch_ns(ts) // 1000 // 86400000000 + 4) % 7 AS wd,
+                  value, (event_type = 'purchase') AS pos
+           FROM events),
+         c AS (
+           SELECT wd, value,
+                  sum(CASE WHEN pos THEN 1 ELSE 0 END) AS pc,
+                  sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nc
+           FROM e GROUP BY 1, 2),
+         w AS (
+           SELECT wd, pc, nc,
+                  coalesce(sum(nc) OVER (PARTITION BY wd ORDER BY value
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS cnb
+           FROM c)
+         SELECT wd, CAST(sum(pc) AS BIGINT) AS positives,
+                CAST(sum(nc) AS BIGINT) AS negatives,
+                round(CAST(sum(pc * (2 * cnb + nc)) AS DOUBLE) /
+                  (2.0 * sum(pc) * sum(nc)), 9) AS auc
+         FROM w GROUP BY 1 ORDER BY wd""",
+
+    "q213_gini" ->
+      """WITH m AS (
+           SELECT o_custkey,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                       AS DECIMAL(18,4)) AS spend
+           FROM orders GROUP BY 1),
+         k AS (
+           SELECT c.c_nationkey, m.spend,
+                  row_number() OVER (PARTITION BY c.c_nationkey
+                    ORDER BY m.spend, m.o_custkey) AS rn
+           FROM m JOIN customer c ON m.o_custkey = c.c_custkey)
+         SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+                round(CAST(2 * sum(rn * spend)
+                        - (count(*) + 1) * sum(spend) AS DOUBLE) /
+                      CAST(count(*) * sum(spend) AS DOUBLE), 9) AS gini
+         FROM k GROUP BY 1 ORDER BY c_nationkey""",
+
+    "q214_item_similarity" ->
+      """WITH it AS (
+           SELECT DISTINCT l_orderkey, l_partkey % 500 AS item
+           FROM lineitem),
+         ic AS (SELECT item, count(*) AS c FROM it GROUP BY 1),
+         p AS (
+           SELECT x.item AS a, y.item AS b, count(*) AS n_ab
+           FROM it x JOIN it y
+             ON x.l_orderkey = y.l_orderkey AND x.item < y.item
+           GROUP BY 1, 2 HAVING count(*) >= 3),
+         sym AS (SELECT a, b, n_ab FROM p
+                 UNION ALL SELECT b, a, n_ab FROM p),
+         sc AS (
+           SELECT s.a AS item, s.b AS neighbor, s.n_ab,
+                  round(s.n_ab / sqrt(ca.c * CAST(cb.c AS DOUBLE)), 6)
+                    AS cosine
+           FROM sym s JOIN ic ca ON s.a = ca.item
+                      JOIN ic cb ON s.b = cb.item),
+         r AS (
+           SELECT item, neighbor, n_ab, cosine,
+                  CAST(row_number() OVER (PARTITION BY item
+                    ORDER BY cosine DESC, neighbor) AS INTEGER) AS rank
+           FROM sc)
+         SELECT item, neighbor, n_ab, cosine, rank
+         FROM r WHERE rank <= 3 ORDER BY item, rank""",
+
+    "q215_benford" ->
+      """WITH d AS (
+           SELECT o_orderpriority,
+                  CAST(regexp_extract(CAST(CAST(o_totalprice
+                    AS DECIMAL(18,2)) AS VARCHAR), '[1-9]')
+                    AS INTEGER) AS digit
+           FROM orders
+           WHERE regexp_extract(CAST(CAST(o_totalprice
+                   AS DECIMAL(18,2)) AS VARCHAR), '[1-9]') <> ''),
+         o AS (
+           SELECT o_orderpriority, digit, count(*) AS obs
+           FROM d GROUP BY 1, 2),
+         spine AS (
+           SELECT k.o_orderpriority, CAST(g.range AS INTEGER) AS digit
+           FROM (SELECT DISTINCT o_orderpriority FROM d) k
+           CROSS JOIN range(1, 10) g),
+         cells AS (
+           SELECT s.o_orderpriority, s.digit,
+                  CAST(coalesce(o.obs, 0) AS BIGINT) AS obs
+           FROM spine s LEFT JOIN o
+             ON s.o_orderpriority = o.o_orderpriority
+            AND s.digit = o.digit),
+         w AS (
+           SELECT o_orderpriority, digit, obs,
+                  sum(obs) OVER (PARTITION BY o_orderpriority) AS n,
+                  CAST(sum(obs) OVER (PARTITION BY o_orderpriority)
+                       AS DOUBLE)
+                    * log10(1.0 + 1.0 / digit) AS expd
+           FROM cells),
+         c AS (
+           SELECT *, CAST(round((obs - expd) * (obs - expd) / expd, 6)
+                          AS DECIMAL(18,6)) AS contrib
+           FROM w)
+         SELECT o_orderpriority, digit, obs, CAST(n AS BIGINT) AS n,
+                round(expd, 4) AS expected,
+                round(CAST(obs AS DOUBLE) / n, 6) AS obs_share,
+                CAST(sum(contrib) OVER (PARTITION BY o_orderpriority)
+                     AS DOUBLE) AS chi2
+         FROM c ORDER BY o_orderpriority, digit""",
+
+    "q216_calibration" ->
+      """WITH e AS (
+           SELECT value, (event_type = 'purchase') AS pos FROM events),
+         b AS (
+           SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                        0.6, 0.7, 0.8, 0.9]) AS qb
+           FROM e),
+         coded AS (
+           SELECT e.value, e.pos,
+                  1 + CAST(value > qb[1] AS INTEGER)
+                    + CAST(value > qb[2] AS INTEGER)
+                    + CAST(value > qb[3] AS INTEGER)
+                    + CAST(value > qb[4] AS INTEGER)
+                    + CAST(value > qb[5] AS INTEGER)
+                    + CAST(value > qb[6] AS INTEGER)
+                    + CAST(value > qb[7] AS INTEGER)
+                    + CAST(value > qb[8] AS INTEGER)
+                    + CAST(value > qb[9] AS INTEGER) AS decile
+           FROM e, b)
+         SELECT decile, CAST(count(*) AS BIGINT) AS n,
+                round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                      / count(*), 6) AS mean_score,
+                round(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END)
+                           AS DOUBLE) / count(*), 6) AS pos_rate
+         FROM coded GROUP BY 1 ORDER BY decile""",
 
     "q208_personalized_pagerank" ->
       """WITH e AS MATERIALIZED (

@@ -56,4 +56,58 @@ object Association {
           ((col("_ca").cast("double") / col("_n")) *
            (col("_cb").cast("double") / col("_n"))), 6).as("lift"))
   }
+
+  /** Item-item co-occurrence cosine neighbors (collaborative-filtering
+    * similarity): over baskets,
+    * {{{ cosine(a,b) = n_ab / sqrt(n_a · n_b) }}}
+    * with n_x = #baskets containing x, n_ab = #baskets containing both;
+    * per item, the `topK` most-similar neighbors (pairs below `minCo`
+    * co-occurrences dropped first). Ordering is on the ROUNDED cosine
+    * with the neighbor id as tiebreak, so rank is engine-deterministic.
+    *
+    * SCALE SHAPE: [[basketLift]]'s blocking argument — pair generation
+    * is an equi-join ON THE BASKET KEY, quadratic only in
+    * items-per-basket, never corpus size (cap basket size upstream for
+    * pathological carts, the maxDf pattern). The top-k window runs over
+    * each item's NEIGHBOR LIST (≤ distinct co-items, already
+    * `minCo`-thresholded), not over rows. Returns
+    * (item, neighbor, n_ab, cosine, rank).
+    */
+  def itemCosine(df: DataFrame, basketCols: Seq[String], itemCol: String,
+                 minCo: Long, topK: Int): DataFrame = {
+    // basket keys are renamed internally — a caller's basket column
+    // named "a"/"b"/"item" must not capture the pair-join references
+    val bk = basketCols.indices.map(i => s"_bk_$i")
+    val items = df
+      .select(basketCols.zip(bk).map { case (c, n) => col(c).as(n) } :+
+        col(itemCol).as("item"): _*)
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ic = items.groupBy(col("item")).agg(count(lit(1)).as("_c"))
+    val x = items.select(bk.map(col) :+ col("item").as("a"): _*)
+    val y = items.select(bk.map(col) :+ col("item").as("b"): _*)
+    val pairs = x.join(y, bk)
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minCo)
+    val sym = pairs.unionByName(pairs.select(col("b").as("a"),
+      col("a").as("b"), col("n_ab")))
+    // both count sides and the pair table descend from `items`, so the
+    // lookups join through explicit aliases (plain column names are
+    // ambiguous in the self-join lineage)
+    val scored = sym.as("s")
+      .join(ic.as("ca"), col("s.a") === col("ca.item"))
+      .join(ic.as("cb"), col("s.b") === col("cb.item"))
+      .select(col("s.a").as("item"), col("s.b").as("neighbor"),
+        col("s.n_ab").as("n_ab"),
+        round(col("s.n_ab").cast("double") /
+          sqrt(col("ca._c").cast("double") * col("cb._c").cast("double")),
+          6).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item"))
+      .orderBy(col("cosine").desc, col("neighbor"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+  }
 }

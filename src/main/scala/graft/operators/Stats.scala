@@ -759,4 +759,342 @@ object Stats {
       .agg(count(lit(1)).as("support"))
       .where(col("support") >= minSupport)
   }
+
+  /** Exclusive (strictly-below) running sums of `sumCols` over the
+    * per-(key, value) table `counts`, ordered by `valueCol` — the shared
+    * rank pass behind [[aucByKey]] and [[giniByKey]]. `counts` must have
+    * at most one row per (key, value) (it comes from a groupBy), so the
+    * window order is total and the result deterministic.
+    *
+    * SCALE SHAPE: same contract as [[exactPercentiles]]'s rank pass —
+    * orderBuckets = 0 runs one cumulative window per key; B > 1 first
+    * range-splits the value domain by approx-quantile boundaries (any
+    * split preserves exactness: the sums are per-row and the boundaries
+    * only partition the sort), runs the heavy window per (key, bucket)
+    * on #keys×B tasks, and offsets each bucket by the broadcast B-row
+    * per-key prefix of bucket totals. Adds `_cb_<c>` per input column.
+    */
+  private def withExclusiveCum(counts: DataFrame, keyCols: Seq[String],
+                               valueCol: String, sumCols: Seq[String],
+                               orderBuckets: Int): DataFrame = {
+    val key = keyCols.map(col)
+    def below(w: org.apache.spark.sql.expressions.WindowSpec,
+              prefix: String) =
+      sumCols.map(c => coalesce(
+        sum(col(c)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)).as(s"$prefix$c"))
+    if (orderBuckets > 1) {
+      val bounds = Skew.approxBoundaries(counts, keyCols, valueCol,
+        orderBuckets)
+      val seg = Skew.segmentByBoundaries(counts, bounds, keyCols,
+        valueCol, "_ob")
+      val wIn = Window.partitionBy((key :+ col("_ob")): _*)
+        .orderBy(col(valueCol))
+      val within = seg.select(seg.columns.toIndexedSeq.map(col) ++
+        below(wIn, "_incb_"): _*)
+      // bucket totals -> exclusive prefix across buckets, per key; the
+      // offset table is B rows per key, broadcast back null-safely (the
+      // exactPercentiles NULL-key lesson applies verbatim)
+      val btAggs = sumCols.map(c => sum(col(c)).as(s"_bt_$c"))
+      val totals = seg.groupBy((key :+ col("_ob")): _*)
+        .agg(btAggs.head, btAggs.tail: _*)
+      val wOff = Window.partitionBy(key: _*).orderBy(col("_ob"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = totals.select(
+        keyCols.map(c => col(c).as(s"_ok_$c")) ++
+          Seq(col("_ob").as("_oob")) ++
+          sumCols.map(c => coalesce(sum(col(s"_bt_$c")).over(wOff),
+            lit(0L)).as(s"_off_$c")): _*)
+      val cond = keyCols.map(c => col(c) <=> col(s"_ok_$c"))
+        .foldLeft(col("_ob") <=> col("_oob"))(_ && _)
+      within.join(broadcast(offs), cond)
+        .select(counts.columns.toIndexedSeq.map(col) ++ sumCols.map(c =>
+          (col(s"_off_$c") + col(s"_incb_$c")).as(s"_cb_$c")): _*)
+    } else {
+      val wCum = Window.partitionBy(key: _*).orderBy(col(valueCol))
+      counts.select(counts.columns.toIndexedSeq.map(col) ++ below(wCum, "_cb_"): _*)
+    }
+  }
+
+  /** Exact ROC AUC per key with midrank tie handling — the
+    * Mann-Whitney U form: for each distinct score v,
+    * {{{ contribution(v) = pos(v) · (neg(<v) + neg(v)/2) }}}
+    * and AUC = Σ contribution / (P·N). Doubling keeps every term an
+    * INTEGER (2·contribution = pos·(2·negBelow + neg)), summed in
+    * DECIMAL(38,0) — exact and order-independent until the single final
+    * division, so the oracle can state the identical arithmetic.
+    * Equals sklearn's roc_auc_score (ties = trapezoid rule).
+    *
+    * SCALE SHAPE: scores aggregate per (key, score) map-side first (the
+    * shuffle carries distinct scores, not rows); the rank pass is
+    * [[withExclusiveCum]] with its orderBuckets contract; the finish is
+    * one more aggregate. Never a per-row window, never a sort of the
+    * fact table. NULL scores and NULL labels are excluded. Keys with
+    * P = 0 or N = 0 return NULL auc (undefined, not 0).
+    */
+  def aucByKey(df: DataFrame, keyCols: Seq[String], scoreCol: String,
+               labelCol: Column, orderBuckets: Int = 0): DataFrame = {
+    val key = keyCols.map(col)
+    val counts = df
+      .where(col(scoreCol).isNotNull && labelCol.isNotNull)
+      .groupBy((key :+ col(scoreCol)): _*)
+      .agg(sum(when(labelCol, 1L).otherwise(0L)).as("_pc"),
+           sum(when(labelCol, 0L).otherwise(1L)).as("_nc"))
+    val cum = withExclusiveCum(counts, keyCols, scoreCol, Seq("_nc"),
+      orderBuckets)
+    cum.groupBy(key: _*)
+      .agg(sum(col("_pc")).as("positives"),
+           sum(col("_nc")).as("negatives"),
+           sum((col("_pc") * (lit(2L) * col("_cb__nc") + col("_nc")))
+             .cast("decimal(38,0)")).as("_s2"))
+      .select(key ++ Seq(col("positives"), col("negatives"),
+        // single-class keys are UNDEFINED, not 0 — and under ANSI mode
+        // the division must be guarded, not left to error at runtime
+        when(col("positives") > 0 && col("negatives") > 0,
+          round(col("_s2").cast("double") /
+            (lit(2.0) * col("positives").cast("double") *
+              col("negatives").cast("double")), 9)).as("auc")): _*)
+  }
+
+  /** Gini concentration coefficient per key over one row per entity:
+    * with values sorted ascending and 1-based ranks,
+    * {{{ G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) }}}
+    * Ties need no tiebreak: a run of c equal values starting at rank r
+    * contributes x·(c·r + c(c−1)/2) regardless of intra-run order, which
+    * is exactly how it is computed — per DISTINCT value, from the
+    * exclusive cumulative count. `valueCol` must be DECIMAL (the caller
+    * chooses the scale): Σ rank·x then stays decimal-exact and
+    * order-independent until the final division, and the oracle's
+    * row_number() formulation lands on identical bits.
+    *
+    * SCALE SHAPE: one map-side-combined aggregate per (key, value), the
+    * [[withExclusiveCum]] rank pass (orderBuckets contract for huge
+    * keys), one final aggregate. The usual row_number()-over-everything
+    * formulation sorts the entity table through one task per key; this
+    * never ranks rows at all.
+    */
+  def giniByKey(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                orderBuckets: Int = 0): DataFrame = {
+    val key = keyCols.map(col)
+    val counts = df.where(col(valueCol).isNotNull)
+      .groupBy((key :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("_c"))
+    val cum = withExclusiveCum(counts, keyCols, valueCol, Seq("_c"),
+      orderBuckets)
+    // Σ over the c entities at value x, first rank r = below+1:
+    //   Σ_{j=0..c-1} (r+j)·x = x·(c·r + c(c−1)/2)
+    val rankMass = (col(valueCol) *
+      (col("_c") * (col("_cb__c") + lit(1L)) +
+        (col("_c") * (col("_c") - lit(1L))) / lit(2L))
+        .cast("decimal(20,0)")).cast("decimal(38,6)")
+    cum.groupBy(key: _*)
+      .agg(sum(col("_c")).as("n"),
+           sum(col(valueCol).cast("decimal(38,6)") * col("_c"))
+             .cast("decimal(38,6)").as("_s0"),
+           sum(rankMass).cast("decimal(38,6)").as("_s1"))
+      .select(key ++ Seq(col("n"),
+        // an all-zero key has no concentration to measure (and ANSI
+        // mode would error the 0-denominator division)
+        when(col("_s0") =!= lit(0).cast("decimal(38,6)"),
+          round((lit(2L) * col("_s1") -
+              (col("n") + lit(1L)) * col("_s0")).cast("double") /
+            (col("n") * col("_s0")).cast("double"), 9)).as("gini")): _*)
+  }
+
+  /** NDCG@k per key — ranking-quality evaluation of a score column
+    * against a graded relevance column: rank by score (desc, `tieCol`
+    * tiebreak), DCG@k = Σ_{i≤k} rel_i / log2(i+1), IDCG@k = the same
+    * under the ideal (relevance-desc) ordering, NDCG = DCG/IDCG (NULL
+    * when a key has no relevant rows — undefined, not 0).
+    *
+    * Determinism: each position's contribution is rounded to 9 decimals
+    * and summed as DECIMAL — order-independent, and the 1-ulp log2
+    * differences between engines sit ~7 orders below the rounding
+    * grain. SCALE SHAPE: two row_number passes over the SAME per-key
+    * exchange (one shuffle, two sorts), then one aggregate; keys are
+    * users/queries — many and small, the balanced window regime.
+    */
+  def ndcgAtK(df: DataFrame, keyCols: Seq[String], scoreCol: String,
+              relCol: String, k: Int, tieCol: String): DataFrame = {
+    val key = keyCols.map(col)
+    val wS = Window.partitionBy(key: _*)
+      .orderBy(col(scoreCol).desc, col(tieCol))
+    val wI = Window.partitionBy(key: _*)
+      .orderBy(col(relCol).desc, col(tieCol))
+    val ranked = df
+      .withColumn("_rn", row_number().over(wS))
+      .withColumn("_irn", row_number().over(wI))
+    def gain(rankCol: String) = sum(
+      when(col(rankCol) <= k,
+        round(col(relCol).cast("double") /
+          log2(col(rankCol).cast("double") + lit(1.0)), 9)
+          .cast("decimal(18,9)"))
+        .otherwise(lit(0).cast("decimal(18,9)")))
+    ranked.groupBy(key: _*)
+      .agg(gain("_rn").as("_dcg"), gain("_irn").as("_idcg"))
+      .select(key ++ Seq(
+        col("_dcg").cast("double").as("dcg"),
+        col("_idcg").cast("double").as("idcg"),
+        when(col("_idcg") > 0,
+          round(col("_dcg").cast("double") /
+            col("_idcg").cast("double"), 6)).as("ndcg")): _*)
+  }
+
+  /** Precision/recall/F1 at each of the score's own `probs` quantile
+    * thresholds (predicted-positive ⇔ score > threshold) — the
+    * threshold-sweep table behind a PR curve, against exact
+    * [[exactPercentiles]] cut points so the oracle can reproduce them
+    * bit-for-bit via quantile_cont.
+    *
+    * SCALE SHAPE: the threshold table is |probs| rows, broadcast; the
+    * fan-out join is scan-stage (each row evaluates |probs| predicates)
+    * and the aggregate combines map-side to |probs| rows. Rows with
+    * NULL score or label are excluded. Zero-denominator cells (nothing
+    * predicted positive / no positives) are NULL, not 0.
+    */
+  def prAtThresholds(df: DataFrame, scoreCol: String, labelCol: Column,
+                     probs: Seq[Double]): DataFrame = {
+    val labeled = probs.zipWithIndex.map { case (p, i) => (s"_th_$i", p) }
+    val cuts = exactPercentiles(
+      df.select(col(scoreCol).cast("double").as("_s")), Nil, "_s",
+      labeled)
+    val thresholds = cuts.select(explode(array(labeled.map {
+      case (l, p) => struct(lit(p).as("prob"), col(l).as("threshold"))
+    }: _*)).as("_t")).select(col("_t.prob"), col("_t.threshold"))
+    df.where(col(scoreCol).isNotNull && labelCol.isNotNull)
+      .select(col(scoreCol).cast("double").as("_s"), labelCol.as("_y"))
+      .crossJoin(broadcast(thresholds))
+      .groupBy(col("prob"), col("threshold"))
+      .agg(
+        sum(when(col("_y") && col("_s") > col("threshold"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(!col("_y") && col("_s") > col("threshold"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("_y") && !(col("_s") > col("threshold")), 1L)
+          .otherwise(0L)).as("fn"))
+      .select(col("prob"), round(col("threshold"), 6).as("threshold"),
+        col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0, round(col("tp").cast("double") /
+          (col("tp") + col("fp")).cast("double"), 6)).as("precision"),
+        when(col("tp") + col("fn") > 0, round(col("tp").cast("double") /
+          (col("tp") + col("fn")).cast("double"), 6)).as("recall"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          round(lit(2.0) * col("tp").cast("double") /
+            (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"),
+            6)).as("f1"))
+  }
+
+  /** Exact Spearman rank correlation per key between two columns, with
+    * midrank (average-rank) tie handling — the monotone-association
+    * audit that is robust where Pearson is dragged by outliers.
+    *
+    * DOUBLED midranks keep everything INTEGER: for the c rows sharing a
+    * value with `below` rows strictly smaller, 2·midrank =
+    * 2·below + c + 1. Spearman = Pearson over (2rx, 2ry) — scale
+    * invariant — so all five sums (Σx, Σy, Σx², Σy², Σxy) accumulate
+    * exactly in DECIMAL(38,0) and only the final correlation formula
+    * runs in floating point, identically on both engines. Constant
+    * columns (zero variance) return NULL.
+    *
+    * SCALE SHAPE: midranks come from [[withExclusiveCum]] over the
+    * per-(key, value) DISTINCT table (its orderBuckets contract for
+    * huge keys), joined back on (key, value) — distinct-value-sized
+    * build sides AQE broadcasts in the common low-cardinality case;
+    * then one map-side-combined aggregate. Rows with a NULL in either
+    * column are excluded (pairwise-complete, the standard convention).
+    */
+  def spearmanByKey(df: DataFrame, keyCols: Seq[String], xCol: String,
+                    yCol: String, orderBuckets: Int = 0): DataFrame = {
+    val key = keyCols.map(col)
+    val base = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((key :+ col(xCol) :+ col(yCol)): _*)
+    def ranks(vCol: String, out: String): DataFrame = {
+      val counts = base.groupBy((key :+ col(vCol)): _*)
+        .agg(count(lit(1)).as("_c"))
+      withExclusiveCum(counts, keyCols, vCol, Seq("_c"), orderBuckets)
+        .select((key :+ col(vCol) :+
+          (lit(2L) * col("_cb__c") + col("_c") + lit(1L)).as(out)): _*)
+    }
+    val joined = base
+      .join(ranks(xCol, "_rx"), keyCols :+ xCol)
+      .join(ranks(yCol, "_ry"), keyCols :+ yCol)
+    def d(c: Column) = c.cast("double")
+    // products are taken in DECIMAL — a doubled rank reaches 2n, so the
+    // long×long square would overflow around n ≈ 2^31 rows per key
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val agg = joined.groupBy(key: _*).agg(
+      count(lit(1)).as("_n"),
+      sum(dec(col("_rx"))).as("_sx"),
+      sum(dec(col("_ry"))).as("_sy"),
+      sum((dec(col("_rx")) * dec(col("_rx"))).cast("decimal(38,0)"))
+        .as("_sxx"),
+      sum((dec(col("_ry")) * dec(col("_ry"))).cast("decimal(38,0)"))
+        .as("_syy"),
+      sum((dec(col("_rx")) * dec(col("_ry"))).cast("decimal(38,0)"))
+        .as("_sxy"))
+    val varX = d(col("_n")) * d(col("_sxx")) - d(col("_sx")) * d(col("_sx"))
+    val varY = d(col("_n")) * d(col("_syy")) - d(col("_sy")) * d(col("_sy"))
+    agg.select(key ++ Seq(col("_n").as("n"),
+      when(varX > 0 && varY > 0,
+        round((d(col("_n")) * d(col("_sxy")) -
+            d(col("_sx")) * d(col("_sy"))) / sqrt(varX * varY), 6))
+        .as("spearman")): _*)
+  }
+
+  /** Benford first-significant-digit screen per key: observed counts of
+    * the leading nonzero digit of `valueCol` against the Benford
+    * expectation p(d) = log10(1 + 1/d), with a chi-square statistic per
+    * key — the classic fabricated-data / corrupted-feed audit. The digit
+    * is extracted from the DECIMAL(18,2) string form (regexp, not
+    * floating log arithmetic — `floor(v / 10^floor(log10 v))` puts
+    * boundary values like 1000.0 in the wrong digit on 1-ulp log
+    * differences between engines). Zero/NULL values carry no digit and
+    * are excluded; the sign is skipped by the regex. Every (key, digit)
+    * cell appears even at zero observations — chi-square needs the
+    * missing mass — via a distinct-keys × 1..9 spine.
+    *
+    * Determinism: per-digit chi-square contributions are rounded to 6
+    * decimals and summed as DECIMAL — order-independent — rather than
+    * float-summed. Returns (key..., digit, obs, n, expected r4,
+    * obs_share r6, chi2 r6 — the per-key statistic repeated per row).
+    */
+  def benfordScreen(df: DataFrame, keyCols: Seq[String],
+                    valueCol: String): DataFrame = {
+    val key = keyCols.map(col)
+    val digits = df.select(key :+
+      regexp_extract(col(valueCol).cast("decimal(18,2)").cast("string"),
+        "[1-9]", 0).as("_d"): _*)
+      .where(col("_d") =!= "")
+      .select(key :+ col("_d").cast("int").as("digit"): _*)
+    val obs = digits.groupBy((key :+ col("digit")): _*)
+      .agg(count(lit(1)).as("obs"))
+    val allDigits = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val spine =
+      if (keyCols.isEmpty) allDigits
+      else digits.select(key: _*).distinct()
+        .crossJoin(broadcast(allDigits))
+    val cond = keyCols.map(c => col(s"spine.$c") <=> col(s"o.$c"))
+      .foldLeft(col("spine.digit") === col("o.digit"))(_ && _)
+    val cells = spine.as("spine").join(obs.as("o"), cond, "left")
+      .select(keyCols.map(c => col(s"spine.$c")) ++ Seq(
+        col("spine.digit").as("digit"),
+        coalesce(col("o.obs"), lit(0L)).as("obs")): _*)
+    val wk = Window.partitionBy(key: _*)
+    val withExp = cells
+      .withColumn("n", sum(col("obs")).over(wk))
+      .withColumn("_exp", col("n").cast("double") *
+        log10(lit(1.0) + lit(1.0) / col("digit").cast("double")))
+      .withColumn("_contrib",
+        round((col("obs").cast("double") - col("_exp")) *
+          (col("obs").cast("double") - col("_exp")) / col("_exp"), 6)
+          .cast("decimal(18,6)"))
+    withExp
+      .withColumn("chi2", sum(col("_contrib")).over(wk).cast("double"))
+      .select(key ++ Seq(col("digit"), col("obs"), col("n"),
+        round(col("_exp"), 4).as("expected"),
+        round(col("obs").cast("double") / col("n").cast("double"), 6)
+          .as("obs_share"),
+        col("chi2")): _*)
+  }
 }

@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Hand-computed and brute-force oracles for the audit/evaluation
+  * statistics: exact AUC (midrank ties), Gini concentration, the Benford
+  * digit screen, and item-item co-occurrence cosine.
+  */
+class AuditStatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- aucByKey ----
+
+  test("aucByKey hand case with a tie: midrank = trapezoid rule") {
+    // pos scores {0.2, 0.3}, neg scores {0.1, 0.2}; P·N = 4 pairs:
+    // (0.2 vs 0.1) win, (0.2 vs 0.2) half, (0.3 vs both) 2 wins
+    // AUC = 3.5 / 4 = 0.875
+    val df = Seq((0.1, false), (0.2, true), (0.2, false), (0.3, true))
+      .toDF("score", "pos")
+    val got = Stats.aucByKey(df, Nil, "score", col("pos"))
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((2L, 2L, 0.875)))
+  }
+
+  test("aucByKey: perfect separation is 1, anti-separation is 0") {
+    val perfect = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))
+      .toDF("score", "pos")
+    assert(Stats.aucByKey(perfect, Nil, "score", col("pos"))
+      .select("auc").as[Double].head() == 1.0)
+    val anti = Seq((1.0, true), (2.0, true), (3.0, false), (4.0, false))
+      .toDF("score", "pos")
+    assert(Stats.aucByKey(anti, Nil, "score", col("pos"))
+      .select("auc").as[Double].head() == 0.0)
+  }
+
+  test("aucByKey matches the brute-force pair count per key, and " +
+       "orderBuckets is value-identical") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map { i =>
+      val k = i % 3
+      // quantized scores force plenty of ties
+      val s = math.floor(rnd.nextDouble() * 20) / 20.0
+      val p = rnd.nextDouble() < (0.2 + 0.6 * s)
+      (k, s, p)
+    }
+    val df = spark.sparkContext.parallelize(rows, 5).toDF("k", "s", "p")
+    def brute(k: Int): Double = {
+      val pos = rows.filter(r => r._1 == k && r._3).map(_._2)
+      val neg = rows.filter(r => r._1 == k && !r._3).map(_._2)
+      val wins = (for (a <- pos; b <- neg) yield
+        if (a > b) 1.0 else if (a == b) 0.5 else 0.0).sum
+      BigDecimal(wins / (pos.size.toLong * neg.size))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val flat = Stats.aucByKey(df, Seq("k"), "s", col("p"))
+      .select("k", "auc").as[(Int, Double)].collect().toMap
+    assert(flat.keySet == Set(0, 1, 2))
+    flat.foreach { case (k, auc) => assert(auc == brute(k), s"key $k") }
+    val bucketed = Stats.aucByKey(df, Seq("k"), "s", col("p"),
+        orderBuckets = 4)
+      .select("k", "auc").as[(Int, Double)].collect().toMap
+    assert(bucketed == flat)
+  }
+
+  test("aucByKey: a single-class key yields NULL auc, not a number") {
+    val df = Seq((1, 0.5, true), (1, 0.7, true), (2, 0.5, false),
+      (2, 0.7, true)).toDF("k", "s", "p")
+    val got = Stats.aucByKey(df, Seq("k"), "s", col("p"))
+      .select("k", "auc").collect().map(r =>
+        r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got(1).isEmpty, "P-only key must be undefined")
+    assert(got(2).contains(1.0))
+  }
+
+  // ---- giniByKey ----
+
+  private def giniBrute(xs: Seq[BigDecimal]): Double = {
+    val s = xs.sorted
+    val n = s.size
+    val s0 = s.sum
+    val s1 = s.zipWithIndex.map { case (x, i) => x * (i + 1) }.sum
+    ((2 * s1 - (n + 1) * s0) / (n * s0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("giniByKey: equal values are 0, one-holder is (n-1)/n") {
+    val df = Seq((0, "5.0000"), (0, "5.0000"), (0, "5.0000"),
+        (1, "0.0000"), (1, "0.0000"), (1, "0.0000"), (1, "10.0000"))
+      .toDF("k", "v").select(col("k"),
+        col("v").cast("decimal(18,4)").as("v"))
+    val got = Stats.giniByKey(df, Seq("k"), "v")
+      .select("k", "n", "gini").as[(Int, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(0) == ((3L, 0.0)))
+    assert(got(1) == ((4L, 0.75)))
+  }
+
+  test("giniByKey matches the sorted-rank formula with ties, and " +
+       "orderBuckets is value-identical") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 300).map { i =>
+      (i % 2, BigDecimal(rnd.nextInt(500)).setScale(4) / 100)
+    }
+    val df = spark.sparkContext.parallelize(rows, 4).toDF("k", "v")
+      .select(col("k"), col("v").cast("decimal(18,4)").as("v"))
+    val flat = Stats.giniByKey(df, Seq("k"), "v")
+      .select("k", "gini").as[(Int, Double)].collect().toMap
+    Seq(0, 1).foreach { k =>
+      assert(flat(k) == giniBrute(rows.filter(_._1 == k).map(_._2)),
+        s"key $k")
+    }
+    val bucketed = Stats.giniByKey(df, Seq("k"), "v", orderBuckets = 3)
+      .select("k", "gini").as[(Int, Double)].collect().toMap
+    assert(bucketed == flat)
+  }
+
+  // ---- benfordScreen ----
+
+  test("benfordScreen extracts leading nonzero digits and keeps the " +
+       "zero-observation spine") {
+    // digits: 10.0->1, 1.5->1, 25.0->2, -3.2->3 (sign skipped),
+    // 0.07->7 (leading zeros skipped), 0.0 and NULL drop
+    val df = Seq(Some(10.0), Some(1.5), Some(25.0), Some(-3.2),
+        Some(0.07), Some(0.0), None)
+      .toDF("v").select(lit("g").as("k"), col("v"))
+    val got = Stats.benfordScreen(df, Seq("k"), "v")
+      .select("digit", "obs", "n").as[(Int, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == (1 to 9).toSet, "all 9 digits on the spine")
+    assert(got(1) == ((2L, 5L)))
+    assert(got(2) == ((1L, 5L)))
+    assert(got(3) == ((1L, 5L)))
+    assert(got(7) == ((1L, 5L)))
+    assert(got(4) == ((0L, 5L)), "zero-obs digit still present")
+  }
+
+  test("benfordScreen chi2 equals the rounded-contribution sum") {
+    val rnd = new scala.util.Random(3)
+    val vals = (1 to 200).map(_ => math.exp(rnd.nextDouble() * 9) + 0.01)
+    val df = vals.toDF("v").select(lit("g").as("k"), col("v"))
+    val rows = Stats.benfordScreen(df, Seq("k"), "v")
+      .select("digit", "obs", "n", "chi2")
+      .as[(Int, Long, Long, Double)].collect()
+    val n = rows.head._3
+    val expect = rows.map { case (d, obs, _, _) =>
+      val e = n.toDouble * math.log10(1.0 + 1.0 / d)
+      BigDecimal((obs - e) * (obs - e) / e)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    rows.foreach { case (_, _, _, chi2) =>
+      assert(math.abs(chi2 - expect) < 1e-9,
+        s"chi2 $chi2 vs recomputed $expect")
+    }
+  }
+
+  // ---- itemCosine ----
+
+  test("itemCosine: counts, cosine, minCo cut and deterministic top-k") {
+    // baskets: {A,B,C}, {A,B}, {A,C}, {B,C}, {A,D}
+    // n: A=4, B=3, C=3, D=1; co: AB=2, AC=2, BC=2, AD=1
+    val df = Seq((1, "A"), (1, "B"), (1, "C"), (2, "A"), (2, "B"),
+        (3, "A"), (3, "C"), (4, "B"), (4, "C"), (5, "A"), (5, "D"))
+      .toDF("b", "item")
+    val got = Association.itemCosine(df, Seq("b"), "item",
+        minCo = 2, topK = 2)
+      .select("item", "neighbor", "n_ab", "cosine", "rank")
+      .as[(String, String, Long, Double, Int)].collect()
+      .map(r => (r._1, r._5) -> (r._2, r._3, r._4)).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ab = r6(2.0 / math.sqrt(4.0 * 3.0))
+    val bc = r6(2.0 / math.sqrt(3.0 * 3.0))
+    // A: AB and AC tie at cosine ab -> neighbor-asc tiebreak B then C
+    assert(got(("A", 1)) == (("B", 2L, ab)))
+    assert(got(("A", 2)) == (("C", 2L, ab)))
+    // B: BC (2/3) beats BA (ab); D never appears (co=1 < minCo)
+    assert(got(("B", 1)) == (("C", 2L, bc)))
+    assert(got(("B", 2)) == (("A", 2L, ab)))
+    assert(!got.values.exists(_._1 == "D"))
+    assert(!got.keys.exists(_._1 == "D"))
+  }
+}
