@@ -1689,6 +1689,39 @@ object SparkEntry {
         .orderBy(col("dim"), col("probe"))
     }),
 
+    // NDCG@5 per user: does ranking a user's events by value surface
+    // the purchases — the ranking-quality half of the eval suite (q212
+    // is the classification half); two row_numbers over one exchange,
+    // DECIMAL-summed rounded gains
+    "q217_ndcg" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"), col("value"),
+        col("event_id"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("rel"))
+      Stats.ndcgAtK(e, Seq("user_id"), "value", "rel", k = 5,
+          tieCol = "event_id")
+        .orderBy(col("user_id"))
+    }),
+
+    // Precision/recall/F1 sweep at the score's own exact deciles — the
+    // PR-curve table; 9-row broadcast threshold table, scan-stage
+    // fan-out, map-side-combined aggregate to 9 rows
+    "q218_pr_curve" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("value"),
+        (col("event_type") === "purchase").as("pos"))
+      Stats.prAtThresholds(e, "value", col("pos"),
+          (1 to 9).map(_ / 10.0))
+        .orderBy(col("prob"))
+    }),
+
+    // Exact Spearman (midrank ties) of quantity vs price per return
+    // flag — monotone-association audit; doubled midranks keep all five
+    // sums integer/DECIMAL, only the final correlation is floating
+    "q219_spearman" -> ((s, dir) => {
+      Stats.spearmanByKey(t(s, dir, "lineitem"), Seq("l_returnflag"),
+          "l_quantity", "l_extendedprice", orderBuckets = 4)
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Exact ROC AUC per weekday of event value predicting purchase —
     // the quality-classifier evaluation primitive; Mann-Whitney midrank
     // form, integer until one final division (Stats.aucByKey scaladoc),
@@ -6381,6 +6414,113 @@ object SparkEntry {
                 round(1.0 - h.files_hit /
                   CAST(t.total_files AS DOUBLE), 6) AS skip_rate
          FROM hits h, tot t ORDER BY h.dim, h.probe""",
+
+    "q217_ndcg" ->
+      """WITH e AS (
+           SELECT user_id, value, event_id,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                    AS rel
+           FROM events),
+         r AS (
+           SELECT user_id, rel,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY value DESC, event_id) AS rn,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY rel DESC, event_id) AS irn
+           FROM e),
+         a AS (
+           SELECT user_id,
+                  sum(CASE WHEN rn <= 5 THEN
+                        CAST(round(rel / log2(rn + 1.0), 9)
+                             AS DECIMAL(18,9))
+                      ELSE CAST(0 AS DECIMAL(18,9)) END) AS dcg,
+                  sum(CASE WHEN irn <= 5 THEN
+                        CAST(round(rel / log2(irn + 1.0), 9)
+                             AS DECIMAL(18,9))
+                      ELSE CAST(0 AS DECIMAL(18,9)) END) AS idcg
+           FROM r GROUP BY 1)
+         SELECT user_id, CAST(dcg AS DOUBLE) AS dcg,
+                CAST(idcg AS DOUBLE) AS idcg,
+                CASE WHEN idcg > 0 THEN
+                  round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6)
+                END AS ndcg
+         FROM a ORDER BY user_id""",
+
+    "q218_pr_curve" ->
+      """WITH e AS (
+           SELECT value, (event_type = 'purchase') AS pos FROM events),
+         b AS (
+           SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                        0.6, 0.7, 0.8, 0.9]) AS qb
+           FROM e),
+         th AS (
+           SELECT 0.1 * g.range AS prob, qb[g.range] AS threshold
+           FROM b CROSS JOIN range(1, 10) g),
+         agg AS (
+           SELECT th.prob, th.threshold,
+                  CAST(sum(CASE WHEN pos AND value > threshold
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                  CAST(sum(CASE WHEN NOT pos AND value > threshold
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                  CAST(sum(CASE WHEN pos AND NOT (value > threshold)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fn
+           FROM e CROSS JOIN th GROUP BY 1, 2)
+         SELECT prob, round(threshold, 6) AS threshold, tp, fp, fn,
+                CASE WHEN tp + fp > 0 THEN
+                  round(CAST(tp AS DOUBLE) / (tp + fp), 6) END
+                  AS precision,
+                CASE WHEN tp + fn > 0 THEN
+                  round(CAST(tp AS DOUBLE) / (tp + fn), 6) END
+                  AS recall,
+                CASE WHEN 2 * tp + fp + fn > 0 THEN
+                  round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
+         FROM agg ORDER BY prob""",
+
+    "q219_spearman" ->
+      """WITH base AS (
+           SELECT l_returnflag AS k, l_quantity AS x,
+                  l_extendedprice AS y
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL
+             AND l_extendedprice IS NOT NULL),
+         cx AS (
+           SELECT k, x, count(*) AS c FROM base GROUP BY 1, 2),
+         rx AS (
+           SELECT k, x,
+                  2 * coalesce(sum(c) OVER (PARTITION BY k ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) + c + 1 AS r2
+           FROM cx),
+         cy AS (
+           SELECT k, y, count(*) AS c FROM base GROUP BY 1, 2),
+         ry AS (
+           SELECT k, y,
+                  2 * coalesce(sum(c) OVER (PARTITION BY k ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) + c + 1 AS r2
+           FROM cy),
+         j AS (
+           SELECT base.k, rx.r2 AS a, ry.r2 AS b
+           FROM base JOIN rx ON base.k = rx.k AND base.x = rx.x
+                     JOIN ry ON base.k = ry.k AND base.y = ry.y),
+         s AS (
+           SELECT k, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(a AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+                  CAST(sum(CAST(b AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+                  CAST(sum(CAST(a AS DECIMAL(19,0))
+                         * CAST(a AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+                  CAST(sum(CAST(b AS DECIMAL(19,0))
+                         * CAST(b AS DECIMAL(19,0))) AS DOUBLE) AS syy,
+                  CAST(sum(CAST(a AS DECIMAL(19,0))
+                         * CAST(b AS DECIMAL(19,0))) AS DOUBLE) AS sxy
+           FROM j GROUP BY 1)
+         SELECT k AS l_returnflag, n,
+                CASE WHEN n * sxx - sx * sx > 0
+                      AND n * syy - sy * sy > 0 THEN
+                  round((n * sxy - sx * sy) /
+                    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                END AS spearman
+         FROM s ORDER BY l_returnflag""",
 
     "q212_auc" ->
       """WITH e AS (

@@ -105,12 +105,21 @@ class QuerySurfaceSpec extends SparkTestBase {
     //    sum cross-joined into the stride test.
     //  - q193: the vocabulary size V is a one-row ungrouped count
     //    cross-joined into the smoothing denominator.
+    //  - q215: the 9-row digit spine (range 1..9) is broadcast
+    //    cross-joined onto the distinct-key table — bounded by the
+    //    digit space, never by data.
+    //  - q216: quantileBin's one-row boundary table cross-joined into
+    //    the scan-stage bin when-chain (q170's shape).
+    //  - q218: the |probs|-row threshold table (9 rows) is broadcast
+    //    cross-joined for the scan-stage confusion fan-out — bounded
+    //    by the requested quantile count.
     val allowedBnlj = Set("q24_cosine_topk", "q9_interval_overlap",
       "q104_boilerplate", "q118_unigram_logprob", "q122_source_kl",
       "q144_pmi_collocations", "q150_basket_lift", "q157_heavy_hitters",
       "q159_decayed_score", "q166_pareto_cover", "q170_rfm",
       "q180_percent_rank", "q188_hits", "q192_pps_sample",
-      "q193_bigram_lm", "q194_source_minhash", "q198_fk_audit")
+      "q193_bigram_lm", "q194_source_minhash", "q198_fk_audit",
+      "q215_benford", "q216_calibration", "q218_pr_curve")
     val lazyQueries = SparkEntry.queries.keySet -- eager
     val offenders = lazyQueries.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf)

@@ -155,6 +155,128 @@ class AuditStatsSpec extends SparkTestBase {
     }
   }
 
+  // ---- ndcgAtK ----
+
+  test("ndcgAtK: perfect ranking is 1, hand case matches, no-relevant " +
+       "key is NULL") {
+    // key 1: rels by score-desc order = (1, 0, 1) at k=2:
+    //   DCG = 1/log2(2) + 0/log2(3) = 1; ideal rels (1,1,0): IDCG =
+    //   1 + 1/log2(3) = 1.630929754; NDCG = 0.613147
+    // key 2: purchases exactly at the top -> 1.0;  key 3: no relevant
+    val df = Seq(
+      (1, 9.0, 101L, 1), (1, 8.0, 102L, 0), (1, 7.0, 103L, 1),
+      (2, 9.0, 201L, 1), (2, 8.0, 202L, 0),
+      (3, 9.0, 301L, 0), (3, 8.0, 302L, 0))
+      .toDF("k", "score", "id", "rel")
+    val got = Stats.ndcgAtK(df, Seq("k"), "score", "rel", k = 2,
+        tieCol = "id")
+      .select("k", "ndcg").collect()
+      .map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val idcg = BigDecimal(1.0) +
+      BigDecimal(1.0 / math.log(3.0) * math.log(2.0))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val want = (BigDecimal(1.0) / idcg)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1).contains(want), s"got ${got(1)} want $want")
+    assert(got(2).contains(1.0))
+    assert(got(3).isEmpty, "no relevant rows -> undefined, not 0")
+  }
+
+  test("ndcgAtK tiebreak: equal scores order by tieCol on both the " +
+       "real and ideal rankings") {
+    // equal scores: tie id decides -> rel sequence (0, 1), DCG@1 = 0;
+    // ideal = 1 -> ndcg 0
+    val df = Seq((1, 5.0, 1L, 0), (1, 5.0, 2L, 1))
+      .toDF("k", "score", "id", "rel")
+    val got = Stats.ndcgAtK(df, Seq("k"), "score", "rel", 1, "id")
+      .select("ndcg").as[Double].head()
+    assert(got == 0.0)
+  }
+
+  // ---- prAtThresholds ----
+
+  test("prAtThresholds: hand-computed confusion cells at the median") {
+    // scores 1..10, positives = {6..10} (ideal score): at the median
+    // threshold (5.5), predicted = {6..10}: tp=5 fp=0 fn=0
+    val df = (1 to 10).map(i => (i.toDouble, i > 5)).toDF("s", "y")
+    val got = Stats.prAtThresholds(df, "s", col("y"), Seq(0.5))
+      .select("tp", "fp", "fn", "precision", "recall", "f1")
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(got == ((5L, 0L, 0L, 1.0, 1.0, 1.0)))
+  }
+
+  test("prAtThresholds: zero-denominator cells are NULL, not 0") {
+    // every row positive -> fp impossible; at the p=1.0 threshold (the
+    // max) nothing is predicted -> precision NULL, recall 0
+    val df = (1 to 4).map(i => (i.toDouble, true)).toDF("s", "y")
+    val rows = Stats.prAtThresholds(df, "s", col("y"), Seq(1.0))
+      .select("tp", "precision", "recall").collect()
+    val r = rows.head
+    assert(r.getLong(0) == 0L)
+    assert(r.isNullAt(1), "0/0 precision must be NULL")
+    assert(r.getDouble(2) == 0.0)
+  }
+
+  // ---- spearmanByKey ----
+
+  private def spearmanBrute(xs: Seq[Double], ys: Seq[Double]): Double = {
+    def midranks(v: Seq[Double]): Seq[Double] = {
+      val sorted = v.sorted
+      v.map { x =>
+        val below = sorted.count(_ < x)
+        val c = sorted.count(_ == x)
+        below + (c + 1) / 2.0
+      }
+    }
+    val rx = midranks(xs); val ry = midranks(ys)
+    val n = xs.size.toDouble
+    val sx = rx.sum; val sy = ry.sum
+    val sxx = rx.map(a => a * a).sum; val syy = ry.map(a => a * a).sum
+    val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+    val r = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("spearmanByKey: monotone is 1, antitone is -1, constant is NULL") {
+    val df = Seq(
+      (1, 1.0, 10.0), (1, 2.0, 40.0), (1, 3.0, 90.0),
+      (2, 1.0, 9.0), (2, 2.0, 4.0), (2, 3.0, 1.0),
+      (3, 1.0, 5.0), (3, 2.0, 5.0), (3, 3.0, 5.0))
+      .toDF("k", "x", "y")
+    val got = Stats.spearmanByKey(df, Seq("k"), "x", "y")
+      .select("k", "spearman").collect()
+      .map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1).contains(1.0), "any monotone map has rho 1")
+    assert(got(2).contains(-1.0))
+    assert(got(3).isEmpty, "zero variance -> undefined")
+  }
+
+  test("spearmanByKey matches brute-force midrank Pearson under heavy " +
+       "ties, and orderBuckets is value-identical") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 300).map { _ =>
+      val k = rnd.nextInt(2)
+      val x = rnd.nextInt(12).toDouble // heavy ties
+      val y = (x + rnd.nextInt(8)).toDouble
+      (k, x, y)
+    }
+    val df = spark.sparkContext.parallelize(rows, 5).toDF("k", "x", "y")
+    val flat = Stats.spearmanByKey(df, Seq("k"), "x", "y")
+      .select("k", "spearman").as[(Int, Double)].collect().toMap
+    Seq(0, 1).foreach { k =>
+      val sub = rows.filter(_._1 == k)
+      assert(flat(k) == spearmanBrute(sub.map(_._2), sub.map(_._3)),
+        s"key $k")
+    }
+    val bucketed = Stats.spearmanByKey(df, Seq("k"), "x", "y",
+        orderBuckets = 3)
+      .select("k", "spearman").as[(Int, Double)].collect().toMap
+    assert(bucketed == flat)
+  }
+
   // ---- itemCosine ----
 
   test("itemCosine: counts, cosine, minCo cut and deterministic top-k") {
