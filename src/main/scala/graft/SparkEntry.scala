@@ -1689,6 +1689,16 @@ object SparkEntry {
         .orderBy(col("dim"), col("probe"))
     }),
 
+    // Per-label Gram matrix of the embeddings (the covariance/PCA
+    // feeding sums): ONE aggregate pass with a fixed d(d+1)/2 Long
+    // buffer per map partition — never a d² row explosion; exact
+    // quantized-integer sums so the shuffle order can't move a bit
+    "q220_embedding_gram" -> ((s, dir) => {
+      Similarity.gramMatrix(t(s, dir, "embeddings"), Seq("label"),
+          "embedding", dim = 64)
+        .orderBy(col("label"), col("i"), col("j"))
+    }),
+
     // NDCG@5 per user: does ranking a user's events by value surface
     // the purchases — the ranking-quality half of the eval suite (q212
     // is the classification half); two row_numbers over one exchange,
@@ -6414,6 +6424,23 @@ object SparkEntry {
                 round(1.0 - h.files_hit /
                   CAST(t.total_files AS DOUBLE), 6) AS skip_rate
          FROM hits h, tot t ORDER BY h.dim, h.probe""",
+
+    "q220_embedding_gram" ->
+      """WITH e AS (
+           SELECT label, vec_id, CAST(g.range AS INTEGER) AS i,
+                  CAST(embedding[g.range + 1] AS DOUBLE) AS x
+           FROM embeddings CROSS JOIN range(0, 64) g),
+         p AS (
+           SELECT a.label, a.i AS i, b.i AS j,
+                  sum(CAST(floor(a.x * b.x * 1000000.0 + 0.5)
+                           AS BIGINT)) AS q
+           FROM e a JOIN e b
+             ON a.vec_id = b.vec_id AND a.label = b.label
+            AND a.i <= b.i
+           GROUP BY 1, 2, 3)
+         SELECT label, i, j,
+                round(CAST(q AS DOUBLE) / 1000000.0, 6) AS gram
+         FROM p ORDER BY label, i, j""",
 
     "q217_ndcg" ->
       """WITH e AS (

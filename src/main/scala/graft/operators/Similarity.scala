@@ -574,4 +574,33 @@ object Similarity {
       .select(col("_qa").as("a"), col("_bb").as("b"),
         round(col("_sim"), 6).as("sim"))
   }
+
+  /** Upper-triangular Gram matrix of the embedding column per key —
+    * the Σ v·vᵀ accumulation feeding covariance/PCA/whitening. ONE
+    * aggregate pass ([[graft.functions.GramAgg]]): each map partition
+    * reduces to a d(d+1)/2 Long buffer and partials merge like any
+    * algebraic aggregate — the posexplode formulation would fan every
+    * row out d² times before the shuffle. Entries are exact sums of
+    * 1e-6-quantized products (order-independent — see GramAgg's
+    * contract), reported to 6 decimals.
+    *
+    * Returns (key..., i, j, gram) for 0 ≤ i ≤ j < d — d(d+1)/2 rows
+    * per key (2,080 at d = 64), the bounded-output regime where the
+    * final posexplode of the single aggregate row is free.
+    */
+  def gramMatrix(vectors: DataFrame, keyCols: Seq[String],
+                 vecCol: String, dim: Int): DataFrame = {
+    val key = keyCols.map(col)
+    val ga = udaf(graft.functions.GramAgg(dim))
+    val pairIdx = for (i <- 0 until dim; j <- i until dim) yield (i, j)
+    val is = array(pairIdx.map(p => lit(p._1)): _*)
+    val js = array(pairIdx.map(p => lit(p._2)): _*)
+    vectors.groupBy(key: _*)
+      .agg(ga(col(vecCol)).as("_g"))
+      .select(key ++ Seq(posexplode(col("_g")).as(Seq("_p", "_q"))): _*)
+      .select(key ++ Seq(
+        element_at(is, col("_p") + 1).as("i"),
+        element_at(js, col("_p") + 1).as("j"),
+        round(col("_q").cast("double") / lit(1e6), 6).as("gram")): _*)
+  }
 }

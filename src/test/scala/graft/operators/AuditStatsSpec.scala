@@ -277,6 +277,29 @@ class AuditStatsSpec extends SparkTestBase {
     assert(bucketed == flat)
   }
 
+  // ---- gramMatrix ----
+
+  test("gramMatrix: hand case, upper triangle only, partitioning-" +
+       "independent") {
+    // vectors (1,2) and (3,4): G = [[1+9, 2+12], [., 4+16]]
+    val vecs = Seq((0, Seq(1f, 2f)), (0, Seq(3f, 4f)))
+    def run(parts: Int) = Similarity.gramMatrix(
+      spark.sparkContext.parallelize(vecs, parts).toDF("k", "v"),
+      Seq("k"), "v", dim = 2)
+      .select("i", "j", "gram").as[(Int, Int, Double)].collect().toSet
+    val want = Set((0, 0, 10.0), (0, 1, 14.0), (1, 1, 20.0))
+    assert(run(1) == want)
+    assert(run(2) == want, "map-side partials must merge exactly")
+  }
+
+  test("gramMatrix groups by key and quantizes at 1e-6") {
+    val vecs = Seq((0, Seq(0.5f)), (0, Seq(0.5f)), (1, Seq(2f)))
+    val df = spark.sparkContext.parallelize(vecs, 3).toDF("k", "v")
+    val got = Similarity.gramMatrix(df, Seq("k"), "v", dim = 1)
+      .select("k", "gram").as[(Int, Double)].collect().toMap
+    assert(got == Map(0 -> 0.5, 1 -> 4.0))
+  }
+
   // ---- itemCosine ----
 
   test("itemCosine: counts, cosine, minCo cut and deterministic top-k") {
