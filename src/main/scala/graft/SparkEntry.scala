@@ -1689,6 +1689,21 @@ object SparkEntry {
         .orderBy(col("dim"), col("probe"))
     }),
 
+    // Cross-source quantile normalization of document length: each
+    // source's score distribution mapped onto the global one (the
+    // batch-effect correction for drifting per-source quality
+    // scorers); two distinct-value rank passes + a banded value-at-
+    // index equi-join — never a theta join, never a per-row window
+    "q221_quantile_normalize" -> ((s, dir) => {
+      Stats.quantileNormalize(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        Seq("source"), "n_chars", binSize = 64L)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("qnorm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-label Gram matrix of the embeddings (the covariance/PCA
     // feeding sums): ONE aggregate pass with a fixed d(d+1)/2 Long
     // buffer per map partition — never a d² row explosion; exact
@@ -6424,6 +6439,59 @@ object SparkEntry {
                 round(1.0 - h.files_hit /
                   CAST(t.total_files AS DOUBLE), 6) AS skip_rate
          FROM hits h, tot t ORDER BY h.dim, h.probe""",
+
+    "q221_quantile_normalize" ->
+      """WITH base AS (
+           SELECT doc_id, source, n_chars FROM documents
+           WHERE n_chars IS NOT NULL),
+         g AS (
+           SELECT source, n_chars, count(*) AS c
+           FROM base GROUP BY 1, 2),
+         gc AS (
+           SELECT source, n_chars, c,
+                  coalesce(sum(c) OVER (PARTITION BY source
+                    ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS below
+           FROM g),
+         ng AS (SELECT source, sum(c) AS n_g FROM g GROUP BY 1),
+         nt AS (SELECT count(*) AS n FROM base),
+         gl AS (
+           SELECT n_chars AS gv, count(*) AS gcnt
+           FROM base GROUP BY 1),
+         gi AS (
+           SELECT gv,
+                  coalesce(sum(gcnt) OVER (ORDER BY gv
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS lo,
+                  coalesce(sum(gcnt) OVER (ORDER BY gv
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) + gcnt AS hi
+           FROM gl),
+         gin AS (
+           SELECT a.gv, a.lo, a.hi, b.gv AS gvnext
+           FROM gi a LEFT JOIN gi b ON a.hi = b.lo),
+         pos AS (
+           SELECT gc.source, gc.n_chars,
+                  CASE WHEN ng.n_g > 1 THEN
+                    CAST(2 * gc.below + gc.c - 1 AS DOUBLE)
+                      * (nt.n - 1) / (2 * (ng.n_g - 1))
+                  ELSE 0.5 * (nt.n - 1) END AS p
+           FROM gc JOIN ng USING (source) CROSS JOIN nt),
+         k AS (
+           SELECT source, n_chars, CAST(floor(p) AS BIGINT) AS klo,
+                  p - floor(p) AS frac
+           FROM pos),
+         m AS (
+           SELECT k.source, k.n_chars,
+                  round((1.0 - k.frac) * CAST(g.gv AS DOUBLE)
+                    + k.frac * coalesce(
+                        CAST(CASE WHEN k.klo + 1 < g.hi THEN g.gv
+                             ELSE g.gvnext END AS DOUBLE),
+                        CAST(g.gv AS DOUBLE)), 6) AS qnorm
+           FROM k JOIN gin g ON k.klo >= g.lo AND k.klo < g.hi)
+         SELECT b.doc_id, b.source, b.n_chars, m.qnorm
+         FROM base b JOIN m USING (source, n_chars)
+         ORDER BY b.doc_id""",
 
     "q220_embedding_gram" ->
       """WITH e AS (

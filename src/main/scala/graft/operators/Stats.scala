@@ -1041,6 +1041,93 @@ object Stats {
         .as("spearman")): _*)
   }
 
+  /** Cross-group QUANTILE NORMALIZATION: map each row's value to the
+    * GLOBAL distribution's quantile at the row's within-group relative
+    * rank — the batch-effect correction that makes quality scores
+    * comparable across crawl sources whose scorers drift. Convention:
+    * within-group position is the MIDRANK p = (midrank−1)/(n_g−1)
+    * (singleton groups sit at p = 0.5), and the global lookup uses
+    * quantile_cont's `pos = p·(N−1)` linear interpolation — a group
+    * whose distribution already equals the global one maps (near-)
+    * identity, and every group's min/max land on the global min/max.
+    *
+    * SCALE SHAPE: two distinct-value rank passes ([[withExclusiveCum]],
+    * orderBuckets contract) — one per (group, value), one global; the
+    * global value-at-index lookup is a BANDED equi-join (indices bin
+    * by `binSize`, intervals explode to their covered bins — the q8
+    * pattern, never a BroadcastNestedLoop theta join); the "next
+    * distinct value" needed for interpolation comes from a self
+    * equi-join on interval ends (contiguous by construction), not a
+    * global lead() window. The mapping table has one row per (group,
+    * value) and joins back to the fact on those keys. NULL values pass
+    * through with NULL qnorm.
+    *
+    * Determinism: positions are exact-integer arithmetic cast to
+    * double once ((2·below+c−1)·(N−1) / (2·(n_g−1)) — both engines
+    * evaluate the identical expression tree), and the final lerp is
+    * exactPercentiles' bit-parity form.
+    */
+  def quantileNormalize(df: DataFrame, groupCols: Seq[String],
+                        valueCol: String, binSize: Long = 1024L,
+                        orderBuckets: Int = 0): DataFrame = {
+    require(binSize >= 1, "binSize must be positive")
+    require(groupCols.nonEmpty, "quantileNormalize needs group columns")
+    val key = groupCols.map(col)
+    val base = df.where(col(valueCol).isNotNull)
+    // within-group doubled midrank per DISTINCT value
+    val g = base.groupBy((key :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("_c"))
+    val gcum = withExclusiveCum(g, groupCols, valueCol, Seq("_c"),
+      orderBuckets)
+    val ng = g.groupBy(key: _*).agg(sum(col("_c")).as("_ng"))
+      .select(groupCols.map(c => col(c).as(s"_ngk_$c")) :+
+        col("_ng"): _*)
+    val ngCond = groupCols.map(c => col(c) <=> col(s"_ngk_$c"))
+      .foldLeft(lit(true))(_ && _)
+    val nt = base.agg(count(lit(1)).as("_nt"))
+    // global distinct-value index intervals [lo, hi) + next value via
+    // the contiguity self-join (hi of one interval = lo of the next)
+    val gl = base.groupBy(col(valueCol).as("_gv"))
+      .agg(count(lit(1)).as("_gc"))
+    val gi = withExclusiveCum(gl, Nil, "_gv", Seq("_gc"), orderBuckets)
+      .select(col("_gv"), col("_cb__gc").as("_lo"),
+        (col("_cb__gc") + col("_gc")).as("_hi"))
+    val giNext = gi.join(
+      gi.select(col("_lo").as("_nxlo"), col("_gv").as("_gvnext")),
+      col("_hi") === col("_nxlo"), "left").drop("_nxlo")
+    // fractional global position of each (group, value)'s midrank
+    val pos2 = lit(2L) * col("_cb__c") + col("_c") - lit(1L) // 2·mid − 2
+    val withPos = gcum
+      .join(ng, ngCond)
+      .drop(groupCols.map(c => s"_ngk_$c"): _*)
+      .crossJoin(broadcast(nt))
+      .withColumn("_pos",
+        when(col("_ng") > 1,
+          pos2.cast("double") * (col("_nt") - 1).cast("double") /
+            (lit(2L) * (col("_ng") - 1)).cast("double"))
+          .otherwise(lit(0.5) * (col("_nt") - 1).cast("double")))
+      .withColumn("_klo", floor(col("_pos")).cast("long"))
+      .withColumn("_frac", col("_pos") - floor(col("_pos")))
+    // banded value-at-index lookup: klo's bin must appear among the
+    // interval's covered bins — equi-join on the bin, exact predicate
+    // re-applied (the RangeJoinRewrite shape, inlined so no session
+    // conf is touched)
+    val ivBinned = giNext.withColumn("_bin",
+      explode(sequence(expr(s"_lo DIV $binSize"),
+        expr(s"(_hi - 1) DIV $binSize"))))
+    val looked = withPos.withColumn("_bin", expr(s"_klo DIV $binSize"))
+      .join(ivBinned, Seq("_bin"))
+      .where(col("_klo") >= col("_lo") && col("_klo") < col("_hi"))
+    val vlo = col("_gv").cast("double")
+    val vhi = coalesce(
+      when(col("_klo") + 1 < col("_hi"), col("_gv"))
+        .otherwise(col("_gvnext")).cast("double"), vlo)
+    val mapping = looked.select(key ++ Seq(col(valueCol),
+      round((lit(1d) - col("_frac")) * vlo + col("_frac") * vhi, 6)
+        .as("qnorm")): _*)
+    df.join(mapping, groupCols :+ valueCol, "left")
+  }
+
   /** Benford first-significant-digit screen per key: observed counts of
     * the leading nonzero digit of `valueCol` against the Benford
     * expectation p(d) = log10(1 + 1/d), with a chi-square statistic per

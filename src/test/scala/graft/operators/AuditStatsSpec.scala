@@ -277,6 +277,76 @@ class AuditStatsSpec extends SparkTestBase {
     assert(bucketed == flat)
   }
 
+  // ---- quantileNormalize ----
+
+  private def qnormBrute(rows: Seq[(String, Double)])
+      : Map[(String, Double), Double] = {
+    val global = rows.map(_._2).sorted
+    val n = global.size
+    rows.groupBy(_._1).flatMap { case (g, grp) =>
+      val vals = grp.map(_._2)
+      val m = vals.size
+      vals.distinct.map { v =>
+        val below = vals.count(_ < v)
+        val c = vals.count(_ == v)
+        val p = if (m > 1) (below + (c + 1) / 2.0 - 1) / (m - 1) else 0.5
+        val pos = p * (n - 1)
+        val klo = math.floor(pos).toInt
+        val frac = pos - klo
+        val vlo = global(klo)
+        val vhi = global(math.min(klo + 1, n - 1))
+        (g, v) -> BigDecimal((1 - frac) * vlo + frac * vhi)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+  }
+
+  test("quantileNormalize: identical groups map identity; singleton " +
+       "group lands on the global median") {
+    // two identical groups -> the global distribution IS each group's,
+    // so normalization is the identity
+    val same = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 1.0), ("b", 2.0), ("b", 3.0))
+    val got1 = Stats.quantileNormalize(
+      spark.sparkContext.parallelize(same, 3).toDF("g", "v"),
+      Seq("g"), "v", binSize = 2)
+      .select("g", "v", "qnorm").as[(String, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    same.foreach { case (g, v) =>
+      assert(got1((g, v)) == v, s"identity at ($g, $v)")
+    }
+    // a singleton group sits at p = 0.5: global multiset
+    // (1,1,2,2,3,3,42), pos = 0.5·6 = 3 -> value 2; the donor groups'
+    // extremes map onto the GLOBAL extremes (a's max -> 42)
+    val withC = same :+ ("c", 42.0)
+    val got2 = Stats.quantileNormalize(
+      spark.sparkContext.parallelize(withC, 3).toDF("g", "v"),
+      Seq("g"), "v", binSize = 2)
+      .select("g", "v", "qnorm").as[(String, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got2(("c", 42.0)) == 2.0)
+    assert(got2(("a", 3.0)) == 42.0, "group max lands on global max")
+    assert(got2(("a", 1.0)) == 1.0, "group min lands on global min")
+  }
+
+  test("quantileNormalize matches the brute-force reference on random " +
+       "data with ties, for any binSize") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 250).map { _ =>
+      val g = s"s${rnd.nextInt(4)}"
+      // per-group shift so the groups genuinely disagree
+      (g, (rnd.nextInt(30) + g.last.asDigit * 7).toDouble)
+    }
+    val want = qnormBrute(rows)
+    val df = spark.sparkContext.parallelize(rows, 5).toDF("g", "v")
+    Seq(1L, 16L, 4096L).foreach { bs =>
+      val got = Stats.quantileNormalize(df, Seq("g"), "v", binSize = bs)
+        .select("g", "v", "qnorm").as[(String, Double, Double)]
+        .collect().map(r => (r._1, r._2) -> r._3).toMap
+      assert(got == want, s"binSize $bs")
+    }
+  }
+
   // ---- gramMatrix ----
 
   test("gramMatrix: hand case, upper triangle only, partitioning-" +
