@@ -1689,6 +1689,36 @@ object SparkEntry {
         .orderBy(col("dim"), col("probe"))
     }),
 
+    // Modularity of the brand partition over the co-purchase part
+    // graph: is "brand" a real community structure — the partition-
+    // quality audit for dedup-class/topic/domain groupings; pure
+    // equi-join aggregates, no iteration
+    "q222_modularity" -> ((s, dir) => {
+      val it = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = it.as("x").join(it.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("u"), col("y.l_partkey").as("v"))
+      val comm = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      Graph.modularity(e, "u", "v", comm, "p_partkey", "p_brand")
+        .orderBy(col("community"))
+    }),
+
+    // Degree assortativity of the same co-purchase graph: one-number
+    // structural fingerprint (hubs-link-hubs vs hubs-link-leaves);
+    // integer moment sums in DECIMAL, one floating division
+    "q223_assortativity" -> ((s, dir) => {
+      val it = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = it.as("x").join(it.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("u"), col("y.l_partkey").as("v"))
+      Graph.assortativity(e, "u", "v")
+    }),
+
     // Cross-source quantile normalization of document length: each
     // source's score distribution mapped onto the global one (the
     // batch-effect correction for drifting per-source quality
@@ -6439,6 +6469,74 @@ object SparkEntry {
                 round(1.0 - h.files_hit /
                   CAST(t.total_files AS DOUBLE), 6) AS skip_rate
          FROM hits h, tot t ORDER BY h.dim, h.probe""",
+
+    "q222_modularity" ->
+      """WITH it AS (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (
+           SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+           FROM it x JOIN it y
+             ON x.l_orderkey = y.l_orderkey
+            AND x.l_partkey < y.l_partkey),
+         m AS (SELECT count(*) AS m FROM e),
+         nb AS (SELECT u AS v0, v AS n FROM e
+                UNION ALL SELECT v, u FROM e),
+         deg AS (SELECT v0, count(*) AS deg FROM nb GROUP BY 1),
+         nc AS (
+           SELECT d.v0, d.deg, p.p_brand AS comm
+           FROM deg d JOIN part p ON d.v0 = p.p_partkey),
+         dc AS (
+           SELECT comm, CAST(sum(deg) AS BIGINT) AS d_c
+           FROM nc GROUP BY 1),
+         ec AS (
+           SELECT a.comm, CAST(count(*) AS BIGINT) AS e_c
+           FROM e JOIN nc a ON e.u = a.v0
+                  JOIN nc b ON e.v = b.v0 AND a.comm = b.comm
+           GROUP BY 1)
+         SELECT dc.comm AS community,
+                coalesce(ec.e_c, 0) AS e_c, dc.d_c,
+                round(CAST(coalesce(ec.e_c, 0) AS DOUBLE)
+                        / CAST(m.m AS DOUBLE)
+                      - (CAST(dc.d_c AS DOUBLE)
+                          / CAST(2 * m.m AS DOUBLE))
+                        * (CAST(dc.d_c AS DOUBLE)
+                          / CAST(2 * m.m AS DOUBLE)), 9) AS q_c
+         FROM dc LEFT JOIN ec USING (comm) CROSS JOIN m
+         ORDER BY community""",
+
+    "q223_assortativity" ->
+      """WITH it AS (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (
+           SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+           FROM it x JOIN it y
+             ON x.l_orderkey = y.l_orderkey
+            AND x.l_partkey < y.l_partkey),
+         nb AS (SELECT u AS v0, v AS n FROM e
+                UNION ALL SELECT v, u FROM e),
+         deg AS (SELECT v0, count(*) AS deg FROM nb GROUP BY 1),
+         pairs AS (
+           SELECT a.deg AS dx, b.deg AS dy
+           FROM nb JOIN deg a ON nb.v0 = a.v0
+                   JOIN deg b ON nb.n = b.v0),
+         s AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(dx AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+                  CAST(sum(CAST(dy AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+                  CAST(sum(CAST(dx AS DECIMAL(19,0))
+                         * CAST(dx AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+                  CAST(sum(CAST(dy AS DECIMAL(19,0))
+                         * CAST(dy AS DECIMAL(19,0))) AS DOUBLE) AS syy,
+                  CAST(sum(CAST(dx AS DECIMAL(19,0))
+                         * CAST(dy AS DECIMAL(19,0))) AS DOUBLE) AS sxy
+           FROM pairs)
+         SELECT n AS n_directed,
+                CASE WHEN n * sxx - sx * sx > 0
+                      AND n * syy - sy * sy > 0 THEN
+                  round((n * sxy - sx * sy) /
+                    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                END AS assortativity
+         FROM s""",
 
     "q221_quantile_normalize" ->
       """WITH base AS (

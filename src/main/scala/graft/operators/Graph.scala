@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -540,6 +540,106 @@ object Graph {
       .join(und0.select(col("u").as("a"), col("v").as("b")),
         Seq("a", "b"), "left_anti")
     und0.unpersist(false)
+    out
+  }
+
+  /** Canonical undirected simple edges: (u < v), self-loops and
+    * duplicates dropped. Shared by the partition-quality metrics. */
+  private def undirected(edges: DataFrame, srcCol: String,
+                         dstCol: String): DataFrame =
+    edges.select(col(srcCol).cast("long").as("s"),
+        col(dstCol).cast("long").as("d"))
+      .where(col("s").isNotNull && col("d").isNotNull &&
+        col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("u"),
+        greatest(col("s"), col("d")).as("v"))
+      .distinct()
+
+  /** Newman MODULARITY of a node partition: per community c,
+    * {{{ Q_c = e_c/m − (d_c / 2m)² }}}
+    * (e_c = internal edges, d_c = summed degree, m = total edges;
+    * Q = Σ Q_c). The "is this community structure real" audit for a
+    * dedup-class / topic / domain partition over a link graph.
+    * Nodes missing from `communities` are excluded (their edges still
+    * count in m and in their neighbors' degrees). Communities with no
+    * internal edges still get a row (the −(d_c/2m)² mass is real).
+    *
+    * SCALE SHAPE: one edge dedup, one degree aggregate, one |V|-sized
+    * community join, one internal-edge count — every join is an
+    * equi-join on node id; m is a one-row broadcast. No iteration.
+    * Returns (community, e_c, d_c, q_c r9) sorted by the caller.
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 communities: DataFrame, nodeCol: String,
+                 commCol: String): DataFrame = {
+    val und = undirected(edges, srcCol, dstCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val mRow = und.agg(count(lit(1)).as("_m"))
+    val nb = und.select(col("u").as("v0"), col("v").as("n"))
+      .union(und.select(col("v").as("v0"), col("u").as("n")))
+    val deg = nb.groupBy(col("v0")).agg(count(lit(1)).as("_deg"))
+    val nc = deg.join(communities.select(col(nodeCol).as("v0"),
+      col(commCol).as("_comm")), "v0")
+    val dc = nc.groupBy(col("_comm")).agg(sum(col("_deg")).as("d_c"))
+    val ec = und
+      .join(nc.select(col("v0").as("u"), col("_comm").as("_ca")), "u")
+      .join(nc.select(col("v0").as("v"), col("_comm").as("_cb")), "v")
+      .where(col("_ca") === col("_cb"))
+      .groupBy(col("_ca").as("_comm"))
+      .agg(count(lit(1)).as("e_c"))
+    val ratio = col("d_c").cast("double") /
+      (lit(2L) * col("_m")).cast("double")
+    val out = dc.join(ec, Seq("_comm"), "left")
+      .crossJoin(broadcast(mRow))
+      .select(col("_comm").as("community"),
+        coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"),
+        round(coalesce(col("e_c"), lit(0L)).cast("double") /
+          col("_m").cast("double") - ratio * ratio, 9).as("q_c"))
+    und.unpersist(false)
+    out
+  }
+
+  /** Degree ASSORTATIVITY: Pearson correlation of endpoint degrees
+    * over the directed edge list (each undirected edge counted in both
+    * directions — the standard Newman convention). Positive = hubs
+    * link hubs (social-ish), negative = hubs link leaves (web-ish) —
+    * the one-number structural fingerprint of a link graph.
+    *
+    * All five moment sums are INTEGER, accumulated in DECIMAL(38,0)
+    * with products taken in DECIMAL (the spearmanByKey overflow
+    * lesson); only the final correlation runs in floating point,
+    * mirrored exactly by the oracle. Returns one row
+    * (n_directed, assortativity r6) — NULL when degrees are constant.
+    */
+  def assortativity(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val und = undirected(edges, srcCol, dstCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nb = und.select(col("u").as("v0"), col("v").as("n"))
+      .union(und.select(col("v").as("v0"), col("u").as("n")))
+    val deg = nb.groupBy(col("v0")).agg(count(lit(1)).as("_deg"))
+    val pairs = nb
+      .join(deg.select(col("v0"), col("_deg").as("_dx")), "v0")
+      .join(deg.select(col("v0").as("n"), col("_deg").as("_dy")), "n")
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val agg = pairs.agg(count(lit(1)).as("_n"),
+      sum(dec(col("_dx"))).as("_sx"),
+      sum(dec(col("_dy"))).as("_sy"),
+      sum((dec(col("_dx")) * dec(col("_dx"))).cast("decimal(38,0)"))
+        .as("_sxx"),
+      sum((dec(col("_dy")) * dec(col("_dy"))).cast("decimal(38,0)"))
+        .as("_syy"),
+      sum((dec(col("_dx")) * dec(col("_dy"))).cast("decimal(38,0)"))
+        .as("_sxy"))
+    def d(c: Column) = c.cast("double")
+    val varX = d(col("_n")) * d(col("_sxx")) - d(col("_sx")) * d(col("_sx"))
+    val varY = d(col("_n")) * d(col("_syy")) - d(col("_sy")) * d(col("_sy"))
+    val out = agg.select(col("_n").as("n_directed"),
+      when(varX > 0 && varY > 0,
+        round((d(col("_n")) * d(col("_sxy")) -
+          d(col("_sx")) * d(col("_sy"))) / sqrt(varX * varY), 6))
+        .as("assortativity"))
+    und.unpersist(false)
     out
   }
 }

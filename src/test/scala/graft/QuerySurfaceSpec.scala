@@ -116,6 +116,8 @@ class QuerySurfaceSpec extends SparkTestBase {
     //  - q221: the global row count N is a one-row ungrouped aggregate
     //    cross-joined into the position arithmetic (q180's shape); the
     //    value-at-index lookup itself is a banded EQUI-join.
+    //  - q222: the edge total m is a one-row ungrouped aggregate
+    //    cross-joined into the modularity arithmetic.
     val allowedBnlj = Set("q24_cosine_topk", "q9_interval_overlap",
       "q104_boilerplate", "q118_unigram_logprob", "q122_source_kl",
       "q144_pmi_collocations", "q150_basket_lift", "q157_heavy_hitters",
@@ -123,7 +125,7 @@ class QuerySurfaceSpec extends SparkTestBase {
       "q180_percent_rank", "q188_hits", "q192_pps_sample",
       "q193_bigram_lm", "q194_source_minhash", "q198_fk_audit",
       "q215_benford", "q216_calibration", "q218_pr_curve",
-      "q221_quantile_normalize")
+      "q221_quantile_normalize", "q222_modularity")
     val lazyQueries = SparkEntry.queries.keySet -- eager
     val offenders = lazyQueries.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf)

@@ -219,4 +219,48 @@ class GraphSpec extends SparkTestBase {
     // (1,2) is adjacent → absent despite sharing the center
     assert(!out.contains((1L, 2L)))
   }
+
+  test("modularity: two triangles + bridge, triangle communities") {
+    // m = 7; each triangle: e_c = 3, d_c = 7 (2+2+3)
+    // Q_c = 3/7 − (7/14)² = 0.428571429 − 0.25 = 0.178571429
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (3L, 6L)).toDF("a", "b")
+    val comm = Seq((1L, "A"), (2L, "A"), (3L, "A"),
+      (4L, "B"), (5L, "B"), (6L, "B")).toDF("node", "c")
+    val got = Graph.modularity(edges, "a", "b", comm, "node", "c")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got("A") == ((3L, 7L, 0.178571429)))
+    assert(got("B") == ((3L, 7L, 0.178571429)))
+  }
+
+  test("modularity: a community with zero internal edges still rows, " +
+       "and duplicate/self edges are absorbed") {
+    // star 1-2, 1-3 with 2,3 in their own communities; self-loop and
+    // a duplicate edge must not change m
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 3L))
+      .toDF("a", "b")
+    val comm = Seq((1L, "hub"), (2L, "leafA"), (3L, "leafB"))
+      .toDF("node", "c")
+    val got = Graph.modularity(edges, "a", "b", comm, "node", "c")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // m = 2; hub: e_c=0, d_c=2, Q = 0 − (2/4)² = −0.25
+    assert(got("hub") == ((0L, 2L, -0.25)))
+    assert(got("leafA") == ((0L, 1L, -0.0625)))
+    assert(got.keySet == Set("hub", "leafA", "leafB"))
+  }
+
+  test("assortativity: path graph is -1, regular graph is NULL") {
+    // path a-b-c: endpoint degrees anti-correlate exactly
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val r = Graph.assortativity(path, "a", "b")
+      .select("assortativity").as[Double].head()
+    assert(r == -1.0)
+    // triangle: all degrees 2 -> zero variance -> NULL
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    val row = Graph.assortativity(tri, "a", "b").collect().head
+    assert(row.getLong(0) == 6L)
+    assert(row.isNullAt(1))
+  }
 }
