@@ -1689,6 +1689,22 @@ object SparkEntry {
         .orderBy(col("dim"), col("probe"))
     }),
 
+    // Local clustering coefficient over q147's adjacent-line part
+    // graph: triangles(v) / C(deg v, 2) per node — the per-node
+    // neighborhood-density refinement of the global triangle count
+    "q224_clustering_coeff" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          col("l_linenumber").as("ln"), col("l_partkey").as("pk"))
+      val nxt = li.select(col("ok"), (col("ln") - 1).as("ln"),
+        col("pk").as("dst_pk"))
+      val edges = li.join(nxt, Seq("ok", "ln"))
+        .where(col("pk") =!= col("dst_pk"))
+        .select(col("pk").as("src"), col("dst_pk").as("dst"))
+      Graph.clusteringCoefficient(edges, "src", "dst")
+        .orderBy(col("id"))
+    }),
+
     // Modularity of the brand partition over the co-purchase part
     // graph: is "brand" a real community structure — the partition-
     // quality audit for dedup-class/topic/domain groupings; pure
@@ -6469,6 +6485,37 @@ object SparkEntry {
                 round(1.0 - h.files_hit /
                   CAST(t.total_files AS DOUBLE), 6) AS skip_rate
          FROM hits h, tot t ORDER BY h.dim, h.probe""",
+
+    "q224_clustering_coeff" ->
+      """WITH e0 AS (
+           SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
+           FROM lineitem x JOIN lineitem y
+             ON x.l_orderkey = y.l_orderkey
+             AND y.l_linenumber = x.l_linenumber + 1
+           WHERE x.l_partkey != y.l_partkey),
+         ec AS MATERIALIZED (
+           SELECT DISTINCT least(src, dst) AS u,
+                  greatest(src, dst) AS v FROM e0),
+         nb AS (SELECT u AS id FROM ec UNION ALL SELECT v FROM ec),
+         deg AS (
+           SELECT id, CAST(count(*) AS BIGINT) AS deg
+           FROM nb GROUP BY 1),
+         tri AS MATERIALIZED (
+           SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           FROM ec e1 JOIN ec e2 ON e2.u = e1.v
+                      JOIN ec e3 ON e3.u = e1.u AND e3.v = e2.v),
+         pern AS (
+           SELECT id, count(*) AS n FROM (
+             SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri) GROUP BY id)
+         SELECT d.id, d.deg,
+                CAST(coalesce(p.n, 0) AS BIGINT) AS triangles,
+                CASE WHEN d.deg >= 2 THEN
+                  round(CAST(2 * coalesce(p.n, 0) AS DOUBLE)
+                        / (d.deg * (d.deg - 1)), 6)
+                END AS lcc
+         FROM deg d LEFT JOIN pern p ON p.id = d.id
+         ORDER BY d.id""",
 
     "q222_modularity" ->
       """WITH it AS (

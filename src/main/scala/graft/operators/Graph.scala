@@ -222,6 +222,14 @@ object Graph {
               greatest(col("s"), col("d")).as("v"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val out = triangleCountCanonical(ec)
+    out
+  }
+
+  /** [[triangleCount]] body over edges that are ALREADY canonical
+    * (u < v, distinct, non-null) — callers holding a canonical persisted
+    * edge set (clusteringCoefficient) skip the re-dedup shuffle. */
+  private def triangleCountCanonical(ec: DataFrame): DataFrame = {
     val deg = ec.select(col("u").as("id"))
       .union(ec.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
@@ -595,6 +603,37 @@ object Graph {
         coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"),
         round(coalesce(col("e_c"), lit(0L)).cast("double") /
           col("_m").cast("double") - ratio * ratio, 9).as("q_c"))
+    und.unpersist(false)
+    out
+  }
+
+  /** LOCAL CLUSTERING COEFFICIENT per node:
+    * {{{ lcc(v) = triangles(v) / C(deg v, 2) }}}
+    * — "how clique-like is each node's neighborhood", the per-node
+    * refinement of [[triangleCount]] (whose degree-oriented wedge plan
+    * does the heavy lifting: each triangle is generated exactly once
+    * from its lowest-(deg, id) corner, so the join fan-out is bounded
+    * by the ORIENTED out-degree, not the raw one). Degree-1 and
+    * isolated-from-dedup nodes have no defined coefficient → NULL.
+    *
+    * Returns (id, deg, triangles, lcc r6).
+    */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String,
+                            dstCol: String): DataFrame = {
+    val und = undirected(edges, srcCol, dstCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("u").as("id"))
+      .union(und.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val tri = triangleCountCanonical(und)
+    val out = deg.join(tri, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("deg") >= 2,
+          round((lit(2L) * coalesce(col("triangles"), lit(0L)))
+            .cast("double") /
+            (col("deg") * (col("deg") - 1)).cast("double"), 6))
+          .as("lcc"))
     und.unpersist(false)
     out
   }

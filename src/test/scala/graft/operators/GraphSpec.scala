@@ -251,6 +251,32 @@ class GraphSpec extends SparkTestBase {
     assert(got.keySet == Set("hub", "leafA", "leafB"))
   }
 
+  test("clusteringCoefficient: kite graph hand case") {
+    // triangle 1-2-3 plus pendant 4 on node 3 and edge 3-5,
+    // 4-5 closing a second triangle (3,4,5):
+    //   deg: 1:2, 2:2, 3:4, 4:2, 5:2
+    //   triangles: 1:1, 2:1, 3:2, 4:1, 5:1
+    //   lcc: 1,2,4,5 -> 1.0; 3 -> 2/(4·3/2) = 0.333333
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (3L, 4L), (3L, 5L), (4L, 5L)).toDF("a", "b")
+    val got = Graph.clusteringCoefficient(edges, "a", "b")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) == ((2L, 1L, 1.0)))
+    assert(got(3L) == ((4L, 2L, 0.333333)))
+    assert(got(5L) == ((2L, 1L, 1.0)))
+  }
+
+  test("clusteringCoefficient: degree-1 node has NULL lcc, not 0") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val rows = Graph.clusteringCoefficient(edges, "a", "b")
+      .orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows(0).isNullAt(3), "pendant node undefined")
+    assert(!rows(1).isNullAt(3) && rows(1).getDouble(3) == 0.0,
+      "open wedge center is a real 0")
+  }
+
   test("assortativity: path graph is -1, regular graph is NULL") {
     // path a-b-c: endpoint degrees anti-correlate exactly
     val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
