@@ -1689,6 +1689,62 @@ object SparkEntry {
         .orderBy(col("dim"), col("probe"))
     }),
 
+    // Streaming drift monitor: Population Stability Index of each
+    // 1-day window's value-bin distribution against the full-corpus
+    // reference — "did today's traffic stop looking like the
+    // training distribution". The STREAM does only a watermarked
+    // windowed count per fixed bin (O(windows × 10) state); PSI with
+    // Laplace smoothing is batch presentation over the drained table,
+    // contributions rounded + DECIMAL-summed (the chi² pattern)
+    "q225_stream_drift" -> ((s, dir) => {
+      val bin = least(floor(col("value") / 50).cast("int"), lit(9))
+      val stream = eventsStream(s, dir)
+        .select(eventTimestamp("ts").as("ets"), bin.as("bin"))
+      val agg = stream.withWatermark("ets", "0 seconds")
+        .groupBy(window(col("ets"), "1 day"), col("bin"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("window.start").cast("long").as("w_start"),
+          col("bin"), col("c"))
+      val qname = "graft_q225_drift"
+      val query = graft.streaming.Streams.drainToMemory(agg, qname)
+        .start()
+      try query.awaitTermination() finally query.stop()
+      // parquet round-trip: the memory-sink view cannot appear on both
+      // sides of the spine join (conflicting attribute ids inside the
+      // MemoryPlan view defeat join dedup); the table is windows×10
+      val winsPath = scratch(s, "q225")
+      s.table(qname).write.mode("overwrite").parquet(winsPath)
+      val wins = s.read.parquet(winsPath)
+      val ref = t(s, dir, "events").select(bin.as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("rc"))
+      val nref = t(s, dir, "events").agg(count(lit(1)).as("nr"))
+      val spine = wins.select(col("w_start")).distinct()
+        .crossJoin(broadcast(
+          s.range(0, 10).select(col("id").cast("int").as("bin"))))
+      val cells = spine
+        .join(wins, Seq("w_start", "bin"), "left")
+        .select(col("w_start"), col("bin"),
+          coalesce(col("c"), lit(0L)).as("c"))
+        .join(broadcast(ref), Seq("bin"), "left")
+        .select(col("w_start"), col("bin"), col("c"),
+          coalesce(col("rc"), lit(0L)).as("rc"))
+        .crossJoin(broadcast(nref))
+      val wTot = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("w_start"))
+      val pw = (col("c") + 1).cast("double") /
+        (col("n") + 10).cast("double")
+      val pr = (col("rc") + 1).cast("double") /
+        (col("nr") + 10).cast("double")
+      cells
+        .withColumn("n", sum(col("c")).over(wTot))
+        .withColumn("_contrib",
+          round((pw - pr) * log(pw / pr), 6).cast("decimal(18,6)"))
+        .groupBy(col("w_start"))
+        .agg(max(col("n")).as("n"),
+          sum(col("_contrib")).cast("double").as("psi"))
+        .orderBy(col("w_start"))
+    }),
+
     // Local clustering coefficient over q147's adjacent-line part
     // graph: triangles(v) / C(deg v, 2) per node — the per-node
     // neighborhood-density refinement of the global triangle count
@@ -6485,6 +6541,49 @@ object SparkEntry {
                 round(1.0 - h.files_hit /
                   CAST(t.total_files AS DOUBLE), 6) AS skip_rate
          FROM hits h, tot t ORDER BY h.dim, h.probe""",
+
+    "q225_stream_drift" ->
+      """WITH e AS (
+           SELECT (epoch_ns(ts) // 1000000000 // 86400) * 86400
+                    AS w_start,
+                  least(CAST(floor(value / 50) AS INTEGER), 9) AS bin
+           FROM events),
+         w AS (
+           SELECT w_start, bin, count(*) AS c FROM e GROUP BY 1, 2),
+         ref AS (
+           SELECT least(CAST(floor(value / 50) AS INTEGER), 9) AS bin,
+                  count(*) AS rc
+           FROM events GROUP BY 1),
+         nref AS (SELECT count(*) AS nr FROM events),
+         spine AS (
+           SELECT d.w_start, CAST(g.range AS INTEGER) AS bin
+           FROM (SELECT DISTINCT w_start FROM w) d
+           CROSS JOIN range(0, 10) g),
+         cells AS (
+           SELECT s.w_start, s.bin,
+                  CAST(coalesce(w.c, 0) AS BIGINT) AS c,
+                  CAST(coalesce(ref.rc, 0) AS BIGINT) AS rc
+           FROM spine s
+           LEFT JOIN w ON s.w_start = w.w_start AND s.bin = w.bin
+           LEFT JOIN ref ON s.bin = ref.bin),
+         tot AS (
+           SELECT w_start, CAST(sum(c) AS BIGINT) AS n
+           FROM cells GROUP BY 1),
+         ctr AS (
+           SELECT c.w_start, t.n,
+                  CAST(round(
+                    (CAST(c.c + 1 AS DOUBLE) / CAST(t.n + 10 AS DOUBLE)
+                     - CAST(c.rc + 1 AS DOUBLE)
+                       / CAST(n2.nr + 10 AS DOUBLE))
+                    * ln((CAST(c.c + 1 AS DOUBLE)
+                          / CAST(t.n + 10 AS DOUBLE))
+                         / (CAST(c.rc + 1 AS DOUBLE)
+                            / CAST(n2.nr + 10 AS DOUBLE))), 6)
+                    AS DECIMAL(18,6)) AS contrib
+           FROM cells c JOIN tot t USING (w_start) CROSS JOIN nref n2)
+         SELECT w_start, max(n) AS n,
+                CAST(sum(contrib) AS DOUBLE) AS psi
+         FROM ctr GROUP BY 1 ORDER BY w_start""",
 
     "q224_clustering_coeff" ->
       """WITH e0 AS (

@@ -52,7 +52,9 @@ class QuerySurfaceSpec extends SparkTestBase {
     "q199_range_band_join", "q205_stream_left_join",
     // q208 pins PPR rounds + counts the seed set at construction;
     // q211 zips the z-sorted RDD eagerly (q190 machinery)
-    "q208_personalized_pagerank", "q211_skip_rate")
+    "q208_personalized_pagerank", "q211_skip_rate",
+    // q225 drains a stream + sink round-trip at construction
+    "q225_stream_drift")
 
   test("every oracle key names a query; every query is gated") {
     val rowsOnly = Set("q34_approx_sketch", "q41_approx_segment",
