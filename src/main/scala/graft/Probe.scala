@@ -281,6 +281,56 @@ object Probe {
           .count()
       } finally spark.conf.unset(graft.plans.RangeJoinRewrite.BinSizeKey)
     }
+    // round-7 third-session additions: the eval/audit suite
+    if (probes("gram")) {
+      // 20× embeddings (100k 64-dim vectors): one aggregate pass, a
+      // 16 KiB Long buffer per map partition — the d² explode this
+      // shape avoids would be 409.6M rows
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val big = times(emb, 20, Seq("vec_id"), 1000000L)
+      timed("gram20x") {
+        Similarity.gramMatrix(big, Seq("label"), "embedding", 64)
+          .count()
+      }
+    }
+    if (probes("auc")) {
+      // 20× events (2M rows): the distinct-score rank pass split 8
+      // ways per weekday; shuffle carries distinct scores, not rows
+      val ev = GraftSession.table(spark, dir, "events")
+      val big = times(ev, 20, Seq("event_id", "user_id"), 1000000L)
+      timed("auc20x") {
+        Stats.aucByKey(
+          big.select(
+            expr("(unix_micros(ts) DIV 86400000000 + 4) % 7").as("wd"),
+            col("value"),
+            (col("event_type") === "purchase").as("pos")),
+          Seq("wd"), "value", col("pos"), orderBuckets = 8).count()
+      }
+    }
+    if (probes("spearman")) {
+      // 20× lineitem (12M rows): two distinct-value rank passes +
+      // two rank joins + one aggregate
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val big = times(li, 20, Seq("l_orderkey"), 100000000L)
+      timed("spearman20x") {
+        Stats.spearmanByKey(big, Seq("l_returnflag"),
+          "l_quantity", "l_extendedprice", orderBuckets = 4).count()
+      }
+    }
+    if (probes("qnorm")) {
+      // 20 extra sources over 20× documents: per-source rank pass ×
+      // 400 sources, one global rank pass, banded value-at-index join
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val big = times(docs, 20, Seq("doc_id"), 1000000L)
+        .withColumn("source",
+          concat(col("source"), lit("_"),
+            (col("doc_id") / 1000000L).cast("int")))
+      timed("qnorm20x") {
+        Stats.quantileNormalize(
+          big.select(col("doc_id"), col("source"), col("n_chars")),
+          Seq("source"), "n_chars", binSize = 64L).count()
+      }
+    }
     if (probes("zorder")) {
       // 20× events (2M rows): z-key + range sort + zipWithIndex + agg
       val e = spark.read.parquet(s"$dir/events.parquet")
