@@ -31,6 +31,10 @@ class GramAgg(d: Int)
   override def zero: Array[Long] = new Array[Long](size)
 
   override def reduce(buf: Array[Long], v: Seq[Float]): Array[Long] = {
+    // NULL embeddings are excluded, matching the NULL-excluded
+    // convention of the built-in aggregates (a bare dereference would
+    // fail the whole aggregation with an opaque NPE)
+    if (v == null) return buf
     require(v.length == d, s"expected dim $d, got ${v.length}")
     val a = v.toArray
     var i = 0

@@ -339,11 +339,14 @@ object Stats {
     val wIn = Window.partitionBy(col("_pid"))
       .orderBy(col(valueCol).desc, col(entityCol))
     val withCum = ranged.withColumn("_cumIn", sum(col(valueCol)).over(wIn))
-    // ≤ buckets rows: per-partition totals → exclusive global prefix
+    // ≤ buckets rows: per-partition totals → exclusive global prefix.
+    // The partition total is sum(valueCol), NOT max(_cumIn): a negative
+    // value makes the running sum non-monotone, so its max is not the
+    // partition sum and would silently corrupt the global prefix.
     val wOff = Window.orderBy(col("_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = withCum.groupBy(col("_pid"))
-      .agg(max(col("_cumIn")).as("_pt"))
+      .agg(sum(col(valueCol)).as("_pt"))
       .withColumn("_off", coalesce(sum(col("_pt")).over(wOff), lit(0)))
       .select(col("_pid"), col("_off"))
     withCum.join(broadcast(offsets), "_pid")
@@ -414,8 +417,10 @@ object Stats {
     val bin = labeled.map { case (l, _) =>
       when(col(valueCol).cast("double") > col(l), 1).otherwise(0)
     }.reduce(_ + _) + lit(1)
+    // a NULL value gets a NULL bin — each `null > bound` term yields 0,
+    // so without the guard NULLs would silently land in bin 1
     df.crossJoin(broadcast(bounds))
-      .withColumn(binCol, bin)
+      .withColumn(binCol, when(col(valueCol).isNotNull, bin))
       .drop(labeled.map(_._1): _*)
   }
 
@@ -694,11 +699,16 @@ object Stats {
     * too crude for (a slowly varying sensor reads 10 … NULL … 20:
     * LOCF says 10, the truth is ~15).
     *
-    * SCALE SHAPE: two stacked window passes (last-non-null looking
-    * back, first-non-null looking forward) sharing ONE exchange and
-    * ONE sort — both frames run over the same ascending per-key
-    * order. The lerp itself is a scan-stage projection; nothing else
-    * moves.
+    * SCALE SHAPE: two RUNNING window passes sharing ONE exchange —
+    * last-non-null over ascending time for the backward neighbor, and
+    * the forward neighbor as last-non-null over DESCENDING time
+    * (`unboundedPreceding → currentRow` both ways). Both are growing
+    * frames Spark evaluates in O(n) per key; the naive forward frame
+    * (`currentRow → unboundedFollowing`) is executed by
+    * `UnboundedFollowingWindowFunctionFrame`, which re-scans the rest
+    * of the partition per row — O(n²) per key, a measured 68 s vs
+    * <2 s at sf0.1. Costs one extra sort of the same exchange. The
+    * lerp itself is a scan-stage projection; nothing else moves.
     */
   def linearInterp(df: DataFrame, keyCols: Seq[String], tsCol: String,
                    valCol: String): DataFrame = {
@@ -707,12 +717,12 @@ object Stats {
       .orderBy(col(tsCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wFwd = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col(tsCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val known = when(col(valCol).isNotNull,
       struct(col(tsCol).as("t"), col(valCol).as("v")))
     val pv = last(known, ignoreNulls = true).over(wBack)
-    val nv = first(known, ignoreNulls = true).over(wFwd)
+    val nv = last(known, ignoreNulls = true).over(wFwd)
     df.withColumn("_pv", pv).withColumn("_nv", nv)
       .withColumn("interp",
         when(col(valCol).isNotNull, col(valCol))

@@ -69,7 +69,11 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val w = SQLConf.get.getConfString(BinSizeKey, "0").toLong
+    // toLongOption, not toLong: a malformed conf value must disable the
+    // rule, not throw inside the optimizer and fail every query on the
+    // session.
+    val w = SQLConf.get.getConfString(BinSizeKey, "0").toLongOption
+      .getOrElse(0L)
     if (w <= 0) return plan
     plan.transformUp {
       case j @ Join(l, r, Inner, Some(cond), hint) =>
@@ -99,12 +103,22 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     if (hasEqui) return None
 
     val bounds = conjuncts.flatMap(asBound)
+    // deterministic: the matched expressions are duplicated into the
+    // inverted-interval pre-filter, the sequence() generator, and the
+    // re-applied predicate — a non-deterministic expression would be
+    // evaluated multiple times with differing values.
     def eligibleExprs(es: Expression*): Boolean =
-      es.forall(e => oneSided(e) && integral(e))
+      es.forall(e => oneSided(e) && integral(e) && e.deterministic)
 
-    def bucketOf(e: Expression): Expression =
-      Cast(Floor(Divide(Cast(e, DoubleType),
-        Literal(w.toDouble))), LongType)
+    // floor(a / w) in pure long arithmetic: a − pmod(a, w) is exactly
+    // divisible by w, so integral division is exact for ALL longs — a
+    // Double round-trip is exact only below 2^53 and would mis-bucket
+    // bounds near ±2^62.
+    def bucketOf(e: Expression): Expression = {
+      val a = Cast(e, LongType)
+      val wl = Literal(w)
+      new IntegralDivide(Subtract(a, Pmod(a, wl)), wl)
+    }
 
     /** Explode `child` into the width-w buckets [lo..hi] covers,
       * dropping inverted intervals (they cannot satisfy the original
