@@ -331,6 +331,23 @@ object Probe {
           Seq("source"), "n_chars", binSize = 64L).count()
       }
     }
+    if (probes("interp")) {
+      // 20× the q209 series with the SAME 5 keys — each per-key series
+      // grows 20× longer (~320k rows/key), the axis on which the old
+      // currentRow→unboundedFollowing frame was quadratic (would be
+      // ~400× q209's 68 s; the descending running frame must stay O(n))
+      val series = GraftSession.table(spark, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) DIV 60000000").as("minute"))
+        .agg((sum(col("value")) / count(lit(1))).as("v"))
+        .withColumn("v", when(col("minute") % 13 === 0,
+          lit(null).cast("double")).otherwise(col("v")))
+      val big = times(series, 20, Seq("minute"), 100000000L)
+      timed("interp20x") {
+        Stats.linearInterp(big, Seq("event_type"), "minute", "v")
+          .count()
+      }
+    }
     if (probes("zorder")) {
       // 20× events (2M rows): z-key + range sort + zipWithIndex + agg
       val e = spark.read.parquet(s"$dir/events.parquet")

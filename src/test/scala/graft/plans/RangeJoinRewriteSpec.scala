@@ -126,6 +126,77 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("parity at ±2^61 bounds: long floor-division buckets are exact " +
+       "beyond Double's 2^53 integer range") {
+    // At |a| ≈ 2^61 a Double carries ±512 of rounding error, so a
+    // Double-cast bucketOf flips buckets whenever a mod w lands within
+    // that error of a bucket edge (w = 1000 → ~half the rows) and the
+    // rewrite silently LOSES matches. The long floor-division form must
+    // agree with the nested loop exactly, on both signs.
+    val rnd = new scala.util.Random(61)
+    for (base <- Seq(1L << 61, -(1L << 61))) {
+      val ivs = (1 to 200).map { i =>
+        val lo = base + rnd.nextInt(1000000).toLong
+        (i.toLong, lo, lo + rnd.nextInt(5000).toLong)
+      }.toDF("iv_id", "lo", "hi")
+      val pts = (1 to 400).map(i =>
+        (i.toLong, base + rnd.nextInt(1005000).toLong)).toDF("pt_id", "pt")
+      def q = pts.join(ivs,
+          col("lo") <= col("pt") && col("pt") <= col("hi"))
+        .select(col("pt_id"), col("iv_id"))
+      val naive = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq
+      val rewritten = withBin(1000L) {
+        val p = q.queryExecution.executedPlan.toString
+        assert(p.contains("_graft_bkt"), p)
+        q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      }
+      assert(rewritten == naive && naive.nonEmpty, s"base $base")
+    }
+  }
+
+  test("non-deterministic range conjunct disables the rewrite") {
+    // the rule would duplicate the expression into the pre-filter, the
+    // sequence() generator, and the re-applied predicate — three
+    // evaluations with three different values. The analyzer already
+    // rejects non-deterministic join conditions on the public API path,
+    // so drive the rule directly on a constructed plan (the guard is
+    // defense-in-depth for programmatic plan builders).
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val l = points.queryExecution.analyzed
+    val r = intervals.queryExecution.analyzed
+    def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+          n: String) = p.output.find(_.name == n).get
+    val cond = And(
+      LessThanOrEqual(a(r, "lo"),
+        Add(a(l, "pt"), Cast(Multiply(Rand(7), Literal(0.0)),
+          org.apache.spark.sql.types.LongType))),
+      LessThanOrEqual(a(l, "pt"), a(r, "hi")))
+    val join = Join(l, r, Inner, Some(cond),
+      org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
+    withBin(64L) {
+      assert(RangeJoinRewrite(join).fastEquals(join))
+      // sanity: the same shape WITH deterministic bounds does rewrite
+      val det = Join(l, r, Inner, Some(And(
+        LessThanOrEqual(a(r, "lo"), a(l, "pt")),
+        LessThanOrEqual(a(l, "pt"), a(r, "hi")))),
+        org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
+      assert(!RangeJoinRewrite(det).fastEquals(det))
+    }
+  }
+
+  test("malformed binSize conf disables the rule instead of failing the query") {
+    spark.conf.set(RangeJoinRewrite.BinSizeKey, "not-a-number")
+    try {
+      val got = thetaJoin.collect()
+      assert(got.nonEmpty)
+      val plan = thetaJoin.queryExecution.executedPlan.toString
+      assert(!plan.contains("_graft_bkt"), plan)
+    } finally spark.conf.unset(RangeJoinRewrite.BinSizeKey)
+  }
+
   test("randomized parity: rewritten result equals the nested-loop result") {
     val rnd = new scala.util.Random(41)
     val ivs = (1 to 300).map { i =>
