@@ -1662,6 +1662,93 @@ object SparkEntry {
     // 100 TB. Probe coverage is a scan-stage sequence explode over
     // the (tiny) envelope table, never an inequality join; the file
     // total is a one-row broadcast
+    // Kaplan–Meier survival per cohort: time from first to last
+    // activity, right-censored for users still active near the corpus
+    // horizon — the churn curve (operators/Survival.kaplanMeier). The
+    // product-limit estimate accumulates over a SORTED growing window
+    // so both engines add identical doubles in the same order
+    "q226_kaplan_meier" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val per = ev.groupBy(col("user_id"))
+        .agg(min(expr("unix_micros(ts)")).as("first_us"),
+          max(expr("unix_micros(ts)")).as("last_us"))
+      val hor = ev.agg(max(expr("unix_micros(ts)")).as("hor_us"))
+      val subj = per.crossJoin(broadcast(hor))
+        .select(pmod(col("user_id"), lit(4)).cast("int").as("cohort"),
+          expr("(last_us - first_us) DIV 86400000000").as("dur_days"),
+          (col("last_us") < col("hor_us") - lit(6L * 3600000000L))
+            .as("churned"))
+      Survival.kaplanMeier(subj, Seq("cohort"), "dur_days", "churned")
+        .orderBy(col("cohort"), col("dur_days"))
+    }),
+
+    // Categorical dependence screen in one pass over observed cells:
+    // mutual information + chi² + Cramér's V between event type and
+    // weekday (integer epoch-day % 7 — engine-independent, unlike
+    // dayofweek()). Zero cells never materialize: chi² = N + Σ_obs
+    // ((O−E)²/E − E) since Σ_allcells E = N
+    "q227_contingency" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        col("event_type").as("x"),
+        expr("(unix_micros(ts) DIV 86400000000) % 7").as("y"))
+      Stats.contingencyStats(e, "x", "y")
+    }),
+
+    // Per-key quantile estimates from a DETERMINISTIC bounded
+    // subsample: the k=256 rows with the smallest md5-order hash per
+    // event type (functions/ReservoirAgg — k-bounded map-side state,
+    // where exactPercentiles shuffles distinct values). Replayable:
+    // the oracle states the same "k smallest hashes" subsample
+    "q228_reservoir_quantiles" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        conv(substring(md5(concat(lit("rq:"),
+          col("event_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long").as("h"),
+        col("value").cast("double").as("v"))
+      Stats.reservoirQuantiles(ev, Seq("event_type"), "h", "v",
+          Seq(("p25", 0.25), ("p50", 0.50), ("p90", 0.90)), k = 256)
+        .select(col("event_type"), col("n_sample"),
+          round(col("p25"), 6).as("p25"), round(col("p50"), 6).as("p50"),
+          round(col("p90"), 6).as("p90"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Unicode-script composition per doc (TextAnalysis.scriptMix):
+    // codepoint counts per script + dominant script — the script-level
+    // screen before any n-gram langid. Cyrillic/Han fragments are
+    // injected deterministically (the q117 protocol: the synthetic
+    // corpus is ASCII; the oracle replays the same injection)
+    "q229_script_mix" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 5 === 0, lit("привет мир "))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit("你好世界 "))
+            .otherwise(lit("")),
+          coalesce(col("text"), lit(""))).as("text"))
+      TextAnalysis.scriptMix(injected, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Time-weighted average over stepwise validity intervals
+    // (Survival.timeWeightedAvg): each event's value holds until the
+    // user's next event; the mean weights each value by how long it
+    // held — the correct aggregate over SCD2-style state tables, where
+    // a row-count average over-weights short-lived values
+    "q230_time_weighted_avg" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("start_us"), col("event_id"))
+      val iv = t(s, dir, "events")
+        .select(col("user_id"), expr("unix_micros(ts)").as("start_us"),
+          col("event_id"), col("value"))
+        .withColumn("end_us", lead(col("start_us"), 1).over(w))
+        .where(col("end_us").isNotNull)
+      Survival.timeWeightedAvg(iv.where(pmod(col("user_id"), lit(10)) === 3),
+          Seq("user_id"), "start_us", "end_us", "value")
+        .orderBy(col("user_id"))
+    }),
+
     "q211_skip_rate" -> ((s, dir) => {
       val env = Layout.zorderFileStats(t(s, dir, "events"),
         pmod(col("user_id"), lit(1024L)),
@@ -7037,6 +7124,158 @@ object SparkEntry {
                     JOIN deg d ON d.src = e.src
              GROUP BY e.dst) m ON m.id = rv.id)
          SELECT id, round(ppr, 9) AS ppr FROM p3 ORDER BY id""",
+
+    "q226_kaplan_meier" ->
+      """WITH per AS (
+           SELECT user_id,
+                  min(epoch_ns(ts) // 1000) AS first_us,
+                  max(epoch_ns(ts) // 1000) AS last_us
+           FROM events GROUP BY 1),
+         hor AS (SELECT max(epoch_ns(ts) // 1000) AS hor_us FROM events),
+         subj AS (
+           SELECT CAST(user_id % 4 AS INT) AS cohort,
+                  (last_us - first_us) // 86400000000 AS dur_days,
+                  last_us < hor_us - 6 * 3600000000 AS ev
+           FROM per, hor),
+         pt AS (
+           SELECT cohort, dur_days,
+                  CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_events,
+                  count(*) AS n_at
+           FROM subj GROUP BY 1, 2),
+         tt AS (SELECT cohort, count(*) AS tot FROM subj GROUP BY 1),
+         r AS (
+           SELECT p.cohort, p.dur_days, p.n_events,
+                  CAST(t.tot - coalesce(sum(p.n_at) OVER (
+                    PARTITION BY p.cohort ORDER BY p.dur_days
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS n_risk
+           FROM pt p JOIN tt t USING (cohort)),
+         d AS (SELECT * FROM r WHERE n_events > 0),
+         s AS (
+           SELECT cohort, dur_days, n_risk, n_events,
+                  max(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END)
+                    OVER wc AS dead_end,
+                  sum(CASE WHEN n_events < n_risk
+                        THEN ln(1 - CAST(n_events AS DOUBLE) /
+                                    CAST(n_risk AS DOUBLE))
+                        ELSE 0 END) OVER wc AS lsum
+           FROM d
+           WINDOW wc AS (PARTITION BY cohort ORDER BY dur_days
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT cohort, dur_days, n_risk, n_events,
+                CASE WHEN dead_end = 1 THEN 0.0
+                     ELSE round(exp(lsum), 6) END AS survival
+         FROM s ORDER BY cohort, dur_days""",
+
+    "q227_contingency" ->
+      """WITH e AS (
+           SELECT event_type AS x,
+                  (epoch_ns(ts) // 1000 // 86400000000) % 7 AS y
+           FROM events),
+         cells AS (SELECT x, y, count(*) AS c FROM e GROUP BY 1, 2),
+         xs AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx
+                FROM cells GROUP BY 1),
+         ys AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy
+                FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                        count(DISTINCT x) AS nx,
+                        count(DISTINCT y) AS ny
+                 FROM cells)
+         SELECT t.n,
+                (t.nx - 1) * (t.ny - 1) AS dof,
+                round(sum((CAST(c.c AS DOUBLE) / t.n) *
+                  ln(CAST(c.c AS DOUBLE) * t.n /
+                     (CAST(x.cx AS DOUBLE) * y.cy))), 6) AS mi,
+                round(t.n + sum(
+                  (c.c - CAST(x.cx AS DOUBLE) * y.cy / t.n) *
+                  (c.c - CAST(x.cx AS DOUBLE) * y.cy / t.n) /
+                  (CAST(x.cx AS DOUBLE) * y.cy / t.n) -
+                  CAST(x.cx AS DOUBLE) * y.cy / t.n), 6) AS chi2,
+                round(sqrt((t.n + sum(
+                  (c.c - CAST(x.cx AS DOUBLE) * y.cy / t.n) *
+                  (c.c - CAST(x.cx AS DOUBLE) * y.cy / t.n) /
+                  (CAST(x.cx AS DOUBLE) * y.cy / t.n) -
+                  CAST(x.cx AS DOUBLE) * y.cy / t.n)) /
+                  (t.n * CAST(least(t.nx - 1, t.ny - 1) AS DOUBLE))),
+                  6) AS cramers_v
+         FROM cells c JOIN xs x USING (x) JOIN ys y USING (y), tot t
+         GROUP BY t.n, t.nx, t.ny""",
+
+    "q228_reservoir_quantiles" ->
+      """WITH h AS (
+           SELECT event_type,
+                  CAST('0x' || substr(md5('rq:' ||
+                    CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS hsh,
+                  CAST(value AS DOUBLE) AS v
+           FROM events),
+         r AS (
+           SELECT event_type, v,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY hsh, v) AS rn
+           FROM h),
+         smp AS (SELECT event_type, v FROM r WHERE rn <= 256),
+         srt AS (
+           SELECT event_type, v,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY v) AS vr,
+                  count(*) OVER (PARTITION BY event_type) AS m
+           FROM smp)
+         SELECT event_type, CAST(max(m) AS BIGINT) AS n_sample,
+                round(max(CASE WHEN vr = greatest(1,
+                  CAST(ceil(0.25 * m) AS BIGINT)) THEN v END), 6) AS p25,
+                round(max(CASE WHEN vr = greatest(1,
+                  CAST(ceil(0.50 * m) AS BIGINT)) THEN v END), 6) AS p50,
+                round(max(CASE WHEN vr = greatest(1,
+                  CAST(ceil(0.90 * m) AS BIGINT)) THEN v END), 6) AS p90
+         FROM srt GROUP BY event_type ORDER BY event_type""",
+
+    "q229_script_mix" ->
+      """WITH inj AS (
+           SELECT doc_id,
+                  (CASE WHEN doc_id % 5 = 0 THEN 'привет мир '
+                        ELSE '' END) ||
+                  (CASE WHEN doc_id % 7 = 0 THEN '你好世界 '
+                        ELSE '' END) ||
+                  coalesce(text, '') AS text
+           FROM documents),
+         cnt AS (
+           SELECT doc_id,
+                  CAST(len(regexp_extract_all(text, '\p{Latin}'))
+                    AS BIGINT) AS n_latin,
+                  CAST(len(regexp_extract_all(text, '\p{Cyrillic}'))
+                    AS BIGINT) AS n_cyrillic,
+                  CAST(len(regexp_extract_all(text, '\p{Han}'))
+                    AS BIGINT) AS n_han,
+                  CAST(len(regexp_extract_all(text, '[0-9]'))
+                    AS BIGINT) AS n_digit
+           FROM inj)
+         SELECT doc_id, n_latin, n_cyrillic, n_han, n_digit,
+                CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_han
+                          AND n_latin > 0 THEN 'latin'
+                     WHEN n_cyrillic >= n_han AND n_cyrillic > 0
+                       THEN 'cyrillic'
+                     WHEN n_han > 0 THEN 'han'
+                     ELSE 'none' END AS main_script
+         FROM cnt ORDER BY doc_id""",
+
+    "q230_time_weighted_avg" ->
+      """WITH iv AS (
+           SELECT user_id, epoch_ns(ts) // 1000 AS start_us, value,
+                  lead(epoch_ns(ts) // 1000) OVER (
+                    PARTITION BY user_id
+                    ORDER BY epoch_ns(ts) // 1000, event_id) AS end_us
+           FROM events),
+         f AS (SELECT * FROM iv
+               WHERE end_us IS NOT NULL AND user_id % 10 = 3)
+         SELECT user_id,
+                CAST(sum(end_us - start_us) AS BIGINT) AS total_time,
+                CASE WHEN sum(end_us - start_us) > 0 THEN
+                  round(CAST(sum(CAST(value AS DECIMAL(18,4)) *
+                    (end_us - start_us)) AS DOUBLE) /
+                    CAST(sum(end_us - start_us) AS DOUBLE), 6)
+                END AS tw_avg
+         FROM f GROUP BY user_id ORDER BY user_id""",
 
     "q209_linear_interp" ->
       """WITH srs AS (

@@ -1194,4 +1194,84 @@ object Stats {
           .as("obs_share"),
         col("chi2")): _*)
   }
+
+  /** Dependence report for two categorical columns in ONE pass over the
+    * observed contingency cells: mutual information
+    * {{{ MI = Σ_xy (c/N)·ln(c·N / (c_x·c_y)) }}}
+    * Pearson chi², degrees of freedom, and Cramér's V — the "is this
+    * feature informative about that label" screen run before any model
+    * sees the data.
+    *
+    * ZERO CELLS NEVER MATERIALIZE: a zero cell contributes nothing to
+    * MI and exactly its expectation E to chi², and Σ_allcells E = N, so
+    * {{{ chi² = N + Σ_observed ((O−E)²/E − E) }}}
+    * — the full |X|·|Y| grid (quadratic in cardinalities) is never
+    * generated; only observed cells flow.
+    *
+    * DETERMINISM: every count is an exact integer; each cell's term is
+    * fixed-shape double arithmetic on those integers (identical across
+    * engines), and the final sums are rounded to 6 (the q122 KL
+    * protocol). SCALE SHAPE: one map-side-combined cell aggregate, two
+    * broadcast-sized margin tables joined back, one final aggregate.
+    */
+  def contingencyStats(df: DataFrame, xCol: String, yCol: String)
+      : DataFrame = {
+    val cells = df.groupBy(col(xCol), col(yCol))
+      .agg(count(lit(1)).as("_c"))
+    val xs = cells.groupBy(col(xCol)).agg(sum(col("_c")).as("_cx"))
+    val ys = cells.groupBy(col(yCol)).agg(sum(col("_c")).as("_cy"))
+    val tot = cells.agg(sum(col("_c")).as("_n"),
+      countDistinct(col(xCol)).as("_nx"),
+      countDistinct(col(yCol)).as("_ny"))
+    val n = col("_n").cast("double")
+    val c = col("_c").cast("double")
+    val e = col("_cx").cast("double") * col("_cy").cast("double") / n
+    val dof = (col("_nx") - 1) * (col("_ny") - 1)
+    cells
+      .join(broadcast(xs), xCol)
+      .join(broadcast(ys), yCol)
+      .crossJoin(broadcast(tot))
+      .agg(
+        first(col("_n")).as("n"),
+        first(dof).as("dof"),
+        round(sum((c / n) *
+          log(c * n / (col("_cx").cast("double") *
+            col("_cy").cast("double")))), 6).as("mi"),
+        round(first(n) +
+          sum((c - e) * (c - e) / e - e), 6).as("chi2"),
+        round(sqrt((first(n) + sum((c - e) * (c - e) / e - e)) /
+          (first(n) * least(first(col("_nx")) - 1,
+            first(col("_ny")) - 1).cast("double"))), 6).as("cramers_v"))
+  }
+
+  /** Per-key quantile ESTIMATES from a deterministic bounded
+    * subsample: the k rows with the smallest md5-order hash form a
+    * uniform-without-replacement draw whose (type-1, positional)
+    * quantiles estimate the key's distribution — with the state
+    * BOUNDED at k rows per key and combining MAP-SIDE
+    * ([[graft.functions.ReservoirAgg]]), where [[exactPercentiles]]
+    * shuffles distinct values. This is the estimator to reach for when
+    * keys have millions of rows and ±O(1/√k) quantile error is
+    * acceptable; unlike a true random reservoir it is REPLAYABLE — an
+    * oracle states the same "k smallest hashes" subsample and gets
+    * bit-identical results.
+    *
+    * `hashCol` must be a uniform unique key (md5 of a row id upstream).
+    * Quantile at q = the ceil(q·m)-th smallest sampled value (m ≤ k
+    * actual sample size), floor 1.
+    */
+  def reservoirQuantiles(df: DataFrame, keyCols: Seq[String],
+                         hashCol: String, valueCol: String,
+                         probs: Seq[(String, Double)], k: Int)
+      : DataFrame = {
+    val ra = udaf(graft.functions.ReservoirAgg(k))
+    val sampled = df.groupBy(keyCols.map(col): _*)
+      .agg(ra(col(hashCol), col(valueCol)).as("_smp"))
+      .withColumn("n_sample", size(col("_smp")).cast("long"))
+    val qCols = probs.map { case (name, p) =>
+      element_at(col("_smp"), greatest(lit(1),
+        ceil(lit(p) * col("n_sample")).cast("int"))).as(name)
+    }
+    sampled.select(keyCols.map(col) ++ (col("n_sample") +: qCols): _*)
+  }
 }

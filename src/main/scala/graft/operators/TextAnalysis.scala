@@ -805,6 +805,38 @@ object TextAnalysis {
         array_join(col("_keep"), "\n").as("cleaned_text"))
   }
 
+  /** Unicode-script composition per document: counts of Latin,
+    * Cyrillic, Han, and decimal-digit codepoints plus the dominant
+    * script — the script-level language screen that runs BEFORE any
+    * n-gram language model ([[langId]]): a Cyrillic document should
+    * never reach a Latin-trigram classifier, and mixed-script text
+    * (Latin spam wrapped in CJK, homoglyph attacks) is its own quality
+    * signal.
+    *
+    * Pure scan-stage: four regexp counts per row, no shuffle — the
+    * groupBy/report is the caller's. Dominant script resolves ties by
+    * fixed precedence (latin > cyrillic > han > none), stated so an
+    * oracle can replay it. Character classes use script properties
+    * (`\p{IsCyrillic}` in Java regex; RE2 spells it `\p{Cyrillic}`),
+    * so the count is per CODEPOINT, not per byte.
+    */
+  def scriptMix(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    def cnt(pattern: String): Column =
+      size(regexp_extract_all(txt, lit(pattern), lit(0))).cast("long")
+    val latin = cnt("\\p{IsLatin}")
+    val cyr = cnt("\\p{IsCyrillic}")
+    val han = cnt("\\p{IsHan}")
+    docs.select(col(idCol),
+      latin.as("n_latin"), cyr.as("n_cyrillic"), han.as("n_han"),
+      cnt("[0-9]").as("n_digit"),
+      when(latin >= cyr && latin >= han && latin > 0, "latin")
+        .when(cyr >= han && cyr > 0, "cyrillic")
+        .when(han > 0, "han")
+        .otherwise("none").as("main_script"))
+  }
+
   def simhashBitContribution(tokenMd5: Column, pos: Int): Column = {
     val ones =
       if (pos % 2 == 0) Seq("1", "3", "5", "7", "9", "b", "d", "f")

@@ -120,6 +120,12 @@ class QuerySurfaceSpec extends SparkTestBase {
     //    value-at-index lookup itself is a banded EQUI-join.
     //  - q222: the edge total m is a one-row ungrouped aggregate
     //    cross-joined into the modularity arithmetic.
+    //  - q226: the censoring horizon (global max timestamp) is a
+    //    one-row ungrouped aggregate cross-joined into the per-subject
+    //    event flag (q159's decay-anchor shape).
+    //  - q227: the contingency totals row (N, |X|, |Y|) is a one-row
+    //    ungrouped aggregate cross-joined into the cell scorer
+    //    (q118's corpus-total shape).
     val allowedBnlj = Set("q24_cosine_topk", "q9_interval_overlap",
       "q104_boilerplate", "q118_unigram_logprob", "q122_source_kl",
       "q144_pmi_collocations", "q150_basket_lift", "q157_heavy_hitters",
@@ -127,7 +133,8 @@ class QuerySurfaceSpec extends SparkTestBase {
       "q180_percent_rank", "q188_hits", "q192_pps_sample",
       "q193_bigram_lm", "q194_source_minhash", "q198_fk_audit",
       "q215_benford", "q216_calibration", "q218_pr_curve",
-      "q221_quantile_normalize", "q222_modularity")
+      "q221_quantile_normalize", "q222_modularity",
+      "q226_kaplan_meier", "q227_contingency")
     val lazyQueries = SparkEntry.queries.keySet -- eager
     val offenders = lazyQueries.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
