@@ -1749,6 +1749,164 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // WEIGHTED PageRank over the co-purchase support graph
+    // (Graph.pageRankWeighted): rank splits over out-edges by edge
+    // weight (pr·w/wout) — the unweighted walk flattens exactly the
+    // signal the support counts encode. Fixed 3 rounds; oracle unrolls
+    // them; round(9) absorbs double-sum association noise (q113)
+    "q231_weighted_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          col("l_linenumber").as("ln"), col("l_partkey").as("pk"))
+      val other = li.select(col("ok"), col("ln").as("ln2"),
+        col("pk").as("pk2"))
+      val sup = li.join(other, Seq("ok"))
+        .where(col("ln") < col("ln2") && col("pk") =!= col("pk2"))
+        .select(least(col("pk"), col("pk2")).as("u"),
+          greatest(col("pk"), col("pk2")).as("v"))
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("support"))
+        .where(col("support") >= 2)
+      val edges = sup.select(col("u").as("src"), col("v").as("dst"),
+          col("support"))
+        .unionByName(sup.select(col("v").as("src"), col("u").as("dst"),
+          col("support")))
+      Graph.pageRankWeighted(edges, "src", "dst", "support",
+          iterations = 3)
+        .select(col("id"), round(col("pr"), 9).as("pr"))
+        .orderBy(col("id"))
+    }),
+
+    // Interval-OVERLAP theta join through the RangeJoinRewrite rule's
+    // SHAPE 2 (both sides explode; the join credits only the bucket
+    // holding max(a_lo, b_lo), so each overlapping pair matches
+    // exactly once) — q199 proves shape 1; this carries shape 2's
+    // oracle row. Price bands of two order samples: overlap ⇔ totals
+    // within 10000 cents
+    "q232_overlap_rule_join" -> ((s, dir) => {
+      graft.functions.GraftExtensions.installInto(s)
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      val a = o.where(col("o_orderkey") % 75 === 0)
+        .select(col("o_orderkey").as("a_id"),
+          (col("cents") - 5000L).as("a_lo"),
+          (col("cents") + 5000L).as("a_hi"))
+      val b = o.where(col("o_orderkey") % 90 === 0)
+        .select(col("o_orderkey").as("b_id"),
+          (col("cents") - 5000L).as("b_lo"),
+          (col("cents") + 5000L).as("b_hi"))
+      val out = try {
+        s.conf.set(graft.plans.RangeJoinRewrite.BinSizeKey, "20000")
+        val j = a.join(b,
+            col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi") &&
+              col("a_id") =!= col("b_id"))
+          .select(col("a_id"), col("b_id"))
+        val path = scratch(s, "q232")
+        j.write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
+      } finally s.conf.unset(graft.plans.RangeJoinRewrite.BinSizeKey)
+      out.orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Rank-Biased Overlap (Webber et al. 2010) between the revenue
+    // and quantity top-50 part rankings: Σ_d p^{d-1}·|I_d|/d scaled by
+    // (1−p), computed per-ITEM (each item contributes to every depth
+    // ≥ max of its two ranks) over a 50-row broadcast depth spine —
+    // never a depth×depth loop. Exact DECIMAL sums fix both rankings;
+    // the geometric weights are fixed-shape doubles
+    "q233_rbo" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val k = 50
+      def top(valCol: Column, rName: String) = {
+        val per = li.groupBy(col("l_partkey")).agg(valCol.as("_v"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("_v").desc, col("l_partkey"))
+        per.orderBy(col("_v").desc, col("l_partkey")).limit(k)
+          .withColumn(rName, row_number().over(w))
+          .select(col("l_partkey"), col(rName))
+      }
+      val ra = top(moneySum(col("l_extendedprice")), "ra")
+      val rb = top(sum(col("l_quantity").cast("decimal(18,2)")), "rb")
+      val items = ra.join(rb, "l_partkey")
+        .select(greatest(col("ra"), col("rb")).as("m"))
+      val depths = s.range(1, k + 1).select(col("id").as("d"),
+        (pow(lit(0.9), col("id").cast("double") - 1) /
+          col("id").cast("double")).as("wd"))
+      items.join(broadcast(depths), col("m") <= col("d"))
+        .agg(count(lit(1)).as("pairs_depths"),
+          round(lit(0.1) * sum(col("wd")), 6).as("rbo"))
+    }),
+
+    // STREAMING reservoir quantiles: ReservoirAgg's k-smallest-hash
+    // state is a commutative monoid, so the complete-mode streaming
+    // aggregate is EXACT under any micro-batch arrival order (the
+    // q187 bounded-state protocol) — per-key state is k pairs, not
+    // history. Batch presentation indexes the drained sample
+    "q234_stream_reservoir" -> ((s, dir) => {
+      val ra = udaf(graft.functions.ReservoirAgg(256))
+      val agg = eventsStream(s, dir)
+        .select(col("event_type"),
+          conv(substring(md5(concat(lit("rq:"),
+            col("event_id").cast("string"))), 1, 15), 16, 10)
+            .cast("long").as("h"),
+          col("value").cast("double").as("v"))
+        .groupBy(col("event_type"))
+        .agg(ra(col("h"), col("v")).as("smp"))
+      val qname = "graft_q234_reservoir"
+      val query = graft.streaming.Streams.drainToMemory(agg, qname,
+        outputMode = "complete").start()
+      try query.awaitTermination() finally query.stop()
+      val m = size(col("smp"))
+      def at(p: Double) = round(element_at(col("smp"),
+        greatest(lit(1), ceil(lit(p) * m).cast("int"))), 6)
+      s.table(qname)
+        .select(col("event_type"), m.cast("long").as("n_sample"),
+          at(0.25).as("p25"), at(0.50).as("p50"), at(0.90).as("p90"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Poisson-bootstrap confidence interval for the mean purchase
+    // value: each of 50 replicates weights every row by a
+    // DETERMINISTIC Poisson(1) draw (inverse CDF over an md5 uniform —
+    // replayable, unlike rand()), replicate means are exact
+    // DECIMAL-sum ratios, and the CI reads positional quantiles of
+    // the 50 means. The replicate spine is a 50-row broadcast
+    "q235_bootstrap_ci" -> ((s, dir) => {
+      val base = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("value").cast("decimal(18,4)")
+          .as("v"))
+      val reps = s.range(0, 50).select(col("id").as("r"))
+      val u = conv(substring(md5(concat(lit("bs:"),
+        col("r").cast("string"), lit(":"),
+        col("event_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long").cast("double") / lit(1.152921504606846976e18)
+      // Poisson(1) inverse CDF: cumulative e^{-1}·Σ 1/i! literals —
+      // identical constants in the oracle
+      val w = when(u < 0.3678794411714423, 0L)
+        .when(u < 0.7357588823428846, 1L)
+        .when(u < 0.9196986029286058, 2L)
+        .when(u < 0.9810118431238462, 3L)
+        .when(u < 0.9963401531726563, 4L)
+        .when(u < 0.9994058151824183, 5L)
+        .otherwise(6L)
+      val repMeans = base.crossJoin(broadcast(reps))
+        .select(col("r"), col("v"), w.as("w"))
+        .groupBy(col("r"))
+        .agg((sum(col("v") * col("w")).cast("double") /
+          sum(col("w")).cast("double")).as("_mean"))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .orderBy(col("_mean"))
+      repMeans
+        .withColumn("_rn", row_number().over(wRank))
+        .agg(count(lit(1)).as("n_replicates"),
+          round(max(when(col("_rn") === 2, col("_mean"))), 6)
+            .as("ci_lo"),
+          round(max(when(col("_rn") === 49, col("_mean"))), 6)
+            .as("ci_hi"))
+    }),
+
     "q211_skip_rate" -> ((s, dir) => {
       val env = Layout.zorderFileStats(t(s, dir, "events"),
         pmod(col("user_id"), lit(1024L)),
@@ -7124,6 +7282,156 @@ object SparkEntry {
                     JOIN deg d ON d.src = e.src
              GROUP BY e.dst) m ON m.id = rv.id)
          SELECT id, round(ppr, 9) AS ppr FROM p3 ORDER BY id""",
+
+    "q231_weighted_pagerank" ->
+      """WITH pairs AS MATERIALIZED (
+           SELECT least(x.l_partkey, y.l_partkey) AS u,
+                  greatest(x.l_partkey, y.l_partkey) AS v,
+                  count(*) AS support
+           FROM lineitem x JOIN lineitem y
+             ON x.l_orderkey = y.l_orderkey
+             AND x.l_linenumber < y.l_linenumber
+           WHERE x.l_partkey != y.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS MATERIALIZED (
+           SELECT u AS src, v AS dst, support AS w FROM pairs
+           UNION ALL
+           SELECT v AS src, u AS dst, support AS w FROM pairs),
+         nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM nodes),
+         wo AS MATERIALIZED (
+           SELECT src, CAST(sum(w) AS BIGINT) AS wout
+           FROM e GROUP BY src),
+         p0 AS (SELECT id, 1.0 / (SELECT c FROM nn) AS pr FROM nodes),
+         p1 AS MATERIALIZED (
+           SELECT nd.id, 0.15 / (SELECT c FROM nn)
+                  + 0.85 * coalesce(m.s, 0) AS pr
+           FROM nodes nd LEFT JOIN (
+             SELECT e.dst AS id,
+                    sum(p.pr * (CAST(e.w AS DOUBLE) / d.wout)) AS s
+             FROM e JOIN p0 p ON p.id = e.src
+                    JOIN wo d ON d.src = e.src
+             GROUP BY e.dst) m ON m.id = nd.id),
+         p2 AS MATERIALIZED (
+           SELECT nd.id, 0.15 / (SELECT c FROM nn)
+                  + 0.85 * coalesce(m.s, 0) AS pr
+           FROM nodes nd LEFT JOIN (
+             SELECT e.dst AS id,
+                    sum(p.pr * (CAST(e.w AS DOUBLE) / d.wout)) AS s
+             FROM e JOIN p1 p ON p.id = e.src
+                    JOIN wo d ON d.src = e.src
+             GROUP BY e.dst) m ON m.id = nd.id),
+         p3 AS (
+           SELECT nd.id, 0.15 / (SELECT c FROM nn)
+                  + 0.85 * coalesce(m.s, 0) AS pr
+           FROM nodes nd LEFT JOIN (
+             SELECT e.dst AS id,
+                    sum(p.pr * (CAST(e.w AS DOUBLE) / d.wout)) AS s
+             FROM e JOIN p2 p ON p.id = e.src
+                    JOIN wo d ON d.src = e.src
+             GROUP BY e.dst) m ON m.id = nd.id)
+         SELECT id, round(pr, 9) AS pr FROM p3 ORDER BY id""",
+
+    "q232_overlap_rule_join" ->
+      """WITH o AS (
+           SELECT o_orderkey,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents
+           FROM orders),
+         a AS (SELECT o_orderkey AS a_id, cents - 5000 AS a_lo,
+                      cents + 5000 AS a_hi
+               FROM o WHERE o_orderkey % 75 = 0),
+         b AS (SELECT o_orderkey AS b_id, cents - 5000 AS b_lo,
+                      cents + 5000 AS b_hi
+               FROM o WHERE o_orderkey % 90 = 0)
+         SELECT a_id, b_id
+         FROM a JOIN b
+           ON a_lo <= b_hi AND b_lo <= a_hi AND a_id != b_id
+         ORDER BY a_id, b_id""",
+
+    "q233_rbo" ->
+      """WITH rev AS (
+           SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                    AS v
+           FROM lineitem GROUP BY 1
+           ORDER BY v DESC, l_partkey LIMIT 50),
+         qty AS (
+           SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS v
+           FROM lineitem GROUP BY 1
+           ORDER BY v DESC, l_partkey LIMIT 50),
+         ra AS (SELECT l_partkey, row_number() OVER (
+                  ORDER BY v DESC, l_partkey) AS ra FROM rev),
+         rb AS (SELECT l_partkey, row_number() OVER (
+                  ORDER BY v DESC, l_partkey) AS rb FROM qty),
+         items AS (
+           SELECT greatest(ra.ra, rb.rb) AS m
+           FROM ra JOIN rb USING (l_partkey)),
+         depths AS (
+           SELECT d, pow(0.9, CAST(d AS DOUBLE) - 1) /
+                     CAST(d AS DOUBLE) AS wd
+           FROM range(1, 51) t(d))
+         SELECT CAST(count(*) AS BIGINT) AS pairs_depths,
+                round(0.1 * sum(wd), 6) AS rbo
+         FROM items JOIN depths ON m <= d""",
+
+    "q234_stream_reservoir" ->
+      """WITH h AS (
+           SELECT event_type,
+                  CAST('0x' || substr(md5('rq:' ||
+                    CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS hsh,
+                  CAST(value AS DOUBLE) AS v
+           FROM events),
+         r AS (
+           SELECT event_type, v,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY hsh, v) AS rn
+           FROM h),
+         smp AS (SELECT event_type, v FROM r WHERE rn <= 256),
+         srt AS (
+           SELECT event_type, v,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY v) AS vr,
+                  count(*) OVER (PARTITION BY event_type) AS m
+           FROM smp)
+         SELECT event_type, CAST(max(m) AS BIGINT) AS n_sample,
+                round(max(CASE WHEN vr = greatest(1,
+                  CAST(ceil(0.25 * m) AS BIGINT)) THEN v END), 6) AS p25,
+                round(max(CASE WHEN vr = greatest(1,
+                  CAST(ceil(0.50 * m) AS BIGINT)) THEN v END), 6) AS p50,
+                round(max(CASE WHEN vr = greatest(1,
+                  CAST(ceil(0.90 * m) AS BIGINT)) THEN v END), 6) AS p90
+         FROM srt GROUP BY event_type ORDER BY event_type""",
+
+    "q235_bootstrap_ci" ->
+      """WITH base AS (
+           SELECT event_id, CAST(value AS DECIMAL(18,4)) AS v
+           FROM events WHERE event_type = 'purchase'),
+         fan AS (
+           SELECT r.d AS r, b.v,
+                  CAST('0x' || substr(md5('bs:' || CAST(r.d AS VARCHAR)
+                    || ':' || CAST(b.event_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) / 1152921504606846976.0 AS u
+           FROM base b, range(0, 50) r(d)),
+         wts AS (
+           SELECT r, v,
+                  CASE WHEN u < 0.3678794411714423 THEN 0
+                       WHEN u < 0.7357588823428846 THEN 1
+                       WHEN u < 0.9196986029286058 THEN 2
+                       WHEN u < 0.9810118431238462 THEN 3
+                       WHEN u < 0.9963401531726563 THEN 4
+                       WHEN u < 0.9994058151824183 THEN 5
+                       ELSE 6 END AS w
+           FROM fan),
+         means AS (
+           SELECT r, CAST(sum(v * w) AS DOUBLE) /
+                     CAST(sum(w) AS DOUBLE) AS m
+           FROM wts GROUP BY r),
+         rk AS (SELECT m, row_number() OVER (ORDER BY m) AS rn
+                FROM means)
+         SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+                round(max(CASE WHEN rn = 2 THEN m END), 6) AS ci_lo,
+                round(max(CASE WHEN rn = 49 THEN m END), 6) AS ci_hi
+         FROM rk""",
 
     "q226_kaplan_meier" ->
       """WITH per AS (

@@ -120,6 +120,66 @@ object Graph {
     ranks
   }
 
+  /** WEIGHTED PageRank: each node splits its rank over out-edges
+    * proportionally to edge WEIGHT (pr·w/wout instead of pr/outdeg) —
+    * the form for co-occurrence/support graphs, where a 100-support
+    * edge should carry 50× the endorsement of a 2-support edge and
+    * the unweighted walk ([[pageRank]]) flattens exactly the signal
+    * the weights encode.
+    *
+    * Same scale shape and lifecycle as [[pageRank]]: fixed rounds
+    * (oracle-unrollable), two O(|E|) shuffles per round, rounds
+    * pinned via [[Components.pin]] with eager release, nothing
+    * collected but the node count. Weights must be positive integers
+    * (support counts); wout sums exactly, the ratio casts to double
+    * once per edge.
+    */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String, iterations: Int,
+                       damping: Double = 0.85,
+                       reliable: Boolean = false): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("w") > 0)
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count().toDouble // driver scalar, O(1) bytes
+    val wout = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val linked = e.join(wout, "src")
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("wout").cast("double"))
+          .as("share"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var ranks = Components.pin(
+      nodes.select(col("id"), lit(1.0 / n).as("pr")), reliable)
+    for (_ <- 1 to iterations) {
+      val contrib = linked
+        .join(ranks.select(col("id").as("src"), col("pr")), "src")
+        .select(col("dst").as("id"), (col("pr") * col("share")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("inmass"))
+      val stepped = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1 - damping) / n) +
+            lit(damping) * coalesce(col("inmass"), lit(0.0))).as("pr"))
+      val next = Components.pin(stepped, reliable)
+      Components.releasePin(ranks, reliable)
+      ranks = next
+    }
+    e.unpersist(false)
+    nodes.unpersist(false)
+    linked.unpersist(false)
+    ranks
+  }
+
   /** Iterative k-core PEELING with a FIXED round count: each round
     * simultaneously removes every node whose current degree is < k,
     * then restricts the edge set to survivors — the degeneracy-ordering

@@ -54,7 +54,12 @@ class QuerySurfaceSpec extends SparkTestBase {
     // q211 zips the z-sorted RDD eagerly (q190 machinery)
     "q208_personalized_pagerank", "q211_skip_rate",
     // q225 drains a stream + sink round-trip at construction
-    "q225_stream_drift")
+    "q225_stream_drift",
+    // q231 pins weighted-PageRank rounds at construction; q232
+    // materializes under a scoped optimizer conf (q199's shape); q234
+    // drains a stream
+    "q231_weighted_pagerank", "q232_overlap_rule_join",
+    "q234_stream_reservoir")
 
   test("every oracle key names a query; every query is gated") {
     val rowsOnly = Set("q34_approx_sketch", "q41_approx_segment",
@@ -126,6 +131,12 @@ class QuerySurfaceSpec extends SparkTestBase {
     //  - q227: the contingency totals row (N, |X|, |Y|) is a one-row
     //    ungrouped aggregate cross-joined into the cell scorer
     //    (q118's corpus-total shape).
+    //  - q233: the 50-row RBO depth spine is broadcast range-joined
+    //    onto the ≤50-item rank table — bounded by the evaluation
+    //    depth, never by data (q218's threshold-spine shape).
+    //  - q235: the 50-row bootstrap-replicate spine is broadcast
+    //    cross-joined for the per-replicate weight fan-out — bounded
+    //    by the replicate count (q218's shape).
     val allowedBnlj = Set("q24_cosine_topk", "q9_interval_overlap",
       "q104_boilerplate", "q118_unigram_logprob", "q122_source_kl",
       "q144_pmi_collocations", "q150_basket_lift", "q157_heavy_hitters",
@@ -134,7 +145,8 @@ class QuerySurfaceSpec extends SparkTestBase {
       "q193_bigram_lm", "q194_source_minhash", "q198_fk_audit",
       "q215_benford", "q216_calibration", "q218_pr_curve",
       "q221_quantile_normalize", "q222_modularity",
-      "q226_kaplan_meier", "q227_contingency")
+      "q226_kaplan_meier", "q227_contingency", "q233_rbo",
+      "q235_bootstrap_ci")
     val lazyQueries = SparkEntry.queries.keySet -- eager
     val offenders = lazyQueries.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf)

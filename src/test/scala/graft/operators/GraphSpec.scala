@@ -44,6 +44,35 @@ class GraphSpec extends SparkTestBase {
     assert(math.abs(pr.values.sum - 1.0) < 1e-12)
   }
 
+  test("pageRankWeighted: uniform weights reproduce unweighted pageRank") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+    val un = ranks(edges, 3)
+    val wt = Graph.pageRankWeighted(
+        edges.map { case (s, d) => (s, d, 7L) }.toDF("src", "dst", "w"),
+        "src", "dst", "w", 3)
+      .as[(Long, Double)].collect().toMap
+    un.foreach { case (id, pr) => assert(math.abs(wt(id) - pr) < 1e-12) }
+  }
+
+  test("pageRankWeighted: rank splits by weight share, not edge count") {
+    // 1→2 (w=3), 1→3 (w=1): node 2 gets 3/4 of 1's endorsement.
+    // one round from uniform 1/3:
+    //   pr(2) = 0.05 + 0.85·(1/3 · 3/4); pr(3) = 0.05 + 0.85·(1/3 · 1/4)
+    val wt = Graph.pageRankWeighted(
+        Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w"),
+        "src", "dst", "w", 1)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(wt(2L) - (0.05 + 0.85 / 4.0)) < 1e-12)
+    assert(math.abs(wt(3L) - (0.05 + 0.85 / 12.0)) < 1e-12)
+    // duplicate edges collapse by SUMMING weight, not dropping it
+    val dup = Graph.pageRankWeighted(
+        Seq((1L, 2L, 2L), (1L, 2L, 1L), (1L, 3L, 1L))
+          .toDF("src", "dst", "w"),
+        "src", "dst", "w", 1)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(dup(2L) - wt(2L)) < 1e-12)
+  }
+
   test("labelPropagation: triangle collapses to the min label") {
     // r1: 1←min(2,3)=2 (tie), 2←1, 3←1; r2: everyone sees a 1 → all 1
     val labs = Graph.labelPropagation(
