@@ -1907,6 +1907,55 @@ object SparkEntry {
             .as("ci_hi"))
     }),
 
+    // Concurrent-activity curve by SWEEP LINE (Stats.sweepConcurrency):
+    // per-(user, day) activity spans become ±1 deltas; one aggregate +
+    // one prefix sum over DISTINCT minutes replaces any interval-
+    // stabbing join. Emits change points only
+    "q236_concurrency" -> ((s, dir) => {
+      val iv = t(s, dir, "events")
+        .groupBy(col("user_id"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(min(expr("unix_micros(ts) DIV 60000000")).as("s"),
+          max(expr("unix_micros(ts) DIV 60000000")).as("e"))
+      Stats.sweepConcurrency(iv, "s", "e").orderBy(col("t"))
+    }),
+
+    // Theil–Sen robust trend per event type over the DAILY revenue
+    // rollup (Stats.theilSenSlope): median of pairwise slopes — one
+    // bad day drags OLS (q169) arbitrarily far, this needs 29%
+    // corruption. Quadratic only in DAYS (calendar-bounded), never
+    // events
+    "q237_theilsen" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(moneySum(col("value")).as("rev"))
+      Stats.theilSenSlope(daily, Seq("event_type"), "day", "rev")
+        .orderBy(col("event_type"))
+    }),
+
+    // 5% trimmed mean per event type (Stats.trimmedMean): positional
+    // trimming with an id tiebreak — integer-exact until one division;
+    // discards tails where winsorize (q154) clamps them
+    "q238_trimmed_mean" -> ((s, dir) => {
+      Stats.trimmedMean(t(s, dir, "events"), Seq("event_type"),
+          "value", "event_id", 0.05)
+        .orderBy(col("event_type"))
+    }),
+
+    // Growth accounting (Funnel.growthAccounting): the daily-active
+    // decomposition into new / returning (≤7-day gap) / resurrected —
+    // one distinct + one per-user lag over day rows, never events
+    "q239_growth_accounting" -> ((s, dir) => {
+      val d = t(s, dir, "events").select(col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      Funnel.growthAccounting(d, "user_id", "day", resurrectGapDays = 7)
+        .select(col("day"), col("active"), col("new").as("n_new"),
+          col("returning").as("n_returning"),
+          col("resurrected").as("n_resurrected"))
+        .orderBy(col("day"))
+    }),
+
     "q211_skip_rate" -> ((s, dir) => {
       val env = Layout.zorderFileStats(t(s, dir, "events"),
         pmod(col("user_id"), lit(1024L)),
@@ -7432,6 +7481,81 @@ object SparkEntry {
                 round(max(CASE WHEN rn = 2 THEN m END), 6) AS ci_lo,
                 round(max(CASE WHEN rn = 49 THEN m END), 6) AS ci_hi
          FROM rk""",
+
+    "q236_concurrency" ->
+      """WITH iv AS (
+           SELECT user_id, epoch_ns(ts) // 1000 // 86400000000 AS day,
+                  min(epoch_ns(ts) // 1000 // 60000000) AS s,
+                  max(epoch_ns(ts) // 1000 // 60000000) AS e
+           FROM events GROUP BY 1, 2),
+         dl AS (
+           SELECT t, CAST(sum(d) AS BIGINT) AS delta
+           FROM (SELECT s AS t, 1 AS d FROM iv
+                 UNION ALL SELECT e + 1 AS t, -1 AS d FROM iv)
+           GROUP BY t HAVING sum(d) != 0)
+         SELECT t, delta,
+                CAST(sum(delta) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS concurrency
+         FROM dl ORDER BY t""",
+
+    "q237_theilsen" ->
+      """WITH daily AS (
+           SELECT event_type,
+                  epoch_ns(ts) // 1000 // 86400000000 AS day,
+                  sum(CAST(value AS DECIMAL(18,4))) AS rev
+           FROM events GROUP BY 1, 2),
+         pairs AS (
+           SELECT a.event_type, a.day AS xa, b.day AS xb,
+                  CAST(b.rev - a.rev AS DOUBLE) /
+                  CAST(b.day - a.day AS DOUBLE) AS s
+           FROM daily a JOIN daily b
+             ON a.event_type = b.event_type AND a.day < b.day),
+         r AS (
+           SELECT event_type, s,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY s, xa, xb) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM pairs)
+         SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+                round(s, 6) AS ts_slope
+         FROM r WHERE rn = (n + 1) // 2
+         ORDER BY event_type""",
+
+    "q238_trimmed_mean" ->
+      """WITH r AS (
+           SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY value, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events),
+         k AS (
+           SELECT * FROM r
+           WHERE rn > CAST(floor(0.05 * n) AS BIGINT)
+             AND rn <= n - CAST(floor(0.05 * n) AS BIGINT))
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+                round(CAST(sum(CAST(value AS DECIMAL(18,4)))
+                  AS DOUBLE) / count(*), 6) AS trimmed_mean
+         FROM k GROUP BY 1 ORDER BY 1""",
+
+    "q239_growth_accounting" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id,
+                  epoch_ns(ts) // 1000 // 86400000000 AS day
+           FROM events),
+         c AS (
+           SELECT user_id, day,
+                  lag(day) OVER (PARTITION BY user_id ORDER BY day)
+                    AS prev
+           FROM ud)
+         SELECT day, CAST(count(*) AS BIGINT) AS active,
+                CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_new,
+                CAST(sum(CASE WHEN prev IS NOT NULL AND day - prev <= 7
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+                CAST(sum(CASE WHEN prev IS NOT NULL AND day - prev > 7
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+         FROM c GROUP BY day ORDER BY day""",
 
     "q226_kaplan_meier" ->
       """WITH per AS (

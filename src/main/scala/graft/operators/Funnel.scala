@@ -117,4 +117,36 @@ object Funnel {
           .cast("int").as("week_offset"))
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
+
+  /** Growth accounting: classify each active (user, day) as NEW (first
+    * day ever), RETURNING (last activity within `resurrectGapDays`),
+    * or RESURRECTED (came back after a longer silence), then count per
+    * day — the DAU decomposition every growth review reads before the
+    * topline ("is growth new users or resurrection?").
+    *
+    * SCALE SHAPE: distinct (user, day) first (map-side dedup of the
+    * event fan-in), ONE per-user lag window over those day rows
+    * (bounded by days-per-user, not events), one final aggregate.
+    * `dayCol` is an integral day number.
+    */
+  def growthAccounting(df: DataFrame, userCol: String, dayCol: String,
+                       resurrectGapDays: Int): DataFrame = {
+    val days = df.select(col(userCol), col(dayCol)).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(dayCol))
+    val classed = days
+      .withColumn("_prev", lag(col(dayCol), 1).over(w))
+      .withColumn("status",
+        when(col("_prev").isNull, "new")
+          .when(col(dayCol) - col("_prev") <= resurrectGapDays,
+            "returning")
+          .otherwise("resurrected"))
+    classed.groupBy(col(dayCol))
+      .agg(count(lit(1)).as("active"),
+        sum(when(col("status") === "new", 1L).otherwise(0L)).as("new"),
+        sum(when(col("status") === "returning", 1L).otherwise(0L))
+          .as("returning"),
+        sum(when(col("status") === "resurrected", 1L).otherwise(0L))
+          .as("resurrected"))
+  }
 }

@@ -1274,4 +1274,104 @@ object Stats {
     }
     sampled.select(keyCols.map(col) ++ (col("n_sample") +: qCols): _*)
   }
+
+  /** Concurrency curve by SWEEP LINE: how many of the input intervals
+    * [startCol, endCol] (integral, inclusive bounds) are open at each
+    * time unit — "concurrent sessions over time" WITHOUT any interval
+    * join: each interval becomes a +1 delta at start and a −1 delta at
+    * end+1, deltas aggregate per distinct time (map-side), and one
+    * running sum over the delta table yields the curve. An interval-
+    * stabbing join formulation pays |intervals|×|probes|; the sweep
+    * pays one aggregate plus a prefix sum over DISTINCT times.
+    *
+    * The running sum's window is unpartitioned, but its input is the
+    * distinct-TIME table — calendar-bounded (one row per time unit
+    * with activity), not data-bounded; at minute granularity a decade
+    * is ~5M rows. For sub-second telemetry at 100 TB, bucket the time
+    * or route through the [[withExclusiveCum]] range-partitioned
+    * protocol.
+    *
+    * Returns one row per time unit where the concurrency CHANGES
+    * (delta ≠ 0), with the concurrency holding from that time until
+    * the next emitted time.
+    */
+  def sweepConcurrency(df: DataFrame, startCol: String, endCol: String)
+      : DataFrame = {
+    val deltas = df.select(col(startCol).as("t"), lit(1L).as("d"))
+      .unionByName(df.select((col(endCol) + 1).as("t"),
+        lit(-1L).as("d")))
+      .groupBy(col("t")).agg(sum(col("d")).as("delta"))
+      .where(col("delta") =!= 0)
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("concurrency", sum(col("delta")).over(w))
+  }
+
+  /** Theil–Sen slope per key: the MEDIAN of all pairwise slopes
+    * (y_j − y_i)/(x_j − x_i) — the robust trend line whose breakdown
+    * point is 29%, where one corrupted day drags the OLS fit
+    * ([[groupTrend]]) arbitrarily far. Lower median with a total
+    * order (slope, then the pair's x's) so the result is deterministic
+    * and an oracle can state it.
+    *
+    * QUADRATIC BY NATURE — O(n²) pairs per key — so the contract is
+    * PRE-AGGREGATED series: daily/hourly rollups per key (calendar-
+    * bounded n, e.g. a year of days = 66k pairs), never raw events.
+    * The pair join is key-local (equi on the key), slopes in exact
+    * arithmetic until ONE double division.
+    */
+  def theilSenSlope(df: DataFrame, keyCols: Seq[String], xCol: String,
+                    yCol: String): DataFrame = {
+    val key = keyCols.map(col)
+    val a = df.select(key :+ col(xCol).as("_xa") :+ col(yCol).as("_ya"): _*)
+    val b = df.select(key :+ col(xCol).as("_xb") :+ col(yCol).as("_yb"): _*)
+    val pairs = a.join(b, keyCols)
+      .where(col("_xa") < col("_xb"))
+      .select(key :+ col("_xa") :+ col("_xb") :+
+        ((col("_yb") - col("_ya")).cast("double") /
+          (col("_xb") - col("_xa")).cast("double")).as("_s"): _*)
+    val wRn = Window.partitionBy(key: _*)
+      .orderBy(col("_s"), col("_xa"), col("_xb"))
+    val wN = Window.partitionBy(key: _*)
+    pairs
+      .withColumn("_rn", row_number().over(wRn))
+      .withColumn("_n", count(lit(1)).over(wN))
+      // lower median position — integer DIV: Spark's `/` on longs
+      // returns DOUBLE, and rn === 5.5 matches nothing
+      .where(col("_rn") === expr("(_n + 1) DIV 2"))
+      .select(key :+ col("_n").as("n_pairs") :+
+        round(col("_s"), 6).as("ts_slope"): _*)
+  }
+
+  /** Trimmed mean per key: the exact mean after dropping the lowest
+    * and highest floor(trimFrac·n) values BY POSITION (ties broken by
+    * `idCol` for a total order) — the outlier-robust location estimate
+    * that, unlike [[winsorize]], discards the tails instead of
+    * clamping them. Positional trimming keeps everything integer-exact
+    * until the final division: kept-row sums are DECIMAL, the count is
+    * integral, one division then round(6).
+    *
+    * SCALE SHAPE: one per-key window (rank + count share the exchange
+    * and sort) and one aggregate. The window shuffles all rows per key
+    * — the standard per-key-rank cost (q26/q97 family); for the
+    * bounded-state estimate at extreme scale use
+    * [[reservoirQuantiles]]' subsample instead.
+    */
+  def trimmedMean(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                  idCol: String, trimFrac: Double): DataFrame = {
+    require(trimFrac >= 0 && trimFrac < 0.5, "trimFrac in [0, 0.5)")
+    val key = keyCols.map(col)
+    val wRn = Window.partitionBy(key: _*)
+      .orderBy(col(valueCol), col(idCol))
+    val wN = Window.partitionBy(key: _*)
+    val cut = floor(lit(trimFrac) * col("_n")).cast("long")
+    df
+      .withColumn("_rn", row_number().over(wRn))
+      .withColumn("_n", count(lit(1)).over(wN))
+      .where(col("_rn") > cut && col("_rn") <= col("_n") - cut)
+      .groupBy(key: _*)
+      .agg(count(lit(1)).as("n_kept"),
+        round(sum(col(valueCol).cast("decimal(18,4)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("trimmed_mean"))
+  }
 }

@@ -2,9 +2,27 @@ package graft.operators
 
 import graft.SparkTestBase
 import java.sql.Timestamp
+import org.apache.spark.sql.functions.col
 
 class FunnelSpec extends SparkTestBase {
   import spark.implicits._
+
+  test("growthAccounting: new / returning / resurrected classification") {
+    // u1: days 1,2,15 → new@1, returning@2, resurrected@15 (gap 13 > 7)
+    // u2: days 2,8    → new@2, returning@8 (gap 6 ≤ 7)
+    // duplicate (u1, 1) row must not double-count
+    val d = Seq((1L, 1L), (1L, 1L), (1L, 2L), (1L, 15L),
+      (2L, 2L), (2L, 8L)).toDF("u", "day")
+    val got = Funnel.growthAccounting(d, "u", "day", 7)
+      .orderBy(col("day")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 1L, 0L, 0L),   // day 1: u1 new
+      (2L, 2L, 1L, 1L, 0L),   // day 2: u2 new, u1 returning
+      (8L, 1L, 0L, 1L, 0L),   // day 8: u2 returning
+      (15L, 1L, 0L, 0L, 1L))) // day 15: u1 resurrected
+  }
 
   private def ts(day: Int, hour: Int = 0): Timestamp =
     Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")

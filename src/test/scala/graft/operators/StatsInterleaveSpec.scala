@@ -128,6 +128,46 @@ class ProfileSpec extends SparkTestBase {
 class StatsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("sweepConcurrency: change points carry the open-interval count") {
+    // [1,5] [3,8] [6,6]: conc 1@1, 2@3, 1@6(+1-1... trace below)
+    val iv = Seq((1L, 5L), (3L, 8L), (6L, 6L)).toDF("s", "e")
+    val got = Stats.sweepConcurrency(iv, "s", "e")
+      .orderBy(col("t")).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    // t=1:+1→1; t=3:+1→2; t=6: -1(end 5)+1(start 6)→2 SUPPRESSED
+    // (delta 0); t=7: -1(end 6)→1; t=9: -1(end 8)→0
+    assert(got == Seq((1L, 1L), (3L, 2L), (7L, 1L), (9L, 0L)))
+  }
+
+  test("theilSenSlope shrugs off the outlier that wrecks OLS") {
+    // y = 2x except one wild point; 14 of 15 pairwise slopes stay
+    // near 2, so the median slope is robust
+    val pts = Seq((0, 0), (1, 2), (2, 4), (3, 6), (4, 1000))
+      .map { case (x, y) => ("k", x, y) }.toDF("g", "x", "y")
+    val ts = Stats.theilSenSlope(pts, Seq("g"), "x", "y")
+      .collect().head
+    assert(ts.getAs[Long]("n_pairs") == 10L)
+    assert(ts.getAs[Double]("ts_slope") == 2.0)
+    val ols = Stats.groupTrend(pts, Seq("g"), "x", "y")
+      .collect().head.getAs[Double]("slope")
+    assert(ols > 100, s"OLS should be dragged, got $ols")
+  }
+
+  test("trimmedMean drops exactly floor(f·n) from each tail") {
+    // n=10, f=0.2 → drop 2 each side, keep ranks 3..8
+    val df = (1 to 10).map(i => ("k", i.toDouble, i.toLong))
+      .toDF("g", "v", "id")
+    val got = Stats.trimmedMean(df, Seq("g"), "v", "id", 0.2)
+      .collect().head
+    assert(got.getAs[Long]("n_kept") == 6L)
+    assert(got.getAs[Double]("trimmed_mean") == 5.5)
+    // f=0 keeps everything (plain mean)
+    val full = Stats.trimmedMean(df, Seq("g"), "v", "id", 0.0)
+      .collect().head
+    assert(full.getAs[Long]("n_kept") == 10L)
+    assert(full.getAs[Double]("trimmed_mean") == 5.5)
+  }
+
   test("exactPercentiles equals built-in percentile bit-for-bit") {
     val rnd = new scala.util.Random(3)
     val df = Seq.fill(5000)((rnd.nextInt(4), rnd.nextDouble() * 1000))
