@@ -1956,6 +1956,56 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    // Prefix-compression estimate per source
+    // (TextAnalysis.prefixCompressionStats + native graft_lcp): the
+    // adjacent-row LCP sum in sorted order IS the bytes a prefix-
+    // encoded layout saves — a template-ness score per source
+    "q240_prefix_compression" -> ((s, dir) => {
+      graft.functions.GraftExtensions.installInto(s)
+      TextAnalysis.prefixCompressionStats(t(s, dir, "documents"),
+          "source", "text")
+        .orderBy(col("source"))
+    }),
+
+    // Vocabulary coverage / OOV rate per source against the global
+    // top-1000 vocab (TextAnalysis.vocabCoverage): the screen run
+    // before fixing a tokenizer's vocab size. Top-K is a TakeOrdered
+    // with a token tie-break, broadcast back as a semi-join
+    "q241_vocab_coverage" -> ((s, dir) => {
+      TextAnalysis.vocabCoverage(t(s, dir, "documents"), "source",
+          "text", topK = 1000)
+        .orderBy(col("source"))
+    }),
+
+    // Pairwise Jensen–Shannon divergence between source token
+    // distributions (TextAnalysis.jsDivergenceMatrix): symmetric,
+    // ln2-bounded — the source-distance matrix KL (q122) can't give
+    // (KL explodes on one-sided tokens)
+    "q242_js_divergence" -> ((s, dir) => {
+      TextAnalysis.jsDivergenceMatrix(t(s, dir, "documents"), "source",
+          "text")
+        .orderBy(col("ga"), col("gb"))
+    }),
+
+    // Embedding dispersion per label (Similarity.embeddingDispersion):
+    // centroid norm + mean-squared-distance-to-centroid from ONE pass
+    // of exact quantized aggregates via E‖v−c‖² = E‖v‖² − ‖c‖² — the
+    // representation-collapse screen with no second pass over rows
+    "q243_embedding_dispersion" -> ((s, dir) => {
+      Similarity.embeddingDispersion(t(s, dir, "embeddings"),
+          Seq("label"), "embedding", dim = 64)
+        .orderBy(col("label"))
+    }),
+
+    // Exact two-sample Kolmogorov–Smirnov test between src0 and src1
+    // length distributions (Stats.ksTest): D as max|cumA·nB − cumB·nA|
+    // in pure integers, ONE division at the end — drift gating with
+    // no binning choices
+    "q244_ks_test" -> ((s, dir) => {
+      Stats.ksTest(t(s, dir, "documents"), "n_chars", "source",
+        "src0", "src1")
+    }),
+
     "q211_skip_rate" -> ((s, dir) => {
       val env = Layout.zorderFileStats(t(s, dir, "events"),
         pmod(col("user_id"), lit(1024L)),
@@ -7556,6 +7606,145 @@ object SparkEntry {
                 CAST(sum(CASE WHEN prev IS NOT NULL AND day - prev > 7
                   THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
          FROM c GROUP BY day ORDER BY day""",
+
+    "q240_prefix_compression" ->
+      """WITH d AS (
+           SELECT source, coalesce(text, '') AS t,
+                  lag(coalesce(text, '')) OVER (PARTITION BY source
+                    ORDER BY coalesce(text, '')) AS prev
+           FROM documents),
+         l AS (
+           SELECT source, t,
+                  CASE WHEN prev IS NULL THEN 0
+                       WHEN least(len(t), len(prev)) < 1 THEN 0
+                       ELSE len(list_filter(
+                         range(1, least(len(t), len(prev)) + 1),
+                         i -> substr(t, 1, i) = substr(prev, 1, i)))
+                  END AS lcp
+           FROM d)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(len(t)) AS BIGINT) AS total_chars,
+                CAST(sum(lcp) AS BIGINT) AS shared_prefix_chars,
+                round(CAST(sum(lcp) AS DOUBLE) /
+                  CAST(sum(len(t)) AS DOUBLE), 6) AS compressible_frac
+         FROM l GROUP BY source ORDER BY source""",
+
+    "q241_vocab_coverage" ->
+      """WITH d AS (
+           SELECT source,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         tok AS (
+           SELECT source, unnest(toks) AS token FROM d
+           WHERE len(toks) > 0 AND toks != ['']),
+         vc AS (
+           SELECT token FROM (
+             SELECT token, count(*) AS c FROM tok GROUP BY 1
+             ORDER BY c DESC, token LIMIT 1000)),
+         tot AS (SELECT source, count(*) AS total_tokens
+                 FROM tok GROUP BY 1),
+         cov AS (SELECT source, count(*) AS covered
+                 FROM tok JOIN vc USING (token) GROUP BY 1)
+         SELECT source, CAST(total_tokens AS BIGINT) AS total_tokens,
+                CAST(coalesce(covered, 0) AS BIGINT) AS covered_tokens,
+                round(1.0 - coalesce(covered, 0) /
+                  CAST(total_tokens AS DOUBLE), 6) AS oov_rate
+         FROM tot LEFT JOIN cov USING (source) ORDER BY source""",
+
+    "q242_js_divergence" ->
+      """WITH d AS (
+           SELECT source,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         tok AS (
+           SELECT source, unnest(toks) AS token FROM d
+           WHERE len(toks) > 0 AND toks != ['']),
+         bg AS (SELECT source AS g, token, count(*) AS c
+                FROM tok GROUP BY 1, 2),
+         tots AS (SELECT g, CAST(sum(c) AS DOUBLE) AS n
+                  FROM bg GROUP BY 1),
+         p AS (SELECT g, token, CAST(c AS DOUBLE) / n AS p
+               FROM bg JOIN tots USING (g)),
+         pairs AS (SELECT a.g AS ga, b.g AS gb
+                   FROM tots a, tots b WHERE a.g < b.g),
+         sa AS (SELECT ga, gb, token, p.p AS pa
+                FROM pairs JOIN p ON p.g = pairs.ga),
+         sb AS (SELECT ga, gb, token, p.p AS pb
+                FROM pairs JOIN p ON p.g = pairs.gb),
+         cells AS (
+           SELECT ga, gb, token, pa, pb
+           FROM sa FULL JOIN sb USING (ga, gb, token))
+         SELECT ga, gb, CAST(count(*) AS BIGINT) AS n_union_tokens,
+                round(sum(
+                  CASE WHEN pa IS NOT NULL THEN 0.5 * pa *
+                    ln(pa / ((coalesce(pa, 0) + coalesce(pb, 0)) / 2))
+                  ELSE 0 END +
+                  CASE WHEN pb IS NOT NULL THEN 0.5 * pb *
+                    ln(pb / ((coalesce(pa, 0) + coalesce(pb, 0)) / 2))
+                  ELSE 0 END), 6) AS js
+         FROM cells GROUP BY ga, gb ORDER BY ga, gb""",
+
+    "q243_embedding_dispersion" ->
+      """WITH z AS (
+           SELECT label, vec_id,
+                  unnest(CAST(embedding AS DOUBLE[])) AS x,
+                  unnest(range(1, len(embedding) + 1)) AS pos
+           FROM embeddings),
+         comp AS (
+           SELECT label, pos,
+                  CAST(sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT))
+                    AS BIGINT) AS gs
+           FROM z GROUP BY 1, 2),
+         cnt AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+         c2 AS (
+           SELECT c.label,
+                  sum((gs / 1e6 / n) * (gs / 1e6 / n)) AS c2
+           FROM comp c JOIN cnt USING (label) GROUP BY c.label),
+         sq AS (
+           SELECT label,
+                  sum(CAST(round(list_dot_product(
+                    CAST(embedding AS DOUBLE[]),
+                    CAST(embedding AS DOUBLE[])), 6)
+                    AS DECIMAL(28,6))) AS sumsq
+           FROM embeddings GROUP BY 1)
+         SELECT label, CAST(cnt.n AS BIGINT) AS n,
+                round(sqrt(c2.c2), 6) AS centroid_norm,
+                round(CAST(sumsq AS DOUBLE) / cnt.n, 6) AS mean_sq_norm,
+                round(CAST(sumsq AS DOUBLE) / cnt.n - c2.c2, 6)
+                  AS dispersion
+         FROM cnt JOIN c2 USING (label) JOIN sq USING (label)
+         ORDER BY label""",
+
+    "q244_ks_test" ->
+      """WITH c AS (
+           SELECT n_chars AS v,
+                  sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                    AS ca,
+                  sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+                    AS cb
+           FROM documents
+           WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL
+           GROUP BY 1),
+         r AS (
+           SELECT v,
+                  sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS cuma,
+                  sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS cumb,
+                  sum(ca) OVER () AS na,
+                  sum(cb) OVER () AS nb
+           FROM c),
+         d AS (SELECT v, abs(cuma * nb - cumb * na) AS dd, na, nb
+               FROM r)
+         SELECT CAST(max(na) AS BIGINT) AS n_a,
+                CAST(max(nb) AS BIGINT) AS n_b,
+                CAST(min(CASE WHEN dd = (SELECT max(dd) FROM d)
+                  THEN v END) AS BIGINT) AS ks_at,
+                round(CAST(max(dd) AS DOUBLE) /
+                  CAST(max(na) * max(nb) AS DOUBLE), 6) AS ks_stat
+         FROM d""",
 
     "q226_kaplan_meier" ->
       """WITH per AS (

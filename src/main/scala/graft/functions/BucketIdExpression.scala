@@ -286,7 +286,12 @@ object GraftExtensions {
        new ExpressionInfo(classOf[JaroWinklerExpr].getName,
          "graft_jaro_winkler"),
        arity("graft_jaro_winkler", 2)(c =>
-         JaroWinklerExpr(c(0), c(1)))))
+         JaroWinklerExpr(c(0), c(1)))),
+      // graft_lcp(a, b): longest-common-prefix length, one O(n) scan
+      // (the HOF substr-tree alternative is O(n²) per row)
+      (FunctionIdentifier("graft_lcp"),
+       new ExpressionInfo(classOf[LcpExpr].getName, "graft_lcp"),
+       arity("graft_lcp", 2)(c => LcpExpr(c(0), c(1)))))
 
   /** Register the engine's functions on a live session. */
   def installInto(spark: SparkSession): Unit = {

@@ -603,4 +603,52 @@ object Similarity {
         element_at(js, col("_p") + 1).as("j"),
         round(col("_q").cast("double") / lit(1e6), 6).as("gram")): _*)
   }
+
+  /** Embedding-space dispersion diagnostics per key, from ONE pass of
+    * exact aggregates — the representation-collapse screen ("did all
+    * vectors of this label land on one point?"): per key the count,
+    * the centroid's norm, the mean squared vector norm, and the mean
+    * squared distance to the centroid via the identity
+    * {{{ E‖v − c‖² = E‖v‖² − ‖c‖² }}}
+    * — so NO second pass over the rows is needed (a per-row distance
+    * would re-shuffle the table and its mean would be an
+    * order-dependent float sum).
+    *
+    * DETERMINISM: component sums ride [[graft.functions.VecSumAgg]]'s
+    * 1e-6-grain Long buffer; per-row ‖v‖² quantizes to 1e-6 DECIMAL
+    * before summing (the chi² contribution protocol) — every
+    * aggregate is exact and order-independent, doubles appear only in
+    * the final fixed-shape arithmetic.
+    *
+    * SCALE SHAPE: one map-side-combined aggregate carrying a d-long
+    * buffer + two scalars per key; the centroid-norm fold is over the
+    * d-entry array of the ONE result row per key.
+    */
+  def embeddingDispersion(vectors: DataFrame, keyCols: Seq[String],
+                          vecCol: String, dim: Int): DataFrame = {
+    val key = keyCols.map(col)
+    val vs = udaf(graft.functions.VecSumAgg(dim))
+    // dot(v, v): the proven-parity left-to-right fold (q24's
+    // list_dot_product twin)
+    val sqNorm = dot(col(vecCol), col(vecCol))
+    val agged = vectors.groupBy(key: _*)
+      .agg(count(lit(1)).as("n"),
+        vs(col(vecCol)).as("_gs"),
+        sum(round(sqNorm, 6).cast("decimal(28,6)")).as("_sq"))
+    // centroid component = grains/1e6/n; fold its squared norm over
+    // the d-entry array (one row per key — bounded)
+    val cNorm2 = aggregate(col("_gs"), lit(0.0).cast("double"),
+      (acc, g) => {
+        val c = g.cast("double") / lit(1e6) / col("n").cast("double")
+        acc + c * c
+      })
+    agged
+      .withColumn("_c2", cNorm2)
+      .select(key ++ Seq(col("n"),
+        round(sqrt(col("_c2")), 6).as("centroid_norm"),
+        round(col("_sq").cast("double") / col("n").cast("double"), 6)
+          .as("mean_sq_norm"),
+        round(col("_sq").cast("double") / col("n").cast("double") -
+          col("_c2"), 6).as("dispersion")): _*)
+  }
 }

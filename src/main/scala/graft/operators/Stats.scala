@@ -1275,6 +1275,50 @@ object Stats {
     sampled.select(keyCols.map(col) ++ (col("n_sample") +: qCols): _*)
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic between `groupA` and
+    * `groupB`'s distributions of an INTEGRAL `valueCol`:
+    * `D = max_v |F_A(v) − F_B(v)|`, computed as exact integers —
+    * `max |cumA·n_B − cumB·n_A|` over distinct values, ONE double
+    * division at the very end — so the statistic is engine-exact, not
+    * a float-CDF race. The distribution-drift gate between two
+    * corpus slices ("is src1's length distribution the same as
+    * src0's?") with none of the binning choices a PSI needs.
+    *
+    * SCALE SHAPE: per-(value) conditional counts map-side, running
+    * sums over the DISTINCT-value table (the exactPercentiles
+    * distinct-value contract; the whole-partition totals frame is
+    * evaluated once per partition, not per row). Returns one row:
+    * n_a, n_b, the argmax value `ks_at` (smallest on ties), and
+    * `ks_stat`.
+    */
+  def ksTest(df: DataFrame, valueCol: String, groupCol: String,
+             groupA: String, groupB: String): DataFrame = {
+    val counts = df
+      .where(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("_v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L))
+        .as("_ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("_cb"))
+    val wCum = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    counts
+      .withColumn("_cuma", sum(col("_ca")).over(wCum))
+      .withColumn("_cumb", sum(col("_cb")).over(wCum))
+      .withColumn("_na", sum(col("_ca")).over(wAll))
+      .withColumn("_nb", sum(col("_cb")).over(wAll))
+      .withColumn("_d",
+        abs(col("_cuma") * col("_nb") - col("_cumb") * col("_na")))
+      .agg(first(col("_na")).as("n_a"), first(col("_nb")).as("n_b"),
+        max(struct(col("_d"), (-col("_v")).as("_nv"))).as("_best"))
+      .select(col("n_a"), col("n_b"),
+        (-col("_best._nv")).as("ks_at"),
+        round(col("_best._d").cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("ks_stat"))
+  }
+
   /** Concurrency curve by SWEEP LINE: how many of the input intervals
     * [startCol, endCol] (integral, inclusive bounds) are open at each
     * time unit — "concurrent sessions over time" WITHOUT any interval

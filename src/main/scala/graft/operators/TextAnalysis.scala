@@ -837,6 +837,120 @@ object TextAnalysis {
         .otherwise("none").as("main_script"))
   }
 
+  /** Prefix-compression estimate per key: sort the texts (binary
+    * order) within each key, take each row's longest common prefix
+    * with its predecessor (native `graft_lcp` kernel — one O(n) scan,
+    * not the O(n²) HOF substr tree), and report total characters vs
+    * prefix-shareable characters — the expected win of a
+    * prefix/delta-encoded storage layout, and a cheap template-ness
+    * score per source (boilerplate-heavy corpora compress far better).
+    *
+    * SCALE SHAPE: ONE per-key window (sort by text) feeding a lag();
+    * the LCP is a scan-stage kernel; one final aggregate. The sort is
+    * the same exchange any per-key window pays.
+    */
+  def prefixCompressionStats(docs: DataFrame, keyCol: String,
+                             textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(textCol))
+    val txt = coalesce(col(textCol), lit(""))
+    docs
+      .withColumn("_prev", lag(txt, 1).over(w))
+      .withColumn("_lcp", when(col("_prev").isNull, lit(0))
+        .otherwise(call_function("graft_lcp", txt, col("_prev"))))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(txt)).cast("long").as("total_chars"),
+        sum(col("_lcp")).cast("long").as("shared_prefix_chars"),
+        round(sum(col("_lcp")).cast("double") /
+          sum(length(txt)).cast("double"), 6).as("compressible_frac"))
+  }
+
+  /** Vocabulary coverage: the fraction of each group's token
+    * OCCURRENCES covered by the global top-`topK` vocabulary — the
+    * OOV-rate screen run before committing to a fixed vocab size
+    * (a source whose coverage is low will shatter into unknown
+    * tokens). Deterministic top-K: ties break by token ascending.
+    *
+    * SCALE SHAPE: one tokenize pass feeds both the global vocab count
+    * and the per-group totals; the top-K is a TakeOrdered (never a
+    * global sort) broadcast back as a semi-join.
+    */
+  def vocabCoverage(docs: DataFrame, groupCol: String, textCol: String,
+                    topK: Int): DataFrame = {
+    val tok = docs
+      .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = tok.groupBy(col("token"))
+      .agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("token")).limit(topK)
+      .select(col("token"))
+    val covered = tok.join(broadcast(vocab), Seq("token"), "left_semi")
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("covered_tokens"))
+    val out = tok.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("total_tokens"))
+      .join(covered, Seq(groupCol), "left")
+      .select(col(groupCol), col("total_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(lit(1.0) - coalesce(col("covered_tokens"), lit(0L))
+          .cast("double") / col("total_tokens").cast("double"), 6)
+          .as("oov_rate"))
+    // the persisted token table serves vocab, covered, AND totals —
+    // lifecycle is the session's (Bench clears caches between queries)
+    out
+  }
+
+  /** Pairwise Jensen–Shannon divergence between the groups' token
+    * distributions: `JS(P,Q) = ½KL(P‖M) + ½KL(Q‖M)`, `M = (P+Q)/2` —
+    * the SYMMETRIC, always-finite companion to the per-group-vs-corpus
+    * KL ([[sourceTokenKl]]): KL explodes on tokens absent from Q; JS
+    * is bounded by ln 2, which is what you want for a source-pair
+    * distance matrix.
+    *
+    * SCALE SHAPE: one tokenize pass → per-(group, token) counts; the
+    * pair×token table is the union of both sides' vocabularies per
+    * pair (equi-joins on token; the pair list is #groups², a bounded
+    * catalog). Terms are fixed-shape doubles on exact counts, summed
+    * then rounded (the q122 protocol).
+    */
+  def jsDivergenceMatrix(docs: DataFrame, groupCol: String,
+                         textCol: String): DataFrame = {
+    val bg = docs
+      .select(col(groupCol).as("g"),
+        explode(tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("g"), col("token"))
+      .agg(count(lit(1)).as("_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = bg.groupBy(col("g")).agg(sum(col("_c")).as("_n"))
+    val withP = bg.join(broadcast(totals), "g")
+      .select(col("g"), col("token"),
+        (col("_c").cast("double") / col("_n").cast("double")).as("p"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = totals.select(col("g").as("ga"))
+      .crossJoin(totals.select(col("g").as("gb")))
+      .where(col("ga") < col("gb"))
+    val sideA = pairs.join(withP.withColumnRenamed("g", "ga"), Seq("ga"))
+      .select(col("ga"), col("gb"), col("token"), col("p").as("pa"))
+    val sideB = pairs.join(withP.withColumnRenamed("g", "gb"), Seq("gb"))
+      .select(col("ga"), col("gb"), col("token"), col("p").as("pb"))
+    val cells = sideA.join(sideB, Seq("ga", "gb", "token"), "full")
+    val pa = coalesce(col("pa"), lit(0.0))
+    val pb = coalesce(col("pb"), lit(0.0))
+    val m = (pa + pb) / 2
+    val term =
+      when(col("pa").isNotNull, lit(0.5) * pa * log(pa / m))
+        .otherwise(lit(0.0)) +
+      when(col("pb").isNotNull, lit(0.5) * pb * log(pb / m))
+        .otherwise(lit(0.0))
+    // persisted bg/withP serve both pair sides; lifecycle is the
+    // session's (Bench clears caches between queries)
+    cells.groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).as("n_union_tokens"),
+        round(sum(term), 6).as("js"))
+  }
+
   def simhashBitContribution(tokenMd5: Column, pos: Int): Column = {
     val ones =
       if (pos % 2 == 0) Seq("1", "3", "5", "7", "9", "b", "d", "f")

@@ -137,6 +137,10 @@ class QuerySurfaceSpec extends SparkTestBase {
     //  - q235: the 50-row bootstrap-replicate spine is broadcast
     //    cross-joined for the per-replicate weight fan-out — bounded
     //    by the replicate count (q218's shape).
+    //  - q242: the source-pair spine (the #groups² catalog, one row
+    //    per group from an aggregate) is a broadcast loop join by
+    //    construction — q194's bounded-catalog shape; the token joins
+    //    themselves are equi.
     val allowedBnlj = Set("q24_cosine_topk", "q9_interval_overlap",
       "q104_boilerplate", "q118_unigram_logprob", "q122_source_kl",
       "q144_pmi_collocations", "q150_basket_lift", "q157_heavy_hitters",
@@ -146,7 +150,7 @@ class QuerySurfaceSpec extends SparkTestBase {
       "q215_benford", "q216_calibration", "q218_pr_curve",
       "q221_quantile_normalize", "q222_modularity",
       "q226_kaplan_meier", "q227_contingency", "q233_rbo",
-      "q235_bootstrap_ci")
+      "q235_bootstrap_ci", "q242_js_divergence")
     val lazyQueries = SparkEntry.queries.keySet -- eager
     val offenders = lazyQueries.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
