@@ -2006,6 +2006,127 @@ object SparkEntry {
         "src0", "src1")
     }),
 
+    // DAU/WAU stickiness per day: daily actives over trailing-7-day
+    // actives — the q206 bounded ×7 offset-explode machinery for the
+    // rolling distinct (never a RANGE-window distinct), one extra
+    // daily distinct, one equi-join
+    "q245_stickiness" -> ((s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .distinct()
+      val dau = ud.groupBy(col("day"))
+        .agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("wday"))
+        .distinct()
+        .groupBy(col("wday")).agg(count(lit(1)).as("wau"))
+      dau.join(wau, dau("day") === wau("wday"))
+        .select(col("day"), col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau").cast("double"),
+            6).as("stickiness"))
+        .orderBy(col("day"))
+    }),
+
+    // Discrete power-law exponent MLE over the co-purchase degree
+    // distribution: α = 1 + n / Σ ln(d/dmin) (Clauset et al. 2009,
+    // continuous approximation at fixed dmin) — "is this graph
+    // scale-free" in one degree aggregate + one scalar pass
+    "q246_power_law_alpha" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          col("l_linenumber").as("ln"), col("l_partkey").as("pk"))
+      val other = li.select(col("ok"), col("ln").as("ln2"),
+        col("pk").as("pk2"))
+      val deg = li.join(other, Seq("ok"))
+        .where(col("ln") < col("ln2") && col("pk") =!= col("pk2"))
+        .select(least(col("pk"), col("pk2")).as("u"),
+          greatest(col("pk"), col("pk2")).as("v"))
+        .distinct()
+        .select(explode(array(col("u"), col("v"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("d"))
+        .where(col("d") >= 2)
+      deg.agg(count(lit(1)).as("n_nodes"),
+        round(lit(1.0) + count(lit(1)).cast("double") /
+          sum(log(col("d").cast("double") / lit(2.0))), 6).as("alpha"))
+    }),
+
+    // Post-stratified mean: reweight per-type purchase-value means to
+    // the REFERENCE period's type mix (first 7 days) — the survey-
+    // adjustment estimate that undoes composition drift. Strata means
+    // and reference shares are exact ratios; the 5-term combination
+    // is fixed-shape doubles
+    "q247_post_stratified_mean" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"),
+          col("value").cast("decimal(18,4)").as("v"))
+      val minDay = ev.agg(min(col("day")).as("d0"))
+      val ref = ev.crossJoin(broadcast(minDay))
+        .where(col("day") < col("d0") + 7)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("ref_n"))
+      val strata = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      strata.join(ref, Seq("event_type"))
+        .agg(
+          round(sum((col("sv").cast("double") / col("n").cast("double"))
+            * col("ref_n").cast("double")) /
+            sum(col("ref_n")).cast("double"), 6)
+            .as("post_stratified_mean"),
+          round(sum(col("sv")).cast("double") /
+            sum(col("n")).cast("double"), 6).as("raw_mean"))
+    }),
+
+    // STREAMING first-seen accounting: per-user min event time as a
+    // complete-mode streaming aggregate (min is a commutative monoid —
+    // exact under any micro-batch order; dropDuplicates would keep an
+    // ARBITRARY in-batch occurrence, not the earliest), then new-users
+    // per first-seen day as batch presentation over the drained state
+    "q248_stream_new_users" -> ((s, dir) => {
+      val agg = eventsStream(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(expr("unix_micros(ts)")).as("first_us"))
+      val qname = "graft_q248_newusers"
+      val query = graft.streaming.Streams.drainToMemory(agg, qname)
+        .start()
+      try query.awaitTermination() finally query.stop()
+      s.table(qname)
+        .groupBy(expr("first_us DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("new_users"))
+        .orderBy(col("day"))
+    }),
+
+    // Journey surprisal: per-user mean negative log-probability of its
+    // event-type transition path under the corpus first-order Markov
+    // model (q164's matrix) — "how atypical is this user's path".
+    // Per-step −ln p quantizes to DECIMAL(28,9) before summing (the
+    // chi² contribution protocol) so the per-user sum is exact
+    "q249_path_surprisal" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val steps = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("a"))
+        .withColumn("b", lead(col("a"), 1).over(w))
+        .where(col("b").isNotNull)
+        .select(col("user_id"), col("a"), col("b"))
+      val trans = steps.groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("c"))
+      val rowTot = trans.groupBy(col("a")).agg(sum(col("c")).as("rt"))
+      val p = trans.join(broadcast(rowTot), "a")
+        .select(col("a"), col("b"),
+          (col("c").cast("double") / col("rt").cast("double")).as("p"))
+      steps.join(broadcast(p), Seq("a", "b"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_steps"),
+          round(sum(round(-log(col("p")), 9).cast("decimal(28,9)"))
+            .cast("double") / count(lit(1)).cast("double"), 6)
+            .as("mean_surprisal"))
+        .orderBy(col("user_id"))
+    }),
+
     "q211_skip_rate" -> ((s, dir) => {
       val env = Layout.zorderFileStats(t(s, dir, "events"),
         pmod(col("user_id"), lit(1024L)),
@@ -7745,6 +7866,86 @@ object SparkEntry {
                 round(CAST(max(dd) AS DOUBLE) /
                   CAST(max(na) * max(nb) AS DOUBLE), 6) AS ks_stat
          FROM d""",
+
+    "q245_stickiness" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id,
+                  epoch_ns(ts) // 1000 // 86400000000 AS day
+           FROM events),
+         dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+         cov AS (
+           SELECT DISTINCT u.user_id, u.day + o.o AS wday
+           FROM ud u, range(0, 7) o(o)),
+         wau AS (SELECT wday, count(*) AS wau FROM cov GROUP BY wday)
+         SELECT day, CAST(dau AS BIGINT) AS dau,
+                CAST(wau AS BIGINT) AS wau,
+                round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6)
+                  AS stickiness
+         FROM dau JOIN wau ON day = wday ORDER BY day""",
+
+    "q246_power_law_alpha" ->
+      """WITH e AS (
+           SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS u,
+                  greatest(x.l_partkey, y.l_partkey) AS v
+           FROM lineitem x JOIN lineitem y
+             ON x.l_orderkey = y.l_orderkey
+             AND x.l_linenumber < y.l_linenumber
+           WHERE x.l_partkey != y.l_partkey),
+         deg AS (
+           SELECT id, count(*) AS d FROM (
+             SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+           GROUP BY id HAVING count(*) >= 2)
+         SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                round(1.0 + CAST(count(*) AS DOUBLE) /
+                  sum(ln(CAST(d AS DOUBLE) / 2.0)), 6) AS alpha
+         FROM deg""",
+
+    "q247_post_stratified_mean" ->
+      """WITH ev AS (
+           SELECT event_type,
+                  epoch_ns(ts) // 1000 // 86400000000 AS day,
+                  CAST(value AS DECIMAL(18,4)) AS v
+           FROM events),
+         d0 AS (SELECT min(day) AS d0 FROM ev),
+         ref AS (
+           SELECT event_type, count(*) AS ref_n
+           FROM ev, d0 WHERE day < d0 + 7 GROUP BY 1),
+         strata AS (
+           SELECT event_type, count(*) AS n, sum(v) AS sv
+           FROM ev GROUP BY 1)
+         SELECT round(sum((CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) *
+                  CAST(ref_n AS DOUBLE)) / CAST(sum(ref_n) AS DOUBLE),
+                  6) AS post_stratified_mean,
+                round(CAST(sum(sv) AS DOUBLE) / CAST(sum(n) AS DOUBLE),
+                  6) AS raw_mean
+         FROM strata JOIN ref USING (event_type)""",
+
+    "q248_stream_new_users" ->
+      """WITH fs AS (
+           SELECT user_id, min(epoch_ns(ts) // 1000) AS first_us
+           FROM events GROUP BY 1)
+         SELECT first_us // 86400000000 AS day,
+                CAST(count(*) AS BIGINT) AS new_users
+         FROM fs GROUP BY 1 ORDER BY day""",
+
+    "q249_path_surprisal" ->
+      """WITH s AS (
+           SELECT user_id, event_type AS a,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY epoch_ns(ts) // 1000, event_id) AS b
+           FROM events),
+         steps AS (SELECT user_id, a, b FROM s WHERE b IS NOT NULL),
+         tr AS (SELECT a, b, count(*) AS c FROM steps GROUP BY 1, 2),
+         rt AS (SELECT a, CAST(sum(c) AS BIGINT) AS rt
+                FROM tr GROUP BY 1),
+         p AS (SELECT tr.a, tr.b,
+                      CAST(c AS DOUBLE) / CAST(rt AS DOUBLE) AS p
+               FROM tr JOIN rt USING (a))
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_steps,
+                round(CAST(sum(CAST(round(-ln(p), 9) AS DECIMAL(28,9)))
+                  AS DOUBLE) / count(*), 6) AS mean_surprisal
+         FROM steps JOIN p USING (a, b)
+         GROUP BY user_id ORDER BY user_id""",
 
     "q226_kaplan_meier" ->
       """WITH per AS (

@@ -59,7 +59,9 @@ class QuerySurfaceSpec extends SparkTestBase {
     // materializes under a scoped optimizer conf (q199's shape); q234
     // drains a stream
     "q231_weighted_pagerank", "q232_overlap_rule_join",
-    "q234_stream_reservoir")
+    "q234_stream_reservoir",
+    // q248 drains a stream at construction
+    "q248_stream_new_users")
 
   test("every oracle key names a query; every query is gated") {
     val rowsOnly = Set("q34_approx_sketch", "q41_approx_segment",
@@ -141,6 +143,9 @@ class QuerySurfaceSpec extends SparkTestBase {
     //    per group from an aggregate) is a broadcast loop join by
     //    construction — q194's bounded-catalog shape; the token joins
     //    themselves are equi.
+    //  - q247: the reference-period anchor (global min day) is a
+    //    one-row ungrouped aggregate cross-joined into the period
+    //    filter (q159's decay-anchor shape).
     val allowedBnlj = Set("q24_cosine_topk", "q9_interval_overlap",
       "q104_boilerplate", "q118_unigram_logprob", "q122_source_kl",
       "q144_pmi_collocations", "q150_basket_lift", "q157_heavy_hitters",
@@ -150,7 +155,8 @@ class QuerySurfaceSpec extends SparkTestBase {
       "q215_benford", "q216_calibration", "q218_pr_curve",
       "q221_quantile_normalize", "q222_modularity",
       "q226_kaplan_meier", "q227_contingency", "q233_rbo",
-      "q235_bootstrap_ci", "q242_js_divergence")
+      "q235_bootstrap_ci", "q242_js_divergence",
+      "q247_post_stratified_mean")
     val lazyQueries = SparkEntry.queries.keySet -- eager
     val offenders = lazyQueries.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
