@@ -348,6 +348,70 @@ object Probe {
           .count()
       }
     }
+    if (probes("survival")) {
+      // 20× users (30k subjects): KM's cost is the per-user aggregate;
+      // the window passes run over distinct durations per cohort
+      val ev = GraftSession.table(spark, dir, "events")
+      val big = times(ev, 20, Seq("user_id"), 1000000L)
+      timed("survival20x") {
+        val per = big.groupBy(col("user_id"))
+          .agg(min(expr("unix_micros(ts)")).as("first_us"),
+            max(expr("unix_micros(ts)")).as("last_us"))
+        val hor = big.agg(max(expr("unix_micros(ts)")).as("hor_us"))
+        val subj = per.crossJoin(broadcast(hor))
+          .select(pmod(col("user_id"), lit(4)).cast("int").as("cohort"),
+            expr("(last_us - first_us) DIV 86400000000").as("dur"),
+            (col("last_us") < col("hor_us") - lit(21600000000L))
+              .as("ev"))
+        operators.Survival.kaplanMeier(subj, Seq("cohort"), "dur", "ev")
+          .count()
+      }
+    }
+    if (probes("ks")) {
+      // 20× documents (100k rows): the KS rank pass is distinct-value
+      // bound (n_chars values), counts map-side
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val big = times(docs, 20, Seq("doc_id"), 1000000L)
+      timed("ks20x") {
+        operators.Stats.ksTest(big, "n_chars", "source",
+          "src0", "src1").count()
+      }
+    }
+    if (probes("sweep")) {
+      // 20× (user, day) intervals (~1.2M): delta aggregate map-side,
+      // prefix sum over distinct minutes only
+      val ev = GraftSession.table(spark, dir, "events")
+      val big = times(ev, 20, Seq("user_id", "event_id"), 1000000L)
+      timed("sweep20x") {
+        val iv = big.groupBy(col("user_id"),
+            expr("unix_micros(ts) DIV 86400000000").as("day"))
+          .agg(min(expr("unix_micros(ts) DIV 60000000")).as("s"),
+            max(expr("unix_micros(ts) DIV 60000000")).as("e"))
+        operators.Stats.sweepConcurrency(iv, "s", "e").count()
+      }
+    }
+    if (probes("js")) {
+      // 20× docs, SAME 20 sources: the pair catalog stays 190; the
+      // cost axis is the token tables (documented bounded-catalog
+      // contract — at 400 sources the pair×vocab table is the q155
+      // maxDf lesson)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val big = times(docs, 20, Seq("doc_id"), 1000000L)
+      timed("js20x") {
+        operators.TextAnalysis.jsDivergenceMatrix(big, "source", "text")
+          .count()
+      }
+    }
+    if (probes("dispersion")) {
+      // 20× embeddings (800k vectors × 64 dims) through the Long-grain
+      // buffer aggregate — map-side bound, one d-long buffer per task
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val big = times(emb, 20, Seq("vec_id"), 1000000L)
+      timed("dispersion20x") {
+        operators.Similarity.embeddingDispersion(big, Seq("label"),
+          "embedding", 64).count()
+      }
+    }
     if (probes("zorder")) {
       // 20× events (2M rows): z-key + range sort + zipWithIndex + agg
       val e = spark.read.parquet(s"$dir/events.parquet")
