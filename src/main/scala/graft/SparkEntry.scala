@@ -2127,6 +2127,31 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // The SAME as-of semantics as q14, through the engine's CUSTOM
+    // PHYSICAL OPERATOR (plans/AsOfJoinExec: logical node → planner
+    // strategy → co-partitioned two-pointer sort-merge, O(1) match
+    // state) — each side shuffles carrying only its own columns and
+    // no window frame is buffered, unlike q14's union-LOCF form.
+    // AsOfJoinExecSpec pins plan shape + randomized parity
+    "q250_asof_exec" -> ((s, dir) => {
+      graft.functions.GraftExtensions.installInto(s)
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        eventEpochSeconds("ts").as("t"), col("value"), col("event_type"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("t"), col("value"))
+      val clicks = AsOfJoin.latestPerTs(
+        e.where(col("event_type") === "click")
+          .select(col("user_id"), col("t").as("ct"),
+            col("value").as("click_value")),
+        Seq("user_id"), "ct", "click_value")
+      AsOfJoin.asofMergeExec(purchases, clicks, Seq("user_id"),
+          "t", "ct")
+        .select(col("event_id"), col("user_id"), col("t"),
+          col("asof_ts").as("click_t"),
+          round(col("click_value"), 6).as("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
     "q211_skip_rate" -> ((s, dir) => {
       val env = Layout.zorderFileStats(t(s, dir, "events"),
         pmod(col("user_id"), lit(1024L)),
@@ -7866,6 +7891,22 @@ object SparkEntry {
                 round(CAST(max(dd) AS DOUBLE) /
                   CAST(max(na) * max(nb) AS DOUBLE), 6) AS ks_stat
          FROM d""",
+
+    "q250_asof_exec" ->
+      """WITH p AS (
+           SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS t, value
+           FROM events WHERE event_type = 'purchase'),
+         c0 AS (
+           SELECT user_id, epoch_ns(ts) // 1000000000 AS ct, value AS cv
+           FROM events WHERE event_type = 'click'),
+         c AS (
+           SELECT user_id, ct, max(cv) AS cv
+           FROM c0 GROUP BY user_id, ct)
+         SELECT p.event_id, p.user_id, p.t, c.ct AS click_t,
+                round(c.cv, 6) AS click_value
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND p.t >= c.ct
+         ORDER BY p.event_id""",
 
     "q245_stickiness" ->
       """WITH ud AS (

@@ -69,6 +69,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.entries.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
@@ -306,5 +307,9 @@ object GraftExtensions {
     if (!em.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
       em.extraOptimizations =
         em.extraOptimizations :+ graft.plans.RangeJoinRewrite
+    // planner strategies likewise (AsOfJoinExec's whole-operator path)
+    if (!em.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      em.extraStrategies =
+        em.extraStrategies :+ graft.plans.AsOfJoinStrategy
   }
 }

@@ -87,6 +87,56 @@ object AsOfJoin {
             when(inTol, col(s"_m.$c")).as(c)): _*)
   }
 
+  /** Backward as-of join through the CUSTOM PHYSICAL OPERATOR
+    * ([[graft.plans.AsOfJoinExec]]): same semantics as
+    * [[asofBackward]] (left-outer, latest right row with
+    * `rightTs <= leftTs` per key; right one-row-per-(key, ts) for
+    * determinism, non-null timestamps), different machinery — a
+    * first-class logical node planned by
+    * [[graft.plans.AsOfJoinStrategy]] into a co-partitioned
+    * two-pointer sort-merge with O(1) match state. Unlike the
+    * union-LOCF form, each side is shuffled and sorted carrying ONLY
+    * its own columns and no window frame is buffered.
+    *
+    * Requires the strategy registered
+    * ([[graft.functions.GraftExtensions]] — builder `withExtensions`
+    * or `installInto` on a live session). Output: all left columns,
+    * then the matched right timestamp as `asof_ts` and the right
+    * payload columns (right keys are projected away — they equal the
+    * left's wherever matched). Key/time columns resolve by name on
+    * their respective sides.
+    */
+  def asofMergeExec(left: DataFrame, right: DataFrame, on: Seq[String],
+                    leftTs: String, rightTs: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val lp = left.queryExecution.analyzed
+    val rp0 = right.queryExecution.analyzed
+    // SELF-JOIN SAFETY: when both sides descend from the same scan
+    // their attributes share exprIds, and the analyzer's relation
+    // dedup does not know this custom node — re-alias every right
+    // column (fresh exprIds) so the two sides are always disjoint.
+    val rAliases = rp0.output.map(a => Alias(a, a.name)())
+    val rp = Project(rAliases, rp0)
+    val rAttrs = rAliases.map(_.toAttribute)
+    def attr(as: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+             n: String) =
+      as.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not found in ${as.map(_.name)}"))
+    val plan = graft.plans.AsOfJoinPlan(lp, rp,
+      on.map(attr(lp.output, _)), on.map(attr(rAttrs, _)),
+      attr(lp.output, leftTs), attr(rAttrs, rightTs))
+    // the join's right outputs (nullable clones, same exprIds):
+    // project keys away, alias the matched ts
+    val rightOut = plan.output.drop(lp.output.length)
+    val keep = rightOut.filterNot(a => on.contains(a.name)).map { a =>
+      if (a.name == rightTs) Alias(a, "asof_ts")() else a
+    }
+    org.apache.spark.sql.GraftSqlBridge.ofRows(left.sparkSession,
+      Project(lp.output ++ keep, plan))
+  }
+
   /** NEAREST as-of join: attach the right row closest in time in
     * EITHER direction within `tolerance`, ties (equidistant before/
     * after) breaking backward — "the sensor reading nearest this
