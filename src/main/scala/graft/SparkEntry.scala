@@ -2152,6 +2152,137 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Decile lift/gains table: users binned by click-value score
+    // (quantileBin's interpolated global boundaries), conversion rate,
+    // cumulative gain from the top decile down, and lift vs the base
+    // rate — the model-eval report next to calibration (q216). All
+    // windows run over the ≤10-row decile aggregate
+    "q251_decile_lift" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val users = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "click",
+            col("value").cast("decimal(18,4)"))
+            .otherwise(lit(0).cast("decimal(18,4)")))
+            .cast("double").as("score"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+      val binned = Stats.quantileBin(users, "score",
+        (1 to 9).map(_ / 10.0), "decile")
+      val per = binned.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("conv")).as("converters"))
+      val wAll = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val wCum = Window.orderBy(col("decile").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val rate = col("converters").cast("double") /
+        col("n_users").cast("double")
+      val baseRate = col("_tc").cast("double") / col("_tn").cast("double")
+      per
+        .withColumn("_tc", sum(col("converters")).over(wAll))
+        .withColumn("_tn", sum(col("n_users")).over(wAll))
+        .withColumn("_cum", sum(col("converters")).over(wCum))
+        .select(col("decile"), col("n_users"), col("converters"),
+          round(rate, 6).as("conv_rate"),
+          round(col("_cum").cast("double") / col("_tc").cast("double"),
+            6).as("cum_gain"),
+          round(rate / baseRate, 6).as("lift"))
+        .orderBy(col("decile").desc)
+    }),
+
+    // Seasonality strength per event type: one-way ANOVA η² of value
+    // by hour-of-day — SSB/SST from exact DECIMAL sums (Σv, Σv², and
+    // the 24 per-hour subtotals), doubles only in the final fixed-
+    // shape identity SST = Σv² − (Σv)²/N. q210 flags anomalies; this
+    // quantifies how much of the variance the daily cycle explains
+    "q252_seasonal_strength" -> ((s, dir) => {
+      val cell = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("(unix_micros(ts) DIV 3600000000) % 24").as("hr"),
+          col("value").cast("decimal(18,4)").as("v"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("nh"), sum(col("v")).as("sh"),
+          sum(col("v") * col("v")).as("sq"))
+      val s2 = col("_s").cast("double") * col("_s").cast("double")
+      cell.groupBy(col("event_type"))
+        .agg(sum(col("nh")).as("n"), sum(col("sh")).as("_s"),
+          sum(col("sq")).as("_sq"),
+          sum(col("sh").cast("double") * col("sh").cast("double") /
+            col("nh").cast("double")).as("_ssb_part"))
+        .select(col("event_type"), col("n"),
+          round((col("_ssb_part") - s2 / col("n").cast("double")) /
+            (col("_sq").cast("double") - s2 / col("n").cast("double")),
+            6).as("eta2"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Candidate-generator audit: precision/recall/F1 of the SimHash
+    // band candidates (q60's generator, hamming ≤ 3) against the
+    // exact same-source Jaccard ≥ 0.5 truth pairs (q62's capped
+    // universe) — "is my cheap near-dup generator actually catching
+    // the duplicates the exact measure finds?"
+    "q253_candidate_eval" -> ((s, dir) => {
+      // plant near-duplicates (q111's injected-corpus protocol): every
+      // 5th doc gets a +1M-id copy with one appended token, so truth
+      // and generator both have real positives to agree or miss on
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val docs = base.unionByName(base.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(coalesce(col("text"), lit("")), lit(" zz")).as("text"),
+          col("source")))
+      val pred = NearDup.simhashPairs(docs, "doc_id", "text")
+        .select(col("a"), col("b")).withColumn("p", lit(1L))
+      val truth = NearDup.jaccardPairs(docs, "doc_id", "text",
+          "source", 3, 0.5, maxDf = 2)
+        .select(col("a"), col("b")).withColumn("tr", lit(1L))
+      val prec = col("tp").cast("double") / col("n_pred").cast("double")
+      val rec = col("tp").cast("double") / col("n_truth").cast("double")
+      pred.join(truth, Seq("a", "b"), "full")
+        .agg(sum(col("p")).as("n_pred"), sum(col("tr")).as("n_truth"),
+          sum(when(col("p").isNotNull && col("tr").isNotNull, 1L)
+            .otherwise(0L)).as("tp"))
+        .select(col("n_pred"), col("n_truth"), col("tp"),
+          round(prec, 6).as("precision"), round(rec, 6).as("recall"),
+          when(col("tp") > 0,
+            round(lit(2.0) * prec * rec / (prec + rec), 6))
+            .otherwise(lit(0.0)).as("f1"))
+    }),
+
+    // Hierarchical share-of-parent: nation revenue as a share of its
+    // region, region as a share of the total — the drill-down ratio
+    // every OLAP rollup report carries; windows run over the 25-row
+    // nation aggregate, dims broadcast
+    "q254_share_of_parent" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+          .select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("rev")).as("nrev"))
+      val wReg = Window.partitionBy(col("r_name"))
+      val wAll = Window.partitionBy()
+      rev
+        .withColumn("_rrev", sum(col("nrev")).over(wReg))
+        .withColumn("_trev", sum(col("nrev")).over(wAll))
+        .select(col("r_name"), col("n_name"),
+          round(col("nrev"), 2).cast("double").as("revenue"),
+          round(col("nrev").cast("double") / col("_rrev").cast("double"),
+            6).as("share_of_region"),
+          round(col("_rrev").cast("double") / col("_trev").cast("double"),
+            6).as("region_share"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
     "q211_skip_rate" -> ((s, dir) => {
       val env = Layout.zorderFileStats(t(s, dir, "events"),
         pmod(col("user_id"), lit(1024L)),
@@ -7891,6 +8022,213 @@ object SparkEntry {
                 round(CAST(max(dd) AS DOUBLE) /
                   CAST(max(na) * max(nb) AS DOUBLE), 6) AS ks_stat
          FROM d""",
+
+    "q251_decile_lift" ->
+      """WITH u AS (
+           SELECT user_id,
+                  CAST(sum(CASE WHEN event_type = 'click'
+                    THEN CAST(value AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                    AS score,
+                  max(CASE WHEN event_type = 'purchase' THEN 1
+                      ELSE 0 END) AS conv
+           FROM events GROUP BY 1),
+         b AS (SELECT quantile_cont(score,
+                 [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qb
+               FROM u),
+         coded AS (
+           SELECT conv,
+                  1 + CAST(score > qb[1] AS INTEGER)
+                    + CAST(score > qb[2] AS INTEGER)
+                    + CAST(score > qb[3] AS INTEGER)
+                    + CAST(score > qb[4] AS INTEGER)
+                    + CAST(score > qb[5] AS INTEGER)
+                    + CAST(score > qb[6] AS INTEGER)
+                    + CAST(score > qb[7] AS INTEGER)
+                    + CAST(score > qb[8] AS INTEGER)
+                    + CAST(score > qb[9] AS INTEGER) AS decile
+           FROM u, b),
+         per AS (
+           SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+                  CAST(sum(conv) AS BIGINT) AS converters
+           FROM coded GROUP BY 1),
+         w AS (
+           SELECT decile, n_users, converters,
+                  sum(converters) OVER () AS tc,
+                  sum(n_users) OVER () AS tn,
+                  sum(converters) OVER (ORDER BY decile DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum
+           FROM per)
+         SELECT decile, n_users, converters,
+                round(CAST(converters AS DOUBLE) /
+                  CAST(n_users AS DOUBLE), 6) AS conv_rate,
+                round(CAST(cum AS DOUBLE) / CAST(tc AS DOUBLE), 6)
+                  AS cum_gain,
+                round((CAST(converters AS DOUBLE) /
+                  CAST(n_users AS DOUBLE)) /
+                  (CAST(tc AS DOUBLE) / CAST(tn AS DOUBLE)), 6) AS lift
+         FROM w ORDER BY decile DESC""",
+
+    "q252_seasonal_strength" ->
+      """WITH cell AS (
+           SELECT event_type,
+                  (epoch_ns(ts) // 1000 // 3600000000) % 24 AS hr,
+                  count(*) AS nh,
+                  sum(CAST(value AS DECIMAL(18,4))) AS sh,
+                  sum(CAST(value AS DECIMAL(18,4)) *
+                      CAST(value AS DECIMAL(18,4))) AS sq
+           FROM events GROUP BY 1, 2),
+         g AS (
+           SELECT event_type, CAST(sum(nh) AS BIGINT) AS n,
+                  CAST(sum(sh) AS DOUBLE) AS s,
+                  CAST(sum(sq) AS DOUBLE) AS sqs,
+                  sum(CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE) /
+                      CAST(nh AS DOUBLE)) AS ssb_part
+           FROM cell GROUP BY 1)
+         SELECT event_type, n,
+                round((ssb_part - s * s / CAST(n AS DOUBLE)) /
+                      (sqs - s * s / CAST(n AS DOUBLE)), 6) AS eta2
+         FROM g ORDER BY event_type""",
+
+    "q253_candidate_eval" ->
+      """WITH corpus AS (
+           SELECT doc_id, text, source FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, coalesce(text, '') || ' zz', source
+           FROM documents WHERE doc_id % 5 = 0),
+         d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM corpus),
+         tk AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         h AS (SELECT doc_id, md5(tok) AS h FROM tk),
+         bits AS (
+           SELECT doc_id, p,
+             sum(CASE WHEN p % 2 = 0
+                 THEN CASE WHEN substr(h, CAST(p // 2 + 1 AS INTEGER), 1)
+                        IN ('1','3','5','7','9','b','d','f')
+                      THEN 1 ELSE -1 END
+                 ELSE CASE WHEN substr(h, CAST(p // 2 + 1 AS INTEGER), 1)
+                        IN ('2','3','6','7','a','b','e','f')
+                      THEN 1 ELSE -1 END END) AS s
+           FROM h CROSS JOIN range(0, 64) r(p)
+           GROUP BY doc_id, p),
+         bnd AS (
+           SELECT doc_id, p // 16 AS band,
+             CAST(sum(CASE WHEN s > 0 THEN (1 << (p % 16)) ELSE 0 END)
+               AS INTEGER) AS bv
+           FROM bits GROUP BY doc_id, p // 16),
+         shx AS (
+           SELECT doc_id,
+             max(CASE WHEN band = 0 THEN bv END) AS s0,
+             max(CASE WHEN band = 1 THEN bv END) AS s1,
+             max(CASE WHEN band = 2 THEN bv END) AS s2,
+             max(CASE WHEN band = 3 THEN bv END) AS s3
+           FROM bnd GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, s0, s1, s2, s3, band,
+                  CASE band WHEN 0 THEN s0 WHEN 1 THEN s1
+                            WHEN 2 THEN s2 ELSE s3 END AS v
+           FROM shx CROSS JOIN range(0, 4) b(band)),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                  x.s0 AS a0, x.s1 AS a1, x.s2 AS a2, x.s3 AS a3,
+                  y.s0 AS b0, y.s1 AS b1, y.s2 AS b2, y.s3 AS b3
+           FROM bands x JOIN bands y
+             ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id),
+         pred AS (
+           SELECT a, b FROM cand
+           WHERE bit_count(CAST(xor(a0, b0) AS BIGINT))
+               + bit_count(CAST(xor(a1, b1) AS BIGINT))
+               + bit_count(CAST(xor(a2, b2) AS BIGINT))
+               + bit_count(CAST(xor(a3, b3) AS BIGINT)) <= 3),
+         d2 AS (
+           SELECT doc_id, source,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM corpus),
+         jsh0 AS (
+           SELECT doc_id, source,
+             unnest(list_distinct(CASE WHEN len(toks) < 3
+               THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(toks) - 2),
+                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+               END)) AS shingle
+           FROM d2),
+         jhot AS (
+           SELECT source, shingle FROM jsh0
+           GROUP BY source, shingle HAVING count(*) > 2),
+         jsh AS (
+           SELECT jsh0.* FROM jsh0 ANTI JOIN jhot
+             ON jsh0.source = jhot.source
+             AND jsh0.shingle = jhot.shingle),
+         jcnt AS (SELECT doc_id, count(*) AS n_sh
+                  FROM jsh GROUP BY doc_id),
+         jpairs AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+           FROM jsh x JOIN jsh y
+             ON x.source = y.source AND x.shingle = y.shingle
+             AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         truth AS (
+           SELECT a, b
+           FROM jpairs JOIN jcnt ca ON ca.doc_id = a
+                       JOIN jcnt cb ON cb.doc_id = b
+           WHERE round(CAST(n_common AS DOUBLE)
+                       / (ca.n_sh + cb.n_sh - n_common), 6) >= 0.5),
+         cells AS (
+           SELECT coalesce(p.a, t.a) AS a, coalesce(p.b, t.b) AS b,
+                  p.a IS NOT NULL AS isp, t.a IS NOT NULL AS ist
+           FROM pred p FULL JOIN truth t
+             ON p.a = t.a AND p.b = t.b),
+         m AS (
+           SELECT CAST(sum(CASE WHEN isp THEN 1 END) AS BIGINT)
+                    AS n_pred,
+                  CAST(sum(CASE WHEN ist THEN 1 END) AS BIGINT)
+                    AS n_truth,
+                  CAST(sum(CASE WHEN isp AND ist THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tp
+           FROM cells)
+         SELECT n_pred, n_truth, tp,
+                round(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6)
+                  AS precision,
+                round(CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE), 6)
+                  AS recall,
+                CASE WHEN tp > 0 THEN
+                  round(2.0 * (CAST(tp AS DOUBLE) /
+                    CAST(n_pred AS DOUBLE)) *
+                    (CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE)) /
+                    ((CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)) +
+                     (CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE))), 6)
+                ELSE 0.0 END AS f1
+         FROM m""",
+
+    "q254_share_of_parent" ->
+      """WITH rev AS (
+           SELECT o_custkey,
+                  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+           FROM orders GROUP BY 1),
+         nat AS (
+           SELECT r.r_name, n.n_name, sum(rev) AS nrev
+           FROM rev
+           JOIN customer c ON c.c_custkey = o_custkey
+           JOIN nation n ON n.n_nationkey = c.c_nationkey
+           JOIN region r ON r.r_regionkey = n.n_regionkey
+           GROUP BY 1, 2),
+         w AS (
+           SELECT r_name, n_name, nrev,
+                  sum(nrev) OVER (PARTITION BY r_name) AS rrev,
+                  sum(nrev) OVER () AS trev
+           FROM nat)
+         SELECT r_name, n_name,
+                CAST(round(nrev, 2) AS DOUBLE) AS revenue,
+                round(CAST(nrev AS DOUBLE) / CAST(rrev AS DOUBLE), 6)
+                  AS share_of_region,
+                round(CAST(rrev AS DOUBLE) / CAST(trev AS DOUBLE), 6)
+                  AS region_share
+         FROM w ORDER BY r_name, n_name""",
 
     "q250_asof_exec" ->
       """WITH p AS (

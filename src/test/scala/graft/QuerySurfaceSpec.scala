@@ -146,6 +146,8 @@ class QuerySurfaceSpec extends SparkTestBase {
     //  - q247: the reference-period anchor (global min day) is a
     //    one-row ungrouped aggregate cross-joined into the period
     //    filter (q159's decay-anchor shape).
+    //  - q251: quantileBin's one-row boundary table cross-joined into
+    //    the scan-stage decile when-chain (q170/q216's shape).
     val allowedBnlj = Set("q24_cosine_topk", "q9_interval_overlap",
       "q104_boilerplate", "q118_unigram_logprob", "q122_source_kl",
       "q144_pmi_collocations", "q150_basket_lift", "q157_heavy_hitters",
@@ -156,7 +158,7 @@ class QuerySurfaceSpec extends SparkTestBase {
       "q221_quantile_normalize", "q222_modularity",
       "q226_kaplan_meier", "q227_contingency", "q233_rbo",
       "q235_bootstrap_ci", "q242_js_divergence",
-      "q247_post_stratified_mean")
+      "q247_post_stratified_mean", "q251_decile_lift")
     val lazyQueries = SparkEntry.queries.keySet -- eager
     val offenders = lazyQueries.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
