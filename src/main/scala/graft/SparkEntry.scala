@@ -2283,6 +2283,125 @@ object SparkEntry {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
+    // Bounce rate per day: share of 30-min sessions with exactly one
+    // event — rides the q10 sessionize machinery (one key exchange)
+    // plus one day aggregate
+    "q255_bounce_rate" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), eventEpochSeconds("ts").as("t"))
+      Sessionize.sessionizeEvents(e, Seq("user_id"), "t", 1800L)
+        .groupBy(expr("sess_start DIV 86400").as("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_rows") === 1, 1L).otherwise(0L))
+            .as("bounces"))
+        .withColumn("bounce_rate",
+          round(col("bounces").cast("double") /
+            col("n_sessions").cast("double"), 6))
+        .orderBy(col("day"))
+    }),
+
+    // Duplicate-class size histogram: the corpus-dedup report row
+    // ("how much mass sits in how-deep duplicate families") over the
+    // q73 closure — histogram of connected-component sizes
+    "q256_dup_size_histogram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (pairs, handle) = NearDup.jaccardPairsWithHandle(docs,
+        "doc_id", "text", "source", 3, 0.01)
+      val clusters = Components.duplicateClusters(docs, pairs, "doc_id")
+      handle.release()
+      clusters.groupBy(col("component"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))
+    }),
+
+    // Language-ID confusion matrix: q19's n-gram classifier against
+    // the labeled lang column — per (true, predicted) counts and the
+    // per-true-language share. The eval row every classifier needs
+    // before it gates a corpus
+    "q257_lang_confusion" -> ((s, dir) => {
+      graft.functions.GraftExtensions.installInto(s)
+      import org.apache.spark.sql.expressions.Window
+      val pred = t(s, dir, "documents")
+        .select(col("lang"),
+          TextAnalysis.langIdNative(TextAnalysis.tokens(col("text")),
+            langProfiles).as("pred_lang"))
+      pred.groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("frac", round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("lang")))
+            .cast("double"), 6))
+        .orderBy(col("lang"), col("pred_lang"))
+    }),
+
+    // Similarity-score histogram over the capped Jaccard candidate
+    // pairs (q62's universe): pair counts per 0.1 similarity bucket —
+    // the threshold-sensitivity curve read before picking a dedup cut
+    "q258_similarity_histogram" -> ((s, dir) => {
+      NearDup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          "source", 3, 0.01, maxDf = 2)
+        .select(least(floor(col("jaccard") * 10), lit(9))
+          .cast("int").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Cumulative distinct users per day: the expanding-window distinct
+    // equals the running sum of FIRST-SEENS — one per-user min, one
+    // day aggregate, one prefix sum over the distinct-day table (the
+    // trick that avoids an unsupported DISTINCT-over-expanding-window)
+    "q259_cumulative_users" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val firstSeen = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(min(expr("unix_micros(ts) DIV 86400000000")).as("day"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      firstSeen.groupBy(col("day"))
+        .agg(count(lit(1)).as("new_users"))
+        .withColumn("cum_users", sum(col("new_users")).over(w))
+        .orderBy(col("day"))
+    }),
+
+    // Order-fill latency percentiles by priority: days from order date
+    // to the LAST line shipment, through exactPercentiles (one rank
+    // pass over distinct latency values per priority)
+    "q260_fill_latency" -> ((s, dir) => {
+      val lat = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate")).as("last_ship"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("last_ship"), col("o_orderdate"))
+            .cast("double").as("lat"))
+      Stats.exactPercentiles(lat, Seq("o_orderpriority"), "lat",
+          Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)))
+        .select(col("o_orderpriority"), round(col("p50"), 4).as("p50"),
+          round(col("p90"), 4).as("p90"), round(col("p99"), 4).as("p99"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Deterministic per-key mode: each user's most frequent event type
+    // (ties to the alphabetically smallest) as ONE aggregate over the
+    // (user, type) counts — min(struct(−count, type)), never a window
+    // over raw events
+    "q261_mode_per_key" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("user_id"))
+        .agg(min(struct((-col("cnt")).as("nc"),
+          col("event_type").as("t"))).as("m"),
+          sum(col("cnt")).as("n_events"))
+        .select(col("user_id"), col("m.t").as("mode_type"),
+          (-col("m.nc")).as("mode_count"), col("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
     "q211_skip_rate" -> ((s, dir) => {
       val env = Layout.zorderFileStats(t(s, dir, "events"),
         pmod(col("user_id"), lit(1024L)),
@@ -4886,6 +5005,15 @@ object SparkEntry {
          SELECT doc_id, component,
                 count(*) OVER (PARTITION BY component) AS cluster_size
          FROM comp ORDER BY doc_id"""),
+
+    "q256_dup_size_histogram" ->
+      (componentsOracleChain("0.01") +
+        """
+         SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         FROM (SELECT component, CAST(count(*) AS BIGINT)
+                 AS cluster_size
+               FROM comp GROUP BY 1)
+         GROUP BY 1 ORDER BY 1"""),
 
     "q74_dup_clusters_strict" ->
       (componentsOracleChain("0.5") +
@@ -8022,6 +8150,152 @@ object SparkEntry {
                 round(CAST(max(dd) AS DOUBLE) /
                   CAST(max(na) * max(nb) AS DOUBLE), 6) AS ks_stat
          FROM d""",
+
+    "q255_bounce_rate" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts) // 1000000000 AS t FROM events),
+         m AS (
+           SELECT user_id, t,
+                  max(t) OVER (PARTITION BY user_id ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS prev_max
+           FROM e),
+         f AS (
+           SELECT user_id, t,
+                  CASE WHEN prev_max IS NULL OR t > prev_max + 1800
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM m),
+         sess AS (
+           SELECT user_id, t,
+                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS sid
+           FROM f),
+         agg AS (
+           SELECT user_id, sid, min(t) AS sess_start, count(*) AS n_rows
+           FROM sess GROUP BY 1, 2),
+         byday AS (
+           SELECT sess_start // 86400 AS day,
+                  CAST(count(*) AS BIGINT) AS n_sessions,
+                  CAST(sum(CASE WHEN n_rows = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS bounces
+           FROM agg GROUP BY 1)
+         SELECT day, n_sessions, bounces,
+                round(CAST(bounces AS DOUBLE) /
+                  CAST(n_sessions AS DOUBLE), 6) AS bounce_rate
+         FROM byday ORDER BY day""",
+
+    "q257_lang_confusion" ->
+      """WITH d AS (
+           SELECT lang,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         s AS (
+           SELECT lang,
+             len(list_filter(toks, x -> x IN ('the','a','of','and','is')))
+               AS s_en,
+             len(list_filter(toks, x -> x IN ('der','die','das','und','ist')))
+               AS s_de,
+             len(list_filter(toks, x -> x IN ('le','la','les','et','est')))
+               AS s_fr,
+             len(list_filter(toks, x -> x IN ('el','los','y','es','se')))
+               AS s_es
+           FROM d),
+         p AS (
+           SELECT lang,
+             CASE WHEN s_en >= greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                  WHEN s_de >= greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                  WHEN s_fr >= greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                  ELSE 'es' END AS pred_lang
+           FROM s),
+         cm AS (
+           SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+           FROM p GROUP BY 1, 2)
+         SELECT lang, pred_lang, n,
+                round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (
+                  PARTITION BY lang) AS DOUBLE), 6) AS frac
+         FROM cm ORDER BY lang, pred_lang""",
+
+    "q258_similarity_histogram" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         sh0 AS (
+           SELECT doc_id, source,
+             unnest(list_distinct(CASE WHEN len(toks) < 3
+               THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(toks) - 2),
+                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+               END)) AS shingle
+           FROM d),
+         hot AS (
+           SELECT source, shingle FROM sh0
+           GROUP BY source, shingle HAVING count(*) > 2),
+         sh AS (
+           SELECT sh0.* FROM sh0 ANTI JOIN hot
+             ON sh0.source = hot.source AND sh0.shingle = hot.shingle),
+         cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         pairs AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+           FROM sh x JOIN sh y
+             ON x.source = y.source AND x.shingle = y.shingle
+             AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         j AS (
+           SELECT round(CAST(n_common AS DOUBLE)
+                   / (ca.n_sh + cb.n_sh - n_common), 6) AS jac
+           FROM pairs JOIN cnt ca ON ca.doc_id = a
+                      JOIN cnt cb ON cb.doc_id = b
+           WHERE round(CAST(n_common AS DOUBLE)
+                       / (ca.n_sh + cb.n_sh - n_common), 6) >= 0.01)
+         SELECT CAST(least(floor(jac * 10), 9) AS INTEGER) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_pairs
+         FROM j GROUP BY 1 ORDER BY 1""",
+
+    "q259_cumulative_users" ->
+      """WITH fs AS (
+           SELECT user_id,
+                  min(epoch_ns(ts) // 1000 // 86400000000) AS day
+           FROM events GROUP BY 1),
+         per AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
+                 FROM fs GROUP BY 1)
+         SELECT day, new_users,
+                CAST(sum(new_users) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_users
+         FROM per ORDER BY day""",
+
+    "q260_fill_latency" ->
+      """WITH lat AS (
+           SELECT o.o_orderpriority,
+                  CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                    CAST(max(l.l_shipdate) AS DATE)) AS DOUBLE) AS lat
+           FROM lineitem l JOIN orders o
+             ON l.l_orderkey = o.o_orderkey
+           GROUP BY l.l_orderkey, o.o_orderpriority, o.o_orderdate)
+         SELECT o_orderpriority,
+                round(quantile_cont(lat, 0.5), 4) AS p50,
+                round(quantile_cont(lat, 0.9), 4) AS p90,
+                round(quantile_cont(lat, 0.99), 4) AS p99
+         FROM lat GROUP BY 1 ORDER BY 1""",
+
+    "q261_mode_per_key" ->
+      """WITH c AS (
+           SELECT user_id, event_type, count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT user_id, event_type, cnt,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY cnt DESC, event_type) AS rn,
+                  sum(cnt) OVER (PARTITION BY user_id) AS n_events
+           FROM c)
+         SELECT user_id, event_type AS mode_type,
+                CAST(cnt AS BIGINT) AS mode_count,
+                CAST(n_events AS BIGINT) AS n_events
+         FROM r WHERE rn = 1 ORDER BY user_id""",
 
     "q251_decile_lift" ->
       """WITH u AS (

@@ -61,7 +61,9 @@ class QuerySurfaceSpec extends SparkTestBase {
     "q231_weighted_pagerank", "q232_overlap_rule_join",
     "q234_stream_reservoir",
     // q248 drains a stream at construction
-    "q248_stream_new_users")
+    "q248_stream_new_users",
+    // q256 runs the q73 closure (eager checkpointed labels)
+    "q256_dup_size_histogram")
 
   test("every oracle key names a query; every query is gated") {
     val rowsOnly = Set("q34_approx_sketch", "q41_approx_segment",
