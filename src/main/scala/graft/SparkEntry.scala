@@ -2402,6 +2402,139 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // Media-inventory report per source over the binary payload
+    // column: byte totals, average object size, distinct-content rate
+    // (md5 identity) — the ingest-side audit a multimodal pipeline
+    // runs before decode is ever attempted
+    "q262_media_inventory" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feats = Multimodal.payloadFeatures(
+        Multimodal.attachPayload(docs, "doc_id", "text"), "doc_id")
+      feats.join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_objects"),
+          sum(col("n_bytes")).cast("long").as("total_bytes"),
+          round(sum(col("n_bytes")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("avg_bytes"),
+          countDistinct(col("content_md5")).as("distinct_payloads"))
+        .orderBy(col("source"))
+    }),
+
+    // Activity punch-card: (weekday, hour) event counts with the
+    // within-day share — integer epoch arithmetic only (dayofweek()
+    // conventions differ across engines)
+    "q263_punchcard" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "events")
+        .select(expr("(unix_micros(ts) DIV 86400000000) % 7").as("dow"),
+          expr("(unix_micros(ts) DIV 3600000000) % 24").as("hr"))
+        .groupBy(col("dow"), col("hr"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("frac", round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("dow")))
+            .cast("double"), 6))
+        .orderBy(col("dow"), col("hr"))
+    }),
+
+    // Revenue concentration per region: Herfindahl–Hirschman index
+    // over customer shares — Σshare² = Σrev²/R² from exact DECIMAL
+    // sums, plus the 1/HHI "effective competitors" reading
+    "q264_hhi" -> ((s, dir) => {
+      val rev = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+          .select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+      val hhi = col("_sq").cast("double") /
+        (col("_tot").cast("double") * col("_tot").cast("double"))
+      rev.groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("rev")).as("_tot"), sum(col("rev") * col("rev"))
+            .as("_sq"))
+        .select(col("r_name"), col("n_customers"),
+          round(hhi, 6).as("hhi"),
+          round(lit(1.0) / hhi, 6).as("effective_competitors"))
+        .orderBy(col("r_name"))
+    }),
+
+    // Repeat-purchase cadence: global percentiles of the day gaps
+    // between a user's consecutive purchases — one per-user lead pass,
+    // then exactPercentiles over the gap distribution
+    "q265_purchase_intervals" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val gaps = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts)").as("us"))
+        .withColumn("_next", lead(col("us"), 1).over(w))
+        .where(col("_next").isNotNull)
+        .select(((col("_next") - col("us")).cast("double") /
+          lit(86400000000.0)).as("gap_days"))
+      Stats.exactPercentiles(gaps, Nil, "gap_days",
+          Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75)))
+        .select(round(col("p25"), 4).as("p25"),
+          round(col("p50"), 4).as("p50"), round(col("p75"), 4).as("p75"))
+    }),
+
+    // Dedup token savings: share of training tokens removed by exact
+    // canonical-pick dedup (q111's injected-copy corpus) — THE
+    // headline number a dedup stage reports ("X% of tokens were
+    // duplicate mass"); survivors via one semi-join on canonical ids
+    "q266_dedup_token_savings" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val corpus = base.unionByName(base.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          col("source")))
+      val toks = corpus.select(col("doc_id"), col("source"),
+        when(length(trim(coalesce(col("text"), lit("")))) === 0, 0L)
+          .otherwise(size(TextAnalysis.tokens(col("text"))).cast("long"))
+          .as("n_tokens"))
+      val surv = NearDup.canonicalDocs(corpus, "doc_id", "text",
+          -col("doc_id"))
+        .select(col("canonical_id").as("doc_id"))
+      val kept = toks.join(surv, Seq("doc_id"), "left_semi")
+        .groupBy(col("source")).agg(sum(col("n_tokens")).as("kept_tokens"))
+      toks.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .join(kept, Seq("source"))
+        .withColumn("savings_frac",
+          round(lit(1.0) - col("kept_tokens").cast("double") /
+            col("total_tokens").cast("double"), 6))
+        .orderBy(col("source"))
+    }),
+
+    // The registered-function surface driven through spark.sql — the
+    // SQL twin of the Column API the other queries use: temp view +
+    // graft_char_entropy kernel, per-doc entropies quantized to
+    // DECIMAL before averaging (order-independent)
+    "q267_sql_surface" -> ((s, dir) => {
+      graft.functions.GraftExtensions.installInto(s)
+      t(s, dir, "documents").createOrReplaceTempView("graft_docs_v")
+      s.sql(
+        """WITH e AS (
+             SELECT source,
+                    round(graft_char_entropy(coalesce(text, '')), 6)
+                      AS h
+             FROM graft_docs_v)
+           SELECT source, count(*) AS n_docs,
+                  round(CAST(sum(CAST(h AS DECIMAL(18,6))) AS DOUBLE)
+                    / count(*), 6) AS avg_entropy,
+                  round(max(h), 6) AS max_entropy,
+                  round(min(h), 6) AS min_entropy
+           FROM e GROUP BY source ORDER BY source""")
+    }),
+
     "q211_skip_rate" -> ((s, dir) => {
       val env = Layout.zorderFileStats(t(s, dir, "events"),
         pmod(col("user_id"), lit(1024L)),
@@ -8150,6 +8283,121 @@ object SparkEntry {
                 round(CAST(max(dd) AS DOUBLE) /
                   CAST(max(na) * max(nb) AS DOUBLE), 6) AS ks_stat
          FROM d""",
+
+    "q262_media_inventory" ->
+      """WITH f AS (
+           SELECT doc_id, source,
+                  octet_length(encode(text)) AS n_bytes,
+                  md5(text) AS content_md5
+           FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_objects,
+                CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+                round(CAST(sum(n_bytes) AS DOUBLE) / count(*), 6)
+                  AS avg_bytes,
+                CAST(count(DISTINCT content_md5) AS BIGINT)
+                  AS distinct_payloads
+         FROM f GROUP BY source ORDER BY source""",
+
+    "q263_punchcard" ->
+      """WITH e AS (
+           SELECT (epoch_ns(ts) // 1000 // 86400000000) % 7 AS dow,
+                  (epoch_ns(ts) // 1000 // 3600000000) % 24 AS hr
+           FROM events),
+         c AS (SELECT dow, hr, CAST(count(*) AS BIGINT) AS n
+               FROM e GROUP BY 1, 2)
+         SELECT dow, hr, n,
+                round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (
+                  PARTITION BY dow) AS DOUBLE), 6) AS frac
+         FROM c ORDER BY dow, hr""",
+
+    "q264_hhi" ->
+      """WITH rev AS (
+           SELECT o_custkey,
+                  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+           FROM orders GROUP BY 1),
+         j AS (
+           SELECT r.r_name, rev
+           FROM rev
+           JOIN customer c ON c.c_custkey = o_custkey
+           JOIN nation n ON n.n_nationkey = c.c_nationkey
+           JOIN region r ON r.r_regionkey = n.n_regionkey),
+         g AS (
+           SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers,
+                  CAST(sum(rev) AS DOUBLE) AS tot,
+                  CAST(sum(rev * rev) AS DOUBLE) AS sq
+           FROM j GROUP BY 1)
+         SELECT r_name, n_customers,
+                round(sq / (tot * tot), 6) AS hhi,
+                round(1.0 / (sq / (tot * tot)), 6)
+                  AS effective_competitors
+         FROM g ORDER BY r_name""",
+
+    "q265_purchase_intervals" ->
+      """WITH p AS (
+           SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+           FROM events WHERE event_type = 'purchase'),
+         g AS (
+           SELECT user_id, us,
+                  lead(us) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id) AS nxt
+           FROM p),
+         gaps AS (
+           SELECT CAST(nxt - us AS DOUBLE) / 86400000000.0 AS gap_days
+           FROM g WHERE nxt IS NOT NULL)
+         SELECT round(quantile_cont(gap_days, 0.25), 4) AS p25,
+                round(quantile_cont(gap_days, 0.5), 4) AS p50,
+                round(quantile_cont(gap_days, 0.75), 4) AS p75
+         FROM gaps""",
+
+    "q266_dedup_token_savings" ->
+      """WITH corpus AS (
+           SELECT doc_id, text, source FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text, source
+           FROM documents WHERE doc_id % 10 = 0),
+         toks AS (
+           SELECT doc_id, source,
+                  CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                       ELSE len(string_split(trim(regexp_replace(lower(
+                         coalesce(text, '')), '\s+', ' ', 'g')), ' '))
+                  END AS n_tokens
+           FROM corpus),
+         surv AS (
+           SELECT arg_max(doc_id, -doc_id) AS doc_id
+           FROM (SELECT doc_id,
+                   substr(md5(trim(regexp_replace(lower(coalesce(text,
+                     '')), '\s+', ' ', 'g'))), 1, 16) AS fp
+                 FROM corpus)
+           GROUP BY fp),
+         kept AS (
+           SELECT source, CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+           FROM toks SEMI JOIN surv USING (doc_id)
+           GROUP BY 1),
+         tot AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+           FROM toks GROUP BY 1)
+         SELECT source, n_docs, total_tokens, kept_tokens,
+                round(1.0 - CAST(kept_tokens AS DOUBLE) /
+                  CAST(total_tokens AS DOUBLE), 6) AS savings_frac
+         FROM tot JOIN kept USING (source) ORDER BY source""",
+
+    "q267_sql_surface" ->
+      """WITH ch AS (
+           SELECT doc_id, source,
+                  unnest(string_split(coalesce(text, ''), '')) AS c
+           FROM documents WHERE length(coalesce(text, '')) > 0),
+         pe AS (SELECT doc_id, source, entropy(c) AS h
+                FROM ch GROUP BY 1, 2),
+         al AS (
+           SELECT d.source, round(coalesce(pe.h, 0.0), 6) AS h
+           FROM documents d LEFT JOIN pe ON d.doc_id = pe.doc_id)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                round(CAST(sum(CAST(h AS DECIMAL(18,6))) AS DOUBLE)
+                  / count(*), 6) AS avg_entropy,
+                round(max(h), 6) AS max_entropy,
+                round(min(h), 6) AS min_entropy
+         FROM al GROUP BY source ORDER BY source""",
 
     "q255_bounce_rate" ->
       """WITH e AS (
