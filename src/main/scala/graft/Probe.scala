@@ -412,6 +412,42 @@ object Probe {
           "embedding", 64).count()
       }
     }
+    if (probes("asof")) {
+      // 20× events (2M rows): the custom sort-merge exec vs the
+      // union-LOCF window form on the same purchase/click as-of —
+      // both linear; the exec shuffles each side's own columns only
+      graft.functions.GraftExtensions.installInto(spark)
+      val e = times(GraftSession.table(spark, dir, "events"), 20,
+        Seq("event_id", "user_id"), 1000000L)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts) DIV 1000000").as("t"),
+          col("value"), col("event_type"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("t"), col("value"))
+      val clicks = operators.AsOfJoin.latestPerTs(
+        e.where(col("event_type") === "click")
+          .select(col("user_id"), col("t").as("ct"),
+            col("value").as("click_value")),
+        Seq("user_id"), "ct", "click_value")
+      // union first (absorbs the shared upstream's one-time codegen),
+      // then both forms twice — first exec run pays ITS codegen
+      timed("asofunion20x") {
+        operators.AsOfJoin.asofBackward(purchases, clicks,
+          Seq("user_id"), "t", "ct", Seq("click_value")).count()
+      }
+      timed("asofexec20x") {
+        operators.AsOfJoin.asofMergeExec(purchases, clicks,
+          Seq("user_id"), "t", "ct").count()
+      }
+      timed("asofexec20x_warm") {
+        operators.AsOfJoin.asofMergeExec(purchases, clicks,
+          Seq("user_id"), "t", "ct").count()
+      }
+      timed("asofunion20x_warm") {
+        operators.AsOfJoin.asofBackward(purchases, clicks,
+          Seq("user_id"), "t", "ct", Seq("click_value")).count()
+      }
+    }
     if (probes("zorder")) {
       // 20× events (2M rows): z-key + range sort + zipWithIndex + agg
       val e = spark.read.parquet(s"$dir/events.parquet")
