@@ -2535,6 +2535,72 @@ object SparkEntry {
            FROM e GROUP BY source ORDER BY source""")
     }),
 
+    // Deterministic negative sampling for contrastive training: per
+    // customer, 3 md5-derived candidate parts, anti-joined against the
+    // purchased set — replayable (unlike rand()), with collisions
+    // dropping out deterministically. The recsys/embedding-training
+    // data op
+    "q268_negative_sampling" -> ((s, dir) => {
+      val pos = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey")), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("custkey"),
+          col("l_partkey").as("partkey"))
+        .distinct()
+      val np = t(s, dir, "part").agg(count(lit(1)).as("np"))
+      val cands = pos.select(col("custkey")).distinct()
+        .crossJoin(broadcast(np))
+        .select(col("custkey"), col("np"),
+          explode(array(lit(0), lit(1), lit(2))).as("i"))
+        .select(col("custkey"), col("i"),
+          (pmod(conv(substring(md5(concat(lit("neg:"),
+            col("custkey").cast("string"), lit(":"),
+            col("i").cast("string"))), 1, 15), 16, 10).cast("long"),
+            col("np")) + 1).as("neg_partkey"))
+      cands.join(pos.select(col("custkey"),
+          col("partkey").as("neg_partkey")),
+          Seq("custkey", "neg_partkey"), "left_anti")
+        .orderBy(col("custkey"), col("i"))
+    }),
+
+    // Leakage-safe k-fold assignment: fold keyed on the md5 of the
+    // near-dup COMPONENT (q102's closure contract, k=5) so a
+    // document's 98%-copy can never land in another fold; report is
+    // per-fold document/component counts
+    "q269_kfold_assignment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (pairs, handle) = NearDup.jaccardPairsWithHandle(docs,
+        "doc_id", "text", "source", 3, 0.5)
+      val clusters = Components.duplicateClusters(docs, pairs, "doc_id")
+      handle.release()
+      clusters
+        .withColumn("fold", pmod(conv(substring(md5(
+          col("component").cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(5)).cast("int"))
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("component")).as("n_components"))
+        .orderBy(col("fold"))
+    }),
+
+    // Robust scaling per source: (x − median) / IQR from ONE
+    // exactPercentiles pass broadcast back — the heavy-tail-safe
+    // standardization (a z-score's mean/std are dragged by the tails
+    // robustOutliers q116 flags)
+    "q270_robust_scale" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("double").as("v"))
+      val bounds = Stats.exactPercentiles(docs, Seq("source"), "v",
+        Seq(("q1", 0.25), ("med", 0.5), ("q3", 0.75)))
+      docs.join(broadcast(bounds), "source")
+        .select(col("doc_id"), col("source"),
+          when(col("q3") - col("q1") > 0,
+            round((col("v") - col("med")) / (col("q3") - col("q1")), 6))
+            .as("robust_z"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q211_skip_rate" -> ((s, dir) => {
       val env = Layout.zorderFileStats(t(s, dir, "events"),
         pmod(col("user_id"), lit(1024L)),
@@ -5138,6 +5204,19 @@ object SparkEntry {
          SELECT doc_id, component,
                 count(*) OVER (PARTITION BY component) AS cluster_size
          FROM comp ORDER BY doc_id"""),
+
+    "q269_kfold_assignment" ->
+      (componentsOracleChain("0.5") +
+        """
+         SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(DISTINCT component) AS BIGINT)
+                  AS n_components
+         FROM (SELECT doc_id, component,
+                 CAST(CAST('0x' || substr(md5(CAST(component
+                   AS VARCHAR)), 1, 15) AS BIGINT) % 5 AS INTEGER)
+                   AS fold
+               FROM comp)
+         GROUP BY fold ORDER BY fold"""),
 
     "q256_dup_size_histogram" ->
       (componentsOracleChain("0.01") +
@@ -8283,6 +8362,41 @@ object SparkEntry {
                 round(CAST(max(dd) AS DOUBLE) /
                   CAST(max(na) * max(nb) AS DOUBLE), 6) AS ks_stat
          FROM d""",
+
+    "q268_negative_sampling" ->
+      """WITH pos AS (
+           SELECT DISTINCT o.o_custkey AS custkey,
+                  l.l_partkey AS partkey
+           FROM lineitem l JOIN orders o
+             ON l.l_orderkey = o.o_orderkey),
+         np AS (SELECT count(*) AS np FROM part),
+         cands AS (
+           SELECT custkey, CAST(i AS INTEGER) AS i,
+                  CAST('0x' || substr(md5('neg:' ||
+                    CAST(custkey AS VARCHAR) || ':' ||
+                    CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % np + 1
+                    AS neg_partkey
+           FROM (SELECT DISTINCT custkey FROM pos), np,
+                range(0, 3) r(i))
+         SELECT c.custkey, c.i, c.neg_partkey
+         FROM cands c ANTI JOIN pos p
+           ON c.custkey = p.custkey AND c.neg_partkey = p.partkey
+         ORDER BY c.custkey, c.i""",
+
+    "q270_robust_scale" ->
+      """WITH d AS (
+           SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS v
+           FROM documents),
+         b AS (
+           SELECT source, quantile_cont(v, 0.25) AS q1,
+                  quantile_cont(v, 0.5) AS med,
+                  quantile_cont(v, 0.75) AS q3
+           FROM d GROUP BY 1)
+         SELECT doc_id, source,
+                CASE WHEN q3 - q1 > 0
+                     THEN round((v - med) / (q3 - q1), 6) END
+                  AS robust_z
+         FROM d JOIN b USING (source) ORDER BY doc_id""",
 
     "q262_media_inventory" ->
       """WITH f AS (

@@ -62,8 +62,8 @@ class QuerySurfaceSpec extends SparkTestBase {
     "q234_stream_reservoir",
     // q248 drains a stream at construction
     "q248_stream_new_users",
-    // q256 runs the q73 closure (eager checkpointed labels)
-    "q256_dup_size_histogram")
+    // q256/q269 run the jaccard-closure (eager checkpointed labels)
+    "q256_dup_size_histogram", "q269_kfold_assignment")
 
   test("every oracle key names a query; every query is gated") {
     val rowsOnly = Set("q34_approx_sketch", "q41_approx_segment",
@@ -160,7 +160,10 @@ class QuerySurfaceSpec extends SparkTestBase {
       "q221_quantile_normalize", "q222_modularity",
       "q226_kaplan_meier", "q227_contingency", "q233_rbo",
       "q235_bootstrap_ci", "q242_js_divergence",
-      "q247_post_stratified_mean", "q251_decile_lift")
+      "q247_post_stratified_mean", "q251_decile_lift",
+      // q268: the part-count row (one ungrouped aggregate) is
+      // cross-joined into the candidate modulus (q118's shape)
+      "q268_negative_sampling")
     val lazyQueries = SparkEntry.queries.keySet -- eager
     val offenders = lazyQueries.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
