@@ -402,6 +402,21 @@ object Probe {
           .count()
       }
     }
+    if (probes("jswide")) {
+      // ~500 SOURCES (the documented q242 cliff axis): shatter each of
+      // the 20 sources into 25 synthetic sub-sources. Uncapped the
+      // matrix is 124,750 pairs × vocab; topGroups=20 bounds it at 190
+      // pairs regardless of catalog width — jswide500 must land near
+      // js20x's per-token cost, NOT grow with #groups²
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val wide = times(docs, 20, Seq("doc_id"), 1000000L)
+        .withColumn("source",
+          concat(col("source"), lit("_"), pmod(col("doc_id"), lit(25L))))
+      timed("jswide500") {
+        operators.TextAnalysis.jsDivergenceMatrix(wide, "source", "text",
+          topGroups = 20).count()
+      }
+    }
     if (probes("dispersion")) {
       // 20× embeddings (800k vectors × 64 dims) through the Long-grain
       // buffer aggregate — map-side bound, one d-long buffer per task
@@ -447,6 +462,32 @@ object Probe {
         operators.AsOfJoin.asofBackward(purchases, clicks,
           Seq("user_id"), "t", "ct", Seq("click_value")).count()
       }
+    }
+    if (probes("closure")) {
+      // 20× q73's pair graph (jaccard 0.01 over documents, id-shifted
+      // copies → same component structure ×20) through BOTH closure
+      // routes: the driver union-find fast path (default conf; 328k
+      // edges ≪ the 4M localMaxEdges threshold) and the distributed
+      // hash-min/star path (localMaxEdges=0) that a 100 TB corpus's
+      // billion-edge pair graph would take. The distributed number is
+      // dominated by per-round fixed machinery — the axis q73 drifted
+      // on in round 8 — so this row is the regression guard for it.
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val (pairs, handle) = operators.NearDup.jaccardPairsWithHandle(
+        docs, "doc_id", "text", "source", 3, 0.01)
+      val base = pairs.select(col("a"), col("b"))
+      base.persist(); base.count(); handle.release()
+      val big = times(base, 20, Seq("a", "b"), 1000000L)
+      big.persist(); big.count(); base.unpersist()
+      timed("closure20x_local") {
+        operators.Components.connectedComponents(big, "a", "b").count()
+      }
+      spark.conf.set("spark.graft.closure.localMaxEdges", "0")
+      timed("closure20x_dist") {
+        operators.Components.connectedComponents(big, "a", "b").count()
+      }
+      spark.conf.unset("spark.graft.closure.localMaxEdges")
+      big.unpersist()
     }
     if (probes("zorder")) {
       // 20× events (2M rows): z-key + range sort + zipWithIndex + agg

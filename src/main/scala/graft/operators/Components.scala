@@ -13,8 +13,16 @@ import org.apache.spark.sql.functions._
   * (program/src/main/scala/hmushtaq/sparkga1/SparkGA1.scala:822-851);
   * this generalizes to the graph closure.
   *
-  * Two algorithms, selected automatically by graph shape:
+  * Three strategies, selected automatically by graph size and shape:
   *
+  *  0. '''Driver union-find''' — below `spark.graft.closure
+  *     .localMaxEdges` edge rows (default 4 M, broadcast-scale), the
+  *     edge list is collected and closed with path-halving union-find
+  *     in microseconds; a distributed round costs ~0.5 s of fixed
+  *     shuffle/checkpoint machinery regardless of volume, so on the
+  *     sparse pair graphs dedup actually emits the machinery dwarfs
+  *     the work (same logic as AQE's broadcast threshold). Integral id
+  *     types only — see [[localUnionFind]].
   *  1. '''Hash-min label propagation''' — every node starts labeled with
   *     its own id; each round every node takes the min of its label and
   *     its neighbors' labels; fixpoint = every node carries its
@@ -66,6 +74,20 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Per-round closure diagnostics on stderr (`[graft.closure] …`):
+    * algorithm, round number, the count the round already computed (edge
+    * count for star contraction; node count once for hash-min), and wall
+    * millis. Costs nothing beyond the counts the convergence logic
+    * already takes — the point is that a drifting bench number can be
+    * attributed to "more rounds" vs "same rounds, slower rounds" from
+    * the log alone. Disable with
+    * `spark.graft.closure.log=false` (session conf).
+    */
+  private def logRound(spark: org.apache.spark.sql.SparkSession,
+                       msg: String): Unit =
+    if (spark.conf.get("spark.graft.closure.log", "true") == "true")
+      System.err.println(s"[graft.closure] $msg")
+
   /** Eager checkpoint: materialize AND truncate lineage — the returned
     * frame's logical plan is a single `LogicalRDD`, so iterative reuse
     * can't grow the plan tree (see class doc). `reliable` swaps the
@@ -95,10 +117,66 @@ object Components {
       case _ => ()
     }
 
-  private def symmetrize(edges: DataFrame, aCol: String, bCol: String)
-      : DataFrame =
-    edges.select(col(aCol).as("s"), col(bCol).as("d"))
-      .union(edges.select(col(bCol).as("s"), col(aCol).as("d")))
+  /** Driver union-find over a collected edge list — the small-graph fast
+    * path. A closure round on the distributed path costs a join + an
+    * aggregate + a checkpoint of FIXED shuffle machinery (~0.5 s on
+    * local[32]) regardless of data volume; on the pair graphs dedup
+    * actually produces (banded candidates over a corpus — sparse by
+    * construction, vastly smaller than the corpus itself) several rounds
+    * of that machinery dwarf the work. Same reasoning as AQE's broadcast
+    * threshold: below `spark.graft.closure.localMaxEdges` directed rows
+    * (default 4 M ≈ 64 MB of longs — a size Spark happily broadcasts),
+    * collect the edges, run path-halving union-find with min-id roots,
+    * and return the labels as a parallelized (not LocalRelation — keeps
+    * plans small) distributed frame. Above the threshold, or for
+    * non-integral id types (driver min-ordering for strings is UTF-16,
+    * Spark's is UTF-8 binary — not identical), the distributed
+    * hash-min/star path below runs unchanged.
+    */
+  private def localUnionFind(e0: DataFrame,
+                             idType: org.apache.spark.sql.types.DataType)
+      : DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val spark = e0.sparkSession
+    val edges = e0
+      .select(col("s").cast(LongType), col("d").cast(LongType))
+      .collect()
+    val parent = new java.util.HashMap[Long, Long](edges.length * 2)
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.get(x)
+      while (p != x) { // path halving
+        val gp = parent.get(p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.get(x)
+      }
+      x
+    }
+    edges.foreach { r =>
+      val a = r.getLong(0); val b = r.getLong(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      // always root at the smaller id → final root IS the component min
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val it = parent.keySet().iterator()
+    val out = Array.newBuilder[Row]
+    out.sizeHint(parent.size())
+    while (it.hasNext) { val id = it.next(); out += Row(id, find(id)) }
+    val rows = out.result()
+    val slices = math.max(1, rows.length / 500000)
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("component", LongType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(rows), slices),
+        schema)
+      .select(col("id").cast(idType).as("id"),
+        col("component").cast(idType).as("component"))
+  }
 
   /** (id, component) for every node appearing in `edges`, where
     * `component` is the smallest node id reachable over the undirected
@@ -111,10 +189,49 @@ object Components {
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxRounds: Int = 25,
                           reliable: Boolean = false): DataFrame = {
-    val sym = pin(symmetrize(edges, aCol, bCol), reliable)
+    val t0 = System.nanoTime()
+    val spark = edges.sparkSession
+    // Materialize the pair list ONCE before anything references it
+    // twice: the emitters upstream (inverted-index joins, LSH banding)
+    // are the expensive part of a closure call, and both the symmetrize
+    // union and the node-set derivation would otherwise re-evaluate the
+    // un-cached emitter plan (Spark shares no subexpressions across
+    // union branches — measured 2× the emitter cost on q73's seed).
+    val e0 = pin(edges.select(col(aCol).as("s"), col(bCol).as("d")),
+      reliable)
+    val m = e0.count()
+    val idType = e0.schema("s").dataType
+    val localMax = spark.conf
+      .get("spark.graft.closure.localMaxEdges", "4000000").toLong
+    if (m <= localMax &&
+        (idType == org.apache.spark.sql.types.LongType ||
+         idType == org.apache.spark.sql.types.IntegerType)) {
+      val out = localUnionFind(e0, idType)
+        .select(col("id"), col("component"))
+      releasePin(e0, reliable)
+      logRound(spark,
+        f"local union-find: edges=$m " +
+          f"${(System.nanoTime() - t0) / 1e6}%.0f ms")
+      return out
+    }
+    // Cap sym's partition count at the session shuffle width: sym is
+    // re-joined EVERY round, and it otherwise inherits the input's
+    // partitioning — a many-way-union pair emitter hands over hundreds
+    // of slivers, and each round then pays a task launch per sliver
+    // (measured: 6 s/round vs 1.5 s for star contraction's post-distinct
+    // frames on the same 328k-edge graph). coalesce, not repartition:
+    // no extra shuffle, and a no-op when the input is already narrower.
+    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sym = pin(
+      e0.union(e0.select(col("d").as("s"), col("s").as("d")))
+        .coalesce(width), reliable)
+    releasePin(e0, reliable) // sym pinned off e0's cache; e0 is dead
     var labels = pin(sym.select(col("s").as("id")).distinct()
       .select(col("id"), col("id").as("lab")), reliable)
     val n = labels.count()
+    logRound(spark,
+      f"hashmin seed: nodes=$n edges=$m " +
+        f"${(System.nanoTime() - t0) / 1e6}%.0f ms")
     // rounds = diameter for hash-min. Dedup graphs (LSH-bucket cliques,
     // typo pairs) have single-digit diameter and converge in ≤ 4
     // rounds; a graph still unconverged after 6 is chain-shaped and
@@ -129,6 +246,7 @@ object Components {
     var converged = false
     var round = 0
     while (!converged && round < budget) {
+      val tr = System.nanoTime()
       val prop = sym
         .join(labels.select(col("id").as("s"), col("lab")), Seq("s"))
         .select(col("d").as("id"), col("lab"))
@@ -150,6 +268,9 @@ object Components {
       labels = next
       converged = changed == 0L
       round += 1
+      logRound(edges.sparkSession,
+        f"hashmin round=$round changed=${changed != 0L} " +
+          f"${(System.nanoTime() - tr) / 1e6}%.0f ms")
     }
     // converged: the output references only the final labels, so sym is
     // dead too. Unconverged: starContraction EAGERLY pins its own edge
@@ -198,9 +319,11 @@ object Components {
               least(col(aCol), col(bCol)).as("v"))
       .where(col("u") =!= col("v")).distinct(), reliable)
     var eCount = e.count()
+    logRound(edges.sparkSession, s"star seed: edges=$eCount")
     var converged = eCount == 0L
     var round = 0
     while (!converged && round < maxRounds) {
+      val tr = System.nanoTime()
       // LARGE-STAR: center every node over the symmetric neighborhood;
       // m = min(Γ(u) ∪ {u}) = least(min neighbor, u); emit (v, m) for
       // every neighbor v > u. m ≤ u < v, so output is already canonical.
@@ -227,6 +350,9 @@ object Components {
       e = next
       eCount = nextCount
       round += 1
+      logRound(edges.sparkSession,
+        f"star round=$round edges=$eCount converged=$converged " +
+          f"${(System.nanoTime() - tr) / 1e6}%.0f ms")
     }
     require(converged,
       s"starContraction did not converge in $maxRounds rounds")

@@ -82,14 +82,25 @@ class CrossFormulationSpec extends SparkTestBase {
     // label propagation vs O(log n) large/small-star contraction) must
     // label every node identically on the same edge list
     val rnd = new scala.util.Random(83)
-    for (_ <- 1 to 4) {
-      val es = Seq.fill(60)((rnd.nextLong(40), rnd.nextLong(40)))
-        .toDF("a", "b")
-      val hm = operators.Components.connectedComponents(es, "a", "b")
-        .as[(Long, Long)].collect().toMap
-      val sc = operators.Components.starContraction(es, "a", "b")
-        .as[(Long, Long)].collect().toMap
-      assert(hm == sc)
+    // localMaxEdges=0 keeps this a hash-min-vs-star comparison — the
+    // default conf would route these tiny graphs to the driver
+    // union-find fast path instead (covered in ComponentsSpec)
+    val key = "spark.graft.closure.localMaxEdges"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "0")
+    try {
+      for (_ <- 1 to 4) {
+        val es = Seq.fill(60)((rnd.nextLong(40), rnd.nextLong(40)))
+          .toDF("a", "b")
+        val hm = operators.Components.connectedComponents(es, "a", "b")
+          .as[(Long, Long)].collect().toMap
+        val sc = operators.Components.starContraction(es, "a", "b")
+          .as[(Long, Long)].collect().toMap
+        assert(hm == sc)
+      }
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
     }
   }
 }

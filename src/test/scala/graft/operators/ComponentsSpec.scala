@@ -6,6 +6,21 @@ import org.apache.spark.sql.functions._
 class ComponentsSpec extends SparkTestBase {
   import spark.implicits._
 
+  /** Force the distributed hash-min/star path (localMaxEdges=0) for the
+    * tests that exist to exercise IT — small test graphs would otherwise
+    * all take the driver union-find fast path.
+    */
+  private def forceDistributed[A](body: => A): A = {
+    val key = "spark.graft.closure.localMaxEdges"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "0")
+    try body
+    finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Reference union-find, for property-testing the distributed answer. */
   private def bruteComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
@@ -37,7 +52,7 @@ class ComponentsSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L))
   }
 
-  test("random graphs match union-find (seeded property)") {
+  test("random graphs match union-find (seeded property)") { forceDistributed {
     val rnd = new scala.util.Random(31)
     for (_ <- 1 to 8) {
       val es = Seq.fill(30)((rnd.nextLong(20), rnd.nextLong(20)))
@@ -45,9 +60,9 @@ class ComponentsSpec extends SparkTestBase {
         .as[(Long, Long)].collect().toMap
       assert(got == bruteComponents(es))
     }
-  }
+  } }
 
-  test("superseded rounds' local-checkpoint blocks are released eagerly") {
+  test("superseded rounds' local-checkpoint blocks are released eagerly") { forceDistributed {
     // a 120-node chain burns through the hash-min budget and falls back
     // to star contraction — ~15 pinned rounds total. Without the
     // explicit releasePin calls every round's blocks stay registered
@@ -62,7 +77,7 @@ class ComponentsSpec extends SparkTestBase {
     assert(got.length == 120 && got.forall(_._2 == 0L))
     val delta = spark.sparkContext.getPersistentRDDs.size - before
     assert(delta <= 8, s"expected released rounds, $delta RDDs still cached")
-  }
+  } }
 
   test("duplicateClusters keeps singletons and sizes the classes") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
@@ -75,7 +90,7 @@ class ComponentsSpec extends SparkTestBase {
     assert(got.filter(r => r._1 == r._2).map(_._1).toSeq == Seq(1L, 4L, 5L))
   }
 
-  test("chain-shaped graph auto-switches to star contraction") {
+  test("chain-shaped graph auto-switches to star contraction") { forceDistributed {
     // a 30-long path has diameter 29 ≫ the 3-round hash-min budget; the
     // old behavior was a require-abort — now the operator hands off to
     // star contraction (seeded with the partial labels) and converges
@@ -84,9 +99,9 @@ class ComponentsSpec extends SparkTestBase {
     val got = Components.connectedComponents(chain, "a", "b", maxRounds = 3)
       .as[(Long, Long)].collect().toMap
     assert(got == (0L until 30L).map(_ -> 0L).toMap)
-  }
+  } }
 
-  test("logical plan stays O(1) across propagation rounds") {
+  test("logical plan stays O(1) across propagation rounds") { forceDistributed {
     // diameter-4 path: several hash-min rounds within budget. Round 4's
     // OOM root cause was the plan tree growing ~3× per round (persist()
     // truncates execution, not the analyzed plan); the eager
@@ -99,7 +114,7 @@ class ComponentsSpec extends SparkTestBase {
     assert(planNodes <= 10, s"plan grew with rounds: $planNodes nodes")
     assert(out.as[(Long, Long)].collect().toMap ==
       (0L until 5L).map(_ -> 0L).toMap)
-  }
+  } }
 
   test("star contraction converges on a 10k-node path graph") {
     // diameter 9,999 — hash-min territory would be 10k rounds; the
@@ -123,7 +138,7 @@ class ComponentsSpec extends SparkTestBase {
     }
   }
 
-  test("reliable checkpoint mode: correct labels through checkpoint(dir)") {
+  test("reliable checkpoint mode: correct labels through checkpoint(dir)") { forceDistributed {
     withTempDir("graft_ckpt") { dir =>
       spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
       val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L),
@@ -138,7 +153,7 @@ class ComponentsSpec extends SparkTestBase {
       assert(dir.listFiles != null && dir.listFiles.nonEmpty,
         "reliable mode must write to the checkpoint directory")
     }
-  }
+  } }
 
   test("reliable mode without a checkpoint dir fails fast, not mid-job") {
     val sc = spark.sparkContext
@@ -154,7 +169,7 @@ class ComponentsSpec extends SparkTestBase {
     } finally saved.foreach(sc.setCheckpointDir)
   }
 
-  test("reliable-path stress: chain+random graph at scale through checkpoint(dir)") {
+  test("reliable-path stress: chain+random graph at scale through checkpoint(dir)") { forceDistributed {
     // the cluster-survivability path (localCheckpoint dies with an
     // executor; reliable checkpoint survives) exercised at a size where
     // plan growth or recomputation would blow up: 100k nodes chained
@@ -177,6 +192,53 @@ class ComponentsSpec extends SparkTestBase {
       assert(agg.getLong(0) == n)
       assert(agg.getLong(1) == 1L && agg.getLong(2) == 0L)
     }
+  } }
+
+  test("driver union-find fast path agrees with the distributed path") {
+    // same seeded graphs through both routes — the default conf takes
+    // the local path (tiny graphs), localMaxEdges=0 forces hash-min/star
+    val rnd = new scala.util.Random(83)
+    for (_ <- 1 to 6) {
+      val es = Seq.fill(50)((rnd.nextLong(30), rnd.nextLong(30)))
+      val local = Components.connectedComponents(es.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val dist = forceDistributed {
+        Components.connectedComponents(es.toDF("a", "b"), "a", "b")
+          .as[(Long, Long)].collect().toMap
+      }
+      assert(local == dist)
+      assert(local == bruteComponents(es))
+    }
+  }
+
+  test("localMaxEdges boundary: both sides of the threshold are correct") {
+    val es = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 7L),
+      (8L, 9L), (9L, 10L), (10L, 8L))
+    val want = bruteComponents(es)
+    val key = "spark.graft.closure.localMaxEdges"
+    val saved = spark.conf.getOption(key)
+    try {
+      for (thr <- Seq("6", "7")) { // 7 edge rows: above and at threshold
+        spark.conf.set(key, thr)
+        val got = Components
+          .connectedComponents(es.toDF("a", "b"), "a", "b")
+          .as[(Long, Long)].collect().toMap
+        assert(got == want, s"threshold=$thr")
+      }
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("non-integral id types always take the distributed path") {
+    // driver-side string ordering (UTF-16) and Spark's (UTF-8 binary)
+    // disagree on non-ASCII; the gate keeps string graphs distributed
+    val es = Seq(("b", "a"), ("b", "c"), ("x", "y")).toDF("a", "b")
+    val got = Components.connectedComponents(es, "a", "b")
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x"))
   }
 
   test("star contraction round guard still trips when exhausted") {
