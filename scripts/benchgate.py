@@ -6,11 +6,16 @@ it to anything).
 
 Usage: python3 scripts/benchgate.py NEW.json BASE.json [factor]
 
-A regression only counts when the measurement is trustworthy: queries
-whose NEW spread exceeds their NEW median are reported as NOISY, not
-failed (a contended host can triple a median without any plan change —
-re-run those before believing either verdict). Queries present on only
-one side are listed informationally.
+A >factor growth whose NEW spread exceeds its NEW median is reported as
+NOISY and is a MANDATORY-RERUN failure (exit 3, distinct from the
+regression exit 1): a contended host can triple a median without any
+plan change, but "noisy" must never read as "passed" — re-run the named
+queries on an idle host and gate on that. The comparison prefers the
+"plain" per-query medians when both files carry them (best-3 published
+numbers are not comparable to plain-median baselines). Queries present
+on only one side are listed informationally.
+
+Exit codes: 0 pass, 1 regression(s), 2 usage, 3 noisy-rerun-required.
 """
 import json
 import sys
@@ -34,7 +39,13 @@ def main() -> int:
     new = load(sys.argv[1])
     base = load(sys.argv[2])
     factor = float(sys.argv[3]) if len(sys.argv) > 3 else 3.0
-    nq, bq = new["queries"], base["queries"]
+    # plain medians compare like-for-like; "queries" may hold best-3
+    # values for noisy entries (only use plain when BOTH sides have it)
+    if "plain" in new and "plain" in base:
+        nq = {**new["queries"], **new["plain"]}
+        bq = {**base["queries"], **base["plain"]}
+    else:
+        nq, bq = new["queries"], base["queries"]
     nsp = new.get("spread", {})
     # sub-second queries are dominated by fixed per-query costs (session,
     # planning, JIT); a 3x there is noise, not a plan regression
@@ -52,7 +63,7 @@ def main() -> int:
 
     for name, b, n, sp in noisy:
         print(f"NOISY  {name}: {b:.2f}s -> {n:.2f}s (spread {sp:.2f}s "
-              f"> median; re-run before trusting)")
+              f"> median; RE-RUN REQUIRED before this gate can pass)")
     for name, b, n, sp in regressions:
         print(f"REGRESSION  {name}: {b:.2f}s -> {n:.2f}s "
               f"({n / b:.1f}x, spread {sp:.2f}s)")
@@ -66,8 +77,11 @@ def main() -> int:
     if regressions:
         print(f"== GATE FAIL: {len(regressions)} regression(s) ==")
         return 1
-    print(f"== GATE PASS: {len(set(nq) & set(bq))} compared, "
-          f"{len(noisy)} noisy ==")
+    if noisy:
+        print(f"== GATE RERUN-REQUIRED: {len(noisy)} noisy grower(s) — "
+              f"not a pass ==")
+        return 3
+    print(f"== GATE PASS: {len(set(nq) & set(bq))} compared ==")
     return 0
 
 

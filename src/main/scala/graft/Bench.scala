@@ -43,12 +43,20 @@ object Bench {
     * published 17.2 s for a query that re-measures at 5.7 s on an idle
     * machine), the median of the best 3 runs: contention only ever
     * inflates a timing, so the fastest runs are the ones measuring the
-    * query rather than the neighbors.
+    * query rather than the neighbors. The JSON also carries the PLAIN
+    * median per query (`"plain"`) so best-3 numbers are never silently
+    * compared against plain-median baselines — a noisy genuine
+    * regression must show up in at least one of the two series, and
+    * benchgate treats its NOISY status as a mandatory re-run, not a
+    * pass.
     */
   private def publish(xs: Seq[Double]): Double =
     if (xs.isEmpty) -1.0
     else if (xs.max - xs.min > median(xs)) median(xs.sorted.take(3))
     else median(xs)
+
+  private def plainMedian(xs: Seq[Double]): Double =
+    if (xs.isEmpty) -1.0 else median(xs)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -115,10 +123,12 @@ object Bench {
       "\"" + k + "\":" + (if (ok) publish(ts) else -1) }.mkString("{", ",", "}")
     val spread = results.collect { case (k, ts, true) if ts.nonEmpty =>
       "\"" + k + "\":" + (ts.max - ts.min) }.mkString("{", ",", "}")
+    val plain = results.collect { case (k, ts, true) if ts.nonEmpty =>
+      "\"" + k + "\":" + plainMedian(ts) }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, ts, true) => publish(ts) }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"failed":$failed,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plain":$plain,"spread":$spread,"reps":$reps,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // DURABLE ARTIFACT: the harness records a bounded TAIL of stdout,
     // and with 90+ queries the one-line JSON outgrows that window (round

@@ -2601,6 +2601,98 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // CAPPED pairwise JS divergence (q242's scale guard made
+    // engineering): topGroups keeps only the 8 groups with the most
+    // token occurrences (ties by group ascending) before forming
+    // pairs — at 10³+ fine-grained sources the uncapped matrix is
+    // quadratic in #groups; the cap bounds it at topGroups²·vocab
+    "q271_js_capped" -> ((s, dir) => {
+      TextAnalysis.jsDivergenceMatrix(t(s, dir, "documents"), "source",
+          "text", topGroups = 8)
+        .orderBy(col("ga"), col("gb"))
+    }),
+
+    // NEAREST-with-tolerance as-of through the CUSTOM PHYSICAL
+    // OPERATOR (AsOfJoin.asofNearestExec → plans/AsOfJoinExec in
+    // nearest mode): closest click within ±1800s of each purchase,
+    // equidistant ties backward — the forward candidate is the exec's
+    // un-consumed right cursor, no lookahead buffer. Exec-vs-
+    // union-LOCF parity is pinned in AsOfJoinExecSpec; the oracle
+    // states the same argmin independently.
+    "q272_asof_nearest_exec" -> ((s, dir) => {
+      graft.functions.GraftExtensions.installInto(s)
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        eventEpochSeconds("ts").as("t"), col("value"), col("event_type"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("t"), col("value"))
+      val clicks = AsOfJoin.latestPerTs(
+        e.where(col("event_type") === "click")
+          .select(col("user_id"), col("t").as("ct"),
+            col("value").as("click_value")),
+        Seq("user_id"), "ct", "click_value")
+      AsOfJoin.asofNearestExec(purchases, clicks, Seq("user_id"),
+          "t", "ct", tolerance = 1800L)
+        .select(col("event_id"), col("user_id"), col("t"),
+          col("asof_ts"), col("delta"),
+          round(col("click_value"), 6).as("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // The typed AGGREGATES on the plain-SQL surface (q267 proved one
+    // scalar kernel; these prove the FunctionRegistry aggregates):
+    // graft_interval_union from SQL — same 1800s session merge as q30,
+    // zero Column-API code in the query text
+    "q273_sql_interval_union" -> ((s, dir) => {
+      graft.functions.GraftExtensions.installInto(s)
+      t(s, dir, "events")
+        .select(col("user_id"), eventEpochSeconds("ts").as("t"))
+        .createOrReplaceTempView("graft_ev_q273")
+      s.sql(
+        """SELECT user_id, iv.start AS sess_start, iv.end AS sess_end,
+                  iv.n AS n_rows
+           FROM (SELECT user_id,
+                        explode(graft_interval_union(t, t, 1L, 1800L))
+                          AS iv
+                 FROM graft_ev_q273 GROUP BY user_id)
+           ORDER BY user_id, sess_start""")
+    }),
+
+    // graft_topk from SQL: bounded top-3 lineitems per return flag by
+    // (price DESC, line id ASC) — the k-bounded map-side alternative
+    // to the row_number window, now one SQL call
+    "q274_sql_topk" -> ((s, dir) => {
+      graft.functions.GraftExtensions.installInto(s)
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_li_q274")
+      s.sql(
+        """SELECT l_returnflag, kv.id AS line_id,
+                  round(kv.ord, 2) AS price
+           FROM (SELECT l_returnflag,
+                        explode(graft_topk(l_extendedprice,
+                          l_orderkey * 10 + l_linenumber, 3)) AS kv
+                 FROM graft_li_q274 GROUP BY l_returnflag)
+           ORDER BY l_returnflag, price DESC, line_id""")
+    }),
+
+    // graft_reservoir from SQL: deterministic k-smallest-hash sample →
+    // positional median per event type (q228's estimator, SQL-only)
+    "q275_sql_reservoir" -> ((s, dir) => {
+      graft.functions.GraftExtensions.installInto(s)
+      t(s, dir, "events").createOrReplaceTempView("graft_ev_q275")
+      s.sql(
+        """WITH r AS (
+             SELECT event_type,
+                    graft_reservoir(
+                      CAST(conv(substr(md5(concat('rq:',
+                        CAST(event_id AS STRING))), 1, 15), 16, 10)
+                        AS BIGINT),
+                      CAST(value AS DOUBLE), 128) AS vs
+             FROM graft_ev_q275 GROUP BY event_type)
+           SELECT event_type, size(vs) AS n_sample,
+                  round(element_at(vs,
+                    CAST(ceil(0.5 * size(vs)) AS INT)), 6) AS p50
+           FROM r ORDER BY event_type""")
+    }),
+
     "q211_skip_rate" -> ((s, dir) => {
       val env = Layout.zorderFileStats(t(s, dir, "events"),
         pmod(col("user_id"), lit(1024L)),
@@ -8397,6 +8489,125 @@ object SparkEntry {
                      THEN round((v - med) / (q3 - q1), 6) END
                   AS robust_z
          FROM d JOIN b USING (source) ORDER BY doc_id""",
+
+    "q271_js_capped" ->
+      """WITH d AS (
+           SELECT source,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         tok AS (
+           SELECT source, unnest(toks) AS token FROM d
+           WHERE len(toks) > 0 AND toks != ['']),
+         bg AS (SELECT source AS g, token, count(*) AS c
+                FROM tok GROUP BY 1, 2),
+         tots AS (SELECT g, CAST(sum(c) AS DOUBLE) AS n
+                  FROM bg GROUP BY 1
+                  QUALIFY row_number()
+                    OVER (ORDER BY sum(c) DESC, g) <= 8),
+         p AS (SELECT g, token, CAST(c AS DOUBLE) / n AS p
+               FROM bg JOIN tots USING (g)),
+         pairs AS (SELECT a.g AS ga, b.g AS gb
+                   FROM tots a, tots b WHERE a.g < b.g),
+         sa AS (SELECT ga, gb, token, p.p AS pa
+                FROM pairs JOIN p ON p.g = pairs.ga),
+         sb AS (SELECT ga, gb, token, p.p AS pb
+                FROM pairs JOIN p ON p.g = pairs.gb),
+         cells AS (
+           SELECT ga, gb, token, pa, pb
+           FROM sa FULL JOIN sb USING (ga, gb, token))
+         SELECT ga, gb, CAST(count(*) AS BIGINT) AS n_union_tokens,
+                round(sum(
+                  CASE WHEN pa IS NOT NULL THEN 0.5 * pa *
+                    ln(pa / ((coalesce(pa, 0) + coalesce(pb, 0)) / 2))
+                  ELSE 0 END +
+                  CASE WHEN pb IS NOT NULL THEN 0.5 * pb *
+                    ln(pb / ((coalesce(pa, 0) + coalesce(pb, 0)) / 2))
+                  ELSE 0 END), 6) AS js
+         FROM cells GROUP BY ga, gb ORDER BY ga, gb""",
+
+    "q272_asof_nearest_exec" ->
+      """WITH p AS (
+           SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS t,
+                  value
+           FROM events WHERE event_type = 'purchase'),
+         c0 AS (
+           SELECT user_id, epoch_ns(ts) // 1000000000 AS ct, value AS cv
+           FROM events WHERE event_type = 'click'),
+         c AS (
+           SELECT user_id, ct, max(cv) AS cv
+           FROM c0 GROUP BY user_id, ct),
+         cand AS (
+           SELECT p.event_id, c.ct, c.ct - p.t AS delta, c.cv
+           FROM p JOIN c ON p.user_id = c.user_id
+             AND c.ct BETWEEN p.t - 1800 AND p.t + 1800
+           QUALIFY row_number() OVER (PARTITION BY p.event_id
+             ORDER BY abs(c.ct - p.t), c.ct) = 1)
+         SELECT p.event_id, p.user_id, p.t, cand.ct AS asof_ts,
+                cand.delta, round(cand.cv, 6) AS click_value
+         FROM p LEFT JOIN cand USING (event_id)
+         ORDER BY p.event_id""",
+
+    "q273_sql_interval_union" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts) // 1000000000 AS t FROM events),
+         m AS (
+           SELECT user_id, t,
+                  max(t) OVER (PARTITION BY user_id ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS prev_max
+           FROM e),
+         f AS (
+           SELECT user_id, t,
+                  CASE WHEN prev_max IS NULL OR t > prev_max + 1800
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM m),
+         sess AS (
+           SELECT user_id, t,
+                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS sid
+           FROM f)
+         SELECT user_id, min(t) AS sess_start, max(t) AS sess_end,
+                count(*) AS n_rows
+         FROM sess GROUP BY user_id, sid
+         ORDER BY user_id, sess_start""",
+
+    "q274_sql_topk" ->
+      """WITH c AS (
+           SELECT l_returnflag,
+                  l_orderkey * 10 + l_linenumber AS line_id,
+                  CAST(l_extendedprice AS DOUBLE) AS p
+           FROM lineitem)
+         SELECT l_returnflag, line_id, round(p, 2) AS price
+         FROM c
+         QUALIFY row_number() OVER (PARTITION BY l_returnflag
+           ORDER BY p DESC, line_id) <= 3
+         ORDER BY l_returnflag, p DESC, line_id""",
+
+    "q275_sql_reservoir" ->
+      """WITH h AS (
+           SELECT event_type,
+                  CAST('0x' || substr(md5('rq:' ||
+                    CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS hsh,
+                  CAST(value AS DOUBLE) AS v
+           FROM events),
+         r AS (
+           SELECT event_type, v,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY hsh, v) AS rn
+           FROM h),
+         k AS (SELECT event_type, v FROM r WHERE rn <= 128),
+         o AS (
+           SELECT event_type, v,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY v) AS vr,
+                  count(*) OVER (PARTITION BY event_type) AS m
+           FROM k)
+         SELECT event_type, CAST(max(m) AS INT) AS n_sample,
+                round(max(CASE WHEN vr = CAST(ceil(0.5 * m) AS BIGINT)
+                          THEN v END), 6) AS p50
+         FROM o GROUP BY event_type ORDER BY event_type""",
 
     "q262_media_inventory" ->
       """WITH f AS (

@@ -130,6 +130,37 @@ object GraftExtensions {
       builder(children)
     }
 
+  /** Constructor parameter of a SQL aggregate call (k, gap, dim…):
+    * must be an integral literal — it configures the Aggregator
+    * instance at resolution time, it is not a per-row input.
+    */
+  private def intParam(name: String, e: Expression): Long = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
+    case _ => throw new IllegalArgumentException(
+      s"$name parameter must be an integer literal, got $e")
+  }
+
+  /** The engine's typed `Aggregator`s as SQL aggregate functions: wrap
+    * the aggregator in Spark's own `ScalaAggregator` bridge — a
+    * `TypedImperativeAggregate` with partial/final merge, exactly what
+    * `functions.udaf(...)` builds on the Column API path — and hand the
+    * analyzer the `AggregateExpression` (the same shape
+    * `spark.udf.register(name, udaf)` produces). `ImplicitCastInputTypes`
+    * on the bridge coerces SQL arguments to the input encoder's schema,
+    * so `graft_topk(int_col, …)` works without manual casts.
+    */
+  private def aggExpr[I, B, O](
+      agg: org.apache.spark.sql.expressions.Aggregator[I, B, O],
+      inEnc: org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[I],
+      children: Seq[Expression], name: String): Expression =
+    org.apache.spark.sql.execution.aggregate.ScalaAggregator(
+      children, agg, inEnc,
+      agg.bufferEncoder.asInstanceOf[
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[B]],
+      nullable = true, isDeterministic = true, 0, 0, Some(name))
+      .toAggregateExpression()
+
   private[functions] val entries: Seq[
       (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
@@ -292,7 +323,64 @@ object GraftExtensions {
       // (the HOF substr-tree alternative is O(n²) per row)
       (FunctionIdentifier("graft_lcp"),
        new ExpressionInfo(classOf[LcpExpr].getName, "graft_lcp"),
-       arity("graft_lcp", 2)(c => LcpExpr(c(0), c(1)))))
+       arity("graft_lcp", 2)(c => LcpExpr(c(0), c(1)))),
+      // ---- typed AGGREGATES on the SQL surface ----
+      // graft_interval_union(start, end, n, gap): gap-tolerant
+      // interval-set union → array<struct<start,end,n>> (bounded
+      // map-side state; gap is a literal constructor param)
+      (FunctionIdentifier("graft_interval_union"),
+       new ExpressionInfo(classOf[IntervalUnionAgg].getName,
+         "graft_interval_union"),
+       arity("graft_interval_union", 4) { c =>
+         val gap = intParam("graft_interval_union gap", c(3))
+         aggExpr(new IntervalUnionAgg(gap),
+           org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Iv](),
+           c.take(3), "graft_interval_union")
+       }),
+      // graft_topk(ord, id, k): bounded top-k by (ord DESC, id ASC) →
+      // array<struct<ord,id>>; the shuffle carries ≤ k rows per
+      // (partition, key) where the row_number window carries them all
+      (FunctionIdentifier("graft_topk"),
+       new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
+       arity("graft_topk", 3) { c =>
+         val k = intParam("graft_topk k", c(2)).toInt
+         aggExpr(new TopKAgg(k),
+           org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Kv](),
+           c.take(2), "graft_topk")
+       }),
+      // graft_reservoir(hash, v, k): deterministic k-smallest-(hash,v)
+      // subsample → sorted array<double> for positional quantiles
+      (FunctionIdentifier("graft_reservoir"),
+       new ExpressionInfo(classOf[ReservoirAgg].getName,
+         "graft_reservoir"),
+       arity("graft_reservoir", 3) { c =>
+         val k = intParam("graft_reservoir k", c(2)).toInt
+         aggExpr(new ReservoirAgg(k),
+           org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Hv](),
+           c.take(2), "graft_reservoir")
+       }),
+      // graft_vec_sum(vec, d): exact element-wise float-vector sum on a
+      // 1e-6-grain Long buffer → array<bigint> (micro-units)
+      (FunctionIdentifier("graft_vec_sum"),
+       new ExpressionInfo(classOf[VecSumAgg].getName, "graft_vec_sum"),
+       arity("graft_vec_sum", 2) { c =>
+         val d = intParam("graft_vec_sum dim", c(1)).toInt
+         aggExpr(new VecSumAgg(d),
+           org.apache.spark.sql.catalyst.encoders
+             .ExpressionEncoder[Seq[Float]](),
+           c.take(1), "graft_vec_sum")
+       }),
+      // graft_gram(vec, d): one-pass quantized Gram accumulation →
+      // array<bigint> (row-major d×d, micro²-units)
+      (FunctionIdentifier("graft_gram"),
+       new ExpressionInfo(classOf[GramAgg].getName, "graft_gram"),
+       arity("graft_gram", 2) { c =>
+         val d = intParam("graft_gram dim", c(1)).toInt
+         aggExpr(new GramAgg(d),
+           org.apache.spark.sql.catalyst.encoders
+             .ExpressionEncoder[Seq[Float]](),
+           c.take(1), "graft_gram")
+       }))
 
   /** Register the engine's functions on a live session. */
   def installInto(spark: SparkSession): Unit = {

@@ -107,9 +107,36 @@ object AsOfJoin {
     * their respective sides.
     */
   def asofMergeExec(left: DataFrame, right: DataFrame, on: Seq[String],
-                    leftTs: String, rightTs: String): DataFrame = {
+                    leftTs: String, rightTs: String,
+                    nearest: Boolean = false,
+                    tolerance: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.types.{DateType, DoubleType, FloatType,
+      IntegerType, LongType, TimestampNTZType, TimestampType}
+    // FLOAT KEYS REJECTED: the exec's key equality is boxed (-0.0 ≠
+    // 0.0, NaN ≠ NaN) and its exchanges bypass the
+    // NormalizeFloatingNumbers rule, so float/double keys would both
+    // mis-partition and diverge from SQL join semantics. Fail loud at
+    // the API, not wrong at runtime.
+    for (k <- on; side <- Seq(left, right))
+      side.schema(k).dataType match {
+        case FloatType | DoubleType =>
+          throw new IllegalArgumentException(
+            s"asofMergeExec: floating-point join key '$k' is not " +
+              "supported (boxed equality and partitioning diverge from " +
+              "SQL float semantics); cast to a decimal/integral key")
+        case _ => ()
+      }
+    if (nearest || tolerance.isDefined)
+      for ((side, c) <- Seq((left, leftTs), (right, rightTs)))
+        side.schema(c).dataType match {
+          case LongType | IntegerType | TimestampType | TimestampNTZType
+               | DateType => ()
+          case other => throw new IllegalArgumentException(
+            s"asofMergeExec nearest/tolerance: time column '$c' must " +
+              s"be integral or timestamp, got $other")
+        }
     val lp = left.queryExecution.analyzed
     val rp0 = right.queryExecution.analyzed
     // SELF-JOIN SAFETY: when both sides descend from the same scan
@@ -126,7 +153,8 @@ object AsOfJoin {
           s"column $n not found in ${as.map(_.name)}"))
     val plan = graft.plans.AsOfJoinPlan(lp, rp,
       on.map(attr(lp.output, _)), on.map(attr(rAttrs, _)),
-      attr(lp.output, leftTs), attr(rAttrs, rightTs))
+      attr(lp.output, leftTs), attr(rAttrs, rightTs),
+      nearest, tolerance)
     // the join's right outputs (nullable clones, same exprIds):
     // project keys away, alias the matched ts
     val rightOut = plan.output.drop(lp.output.length)
@@ -135,6 +163,29 @@ object AsOfJoin {
     }
     org.apache.spark.sql.GraftSqlBridge.ofRows(left.sparkSession,
       Project(lp.output ++ keep, plan))
+  }
+
+  /** [[asofNearest]] through the CUSTOM PHYSICAL OPERATOR: same
+    * semantics (closest right row within ±`tolerance`, equidistant
+    * ties backward, left-outer), same output shape incl. the signed
+    * `delta` = matched rightTs − leftTs — but via the co-partitioned
+    * two-pointer exec, which needs NO lookahead buffer for "nearest"
+    * (the un-consumed right cursor is already the forward candidate)
+    * and, unlike the union-LOCF form, shuffles each side carrying
+    * only its own columns with no window frame buffered.
+    */
+  def asofNearestExec(left: DataFrame, right: DataFrame, on: Seq[String],
+                      leftTs: String, rightTs: String,
+                      tolerance: Long): DataFrame = {
+    require(tolerance >= 0, "tolerance must be >= 0")
+    val leftCols = left.columns.filterNot(c => on.contains(c) || c == leftTs)
+    val payload = right.columns.filterNot(c => on.contains(c) || c == rightTs)
+    asofMergeExec(left, right, on, leftTs, rightTs,
+        nearest = true, tolerance = Some(tolerance))
+      .select(on.map(col) ++ Seq(col(leftTs)) ++ leftCols.map(col) ++
+        Seq(col("asof_ts"),
+          (col("asof_ts") - col(leftTs)).as("delta")) ++
+        payload.map(col): _*)
   }
 
   /** NEAREST as-of join: attach the right row closest in time in

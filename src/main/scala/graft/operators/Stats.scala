@@ -1216,7 +1216,16 @@ object Stats {
     */
   def contingencyStats(df: DataFrame, xCol: String, yCol: String)
       : DataFrame = {
-    val cells = df.groupBy(col(xCol), col(yCol))
+    // NULL POLICY: rows with a NULL category in EITHER column are
+    // excluded up front (the standard complete-case contingency
+    // table). Without the filter the margins disagree with the cells —
+    // count(1) admits NULL-keyed rows into N while countDistinct and
+    // the equi-joins drop them — and chi²/MI/V all silently shift.
+    // Callers who want NULL as a real level should coalesce to a
+    // sentinel category first.
+    val cells = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol), col(yCol))
       .agg(count(lit(1)).as("_c"))
     val xs = cells.groupBy(col(xCol)).agg(sum(col("_c")).as("_cx"))
     val ys = cells.groupBy(col(yCol)).agg(sum(col("_c")).as("_cy"))

@@ -877,7 +877,19 @@ object TextAnalysis {
     * global sort) broadcast back as a semi-join.
     */
   def vocabCoverage(docs: DataFrame, groupCol: String, textCol: String,
-                    topK: Int): DataFrame = {
+                    topK: Int): DataFrame =
+    vocabCoverageWithHandle(docs, groupCol, textCol, topK)._1
+
+  /** [[vocabCoverage]] plus the [[NearDup.CacheHandle]] owning its
+    * persisted token table — `release()` after the final action on the
+    * result. The handle-less overload leaves the cache to the session
+    * (Verify/Bench `clearCache()` between queries); a LONG-LIVED
+    * interactive session should use this variant or the blocks
+    * accumulate.
+    */
+  def vocabCoverageWithHandle(docs: DataFrame, groupCol: String,
+                              textCol: String, topK: Int)
+      : (DataFrame, NearDup.CacheHandle) = {
     val tok = docs
       .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
       .where(col("token") =!= "")
@@ -896,9 +908,8 @@ object TextAnalysis {
         round(lit(1.0) - coalesce(col("covered_tokens"), lit(0L))
           .cast("double") / col("total_tokens").cast("double"), 6)
           .as("oov_rate"))
-    // the persisted token table serves vocab, covered, AND totals —
-    // lifecycle is the session's (Bench clears caches between queries)
-    out
+    // the persisted token table serves vocab, covered, AND totals
+    (out, new NearDup.CacheHandle(Seq(tok)))
   }
 
   /** Pairwise Jensen–Shannon divergence between the groups' token
@@ -913,9 +924,27 @@ object TextAnalysis {
     * pair (equi-joins on token; the pair list is #groups², a bounded
     * catalog). Terms are fixed-shape doubles on exact counts, summed
     * then rounded (the q122 protocol).
+    *
+    * `topGroups` caps the catalog (the q155 `maxDf` doctrine): 0 = all
+    * groups — fine for a bounded catalog of tens of sources, QUADRATIC
+    * in #groups otherwise; > 0 keeps only the topGroups groups with
+    * the most token occurrences (ties by group ascending — the
+    * deterministic, oracle-stateable pick) before forming pairs, so
+    * pointing the matrix at 10³+ fine-grained groups costs
+    * topGroups²·vocab, not #groups²·vocab.
     */
   def jsDivergenceMatrix(docs: DataFrame, groupCol: String,
-                         textCol: String): DataFrame = {
+                         textCol: String,
+                         topGroups: Int = 0): DataFrame =
+    jsDivergenceMatrixWithHandle(docs, groupCol, textCol, topGroups)._1
+
+  /** [[jsDivergenceMatrix]] plus the [[NearDup.CacheHandle]] owning its
+    * persisted intermediates (see [[vocabCoverageWithHandle]] for the
+    * lifecycle contract).
+    */
+  def jsDivergenceMatrixWithHandle(docs: DataFrame, groupCol: String,
+                                   textCol: String, topGroups: Int = 0)
+      : (DataFrame, NearDup.CacheHandle) = {
     val bg = docs
       .select(col(groupCol).as("g"),
         explode(tokens(col(textCol))).as("token"))
@@ -923,7 +952,12 @@ object TextAnalysis {
       .groupBy(col("g"), col("token"))
       .agg(count(lit(1)).as("_c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totals = bg.groupBy(col("g")).agg(sum(col("_c")).as("_n"))
+    val totals0 = bg.groupBy(col("g")).agg(sum(col("_c")).as("_n"))
+    // group cap: a TakeOrdered over the (small) per-group totals —
+    // never a global sort of the token table
+    val totals = if (topGroups > 0)
+      totals0.orderBy(col("_n").desc, col("g")).limit(topGroups)
+    else totals0
     val withP = bg.join(broadcast(totals), "g")
       .select(col("g"), col("token"),
         (col("_c").cast("double") / col("_n").cast("double")).as("p"))
@@ -944,11 +978,11 @@ object TextAnalysis {
         .otherwise(lit(0.0)) +
       when(col("pb").isNotNull, lit(0.5) * pb * log(pb / m))
         .otherwise(lit(0.0))
-    // persisted bg/withP serve both pair sides; lifecycle is the
-    // session's (Bench clears caches between queries)
-    cells.groupBy(col("ga"), col("gb"))
+    // persisted bg/withP serve both pair sides; the handle owns them
+    val out = cells.groupBy(col("ga"), col("gb"))
       .agg(count(lit(1)).as("n_union_tokens"),
         round(sum(term), 6).as("js"))
+    (out, new NearDup.CacheHandle(Seq(bg, withP)))
   }
 
   def simhashBitContribution(tokenMd5: Column, pos: Int): Column = {

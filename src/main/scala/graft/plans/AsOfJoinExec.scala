@@ -26,9 +26,20 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * a deterministic match); unmatched left rows keep null right
   * columns (left-outer).
   */
+/** @param nearest   false = backward-only (latest right ≤ left time);
+  *                  true = closest right in EITHER direction,
+  *                  equidistant ties breaking backward (the
+  *                  [[graft.operators.AsOfJoin.asofNearest]] semantics)
+  * @param tolerance max allowed |Δtime| for a match (None =
+  *                  unbounded); REQUIRED integral/timestamp time
+  *                  columns when set or when `nearest` — the exec does
+  *                  long arithmetic on the time field
+  */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
-                        leftTime: Attribute, rightTime: Attribute)
+                        leftTime: Attribute, rightTime: Attribute,
+                        nearest: Boolean = false,
+                        tolerance: Option[Long] = None)
     extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -42,13 +53,14 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, near, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, near, tol,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
-/** Sort-merge backward as-of join. EnsureRequirements satisfies the
+/** Sort-merge as-of join. EnsureRequirements satisfies the
   * declared contract: both children hash-co-partitioned on the keys
   * (ClusteredDistribution pair, the SortMergeJoin mechanism) and each
   * sorted by (keys…, time) — so `doExecute` is a pure per-partition
@@ -57,9 +69,23 @@ object AsOfJoinStrategy extends SparkStrategy {
   * time, O(1) match state. Right rows are copied off the UnsafeRow
   * iterator (one live copy at a time — the candidate), left rows
   * stream through un-copied.
+  *
+  * NEAREST mode needs no lookahead buffer beyond the cursor itself:
+  * after draining right rows ≤ the left row, the (un-consumed) cursor
+  * IS the first strictly-later right row — the forward candidate —
+  * and the drained latest same-key row is the backward one; the
+  * closer in-tolerance side wins, equidistant ties backward.
+  *
+  * KEY TYPES: integral/string/etc. — FLOATING-POINT KEYS ARE REJECTED
+  * at the API boundary ([[graft.operators.AsOfJoin.asofMergeExec]]):
+  * this exec compares keys with boxed equality and its children's
+  * exchanges bypass `NormalizeFloatingNumbers` (which rewrites only
+  * built-in join/aggregate nodes), so -0.0/0.0 and NaN would hash to
+  * different partitions and diverge from SQL equality.
   */
 case class AsOfJoinExec(leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
                         leftTime: Attribute, rightTime: Attribute,
+                        nearest: Boolean, tolerance: Option[Long],
                         left: SparkPlan, right: SparkPlan)
     extends BinaryExecNode {
 
@@ -98,6 +124,27 @@ case class AsOfJoinExec(leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     val nKeys = leftKeys.length
     val rightWidth = right.output.length
     val outAttrs = output
+    val isNearest = nearest
+    // tolerance as a primitive with a no-limit sentinel: Option.forall
+    // in the per-row path would box; Long.MaxValue compares never-true
+    val tol: Long = tolerance.getOrElse(Long.MaxValue)
+    val needTime = isNearest || tolerance.isDefined
+    // the time field sits at prefix index nKeys in BOTH projections;
+    // long-valued access per type (timestamps are micros-as-long in
+    // UnsafeRow). Checked at the API boundary (asofMergeExec); the
+    // require is defense for programmatic plan builders.
+    import org.apache.spark.sql.types._
+    def timeGetter(dt: DataType): UnsafeRow => Long = dt match {
+      case LongType | TimestampType | TimestampNTZType => _.getLong(nKeys)
+      case IntegerType | DateType => _.getInt(nKeys).toLong
+      case other =>
+        require(!needTime,
+          s"as-of nearest/tolerance needs an integral or timestamp " +
+            s"time column, got $other")
+        _ => 0L
+    }
+    val lTimeOf = timeGetter(leftTime.dataType)
+    val rTimeOf = timeGetter(rightTime.dataType)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKey = lKeyGen(); val rKey = rKeyGen()
       val ord = ordGen()
@@ -165,9 +212,26 @@ case class AsOfJoinExec(leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
             }
             advanceRight()
           }
+          val lt = if (needTime) lTimeOf(lk) else 0L
+          // backward candidate: latest drained same-key row, within
+          // tolerance (lt − rt ≥ 0 by construction, so the subtract
+          // cannot overflow for same-sign epoch times)
+          val backOk = hasMatch && sameKeys(matchKey, lk) &&
+            (!needTime || lt - rTimeOf(matchKey) <= tol)
           val rSide =
-            if (hasMatch && sameKeys(matchKey, lk)) matchRow
-            else nullRight
+            if (!isNearest) { if (backOk) matchRow else nullRight }
+            else {
+              // forward candidate: the un-consumed cursor, iff same key
+              // (its time is strictly > lt — equal times drained as
+              // backward matches with Δ = 0)
+              val fwdOk = rCurRow != null && sameKeys(rCurKey, lk) &&
+                rTimeOf(rCurKey) - lt <= tol
+              if (backOk && (!fwdOk ||
+                  lt - rTimeOf(matchKey) <= rTimeOf(rCurKey) - lt))
+                matchRow
+              else if (fwdOk) rCurRow
+              else nullRight
+            }
           resultProj(joined(l, rSide))
         }
       }

@@ -110,14 +110,20 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     def eligibleExprs(es: Expression*): Boolean =
       es.forall(e => oneSided(e) && integral(e) && e.deterministic)
 
-    // floor(a / w) in pure long arithmetic: a − pmod(a, w) is exactly
-    // divisible by w, so integral division is exact for ALL longs — a
-    // Double round-trip is exact only below 2^53 and would mis-bucket
-    // bounds near ±2^62.
+    // floor(a / w) in pure long arithmetic, overflow-free for EVERY
+    // long including Long.MinValue: truncating division adjusted down
+    // by one when the remainder is negative (w > 0, so a/w and a%w
+    // never overflow — unlike the a − pmod(a, w) form, whose subtract
+    // wraps for a within w of Long.MinValue, or a Double round-trip,
+    // exact only below 2^53). This is Math.floorDiv as a codegen-able
+    // expression tree.
     def bucketOf(e: Expression): Expression = {
       val a = Cast(e, LongType)
       val wl = Literal(w)
-      new IntegralDivide(Subtract(a, Pmod(a, wl)), wl)
+      val q = new IntegralDivide(a, wl)
+      val r = Remainder(a, wl)
+      If(And(LessThan(a, Literal(0L)), Not(EqualTo(r, Literal(0L)))),
+        Subtract(q, Literal(1L)), q)
     }
 
     /** Explode `child` into the width-w buckets [lo..hi] covers,

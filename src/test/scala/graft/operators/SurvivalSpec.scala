@@ -93,6 +93,22 @@ class SurvivalSpec extends SparkTestBase {
     assert(math.abs(got.getAs[Double]("mi") - h) < 1e-5)
   }
 
+  test("contingencyStats: NULL categories are complete-case excluded") {
+    // NULL-keyed rows must not leak into N while being absent from the
+    // margins (that shifted chi2 by +N_null and corrupted MI/V); with
+    // the complete-case filter, a table with NULLs must equal the same
+    // table with the NULL rows dropped
+    val clean = Seq.fill(10)(("a", "p")) ++ Seq.fill(15)(("b", "q"))
+    val dirty = clean ++ Seq(
+      (null, "p"), ("a", null), (null, null), (null, "q"))
+    val want = Stats.contingencyStats(clean.toDF("x", "y"), "x", "y")
+      .collect().head
+    val got = Stats.contingencyStats(dirty.toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(got.getAs[Long]("n") == 25L)
+    assert(got == want)
+  }
+
   test("scriptMix counts codepoints per script and picks the dominant") {
     val docs = Seq(
       (1L, "hello world 42"),

@@ -76,4 +76,74 @@ class AsOfJoinExecSpec extends SparkTestBase {
     val got = AsOfJoin.asofMergeExec(l, r, Seq("k"), "t", "rt").collect()
     assert(got.length == 1 && got.head.isNullAt(4))
   }
+
+  test("nearest mode: direction, tolerance, and backward tie-break") {
+    val l = Seq((1L, 10L, "mid"), (1L, 3L, "before-first"),
+      (1L, 100L, "far"), (1L, 18L, "tie")).toDF("k", "t", "lv")
+    // rights at 6 and 30: t=10 → backward Δ=-4 (forward is 20 away);
+    // t=3 → FORWARD Δ=+3 (backward-only would null this row);
+    // t=100 → nothing within 25; t=18 → 12 back vs 12 fwd, tie → back
+    val r = Seq((1L, 6L, 1.0), (1L, 30L, 2.0)).toDF("k", "rt", "rv")
+    val got = AsOfJoin.asofNearestExec(l, r, Seq("k"), "t", "rt",
+        tolerance = 25L)
+      .select(col("t"), col("asof_ts"), col("delta"), col("rv"))
+      .collect().map(x => (x.getLong(0),
+        if (x.isNullAt(1)) -1L else x.getLong(1),
+        if (x.isNullAt(2)) 999L else x.getLong(2))).sorted.toSeq
+    assert(got == Seq((3L, 6L, 3L), (10L, 6L, -4L), (18L, 6L, -12L),
+      (100L, -1L, 999L)))
+  }
+
+  test("nearest exec: randomized parity with the union-LOCF asofNearest") {
+    val rnd = new scala.util.Random(29)
+    for (tol <- Seq(0L, 7L, 50L, 1000L)) {
+      val l = (1 to 1500).map(i =>
+        (rnd.nextInt(15).toLong, rnd.nextInt(600).toLong, i.toLong))
+        .toDF("k", "t", "lid")
+      val r = (1 to 600).map(i =>
+        (rnd.nextInt(18).toLong, rnd.nextInt(600).toLong, i.toDouble))
+        .toDF("k", "rt", "rv")
+        .groupBy("k", "rt").agg(max(col("rv")).as("rv"))
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("k"), col("t"), col("lid"), col("asof_ts"),
+          col("delta"), col("rv"))
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+        .sorted.toSeq
+      val viaExec = canon(AsOfJoin.asofNearestExec(l, r, Seq("k"),
+        "t", "rt", tol))
+      val viaUnion = canon(AsOfJoin.asofNearest(l, r, Seq("k"),
+        "t", "rt", Seq("rv"), tol))
+      assert(viaExec == viaUnion && viaExec.nonEmpty, s"tol=$tol")
+    }
+  }
+
+  test("backward mode with tolerance expires stale matches") {
+    val l = Seq((1L, 10L, "in"), (1L, 40L, "stale")).toDF("k", "t", "lv")
+    val r = Seq((1L, 8L, 1.0)).toDF("k", "rt", "rv")
+    val got = AsOfJoin.asofMergeExec(l, r, Seq("k"), "t", "rt",
+        tolerance = Some(5L))
+      .select(col("t"), col("asof_ts"))
+      .collect().map(x => (x.getLong(0),
+        if (x.isNullAt(1)) -1L else x.getLong(1))).sorted.toSeq
+    assert(got == Seq((10L, 8L), (40L, -1L)))
+  }
+
+  test("floating-point join keys are rejected with a clear error") {
+    val l = Seq((1.0, 10L, "a")).toDF("k", "t", "lv")
+    val r = Seq((1.0, 5L, 2.0)).toDF("k", "rt", "rv")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asofMergeExec(l, r, Seq("k"), "t", "rt")
+    }
+    assert(e.getMessage.contains("floating-point join key"))
+  }
+
+  test("nearest with non-integral time column is rejected") {
+    val l = Seq((1L, "x", "a")).toDF("k", "t", "lv")
+    val r = Seq((1L, "y", 2.0)).toDF("k", "rt", "rv")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asofMergeExec(l, r, Seq("k"), "t", "rt", nearest = true,
+        tolerance = Some(5L))
+    }
+    assert(e.getMessage.contains("integral or timestamp"))
+  }
 }

@@ -155,6 +155,33 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("parity hard against Long.MinValue: floor-division must not wrap") {
+    // the a − pmod(a, w) floor form overflows for a within w of
+    // Long.MinValue (the subtract wraps past the boundary), flipping
+    // those rows into a fabricated positive bucket; the truncate-and-
+    // adjust form (Math.floorDiv as an expression tree) is exact for
+    // every long. Intervals packed into [MinValue, MinValue + 1e6].
+    val rnd = new scala.util.Random(63)
+    val base = Long.MinValue
+    val ivs = (1 to 150).map { i =>
+      val lo = base + rnd.nextInt(1000000).toLong
+      (i.toLong, lo, lo + rnd.nextInt(5000).toLong)
+    }.toDF("iv_id", "lo", "hi")
+    val pts = (1 to 300).map(i =>
+      (i.toLong, base + rnd.nextInt(1005000).toLong)).toDF("pt_id", "pt")
+    def q = pts.join(ivs,
+        col("lo") <= col("pt") && col("pt") <= col("hi"))
+      .select(col("pt_id"), col("iv_id"))
+    val naive = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    val rewritten = withBin(1000L) {
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("_graft_bkt"), p)
+      q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    }
+    assert(rewritten == naive && naive.nonEmpty)
+  }
+
   test("non-deterministic range conjunct disables the rewrite") {
     // the rule would duplicate the expression into the pre-filter, the
     // sequence() generator, and the re-applied predicate — three
