@@ -52,7 +52,18 @@ def main() -> int:
     floor_sec = 1.0
 
     regressions, noisy = [], []
+    # a query that regressed from WORKING to FAILING is the worst
+    # regression of all — it used to fall through the growth check
+    # (reported as -1, absent from 'plain') and the gate never saw it
+    new_failed = set(new.get("failed", []))
+    new_failed |= {k for k, v in nq.items() if v is not None and v < 0}
+    for name in sorted(new_failed):
+        b = bq.get(name)
+        if b is not None and b > 0:
+            regressions.append((name, b, -1.0, 0.0))
     for name in sorted(set(nq) & set(bq)):
+        if name in new_failed:
+            continue
         n, b = nq[name], bq[name]
         if n < max(b * factor, floor_sec):
             continue
@@ -65,8 +76,11 @@ def main() -> int:
         print(f"NOISY  {name}: {b:.2f}s -> {n:.2f}s (spread {sp:.2f}s "
               f"> median; RE-RUN REQUIRED before this gate can pass)")
     for name, b, n, sp in regressions:
-        print(f"REGRESSION  {name}: {b:.2f}s -> {n:.2f}s "
-              f"({n / b:.1f}x, spread {sp:.2f}s)")
+        if n < 0:
+            print(f"REGRESSION  {name}: {b:.2f}s -> FAILED")
+        else:
+            print(f"REGRESSION  {name}: {b:.2f}s -> {n:.2f}s "
+                  f"({n / b:.1f}x, spread {sp:.2f}s)")
     only_new = sorted(set(nq) - set(bq))
     if only_new:
         print(f"new queries (no baseline): {len(only_new)}")

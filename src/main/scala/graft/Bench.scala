@@ -67,8 +67,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val only = args.toSet
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+    // ORDER MODE: alphabetical by default (stable round-over-round
+    // diffs); $SPARK_GRAFT_BENCH_SHUFFLE=<seed> runs a seeded random
+    // order instead — the diagnostic for "is this regression the query
+    // or its run-order neighbors?" (round 9's 6-query contiguous
+    // regression block). Same seed → same order, so a shuffled run is
+    // still reproducible.
+    val baseOrder = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only(q._1))
+    val selected = sys.env.get("SPARK_GRAFT_BENCH_SHUFFLE") match {
+      case Some(seed) =>
+        new scala.util.Random(seed.toLong).shuffle(baseOrder)
+      case None => baseOrder
+    }
     // JIT/codegen warm-up so per-query numbers measure the plan, not the
     // first-call compilation overhead; plus one throwaway streaming
     // drain if any streaming query is in the run (see class doc).
@@ -110,6 +121,13 @@ object Bench {
         spark.catalog.clearCache()
         rep += 1
       }
+      // GC BARRIER: clearCache drops the blocks but the heap garbage
+      // (and any humongous-region fragmentation) from one query
+      // otherwise taxes its run-order neighbors — round 9 recorded a
+      // contiguous block of 6 alphabetical neighbors regressing 3-8x
+      // with no plan change. One explicit collection between queries
+      // makes each number start from a quiet heap.
+      System.gc()
       val med = if (failed) -1.0 else publish(times.toSeq)
       // incremental checkpoint: a killed run keeps every finished number
       System.err.println(f"[bench] $name median=$med%.4f " +
@@ -129,12 +147,14 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, ts, true) => publish(ts) }.sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plain":$plain,"spread":$spread,"reps":$reps,"failed":$failed,"sf":"$sfDir"}"""
-    println(json)
-    // DURABLE ARTIFACT: the harness records a bounded TAIL of stdout,
-    // and with 90+ queries the one-line JSON outgrows that window (round
-    // 5's recorded artifact lost the first half of the line, including
-    // the total). The full JSON is therefore also written to a file in
-    // the working directory, where truncation can't reach it.
+    // DURABLE ARTIFACT: the harness records a bounded TAIL of stdout
+    // (~2000 chars), and with 270+ queries the full one-line JSON
+    // outgrows that window by >10x — rounds 3-9 recorded `parsed: null`
+    // because the line's head (including the total) was truncated away.
+    // The FULL JSON therefore goes to a file (bench_out.json, committed
+    // per round), to stderr (unbounded in the harness log), and stdout
+    // gets a COMPACT line that fits the tail window whole: total +
+    // failures + the slowest 25 queries + a pointer to the full file.
     try {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
@@ -144,6 +164,12 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
     }
+    System.err.println(json)
+    val slowest = results.collect { case (k, ts, true) if ts.nonEmpty =>
+      (k, publish(ts)) }.sortBy(-_._2).take(25)
+      .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_reported":${results.count(_._3)},"queries_truncated_to_slowest":25,"full":"bench_out.json","reps":$reps,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

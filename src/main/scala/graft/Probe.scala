@@ -482,11 +482,14 @@ object Probe {
       timed("closure20x_local") {
         operators.Components.connectedComponents(big, "a", "b").count()
       }
+      // try/finally: a throw inside the timed block must not leave the
+      // forced-distributed conf set for every later probe in the session
       spark.conf.set("spark.graft.closure.localMaxEdges", "0")
-      timed("closure20x_dist") {
-        operators.Components.connectedComponents(big, "a", "b").count()
-      }
-      spark.conf.unset("spark.graft.closure.localMaxEdges")
+      try {
+        timed("closure20x_dist") {
+          operators.Components.connectedComponents(big, "a", "b").count()
+        }
+      } finally spark.conf.unset("spark.graft.closure.localMaxEdges")
       big.unpersist()
     }
     if (probes("zorder")) {

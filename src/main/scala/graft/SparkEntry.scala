@@ -598,17 +598,31 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
-    // Sketch aggregates: HLL distinct + approximate quantiles. No exact
-    // SQL oracle exists for sketches — intentionally omitted from
-    // oracleSql (driver records a rows-only check); the spec bounds the
-    // error against exact values instead.
+    // Sketch aggregates: HLL distinct + approximate quantiles. DuckDB
+    // can't replay a sketch, but it CAN compute the exact twin — so the
+    // output carries the exact values plus BOUND BOOLEANS the oracle
+    // hashes: orders_ok = |HLL − exact| ≤ 3·rsd·exact (rsd = 0.05, so
+    // a 3σ bound), median_ok = approx median lands between the exact
+    // p49/p51 values (accuracy=10000 ⇒ rank error ≤ n/10000, far
+    // inside the ±1%-rank window). A sketch gone wrong flips a boolean
+    // → hash mismatch → red oracle row. One distinct aggregate only —
+    // no Expand.
     "q34_approx_sketch" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_orderkey")).as("approx_orders"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-            .as("approx_median"))
+            .as("approx_median"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          expr("percentile(l_extendedprice, array(0.49D, 0.51D))")
+            .as("_exq"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("approx_orders") - col("exact_orders")) <=
+            col("exact_orders") * 0.15).as("orders_ok"),
+          (col("approx_median") >= element_at(col("_exq"), 1) &&
+           col("approx_median") <= element_at(col("_exq"), 2))
+            .as("median_ok"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -668,21 +682,41 @@ object SparkEntry {
     // to q12. `percentile_approx` boundaries (one sketch pass, map-side
     // combined) + a codegen'd broadcast segment lookup: NO per-key full
     // sort, NO window — the plan stays embarrassingly parallel however
-    // hot the key. Approx boundaries have no SQL-exact oracle
-    // (deliberately omitted from oracleSql → driver rows-check; the
-    // balance bound is asserted in SkewApproxSpec instead).
+    // hot the key. The boundary VALUES have no SQL-exact twin, but the
+    // split's defining properties do, so the oracle hashes those: per
+    // key, the segments cover every row (n_rows = exact count), there
+    // are exactly 4 of them, they tile the value axis without overlap
+    // (contiguous_ok, via a tiny self-join on segment+1 — no window),
+    // and each holds 15-35% of the rows (balance_ok; exact target 25%,
+    // accuracy=10000 ⇒ rank error ≤ n/10000 ≪ the slack). The error
+    // bound itself is still asserted tightly in SkewApproxSpec.
     "q41_approx_segment" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_extendedprice"))
       val bounds = Skew.approxBoundaries(li, Seq("l_returnflag"),
         "l_extendedprice", 4)
-      Skew.segmentByBoundaries(li, bounds, Seq("l_returnflag"),
+      val seg = Skew.segmentByBoundaries(li, bounds, Seq("l_returnflag"),
           "l_extendedprice")
         .groupBy(col("l_returnflag"), col("segment"))
         .agg(count(lit(1)).as("n_rows"),
              min(col("l_extendedprice")).as("min_price"),
              max(col("l_extendedprice")).as("max_price"))
-        .orderBy(col("l_returnflag"), col("segment"))
+      val adj = seg.select(col("l_returnflag"),
+        (col("segment") + 1).as("segment"),
+        col("max_price").as("_prev_max"))
+      seg.join(broadcast(adj), Seq("l_returnflag", "segment"), "left")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("n_rows")).as("n_rows"),
+             count(lit(1)).as("n_segments"),
+             expr("bool_and(_prev_max IS NULL OR _prev_max <= min_price)")
+               .as("contiguous_ok"),
+             max(col("n_rows")).as("_max_n"),
+             min(col("n_rows")).as("_min_n"))
+        .select(col("l_returnflag"), col("n_rows"), col("n_segments"),
+          col("contiguous_ok"),
+          (col("_max_n") <= col("n_rows") * 0.35 &&
+           col("_min_n") >= col("n_rows") * 0.15).as("balance_ok"))
+        .orderBy(col("l_returnflag"))
     }),
 
     // O24: pair interleave — record i of side A immediately followed by
@@ -1253,11 +1287,26 @@ object SparkEntry {
     }),
 
     // Mergeable HLL distinct sketches: per-event-type user cardinality
-    // plus a __all__ row from sketch UNION (no re-scan). Approximate →
-    // rows-only driver check; the ≤5%-vs-exact bound is spec-tested
+    // plus a __all__ row from sketch UNION (no re-scan on the sketch
+    // side — PlanSpec pins the operator's Expand-free shape). The
+    // oracle hashes the exact twin (one single-column distinct per
+    // stratum — no Expand) plus est_ok = |sketch − exact| ≤ 5%·exact,
+    // the bound ProfileSpec asserts; a drifting sketch flips the
+    // boolean and reds the row.
     "q149_hll_mergeable" -> ((s, dir) => {
-      Profile.mergeableDistinct(t(s, dir, "events"),
+      val est = Profile.mergeableDistinct(t(s, dir, "events"),
           "event_type", "user_id")
+      val ev = t(s, dir, "events")
+      val exact = ev.groupBy(col("event_type").cast("string")
+            .as("stratum"))
+          .agg(countDistinct(col("user_id")).as("n_distinct"))
+        .unionByName(ev.agg(countDistinct(col("user_id"))
+            .as("n_distinct"))
+          .select(lit("__all__").as("stratum"), col("n_distinct")))
+      exact.join(broadcast(est), Seq("stratum"))
+        .select(col("stratum"), col("n_distinct"),
+          (abs(col("n_distinct_est") - col("n_distinct")) <=
+            col("n_distinct") * 0.05).as("est_ok"))
         .orderBy(col("stratum"))
     }),
 
@@ -1635,8 +1684,17 @@ object SparkEntry {
         lit(0.0).as("value"), lit(null).cast("string").as("props"))
       ev.unionByName(sentinels).write.mode("overwrite").parquet(stage)
       val staged = s.read.parquet(stage).schema
+      // DRAIN PATH: the staged re-read is a batch-shaped drain, not a
+      // live feed — at the default maxFilesPerTrigger=4 the ~32 staged
+      // part files × 2 sources cost ~8 micro-batches of fixed
+      // state-store machinery each (13 s at sf0.1 for a sub-second
+      // join). One data batch + the AvailableNow empty batch (where
+      // the sentinel-advanced watermark evicts and emits the
+      // unmatched-left nulls) exercises the same semantics; q78 keeps
+      // the multi-batch default as the incremental-arrival test.
       def src() = GraftSession.normalizeEventTime(
-        graft.streaming.Streams.fileSource(s, stage, staged))
+        graft.streaming.Streams.fileSource(s, stage, staged,
+          maxFilesPerTrigger = 10000))
       val a = src().where(pmod(col("event_id"), lit(2)) === 0)
         .select(col("user_id"), col("event_id").as("a_id"),
           eventTimestamp("ts").as("a_ts"))
@@ -4282,14 +4340,26 @@ object SparkEntry {
     }),
 
     // Approx profiling — the 100 TB default: approx_count_distinct
-    // (HyperLogLog++) replaces the exact multi-distinct, so the plan
-    // has NO Expand (spec-pinned) and the scan is read once regardless
-    // of column count. n_distinct is an estimate ⇒ rows-only check;
-    // ProfileSpec bounds the estimate against the exact counts.
+    // (HyperLogLog++) replaces the exact multi-distinct, so the
+    // OPERATOR's plan has NO Expand and the scan is read once
+    // regardless of column count (spec-pinned on the operator plan in
+    // PlanSpec — this VALIDATION query deliberately also runs the
+    // exact profile to prove the estimates: the oracle hashes the
+    // exact columns plus nd_ok = |HLL − exact| ≤ max(3·rsd·exact, 16)
+    // per column, a 3σ bound with an absolute floor for tiny
+    // cardinalities like l_quantity's 50).
     "q90_profile_approx" -> ((s, dir) => {
-      Profile.profileNumeric(t(s, dir, "lineitem"),
-          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+        "l_tax")
+      val ap = Profile.profileNumeric(t(s, dir, "lineitem"), cols,
           approx = true)
+        .select(col("column"), col("n_distinct").as("_nd_est"))
+      Profile.profileNumeric(t(s, dir, "lineitem"), cols)
+        .join(broadcast(ap), Seq("column"))
+        .select(col("column"), col("n_nulls"), col("n_distinct"),
+          (abs(col("_nd_est") - col("n_distinct")) <=
+            greatest(col("n_distinct") * 0.15, lit(16.0))).as("nd_ok"),
+          col("min_v"), col("max_v"), col("avg_v"))
         .orderBy(col("column"))
     }),
 
@@ -6065,6 +6135,49 @@ object SparkEntry {
                 round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
                 round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // Sketch validations: the oracle computes the EXACT twin and
+    // asserts the error-bound booleans as TRUE — Spark computes those
+    // booleans for real, so a sketch outside its bound flips one and
+    // hash-mismatches the row (see the query docs for the bounds).
+    "q34_approx_sketch" ->
+      """SELECT l_returnflag,
+                CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+                TRUE AS orders_ok, TRUE AS median_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q41_approx_segment" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(4 AS BIGINT) AS n_segments,
+                TRUE AS contiguous_ok, TRUE AS balance_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q90_profile_approx" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+        "l_tax")
+      cols.map { c =>
+        s"""SELECT '$c' AS "column",
+              count(CASE WHEN $c IS NULL THEN 1 END) AS n_nulls,
+              count(DISTINCT $c) AS n_distinct,
+              TRUE AS nd_ok,
+              round(CAST(min($c) AS DOUBLE), 6) AS min_v,
+              round(CAST(max($c) AS DOUBLE), 6) AS max_v,
+              round(avg($c), 6) AS avg_v
+            FROM lineitem"""
+      }.mkString("", "\n UNION ALL\n", "\n ORDER BY \"column\"")
+    },
+
+    "q149_hll_mergeable" ->
+      """SELECT CAST(event_type AS VARCHAR) AS stratum,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+                TRUE AS est_ok
+         FROM events GROUP BY 1
+         UNION ALL
+         SELECT '__all__' AS stratum,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+                TRUE AS est_ok
+         FROM events
+         ORDER BY stratum""",
 
     "q38_banded_interval_join" ->
       """WITH a AS (

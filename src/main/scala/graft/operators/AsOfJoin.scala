@@ -24,6 +24,37 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** TOLERANCE / DELTA UNITS — one rule for every form in this object,
+    * DataFrame (union-LOCF) and custom-exec alike:
+    *
+    *  - integral time columns (long/int epochs): the column's own units;
+    *  - `TimestampType` / `TimestampNTZType`: MICROSECONDS (the
+    *    physical unit timestamps carry);
+    *  - `DateType`: DAYS.
+    *
+    * `delta` is always a LONG in those units (signed
+    * `matched rightTs − leftTs`), never a DayTimeInterval — raw
+    * `timestamp − timestamp` column arithmetic would yield an interval
+    * and make `delta <= tolerance` type-invalid, so every subtraction
+    * below goes through [[tsAsLong]]. `TimestampNTZType` is converted
+    * via the SESSION TIME ZONE; across a DST transition the two ends
+    * can differ by the offset change — prefer `TimestampType` or epoch
+    * longs when that matters. The custom exec compares the same units
+    * natively (micros-as-long for timestamps, days-as-int for dates),
+    * so both formulations agree; CrossFormulationSpec pins the parity
+    * for long epochs AND timestamp columns.
+    */
+  private def tsAsLong(c: Column,
+                       dt: org.apache.spark.sql.types.DataType): Column =
+    dt match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.DateType =>
+        datediff(c, to_date(lit("1970-01-01"))).cast("long")
+      case _ => c.cast("long")
+    }
+
   /** One deterministic right row per (key, ts): max payload value wins. */
   def latestPerTs(right: DataFrame, on: Seq[String], tsCol: String,
                   payloadCol: String): DataFrame =
@@ -74,9 +105,13 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l2.unionByName(r2)
       .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+    // tolerance in CANONICAL units (micros for timestamps, days for
+    // dates, column units for epochs — see tsAsLong doc); raw ts − ts
+    // would be a DayTimeInterval and the <= long comparison invalid
     val inTol: Column = tolerance
       .map(tol => col("_m").isNotNull &&
-        col("_t") - col("_m._rt") <= tol)
+        tsAsLong(col("_t"), tsType) -
+          tsAsLong(col("_m._rt"), tsType) <= tol)
       .getOrElse(col("_m").isNotNull)
     carried
       .where(col("_side") === 1)
@@ -180,11 +215,17 @@ object AsOfJoin {
     require(tolerance >= 0, "tolerance must be >= 0")
     val leftCols = left.columns.filterNot(c => on.contains(c) || c == leftTs)
     val payload = right.columns.filterNot(c => on.contains(c) || c == rightTs)
+    val lDt = left.schema(leftTs).dataType
+    val rDt = right.schema(rightTs).dataType
     asofMergeExec(left, right, on, leftTs, rightTs,
         nearest = true, tolerance = Some(tolerance))
       .select(on.map(col) ++ Seq(col(leftTs)) ++ leftCols.map(col) ++
         Seq(col("asof_ts"),
-          (col("asof_ts") - col(leftTs)).as("delta")) ++
+          // LONG delta in the canonical units tolerance uses (tsAsLong
+          // doc) — raw ts − ts would be a DayTimeInterval and diverge
+          // from the union-LOCF form's delta
+          (tsAsLong(col("asof_ts"), rDt) -
+            tsAsLong(col(leftTs), lDt)).as("delta")) ++
         payload.map(col): _*)
   }
 
@@ -240,8 +281,12 @@ object AsOfJoin {
     val carried = l2.unionByName(r2)
       .withColumn("_mp", last(col("_r"), ignoreNulls = true).over(wPrev))
       .withColumn("_mn", last(col("_r"), ignoreNulls = true).over(wNext))
-    val dPrev = col("_t") - col("_mp._rt")   // >= 0
-    val dNext = col("_mn._rt") - col("_t")   // >= 0
+    // canonical-unit longs (see tsAsLong doc): micros for timestamps,
+    // days for dates, column units for integral epochs
+    val dPrev = tsAsLong(col("_t"), tsType) -
+      tsAsLong(col("_mp._rt"), tsType)   // >= 0
+    val dNext = tsAsLong(col("_mn._rt"), tsType) -
+      tsAsLong(col("_t"), tsType)   // >= 0
     val okPrev = col("_mp").isNotNull && dPrev <= tolerance
     val okNext = col("_mn").isNotNull && dNext <= tolerance
     // backward wins ties (dPrev <= dNext keeps the backward row)

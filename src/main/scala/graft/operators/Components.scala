@@ -125,55 +125,144 @@ object Components {
     * construction, vastly smaller than the corpus itself) several rounds
     * of that machinery dwarf the work. Same reasoning as AQE's broadcast
     * threshold: below `spark.graft.closure.localMaxEdges` directed rows
-    * (default 4 M ≈ 64 MB of longs — a size Spark happily broadcasts),
-    * collect the edges, run path-halving union-find with min-id roots,
-    * and return the labels as a parallelized (not LocalRelation — keeps
-    * plans small) distributed frame. Above the threshold, or for
+    * (default 4 M — a size Spark happily broadcasts), collect the edges
+    * as flat primitive long chunks, run path-halving union-find with
+    * min-id roots over a primitive open-addressing map, and return the
+    * labels as a parallelized (not LocalRelation — keeps plans small)
+    * distributed frame. Driver heap is genuinely flat: 16 B/edge for
+    * the collected chunks + ~17 B/slot for the label map (≤0.5 load) —
+    * ≈ 350 MB worst case at the 4 M default, no boxed rows or boxed
+    * map entries anywhere (a Row-level collect + java HashMap was
+    * 10-20× that). Above the threshold, or for
     * non-integral id types (driver min-ordering for strings is UTF-16,
     * Spark's is UTF-8 binary — not identical), the distributed
     * hash-min/star path below runs unchanged.
     */
+  /** Minimal open-addressing Long→Long map (linear probing, power-of-2
+    * capacity, SplitMix64 finalizer so sequential ids don't cluster).
+    * `java.util.HashMap[Long,Long]` boxes every key/value and holds a
+    * Node object per entry (~60 B/entry + two boxed longs); this is two
+    * flat long arrays + a byte of occupancy = 17 B/slot at ≤0.5 load,
+    * so the driver heap matches the documented "MBs of longs" bound
+    * instead of exceeding it 10-20×.
+    */
+  private final class LongLongMap(expectedKeys: Int) {
+    private var cap = {
+      var c = 16
+      while (c < expectedKeys.toLong * 2 && c < (1 << 30)) c <<= 1
+      c
+    }
+    private var mask = cap - 1
+    private var keys = new Array[Long](cap)
+    private var vals = new Array[Long](cap)
+    private var used = new Array[Boolean](cap)
+    private var n = 0
+    private def slot(k: Long): Int = {
+      var h = k * -7046029254386353131L // SplitMix64 mix constant
+      h ^= (h >>> 32)
+      var i = (h & mask).toInt
+      while (used(i) && keys(i) != k) i = (i + 1) & mask
+      i
+    }
+    def size: Int = n
+    def contains(k: Long): Boolean = used(slot(k))
+    /** Caller guarantees the key is present (union-find invariant). */
+    def apply(k: Long): Long = vals(slot(k))
+    def put(k: Long, v: Long): Unit = {
+      val i = slot(k)
+      if (!used(i)) {
+        used(i) = true; keys(i) = k; n += 1
+        vals(i) = v
+        if (n.toLong * 2 > cap) grow()
+      } else vals(i) = v
+    }
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals; val ou = used; val oc = cap
+      cap <<= 1; mask = cap - 1; n = 0
+      keys = new Array[Long](cap); vals = new Array[Long](cap)
+      used = new Array[Boolean](cap)
+      var i = 0
+      while (i < oc) { if (ou(i)) put(ok(i), ov(i)); i += 1 }
+    }
+    /** (key, value) pairs interleaved into chunked primitive arrays —
+      * the hand-off shape for parallelize without re-boxing on the
+      * driver.
+      */
+    def interleavedChunks(chunkPairs: Int,
+                          value: Long => Long): Seq[Array[Long]] = {
+      val out = Seq.newBuilder[Array[Long]]
+      var buf = new Array[Long](math.min(n, chunkPairs) * 2)
+      var j = 0
+      var i = 0
+      while (i < cap) {
+        if (used(i)) {
+          if (j == buf.length) { out += buf; buf = new Array[Long](
+            math.min(chunkPairs, n) * 2); j = 0 }
+          buf(j) = keys(i); buf(j + 1) = value(keys(i)); j += 2
+        }
+        i += 1
+      }
+      if (j > 0) out += java.util.Arrays.copyOf(buf, j)
+      out.result()
+    }
+  }
+
   private def localUnionFind(e0: DataFrame,
                              idType: org.apache.spark.sql.types.DataType)
       : DataFrame = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
     val spark = e0.sparkSession
-    val edges = e0
+    // Collect as per-partition primitive long chunks (interleaved s,d):
+    // a row-level collect() holds one GenericRow + two boxed Longs per
+    // edge (~10-20× the 16 B the edge needs); the chunked collect holds
+    // exactly 16 B/edge flat.
+    val chunks: Array[Array[Long]] = e0
       .select(col("s").cast(LongType), col("d").cast(LongType))
-      .collect()
-    val parent = new java.util.HashMap[Long, Long](edges.length * 2)
+      .rdd.mapPartitions { it =>
+        val b = new scala.collection.mutable.ArrayBuilder.ofLong
+        while (it.hasNext) { val r = it.next(); b += r.getLong(0); b += r.getLong(1) }
+        val a = b.result()
+        if (a.isEmpty) Iterator.empty else Iterator.single(a)
+      }.collect()
+    val nEdges = chunks.iterator.map(_.length / 2).sum
+    val parent = new LongLongMap(math.min(nEdges.toLong * 2, Int.MaxValue / 4).toInt)
     def find(x0: Long): Long = {
       var x = x0
-      var p = parent.get(x)
+      var p = parent(x)
       while (p != x) { // path halving
-        val gp = parent.get(p)
+        val gp = parent(p)
         parent.put(x, gp)
         x = gp
-        p = parent.get(x)
+        p = parent(x)
       }
       x
     }
-    edges.foreach { r =>
-      val a = r.getLong(0); val b = r.getLong(1)
-      if (!parent.containsKey(a)) parent.put(a, a)
-      if (!parent.containsKey(b)) parent.put(b, b)
-      val ra = find(a); val rb = find(b)
-      // always root at the smaller id → final root IS the component min
-      if (ra < rb) parent.put(rb, ra)
-      else if (rb < ra) parent.put(ra, rb)
+    chunks.foreach { ch =>
+      var i = 0
+      while (i < ch.length) {
+        val a = ch(i); val b = ch(i + 1)
+        if (!parent.contains(a)) parent.put(a, a)
+        if (!parent.contains(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        // always root at the smaller id → final root IS the component min
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+        i += 2
+      }
     }
-    val it = parent.keySet().iterator()
-    val out = Array.newBuilder[Row]
-    out.sizeHint(parent.size())
-    while (it.hasNext) { val id = it.next(); out += Row(id, find(id)) }
-    val rows = out.result()
-    val slices = math.max(1, rows.length / 500000)
+    // Hand the labels off as primitive interleaved (id, root) chunks and
+    // box into Rows ON EXECUTORS, one partition per chunk — the driver
+    // never materializes n boxed Rows.
+    val labelChunks = parent.interleavedChunks(500000, find)
     val schema = StructType(Seq(StructField("id", LongType, nullable = false),
       StructField("component", LongType, nullable = false)))
-    spark.createDataFrame(spark.sparkContext.parallelize(
-        scala.collection.immutable.ArraySeq.unsafeWrapArray(rows), slices),
-        schema)
+    val rowRdd = spark.sparkContext
+      .parallelize(labelChunks, math.max(1, labelChunks.length))
+      .flatMap { ch =>
+        Iterator.range(0, ch.length, 2).map(i => Row(ch(i), ch(i + 1)))
+      }
+    spark.createDataFrame(rowRdd, schema)
       .select(col("id").cast(idType).as("id"),
         col("component").cast(idType).as("component"))
   }

@@ -962,8 +962,11 @@ object TextAnalysis {
       .select(col("g"), col("token"),
         (col("_c").cast("double") / col("_n").cast("double")).as("p"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pair spine is the capped group catalog squared (≤ topGroups²
+    // rows, 28 at the default cap of 8) — broadcast-bounded by
+    // construction, never by data
     val pairs = totals.select(col("g").as("ga"))
-      .crossJoin(totals.select(col("g").as("gb")))
+      .crossJoin(broadcast(totals.select(col("g").as("gb"))))
       .where(col("ga") < col("gb"))
     val sideA = pairs.join(withP.withColumnRenamed("g", "ga"), Seq("ga"))
       .select(col("ga"), col("gb"), col("token"), col("p").as("pa"))

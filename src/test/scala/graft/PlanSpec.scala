@@ -298,7 +298,14 @@ class PlanSpec extends SparkTestBase {
     // scan N_cols× — the documented price of exactness (q89). The
     // approx (HLL++) mode is the 100 TB default and must stay an
     // ordinary partial/final aggregate over ONE scan: no Expand, ever.
-    val pApprox = plan("q90_profile_approx")
+    // Pinned on the OPERATOR plan: the q90 query joins the exact
+    // profile in as the oracle's bound check, so the query plan
+    // legitimately carries the exact side's Expand.
+    val pApprox = operators.Profile.profileNumeric(
+        spark.read.parquet(s"$sf/lineitem.parquet"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        approx = true)
+      .queryExecution.executedPlan.toString
     assert(!pApprox.contains("Expand"),
       s"approx profile must not multiply the scan:\n$pApprox")
     assert(pApprox.contains("partial_approx_count_distinct") ||
@@ -622,11 +629,22 @@ class PlanSpec extends SparkTestBase {
   test("q149 HLL sketches: plain partial aggregate, no Expand") {
     // the sketch route must stay an ordinary agg buffer — an Expand
     // here would mean the multi-distinct shape q89 documents as the
-    // 100 TB killer crept back in
+    // 100 TB killer crept back in. Pinned on the OPERATOR plan (the
+    // q149 query joins an exact single-distinct twin in for the
+    // oracle's bound check — itself Expand-free, which the query-level
+    // assertion below still guards).
+    val pOp = operators.Profile.mergeableDistinct(
+        spark.read.parquet(s"$sf/events.parquet"),
+        "event_type", "user_id")
+      .queryExecution.executedPlan.toString
+    assert(!pOp.contains("Expand"), s"no Expand in the sketch path:\n$pOp")
+    assert(pOp.contains("hll_sketch_agg") && pOp.contains("hll_union_agg"),
+      s"sketch + union aggregates expected:\n$pOp")
     val p = plan("q149_hll_mergeable")
-    assert(!p.contains("Expand"), s"no Expand in the sketch path:\n$p")
+    assert(!p.contains("Expand"),
+      s"q149's exact twin must stay single-distinct (no Expand):\n$p")
     assert(p.contains("hll_sketch_agg") && p.contains("hll_union_agg"),
-      s"sketch + union aggregates expected:\n$p")
+      s"sketch + union aggregates expected in the query plan:\n$p")
   }
 
   test("q189 adamic-adar: wedges + adjacency cut stay equi/semi joins") {

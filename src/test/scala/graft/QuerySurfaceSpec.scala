@@ -66,8 +66,9 @@ class QuerySurfaceSpec extends SparkTestBase {
     "q256_dup_size_histogram", "q269_kfold_assignment")
 
   test("every oracle key names a query; every query is gated") {
-    val rowsOnly = Set("q34_approx_sketch", "q41_approx_segment",
-      "q90_profile_approx", "q149_hll_mergeable")
+    // round 10: the four approx-sketch queries gained exact-twin +
+    // bound-boolean oracles, so nothing is rows-only anymore
+    val rowsOnly = Set.empty[String]
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert((os -- qs).isEmpty, s"orphan oracles: ${os -- qs}")
@@ -163,7 +164,12 @@ class QuerySurfaceSpec extends SparkTestBase {
       "q247_post_stratified_mean", "q251_decile_lift",
       // q268: the part-count row (one ungrouped aggregate) is
       // cross-joined into the candidate modulus (q118's shape)
-      "q268_negative_sampling")
+      "q268_negative_sampling",
+      // q271: the group-pair spine is the capped group catalog
+      // squared (limit(topGroups)², ≤28 rows at the default cap of
+      // 8) broadcast cross-joined — q242's bounded-catalog shape;
+      // the token joins themselves are equi
+      "q271_js_capped")
     val lazyQueries = SparkEntry.queries.keySet -- eager
     val offenders = lazyQueries.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
