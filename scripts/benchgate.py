@@ -5,6 +5,14 @@ the net that would have caught q209 shipping at 69 s (nothing compared
 it to anything).
 
 Usage: python3 scripts/benchgate.py NEW.json BASE.json [factor]
+         [--accept=name,name,...]
+
+--accept marks queries whose DEFINITION deliberately changed this round
+(e.g. a query that gained an exact-twin validation stage): their prior
+median is not a valid baseline, so they are reported loudly as CHANGED
+instead of failing the gate. The acceptance must be re-stated on every
+invocation — it never persists — and the next round's baseline absorbs
+the new cost, so an acceptance cannot hide a later regression.
 
 A >factor growth whose NEW spread exceeds its NEW median is reported as
 NOISY and is a MANDATORY-RERUN failure (exit 3, distinct from the
@@ -22,6 +30,14 @@ import sys
 
 
 def main() -> int:
+    accepted = set()
+    argv = []
+    for a in sys.argv[1:]:
+        if a.startswith("--accept="):
+            accepted |= {q for q in a[len("--accept="):].split(",") if q}
+        else:
+            argv.append(a)
+    sys.argv = [sys.argv[0]] + argv
     if len(sys.argv) < 3:
         print(__doc__)
         return 2
@@ -61,16 +77,24 @@ def main() -> int:
         b = bq.get(name)
         if b is not None and b > 0:
             regressions.append((name, b, -1.0, 0.0))
+    changed = []
     for name in sorted(set(nq) & set(bq)):
         if name in new_failed:
             continue
         n, b = nq[name], bq[name]
         if n < max(b * factor, floor_sec):
             continue
-        if nsp.get(name, 0.0) > n:
+        if name in accepted:
+            changed.append((name, b, n))
+        elif nsp.get(name, 0.0) > n:
             noisy.append((name, b, n, nsp.get(name, 0.0)))
         else:
             regressions.append((name, b, n, nsp.get(name, 0.0)))
+
+    for name, b, n in changed:
+        print(f"CHANGED  {name}: {b:.2f}s -> {n:.2f}s ({n / b:.1f}x) — "
+              f"accepted as a deliberate definition change; next "
+              f"round's baseline absorbs it")
 
     for name, b, n, sp in noisy:
         print(f"NOISY  {name}: {b:.2f}s -> {n:.2f}s (spread {sp:.2f}s "

@@ -76,6 +76,51 @@ object Probe {
           Seq("view", "click", "purchase"), 86400L).count()
       }
     }
+    if (probes("regressed")) {
+      // 20× the round-9 regressed-block shapes (q116/q126/q127/q128;
+      // funnel has its own probe above): the block turned out to be
+      // bench-host contention, but these pin the scale axis so a
+      // GENUINE 10× plan regression can never hide behind
+      // "sub-second at sf0.1" again
+      val ev = times(GraftSession.table(spark, dir, "events"), 20,
+        Seq("event_id", "user_id"), 1000000L)
+        .persist()
+      ev.count()
+      timed("cohorts20x") {
+        Funnel.weeklyCohorts(ev.withColumn("ts_t", col("ts")),
+          "user_id", "ts_t").count()
+      }
+      timed("mad20x") {
+        Stats.robustOutliers(
+          ev.select(col("event_id"), col("event_type"), col("value")),
+          Seq("event_type"), "value", factor = 3.0).count()
+      }
+      timed("abreport20x") {
+        val p = ev.where(col("event_type") === "purchase")
+        val arm = when(substring(md5(concat(lit("ab:"),
+            col("user_id").cast("string"))), 1, 2) < "80", "A")
+          .otherwise("B")
+        p.agg(count(when(arm === "A", col("value"))).as("n_a"),
+            count(when(arm === "B", col("value"))).as("n_b"),
+            avg(when(arm === "A", col("value"))).as("ma"),
+            avg(when(arm === "B", col("value"))).as("mb"))
+          .count()
+      }
+      ev.unpersist()
+      val docs = times(GraftSession.table(spark, dir, "documents"), 20,
+        Seq("doc_id"), 1000000L)
+      timed("aggmerge20x") {
+        def aggOf(df: DataFrame): DataFrame =
+          df.groupBy(col("source"), col("lang"))
+            .agg(count(lit(1)).as("n_docs"),
+                 sum(col("n_chars")).as("n_chars_sum"))
+        Snapshot.mergeAggregates(
+            aggOf(docs.where(col("doc_id") % 2 === 0)),
+            aggOf(docs.where(col("doc_id") % 2 === 1)),
+            Seq("source", "lang"), Seq("n_docs", "n_chars_sum"))
+          .count()
+      }
+    }
     // fourth-session additions: the round's new iterative/join-heavy ops
     def coorderEdges(mod: Option[Int]): DataFrame = {
       val li = spark.read.parquet(s"$dir/lineitem.parquet")

@@ -605,24 +605,34 @@ object SparkEntry {
     // a 3σ bound), median_ok = approx median lands between the exact
     // p49/p51 values (accuracy=10000 ⇒ rank error ≤ n/10000, far
     // inside the ±1%-rank window). A sketch gone wrong flips a boolean
-    // → hash mismatch → red oracle row. One distinct aggregate only —
-    // no Expand.
+    // → hash mismatch → red oracle row. The exact percentile window
+    // comes from Stats.exactPercentiles (the q33 distributed sort/rank
+    // formulation) — NEVER the `percentile` aggregate, whose buffer
+    // holds every group value (measured 32× this query's cost at
+    // sf0.1, and an OOM at corpus scale).
     "q34_approx_sketch" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
+      val li = t(s, dir, "lineitem")
+      // the sketch aggs and countDistinct must be SEPARATE aggregates:
+      // fused, Spark's distinct rewrite keys the partial stage by
+      // (flag, l_orderkey) and merges a percentile/HLL buffer per
+      // distinct orderkey — 150k sketch buffers, measured 26 s for a
+      // 0.3 s query. Three tiny per-flag frames, two broadcast joins.
+      val sk = li.groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_orderkey")).as("approx_orders"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-            .as("approx_median"),
-          countDistinct(col("l_orderkey")).as("exact_orders"),
-          expr("percentile(l_extendedprice, array(0.49D, 0.51D))")
-            .as("_exq"))
+            .as("approx_median"))
+      val ex = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+      val win = Stats.exactPercentiles(li, Seq("l_returnflag"),
+        "l_extendedprice", Seq("p49" -> 0.49, "p51" -> 0.51))
+      val agg = sk.join(broadcast(ex), Seq("l_returnflag"))
+      agg.join(broadcast(win), Seq("l_returnflag"))
         .select(col("l_returnflag"), col("exact_orders"),
           (abs(col("approx_orders") - col("exact_orders")) <=
             col("exact_orders") * 0.15).as("orders_ok"),
-          (col("approx_median") >= element_at(col("_exq"), 1) &&
-           col("approx_median") <= element_at(col("_exq"), 2))
-            .as("median_ok"))
+          (col("approx_median") >= col("p49") &&
+           col("approx_median") <= col("p51")).as("median_ok"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -4343,23 +4353,16 @@ object SparkEntry {
     // (HyperLogLog++) replaces the exact multi-distinct, so the
     // OPERATOR's plan has NO Expand and the scan is read once
     // regardless of column count (spec-pinned on the operator plan in
-    // PlanSpec — this VALIDATION query deliberately also runs the
-    // exact profile to prove the estimates: the oracle hashes the
-    // exact columns plus nd_ok = |HLL − exact| ≤ max(3·rsd·exact, 16)
-    // per column, a 3σ bound with an absolute floor for tiny
-    // cardinalities like l_quantity's 50).
+    // PlanSpec). This VALIDATION query proves the estimates: one
+    // fused aggregate computes the exact profile AND the HLL estimate
+    // (the HLL rides q89's Expand pass for free — two separate passes
+    // measured 3.7× the old cost), and the oracle hashes the exact
+    // columns plus nd_ok = |HLL − exact| ≤ max(3·rsd·exact, 16) per
+    // column (3σ bound, absolute floor for tiny cardinalities like
+    // l_quantity's 50).
     "q90_profile_approx" -> ((s, dir) => {
-      val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
-        "l_tax")
-      val ap = Profile.profileNumeric(t(s, dir, "lineitem"), cols,
-          approx = true)
-        .select(col("column"), col("n_distinct").as("_nd_est"))
-      Profile.profileNumeric(t(s, dir, "lineitem"), cols)
-        .join(broadcast(ap), Seq("column"))
-        .select(col("column"), col("n_nulls"), col("n_distinct"),
-          (abs(col("_nd_est") - col("n_distinct")) <=
-            greatest(col("n_distinct") * 0.15, lit(16.0))).as("nd_ok"),
-          col("min_v"), col("max_v"), col("avg_v"))
+      Profile.profileNumericValidated(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy(col("column"))
     }),
 

@@ -41,8 +41,8 @@ object AsOfJoin {
     * can differ by the offset change — prefer `TimestampType` or epoch
     * longs when that matters. The custom exec compares the same units
     * natively (micros-as-long for timestamps, days-as-int for dates),
-    * so both formulations agree; CrossFormulationSpec pins the parity
-    * for long epochs AND timestamp columns.
+    * so both formulations agree; AsOfJoinExecSpec pins the parity for
+    * long epochs, timestamp columns (micros), and dates (days).
     */
   private def tsAsLong(c: Column,
                        dt: org.apache.spark.sql.types.DataType): Column =

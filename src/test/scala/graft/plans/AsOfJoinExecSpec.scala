@@ -146,4 +146,63 @@ class AsOfJoinExecSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("integral or timestamp"))
   }
+
+  test("TimestampType parity: exec vs union-LOCF, tolerance and delta in MICROS") {
+    // the unit contract (AsOfJoin.tsAsLong doc): timestamp columns use
+    // microseconds for both tolerance and the long-valued delta — the
+    // exec compares micros natively (UnsafeRow long), the LOCF form
+    // through unix_micros; both must agree row-for-row
+    val rnd = new scala.util.Random(31)
+    for (tolSec <- Seq(0L, 7L, 50L)) {
+      val tol = tolSec * 1000000L
+      val l = (1 to 800).map(i =>
+        (rnd.nextInt(10).toLong, rnd.nextInt(600).toLong, i.toLong))
+        .toDF("k", "sec", "lid")
+        .select(col("k"), timestamp_seconds(col("sec")).as("t"),
+          col("lid"))
+      val r = (1 to 400).map(i =>
+        (rnd.nextInt(12).toLong, rnd.nextInt(600).toLong, i.toDouble))
+        .toDF("k", "sec", "rv")
+        .groupBy("k", "sec").agg(max(col("rv")).as("rv"))
+        .select(col("k"), timestamp_seconds(col("sec")).as("rt"),
+          col("rv"))
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("k"), col("t"), col("lid"), col("asof_ts"),
+          col("delta"), col("rv"))
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+        .sorted.toSeq
+      val viaExec = canon(AsOfJoin.asofNearestExec(l, r, Seq("k"),
+        "t", "rt", tol))
+      val viaUnion = canon(AsOfJoin.asofNearest(l, r, Seq("k"),
+        "t", "rt", Seq("rv"), tol))
+      assert(viaExec == viaUnion && viaExec.nonEmpty, s"tol=$tol micros")
+      // delta really is micros: whole-second inputs ⇒ every non-null
+      // delta is a 1e6 multiple, and |delta| respects the tolerance
+      val deltas = AsOfJoin.asofNearestExec(l, r, Seq("k"), "t", "rt",
+          tol)
+        .where(col("delta").isNotNull).select(col("delta"))
+        .as[Long].collect()
+      assert(deltas.forall(d => math.abs(d) <= tol &&
+        d % 1000000L == 0), s"delta units broke at tol=$tol")
+    }
+  }
+
+  test("DateType tolerance counts DAYS in both formulations") {
+    val l = Seq((1L, "2024-01-10", "in"), (1L, "2024-02-10", "stale"))
+      .toDF("k", "d", "lv")
+      .select(col("k"), to_date(col("d")).as("t"), col("lv"))
+    val r = Seq((1L, "2024-01-08", 1.0)).toDF("k", "d", "rv")
+      .select(col("k"), to_date(col("d")).as("rt"), col("rv"))
+    // Δ = 2 days (in tolerance 5) matches; Δ = 33 days expires
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("t").cast("string"),
+        col("asof_ts").cast("string")).collect()
+      .map(x => (x.getString(0), Option(x.getString(1)).getOrElse("-")))
+      .sorted.toSeq
+    val expect = Seq(("2024-01-10", "2024-01-08"), ("2024-02-10", "-"))
+    assert(canon(AsOfJoin.asofBackward(l, r, Seq("k"), "t", "rt",
+      Seq("rv"), tolerance = Some(5L))) == expect)
+    assert(canon(AsOfJoin.asofMergeExec(l, r, Seq("k"), "t", "rt",
+      tolerance = Some(5L))) == expect)
+  }
 }
