@@ -301,8 +301,13 @@ object NearDup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val norm = w.groupBy(col("id"))
       .agg(sqrt(sum(col("_w") * col("_w"))).as("_n"))
+    // hint("merge"): see symDeleteCands — exploded inverted-index
+    // self-joins must never be planned as a broadcast off the
+    // UN-exploded size estimate; sort-merge spills, a misjudged
+    // broadcast OOMs
     val pairs = w.select(col("blk"), col("token"), col("id").as("a"),
         col("_w").as("_wa"))
+      .hint("merge")
       .join(w.select(col("blk"), col("token"), col("id").as("b"),
         col("_w").as("_wb")), Seq("blk", "token"))
       .where(col("a") < col("b"))
@@ -444,8 +449,18 @@ object NearDup {
         col(strCol).as("_s"))
       .select(col("blk"), col("id"), col("_s"),
         explode(neighborhood).as("key"))
+    // MERGE hint (forced sort-merge): Catalyst's size estimate for the
+    // exploded key table is the un-exploded input's, but the deletion
+    // neighborhood fans out 1+len+C(len,2) ≈ 170× for 18-char names —
+    // the planner happily "broadcast" what materialized as a 5.1 GiB
+    // hash relation at the 20× probe (observed: MemoryStore spilling
+    // the broadcast to disk; an executor OOM on a real cluster), and a
+    // SHUFFLE_HASH build of the same side OOMs the per-partition hash
+    // map (also observed). The inverted-index self-join must always be
+    // the spillable sort-merge, distributed by key hash.
     val cands = keys.select(col("blk"), col("key"), col("id").as("a"),
         col("_s").as("_sa"))
+      .hint("merge")
       .join(keys.select(col("blk"), col("key"), col("id").as("b"),
         col("_s").as("_sb")), Seq("blk", "key"))
       .where(col("a") < col("b"))
@@ -523,7 +538,9 @@ object NearDup {
                       col("n_sh").as("na"))
     val b = sh.select(col("blk"), col("shingle"), col("id").as("b"),
                       col("n_sh").as("nb"))
-    val counts = a.join(b, Seq("blk", "shingle"))
+    // hint("merge"): see symDeleteCands — never broadcast an exploded
+    // shingle index off its un-exploded size estimate
+    val counts = a.hint("merge").join(b, Seq("blk", "shingle"))
       .where(col("a") < col("b"))
       .groupBy(col("a"), col("b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("n_common"))
@@ -711,7 +728,9 @@ object NearDup {
       } else eAll
     val a = e.select(col("blk"), col("fp"), col("id").as("a"))
     val b = e.select(col("blk"), col("fp"), col("id").as("b"))
-    val pairs = a.join(b, Seq("blk", "fp"))
+    // hint("merge"): see symDeleteCands — exploded fingerprint index,
+    // same misjudged-broadcast hazard
+    val pairs = a.hint("merge").join(b, Seq("blk", "fp"))
       .where(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_shared"))
@@ -754,7 +773,10 @@ object NearDup {
     val ham = (0 to 3)
       .map(j => bit_count(col(s"a$j").bitwiseXOR(col(s"b$j"))))
       .reduce(_ + _)
-    a.join(b, Seq("band", "v"))
+    // hint("merge"): see symDeleteCands — banded self-join, same
+    // misjudged-broadcast hazard (4× band fan-out off an aggregate
+    // whose size estimate is heuristic)
+    a.hint("merge").join(b, Seq("band", "v"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b"), ham.cast("int").as("hamming"))
       .distinct()

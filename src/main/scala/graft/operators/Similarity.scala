@@ -324,7 +324,10 @@ object Similarity {
     val b = assigned.select(col("centroid_id"), col(idCol).as("b"),
                             col(vecCol).as("bv"),
                             nnorm(col(vecCol)).as("bnrm"))
-    a.join(b, Seq("centroid_id"))
+    // hint("merge"): cell-blocked self-join of the full corpus WITH its
+    // embedding arrays — a misjudged broadcast would materialize every
+    // vector in one hash relation (NearDup symdelete OOM shape)
+    a.hint("merge").join(b, Seq("centroid_id"))
       .where(col("a") < col("b"))
       // round BEFORE thresholding (both engines see the same 6-dp value,
       // so the cut never flips on a last-ulp difference)
@@ -413,7 +416,12 @@ object Similarity {
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"), col(s"hb$b").as("v"))): _*)).as("bv"))
       .select(col("id"), col("bv.band").as("band"), col("bv.v").as("v"))
+    // hint("merge"): banded self-join — Catalyst sizes the exploded
+    // band table off the un-exploded input, and a misjudged broadcast
+    // materializes the whole index as one hash relation (the NearDup
+    // symdelete OOM, same shape); sort-merge spills instead
     val cands = banded.select(col("band"), col("v"), col("id").as("a"))
+      .hint("merge")
       .join(banded.select(col("band"), col("v"), col("id").as("b")),
         Seq("band", "v"))
       .where(col("a") < col("b"))

@@ -135,14 +135,23 @@ class PlanSpec extends SparkTestBase {
       s"bucketed join/agg must reuse at-rest bucketing, not shuffle:\n$p")
   }
 
-  test("q21 jaccard derivation reaches the join with ONE hash exchange") {
-    // the shingle SETS are built per-doc as arrays in the scan stage; the
-    // only hash shuffle in the whole query is the pair aggregation (the
-    // round-1 row formulation paid a window exchange + a distinct
-    // exchange + a second window before the join)
+  test("q21 jaccard candidate join: sort-merge on the key hash, never broadcast") {
+    // the shingle SETS are built per-doc as arrays in the scan stage;
+    // shuffles are the two join-side exchanges on (blk, shingle) plus
+    // the pair aggregation — and NOTHING else (the round-1 row
+    // formulation paid a window exchange + a distinct exchange + a
+    // second window before the join). The join must be the spillable
+    // sort-merge: Catalyst sizes the exploded shingle index off the
+    // UN-exploded input and used to "broadcast" it — a 5.1 GiB hash
+    // relation at the 20× symdelete probe, an executor OOM at corpus
+    // scale (NearDup hint("merge") sites).
     val p = plan("q21_jaccard")
     val hashX = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(hashX == 1, s"expected exactly 1 hash exchange, got $hashX:\n$p")
+    assert(hashX <= 3, s"expected at most 3 hash exchanges, got $hashX:\n$p")
+    val joinLines = p.linesIterator
+      .filter(l => l.contains("Join") && l.contains("Inner")).toSeq
+    assert(joinLines.nonEmpty && joinLines.forall(_.contains("SortMergeJoin")),
+      s"candidate self-join must be sort-merge: $joinLines")
   }
 
   test("q22 minhash pipeline: long signatures hash-aggregate, no sort agg") {
@@ -496,10 +505,14 @@ class PlanSpec extends SparkTestBase {
     assert(hashX == 1, s"expected exactly 1 hash exchange, got $hashX:\n$p")
   }
 
-  test("q112 containment shares q21's one-hash-exchange candidate shape") {
+  test("q112 containment shares q21's sort-merge candidate shape") {
     val p = plan("q112_containment")
     val hashX = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(hashX == 1, s"expected exactly 1 hash exchange, got $hashX:\n$p")
+    assert(hashX <= 3, s"expected at most 3 hash exchanges, got $hashX:\n$p")
+    val joinLines = p.linesIterator
+      .filter(l => l.contains("Join") && l.contains("Inner")).toSeq
+    assert(joinLines.nonEmpty && joinLines.forall(_.contains("SortMergeJoin")),
+      s"candidate self-join must be sort-merge (q21's rationale): $joinLines")
     assert(!p.contains("CartesianProduct"),
       s"containment must never be all-pairs:\n$p")
   }
