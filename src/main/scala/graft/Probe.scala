@@ -421,6 +421,11 @@ object Probe {
         operators.Stats.ksTest(big, "n_chars", "source",
           "src0", "src1").count()
       }
+      // the 100 TB form: range-bucketed prefix, no unpartitioned window
+      timed("ks20x_bucketed") {
+        operators.Stats.ksTest(big, "n_chars", "source",
+          "src0", "src1", orderBuckets = 64).count()
+      }
     }
     if (probes("sweep")) {
       // 20× (user, day) intervals (~1.2M): delta aggregate map-side,

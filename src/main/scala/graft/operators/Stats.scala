@@ -1296,12 +1296,17 @@ object Stats {
     * SCALE SHAPE: per-(value) conditional counts map-side, running
     * sums over the DISTINCT-value table (the exactPercentiles
     * distinct-value contract; the whole-partition totals frame is
-    * evaluated once per partition, not per row). Returns one row:
-    * n_a, n_b, the argmax value `ks_at` (smallest on ties), and
-    * `ks_stat`.
+    * evaluated once per partition, not per row). The default prefix
+    * sum is one unpartitioned window — fine while distinct values are
+    * bounded (integral lengths, scores); pass `orderBuckets > 1` to
+    * route the prefix through the range-bucketed protocol instead
+    * (no single-task sort anywhere — the 100 TB form for continuous
+    * metrics). Returns one row: n_a, n_b, the argmax value `ks_at`
+    * (smallest on ties), and `ks_stat`.
     */
   def ksTest(df: DataFrame, valueCol: String, groupCol: String,
-             groupA: String, groupB: String): DataFrame = {
+             groupA: String, groupB: String,
+             orderBuckets: Int = 0): DataFrame = {
     val counts = df
       .where(col(groupCol).isin(groupA, groupB) &&
         col(valueCol).isNotNull)
@@ -1309,15 +1314,33 @@ object Stats {
       .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L))
         .as("_ca"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("_cb"))
-    val wCum = Window.orderBy(col("_v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    counts
-      .withColumn("_cuma", sum(col("_ca")).over(wCum))
-      .withColumn("_cumb", sum(col("_cb")).over(wCum))
-      .withColumn("_na", sum(col("_ca")).over(wAll))
-      .withColumn("_nb", sum(col("_cb")).over(wAll))
+    // SCALE PATH (`orderBuckets > 1`): the running sums route through
+    // the range-bucketed exclusive-prefix protocol (withExclusiveCum)
+    // instead of one unpartitioned window — the distinct-value table
+    // of a continuous metric is corpus-sized, and a single-task global
+    // sort is the one non-distributed step this statistic otherwise
+    // has. Totals come from a one-row broadcast instead of the
+    // whole-frame window. Identical output (KsScaleSpec parity).
+    val withCum =
+      if (orderBuckets > 1)
+        withExclusiveCum(counts, Seq.empty, "_v", Seq("_ca", "_cb"),
+            orderBuckets)
+          .withColumn("_cuma", col("_cb__ca") + col("_ca"))
+          .withColumn("_cumb", col("_cb__cb") + col("_cb"))
+          .crossJoin(broadcast(counts.agg(sum(col("_ca")).as("_na"),
+            sum(col("_cb")).as("_nb"))))
+      else {
+        val wCum = Window.orderBy(col("_v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        counts
+          .withColumn("_cuma", sum(col("_ca")).over(wCum))
+          .withColumn("_cumb", sum(col("_cb")).over(wCum))
+          .withColumn("_na", sum(col("_ca")).over(wAll))
+          .withColumn("_nb", sum(col("_cb")).over(wAll))
+      }
+    withCum
       .withColumn("_d",
         abs(col("_cuma") * col("_nb") - col("_cumb") * col("_na")))
       .agg(first(col("_na")).as("n_a"), first(col("_nb")).as("n_b"),
@@ -1337,27 +1360,37 @@ object Stats {
     * stabbing join formulation pays |intervals|×|probes|; the sweep
     * pays one aggregate plus a prefix sum over DISTINCT times.
     *
-    * The running sum's window is unpartitioned, but its input is the
-    * distinct-TIME table — calendar-bounded (one row per time unit
-    * with activity), not data-bounded; at minute granularity a decade
-    * is ~5M rows. For sub-second telemetry at 100 TB, bucket the time
-    * or route through the [[withExclusiveCum]] range-partitioned
-    * protocol.
+    * The default running sum's window is unpartitioned, but its input
+    * is the distinct-TIME table — calendar-bounded (one row per time
+    * unit with activity), not data-bounded; at minute granularity a
+    * decade is ~5M rows. For sub-second telemetry at 100 TB pass
+    * `orderBuckets > 1`: the prefix routes through the range-bucketed
+    * exclusive-prefix protocol and no single-task sort remains
+    * (KsScaleSpec parity-tests both forms).
     *
     * Returns one row per time unit where the concurrency CHANGES
     * (delta ≠ 0), with the concurrency holding from that time until
     * the next emitted time.
     */
-  def sweepConcurrency(df: DataFrame, startCol: String, endCol: String)
-      : DataFrame = {
+  def sweepConcurrency(df: DataFrame, startCol: String, endCol: String,
+                       orderBuckets: Int = 0): DataFrame = {
     val deltas = df.select(col(startCol).as("t"), lit(1L).as("d"))
       .unionByName(df.select((col(endCol) + 1).as("t"),
         lit(-1L).as("d")))
       .groupBy(col("t")).agg(sum(col("d")).as("delta"))
       .where(col("delta") =!= 0)
-    val w = Window.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    deltas.withColumn("concurrency", sum(col("delta")).over(w))
+    if (orderBuckets > 1)
+      // the range-bucketed prefix protocol the scaladoc points to —
+      // no single-task sort over the distinct-time table
+      withExclusiveCum(deltas, Seq.empty, "t", Seq("delta"),
+          orderBuckets)
+        .withColumn("concurrency", col("_cb_delta") + col("delta"))
+        .drop("_cb_delta")
+    else {
+      val w = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas.withColumn("concurrency", sum(col("delta")).over(w))
+    }
   }
 
   /** Theil–Sen slope per key: the MEDIAN of all pairwise slopes
