@@ -187,6 +187,37 @@ class AsOfJoinExecSpec extends SparkTestBase {
     }
   }
 
+  test("TimestampNTZType parity: exec vs union-LOCF agree (micros, session-tz conversion)") {
+    // NTZ's canonical-unit conversion goes through the session time
+    // zone (UTC in GraftSession); the exec reads the NTZ micros
+    // directly — both formulations must still agree row-for-row
+    val rnd = new scala.util.Random(37)
+    val tol = 30L * 1000000L
+    val l = (1 to 400).map(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(500).toLong, i.toLong))
+      .toDF("k", "sec", "lid")
+      .select(col("k"),
+        timestamp_seconds(col("sec")).cast("timestamp_ntz").as("t"),
+        col("lid"))
+    val r = (1 to 200).map(i =>
+      (rnd.nextInt(10).toLong, rnd.nextInt(500).toLong, i.toDouble))
+      .toDF("k", "sec", "rv")
+      .groupBy("k", "sec").agg(max(col("rv")).as("rv"))
+      .select(col("k"),
+        timestamp_seconds(col("sec")).cast("timestamp_ntz").as("rt"),
+        col("rv"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("k"), col("t"), col("lid"), col("asof_ts"),
+        col("delta"), col("rv"))
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+      .sorted.toSeq
+    val viaExec = canon(AsOfJoin.asofNearestExec(l, r, Seq("k"),
+      "t", "rt", tol))
+    val viaUnion = canon(AsOfJoin.asofNearest(l, r, Seq("k"),
+      "t", "rt", Seq("rv"), tol))
+    assert(viaExec == viaUnion && viaExec.nonEmpty)
+  }
+
   test("DateType tolerance counts DAYS in both formulations") {
     val l = Seq((1L, "2024-01-10", "in"), (1L, "2024-02-10", "stale"))
       .toDF("k", "d", "lv")
