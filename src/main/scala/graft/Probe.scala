@@ -476,6 +476,13 @@ object Probe {
         operators.Similarity.embeddingDispersion(big, Seq("label"),
           "embedding", 64).count()
       }
+      // banded LSH self-join at 20× — the site the merge hint guards
+      // (misjudged broadcast of the exploded band table); proves the
+      // sort-merge path at 800k vectors
+      timed("lsh20x") {
+        operators.Similarity.hyperplaneLshPairs(big, "vec_id",
+          "embedding", 64, 32, 8, 0.90).count()
+      }
     }
     if (probes("asof")) {
       // 20× events (2M rows): the custom sort-merge exec vs the
