@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness parses the LAST stdout line as JSON. sbt's
+// default forked-run output strategy decorates every stdout line with
+// an "[info] " prefix and appends its own "[success] Total time" line
+// after the task — both defeat that parser (rounds 3-10 recorded
+// `parsed: null`). StdoutOutput inherits the forked JVM's stdout/stderr
+// raw, and showSuccess drops the trailing banner, so Bench's compact
+// JSON println really is the final stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not another setting;
+// the unused-key lint can't see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

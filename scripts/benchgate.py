@@ -7,12 +7,15 @@ it to anything).
 Usage: python3 scripts/benchgate.py NEW.json BASE.json [factor]
          [--accept=name,name,...]
 
---accept marks queries whose DEFINITION deliberately changed this round
-(e.g. a query that gained an exact-twin validation stage): their prior
-median is not a valid baseline, so they are reported loudly as CHANGED
-instead of failing the gate. The acceptance must be re-stated on every
-invocation — it never persists — and the next round's baseline absorbs
-the new cost, so an acceptance cannot hide a later regression.
+Accepted definition changes live IN-REPO at scripts/benchgate_accept.json
+({"query_name": "one-line reason", ...}), loaded automatically on every
+invocation, so the bare flagless run is the authoritative one: a query
+whose DEFINITION deliberately changed this round (e.g. it gained an
+exact-twin validation stage) has no valid prior-median baseline, and is
+reported loudly as CHANGED instead of failing the gate. The next round's
+baseline absorbs the new cost, at which point the entry must be PRUNED
+(a stale entry is reported so it can't silently pre-approve a future
+regression). --accept=name,... still works for ad-hoc additions.
 
 A >factor growth whose NEW spread exceeds its NEW median is reported as
 NOISY and is a MANDATORY-RERUN failure (exit 3, distinct from the
@@ -26,11 +29,25 @@ on only one side are listed informationally.
 Exit codes: 0 pass, 1 regression(s), 2 usage, 3 noisy-rerun-required.
 """
 import json
+import os
 import sys
+
+ACCEPT_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "benchgate_accept.json")
 
 
 def main() -> int:
     accepted = set()
+    reasons = {}
+    try:
+        with open(ACCEPT_FILE) as f:
+            reasons = json.load(f)
+        accepted |= set(reasons)
+        if reasons:
+            print(f"accept-file {ACCEPT_FILE}: "
+                  f"{', '.join(sorted(reasons))}")
+    except FileNotFoundError:
+        pass
     argv = []
     for a in sys.argv[1:]:
         if a.startswith("--accept="):
@@ -50,6 +67,13 @@ def main() -> int:
         if "queries" not in d:
             sys.exit(f"{path}: no 'queries' payload (truncated capture? "
                      f"use bench_out.json)")
+        # Bench's COMPACT stdout line carries only the slowest-25 queries
+        # and no 'plain'/'spread' — gating on it would silently compare
+        # 25/275 queries and disable noisy detection. Refuse it.
+        if "queries_truncated_to_slowest" in d or "plain" not in d:
+            sys.exit(f"{path}: truncated/compact bench payload "
+                     f"(slowest-{d.get('queries_truncated_to_slowest')} "
+                     f"only) — gate on the full bench_out.json instead")
         return d
 
     new = load(sys.argv[1])
@@ -92,9 +116,15 @@ def main() -> int:
             regressions.append((name, b, n, nsp.get(name, 0.0)))
 
     for name, b, n in changed:
+        why = reasons.get(name, "accepted via --accept flag")
         print(f"CHANGED  {name}: {b:.2f}s -> {n:.2f}s ({n / b:.1f}x) — "
-              f"accepted as a deliberate definition change; next "
-              f"round's baseline absorbs it")
+              f"deliberate definition change ({why}); next round's "
+              f"baseline absorbs it")
+    stale = sorted(set(reasons) - {c[0] for c in changed})
+    if stale:
+        print(f"accept-file entries that did NOT trigger (baseline has "
+              f"absorbed them — PRUNE from benchgate_accept.json): "
+              f"{', '.join(stale)}")
 
     for name, b, n, sp in noisy:
         print(f"NOISY  {name}: {b:.2f}s -> {n:.2f}s (spread {sp:.2f}s "

@@ -77,7 +77,16 @@ object Bench {
       .filter(q => only.isEmpty || only(q._1))
     val selected = sys.env.get("SPARK_GRAFT_BENCH_SHUFFLE") match {
       case Some(seed) =>
-        new scala.util.Random(seed.toLong).shuffle(baseOrder)
+        // a malformed seed must not abort the whole run before any
+        // query executes — warn and fall back to alphabetical order
+        scala.util.Try(seed.trim.toLong) match {
+          case scala.util.Success(s) =>
+            new scala.util.Random(s).shuffle(baseOrder)
+          case scala.util.Failure(_) =>
+            System.err.println(s"[bench] SPARK_GRAFT_BENCH_SHUFFLE=" +
+              s"'$seed' is not a long; running alphabetical order")
+            baseOrder
+        }
       case None => baseOrder
     }
     // JIT/codegen warm-up so per-query numbers measure the plan, not the

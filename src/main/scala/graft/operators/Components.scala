@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   * Three strategies, selected automatically by graph size and shape:
   *
   *  0. '''Driver union-find''' — below `spark.graft.closure
-  *     .localMaxEdges` edge rows (default 4 M, broadcast-scale), the
+  *     .localMaxEdges` edge rows (default heap-derived: 1/8 of driver
+  *     maxMemory at the 184 B/edge worst case, clamped to ≤ 4 M —
+  *     broadcast-scale on an 8 GB driver, proportionally lower on a
+  *     small one), the
   *     edge list is collected and closed with path-halving union-find
   *     in microseconds; a distributed round costs ~0.5 s of fixed
   *     shuffle/checkpoint machinery regardless of volume, so on the
@@ -125,7 +128,8 @@ object Components {
     * construction, vastly smaller than the corpus itself) several rounds
     * of that machinery dwarf the work. Same reasoning as AQE's broadcast
     * threshold: below `spark.graft.closure.localMaxEdges` directed rows
-    * (default 4 M — a size Spark happily broadcasts), collect the edges
+    * (default heap-derived via [[defaultLocalMaxEdgesFor]], ≤ 4 M — a
+    * size Spark happily broadcasts), collect the edges
     * as flat primitive long chunks, run path-halving union-find with
     * min-id roots over a primitive open-addressing map, and return the
     * labels as a parallelized (not LocalRelation — keeps plans small)
@@ -177,6 +181,16 @@ object Components {
       } else vals(i) = v
     }
     private def grow(): Unit = {
+      // cap is a power of two; at 1<<30 another doubling overflows Int
+      // to a negative, making `mask` negative and corrupting slot
+      // indexing. Reachable only when spark.graft.closure.localMaxEdges
+      // is raised far above its default (~>2^29 distinct node ids) —
+      // fail loudly instead of silently corrupting the map.
+      require(cap < (1 << 30),
+        s"local union-find node map exceeded ${1 << 29} keys — too many " +
+        "distinct node ids for the driver-local path; lower " +
+        "spark.graft.closure.localMaxEdges so the distributed " +
+        "hash-min/star path handles this graph")
       val ok = keys; val ov = vals; val ou = used; val oc = cap
       cap <<= 1; mask = cap - 1; n = 0
       keys = new Array[Long](cap); vals = new Array[Long](cap)
@@ -206,6 +220,31 @@ object Components {
       out.result()
     }
   }
+
+  /** Worst-case driver bytes per collected edge on the local path:
+    * 16 B for the interleaved (s,d) chunk, < 136 B for the label map
+    * (≤ 2 keys/edge × 17 B/slot at the ≤ 0.5-load power-of-two worst
+    * case of cap < 4·keys), plus ≤ 32 B for the interleaved label
+    * hand-off chunks. Deliberately conservative — the documented
+    * typical footprint is ~87 B/edge.
+    */
+  private[operators] val localBytesPerEdgeWorstCase = 184L
+
+  /** Default edge cap for the driver-local union-find path, derived
+    * from the driver's actual heap instead of a constant: a 512 MB
+    * driver must not OOM on a graph the 8 GB default was sized for.
+    * Budget = 1/8 of `Runtime.maxMemory` at the worst-case bytes/edge,
+    * clamped to [65 536, 4 000 000] — the upper clamp keeps the
+    * local-vs-distributed crossover where it was measured (the
+    * distributed path's fixed ~0.5 s/round already wins above a few
+    * million edges regardless of driver headroom).
+    */
+  private[operators] def defaultLocalMaxEdgesFor(maxHeapBytes: Long): Long =
+    ((maxHeapBytes / 8) / localBytesPerEdgeWorstCase)
+      .max(65536L).min(4000000L)
+
+  private[operators] def defaultLocalMaxEdges: Long =
+    defaultLocalMaxEdgesFor(Runtime.getRuntime.maxMemory)
 
   private def localUnionFind(e0: DataFrame,
                              idType: org.apache.spark.sql.types.DataType)
@@ -291,7 +330,8 @@ object Components {
     val m = e0.count()
     val idType = e0.schema("s").dataType
     val localMax = spark.conf
-      .get("spark.graft.closure.localMaxEdges", "4000000").toLong
+      .get("spark.graft.closure.localMaxEdges",
+        defaultLocalMaxEdges.toString).toLong
     if (m <= localMax &&
         (idType == org.apache.spark.sql.types.LongType ||
          idType == org.apache.spark.sql.types.IntegerType)) {

@@ -231,6 +231,23 @@ class ComponentsSpec extends SparkTestBase {
     }
   }
 
+  test("defaultLocalMaxEdges is heap-derived with hard clamps") {
+    // 1/8 of heap at 184 B/edge, clamped to [65536, 4M]: a small-driver
+    // deployment must get a proportionally smaller local path instead
+    // of the OOM the flat 4M constant allowed.
+    val gib = 1L << 30
+    assert(Components.defaultLocalMaxEdgesFor(8 * gib) == 4000000L) // clamp hi
+    assert(Components.defaultLocalMaxEdgesFor(64 * (1L << 20)) == 65536L) // clamp lo
+    val oneGib = Components.defaultLocalMaxEdgesFor(gib)
+    assert(oneGib == (gib / 8) / 184)
+    assert(oneGib > 65536L && oneGib < 4000000L)
+    // monotone in heap size
+    assert(Components.defaultLocalMaxEdgesFor(2 * gib) >= oneGib)
+    // the live default uses the real runtime heap and stays in-clamp
+    val d = Components.defaultLocalMaxEdges
+    assert(d >= 65536L && d <= 4000000L)
+  }
+
   test("non-integral id types always take the distributed path") {
     // driver-side string ordering (UTF-16) and Spark's (UTF-8 binary)
     // disagree on non-ASCII; the gate keeps string graphs distributed
