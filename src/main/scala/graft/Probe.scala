@@ -23,6 +23,20 @@ object Probe {
         d.withColumn(c, col(c) + lit(i * shift)))
     }.reduce(_.unionByName(_))
 
+  /** `times` via one explode instead of a `copies`-branch union: at
+    * 100× the union plan re-scans the source 100 times and the
+    * analyzer chews on 100 branches; the explode form is one scan and
+    * one generator.
+    */
+  private def timesWide(df: DataFrame, copies: Int, idCols: Seq[String],
+                        shift: Long): DataFrame = {
+    val exploded = df.withColumn("_copy",
+      explode(sequence(lit(0L), lit(copies - 1L))))
+    idCols.foldLeft(exploded)((d, c) =>
+      d.withColumn(c, col(c) + col("_copy") * lit(shift)))
+      .drop("_copy")
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.head
     val probes = if (args.length > 1) args.drop(1).toSet
@@ -548,6 +562,65 @@ object Probe {
         }
       } finally spark.conf.unset("spark.graft.closure.localMaxEdges")
       big.unpersist()
+    }
+    if (probes("pagerank100x")) {
+      // one more order of magnitude on the heaviest graph family: 100
+      // id-shifted copies (~50M directed edges / ~2M nodes at sf0.1),
+      // reduced to 2 rounds — the claim under test is O(|E|) per round
+      // with no driver-side or broadcast cliff, not round count.
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").as("ok"),
+          col("l_linenumber").as("ln"), col("l_partkey").as("pk"))
+      val nxt = li.select(col("ok"), (col("ln") - 1).as("ln"),
+        col("pk").as("dst_pk"))
+      val base = li.join(nxt, Seq("ok", "ln"))
+        .where(col("pk") =!= col("dst_pk"))
+        .select(col("pk").as("src"), col("dst_pk").as("dst"))
+      val big = timesWide(base, 100, Seq("src", "dst"), 1000000L)
+      big.persist(); val ne = big.count()
+      timed(s"pagerank100x(e=$ne,2 rounds)") {
+        operators.Graph.pageRank(big, "src", "dst", iterations = 2)
+          .count()
+      }
+      big.unpersist()
+    }
+    if (probes("symdelete100x")) {
+      // 100× the inverted-index dedup family (~1.5M records): the
+      // claim under test is that the exploded symmetric-delete index
+      // stays on the spillable sort-merge path (the misjudged-broadcast
+      // cliff the merge hints killed) at one more order of magnitude.
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val big = timesWide(cust, 100, Seq("c_custkey"), 1000000L)
+        .withColumn("c_nationkey",
+          col("c_nationkey") + (col("c_custkey") / 1000000L).cast("int") * 25)
+      timed("symdelete100x") {
+        NearDup.editDistancePairs(big, "c_custkey", "c_name",
+          "c_nationkey", 1).count()
+      }
+    }
+    if (probes("closure_boundary")) {
+      // The local-vs-distributed cliff AT the localMaxEdges threshold:
+      // the same dedup-shaped graph (1M stars of 4) through both routes
+      // at exactly the default cap size. Quantifies what a deployment
+      // pays when a graph lands one edge past the cap — if the cliff
+      // ever grows, the cap (Components.defaultLocalMaxEdgesFor) needs
+      // re-deriving.
+      val nEdges = 4000000L
+      val stars = spark.range(nEdges).select(col("id").as("a"),
+        ((col("id") / 4).cast("long") * 4).as("b"))
+      stars.persist(); stars.count()
+      timed(s"closure_boundary_local(e=$nEdges)") {
+        operators.Components.connectedComponents(stars, "a", "b").count()
+      }
+      spark.conf.set("spark.graft.closure.localMaxEdges", "0")
+      try {
+        timed(s"closure_boundary_dist(e=$nEdges)") {
+          operators.Components.connectedComponents(stars, "a", "b")
+            .count()
+        }
+      } finally spark.conf.unset("spark.graft.closure.localMaxEdges")
+      stars.unpersist()
     }
     if (probes("zorder")) {
       // 20× events (2M rows): z-key + range sort + zipWithIndex + agg

@@ -2766,6 +2766,180 @@ object SparkEntry {
            FROM r ORDER BY event_type""")
     }),
 
+    // The remaining SCALAR kernels on the plain-SQL surface, one query
+    // per family (q267/q273-q275 proved entropy + the aggregates):
+    // bucket_id from SQL — q3's range-bucket assignment with the exact
+    // long floor-div kernel in the query text
+    "q276_sql_bucket_id" -> ((s, dir) => {
+      graft.functions.GraftExtensions.installInto(s)
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_li_q276")
+      s.sql(
+        """WITH w AS (
+             SELECT l_suppkey,
+                    greatest(CAST(ceil(CAST(max(l_orderkey) AS DOUBLE)
+                      / 10) AS BIGINT), CAST(1 AS BIGINT))
+                      AS bucket_width
+             FROM graft_li_q276 GROUP BY l_suppkey)
+           SELECT l.l_suppkey,
+                  CAST(bucket_id(l.l_orderkey, w.bucket_width) AS INT)
+                    AS bucket,
+                  count(*) AS n_rows, min(l.l_orderkey) AS min_pos,
+                  max(l.l_orderkey) AS max_pos
+           FROM graft_li_q276 l JOIN w USING (l_suppkey)
+           GROUP BY 1, 2 ORDER BY 1, 2""")
+    }),
+
+    // graft_simhash from SQL: the fused 64-bit signature kernel,
+    // unpacked to its four 16-bit bands (q23's banding) — the DuckDB
+    // oracle rebuilds the signature bit-by-bit from the md5 definition
+    "q277_sql_simhash" -> ((s, dir) => {
+      graft.functions.GraftExtensions.installInto(s)
+      t(s, dir, "documents").createOrReplaceTempView("graft_docs_q277")
+      s.sql(
+        """WITH s AS (
+             SELECT doc_id,
+                    graft_simhash(split(graft_normalize(
+                      coalesce(text, '')), ' ')) AS sig
+             FROM graft_docs_q277)
+           SELECT doc_id,
+                  CAST(shiftright(sig, 0)  & 65535 AS INT) AS s0,
+                  CAST(shiftright(sig, 16) & 65535 AS INT) AS s1,
+                  CAST(shiftright(sig, 32) & 65535 AS INT) AS s2,
+                  CAST(shiftright(sig, 48) & 65535 AS INT) AS s3
+           FROM s ORDER BY doc_id""")
+    }),
+
+    // graft_damerau from SQL: blocked name linkage with the
+    // unrestricted Damerau-Levenshtein kernel in the join predicate;
+    // DuckDB's damerau_levenshtein is the independent twin
+    "q278_sql_damerau" -> ((s, dir) => {
+      graft.functions.GraftExtensions.installInto(s)
+      t(s, dir, "customer").createOrReplaceTempView("graft_cust_q278")
+      s.sql(
+        """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                  graft_damerau(a.c_name, b.c_name) AS dist
+           FROM graft_cust_q278 a JOIN graft_cust_q278 b
+             ON a.c_nationkey = b.c_nationkey
+            AND a.c_custkey < b.c_custkey
+           WHERE a.c_custkey % 20 = 0 AND b.c_custkey % 20 = 0
+             AND graft_damerau(a.c_name, b.c_name) <= 2
+           ORDER BY id_a, id_b""")
+    }),
+
+    // graft_count_in from SQL: q19's marker-profile language ID with
+    // the native membership-count kernel in the query text (en-first
+    // tie-break, same as the Column-API form)
+    "q279_sql_langid" -> ((s, dir) => {
+      graft.functions.GraftExtensions.installInto(s)
+      t(s, dir, "documents").createOrReplaceTempView("graft_docs_q279")
+      s.sql(
+        """WITH tk AS (
+             SELECT doc_id, split(graft_normalize(coalesce(text, '')),
+                                  ' ') AS toks
+             FROM graft_docs_q279),
+           sc AS (
+             SELECT doc_id,
+               graft_count_in(toks, array('the','a','of','and','is'))
+                 AS s_en,
+               graft_count_in(toks, array('der','die','das','und','ist'))
+                 AS s_de,
+               graft_count_in(toks, array('le','la','les','et','est'))
+                 AS s_fr,
+               graft_count_in(toks, array('el','los','y','es','se'))
+                 AS s_es
+             FROM tk)
+           SELECT doc_id,
+             CASE WHEN s_en >= greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                  WHEN s_de >= greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                  WHEN s_fr >= greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                  ELSE 'es' END AS pred_lang
+           FROM sc ORDER BY doc_id""")
+    }),
+
+    // graft_jaro_winkler from SQL: blocked linkage confidence; the
+    // kernel's conventions (boost threshold 0.7, prefix cap 4, empty →
+    // 0) deliberately match DuckDB's jaro_winkler_similarity, so the
+    // oracle is a true independent twin
+    "q280_sql_jaro_winkler" -> ((s, dir) => {
+      graft.functions.GraftExtensions.installInto(s)
+      t(s, dir, "customer").createOrReplaceTempView("graft_cust_q280")
+      s.sql(
+        """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                  round(graft_jaro_winkler(a.c_name, b.c_name), 6) AS jw
+           FROM graft_cust_q280 a JOIN graft_cust_q280 b
+             ON a.c_nationkey = b.c_nationkey
+            AND a.c_custkey < b.c_custkey
+           WHERE a.c_custkey % 50 = 0 AND b.c_custkey % 50 = 0
+           ORDER BY id_a, id_b""")
+    }),
+
+    // graft_zorder from SQL: Morton z-values over (user bucket, value
+    // bucket), re-aggregated by z-range; the DuckDB oracle rebuilds
+    // the interleave bit-by-bit (x on even positions, y on odd)
+    "q281_sql_zorder" -> ((s, dir) => {
+      graft.functions.GraftExtensions.installInto(s)
+      t(s, dir, "events").createOrReplaceTempView("graft_ev_q281")
+      s.sql(
+        """WITH z AS (
+             SELECT graft_zorder(pmod(user_id, 1024),
+                      greatest(least(floor(value), CAST(1023 AS BIGINT)),
+                               CAST(0 AS BIGINT))) AS zv
+             FROM graft_ev_q281)
+           SELECT zv DIV 1024 AS z_bucket,
+                  count(*) AS n_rows, min(zv) AS min_z, max(zv) AS max_z
+           FROM z GROUP BY 1 ORDER BY 1""")
+    }),
+
+    // Text-hygiene kernels from SQL: md5 fingerprint, token count,
+    // distinct-token ratio, NFC composition (decomposed input), accent
+    // stripping (precomposed input) — each against its DuckDB twin
+    "q282_sql_text_hygiene" -> ((s, dir) => {
+      graft.functions.GraftExtensions.installInto(s)
+      t(s, dir, "documents").createOrReplaceTempView("graft_docs_q282")
+      s.sql(
+        """SELECT doc_id,
+                  graft_fingerprint(coalesce(text, '')) AS fp,
+                  graft_token_count(coalesce(text, '')) AS n_toks,
+                  round(graft_distinct_ratio(coalesce(text, '')), 6)
+                    AS distinct_ratio,
+                  graft_nfc(concat('Café ', source)) AS nfc_name,
+                  graft_strip_accents(concat('Café nuñez ',
+                    source)) AS ascii_name
+           FROM graft_docs_q282 ORDER BY doc_id""")
+    }),
+
+    // graft_shingles + graft_top_count from SQL: word 3-gram count and
+    // max shingle multiplicity per doc (the repetition screen's
+    // kernels); <3-token docs legitimately yield (0, 0)
+    "q283_sql_shingles" -> ((s, dir) => {
+      graft.functions.GraftExtensions.installInto(s)
+      t(s, dir, "documents").createOrReplaceTempView("graft_docs_q283")
+      s.sql(
+        """WITH sh AS (
+             SELECT doc_id,
+                    graft_shingles(split(graft_normalize(
+                      coalesce(text, '')), ' '), 3) AS shingles
+             FROM graft_docs_q283)
+           SELECT doc_id, size(shingles) AS n_shingles,
+                  graft_top_count(shingles) AS top_shingle_count
+           FROM sh ORDER BY doc_id""")
+    }),
+
+    // graft_dot from SQL: exact double-accumulated float dot product
+    // on bounded id pairs; DuckDB's list_dot_product over DOUBLE[] is
+    // the twin (float→double widening is exact, same sum order)
+    "q284_sql_dot" -> ((s, dir) => {
+      graft.functions.GraftExtensions.installInto(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("graft_emb_q284")
+      s.sql(
+        """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  round(graft_dot(a.embedding, b.embedding), 6) AS dot
+           FROM graft_emb_q284 a JOIN graft_emb_q284 b
+             ON a.vec_id < b.vec_id
+           WHERE a.vec_id < 64 AND b.vec_id < 64
+           ORDER BY id_a, id_b""")
+    }),
+
     "q211_skip_rate" -> ((s, dir) => {
       val env = Layout.zorderFileStats(t(s, dir, "events"),
         pmod(col("user_id"), lit(1024L)),
@@ -8724,6 +8898,167 @@ object SparkEntry {
                 round(max(CASE WHEN vr = CAST(ceil(0.5 * m) AS BIGINT)
                           THEN v END), 6) AS p50
          FROM o GROUP BY event_type ORDER BY event_type""",
+
+    "q276_sql_bucket_id" ->
+      """WITH w AS (
+           SELECT l_suppkey,
+                  GREATEST(CAST(ceil(CAST(max(l_orderkey) AS DOUBLE) / 10)
+                                AS BIGINT), 1) AS bucket_width
+           FROM lineitem GROUP BY l_suppkey)
+         SELECT l.l_suppkey,
+                CAST(floor(CAST(l.l_orderkey AS DOUBLE) / w.bucket_width)
+                     AS INTEGER) AS bucket,
+                count(*) AS n_rows,
+                min(l.l_orderkey) AS min_pos,
+                max(l.l_orderkey) AS max_pos
+         FROM lineitem l JOIN w USING (l_suppkey)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q277_sql_simhash" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         tk AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         h AS (SELECT doc_id, md5(tok) AS h FROM tk),
+         bits AS (
+           SELECT doc_id, p,
+             sum(CASE WHEN p % 2 = 0
+                 THEN CASE WHEN substr(h, CAST(p // 2 + 1 AS INTEGER), 1)
+                        IN ('1','3','5','7','9','b','d','f')
+                      THEN 1 ELSE -1 END
+                 ELSE CASE WHEN substr(h, CAST(p // 2 + 1 AS INTEGER), 1)
+                        IN ('2','3','6','7','a','b','e','f')
+                      THEN 1 ELSE -1 END END) AS s
+           FROM h CROSS JOIN range(0, 64) r(p)
+           GROUP BY doc_id, p),
+         bands AS (
+           SELECT doc_id, p // 16 AS band,
+             CAST(sum(CASE WHEN s > 0 THEN (1 << (p % 16)) ELSE 0 END)
+               AS INTEGER) AS bv
+           FROM bits GROUP BY doc_id, p // 16)
+         SELECT doc_id,
+           max(CASE WHEN band = 0 THEN bv END) AS s0,
+           max(CASE WHEN band = 1 THEN bv END) AS s1,
+           max(CASE WHEN band = 2 THEN bv END) AS s2,
+           max(CASE WHEN band = 3 THEN bv END) AS s3
+         FROM bands GROUP BY doc_id ORDER BY doc_id""",
+
+    "q278_sql_damerau" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                CAST(damerau_levenshtein(a.c_name, b.c_name) AS INTEGER)
+                  AS dist
+         FROM customer a JOIN customer b
+           ON a.c_nationkey = b.c_nationkey
+          AND a.c_custkey < b.c_custkey
+         WHERE a.c_custkey % 20 = 0 AND b.c_custkey % 20 = 0
+           AND damerau_levenshtein(a.c_name, b.c_name) <= 2
+         ORDER BY id_a, id_b""",
+
+    "q279_sql_langid" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             len(list_filter(toks, x -> x IN ('the','a','of','and','is')))
+               AS s_en,
+             len(list_filter(toks, x -> x IN ('der','die','das','und','ist')))
+               AS s_de,
+             len(list_filter(toks, x -> x IN ('le','la','les','et','est')))
+               AS s_fr,
+             len(list_filter(toks, x -> x IN ('el','los','y','es','se')))
+               AS s_es
+           FROM d)
+         SELECT doc_id,
+           CASE WHEN s_en >= greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                WHEN s_de >= greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                WHEN s_fr >= greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                ELSE 'es' END AS pred_lang
+         FROM s ORDER BY doc_id""",
+
+    "q280_sql_jaro_winkler" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                round(jaro_winkler_similarity(a.c_name, b.c_name), 6)
+                  AS jw
+         FROM customer a JOIN customer b
+           ON a.c_nationkey = b.c_nationkey
+          AND a.c_custkey < b.c_custkey
+         WHERE a.c_custkey % 50 = 0 AND b.c_custkey % 50 = 0
+         ORDER BY id_a, id_b""",
+
+    "q281_sql_zorder" ->
+      """WITH e AS (
+           SELECT event_id, user_id % 1024 AS x,
+                  greatest(least(CAST(floor(value) AS BIGINT), 1023), 0)
+                    AS y
+           FROM events),
+         z AS (
+           SELECT event_id,
+                  CAST(sum((((x >> CAST(i AS INTEGER)) & 1)
+                              << (2 * CAST(i AS INTEGER)))
+                         + (((y >> CAST(i AS INTEGER)) & 1)
+                              << (2 * CAST(i AS INTEGER) + 1)))
+                       AS BIGINT) AS zv
+           FROM e CROSS JOIN range(0, 10) r(i)
+           GROUP BY event_id)
+         SELECT zv // 1024 AS z_bucket,
+                count(*) AS n_rows, min(zv) AS min_z, max(zv) AS max_z
+         FROM z GROUP BY 1 ORDER BY 1""",
+
+    "q282_sql_text_hygiene" ->
+      """WITH d AS (
+           SELECT doc_id, source, coalesce(text, '') AS t0,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents)
+         SELECT doc_id,
+                substr(md5(trim(regexp_replace(lower(t0), '\s+', ' ',
+                  'g'))), 1, 16) AS fp,
+                CAST(len(toks) AS INTEGER) AS n_toks,
+                round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                  / len(toks), 6) AS distinct_ratio,
+                nfc_normalize('Café ' || source) AS nfc_name,
+                strip_accents('Café nuñez ' || source) AS ascii_name
+         FROM d ORDER BY doc_id""",
+
+    "q283_sql_shingles" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         pos AS (
+           SELECT doc_id, toks,
+                  unnest(generate_series(1, len(toks) - 2)) AS i
+           FROM d),
+         sh AS (
+           SELECT doc_id,
+                  toks[CAST(i AS INTEGER)] || ' ' ||
+                  toks[CAST(i + 1 AS INTEGER)] || ' ' ||
+                  toks[CAST(i + 2 AS INTEGER)] AS s
+           FROM pos),
+         cnt AS (SELECT doc_id, s, count(*) AS c FROM sh GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id, CAST(sum(c) AS INTEGER) AS n_shingles,
+                  CAST(max(c) AS BIGINT) AS top_shingle_count
+           FROM cnt GROUP BY 1)
+         SELECT d.doc_id,
+                coalesce(agg.n_shingles, 0) AS n_shingles,
+                coalesce(agg.top_shingle_count, 0) AS top_shingle_count
+         FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
+
+    "q284_sql_dot" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_dot_product(
+                  CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])), 6) AS dot
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE a.vec_id < 64 AND b.vec_id < 64
+         ORDER BY id_a, id_b""",
 
     "q262_media_inventory" ->
       """WITH f AS (

@@ -169,7 +169,11 @@ class QuerySurfaceSpec extends SparkTestBase {
       // squared (limit(topGroups)², ≤28 rows at the default cap of
       // 8) broadcast cross-joined — q242's bounded-catalog shape;
       // the token joins themselves are equi
-      "q271_js_capped")
+      "q271_js_capped",
+      // q284: the SQL-surface dot-product pairs are bounded by
+      // LITERAL id filters (vec_id < 64 both sides, pushed to the
+      // scans) before the non-equi a<b loop — ≤64×64 by construction
+      "q284_sql_dot")
     val lazyQueries = SparkEntry.queries.keySet -- eager
     val offenders = lazyQueries.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf)

@@ -122,6 +122,71 @@ class StreamingRecoverySpec extends SparkTestBase {
     }
   }
 
+  test("sessionizeWithTimeout recovery equals a clean run (watermark restored)") {
+    withTempDir("graft_stream_recovery_wm") { root =>
+      val in = new File(root, "in"); in.mkdirs()
+      val flag = new File(root, "poison.flag")
+      flag.createNewFile()
+
+      import StatefulSessions.TsEvent
+      // event times offset from epoch 0: a ts EQUAL to the initial
+      // 0-ms watermark is filtered as late, which is a degenerate
+      // test artifact, not the semantics under test
+      def ts(s: Long) = new Timestamp((1000L + s) * 1000L)
+      // gap 10 s, watermark delay 0: [0,5] closes when 30 arrives;
+      // [30,30] closes by EVENT-TIME TIMEOUT once the watermark passes
+      // 40 — the path whose recovery depends on the watermark being
+      // restored from the commit log, not recomputed from scratch.
+      writeInputFile(in, "w0.parquet",
+        Seq(TsEvent(1L, ts(0)), TsEvent(1L, ts(5))).toDF(), 1000000L)
+      writeInputFile(in, "w1.parquet",
+        Seq(TsEvent(1L, ts(30)), TsEvent(999L, ts(31))).toDF(), 2000000L)
+      writeInputFile(in, "w2.parquet",
+        Seq(TsEvent(2L, ts(100))).toDF(), 3000000L)
+
+      val schema = StructType(Seq(StructField("key", LongType),
+        StructField("ts", TimestampType)))
+      def startQuery(sinkName: String, trigger: Option[Trigger]) = {
+        val src = Streams.fileSource(spark, in.getAbsolutePath, schema,
+          maxFilesPerTrigger = 1).as[TsEvent]
+        val sess = StatefulSessions.sessionizeWithTimeout(
+          poisoned[TsEvent](src, _.key == 999L, flag),
+          gapSeconds = 10L, watermarkDelay = "0 seconds")
+        val w = sess.writeStream.format("parquet")
+          .option("path", new File(root, sinkName).getAbsolutePath)
+          .option("checkpointLocation",
+            new File(root, s"chk_$sinkName").getAbsolutePath)
+          .outputMode("append")
+        trigger.foreach(w.trigger)
+        w.start()
+      }
+
+      val q1 = startQuery("sink", None)
+      intercept[StreamingQueryException] { q1.awaitTermination() }
+      assert(flag.delete())
+      val q2 = startQuery("sink", Some(Trigger.AvailableNow()))
+      q2.awaitTermination()
+
+      // clean reference run over the same files, fresh checkpoint —
+      // recovery must be observationally identical to never crashing
+      val q3 = startQuery("sink_clean", Some(Trigger.AvailableNow()))
+      q3.awaitTermination()
+
+      def readSink(name: String) = spark.read
+        .parquet(new File(root, name).getAbsolutePath)
+        .select(col("key"), col("sess_start"), col("sess_end"),
+          col("n_rows"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val recovered = readSink("sink")
+      assert(recovered == readSink("sink_clean"),
+        "crash-recovered output must equal the clean run's")
+      // the event-path close and the timeout-path close are both present
+      assert(recovered.contains((1L, 1000L, 1005L, 2L)))
+      assert(recovered.contains((1L, 1030L, 1030L, 1L)),
+        "the timeout-closed session must fire after recovery")
+    }
+  }
+
   test("trackUnordered recovers mid-drain kill: revisions resume exactly-once") {
     withTempDir("graft_stream_recovery_funnel") { root =>
       val in = new File(root, "in"); in.mkdirs()
