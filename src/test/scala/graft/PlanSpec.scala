@@ -746,4 +746,32 @@ class PlanSpec extends SparkTestBase {
              !p.contains("CartesianProduct"), p)
     } finally spark.conf.unset(graft.plans.RangeJoinRewrite.BinSizeKey)
   }
+
+  test("q277 SQL simhash is scan-stage: native kernel, no exchange before sort") {
+    // the fused kernel must keep the signature computation in the scan
+    // stage — one shuffle total (the final ORDER BY), no aggregate or
+    // join machinery sneaking in via the SQL surface
+    val p = plan("q277_sql_simhash")
+    assert(p.contains("graft_simhash") || p.contains("simhash64"),
+      s"native kernel must appear in the plan:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"simhash over documents is scan + one sort exchange:\n$p")
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("q281 SQL zorder groups with a partial phase on the z-bucket") {
+    val p = plan("q281_sql_zorder")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"z-bucket aggregate must keep its map-side phase:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p)
+  }
+
+  test("q276 SQL bucket_id joins the width table broadcast or shuffled-equi") {
+    val p = plan("q276_sql_bucket_id")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+           !p.contains("CartesianProduct"),
+      s"width lookup must stay an equi join:\n$p")
+    assert(p.contains("bucket_id"), s"native kernel in plan:\n$p")
+  }
 }
