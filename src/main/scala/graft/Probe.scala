@@ -599,6 +599,25 @@ object Probe {
           "c_nationkey", 1).count()
       }
     }
+    if (probes("ann")) {
+      // the ANN family's missing scale row: IVF top-k with a
+      // multi-probe query side over an id-shifted corpus (copies share
+      // cells, so per-cell candidate lists scale with the factor —
+      // exactly the axis that breaks a per-cell join). Corpus-side
+      // cost is the scan-stage centroid fold + one equi-join on
+      // centroid_id; queries stay a bounded broadcast.
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val queries = emb.where(col("vec_id") >= 10 && col("vec_id") < 74)
+      val cents = emb.where(col("vec_id") < 16)
+      for (copies <- Seq(20, 100)) {
+        val corpus = timesWide(emb, copies, Seq("vec_id"), 1000000L)
+        timed(s"ann${copies}x") {
+          operators.Similarity.ivfTopK(queries, corpus, cents,
+            "vec_id", "embedding", 10, nprobe = 2).count()
+        }
+      }
+    }
     if (probes("closure_boundary")) {
       // The local-vs-distributed cliff AT the localMaxEdges threshold:
       // the same dedup-shaped graph (1M stars of 4) through both routes
