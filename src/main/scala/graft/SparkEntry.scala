@@ -4708,6 +4708,52 @@ object SparkEntry {
       s.read.parquet(out).orderBy(col("doc_id"))
     }),
 
+    // XML export → re-import round-trip on Spark 4's NATIVE xml source
+    // (no external connector): the interchange format enterprise
+    // document dumps still arrive in. Lossless re-read is the oracle
+    // (same contract as the orc/tsv/jsonl round-trips).
+    "q285_xml_sink" -> ((s, dir) => {
+      val path = scratch(s, "q285_xml")
+      val proj = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      proj.coalesce(1).write.mode("overwrite")
+        .option("rowTag", "doc").format("xml").save(path)
+      s.read.option("rowTag", "doc").format("xml").load(path)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("source"), col("n_tokens").cast("int").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Semi-structured ingestion through the VARIANT type (Spark 4):
+    // JSON metadata sidecars parse once into variant and are read with
+    // typed variant_get paths (including array indexing) — the modern
+    // open-table semi-structured story, vs re-parsing JSON strings per
+    // field. Numeric payloads ride as exact integers (floor-of-cents),
+    // so both engines construct and extract identical values.
+    "q286_variant_json" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("graft_ev_q286")
+      s.sql(
+        """WITH j AS (
+             SELECT parse_json(concat(
+               '{"u":', CAST(user_id AS STRING),
+               ',"t":"', event_type,
+               '","cents":', CAST(CAST(floor(value * 100) AS BIGINT)
+                 AS STRING),
+               ',"tags":["pipeline","', event_type, '"]}')) AS meta
+             FROM graft_ev_q286),
+           x AS (
+             SELECT variant_get(meta, '$.u', 'bigint') AS u,
+                    variant_get(meta, '$.t', 'string') AS t,
+                    variant_get(meta, '$.cents', 'bigint') AS cents,
+                    variant_get(meta, '$.tags[1]', 'string') AS tag1
+             FROM j)
+           SELECT t AS event_type, count(*) AS n_rows,
+                  sum(u) AS sum_user, sum(cents) AS sum_cents,
+                  count(CASE WHEN t = tag1 THEN 1 END) AS tag_match
+           FROM x GROUP BY t ORDER BY t""")
+    }),
+
     // JSONL export → schema-enforced re-import round-trip: the
     // interchange format training sets actually ship in. Four fixed
     // shards; the re-read must be lossless (oracle = the projection
@@ -5755,6 +5801,32 @@ object SparkEntry {
            CAST(len(string_split(trim(regexp_replace(lower(coalesce(text,
              '')), '\s+', ' ', 'g')), ' ')) AS INTEGER) AS n_tokens
          FROM documents ORDER BY doc_id""",
+
+    "q285_xml_sink" ->
+      """SELECT doc_id, source,
+           CAST(len(string_split(trim(regexp_replace(lower(coalesce(text,
+             '')), '\s+', ' ', 'g')), ' ')) AS INTEGER) AS n_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "q286_variant_json" ->
+      """WITH j AS (
+           SELECT '{"u":' || CAST(user_id AS VARCHAR) ||
+                  ',"t":"' || event_type ||
+                  '","cents":' ||
+                  CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) ||
+                  ',"tags":["pipeline","' || event_type || '"]}' AS meta
+           FROM events),
+         x AS (
+           SELECT CAST(json_extract(meta, '$.u') AS BIGINT) AS u,
+                  json_extract_string(meta, '$.t') AS t,
+                  CAST(json_extract(meta, '$.cents') AS BIGINT) AS cents,
+                  json_extract_string(meta, '$.tags[1]') AS tag1
+           FROM j)
+         SELECT t AS event_type, count(*) AS n_rows,
+                CAST(sum(u) AS BIGINT) AS sum_user,
+                CAST(sum(cents) AS BIGINT) AS sum_cents,
+                count(CASE WHEN t = tag1 THEN 1 END) AS tag_match
+         FROM x GROUP BY t ORDER BY t""",
 
     "q88_stream_file_sink" ->
       """SELECT event_id, user_id, round(value, 6) AS value

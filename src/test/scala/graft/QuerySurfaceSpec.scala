@@ -31,7 +31,8 @@ class QuerySurfaceSpec extends SparkTestBase {
     "q61_stream_pipeline", "q69_stream_enrich", "q73_dup_clusters",
     "q74_dup_clusters_strict", "q78_stream_join", "q81_jsonl_sink",
     "q83_stream_dedup_gate", "q84_orc_sink", "q85_compact",
-    "q86_tsv_sink", "q88_stream_file_sink", "q92_incremental_dedup",
+    "q86_tsv_sink", "q285_xml_sink",
+    "q88_stream_file_sink", "q92_incremental_dedup",
     "q93_bpe_merges", "q101_bpe_encode", "q102_leakage_split",
     "q107_token_budget",
     "q13_salted_agg", "q35_salted_join",
