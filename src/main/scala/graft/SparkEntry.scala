@@ -2925,6 +2925,41 @@ object SparkEntry {
            FROM sh ORDER BY doc_id""")
     }),
 
+    // graft_winnow from SQL: the fused winnowing-fingerprint kernel
+    // (k=3-gram md5 hashes → distinct minima of w=4 sliding windows);
+    // the DuckDB twin rebuilds it exactly — positional k-grams, the
+    // same 15-hex-char hash, a ROWS-window min, and the single-global-
+    // min fallback for docs with fewer than w k-grams
+    "q287_sql_winnow" -> ((s, dir) => {
+      graft.functions.GraftExtensions.installInto(s)
+      t(s, dir, "documents").createOrReplaceTempView("graft_docs_q287")
+      s.sql(
+        """SELECT doc_id, fp
+           FROM (SELECT doc_id,
+                        explode(graft_winnow(split(graft_normalize(
+                          coalesce(text, '')), ' '), 3, 4)) AS fp
+                 FROM graft_docs_q287)
+           ORDER BY doc_id, fp""")
+    }),
+
+    // graft_quantize_i8 + graft_dot_i8 from SQL: the int8 ANN scoring
+    // path end-to-end in query text. The kernel rounds ties away from
+    // zero precisely so DuckDB's round() can serve as the exact twin
+    // (both compute q = clamp(round(x·127/maxAbs)) from the identical
+    // float→double values, then an exact integer dot)
+    "q288_sql_int8" -> ((s, dir) => {
+      graft.functions.GraftExtensions.installInto(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("graft_emb_q288")
+      s.sql(
+        """WITH q AS (
+             SELECT vec_id, graft_quantize_i8(embedding) AS qv
+             FROM graft_emb_q288 WHERE vec_id < 64)
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  graft_dot_i8(a.qv, b.qv) AS qdot
+           FROM q a JOIN q b ON a.vec_id < b.vec_id
+           ORDER BY id_a, id_b""")
+    }),
+
     // graft_dot from SQL: exact double-accumulated float dot product
     // on bounded id pairs; DuckDB's list_dot_product over DOUBLE[] is
     // the twin (float→double widening is exact, same sum order)
@@ -9122,6 +9157,58 @@ object SparkEntry {
                 coalesce(agg.n_shingles, 0) AS n_shingles,
                 coalesce(agg.top_shingle_count, 0) AS top_shingle_count
          FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
+
+    "q287_sql_winnow" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(coalesce(text,
+                    '')), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         pos AS (
+           SELECT doc_id, toks,
+                  unnest(generate_series(1, len(toks) - 2)) AS i
+           FROM d),
+         h AS (
+           SELECT doc_id, i,
+                  CAST('0x' || substr(md5(
+                    toks[CAST(i AS INTEGER)] || ' ' ||
+                    toks[CAST(i + 1 AS INTEGER)] || ' ' ||
+                    toks[CAST(i + 2 AS INTEGER)]), 1, 15) AS BIGINT)
+                    AS hv
+           FROM pos),
+         win AS (
+           SELECT doc_id, i,
+                  min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+                  count(*) OVER (PARTITION BY doc_id) AS m
+           FROM h),
+         sel AS (
+           SELECT doc_id, wmin AS fp FROM win
+           WHERE m >= 4 AND i <= m - 3
+           UNION ALL
+           SELECT doc_id, min(hv) AS fp FROM h
+           GROUP BY doc_id HAVING count(*) < 4)
+         SELECT DISTINCT doc_id, fp FROM sel ORDER BY doc_id, fp""",
+
+    "q288_sql_int8" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 64),
+         m AS (
+           SELECT vec_id, v,
+                  list_max(list_transform(v, x -> abs(x))) AS ma
+           FROM e),
+         q AS (
+           SELECT vec_id,
+                  CASE WHEN ma = 0 THEN list_transform(v, x -> 0.0)
+                       ELSE list_transform(v, x ->
+                         greatest(-127.0, least(127.0,
+                           round(x * 127 / ma)))) END AS qv
+           FROM m)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS qdot
+         FROM q a JOIN q b ON a.vec_id < b.vec_id
+         ORDER BY id_a, id_b""",
 
     "q284_sql_dot" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -171,10 +171,10 @@ class QuerySurfaceSpec extends SparkTestBase {
       // 8) broadcast cross-joined — q242's bounded-catalog shape;
       // the token joins themselves are equi
       "q271_js_capped",
-      // q284: the SQL-surface dot-product pairs are bounded by
+      // q284/q288: the SQL-surface dot-product pairs are bounded by
       // LITERAL id filters (vec_id < 64 both sides, pushed to the
       // scans) before the non-equi a<b loop — ≤64×64 by construction
-      "q284_sql_dot")
+      "q284_sql_dot", "q288_sql_int8")
     val lazyQueries = SparkEntry.queries.keySet -- eager
     val offenders = lazyQueries.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
