@@ -187,6 +187,79 @@ class StreamingRecoverySpec extends SparkTestBase {
     }
   }
 
+  test("stream-stream interval join recovers: restored state produces the cross-batch match") {
+    withTempDir("graft_stream_recovery_join") { root =>
+      val inL = new File(root, "inL"); inL.mkdirs()
+      val inR = new File(root, "inR"); inR.mkdirs()
+      val flag = new File(root, "poison.flag")
+      flag.createNewFile()
+
+      def ts(s: Long) = new Timestamp((1000L + s) * 1000L)
+      import StreamingRecoverySpec.{LEvent, REvent}
+      // band 20 s. Batch 0 (l0+r0): in-batch match (c1@0, p1@10);
+      // c2@5 enters LEFT STATE unmatched. Batch 1 (l1+r1): the poison
+      // row kills the batch mid-drain; after recovery the replay must
+      // produce BOTH the in-batch match (c3@40, p3@45) and the
+      // cross-batch match (c2@5, p4@15) — the latter can only come
+      // from the join state restored from the committed version.
+      writeInputFile(inL, "l0.parquet",
+        Seq(LEvent(1L, ts(0), "c1"), LEvent(2L, ts(5), "c2")).toDF(),
+        1000000L)
+      writeInputFile(inL, "l1.parquet",
+        Seq(LEvent(1L, ts(40), "c3"), LEvent(999L, ts(41), "poison"))
+          .toDF(), 2000000L)
+      writeInputFile(inR, "r0.parquet",
+        Seq(REvent(1L, ts(10), "p1"), REvent(2L, ts(100), "p2")).toDF(),
+        1000000L)
+      writeInputFile(inR, "r1.parquet",
+        Seq(REvent(1L, ts(45), "p3"), REvent(2L, ts(15), "p4")).toDF(),
+        2000000L)
+
+      val lSchema = StructType(Seq(StructField("user_id", LongType),
+        StructField("lts", TimestampType), StructField("ltag", StringType)))
+      val rSchema = StructType(Seq(StructField("user_id", LongType),
+        StructField("rts", TimestampType), StructField("rtag", StringType)))
+      def startQuery(sinkName: String, trigger: Option[Trigger]) = {
+        val l = poisoned[LEvent](
+          Streams.fileSource(spark, inL.getAbsolutePath, lSchema,
+            maxFilesPerTrigger = 1).as[LEvent],
+          _.ltag == "poison", flag).toDF()
+        val r = Streams.fileSource(spark, inR.getAbsolutePath, rSchema,
+          maxFilesPerTrigger = 1)
+        val joined = Streams.intervalJoin(l, r, Seq("user_id"),
+          "lts", "rts", "20 seconds", "0 seconds")
+          .select(col("user_id"), col("ltag"), col("rtag"))
+        val w = joined.writeStream.format("parquet")
+          .option("path", new File(root, sinkName).getAbsolutePath)
+          .option("checkpointLocation",
+            new File(root, s"chk_$sinkName").getAbsolutePath)
+          .outputMode("append")
+        trigger.foreach(w.trigger)
+        w.start()
+      }
+
+      val q1 = startQuery("sink", None)
+      intercept[StreamingQueryException] { q1.awaitTermination() }
+      assert(flag.delete())
+      val q2 = startQuery("sink", Some(Trigger.AvailableNow()))
+      q2.awaitTermination()
+      val q3 = startQuery("sink_clean", Some(Trigger.AvailableNow()))
+      q3.awaitTermination()
+
+      def readSink(name: String) = spark.read
+        .parquet(new File(root, name).getAbsolutePath)
+        .as[(Long, String, String)].collect().toSeq
+      val recovered = readSink("sink")
+      assert(recovered.size == recovered.distinct.size,
+        s"duplicate join rows after recovery: $recovered")
+      assert(recovered.toSet == Set((1L, "c1", "p1"), (1L, "c3", "p3"),
+        (2L, "c2", "p4")),
+        s"got: $recovered")
+      assert(recovered.toSet == readSink("sink_clean").toSet,
+        "crash-recovered join output must equal the clean run's")
+    }
+  }
+
   test("trackUnordered recovers mid-drain kill: revisions resume exactly-once") {
     withTempDir("graft_stream_recovery_funnel") { root =>
       val in = new File(root, "in"); in.mkdirs()
@@ -248,4 +321,10 @@ class StreamingRecoverySpec extends SparkTestBase {
       assert(fin == Map(1L -> 3, 2L -> 3))
     }
   }
+}
+
+object StreamingRecoverySpec {
+  // top-level (not method-local) so spark.implicits can derive encoders
+  case class LEvent(user_id: Long, lts: java.sql.Timestamp, ltag: String)
+  case class REvent(user_id: Long, rts: java.sql.Timestamp, rtag: String)
 }
