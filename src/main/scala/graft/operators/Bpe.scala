@@ -37,7 +37,15 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  private def pin(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+  /** Round pinning rides the [[Components]] machinery: `reliable =
+    * false` (default) uses executor-local checkpoints — fast, but a
+    * lost executor loses the run; `reliable = true` writes rounds to
+    * the context checkpoint directory (must be set), so a
+    * thousands-of-merges training job on a real cluster survives
+    * executor loss the same way the closure/pagerank loops do.
+    */
+  private def pin(df: DataFrame, reliable: Boolean): DataFrame =
+    Components.pin(df, reliable)
 
   /** Superseded rounds' blocks are freed eagerly (the [[Components]]
     * release discipline) — `nMerges` can be thousands and each round's
@@ -46,8 +54,8 @@ object Bpe {
     * next round's eager pin has materialized; the `best` frames stay
     * cached (the final merge table unions them).
     */
-  private def release(df: DataFrame): Unit =
-    Components.releasePin(df, reliable = false)
+  private def release(df: DataFrame, reliable: Boolean): Unit =
+    Components.releasePin(df, reliable)
 
   /** The word-frequency table BPE trains on: whitespace tokens of the
     * normalized text, counted corpus-wide (the one corpus-sized job).
@@ -65,15 +73,18 @@ object Bpe {
     * [[encodedVocab]] keeps the state).
     */
   private def trainLoop(words: DataFrame, wordCol: String, freqCol: String,
-                        nMerges: Int): (Seq[DataFrame], DataFrame) = {
+                        nMerges: Int, reliable: Boolean)
+      : (Seq[DataFrame], DataFrame) = {
     require(nMerges >= 1, "need at least one merge round")
+    def pin2(df: DataFrame): DataFrame = pin(df, reliable)
+    def release2(df: DataFrame): Unit = release(df, reliable)
     // initial state: one row per (word, char position). The
     // length > 0 guard matters: Spark's sequence(start, stop) COUNTS
     // DOWN when start > stop, so an empty word would yield positions
     // [1, 0] — two phantom empty-string symbols whose ("","") pair
     // could win a merge round. The reference algorithm sees no pair
     // at all for an empty word.
-    var state = pin(words
+    var state = pin2(words
       .select(col(wordCol).as("word"), col(freqCol).as("freq"))
       .where(length(col("word")) > 0)
       .select(col("word"), col("freq"),
@@ -87,12 +98,12 @@ object Bpe {
     var exhausted = false
     while (round < nMerges && !exhausted) {
       val withNext = state.withColumn("nxt", lead(col("sym"), 1).over(wWin))
-      val best = pin(withNext.where(col("nxt").isNotNull)
+      val best = pin2(withNext.where(col("nxt").isNotNull)
         .groupBy(col("sym").as("a"), col("nxt").as("b"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(desc("cnt"), asc("a"), asc("b"))
         .limit(1))
-      if (best.isEmpty) { exhausted = true; release(best) }
+      if (best.isEmpty) { exhausted = true; release2(best) }
       else {
         bests += best.select(lit(round + 1).as("merge_rank"),
           col("a").as("left_sym"), col("b").as("right_sym"),
@@ -114,7 +125,7 @@ object Bpe {
           (col("pos") + 1).as("pos"), lit(1).as("_drop"))
         val mergedSym = best.select(concat(col("a"), col("b")).as("_msym"))
         val prev = state
-        state = pin(state
+        state = pin2(state
           .join(hit, Seq("word", "pos"), "left")
           .join(absorbed, Seq("word", "pos"), "left")
           .where(col("_drop").isNull)
@@ -124,7 +135,7 @@ object Bpe {
           .withColumn("_npos", row_number().over(wWin).cast("int"))
           .select(col("word"), col("freq"), col("_npos").as("pos"),
             col("_sym2").as("sym")))
-        release(prev) // next round's pin materialized; prev is dead
+        release2(prev) // next round's pin materialized; prev is dead
       }
       round += 1
     }
@@ -137,10 +148,11 @@ object Bpe {
     * adjacent pairs (every word fully merged).
     */
   def bpeMerges(words: DataFrame, wordCol: String, freqCol: String,
-                nMerges: Int): DataFrame = {
+                nMerges: Int, reliable: Boolean = false): DataFrame = {
     val spark = words.sparkSession
-    val (bests, state) = trainLoop(words, wordCol, freqCol, nMerges)
-    release(state) // the merge table unions `bests` only
+    val (bests, state) = trainLoop(words, wordCol, freqCol, nMerges,
+      reliable)
+    release(state, reliable) // the merge table unions `bests` only
     if (bests.isEmpty) {
       import org.apache.spark.sql.types._
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -167,9 +179,10 @@ object Bpe {
     * (pos, sym) struct list per word, bounded by max word length.
     */
   def encodedVocab(words: DataFrame, wordCol: String, freqCol: String,
-                   nMerges: Int): DataFrame = {
-    val (bests, state) = trainLoop(words, wordCol, freqCol, nMerges)
-    bests.foreach(release) // the encoding references the state only
+                   nMerges: Int, reliable: Boolean = false): DataFrame = {
+    val (bests, state) = trainLoop(words, wordCol, freqCol, nMerges,
+      reliable)
+    bests.foreach(release(_, reliable)) // encoding references state only
     state.groupBy(col("word"))
       .agg(count(lit(1)).cast("long").as("n_syms"),
         array_join(

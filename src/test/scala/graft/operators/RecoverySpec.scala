@@ -85,6 +85,30 @@ class RecoverySpec extends SparkTestBase {
     }
   }
 
+  test("BPE training reliable=true survives losing every pinned block") {
+    withTempDir("graft_recovery_bpe") { dir =>
+      spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
+      // a thousands-of-rounds training job on a real cluster must not
+      // restart from zero on one executor loss — same contract as the
+      // closure/pagerank loops
+      val words = Seq(("lower", 5L), ("lowest", 3L), ("newer", 6L),
+        ("wider", 2L), ("low", 7L)).toDF("word", "freq")
+      val merges = Bpe.bpeMerges(words, "word", "freq", nMerges = 6,
+        reliable = true)
+      val before = merges.as[(Int, String, String, Long)].collect().toSet
+      assert(before.nonEmpty)
+      killPinnedBlocks(merges)
+      val after = merges.as[(Int, String, String, Long)].collect().toSet
+      assert(after == before,
+        "reliable BPE must re-read its merge rounds from the " +
+          "checkpoint directory after block loss")
+      // and the reliable run trains the identical table as the default
+      val local = Bpe.bpeMerges(words, "word", "freq", nMerges = 6)
+        .as[(Int, String, String, Long)].collect().toSet
+      assert(local == before)
+    }
+  }
+
   test("localCheckpoint default is irrecoverable after block loss (the documented trade)") {
     forceDistributed {
       // contrast direction: the local path's pinned rounds live ONLY in
