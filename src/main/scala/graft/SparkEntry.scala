@@ -664,6 +664,17 @@ object SparkEntry {
         .orderBy(col("centroid_id"), col("pos"))
     }),
 
+    // Multi-round Lloyd trainer (q36 is one step): 2 rounds, same
+    // init; the oracle replays BOTH rounds — the quantized
+    // (6 dp + float-truncated) mean recurrence exists precisely so an
+    // independent engine can replay it bit-identically.
+    "q289_kmeans_train" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.kmeansTrain(emb, emb.where(col("vec_id") < 8),
+          "vec_id", "embedding", iterations = 2)
+        .orderBy(col("centroid_id"), col("pos"))
+    }),
+
     // Deterministic hash sampling (reproducible dataset curation):
     // ~20% of documents by md5(doc_id), counted per source.
     "q37_det_sample" -> ((s, dir) => {
@@ -6511,6 +6522,53 @@ object SparkEntry {
          FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '33'
          GROUP BY source ORDER BY source""",
+
+    "q289_kmeans_train" ->
+      """WITH v AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+           FROM embeddings),
+         c1 AS (
+           SELECT vec_id AS centroid_id, ev AS centv FROM v
+           WHERE vec_id < 8),
+         asg1 AS (
+           SELECT vec_id, ev, centroid_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY
+               list_dot_product(ev, centv)
+                 / (sqrt(list_dot_product(ev, ev))
+                    * sqrt(list_dot_product(centv, centv))) DESC,
+               centroid_id) AS crnk
+           FROM v CROSS JOIN c1),
+         m1 AS (SELECT vec_id, ev, centroid_id FROM asg1 WHERE crnk = 1),
+         mean1 AS (
+           SELECT centroid_id, CAST(i AS INTEGER) AS pos,
+                  round(avg(ev[i]), 6) AS mean
+           FROM m1 CROSS JOIN generate_series(1, 64) s(i)
+           GROUP BY centroid_id, i),
+         grid AS (
+           SELECT c.centroid_id, CAST(i AS INTEGER) AS pos,
+                  c.centv[CAST(i AS INTEGER)] AS prev
+           FROM c1 c CROSS JOIN generate_series(1, 64) s(i)),
+         comp2 AS (
+           SELECT g.centroid_id, g.pos,
+                  CAST(CAST(coalesce(m.mean, g.prev) AS REAL) AS DOUBLE)
+                    AS x
+           FROM grid g LEFT JOIN mean1 m USING (centroid_id, pos)),
+         c2 AS (
+           SELECT centroid_id, list(x ORDER BY pos) AS centv
+           FROM comp2 GROUP BY centroid_id),
+         asg2 AS (
+           SELECT vec_id, ev, centroid_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY
+               list_dot_product(ev, centv)
+                 / (sqrt(list_dot_product(ev, ev))
+                    * sqrt(list_dot_product(centv, centv))) DESC,
+               centroid_id) AS crnk
+           FROM v CROSS JOIN c2),
+         m2 AS (SELECT vec_id, ev, centroid_id FROM asg2 WHERE crnk = 1)
+         SELECT centroid_id, CAST(i AS INTEGER) AS pos,
+                round(avg(ev[i]), 6) AS mean, count(*) AS n_members
+         FROM m2 CROSS JOIN generate_series(1, 64) s(i)
+         GROUP BY centroid_id, i ORDER BY centroid_id, i""",
 
     "q35_salted_join" ->
       """SELECT s_nationkey, count(*) AS n_rows,

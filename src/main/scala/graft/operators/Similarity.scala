@@ -301,6 +301,62 @@ object Similarity {
            count(lit(1)).as("n_members"))
   }
 
+  /** Multi-round Lloyd k-means — the IVF centroid TRAINER
+    * ([[kmeansIter]] is one step; this converges the codebook the
+    * `ivfTopK`/`cosineNearDupPairs` contract takes as given). Per
+    * round: one scan-stage cosine argmax over the corpus
+    * ([[ivfAssign]]'s fold — no |V|×k row blow-up), one map-side-
+    * combined per-(cell, dimension) mean, then a k×d collect — the
+    * iterated state is k·d doubles on the driver, bounded by the same
+    * contract that bounds the IVF centroid table itself, so rounds
+    * never grow a distributed plan (nothing to pin).
+    *
+    * DETERMINISTIC QUANTIZED STEP: each round's means are rounded to
+    * 6 dp and float-truncated (the same float round-trip the centroid
+    * broadcast applies anyway), so any engine replaying the recurrence
+    * — including the DuckDB oracle, which mirrors the cast chain —
+    * computes bit-identical assignments every round. Empty cells keep
+    * their previous centroid (classic Lloyd carryover). Returns the
+    * FINAL round's (centroid_id, pos, mean, n_members), kmeansIter's
+    * shape; empty cells are absent from it, exactly as in one step.
+    */
+  def kmeansTrain(vectors: DataFrame, initCentroids: DataFrame,
+                  idCol: String, vecCol: String, iterations: Int)
+      : DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    var cents: Seq[(Long, Seq[Float])] = initCentroids
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "k-means needs at least one centroid")
+    def step(): DataFrame = {
+      val centDf = cents.toDF(idCol, vecCol)
+      ivfAssign(vectors, centDf, idCol, vecCol)
+        .select(col("centroid_id"),
+          posexplode(col(vecCol)).as(Seq("p", "x")))
+        .groupBy(col("centroid_id"), (col("p") + 1).cast("int").as("pos"))
+        .agg(round(avg(col("x").cast("double")), 6).as("mean"),
+             count(lit(1)).as("n_members"))
+    }
+    for (_ <- 1 until iterations) {
+      val means = step().collect() // k×d rows — bounded by contract
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1)
+      cents = cents.map { case (cid, prev) =>
+        means.get(cid) match {
+          case Some(rows) =>
+            val byPos = rows.map(t => t._2 -> t._3.toFloat).toMap
+            (cid, prev.indices.map(i => byPos(i + 1)))
+          case None => (cid, prev) // empty cell: carry the centroid
+        }
+      }
+    }
+    step()
+  }
+
   /** Embedding-cosine near-duplicate pairs — the fifth dedup modality
     * (exact / Jaccard / MinHash / SimHash live in NearDup). Candidate
     * pairs are generated WITHIN an IVF cell only: near-identical vectors

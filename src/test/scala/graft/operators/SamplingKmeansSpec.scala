@@ -469,4 +469,41 @@ class RegexTokensSpec extends SparkTestBase {
     assert(got(1)._2 == 0 && got(2)._2 == 0) // '' and NULL both count 0
   }
 
+  private def vecs(rows: (Long, Seq[Float])*) = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, v) =>
+        Row(id, v) }),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+  }
+
+  test("kmeansTrain(1) equals kmeansIter exactly") {
+    val data = vecs(1L -> Seq(1f, 0f), 2L -> Seq(0.9f, 0.1f),
+      3L -> Seq(0f, 1f), 4L -> Seq(0.1f, 0.9f))
+    val init = vecs(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("centroid_id"), col("pos"))
+        .as[(Long, Int, Double, Long)].collect().toSeq
+    assert(rows(Similarity.kmeansTrain(data, init, "vec_id",
+        "embedding", 1)) ==
+      rows(Similarity.kmeansIter(data, init, "vec_id", "embedding")))
+  }
+
+  test("kmeansTrain carries an empty cell's centroid across rounds") {
+    // two IDENTICAL centroids: cosine ties always resolve to the
+    // lowest id, so cell 1 never wins a vector — Lloyd must keep its
+    // centroid (not drop the cell), and the final output legitimately
+    // omits the still-empty cell, exactly like a single step
+    val data = vecs(1L -> Seq(1f, 0f), 2L -> Seq(0.8f, 0.2f))
+    val init = vecs(0L -> Seq(1f, 0f), 1L -> Seq(1f, 0f))
+    val out = Similarity.kmeansTrain(data, init, "vec_id",
+        "embedding", 3)
+      .orderBy(col("centroid_id"), col("pos"))
+      .as[(Long, Int, Double, Long)].collect().toSeq
+    assert(out.map(_._1).distinct == Seq(0L), s"got $out")
+    assert(out.forall(_._4 == 2L)) // both vectors in cell 0 every round
+  }
+
 }
