@@ -618,6 +618,22 @@ object Probe {
         }
       }
     }
+    if (probes("kmeans")) {
+      // the IVF codebook trainer at 20×: per round the corpus pays one
+      // scan-stage argmax + one map-side mean agg; state is k×d driver
+      // doubles, so rounds must cost O(corpus scan), flat in round
+      // count beyond that.
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val cents = emb.where(col("vec_id") < 16)
+      val big = timesWide(emb, 20, Seq("vec_id"), 1000000L)
+      big.persist(); val nv = big.count()
+      timed(s"kmeans20x(v=$nv,3 rounds)") {
+        operators.Similarity.kmeansTrain(big, cents, "vec_id",
+          "embedding", iterations = 3).count()
+      }
+      big.unpersist()
+    }
     if (probes("closure_boundary")) {
       // The local-vs-distributed cliff AT the localMaxEdges threshold:
       // the same dedup-shaped graph (1M stars of 4) through both routes

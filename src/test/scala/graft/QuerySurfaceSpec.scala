@@ -24,7 +24,8 @@ class QuerySurfaceSpec extends SparkTestBase {
   // drains, eager closure/centroid computation) — each carries its own
   // dedicated spec; building them here would re-run Verify in miniature
   private val eager = Set(
-    "q31_pipe", "q36_kmeans_iter", "q43_stream_sessions",
+    "q31_pipe", "q36_kmeans_iter", "q289_kmeans_train",
+    "q43_stream_sessions",
     "q44_partitioned_sink", "q45_bucketed_join", "q46_lenient_text",
     "q47_single_sink", "q49_stateful_stream_sessions",
     "q54_stream_tumbling", "q55_stream_sliding", "q56_stream_dedup",
