@@ -158,23 +158,21 @@ object Similarity {
                 vecCol: String): DataFrame = {
     ensureFns(vectors)
     val cents = collectCentroids(centroids, idCol, vecCol)
-    val zero = struct(lit(Double.NegativeInfinity).as("s"),
-                      lit(-1L).as("c"))
-    // Double.MinValue (not NULL, not -Inf) as the no-signal score keeps
-    // the argmax total and deterministic: it beats the -Inf seed (so a
-    // zero-norm VECTOR still assigns — to the lowest-id centroid, the
-    // same cell ivfAssignProbes ranks first) and loses to every real
-    // cosine (∈ [-1, 1]), so a zero-norm CENTROID never wins a vector
-    // that has any signal.
-    val best = aggregate(typedlit(cents), zero, (acc, ct) => {
-      val s = coalesce(
-        safeDiv(ndot(col(vecCol), ct.getField("_2")),
-                nnorm(col(vecCol)) * ct.getField("_3")),
-        lit(Double.MinValue))
-      when(s > acc.getField("s"),
-        struct(s.as("s"), ct.getField("_1").as("c"))).otherwise(acc)
-    })
-    vectors.withColumn("centroid_id", best.getField("c"))
+    // Fused native kernel (functions/ArgmaxCentroidExpression): the
+    // composable form — a Column aggregate() fold over typedlit(cents)
+    // scoring each centroid coalesce(when(normProd > 0, dot/normProd),
+    // Double.MinValue) — evaluates its lambda INTERPRETED per centroid
+    // per row and recomputes the row norm k times; at corpus scale the
+    // assignment IS the IVF hot path. The kernel reproduces the fold's
+    // exact semantics (Double.MinValue no-signal score beats the -Inf
+    // seed, so zero-norm/degenerate vectors still assign to the
+    // lowest-id cell — the one ivfAssignProbes ranks first; strict >
+    // keeps the lowest id on ties; left-to-right double sums), pinned
+    // by ArgmaxParitySpec against the fold formulation.
+    val bridge = org.apache.spark.sql.GraftSqlBridge
+    vectors.withColumn("centroid_id",
+      bridge.columnOf(graft.functions.ArgmaxCentroidExpr(
+        bridge.expressionOf(col(vecCol)), cents)))
   }
 
   /** Top-`nprobe` centroid assignments per vector (IVF multi-probe):

@@ -302,6 +302,48 @@ class KmeansIterSpec extends SparkTestBase {
     assert(got((2L, 1)) == (0.1, 2L))
     assert(got((2L, 2)) == (0.9, 2L))
   }
+
+  private def vecs(rows: (Long, Seq[Float])*) = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, v) =>
+        Row(id, v) }),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+  }
+
+  test("kmeansTrain(1) equals kmeansIter exactly") {
+    val data = vecs(1L -> Seq(1f, 0f), 2L -> Seq(0.9f, 0.1f),
+      3L -> Seq(0f, 1f), 4L -> Seq(0.1f, 0.9f))
+    val init = vecs(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("centroid_id"), col("pos"))
+        .as[(Long, Int, Double, Long)].collect().toSeq
+    assert(rows(Similarity.kmeansTrain(data, init, "vec_id",
+        "embedding", 1)) ==
+      rows(Similarity.kmeansIter(data, init, "vec_id", "embedding")))
+  }
+
+  test("kmeansTrain keeps an empty cell's centroid alive across rounds") {
+    // two IDENTICAL init centroids: round 1 ties both vectors into
+    // cell 0 (strict > keeps the lowest id), leaving cell 1 EMPTY —
+    // carryover must keep c1 = (1,0) alive. The proof it did: in round
+    // 2 the moved c0 = (0.9, 0.1) no longer matches v1 = (1,0) exactly,
+    // so v1 RE-JOINS cell 1 (cosine 1.0 beats ~0.9939) — impossible if
+    // the empty cell had been dropped. Final split: one vector per
+    // cell, cell 1's mean exactly its carried direction.
+    val data = vecs(1L -> Seq(1f, 0f), 2L -> Seq(0.8f, 0.2f))
+    val init = vecs(0L -> Seq(1f, 0f), 1L -> Seq(1f, 0f))
+    val out = Similarity.kmeansTrain(data, init, "vec_id",
+        "embedding", 3)
+      .orderBy(col("centroid_id"), col("pos"))
+      .as[(Long, Int, Double, Long)].collect().toSeq
+    assert(out.map(_._1).distinct == Seq(0L, 1L), s"got $out")
+    assert(out.forall(_._4 == 1L), s"got $out") // one vector per cell
+    assert(out.filter(_._1 == 1L).map(r => (r._2, r._3)) ==
+      Seq((1, 1.0), (2, 0.0)), s"got $out")
+  }
 }
 
 class CosineNearDupSpec extends SparkTestBase {
@@ -467,43 +509,6 @@ class RegexTokensSpec extends SparkTestBase {
     assert(got(0)._1 == Seq("hello", ",", "world", "!", "x2", "a", "-", "b"))
     assert(got(0)._2 == 8)
     assert(got(1)._2 == 0 && got(2)._2 == 0) // '' and NULL both count 0
-  }
-
-  private def vecs(rows: (Long, Seq[Float])*) = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.map { case (id, v) =>
-        Row(id, v) }),
-      StructType(Seq(StructField("vec_id", LongType),
-        StructField("embedding", ArrayType(FloatType)))))
-  }
-
-  test("kmeansTrain(1) equals kmeansIter exactly") {
-    val data = vecs(1L -> Seq(1f, 0f), 2L -> Seq(0.9f, 0.1f),
-      3L -> Seq(0f, 1f), 4L -> Seq(0.1f, 0.9f))
-    val init = vecs(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f))
-    def rows(df: org.apache.spark.sql.DataFrame) =
-      df.orderBy(col("centroid_id"), col("pos"))
-        .as[(Long, Int, Double, Long)].collect().toSeq
-    assert(rows(Similarity.kmeansTrain(data, init, "vec_id",
-        "embedding", 1)) ==
-      rows(Similarity.kmeansIter(data, init, "vec_id", "embedding")))
-  }
-
-  test("kmeansTrain carries an empty cell's centroid across rounds") {
-    // two IDENTICAL centroids: cosine ties always resolve to the
-    // lowest id, so cell 1 never wins a vector — Lloyd must keep its
-    // centroid (not drop the cell), and the final output legitimately
-    // omits the still-empty cell, exactly like a single step
-    val data = vecs(1L -> Seq(1f, 0f), 2L -> Seq(0.8f, 0.2f))
-    val init = vecs(0L -> Seq(1f, 0f), 1L -> Seq(1f, 0f))
-    val out = Similarity.kmeansTrain(data, init, "vec_id",
-        "embedding", 3)
-      .orderBy(col("centroid_id"), col("pos"))
-      .as[(Long, Int, Double, Long)].collect().toSeq
-    assert(out.map(_._1).distinct == Seq(0L), s"got $out")
-    assert(out.forall(_._4 == 2L)) // both vectors in cell 0 every round
   }
 
 }
