@@ -618,6 +618,22 @@ object Probe {
         }
       }
     }
+    if (probes("minhash100x")) {
+      // MinHash+LSH under the WORST-CASE DUPLICATION regime: 100
+      // id-shifted copies make every document a 100-way exact-duplicate
+      // cluster (identical shingles → identical bands → co-bucketed),
+      // so the banded join must emit ~C(100,2) pairs per original doc —
+      // the pair-emission blow-up a crawl corpus full of mirrored pages
+      // produces. The claim under test is that the banded path SURVIVES
+      // it (sort-merge spills, no broadcast OOM) and the cost is the
+      // emitted-pair volume, never |corpus|² candidate generation.
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val big = timesWide(docs, 100, Seq("doc_id"), 1000000L)
+      timed("minhash100x") {
+        NearDup.minhashCandidatePairs(big, "doc_id", "text", 3, 16, 8)
+          .count()
+      }
+    }
     if (probes("kmeans")) {
       // the IVF codebook trainer at 20×: per round the corpus pays one
       // scan-stage argmax + one map-side mean agg; state is k×d driver
