@@ -482,7 +482,7 @@ object Probe {
       }
     }
     if (probes("dispersion")) {
-      // 20× embeddings (800k vectors × 64 dims) through the Long-grain
+      // 20× embeddings (40k vectors × 64 dims) through the Long-grain
       // buffer aggregate — map-side bound, one d-long buffer per task
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val big = times(emb, 20, Seq("vec_id"), 1000000L)
@@ -492,7 +492,7 @@ object Probe {
       }
       // banded LSH self-join at 20× — the site the merge hint guards
       // (misjudged broadcast of the exploded band table); proves the
-      // sort-merge path at 800k vectors
+      // sort-merge path at 40k vectors
       timed("lsh20x") {
         operators.Similarity.hyperplaneLshPairs(big, "vec_id",
           "embedding", 64, 32, 8, 0.90).count()
