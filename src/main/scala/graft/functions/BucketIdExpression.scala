@@ -225,6 +225,11 @@ object GraftExtensions {
       (FunctionIdentifier("graft_count_in"),
        new ExpressionInfo(classOf[CountInExpr].getName, "graft_count_in"),
        arity("graft_count_in", 2)(c => CountInExpr(c(0), c(1)))),
+      // graft_eq_count(a, b): positions where two long arrays agree
+      // (the MinHash signature match-counter)
+      (FunctionIdentifier("graft_eq_count"),
+       new ExpressionInfo(classOf[EqCountExpr].getName, "graft_eq_count"),
+       arity("graft_eq_count", 2)(c => EqCountExpr(c(0), c(1)))),
       // graft_bloom_agg(xxh64, items, bits): Bloom filter aggregate over
       // pre-hashed LONG values — Spark's own runtime-filter aggregate
       // (internal, not SQL-registered upstream), exposed for explicit

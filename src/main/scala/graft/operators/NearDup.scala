@@ -626,6 +626,7 @@ object NearDup {
     */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
                             shingleN: Int, k: Int, bands: Int): DataFrame = {
+    graft.functions.GraftExtensions.installInto(docs.sparkSession)
     val sigs = minhashSignatures(docs, idCol, textCol, shingleN, k)
       .withColumn("sig", array((0 until k).map(i => col(s"mh$i")): _*))
     val exploded = lshBands(sigs, idCol, k, bands, passthrough = Seq("sig"))
@@ -637,15 +638,18 @@ object NearDup {
     // match count computed from the co-located signatures
     val d = col("ds")
     def docAt(i: Column): Column = element_at(d, i + 1)
+    // match count via the fused graft_eq_count kernel: the HOF form
+    // (aggregate over zip_with) pays k interpreted lambda dispatches +
+    // an intermediate array PER PAIR, and the heavy-duplication regime
+    // emits tens of millions of pairs (minhash100x probe); semantics
+    // pinned equal in EqCountExpr's scaladoc + KernelPropertySpec
     val pairsExpr = flatten(transform(sequence(lit(0), size(d) - 2), i =>
       transform(sequence(i + 1, size(d) - 1), j =>
         struct(
           docAt(i).getField("id").as("a"),
           docAt(j).getField("id").as("b"),
-          aggregate(
-            zip_with(docAt(i).getField("sig"), docAt(j).getField("sig"),
-              (x, y) => when(x === y, 1).otherwise(0)),
-            lit(0), (acc, e) => acc + e).as("m")))))
+          call_function("graft_eq_count", docAt(i).getField("sig"),
+            docAt(j).getField("sig")).as("m")))))
     // explode_outer for the same inferred-filter reason as above (every
     // bucket here has ≥ 2 docs ⇒ ≥ 1 pair, so outer adds no NULL rows)
     buckets.select(explode_outer(pairsExpr).as("p"))

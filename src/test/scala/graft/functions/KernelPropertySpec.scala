@@ -155,6 +155,23 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("eq_count equals the zip_with/aggregate padding algebra") {
+    // the HOF reference: zip_with pads to the LONGER array with NULLs,
+    // when(x === y) on a NULL is NULL, otherwise(0) absorbs it — so
+    // eq_count must count only positions both present and equal
+    val arrGen = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 4L)))
+    def longArr(xs: Seq[Long]): GenericArrayData =
+      new GenericArrayData(xs.map(x => x: Any).toArray)
+    check("eq-count", Prop.forAll(arrGen, arrGen) { (a, b) =>
+      val want = a.zip(b).count { case (x, y) => x == y }
+      EqCountKernel.count(longArr(a), longArr(b)) == want
+    })
+    // null elements contribute 0, exactly like the padded NULLs
+    val withNull = new GenericArrayData(Array[Any](1L, null, 3L))
+    assert(EqCountKernel.count(withNull, longArr(Seq(1L, 2L, 3L))) == 2)
+  }
+
   test("char entropy is bounded by log2 of the distinct-codepoint count") {
     val strs = Gen.listOf(Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString)
     check("entropy-bounds", Prop.forAll(strs) { s =>
