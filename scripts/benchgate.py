@@ -5,17 +5,44 @@ the net that would have caught q209 shipping at 69 s (nothing compared
 it to anything).
 
 Usage: python3 scripts/benchgate.py NEW.json BASE.json [factor]
-         [--accept=name,name,...]
+         [--accept=name,name,...] [--prev2=OLDER.json]
+
+HOSTCAL NORMALIZATION: when BOTH payloads carry "hostcal_ms" (a fixed
+single-thread CPU workload timed next to the bench — Bench.scala emits
+it; scripts/hostcal.py is the out-of-band twin), the growth threshold is
+scaled by new_hostcal/base_hostcal (clamped to [0.5, 2.0] so a corrupt
+calibration can never neuter the gate): a host that measures 15% slower
+on a fixed workload is allowed 15% more on every query before the 3x
+trips. Both the raw and normalized ratios are printed for every flagged
+query. Rounds 9/10/11 each burned manual adjudication effort on exactly
+this host-noise pattern; the calibration was recorded but unused.
 
 Accepted definition changes live IN-REPO at scripts/benchgate_accept.json
-({"query_name": "one-line reason", ...}), loaded automatically on every
-invocation, so the bare flagless run is the authoritative one: a query
-whose DEFINITION deliberately changed this round (e.g. it gained an
-exact-twin validation stage) has no valid prior-median baseline, and is
-reported loudly as CHANGED instead of failing the gate. The next round's
-baseline absorbs the new cost, at which point the entry must be PRUNED
-(a stale entry is reported so it can't silently pre-approve a future
-regression). --accept=name,... still works for ad-hoc additions.
+— each entry MUST be {"query_name": {"reason": "...", "baseline_median":
+<the BASE file's median for that query>}}. A bare-string entry is a
+usage error. The recorded median pins the entry to the one baseline it
+was written against: if the BASE file's median no longer matches
+(baseline moved on), or the entry no longer triggers the growth check
+(absorbed), the entry is STALE and the gate FAILS (exit 1) until it is
+pruned — a stale acceptance must never silently pre-approve a future
+genuine regression on the same query. --accept=name,... still works for
+ad-hoc additions (unpinned, current run only).
+
+REMEASURED PROTOCOL (machine-checked): a committed bench may substitute
+a focused idle-host median for a known-contended full-run sample, with
+the substitution recorded under "remeasured": {"query": {"median": X,
+"full_run_median": Y, "reps": N}}. The gate prints every entry and
+REFUSES (exit 2) a NEW payload whose remeasured entries are malformed:
+missing full_run_median (nothing to audit the substitution against),
+reps < 3 (not a median), or a substituted median that does not match
+the published number — so an optimistic substitution can't hide.
+
+CUMULATIVE DRIFT (warn-only): --prev2=OLDER.json also compares NEW
+against the round-before-last: a query that grew under the per-round
+gate twice in a row (q142: 2.48 -> 3.75 -> 5.10, each step < 3x, total
+2.06x) prints a CUMULATIVE warning at >2x vs the N-2 baseline. Never
+changes the exit code — it exists to surface compounding sub-gate drift
+for adjudication, not to gate on two-round-old numbers.
 
 A >factor growth whose NEW spread exceeds its NEW median is reported as
 NOISY and is a MANDATORY-RERUN failure (exit 3, distinct from the
@@ -26,7 +53,8 @@ queries on an idle host and gate on that. The comparison prefers the
 numbers are not comparable to plain-median baselines). Queries present
 on only one side are listed informationally.
 
-Exit codes: 0 pass, 1 regression(s), 2 usage, 3 noisy-rerun-required.
+Exit codes: 0 pass, 1 regression(s)/stale-accept, 2 usage/malformed,
+3 noisy-rerun-required.
 """
 import json
 import os
@@ -35,13 +63,100 @@ import sys
 ACCEPT_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "benchgate_accept.json")
 
+CUMULATIVE_FACTOR = 2.0
+HOSTCAL_CLAMP = (0.5, 2.0)
+
+
+def load_bench(path):
+    d = json.load(open(path))
+    # BENCH_r{N}.json wraps the bench line under "parsed" (None when
+    # the driver's stdout tail truncated — use bench_out.json then)
+    if "queries" not in d:
+        d = d.get("parsed") or {}
+    if "queries" not in d:
+        sys.exit(f"{path}: no 'queries' payload (truncated capture? "
+                 f"use bench_out.json)")
+    # Bench's COMPACT stdout line carries only the slowest-25 queries
+    # and no 'plain'/'spread' — gating on it would silently compare
+    # 25/275 queries and disable noisy detection. Refuse it.
+    if "queries_truncated_to_slowest" in d or "plain" not in d:
+        sys.exit(f"{path}: truncated/compact bench payload "
+                 f"(slowest-{d.get('queries_truncated_to_slowest')} "
+                 f"only) — gate on the full bench_out.json instead")
+    return d
+
+
+def medians(d):
+    """plain medians compare like-for-like; 'queries' may hold best-3
+    values for noisy entries (only overlay plain when present)."""
+    return {**d["queries"], **d.get("plain", {})}
+
+
+def check_remeasured(new, nq):
+    """Validate the NEW payload's remeasured substitutions; returns a
+    list of violation strings (empty = OK). Every entry is printed so
+    a reader of the gate log sees exactly what was substituted."""
+    bad = []
+    rem = new.get("remeasured", {})
+    if not isinstance(rem, dict):
+        return [f"remeasured must be an object, got {type(rem).__name__}"]
+    for name in sorted(rem):
+        e = rem[name]
+        if not isinstance(e, dict):
+            bad.append(f"remeasured[{name}]: must be an object")
+            continue
+        med = e.get("median")
+        full = e.get("full_run_median")
+        reps = e.get("reps")
+        print(f"REMEASURED  {name}: full-run {full}s substituted with "
+              f"focused median {med}s (reps={reps})")
+        if full is None:
+            bad.append(f"remeasured[{name}]: missing full_run_median — "
+                       f"nothing to audit the substitution against")
+        if not isinstance(reps, int) or reps < 3:
+            bad.append(f"remeasured[{name}]: reps={reps!r} < 3 — a "
+                       f"substitution must itself be a >=3-rep median")
+        pub = nq.get(name)
+        if med is None or pub is None or abs(pub - med) > 1e-9:
+            bad.append(f"remeasured[{name}]: substituted median {med} "
+                       f"does not match published number {pub}")
+    return bad
+
+
+def hostcal_ratio(new, base):
+    """(ratio, description). ratio=1.0 with an explanatory note when
+    either side lacks hostcal_ms."""
+    hn, hb = new.get("hostcal_ms"), base.get("hostcal_ms")
+    if not hn or not hb:
+        missing = [s for s, h in (("NEW", hn), ("BASE", hb)) if not h]
+        return 1.0, (f"hostcal unavailable on {'/'.join(missing)} — "
+                     f"raw thresholds")
+    raw = hn / hb
+    lo, hi = HOSTCAL_CLAMP
+    ratio = min(max(raw, lo), hi)
+    note = (f"hostcal: new {hn:.0f} ms / base {hb:.0f} ms = {raw:.3f}"
+            + (f" (clamped to {ratio:.3f})" if ratio != raw else "")
+            + " — thresholds normalized")
+    return ratio, note
+
 
 def main() -> int:
     accepted = set()
-    reasons = {}
+    reasons = {}      # name -> reason string (for printing)
+    pins = {}         # name -> recorded baseline_median (None = unpinned)
     try:
         with open(ACCEPT_FILE) as f:
-            reasons = json.load(f)
+            raw_accept = json.load(f)
+        for name, entry in raw_accept.items():
+            if not (isinstance(entry, dict) and "reason" in entry
+                    and "baseline_median" in entry):
+                print(f"accept-file entry {name!r} must be "
+                      f'{{"reason": ..., "baseline_median": <BASE '
+                      f"median>}} — a bare string can't be checked for "
+                      f"staleness")
+                return 2
+            reasons[name] = entry["reason"]
+            pins[name] = entry["baseline_median"]
         accepted |= set(reasons)
         if reasons:
             print(f"accept-file {ACCEPT_FILE}: "
@@ -49,47 +164,42 @@ def main() -> int:
     except FileNotFoundError:
         pass
     argv = []
+    prev2_path = None
     for a in sys.argv[1:]:
         if a.startswith("--accept="):
-            accepted |= {q for q in a[len("--accept="):].split(",") if q}
+            for q in a[len("--accept="):].split(","):
+                if q:
+                    accepted.add(q)
+                    reasons.setdefault(q, "accepted via --accept flag")
+                    pins.setdefault(q, None)
+        elif a.startswith("--prev2="):
+            prev2_path = a[len("--prev2="):]
         else:
             argv.append(a)
     sys.argv = [sys.argv[0]] + argv
     if len(sys.argv) < 3:
         print(__doc__)
         return 2
-    def load(path):
-        d = json.load(open(path))
-        # BENCH_r{N}.json wraps the bench line under "parsed" (None when
-        # the driver's stdout tail truncated — use bench_out.json then)
-        if "queries" not in d:
-            d = d.get("parsed") or {}
-        if "queries" not in d:
-            sys.exit(f"{path}: no 'queries' payload (truncated capture? "
-                     f"use bench_out.json)")
-        # Bench's COMPACT stdout line carries only the slowest-25 queries
-        # and no 'plain'/'spread' — gating on it would silently compare
-        # 25/275 queries and disable noisy detection. Refuse it.
-        if "queries_truncated_to_slowest" in d or "plain" not in d:
-            sys.exit(f"{path}: truncated/compact bench payload "
-                     f"(slowest-{d.get('queries_truncated_to_slowest')} "
-                     f"only) — gate on the full bench_out.json instead")
-        return d
 
-    new = load(sys.argv[1])
-    base = load(sys.argv[2])
+    new = load_bench(sys.argv[1])
+    base = load_bench(sys.argv[2])
     factor = float(sys.argv[3]) if len(sys.argv) > 3 else 3.0
-    # plain medians compare like-for-like; "queries" may hold best-3
-    # values for noisy entries (only use plain when BOTH sides have it)
-    if "plain" in new and "plain" in base:
-        nq = {**new["queries"], **new["plain"]}
-        bq = {**base["queries"], **base["plain"]}
-    else:
-        nq, bq = new["queries"], base["queries"]
+    nq, bq = medians(new), medians(base)
     nsp = new.get("spread", {})
     # sub-second queries are dominated by fixed per-query costs (session,
     # planning, JIT); a 3x there is noise, not a plan regression
     floor_sec = 1.0
+
+    rem_bad = check_remeasured(new, nq)
+    if rem_bad:
+        for b in rem_bad:
+            print(f"MALFORMED  {b}")
+        print(f"== GATE MALFORMED: {len(rem_bad)} remeasured "
+              f"violation(s) ==")
+        return 2
+
+    ratio, note = hostcal_ratio(new, base)
+    print(note)
 
     regressions, noisy = [], []
     # a query that regressed from WORKING to FAILING is the worst
@@ -101,40 +211,83 @@ def main() -> int:
         b = bq.get(name)
         if b is not None and b > 0:
             regressions.append((name, b, -1.0, 0.0))
-    changed = []
+    changed, triggered = [], set()
     for name in sorted(set(nq) & set(bq)):
         if name in new_failed:
             continue
         n, b = nq[name], bq[name]
-        if n < max(b * factor, floor_sec):
+        raw_x = n / b if b > 0 else float("inf")
+        norm_x = raw_x / ratio
+        if n < max(b * factor * ratio, floor_sec):
             continue
+        triggered.add(name)
         if name in accepted:
             changed.append((name, b, n))
         elif nsp.get(name, 0.0) > n:
             noisy.append((name, b, n, nsp.get(name, 0.0)))
         else:
-            regressions.append((name, b, n, nsp.get(name, 0.0)))
+            regressions.append((name, b, n, raw_x, norm_x,
+                                nsp.get(name, 0.0)))
+
+    stale = []
+    for name in sorted(set(pins)):
+        pin = pins[name]
+        if pin is None:  # ad-hoc --accept: current run only, unpinned
+            continue
+        b = bq.get(name)
+        if b is None:
+            stale.append((name, f"query absent from BASE — entry "
+                          f"outlived its baseline"))
+        elif abs(b - pin) > max(1e-9, abs(pin) * 1e-6):
+            stale.append((name, f"recorded baseline_median {pin} != "
+                          f"BASE median {b} — baseline moved on"))
+        elif name not in triggered:
+            stale.append((name, "no longer triggers the growth check — "
+                          "baseline absorbed it"))
+    for name, why in stale:
+        print(f"STALE-ACCEPT  {name}: {why}; PRUNE it from "
+              f"benchgate_accept.json (a stale entry must never "
+              f"pre-approve a future regression)")
 
     for name, b, n in changed:
         why = reasons.get(name, "accepted via --accept flag")
         print(f"CHANGED  {name}: {b:.2f}s -> {n:.2f}s ({n / b:.1f}x) — "
               f"deliberate definition change ({why}); next round's "
               f"baseline absorbs it")
-    stale = sorted(set(reasons) - {c[0] for c in changed})
-    if stale:
-        print(f"accept-file entries that did NOT trigger (baseline has "
-              f"absorbed them — PRUNE from benchgate_accept.json): "
-              f"{', '.join(stale)}")
 
     for name, b, n, sp in noisy:
         print(f"NOISY  {name}: {b:.2f}s -> {n:.2f}s (spread {sp:.2f}s "
               f"> median; RE-RUN REQUIRED before this gate can pass)")
-    for name, b, n, sp in regressions:
-        if n < 0:
+    for r in regressions:
+        if len(r) == 4:  # working -> failing
+            name, b, n, _ = r
             print(f"REGRESSION  {name}: {b:.2f}s -> FAILED")
         else:
+            name, b, n, raw_x, norm_x, sp = r
             print(f"REGRESSION  {name}: {b:.2f}s -> {n:.2f}s "
-                  f"({n / b:.1f}x, spread {sp:.2f}s)")
+                  f"({raw_x:.1f}x raw, {norm_x:.1f}x host-normalized, "
+                  f"spread {sp:.2f}s)")
+
+    # warn-only cumulative drift vs the round-before-last baseline
+    if prev2_path:
+        prev2 = load_bench(prev2_path)
+        p2q = medians(prev2)
+        r2, note2 = hostcal_ratio(new, prev2)
+        print(f"cumulative check vs {prev2_path}: {note2}")
+        n_cum = 0
+        for name in sorted(set(nq) & set(p2q)):
+            if name in new_failed or name in accepted:
+                continue
+            n, p = nq[name], p2q[name]
+            if p > 0 and n >= max(p * CUMULATIVE_FACTOR * r2, floor_sec):
+                n_cum += 1
+                print(f"CUMULATIVE  {name}: {p:.2f}s (N-2) -> {n:.2f}s "
+                      f"({n / p:.1f}x over two rounds, each step under "
+                      f"the per-round gate) — adjudicate")
+        if n_cum == 0:
+            print("cumulative check: no compounding drift "
+                  f">{CUMULATIVE_FACTOR}x vs N-2")
+
     only_new = sorted(set(nq) - set(bq))
     if only_new:
         print(f"new queries (no baseline): {len(only_new)}")
@@ -142,8 +295,9 @@ def main() -> int:
     if gone:
         print(f"queries missing vs baseline: {gone}")
 
-    if regressions:
-        print(f"== GATE FAIL: {len(regressions)} regression(s) ==")
+    if regressions or stale:
+        print(f"== GATE FAIL: {len(regressions)} regression(s), "
+              f"{len(stale)} stale accept entr(ies) ==")
         return 1
     if noisy:
         print(f"== GATE RERUN-REQUIRED: {len(noisy)} noisy grower(s) — "

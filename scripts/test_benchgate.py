@@ -1,8 +1,11 @@
 #!/usr/bin/env python3
 """Self-test for the bench regression gate: the gate only protects the
-engine if its own behaviors are pinned. Covers the two incidents that
+engine if its own behaviors are pinned. Covers the incidents that
 motivated them (a red flagless run hiding behind a CLI flag; the compact
-stdout payload silently gating 25/275 queries) plus the core exits.
+stdout payload silently gating 25/275 queries; three rounds of manual
+host-noise adjudication with the calibration recorded but unused; the
+q142 two-round sub-gate drift; a hypothetical optimistic remeasured
+substitution) plus the core exits.
 
 Run: python3 scripts/test_benchgate.py   (exit 0 = all pass)
 """
@@ -16,7 +19,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 GATE = os.path.join(HERE, "benchgate.py")
 
 
-def run(tmp, new, base, *args, accept_file=None):
+def run(tmp, new, base, *args, accept_file=None, prev2=None):
     """Run benchgate in a sandbox dir so the repo accept-file doesn't
     leak into fixture behavior; returns (exit_code, stdout).
     """
@@ -38,7 +41,13 @@ def run(tmp, new, base, *args, accept_file=None):
         with open(p, "w") as f:
             json.dump(payload, f)
         paths.append(p)
-    r = subprocess.run([sys.executable, gate, *paths, *args],
+    extra = list(args)
+    if prev2 is not None:
+        p = os.path.join(tmp, "b2.json")
+        with open(p, "w") as f:
+            json.dump(prev2, f)
+        extra.append(f"--prev2={p}")
+    r = subprocess.run([sys.executable, gate, *paths, *extra],
                        capture_output=True, text=True)
     return r.returncode, r.stdout + r.stderr
 
@@ -49,6 +58,10 @@ def payload(queries, **extra):
          "spread": {k: 0.01 for k in queries}, "failed": []}
     d.update(extra)
     return d
+
+
+def accept(name, reason, baseline_median):
+    return {name: {"reason": reason, "baseline_median": baseline_median}}
 
 
 def main():
@@ -80,15 +93,26 @@ def main():
               rc == 3 and "NOISY" in out, out)
 
         rc, out = run(tmp, payload({"q1": 4.0, "q2": 2.0}), base,
-                      accept_file={"q1": "definition changed"})
-        check("accept-file turns the regression into a loud CHANGED",
+                      accept_file=accept("q1", "definition changed", 1.0))
+        check("pinned accept entry turns the regression into CHANGED",
               rc == 0 and "CHANGED" in out
               and "definition changed" in out, out)
 
         rc, out = run(tmp, payload({"q1": 1.0, "q2": 2.0}), base,
-                      accept_file={"q1": "absorbed last round"})
-        check("absorbed accept entry is reported for pruning",
-              rc == 0 and "PRUNE" in out, out)
+                      accept_file=accept("q1", "absorbed last round", 1.0))
+        check("absorbed accept entry HARD-FAILS until pruned",
+              rc == 1 and "STALE-ACCEPT" in out, out)
+
+        rc, out = run(tmp, payload({"q1": 4.0, "q2": 2.0}), base,
+                      accept_file=accept("q1", "old round", 0.5))
+        check("accept entry pinned to a moved baseline HARD-FAILS",
+              rc == 1 and "STALE-ACCEPT" in out
+              and "baseline moved on" in out, out)
+
+        rc, out = run(tmp, payload({"q1": 4.0, "q2": 2.0}), base,
+                      accept_file={"q1": "bare string"})
+        check("bare-string accept entry is a usage error (exit 2)",
+              rc == 2 and "baseline_median" in out, out)
 
         compact = {"metric": "total", "value": 3.0,
                    "queries": {"q1": 1.0},
@@ -99,13 +123,82 @@ def main():
 
         rc, out = run(tmp, payload({"q1": 4.0, "q2": 2.0}), base,
                       "--accept=q1")
-        check("--accept flag still works ad hoc",
+        check("--accept flag still works ad hoc (unpinned, no stale)",
               rc == 0 and "CHANGED" in out, out)
 
         # sub-second floor: 3x on a 0.1s query is fixed-cost noise
         rc, out = run(tmp, payload({"q1": 0.4, "q2": 2.0}),
                       payload({"q1": 0.1, "q2": 2.0}))
         check("sub-second 3x is not a regression", rc == 0, out)
+
+        # --- hostcal normalization ---
+        slow_host = payload({"q1": 4.0, "q2": 2.0}, hostcal_ms=2900.0)
+        rc, out = run(tmp, slow_host, payload({"q1": 1.0, "q2": 2.0},
+                                              hostcal_ms=2000.0))
+        check("hostcal-normalized threshold absorbs a slow-host 4x "
+              "(3x * 1.45 host ratio = 4.35x allowed)",
+              rc == 0 and "thresholds normalized" in out, out)
+
+        rc, out = run(tmp, payload({"q1": 4.0, "q2": 2.0},
+                                   hostcal_ms=2000.0),
+                      payload({"q1": 1.0, "q2": 2.0}, hostcal_ms=2000.0))
+        check("same-hostcal 4x still fails, both ratios printed",
+              rc == 1 and "4.0x raw" in out
+              and "host-normalized" in out, out)
+
+        rc, out = run(tmp, payload({"q1": 7.0, "q2": 2.0},
+                                   hostcal_ms=20000.0),
+                      payload({"q1": 1.0, "q2": 2.0}, hostcal_ms=2000.0))
+        check("hostcal ratio is clamped to 2.0 — a corrupt calibration "
+              "can't neuter the gate",
+              rc == 1 and "clamped" in out, out)
+
+        rc, out = run(tmp, payload({"q1": 4.0, "q2": 2.0}), base)
+        check("missing hostcal says so and gates raw",
+              rc == 1 and "hostcal unavailable" in out, out)
+
+        # --- remeasured protocol validation ---
+        good_rem = payload({"q1": 1.1, "q2": 2.0})
+        good_rem["remeasured"] = {"q1": {"median": 1.1,
+                                         "full_run_median": 5.9,
+                                         "reps": 5}}
+        rc, out = run(tmp, good_rem, base)
+        check("well-formed remeasured entry is printed and passes",
+              rc == 0 and "REMEASURED" in out and "5.9" in out, out)
+
+        for field, bad in (("full_run_median", None), ("reps", 2)):
+            p = payload({"q1": 1.1, "q2": 2.0})
+            e = {"median": 1.1, "full_run_median": 5.9, "reps": 5}
+            if bad is None:
+                del e[field]
+            else:
+                e[field] = bad
+            p["remeasured"] = {"q1": e}
+            rc, out = run(tmp, p, base)
+            check(f"remeasured without valid {field} is refused (exit 2)",
+                  rc == 2 and "MALFORMED" in out, out)
+
+        lying = payload({"q1": 1.1, "q2": 2.0})
+        lying["remeasured"] = {"q1": {"median": 0.4,
+                                      "full_run_median": 5.9, "reps": 5}}
+        rc, out = run(tmp, lying, base)
+        check("remeasured median that mismatches the published number "
+              "is refused",
+              rc == 2 and "does not match published" in out, out)
+
+        # --- cumulative drift (warn-only) ---
+        rc, out = run(tmp, payload({"q1": 3.2, "q2": 2.0}),
+                      payload({"q1": 1.8, "q2": 2.0}),
+                      prev2=payload({"q1": 1.0, "q2": 2.0}))
+        check("two sub-gate steps compounding past 2x vs N-2 warn "
+              "CUMULATIVE without failing",
+              rc == 0 and "CUMULATIVE" in out and "q1" in out, out)
+
+        rc, out = run(tmp, payload({"q1": 1.2, "q2": 2.0}),
+                      payload({"q1": 1.1, "q2": 2.0}),
+                      prev2=payload({"q1": 1.0, "q2": 2.0}))
+        check("no compounding drift reports clean",
+              rc == 0 and "no compounding drift" in out, out)
 
     if failures:
         print(f"== {len(failures)} self-test failure(s) ==")

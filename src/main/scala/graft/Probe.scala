@@ -661,9 +661,18 @@ object Probe {
       val stars = spark.range(nEdges).select(col("id").as("a"),
         ((col("id") / 4).cast("long") * 4).as("b"))
       stars.persist(); stars.count()
-      timed(s"closure_boundary_local(e=$nEdges)") {
-        operators.Components.connectedComponents(stars, "a", "b").count()
-      }
+      // pin the cap for the local leg: the DEFAULT is heap-derived
+      // (reaches 4M edges only with a ~5.9+ GB driver heap), so on a
+      // smaller-heap host both legs would silently take the
+      // distributed path and the "cliff" would compare dist vs dist
+      spark.conf.set("spark.graft.closure.localMaxEdges",
+        nEdges.toString)
+      try {
+        timed(s"closure_boundary_local(e=$nEdges)") {
+          operators.Components.connectedComponents(stars, "a", "b")
+            .count()
+        }
+      } finally spark.conf.unset("spark.graft.closure.localMaxEdges")
       spark.conf.set("spark.graft.closure.localMaxEdges", "0")
       try {
         timed(s"closure_boundary_dist(e=$nEdges)") {

@@ -347,7 +347,12 @@ object Similarity {
         means.get(cid) match {
           case Some(rows) =>
             val byPos = rows.map(t => t._2 -> t._3.toFloat).toMap
-            (cid, prev.indices.map(i => byPos(i + 1)))
+            // a dim-short member vector leaves positions uncovered;
+            // coalesce each missing position to the previous centroid
+            // value — the per-position carryover the q289 oracle's
+            // coalesce(mean, prev) replays (a bare byPos(i+1) threw an
+            // opaque NoSuchElementException here instead)
+            (cid, prev.indices.map(i => byPos.getOrElse(i + 1, prev(i))))
           case None => (cid, prev) // empty cell: carry the centroid
         }
       }
