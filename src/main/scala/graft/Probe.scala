@@ -682,6 +682,182 @@ object Probe {
       } finally spark.conf.unset("spark.graft.closure.localMaxEdges")
       stars.unpersist()
     }
+    if (probes("closure100x")) {
+      // The distributed closure tier at pagerank100x scale (the local
+      // union-find is boundary-probed at its 4M-edge cap; this is the
+      // tier a 100 TB dedup graph actually takes). Two topologies, both
+      // forced distributed via localMaxEdges=0: (a) the dedup-shaped
+      // 29.4M-edge lineitem graph — must converge within the 6-round
+      // hash-min budget; (b) a 29.4M-edge 8-CHAIN graph (diameter
+      // ~3.7M — hash-min's worst case) — must hand off to star
+      // contraction and close in O(log n) rounds. The per-round
+      // [graft.closure] stderr log is the round-count evidence.
+      spark.conf.set("spark.graft.closure.localMaxEdges", "0")
+      try {
+        val li = spark.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey").as("ok"),
+            col("l_linenumber").as("ln"), col("l_partkey").as("pk"))
+        val nxt = li.select(col("ok"), (col("ln") - 1).as("ln"),
+          col("pk").as("dst_pk"))
+        val edges = li.join(nxt, Seq("ok", "ln"))
+          .where(col("pk") =!= col("dst_pk"))
+          .select(col("pk").as("src"), col("dst_pk").as("dst"))
+        val big = timesWide(edges, 100, Seq("src", "dst"), 1000000L)
+        big.persist(); val ne = big.count()
+        timed(s"closure100x_dedup(e=$ne)") {
+          operators.Components.connectedComponents(big, "src", "dst")
+            .count()
+        }
+        big.unpersist()
+        val nChain = 29400000L
+        val chains = spark.range(nChain)
+          .select(col("id").as("a"), (col("id") + 1).as("b"))
+          .where((col("id") + 1) % lit(nChain / 8) =!= 0)
+        chains.persist(); val ce = chains.count()
+        timed(s"closure100x_chain(e=$ce)") {
+          operators.Components.connectedComponents(chains, "a", "b")
+            .count()
+        }
+        chains.unpersist()
+      } finally spark.conf.unset("spark.graft.closure.localMaxEdges")
+    }
+    if (probes("streaming")) {
+      // The streaming family's scale rows — it was the only operator
+      // family with zero 20×/100× probe coverage while supplying the
+      // two most expensive bench queries (q205/q78 stream-stream
+      // interval joins). The claim under test: state is bounded by the
+      // WATERMARK BAND, never by stream history. A single-batch
+      // AvailableNow drain buffers everything and proves nothing, so
+      // events are staged into time-ordered 2-day slice files (the
+      // file source batches by modification time, so sequential slice
+      // writes replay event time) and maxFilesPerTrigger walks them
+      // ~one slice per micro-batch — the watermark advances and EVICTS
+      // between batches exactly as a live feed's would. Per-batch
+      // state rows / state memory / watermark come from
+      // StreamingQueryProgress; the SUMMARY line's boundRatio
+      // (max state rows / cumulative input) is the scale claim: flat
+      // per-slice state while cumulative input grows 15×.
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = sys.props("java.io.tmpdir")
+      val rocksProvider = "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider"
+      val heapProvider = "org.apache.spark.sql.execution.streaming." +
+        "state.HDFSBackedStateStoreProvider"
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+
+      def stageSlices(copies: Int): String = {
+        val path = s"$tmp/graft_probe_stream_${copies}x"
+        graft.LocalFs.deleteRecursively(new java.io.File(path))
+        val ev = GraftSession.table(spark, dir, "events")
+        // shift user_id too: copies are DISJOINT user populations —
+        // copies× the event RATE (the production axis), not copies²
+        // the per-user join fan-out
+        val big = timesWide(ev, copies, Seq("event_id", "user_id"),
+          10000000L)
+        big.persist(); big.count()
+        for (sl <- 0 until 15) {
+          big.where(((dayofmonth(col("ts")) - 1) / 2).cast("int") === sl)
+            .coalesce(2).write.mode("append").parquet(path)
+        }
+        big.unpersist()
+        path
+      }
+
+      def drainWithProgress(name: String, df: DataFrame,
+                            outputMode: String): String = {
+        val ckpt = s"$tmp/graft_probe_ck_$name"
+        graft.LocalFs.deleteRecursively(new java.io.File(ckpt))
+        val q = df.writeStream.format("noop").outputMode(outputMode)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val progs = q.recentProgress.toSeq
+        q.stop()
+        var cum = 0L; var maxState = 0L; var maxMem = 0.0
+        progs.foreach { p =>
+          val stRows = p.stateOperators.map(_.numRowsTotal).sum
+          val stMb = p.stateOperators.map(_.memoryUsedBytes).sum / 1e6
+          cum += p.numInputRows
+          maxState = math.max(maxState, stRows)
+          maxMem = math.max(maxMem, stMb)
+          if (p.numInputRows > 0 || stRows > 0)
+            println(f"[probe]   $name%-18s batch=${p.batchId}%3d " +
+              f"in=${p.numInputRows}%8d cum=$cum%9d state=$stRows%8d " +
+              f"mem=$stMb%8.1fMB " +
+              s"wm=${Option(p.eventTime.get("watermark")).getOrElse("-")}")
+        }
+        f"maxStateRows=$maxState maxStateMem=$maxMem%.1fMB " +
+          f"totalInput=$cum boundRatio=${
+            maxState.toDouble / math.max(cum, 1)}%.4f"
+      }
+
+      def joinLeg(staged: String, copies: Int, provider: String,
+                  pname: String): Unit = {
+        spark.conf.set(providerKey, provider)
+        try {
+          val schema = spark.read.parquet(staged).schema
+          def src() = graft.streaming.Streams.fileSource(spark, staged,
+            schema, maxFilesPerTrigger = 2)
+          val a = src().where(pmod(col("event_id"), lit(2)) === 0)
+            .select(col("user_id"), col("event_id").as("a_id"),
+              col("ts").as("a_ts"))
+          val b = src().where(pmod(col("event_id"), lit(2)) === 1)
+            .select(col("user_id"), col("event_id").as("b_id"),
+              col("ts").as("b_ts"))
+          val joined = graft.streaming.Streams.intervalJoin(a, b,
+            Seq("user_id"), "a_ts", "b_ts", "10 minutes", "1 minute")
+          timed(s"stream_join${copies}x($pname)") {
+            drainWithProgress(s"join${copies}x_$pname", joined, "append")
+          }
+        } finally spark.conf.set(providerKey, rocksProvider)
+      }
+
+      def funnelLeg(staged: String, copies: Int): Unit = {
+        import spark.implicits._
+        val schema = spark.read.parquet(staged).schema
+        val steps = Seq("view", "click", "purchase")
+        val stepCol = steps.zipWithIndex.foldLeft(lit(-1)) {
+          case (acc, (st, i)) =>
+            when(col("event_type") === st, lit(i)).otherwise(acc)
+        }
+        val evs = graft.streaming.Streams.fileSource(spark, staged,
+            schema, maxFilesPerTrigger = 2)
+          .select(col("user_id").as("key"), col("ts"), stepCol.as("step"))
+          .where(col("step") >= 0)
+          .as[graft.streaming.StatefulFunnel.StepEvent]
+        val revs = graft.streaming.StatefulFunnel
+          .trackUnordered(evs, steps.length, 86400L)
+        timed(s"stream_funnel${copies}x") {
+          drainWithProgress(s"funnel${copies}x", revs.toDF(), "append")
+        }
+      }
+
+      def dedupLeg(staged: String, copies: Int): Unit = {
+        val schema = spark.read.parquet(staged).schema
+        val deduped = graft.streaming.Streams.fileSource(spark, staged,
+            schema, maxFilesPerTrigger = 2)
+          .select(col("ts").as("ets"), col("event_type"), col("user_id"))
+          .withWatermark("ets", "1 day")
+          .select(window(col("ets"), "1 day").as("w"), col("event_type"),
+            col("user_id"))
+          .dropDuplicates("w", "event_type", "user_id")
+        val agg = deduped.groupBy(col("w"), col("event_type"))
+          .agg(count(lit(1)).as("distinct_users"))
+        timed(s"stream_dedup${copies}x") {
+          drainWithProgress(s"dedup${copies}x", agg, "complete")
+        }
+      }
+
+      val staged1 = stageSlices(1)
+      joinLeg(staged1, 1, rocksProvider, "rocksdb")
+      val staged20 = stageSlices(20)
+      joinLeg(staged20, 20, rocksProvider, "rocksdb")
+      joinLeg(staged20, 20, heapProvider, "heap")
+      funnelLeg(staged20, 20)
+      dedupLeg(staged20, 20)
+      val staged100 = stageSlices(100)
+      joinLeg(staged100, 100, rocksProvider, "rocksdb")
+    }
     if (probes("zorder")) {
       // 20× events (2M rows): z-key + range sort + zipWithIndex + agg
       val e = spark.read.parquet(s"$dir/events.parquet")

@@ -675,6 +675,23 @@ object SparkEntry {
         .orderBy(col("centroid_id"), col("pos"))
     }),
 
+    // The FULL trainer contract on top of q289's fixed-round core:
+    // hash-deterministic seeding (the 8 smallest-md5(vec_id) vectors —
+    // the same md5-on-id convention as q37's hashSample, so any engine
+    // replays the seed set) plus the quantized-shift early stop
+    // (training halts once a round moves no centroid coordinate by
+    // more than tol). The oracle unrolls all three candidate rounds
+    // AND the stop decision itself — guarded UNION branches over
+    // scalar max-shift subqueries — so the ROUND COUNT is
+    // oracle-checked, not assumed.
+    "q290_kmeans_converged" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val init = Similarity.kmeansInit(emb, "vec_id", "embedding", 8)
+      Similarity.kmeansTrain(emb, init, "vec_id", "embedding",
+          iterations = 3, tol = 0.02)
+        .orderBy(col("centroid_id"), col("pos"))
+    }),
+
     // Deterministic hash sampling (reproducible dataset curation):
     // ~20% of documents by md5(doc_id), counted per source.
     "q37_det_sample" -> ((s, dir) => {
@@ -6569,6 +6586,90 @@ object SparkEntry {
                 round(avg(ev[i]), 6) AS mean, count(*) AS n_members
          FROM m2 CROSS JOIN generate_series(1, 64) s(i)
          GROUP BY centroid_id, i ORDER BY centroid_id, i""",
+
+    "q290_kmeans_converged" ->
+      """WITH v AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+           FROM embeddings),
+         c1 AS (
+           SELECT vec_id AS centroid_id, ev AS centv FROM v
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         asg1 AS (
+           SELECT vec_id, ev, centroid_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY
+               list_dot_product(ev, centv)
+                 / (sqrt(list_dot_product(ev, ev))
+                    * sqrt(list_dot_product(centv, centv))) DESC,
+               centroid_id) AS crnk
+           FROM v CROSS JOIN c1),
+         m1 AS (SELECT vec_id, ev, centroid_id FROM asg1 WHERE crnk = 1),
+         mean1 AS (
+           SELECT centroid_id, CAST(i AS INTEGER) AS pos,
+                  round(avg(ev[i]), 6) AS mean, count(*) AS n_members
+           FROM m1 CROSS JOIN generate_series(1, 64) s(i)
+           GROUP BY centroid_id, i),
+         grid1 AS (
+           SELECT c.centroid_id, CAST(i AS INTEGER) AS pos,
+                  c.centv[CAST(i AS INTEGER)] AS prev
+           FROM c1 c CROSS JOIN generate_series(1, 64) s(i)),
+         comp2 AS (
+           SELECT g.centroid_id, g.pos, g.prev,
+                  CAST(CAST(coalesce(m.mean, g.prev) AS REAL) AS DOUBLE)
+                    AS x
+           FROM grid1 g LEFT JOIN mean1 m USING (centroid_id, pos)),
+         s1 AS (SELECT max(abs(x - prev)) AS shift FROM comp2),
+         c2 AS (
+           SELECT centroid_id, list(x ORDER BY pos) AS centv
+           FROM comp2 GROUP BY centroid_id),
+         asg2 AS (
+           SELECT vec_id, ev, centroid_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY
+               list_dot_product(ev, centv)
+                 / (sqrt(list_dot_product(ev, ev))
+                    * sqrt(list_dot_product(centv, centv))) DESC,
+               centroid_id) AS crnk
+           FROM v CROSS JOIN c2),
+         m2 AS (SELECT vec_id, ev, centroid_id FROM asg2 WHERE crnk = 1),
+         mean2 AS (
+           SELECT centroid_id, CAST(i AS INTEGER) AS pos,
+                  round(avg(ev[i]), 6) AS mean, count(*) AS n_members
+           FROM m2 CROSS JOIN generate_series(1, 64) s(i)
+           GROUP BY centroid_id, i),
+         grid2 AS (SELECT centroid_id, pos, x AS prev FROM comp2),
+         comp3 AS (
+           SELECT g.centroid_id, g.pos, g.prev,
+                  CAST(CAST(coalesce(m.mean, g.prev) AS REAL) AS DOUBLE)
+                    AS x
+           FROM grid2 g LEFT JOIN mean2 m USING (centroid_id, pos)),
+         s2 AS (SELECT max(abs(x - prev)) AS shift FROM comp3),
+         c3 AS (
+           SELECT centroid_id, list(x ORDER BY pos) AS centv
+           FROM comp3 GROUP BY centroid_id),
+         asg3 AS (
+           SELECT vec_id, ev, centroid_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY
+               list_dot_product(ev, centv)
+                 / (sqrt(list_dot_product(ev, ev))
+                    * sqrt(list_dot_product(centv, centv))) DESC,
+               centroid_id) AS crnk
+           FROM v CROSS JOIN c3),
+         m3 AS (SELECT vec_id, ev, centroid_id FROM asg3 WHERE crnk = 1),
+         mean3 AS (
+           SELECT centroid_id, CAST(i AS INTEGER) AS pos,
+                  round(avg(ev[i]), 6) AS mean, count(*) AS n_members
+           FROM m3 CROSS JOIN generate_series(1, 64) s(i)
+           GROUP BY centroid_id, i)
+         SELECT centroid_id, pos, mean, n_members FROM mean1
+           WHERE (SELECT shift FROM s1) <= 0.02
+         UNION ALL
+         SELECT centroid_id, pos, mean, n_members FROM mean2
+           WHERE (SELECT shift FROM s1) > 0.02
+             AND (SELECT shift FROM s2) <= 0.02
+         UNION ALL
+         SELECT centroid_id, pos, mean, n_members FROM mean3
+           WHERE (SELECT shift FROM s1) > 0.02
+             AND (SELECT shift FROM s2) > 0.02
+         ORDER BY centroid_id, pos""",
 
     "q35_salted_join" ->
       """SELECT s_nationkey, count(*) AS n_rows,

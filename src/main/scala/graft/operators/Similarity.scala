@@ -317,10 +317,14 @@ object Similarity {
     * their previous centroid (classic Lloyd carryover). Returns the
     * FINAL round's (centroid_id, pos, mean, n_members), kmeansIter's
     * shape; empty cells are absent from it, exactly as in one step.
+    *
+    * Seed with [[kmeansInit]] for a hash-deterministic start; pass
+    * `tol > 0` for a quantized-shift early stop (`iterations` becomes
+    * the max) — both replayable by an external oracle, see q290.
     */
   def kmeansTrain(vectors: DataFrame, initCentroids: DataFrame,
-                  idCol: String, vecCol: String, iterations: Int)
-      : DataFrame = {
+                  idCol: String, vecCol: String, iterations: Int,
+                  tol: Double = 0.0): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val spark = vectors.sparkSession
     import spark.implicits._
@@ -339,11 +343,20 @@ object Similarity {
         .agg(round(avg(col("x").cast("double")), 6).as("mean"),
              count(lit(1)).as("n_members"))
     }
-    for (_ <- 1 until iterations) {
+    // CONVERGENCE STOP (tol > 0): after each centroid update, the shift
+    // is the max per-(cell, position) |new − prev| over the QUANTIZED
+    // float values — deterministic, so an oracle replaying the quantized
+    // recurrence computes the identical stop decision (q290 unrolls it
+    // as a CASE over scalar max-shift subqueries). Stopping at round r
+    // returns round r's means — the ones whose update shifted ≤ tol —
+    // by NOT applying the converged update; tol = 0.0 (default) is the
+    // fixed-iteration behavior, bit-identical to before.
+    var stopped = false
+    for (r <- 1 until iterations if !stopped) {
       val means = step().collect() // k×d rows — bounded by contract
         .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
         .groupBy(_._1)
-      cents = cents.map { case (cid, prev) =>
+      val updated = cents.map { case (cid, prev) =>
         means.get(cid) match {
           case Some(rows) =>
             val byPos = rows.map(t => t._2 -> t._3.toFloat).toMap
@@ -356,8 +369,39 @@ object Similarity {
           case None => (cid, prev) // empty cell: carry the centroid
         }
       }
+      if (tol > 0.0) {
+        val shift = cents.zip(updated).iterator.flatMap {
+          case ((_, prev), (_, next)) =>
+            prev.zip(next).iterator
+              .map { case (p, n) => (n.toDouble - p.toDouble).abs }
+        }.foldLeft(0.0)(math.max)
+        if (shift <= tol) stopped = true
+        System.err.println(
+          f"[graft.kmeans] round=$r shift=$shift%.7f tol=$tol " +
+            f"stopped=$stopped")
+      }
+      if (!stopped) cents = updated
     }
     step()
+  }
+
+  /** Hash-deterministic k-means seeding: the k vectors with the
+    * smallest `md5(id)` digest (ties by id) — the same md5-on-id
+    * convention as `Sampling.hashSample`, so the seed set is a
+    * reproducible pseudo-random sample ANY engine can replay
+    * (`ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT k` is the exact
+    * DuckDB twin; q290 does). Centroid ids are the chosen vectors'
+    * ids. Scale: a top-k (TakeOrderedAndProject — per-partition heap
+    * + driver merge of k·partitions rows), never a global sort
+    * shuffle; k is bounded by the same contract that bounds the IVF
+    * centroid table.
+    */
+  def kmeansInit(vectors: DataFrame, idCol: String, vecCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    vectors.select(col(idCol), col(vecCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(k)
   }
 
   /** Embedding-cosine near-duplicate pairs — the fifth dedup modality

@@ -25,6 +25,7 @@ class QuerySurfaceSpec extends SparkTestBase {
   // dedicated spec; building them here would re-run Verify in miniature
   private val eager = Set(
     "q31_pipe", "q36_kmeans_iter", "q289_kmeans_train",
+    "q290_kmeans_converged",
     "q43_stream_sessions",
     "q44_partitioned_sink", "q45_bucketed_join", "q46_lenient_text",
     "q47_single_sink", "q49_stateful_stream_sessions",

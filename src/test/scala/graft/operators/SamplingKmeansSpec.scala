@@ -325,6 +325,69 @@ class KmeansIterSpec extends SparkTestBase {
       rows(Similarity.kmeansIter(data, init, "vec_id", "embedding")))
   }
 
+  test("kmeansInit picks the k smallest-md5 ids deterministically") {
+    val data = vecs((1L to 10L).map(i => i -> Seq(i.toFloat, 1f)): _*)
+    val got = Similarity.kmeansInit(data, "vec_id", "embedding", 3)
+      .select("vec_id").as[Long].collect().toSet
+    // independent twin of the md5-on-decimal-id convention (the same
+    // one q37/hashSample and the q290 oracle replay)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = (1L to 10L)
+      .sortBy { i =>
+        md.digest(i.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }.take(3).toSet
+    assert(got == expect, s"got $got expect $expect")
+    assert(Similarity.kmeansInit(data, "vec_id", "embedding", 3)
+      .select("vec_id").as[Long].collect().toSet == got) // stable
+  }
+
+  test("kmeansTrain tol stop halts scanning once centroids stop moving") {
+    // two tight clusters with init AT their exact means: round 1's
+    // update shifts nothing, so tol training must stop after ONE
+    // collected round + the final stats scan. The corpus counts its
+    // own materializations via an accumulator (1 partition → 1 tick
+    // per scan): fixed 5-iteration training scans 5×, tol scans 2×,
+    // and both return identical stats.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rows = Seq(Row(1L, Seq(1f, 0f)), Row(2L, Seq(1f, 0f)),
+      Row(3L, Seq(0f, 1f)), Row(4L, Seq(0f, 1f)))
+    def counted(acc: org.apache.spark.util.LongAccumulator) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1)
+          .mapPartitions { it => acc.add(1); it },
+        schema)
+    val init = vecs(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f))
+    def stats(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("centroid_id"), col("pos"))
+        .as[(Long, Int, Double, Long)].collect().toSeq
+    val accFixed = spark.sparkContext.longAccumulator("fixed")
+    val fixed = stats(Similarity.kmeansTrain(counted(accFixed), init,
+      "vec_id", "embedding", iterations = 5))
+    val accTol = spark.sparkContext.longAccumulator("tol")
+    val tol = stats(Similarity.kmeansTrain(counted(accTol), init,
+      "vec_id", "embedding", iterations = 5, tol = 1e-9))
+    assert(fixed == tol, s"fixed $fixed vs tol $tol")
+    assert(accFixed.value == 5L, s"fixed scans = ${accFixed.value}")
+    assert(accTol.value == 2L, s"tol scans = ${accTol.value}")
+  }
+
+  test("kmeansTrain tol=0 preserves the fixed-iteration behavior") {
+    val data = vecs(1L -> Seq(1f, 0f), 2L -> Seq(0.8f, 0.2f),
+      3L -> Seq(0f, 1f), 4L -> Seq(0.3f, 0.7f))
+    val init = vecs(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f))
+    def stats(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("centroid_id"), col("pos"))
+        .as[(Long, Int, Double, Long)].collect().toSeq
+    assert(stats(Similarity.kmeansTrain(data, init, "vec_id",
+        "embedding", 3)) ==
+      stats(Similarity.kmeansTrain(data, init, "vec_id",
+        "embedding", 3, tol = 0.0)))
+  }
+
   test("kmeansTrain keeps an empty cell's centroid alive across rounds") {
     // two IDENTICAL init centroids: round 1 ties both vectors into
     // cell 0 (strict > keeps the lowest id), leaving cell 1 EMPTY —
