@@ -58,35 +58,10 @@ object Bench {
   private def plainMedian(xs: Seq[Double]): Double =
     if (xs.isEmpty) -1.0 else median(xs)
 
-  /** Host-speed calibration: a fixed single-threaded CPU workload whose
-    * wall time moves with the machine, never with the engine — the
-    * in-JVM twin of scripts/hostcal.py. Emitted as `hostcal_ms` so
-    * benchgate can normalize its growth threshold by the host-speed
-    * ratio instead of a human re-adjudicating host noise every round
-    * (it happened rounds 9, 10 AND 11). Best-of-3 after a warm-up rep:
-    * contention only ever inflates, the minimum measures the machine.
-    * The checksum assert keeps the workload fixed — a drifted loop
-    * would silently re-zero every calibration comparison.
+  /** See [[HostCal]] — emitted as `hostcal_ms` in the bench artifact
+    * so benchgate can normalize its growth threshold by host speed.
     */
-  private def hostcalMs(): Double = {
-    def workload(n: Long): Long = {
-      var h = 1469598103934665603L; var acc = 0L; var i = 0L
-      while (i < n) {
-        h = (h ^ i) * 1099511628211L
-        acc = (acc + h) % 1000000007L
-        i += 1
-      }
-      acc
-    }
-    workload(8000000L) // JIT warm-up (C2 compile before the timed reps)
-    val times = (1 to 3).map { _ =>
-      val t0 = System.nanoTime()
-      val r = workload(64000000L)
-      require(r == 323266195L, s"hostcal workload drifted: $r")
-      (System.nanoTime() - t0) / 1e6
-    }
-    math.round(times.min * 10.0) / 10.0
-  }
+  private def hostcalMs(): Double = HostCal.hostcalMs()
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -709,6 +709,13 @@ object Probe {
             .count()
         }
         big.unpersist()
+      } finally spark.conf.unset("spark.graft.closure.localMaxEdges")
+    }
+    if (probes("closure100x_chain")) {
+      // the chain half, separately selectable — at ~25 s per
+      // 29.4M-edge distributed round it far outlives the dedup leg
+      spark.conf.set("spark.graft.closure.localMaxEdges", "0")
+      try {
         val nChain = 29400000L
         val chains = spark.range(nChain)
           .select(col("id").as("a"), (col("id") + 1).as("b"))

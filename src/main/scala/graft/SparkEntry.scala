@@ -4774,14 +4774,15 @@ object SparkEntry {
     // XML export → re-import round-trip on Spark 4's NATIVE xml source
     // (no external connector): the interchange format enterprise
     // document dumps still arrive in. Lossless re-read is the oracle
-    // (same contract as the orc/tsv/jsonl round-trips).
+    // (same contract as the orc/tsv/jsonl round-trips). shards = 0:
+    // one file per input partition, parallel writers — the re-read +
+    // orderBy is shard-agnostic, so the round-trip needs no coalesce.
     "q285_xml_sink" -> ((s, dir) => {
       val path = scratch(s, "q285_xml")
       val proj = t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-      proj.coalesce(1).write.mode("overwrite")
-        .option("rowTag", "doc").format("xml").save(path)
+      graft.sources.Sinks.writeXml(proj, path, rowTag = "doc")
       s.read.option("rowTag", "doc").format("xml").load(path)
         .select(col("doc_id").cast("long").as("doc_id"),
           col("source"), col("n_tokens").cast("int").as("n_tokens"))

@@ -25,6 +25,19 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * `rightTime <= leftTime` (right must be one row per (key, time) for
   * a deterministic match); unmatched left rows keep null right
   * columns (left-outer).
+  *
+  * SCOPE (decided round 12, permanent): this exec serves the NEAREST /
+  * TOLERANCE modes (q250/q272) — semantics the union-LOCF window form
+  * cannot express without two passes. For plain backward as-of (q14),
+  * the union-LOCF form stays the production path: even after moving
+  * the merge's key equality onto a compiled ordering, the exec's
+  * row-at-a-time iterator (no whole-stage fusion; per-row
+  * JoinedRow + projection + virtual next()) measures ~1.9× the LOCF
+  * form at the 20× probe (warm 1.7-1.8 s vs 0.9 s, two runs) — the
+  * remaining gap is the execution model, and closing it means
+  * implementing SortMergeJoin-grade doProduce/doConsume codegen for a
+  * path that already has a faster equivalent. Recorded-negative;
+  * do not re-litigate without new evidence.
   */
 /** @param nearest   false = backward-only (latest right ≤ left time);
   *                  true = closest right in EITHER direction,
@@ -121,6 +134,14 @@ case class AsOfJoinExec(leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     val ordGen = () =>
       new org.apache.spark.sql.catalyst.expressions.codegen
         .LazilyGeneratedOrdering(prefixOrders)
+    // key-prefix EQUALITY as a second compiled ordering over only the
+    // key fields (compare == 0): the previous boxed per-field
+    // `a.get(i, dt) == b.get(i, dt)` loop allocated a box per key per
+    // row on the hot path; SortOrder's nulls-first semantics give the
+    // same NULL==NULL (groupBy) equality
+    val keyOrdGen = () =>
+      new org.apache.spark.sql.catalyst.expressions.codegen
+        .LazilyGeneratedOrdering(prefixOrders.take(leftKeys.length))
     val nKeys = leftKeys.length
     val rightWidth = right.output.length
     val outAttrs = output
@@ -148,6 +169,7 @@ case class AsOfJoinExec(leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKey = lKeyGen(); val rKey = rKeyGen()
       val ord = ordGen()
+      val keyOrd = keyOrdGen()
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       val nullRight = new GenericInternalRow(rightWidth)
       val joined = new JoinedRow
@@ -181,19 +203,11 @@ case class AsOfJoinExec(leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
           * the time field is field nKeys and is deliberately ignored;
           * ordering between rows is ord's job, this only answers "same
           * join key". NULL keys compare equal to NULL (groupBy
-          * semantics).
+          * semantics — SortOrder's nulls-first compare returns 0 for
+          * NULL vs NULL). Compiled compare, no per-field boxing.
           */
-        private def sameKeys(a: UnsafeRow, b: UnsafeRow): Boolean = {
-          var i = 0
-          var same = true
-          while (same && i < nKeys) {
-            val an = a.isNullAt(i); val bn = b.isNullAt(i)
-            same = if (an || bn) an && bn
-              else a.get(i, keyFieldTypes(i)) == b.get(i, keyFieldTypes(i))
-            i += 1
-          }
-          same
-        }
+        private def sameKeys(a: UnsafeRow, b: UnsafeRow): Boolean =
+          keyOrd.compare(a, b) == 0
 
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
@@ -237,11 +251,6 @@ case class AsOfJoinExec(leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
       }
     }
   }
-
-  // boxed-getter types for the key-prefix equality check (ties are
-  // broken by the time field inside ord, so only EQUALITY of the key
-  // fields is ever needed here)
-  private lazy val keyFieldTypes = leftKeys.map(_.dataType).toArray
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =

@@ -118,6 +118,21 @@ object Sinks {
     out.write.mode("overwrite").format("json").save(path)
   }
 
+  /** XML export on Spark 4's NATIVE xml source (no external connector)
+    * — the interchange format enterprise document dumps still arrive
+    * in. Same sharding contract as [[writeJsonl]]: `shards > 0` fixes
+    * the output file count with one round-robin repartition; 0 writes
+    * one file per input partition, no shuffle — never a single writer
+    * by construction (a `coalesce(1)` XML export serializes the whole
+    * table through one task).
+    */
+  def writeXml(df: DataFrame, path: String, rowTag: String = "row",
+               shards: Int = 0): Unit = {
+    val out = if (shards > 0) df.repartition(shards) else df
+    out.write.mode("overwrite").option("rowTag", rowTag)
+      .format("xml").save(path)
+  }
+
   /** Schema-enforced JSONL reader: PERMISSIVE like [[readLenientCsv]] —
     * a malformed line lands in `_corrupt_record` instead of failing the
     * import (count; don't die mid-petabyte).

@@ -361,4 +361,23 @@ class SinksSpec extends SparkTestBase {
       back.unpersist(blocking = true)
     }
   }
+
+  test("writeXml shards parameter controls the writer fan-out") {
+    import spark.implicits._
+    val rows = (1L to 40L).map(i => (i, s"src${i % 3}", i * 7))
+    withTempDir("graft_xml") { dir =>
+      val path = dir.getAbsolutePath + "/out"
+      graft.sources.Sinks.writeXml(
+        rows.toDF("id", "src", "v"), path, rowTag = "rec", shards = 4)
+      val files = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".xml"))
+      assert(files.length == 4, s"expected 4 shards, got ${files.length}")
+      val back = spark.read.option("rowTag", "rec").format("xml")
+        .load(path)
+        .select(col("id").cast("long"), col("src"),
+          col("v").cast("long"))
+        .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+      assert(back == rows, s"round-trip mismatch: $back")
+    }
+  }
 }
