@@ -139,6 +139,14 @@ object Bench {
         // operators may persist intermediates (their cost is inside the
         // timed region); drop them so queries don't degrade each other.
         spark.catalog.clearCache()
+        // a drained streaming query leaves its state-store providers
+        // LOADED (RocksDB instances with native memory + background
+        // compaction) until the maintenance thread's next eviction —
+        // and bench checkpoints are never reused, so they are pure
+        // neighbor tax: rounds 9 and 12 both measured a contiguous
+        // post-streaming block of small queries inflating 2-4× in full
+        // runs only. Unload them while the clock is stopped.
+        org.apache.spark.sql.GraftSqlBridge.unloadStateStores()
         rep += 1
       }
       // GC BARRIER: clearCache drops the blocks but the heap garbage

@@ -25,8 +25,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // drop operator-persisted intermediates between queries
+      // drop operator-persisted intermediates between queries, and
+      // unload drained streaming queries' state-store providers (never
+      // reused — each drain stages a fresh checkpoint; see Bench)
       spark.catalog.clearCache()
+      org.apache.spark.sql.GraftSqlBridge.unloadStateStores()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -24,4 +24,18 @@ object GraftSqlBridge {
   def expressionOf(c: Column)
       : org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Unload every streaming state-store provider loaded in this JVM
+    * (closes RocksDB native handles, releases their off-heap memory
+    * and background compaction work). A stopped streaming query does
+    * NOT unload its providers — they linger until the maintenance
+    * thread's next eviction pass, and their native background work
+    * taxes whatever runs next. Drain-style callers (bench reps, test
+    * suites) that never reuse a checkpoint should call this after each
+    * query; a RESUMABLE query must not (the provider cache is the
+    * point), which is why this is not wired into the drain helpers.
+    * Re-exports `StateStore.unloadAll()` only.
+    */
+  def unloadStateStores(): Unit =
+    execution.streaming.state.StateStore.unloadAll()
 }
