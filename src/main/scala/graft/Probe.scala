@@ -682,6 +682,39 @@ object Probe {
       } finally spark.conf.unset("spark.graft.closure.localMaxEdges")
       stars.unpersist()
     }
+    if (probes("bpe")) {
+      // BPE's scale claim, measured: the only corpus-sized job is the
+      // ONE word-frequency aggregate; the merge loop runs on the
+      // DISTINCT-vocabulary symbol table. Id-shifted copies duplicate
+      // text verbatim, so 20×/100× corpus → IDENTICAL vocabulary with
+      // scaled freqs — the merge loop's cost must stay FLAT while only
+      // the up-front count grows with the corpus.
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      for (copies <- Seq(1, 20, 100)) {
+        val big = if (copies == 1) docs
+                  else timesWide(docs, copies, Seq("doc_id"), 1000000L)
+        timed(s"bpe${copies}x(6 merges)") {
+          operators.Bpe.bpeMerges(
+            operators.Bpe.wordFrequencies(big, "text"),
+            "word", "freq", nMerges = 6).count()
+        }
+      }
+    }
+    if (probes("packing")) {
+      // packSequences at 20×: one shuffle + spillable per-partition
+      // sort + an O(1)-state streaming pass — wall must track the sort
+      // of 20× rows, with no per-group buffering (a group bigger than
+      // memory still packs; copies KEEP the source group so each
+      // group's doc count grows 20×, the axis that breaks a
+      // flatMapGroups buffer).
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val big = timesWide(docs, 400, Seq("doc_id"), 1000000L)
+      timed("packing400x") {
+        operators.Packing.packSequences(big, "source", "doc_id",
+          "n_chars", 4096).count()
+      }
+    }
     if (probes("closure100x")) {
       // The distributed closure tier at pagerank100x scale (the local
       // union-find is boundary-probed at its 4M-edge cap; this is the
