@@ -29,6 +29,16 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("kmeansInit seeding is a top-k, never a global sort exchange") {
+    val emb = GraftSession.table(spark, sf, "embeddings")
+    val p = operators.Similarity.kmeansInit(emb, "vec_id", "embedding", 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k + driver merge, got: ${p.take(400)}")
+    assert(!p.contains("rangepartitioning"),
+      "seed selection must not globally sort the corpus")
+  }
+
   test("q2 predicates are pushed into the parquet scan") {
     val df = SparkEntry.queries("q2_filter_project")(spark, sf)
     val scans = df.queryExecution.sparkPlan.collect {
