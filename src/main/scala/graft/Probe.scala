@@ -897,6 +897,8 @@ object Probe {
       dedupLeg(staged20, 20)
       val staged100 = stageSlices(100)
       joinLeg(staged100, 100, rocksProvider, "rocksdb")
+      funnelLeg(staged100, 100)
+      dedupLeg(staged100, 100)
     }
     if (probes("zorder")) {
       // 20× events (2M rows): z-key + range sort + zipWithIndex + agg
