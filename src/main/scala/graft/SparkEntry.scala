@@ -687,8 +687,12 @@ object SparkEntry {
     "q290_kmeans_converged" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val init = Similarity.kmeansInit(emb, "vec_id", "embedding", 8)
+      // tol chosen so the stop FIRES at the verify SF (sf0.01 shifts:
+      // round 1 = 0.344 > tol, round 2 = 0.0336 <= tol → training
+      // stops at round 2 and round 3 never runs) — the oracle's
+      // guarded branches replay that decision live, not as dead code
       Similarity.kmeansTrain(emb, init, "vec_id", "embedding",
-          iterations = 3, tol = 0.02)
+          iterations = 3, tol = 0.05)
         .orderBy(col("centroid_id"), col("pos"))
     }),
 
@@ -6661,15 +6665,15 @@ object SparkEntry {
            FROM m3 CROSS JOIN generate_series(1, 64) s(i)
            GROUP BY centroid_id, i)
          SELECT centroid_id, pos, mean, n_members FROM mean1
-           WHERE (SELECT shift FROM s1) <= 0.02
+           WHERE (SELECT shift FROM s1) <= 0.05
          UNION ALL
          SELECT centroid_id, pos, mean, n_members FROM mean2
-           WHERE (SELECT shift FROM s1) > 0.02
-             AND (SELECT shift FROM s2) <= 0.02
+           WHERE (SELECT shift FROM s1) > 0.05
+             AND (SELECT shift FROM s2) <= 0.05
          UNION ALL
          SELECT centroid_id, pos, mean, n_members FROM mean3
-           WHERE (SELECT shift FROM s1) > 0.02
-             AND (SELECT shift FROM s2) > 0.02
+           WHERE (SELECT shift FROM s1) > 0.05
+             AND (SELECT shift FROM s2) > 0.05
          ORDER BY centroid_id, pos""",
 
     "q35_salted_join" ->
