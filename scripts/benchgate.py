@@ -83,7 +83,36 @@ def load_bench(path):
         sys.exit(f"{path}: truncated/compact bench payload "
                  f"(slowest-{d.get('queries_truncated_to_slowest')} "
                  f"only) — gate on the full bench_out.json instead")
+    d["_path"] = path
     return d
+
+
+def coverage_violations(payloads):
+    """UNDER-COVERAGE refusal (r12: an end-of-round snapshot committed a
+    1-query sf0.001 smoke artifact that carried 'plain' and no truncation
+    marker, so this gate would have accepted it as a 1/290 baseline).
+    Two nets: (1) Bench emits "n_registry" — the FULL query-registry size
+    regardless of any focused-run filter — and a payload covering fewer
+    queries than its own registry is refused; (2) legacy payloads without
+    n_registry are cross-checked: a side covering <80% of the other
+    side's query count is a partial/smoke artifact, not a baseline
+    (genuine round-over-round registry growth is a few percent, never a
+    5x count gap)."""
+    bad = []
+    for label, d in payloads:
+        reg = d.get("n_registry")
+        if reg and len(d["queries"]) < reg:
+            bad.append(f"{label} ({d.get('_path')}) covers "
+                       f"{len(d['queries'])}/{reg} registered queries — "
+                       f"a focused/smoke artifact must never be gated "
+                       f"or become a baseline")
+    counts = [(label, len(d["queries"])) for label, d in payloads]
+    hi_label, hi = max(counts, key=lambda x: x[1])
+    for label, n in counts:
+        if n < 0.8 * hi:
+            bad.append(f"{label} covers {n} queries vs {hi_label}'s {hi} "
+                       f"— one side is a partial/smoke artifact")
+    return bad
 
 
 def medians(d):
@@ -184,6 +213,16 @@ def main() -> int:
     new = load_bench(sys.argv[1])
     base = load_bench(sys.argv[2])
     factor = float(sys.argv[3]) if len(sys.argv) > 3 else 3.0
+    prev2 = load_bench(prev2_path) if prev2_path else None
+    cov_bad = coverage_violations(
+        [("NEW", new), ("BASE", base)]
+        + ([("PREV2", prev2)] if prev2 else []))
+    if cov_bad:
+        for b in cov_bad:
+            print(f"UNDER-COVERED  {b}")
+        print(f"== GATE MALFORMED: {len(cov_bad)} coverage "
+              f"violation(s) ==")
+        return 2
     nq, bq = medians(new), medians(base)
     nsp = new.get("spread", {})
     # sub-second queries are dominated by fixed per-query costs (session,
@@ -200,6 +239,15 @@ def main() -> int:
 
     ratio, note = hostcal_ratio(new, base)
     print(note)
+    # parallel-regime calibration (32-task leg): informational for now —
+    # recorded so a driver/builder skew that the single-thread leg can't
+    # see (r12: 4% at near-identical scalar hostcal) is visible in the
+    # gate log before anyone hand-adjudicates it
+    hp_n, hp_b = new.get("hostcal_par_ms"), base.get("hostcal_par_ms")
+    if hp_n and hp_b:
+        print(f"hostcal_par: new {hp_n:.0f} ms / base {hp_b:.0f} ms = "
+              f"{hp_n / hp_b:.3f} (informational — parallel-regime "
+              f"calibration, thresholds use the scalar leg)")
 
     regressions, noisy = [], []
     # a query that regressed from WORKING to FAILING is the worst
@@ -211,16 +259,20 @@ def main() -> int:
         b = bq.get(name)
         if b is not None and b > 0:
             regressions.append((name, b, -1.0, 0.0))
-    changed, triggered = [], set()
+    changed, triggered_raw = [], set()
     for name in sorted(set(nq) & set(bq)):
         if name in new_failed:
             continue
         n, b = nq[name], bq[name]
         raw_x = n / b if b > 0 else float("inf")
         norm_x = raw_x / ratio
+        # staleness below evaluates the RAW (unnormalized) trigger:
+        # whether an accept entry still "triggers" must not flip with
+        # host speed, or a slow host could mark a live entry STALE
+        if n >= max(b * factor, floor_sec):
+            triggered_raw.add(name)
         if n < max(b * factor * ratio, floor_sec):
             continue
-        triggered.add(name)
         if name in accepted:
             changed.append((name, b, n))
         elif nsp.get(name, 0.0) > n:
@@ -235,15 +287,25 @@ def main() -> int:
         if pin is None:  # ad-hoc --accept: current run only, unpinned
             continue
         b = bq.get(name)
-        if b is None:
+        if name not in nq:
+            # distinct from "absorbed": the query never ran in NEW, so
+            # nothing can be said about absorption — the entry is dead
+            # weight either way (r12 ADVICE: the absorbed message here
+            # was misleading)
+            stale.append((name, "query absent from NEW — entry names a "
+                          "query this run never measured"))
+        elif b is None:
             stale.append((name, f"query absent from BASE — entry "
                           f"outlived its baseline"))
         elif abs(b - pin) > max(1e-9, abs(pin) * 1e-6):
             stale.append((name, f"recorded baseline_median {pin} != "
                           f"BASE median {b} — baseline moved on"))
-        elif name not in triggered:
-            stale.append((name, "no longer triggers the growth check — "
-                          "baseline absorbed it"))
+        elif name not in triggered_raw:
+            # evaluated with the RAW factor (see the loop above) so host
+            # speed can never flip a live entry to STALE
+            stale.append((name, "no longer triggers the growth check "
+                          "(raw, host-independent) — baseline absorbed "
+                          "it"))
     for name, why in stale:
         print(f"STALE-ACCEPT  {name}: {why}; PRUNE it from "
               f"benchgate_accept.json (a stale entry must never "
@@ -269,8 +331,7 @@ def main() -> int:
                   f"spread {sp:.2f}s)")
 
     # warn-only cumulative drift vs the round-before-last baseline
-    if prev2_path:
-        prev2 = load_bench(prev2_path)
+    if prev2 is not None:
         p2q = medians(prev2)
         r2, note2 = hostcal_ratio(new, prev2)
         print(f"cumulative check vs {prev2_path}: {note2}")

@@ -186,6 +186,47 @@ def main():
               "is refused",
               rc == 2 and "does not match published" in out, out)
 
+        # --- under-coverage refusal (r12: a 1-query sf0.001 smoke
+        # artifact at HEAD carried 'plain' and no truncation marker, so
+        # the gate would have accepted it as a 1/290 baseline) ---
+        rc, out = run(tmp, payload({"q1": 1.0}, n_registry=290), base)
+        check("payload covering fewer queries than its own registry "
+              "is refused (exit 2)",
+              rc == 2 and "UNDER-COVERED" in out and "1/290" in out, out)
+
+        rc, out = run(tmp,
+                      payload({f"q{i}": 1.0 for i in range(1, 9)}),
+                      payload({"q1": 1.0}))
+        check("legacy payloads with a gross query-count gap are refused "
+              "(smoke artifact as baseline)",
+              rc == 2 and "partial/smoke" in out, out)
+
+        rc, out = run(tmp,
+                      payload({f"q{i}": 1.0 for i in range(1, 11)},
+                              n_registry=10),
+                      payload({f"q{i}": 1.0 for i in range(1, 10)}))
+        check("genuine registry growth (10 vs 9) still gates",
+              rc == 0 and "GATE PASS" in out, out)
+
+        # --- stale-accept precision (r12 ADVICE) ---
+        # accept entry naming a query NEW never measured must say so,
+        # not claim absorption
+        rc, out = run(tmp, payload({"q1": 1.0, "q2": 2.0}),
+                      base, accept_file=accept("q3", "gone", 9.9))
+        check("accept entry for a query absent from NEW is stale with "
+              "an absent-from-NEW reason (not 'absorbed')",
+              rc == 1 and "absent from NEW" in out
+              and "absorbed" not in out, out)
+
+        slow_new = payload({"q1": 3.5, "q2": 2.0}, hostcal_ms=2900.0)
+        slow_base = payload({"q1": 1.0, "q2": 2.0}, hostcal_ms=2000.0)
+        rc, out = run(tmp, slow_new, slow_base,
+                      accept_file=accept("q1", "definition changed", 1.0))
+        check("staleness is host-independent: an entry that triggers "
+              "raw (3.5x) but not normalized (host 1.45x slower) is "
+              "NOT stale",
+              rc == 0 and "STALE-ACCEPT" not in out, out)
+
         # --- cumulative drift (warn-only) ---
         rc, out = run(tmp, payload({"q1": 3.2, "q2": 2.0}),
                       payload({"q1": 1.8, "q2": 2.0}),

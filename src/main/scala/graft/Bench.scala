@@ -10,9 +10,12 @@ import org.apache.spark.sql.SparkSession
   * $SPARK_GRAFT_BENCH_REPS to override) and the reported per-query
   * number is the MEDIAN of its runs — a single-shot timing let one
   * transient machine stall inflate a 0.7 s query to 13.9 s in a recorded
-  * run. Queries whose spread (max − min) exceeds their own median get up
-  * to 2 extra reps before the median is taken — a spread that large is
-  * contention evidence, and one more sample per outlier restores the
+  * run. Reps are REP-MAJOR with a different seeded query order per pass
+  * (see the order block in main): back-to-back reps let one episode of
+  * neighbor contention poison ALL samples of the same alphabetical
+  * block. Queries whose spread (max − min) exceeds their own median get
+  * up to 2 extra passes before the median is taken — a spread that large
+  * is contention evidence, and one more sample per outlier restores the
   * median. The JSON carries the per-query spread so a reader can see
   * how trustworthy each number is.
   *
@@ -72,28 +75,43 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val only = args.toSet
-    // ORDER MODE: alphabetical by default (stable round-over-round
-    // diffs); $SPARK_GRAFT_BENCH_SHUFFLE=<seed> runs a seeded random
-    // order instead — the diagnostic for "is this regression the query
-    // or its run-order neighbors?" (round 9's 6-query contiguous
-    // regression block). Same seed → same order, so a shuffled run is
-    // still reproducible.
+    // REP-MAJOR SEEDED ORDER (round 13): reps used to run back-to-back
+    // per query inside ONE alphabetical pass, so any neighbor tax that
+    // survived the per-query hygiene (rounds 9 and 12 both measured
+    // contiguous alphabetical blocks inflating together with none of
+    // their code touched) hit ALL reps of the same victims — the median
+    // could not absorb it and every such block cost a hand adjudication.
+    // Each rep is now its own PASS over every query, in a DIFFERENT
+    // seeded order per pass, so residual contention cannot land on the
+    // same queries in every sample and the median over differently-
+    // ordered passes absorbs a one-pass tax mechanically. The per-query
+    // timing distribution is unchanged (first execution cold, the rest
+    // warm — exactly rep 1 vs reps 2-3 before), so medians stay
+    // comparable to prior rounds' baselines. The seed is FIXED (env
+    // $SPARK_GRAFT_BENCH_SHUFFLE overrides the base seed) so runs are
+    // reproducible; $SPARK_GRAFT_BENCH_ORDER=alpha restores identical
+    // alphabetical passes as the A/B diagnostic.
     val baseOrder = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only(q._1))
-    val selected = sys.env.get("SPARK_GRAFT_BENCH_SHUFFLE") match {
+    val defaultSeed = 13013L
+    val passSeed = sys.env.get("SPARK_GRAFT_BENCH_SHUFFLE") match {
       case Some(seed) =>
         // a malformed seed must not abort the whole run before any
-        // query executes — warn and fall back to alphabetical order
+        // query executes — warn and fall back to the default seed
         scala.util.Try(seed.trim.toLong) match {
-          case scala.util.Success(s) =>
-            new scala.util.Random(s).shuffle(baseOrder)
+          case scala.util.Success(s) => s
           case scala.util.Failure(_) =>
             System.err.println(s"[bench] SPARK_GRAFT_BENCH_SHUFFLE=" +
-              s"'$seed' is not a long; running alphabetical order")
-            baseOrder
+              s"'$seed' is not a long; using default seed $defaultSeed")
+            defaultSeed
         }
-      case None => baseOrder
+      case None => defaultSeed
     }
+    val alphaOrder =
+      sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("alpha")
+    def passOrder(pass: Int): Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      if (alphaOrder) baseOrder
+      else new scala.util.Random(passSeed + pass).shuffle(baseOrder)
     // JIT/codegen warm-up so per-query numbers measure the plan, not the
     // first-call compilation overhead; plus one throwaway streaming
     // drain if any streaming query is in the run (see class doc).
@@ -104,63 +122,86 @@ object Bench {
         System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
       }
     runOnce("q1_agg")
-    selected.collectFirst { case (n, _) if n.contains("stream") => n }
+    baseOrder.collectFirst { case (n, _) if n.contains("stream") => n }
       .foreach(runOnce)
     spark.catalog.clearCache()
     // calibrate BEFORE and AFTER the query loop: round 11's host slowed
     // ~7% DURING the session (1950 -> 2090 ms on the python twin), so a
     // single start-of-run sample under-reports the tax the later
     // queries actually paid; the published number is the mean of both.
+    // BOTH legs: single-thread (hostcal_ms, threshold normalization in
+    // benchgate) and 32-task parallel (hostcal_par_ms — the regime the
+    // bench actually runs in; r12's driver/builder 4% skew was invisible
+    // to the single-thread leg).
     val hostcalStart = hostcalMs()
-    System.err.println(s"[bench] hostcal_ms_start=$hostcalStart")
-    val results = selected.map { case (name, fn) =>
-      val times = scala.collection.mutable.ArrayBuffer[Double]()
-      var failed = false
-      var rep = 0
-      // ADAPTIVE RE-MEASURE: when the spread across reps exceeds the
-      // median itself, at least one rep was machine contention, not the
-      // query (a recorded run showed 42 s for a 3.8 s query — its own
-      // 4.8 s spread already said so). Up to `maxExtra` extra reps make
-      // the median robust to a single outlier instead of publishing it.
-      val maxExtra = 2
-      def noisy = times.nonEmpty && (times.max - times.min) > median(times.toSeq)
-      // fail fast: one failed rep marks the query failed and stops —
-      // re-proving a failure reps× is what erased round 4's numbers
-      while (!failed &&
-             (rep < reps || (rep < reps + maxExtra && noisy))) {
+    val hostcalParStart = HostCal.hostcalParMs(spark)
+    System.err.println(s"[bench] hostcal_ms_start=$hostcalStart " +
+      s"hostcal_par_ms_start=$hostcalParStart")
+
+    val timesByQuery = scala.collection.mutable.LinkedHashMap(
+      baseOrder.map { case (n, _) =>
+        n -> scala.collection.mutable.ArrayBuffer[Double]() }: _*)
+    val failedSet = scala.collection.mutable.Set[String]()
+
+    /** One timed execution + the between-query hygiene (all of it with
+      * the clock stopped): drop persisted intermediates, unload drained
+      * streaming state-store providers (RocksDB instances with native
+      * memory + background compaction stay LOADED until the maintenance
+      * thread's next pass and are pure neighbor tax — rounds 9 and 12
+      * both measured contiguous post-streaming blocks inflating 2-4× in
+      * full runs only), and one explicit GC so each number starts from
+      * a quiet heap instead of paying the previous query's garbage.
+      */
+    def runTimed(pass: String, name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      if (!failedSet(name)) {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          times += (System.nanoTime() - t0) / 1e9
+          val t = (System.nanoTime() - t0) / 1e9
+          timesByQuery(name) += t
+          // incremental checkpoint: a killed run keeps every finished
+          // sample behind in stderr
+          System.err.println(f"[bench] pass=$pass $name t=$t%.4f")
         } catch { case e: Throwable =>
+          // fail fast: one failed execution marks the query failed and
+          // skips its remaining passes — re-proving a failure reps× is
+          // what erased round 4's numbers
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          failed = true
+          failedSet += name
         }
-        // operators may persist intermediates (their cost is inside the
-        // timed region); drop them so queries don't degrade each other.
         spark.catalog.clearCache()
-        // a drained streaming query leaves its state-store providers
-        // LOADED (RocksDB instances with native memory + background
-        // compaction) until the maintenance thread's next eviction —
-        // and bench checkpoints are never reused, so they are pure
-        // neighbor tax: rounds 9 and 12 both measured a contiguous
-        // post-streaming block of small queries inflating 2-4× in full
-        // runs only. Unload them while the clock is stopped.
         org.apache.spark.sql.GraftSqlBridge.unloadStateStores()
-        rep += 1
+        System.gc()
       }
-      // GC BARRIER: clearCache drops the blocks but the heap garbage
-      // (and any humongous-region fragmentation) from one query
-      // otherwise taxes its run-order neighbors — round 9 recorded a
-      // contiguous block of 6 alphabetical neighbors regressing 3-8x
-      // with no plan change. One explicit collection between queries
-      // makes each number start from a quiet heap.
-      System.gc()
-      val med = if (failed) -1.0 else publish(times.toSeq)
-      // incremental checkpoint: a killed run keeps every finished number
+
+    for (pass <- 0 until reps)
+      passOrder(pass).foreach { case (n, fn) => runTimed(s"$pass", n, fn) }
+
+    // ADAPTIVE RE-MEASURE: when a query's spread across passes exceeds
+    // its median, at least one sample was machine contention, not the
+    // query (a recorded run showed 42 s for a 3.8 s query — its own
+    // 4.8 s spread already said so). Up to `maxExtra` extra passes over
+    // just the still-noisy queries make the median robust to a single
+    // outlier instead of publishing it.
+    val maxExtra = 2
+    def noisy(n: String) = {
+      val ts = timesByQuery(n)
+      ts.nonEmpty && (ts.max - ts.min) > median(ts.toSeq)
+    }
+    for (extra <- 0 until maxExtra) {
+      val noisyQs = passOrder(reps + extra)
+        .filter { case (n, _) => !failedSet(n) && noisy(n) }
+      noisyQs.foreach { case (n, fn) => runTimed(s"extra$extra", n, fn) }
+    }
+
+    val results = baseOrder.map { case (name, _) =>
+      val ts = timesByQuery(name).toSeq
+      val ok = !failedSet(name)
+      val med = if (!ok) -1.0 else publish(ts)
       System.err.println(f"[bench] $name median=$med%.4f " +
-        f"spread=${if (failed || times.isEmpty) -1.0 else times.max - times.min}%.4f")
-      (name, times.toSeq, !failed)
+        f"spread=${if (!ok || ts.isEmpty) -1.0 else ts.max - ts.min}%.4f")
+      (name, ts, ok)
     }
     // a failed query reports -1 and is EXCLUDED from the total — folding
     // its time-to-failure in would silently report a total over a
@@ -175,9 +216,20 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, ts, true) => publish(ts) }.sum
     val hostcalEnd = hostcalMs()
-    System.err.println(s"[bench] hostcal_ms_end=$hostcalEnd")
+    val hostcalParEnd = HostCal.hostcalParMs(spark)
+    System.err.println(s"[bench] hostcal_ms_end=$hostcalEnd " +
+      s"hostcal_par_ms_end=$hostcalParEnd")
     val hostcal = math.round((hostcalStart + hostcalEnd) / 2 * 10.0) / 10.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plain":$plain,"spread":$spread,"reps":$reps,"failed":$failed,"hostcal_ms":$hostcal,"hostcal_ms_start":$hostcalStart,"hostcal_ms_end":$hostcalEnd,"sf":"$sfDir"}"""
+    val hostcalPar =
+      math.round((hostcalParStart + hostcalParEnd) / 2 * 10.0) / 10.0
+    // n_registry = the FULL query registry size regardless of any args
+    // filter: benchgate refuses to gate a payload covering fewer queries
+    // than the registry (r12's end-of-round snapshot committed a 1-query
+    // smoke artifact that would have silently become a 1/290 baseline)
+    val nRegistry = SparkEntry.queries.size
+    val orderDesc = if (alphaOrder) "\"alpha\""
+                    else s""""rep-shuffled(seed=$passSeed)""""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plain":$plain,"spread":$spread,"reps":$reps,"failed":$failed,"hostcal_ms":$hostcal,"hostcal_ms_start":$hostcalStart,"hostcal_ms_end":$hostcalEnd,"hostcal_par_ms":$hostcalPar,"hostcal_par_ms_start":$hostcalParStart,"hostcal_par_ms_end":$hostcalParEnd,"n_registry":$nRegistry,"order":$orderDesc,"sf":"$sfDir"}"""
     // DURABLE ARTIFACT: the harness records a bounded TAIL of stdout
     // (~2000 chars), and with 270+ queries the full one-line JSON
     // outgrows that window by >10x — rounds 3-9 recorded `parsed: null`

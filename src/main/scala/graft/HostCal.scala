@@ -41,4 +41,35 @@ object HostCal {
     }
     math.round(times.min * 10.0) / 10.0
   }
+
+  /** Parallel leg: `parTasks` simultaneous copies of the same fixed fold
+    * as ONE 32-task Spark stage, plus a fixed 32-partition shuffle of the
+    * 32 results (scheduler + exchange machinery in the measurement). The
+    * single-thread leg cannot see multi-tenant CPU contention: round 12
+    * measured driver 296.9 s vs builder 284.6 s at near-identical
+    * single-thread hostcal (276.5 vs 273.4 ms) — the ~4% residual lives
+    * in the parallel regime the bench actually runs in. Best-of-3 after
+    * a warm-up rep, like the scalar leg; checksum-pinned so the workload
+    * can never drift silently.
+    */
+  private[graft] val parTaskN = 16000000L
+  private[graft] val parTasks = 32
+  private[graft] val parExpected = 1471524480L // = parTasks * workload(parTaskN)
+
+  def hostcalParMs(spark: org.apache.spark.sql.SparkSession): Double = {
+    val sc = spark.sparkContext
+    def leg(): Double = {
+      val t0 = System.nanoTime()
+      val total = sc.parallelize(0 until parTasks, parTasks)
+        .map(_ => workload(parTaskN))
+        .repartition(parTasks)
+        .fold(0L)(_ + _)
+      require(total == parExpected,
+        s"hostcal parallel workload drifted: $total")
+      (System.nanoTime() - t0) / 1e6
+    }
+    leg() // warm-up (task codegen/JIT before the timed reps)
+    val times = (1 to 3).map(_ => leg())
+    math.round(times.min * 10.0) / 10.0
+  }
 }

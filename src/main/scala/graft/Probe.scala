@@ -10,10 +10,20 @@ import org.apache.spark.sql.functions._
   * with probes ∈ {pagerank, symdelete, unigram, funnel}.
   */
 object Probe {
+  /** Every probe row carries its own host calibration (mean of a stamp
+    * before and after the timed region, like Bench): r12's closing sweep
+    * re-measured pagerank100x at 73.4 s vs the recorded 39.8 s and the
+    * drift had to be argued away by hand — with hostcal in the row, probe
+    * drift normalizes the same way the bench gate does.
+    */
   private def timed[A](name: String)(f: => A): Unit = {
+    val h0 = HostCal.hostcalMs()
     val t0 = System.nanoTime()
     val r = f
-    println(f"[probe] $name%-12s ${(System.nanoTime() - t0) / 1e9}%8.1f s  ($r)")
+    val wall = (System.nanoTime() - t0) / 1e9
+    val h1 = HostCal.hostcalMs()
+    println(f"[probe] $name%-12s $wall%8.1f s  " +
+      f"hostcal_ms=${(h0 + h1) / 2}%.1f (start=$h0%.1f end=$h1%.1f)  ($r)")
   }
 
   private def times(df: DataFrame, copies: Int, idCols: Seq[String],
@@ -701,16 +711,17 @@ object Probe {
       }
     }
     if (probes("packing")) {
-      // packSequences at 20×: one shuffle + spillable per-partition
-      // sort + an O(1)-state streaming pass — wall must track the sort
-      // of 20× rows, with no per-group buffering (a group bigger than
-      // memory still packs; copies KEEP the source group so each
-      // group's doc count grows 20×, the axis that breaks a
-      // flatMapGroups buffer).
+      // packSequences at `packCopies`×: one shuffle + spillable
+      // per-partition sort + an O(1)-state streaming pass — wall must
+      // track the sort of packCopies× rows, with no per-group buffering
+      // (a group bigger than memory still packs; copies KEEP the source
+      // group so each group's doc count grows packCopies×, the axis
+      // that breaks a flatMapGroups buffer).
+      val packCopies = 400
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("source"), col("n_chars"))
-      val big = timesWide(docs, 400, Seq("doc_id"), 1000000L)
-      timed("packing400x") {
+      val big = timesWide(docs, packCopies, Seq("doc_id"), 1000000L)
+      timed(s"packing${packCopies}x") {
         operators.Packing.packSequences(big, "source", "doc_id",
           "n_chars", 4096).count()
       }
@@ -794,12 +805,28 @@ object Probe {
         // the per-user join fan-out
         val big = timesWide(ev, copies, Seq("event_id", "user_id"),
           10000000L)
-        big.persist(); big.count()
-        for (sl <- 0 until 15) {
-          big.where(((dayofmonth(col("ts")) - 1) / 2).cast("int") === sl)
+        big.persist(); val total = big.count()
+        // month-agnostic 2-day slices anchored at min(ts): the previous
+        // (dayofmonth-1)/2 bucket mapped day 31 to slice 15 (outside the
+        // 0..14 write loop, silently dropped) and would interleave
+        // multi-month data; datediff from the actual minimum covers the
+        // whole span by construction
+        val minTs = big.agg(min(col("ts"))).head().getTimestamp(0)
+        val sliced = big.withColumn("_slice",
+          (datediff(col("ts"), lit(minTs)) / 2).cast("int"))
+        val nSlices = sliced.agg(max(col("_slice"))).head().getInt(0) + 1
+        for (sl <- 0 until nSlices) {
+          sliced.where(col("_slice") === sl).drop("_slice")
             .coalesce(2).write.mode("append").parquet(path)
         }
         big.unpersist()
+        // staged-vs-source audit: the boundRatio evidence divides by
+        // cumulative INPUT, so dropped staging rows would overstate it
+        val stagedN = spark.read.parquet(path).count()
+        println(s"[probe] staged ${copies}x: $stagedN rows of $total " +
+          s"source across $nSlices slices")
+        require(stagedN == total,
+          s"staging dropped rows: staged $stagedN != source $total")
         path
       }
 
@@ -899,6 +926,30 @@ object Probe {
       joinLeg(staged100, 100, rocksProvider, "rocksdb")
       funnelLeg(staged100, 100)
       dedupLeg(staged100, 100)
+    }
+    if (probes("streamwidth")) {
+      // VERDICT r12 #5 — the streaming shuffle-width experiment (the
+      // analog of the graph family's width-8 measured negative): a
+      // stream-stream join instantiates ~4 state stores PER SHUFFLE
+      // PARTITION per micro-batch, so at toy scale some of q78/q205's
+      // ~6 s could be store-count tax rather than work. Same-session
+      // A/B at spark.sql.shuffle.partitions 32 vs 8 vs 32 (the trailing
+      // 32 separates warm-up from width); state-store checkpoints are
+      // fresh per run, so the width takes effect. DECISION RULE: this
+      // is recorded evidence for NOTES — production follows the session
+      // conf; we do not fork plans on toy-scale constants.
+      for (width <- Seq("32", "8", "32")) {
+        spark.conf.set("spark.sql.shuffle.partitions", width)
+        for (q <- Seq("q78_stream_join", "q205_stream_left_join")) {
+          timed(s"${q}_width$width") {
+            SparkEntry.queries(q)(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+          }
+          // drained providers are pure neighbor tax (see Bench)
+          org.apache.spark.sql.GraftSqlBridge.unloadStateStores()
+        }
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
     }
     if (probes("zorder")) {
       // 20× events (2M rows): z-key + range sort + zipWithIndex + agg

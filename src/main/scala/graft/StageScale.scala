@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stages an N× copy-shifted twin of a testdata directory (builder
+  * tooling, not part of the driver contract — used for the sf1-scale
+  * bench leg, VERDICT r12 #6: gated numbers need a second scale point,
+  * not just probe rows).
+  *
+  * Each table becomes `copies` id-shifted copies (one explode + one
+  * generator, not a copies-branch union) with EVERY join key of a
+  * family shifted by the SAME constant, so referential integrity — and
+  * therefore join fan-out — is preserved: copy i of lineitem joins copy
+  * i of part/orders/customer and nothing else, exactly how a corpus
+  * that grew 10× organically would join. Fixed dims (region, nation)
+  * are copied unscaled and nation/region foreign keys stay unshifted.
+  * `user_id` on events shifts too: disjoint user populations = N× the
+  * event RATE (the production axis), not N² per-user join fan-out.
+  *
+  * Output mirrors the testdata layout — ONE FILE literally named
+  * `<table>.parquet` per table — so directory globs and the streaming
+  * file source (`globFilter = events.parquet`) behave identically to
+  * the driver's layout.
+  *
+  * CAVEAT (documented, deliberate): text/vector payloads duplicate
+  * verbatim, so DEDUP-family queries see every document `copies`×
+  * duplicated at the staged scale — structural worst case for them,
+  * fine for the join/graph/stream queries this leg benches.
+  *
+  * Usage: runMain graft.StageScale <srcDir> <dstDir> <copies>
+  */
+object StageScale {
+  /** Must exceed every key in the source by a wide margin (sf0.1 maxima
+    * are ~6e5); copies stay disjoint far beyond the scales staged here.
+    */
+  val keyShift = 100000000L
+
+  /** Join-key families per table: every column here shifts by
+    * `_copy * keyShift`, and columns listed for two tables (e.g.
+    * l_partkey / p_partkey) shift by the same amount — that is the
+    * referential-integrity invariant.
+    */
+  val keyCols: Map[String, Seq[String]] = Map(
+    "region" -> Nil,
+    "nation" -> Nil,
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  private def widen(df: DataFrame, copies: Int,
+                    keys: Seq[String]): DataFrame = {
+    val exploded = df.withColumn("_copy",
+      explode(sequence(lit(0L), lit(copies - 1L))))
+    keys.foldLeft(exploded)((d, c) =>
+      d.withColumn(c, col(c) + col("_copy") * lit(keyShift)))
+      .drop("_copy")
+  }
+
+  private def writeOneFile(df: DataFrame, dst: String,
+                           table: String): Unit = {
+    val tmp = s"$dst/_stage_$table"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles().toSeq
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file under $tmp"))
+    val target = new java.io.File(s"$dst/$table.parquet")
+    if (target.exists()) target.delete()
+    require(part.renameTo(target), s"rename $part -> $target failed")
+    LocalFs.deleteRecursively(new java.io.File(tmp))
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: StageScale <srcDir> <dstDir> <copies>")
+    val (src, dst, copies) = (args(0), args(1), args(2).toInt)
+    val spark = GraftSession.local(
+      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(dst).mkdirs()
+    keyCols.toSeq.sortBy(_._1).foreach { case (t, keys) =>
+      val df = spark.read.parquet(s"$src/$t.parquet")
+      val scaled = keys.nonEmpty && copies > 1
+      val out = if (scaled) widen(df, copies, keys) else df
+      writeOneFile(out, dst, t)
+      // staged-vs-source audit, same discipline as the streaming probe
+      val n = spark.read.parquet(s"$dst/$t.parquet").count()
+      val expect = df.count() * (if (scaled) copies else 1)
+      require(n == expect, s"$t: staged $n rows, expected $expect")
+      println(s"[stage] $t: $n rows " +
+        (if (scaled) s"(${copies}x)" else "(unscaled dim)"))
+    }
+    spark.stop()
+  }
+}

@@ -127,9 +127,16 @@ case class AsOfJoinExec(leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
       UnsafeProjection.create(leftKeys :+ leftTime, left.output)
     val rKeyGen = () =>
       UnsafeProjection.create(rightKeys :+ rightTime, right.output)
+    // nullability is the OR of the two sides: the same compiled ordering
+    // compares a LEFT projection row against a RIGHT projection row, and
+    // codegen omits null checks for slots declared non-nullable — taking
+    // it from leftKeys alone let a NULL right key compare equal to the
+    // type's default value when the left key was declared non-nullable
+    val rightPrefix = rightKeys :+ rightTime
     val prefixOrders = (leftKeys :+ leftTime).zipWithIndex.map {
       case (a, i) =>
-        SortOrder(BoundReference(i, a.dataType, a.nullable), Ascending)
+        SortOrder(BoundReference(i, a.dataType,
+          a.nullable || rightPrefix(i).nullable), Ascending)
     }
     val ordGen = () =>
       new org.apache.spark.sql.catalyst.expressions.codegen

@@ -26,4 +26,25 @@ class HostCalSpec extends AnyFunSuite {
     // not the value
     assert(ms > 10.0 && ms < 60000.0, s"hostcal_ms = $ms")
   }
+
+  test("parallel-leg checksum is pinned (parTasks copies of the fold)") {
+    // the Spark job asserts the summed result equals parExpected; this
+    // pin keeps the CONSTANT itself honest against the scalar workload,
+    // so neither the fold nor the task count can drift independently
+    assert(HostCal.parTasks * HostCal.workload(HostCal.parTaskN)
+      == HostCal.parExpected)
+  }
+}
+
+/** Spark-session half of the parallel-leg pin: the leg must actually
+  * run as a 32-task stage and return a plausible wall time. Separate
+  * suite so the scalar pins stay Spark-free.
+  */
+class HostCalParSpec extends SparkTestBase {
+  test("hostcalParMs runs the checksum-pinned 32-task leg") {
+    val ms = HostCal.hostcalParMs(spark)
+    // 32 × 16M folds on a >=4-thread local session: well over 10 ms,
+    // far under a minute even hopelessly contended
+    assert(ms > 10.0 && ms < 60000.0, s"hostcal_par_ms = $ms")
+  }
 }

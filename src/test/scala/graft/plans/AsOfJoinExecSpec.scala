@@ -77,6 +77,30 @@ class AsOfJoinExecSpec extends SparkTestBase {
     assert(got.length == 1 && got.head.isNullAt(4))
   }
 
+  test("NULL right key never matches a non-nullable left key (r12 ADVICE)") {
+    // the compiled key compare used LEFT-side nullability only; with a
+    // non-nullable left key the generated ordering skipped null checks,
+    // so a NULL right key's slot read as the type default (0L) and
+    // matched left key 0 — nullability must be the OR of both sides
+    import org.apache.spark.sql.types._
+    val l = Seq((0L, 10L, "zero"), (1L, 10L, "one")).toDF("k", "t", "lv")
+    assert(!l.schema("k").nullable) // precondition for the regression
+    val rRows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(null, 5L, 9.0),
+      org.apache.spark.sql.Row(1L: java.lang.Long, 5L, 2.0))
+    val rSchema = StructType(Seq(
+      StructField("k", LongType, nullable = true),
+      StructField("rt", LongType, nullable = false),
+      StructField("rv", DoubleType, nullable = false)))
+    val r = spark.createDataFrame(rRows, rSchema)
+    val got = AsOfJoin.asofMergeExec(l, r, Seq("k"), "t", "rt")
+      .select(col("k"), col("rv")).collect()
+      .map(x => (x.getLong(0),
+        if (x.isNullAt(1)) -1.0 else x.getDouble(1))).sorted.toSeq
+    // k=0 must go UNMATCHED (the null-key right row is not its match)
+    assert(got == Seq((0L, -1.0), (1L, 2.0)))
+  }
+
   test("nearest mode: direction, tolerance, and backward tie-break") {
     val l = Seq((1L, 10L, "mid"), (1L, 3L, "before-first"),
       (1L, 100L, "far"), (1L, 18L, "tie")).toDF("k", "t", "lv")
