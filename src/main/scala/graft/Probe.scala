@@ -927,6 +927,59 @@ object Probe {
       funnelLeg(staged100, 100)
       dedupLeg(staged100, 100)
     }
+    if (probes("assoc")) {
+      // q214 adjudication (VERDICT r12 #2): the full query vs its two
+      // building blocks, 4 timed runs each after a warm-up — where does
+      // the time live (distinct? basket self-join + pair agg? the
+      // count-join/window tail?) and how much does it wander rep to rep
+      // on an idle host.
+      val li = GraftSession.table(spark, dir, "lineitem")
+        .select(col("l_orderkey"), pmod(col("l_partkey"), lit(500L)).as("item"))
+      def full() = operators.Association.itemCosine(
+        li, Seq("l_orderkey"), "item", minCo = 3, topK = 3)
+        .orderBy(col("item"), col("rank"))
+      full().write.format("noop").mode("overwrite").save() // warm
+      for (i <- 1 to 6) {
+        // itemCosine persists its item table internally and Spark's
+        // cache manager matches identical plans, so without clearing,
+        // run i reuses run i-1's cache — bench reps clear between runs,
+        // so the honest per-run number must too
+        spark.catalog.clearCache()
+        timed(s"assoc_full$i") {
+          full().write.format("noop").mode("overwrite").save()
+        }
+      }
+      spark.catalog.clearCache()
+      val items = li.select(col("l_orderkey").as("_bk_0"), col("item"))
+        .distinct().persist()
+      timed("assoc_items")(items.count())
+      val x = items.select(col("_bk_0"), col("item").as("a"))
+      val y = items.select(col("_bk_0"), col("item").as("b"))
+      val pairs = x.join(y, Seq("_bk_0")).where(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+        .where(col("n_ab") >= 3)
+      for (i <- 1 to 2) timed(s"assoc_pairs$i")(pairs.count())
+      items.unpersist()
+      // candidate reformulation: ONE groupBy(basket).collect_set and
+      // in-row pair expansion (quadratic only in basket size) instead
+      // of distinct + basket self-join — 2 shuffles of the item table
+      // fewer; the pair counts must match exactly
+      for (i <- 1 to 3) {
+        spark.catalog.clearCache()
+        timed(s"assoc_setpairs$i") {
+          val sets = li.groupBy(col("l_orderkey"))
+            .agg(collect_set(col("item")).as("_is"))
+          val p2 = sets.select(explode(expr(
+            "flatten(transform(_is, a -> transform(" +
+              "filter(_is, b -> b > a), b -> named_struct('a', a, 'b', b))))"))
+            .as("_p"))
+            .select(col("_p.a").as("a"), col("_p.b").as("b"))
+            .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+            .where(col("n_ab") >= 3)
+          println(s"setpairs n=${p2.count()}")
+        }
+      }
+    }
     if (probes("streamwidth")) {
       // VERDICT r12 #5 — the streaming shuffle-width experiment (the
       // analog of the graph family's width-8 measured negative): a

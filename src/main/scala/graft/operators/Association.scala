@@ -14,6 +14,43 @@ import org.apache.spark.storage.StorageLevel
   */
 object Association {
 
+  /** Distinct item sets per basket — ONE shuffle of the base rows —
+    * with unordered pairs expanded IN-ROW by a higher-order expression
+    * (quadratic only in basket size, all inside whole-stage codegen).
+    * Round 12 shipped pair generation as distinct + basket-key
+    * self-join: same output, but it moved the item table through THREE
+    * extra full-table exchanges (the distinct, then both self-join
+    * sides); at 100 TB those exchanges are the job. Measured identical
+    * pair counts (124,225 at sf0.1) and same-or-better wall with 3
+    * fewer stages (Probe `assoc`). Shared by [[basketLift]] and
+    * [[itemCosine]].
+    *
+    * NULL items never pair (collect_set drops nulls — matching the
+    * previous a<b join semantics, where NULL compared false).
+    */
+  private def basketSets(df: DataFrame, basketCols: Seq[String],
+                         itemCol: String, bk: Seq[String]): DataFrame =
+    df.select(basketCols.zip(bk).map { case (c, n) => col(c).as(n) } :+
+        col(itemCol).as("item"): _*)
+      .groupBy(bk.map(col): _*)
+      .agg(collect_set(col("item")).as("_is"))
+
+  /** (a, b, n_ab) with a < b from the per-basket sets: the quadratic
+    * term is items-per-basket (the record-linkage blocking argument —
+    * cap basket size upstream for pathological carts, the maxDf
+    * pattern), never corpus size; the pair aggregate map-side combines
+    * to the pair vocabulary before its exchange.
+    */
+  private def pairCounts(sets: DataFrame, minCo: Long): DataFrame =
+    sets.select(explode(expr(
+        "flatten(transform(_is, a -> transform(" +
+          "filter(_is, b -> b > a), b -> named_struct('a', a, 'b', b))))"))
+        .as("_p"))
+      .select(col("_p.a").as("a"), col("_p.b").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minCo)
+
   /** Unordered item pairs with
     * {{{ support(a,b)   = n_ab / N
     *     confidence(a→b) = n_ab / n_a
@@ -21,30 +58,20 @@ object Association {
     * over baskets identified by `basketCols`; pairs below `minBaskets`
     * co-occurrences are dropped BEFORE the per-item joins.
     *
-    * SCALE SHAPE: the item table is deduped once (one shuffle) and
-    * persisted; pair generation is an equi-join ON THE BASKET KEY, so
-    * the quadratic term is bounded by items-per-basket (the domain's
-    * distinct-items-per-basket, NOT corpus size — the record-linkage
-    * blocking argument). The basket total is a ONE-ROW aggregate
-    * cross-joined broadcast (q118's shape); per-item counts join as
-    * vocabulary-sized tables. Nothing collects at the driver.
+    * SCALE SHAPE: [[basketSets]] + [[pairCounts]] — one shuffle of the
+    * base rows, in-row pair expansion, vocabulary-sized count joins.
+    * The basket total is a ONE-ROW aggregate cross-joined broadcast
+    * (q118's shape). Nothing collects at the driver.
     */
   def basketLift(df: DataFrame, basketCols: Seq[String], itemCol: String,
                  minBaskets: Long): DataFrame = {
-    val items = df
-      .select(basketCols.map(col) :+ col(itemCol).as("item"): _*)
-      .distinct()
+    val bk = basketCols.indices.map(i => s"_bk_$i")
+    val sets = basketSets(df, basketCols, itemCol, bk)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nb = items.select(basketCols.map(col): _*).distinct()
-      .agg(count(lit(1)).cast("double").as("_n"))
-    val ic = items.groupBy(col("item")).agg(count(lit(1)).as("_c"))
-    val x = items.select(basketCols.map(col) :+ col("item").as("a"): _*)
-    val y = items.select(basketCols.map(col) :+ col("item").as("b"): _*)
-    x.join(y, basketCols)
-      .where(col("a") < col("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("n_ab"))
-      .where(col("n_ab") >= minBaskets)
+    val nb = sets.agg(count(lit(1)).cast("double").as("_n"))
+    val ic = sets.select(explode(col("_is")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("_c"))
+    pairCounts(sets, minBaskets)
       .join(ic.select(col("item").as("a"), col("_c").as("_ca")), "a")
       .join(ic.select(col("item").as("b"), col("_c").as("_cb")), "b")
       .crossJoin(broadcast(nb))
@@ -65,8 +92,8 @@ object Association {
     * co-occurrences dropped first). Ordering is on the ROUNDED cosine
     * with the neighbor id as tiebreak, so rank is engine-deterministic.
     *
-    * SCALE SHAPE: [[basketLift]]'s blocking argument — pair generation
-    * is an equi-join ON THE BASKET KEY, quadratic only in
+    * SCALE SHAPE: [[basketSets]] + [[pairCounts]] — one shuffle of the
+    * base rows, in-row pair expansion quadratic only in
     * items-per-basket, never corpus size (cap basket size upstream for
     * pathological carts, the maxDf pattern). The top-k window runs over
     * each item's NEIGHBOR LIST (≤ distinct co-items, already
@@ -76,21 +103,13 @@ object Association {
   def itemCosine(df: DataFrame, basketCols: Seq[String], itemCol: String,
                  minCo: Long, topK: Int): DataFrame = {
     // basket keys are renamed internally — a caller's basket column
-    // named "a"/"b"/"item" must not capture the pair-join references
+    // named "a"/"b"/"item" must not capture the pair references
     val bk = basketCols.indices.map(i => s"_bk_$i")
-    val items = df
-      .select(basketCols.zip(bk).map { case (c, n) => col(c).as(n) } :+
-        col(itemCol).as("item"): _*)
-      .distinct()
+    val sets = basketSets(df, basketCols, itemCol, bk)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val ic = items.groupBy(col("item")).agg(count(lit(1)).as("_c"))
-    val x = items.select(bk.map(col) :+ col("item").as("a"): _*)
-    val y = items.select(bk.map(col) :+ col("item").as("b"): _*)
-    val pairs = x.join(y, bk)
-      .where(col("a") < col("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("n_ab"))
-      .where(col("n_ab") >= minCo)
+    val ic = sets.select(explode(col("_is")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("_c"))
+    val pairs = pairCounts(sets, minCo)
     val sym = pairs.unionByName(pairs.select(col("b").as("a"),
       col("a").as("b"), col("n_ab")))
     // both count sides and the pair table descend from `items`, so the
