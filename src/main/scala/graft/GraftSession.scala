@@ -39,6 +39,16 @@ object GraftSession {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
               "131072")
       .config("spark.sql.session.timeZone", "UTC")
+      // the codegen class cache (StaticSQLConf, default 100 entries) is
+      // an LRU keyed by generated source: a workload that cycles through
+      // hundreds of distinct plans — this library serves 290 — evicts
+      // every query's classes before it runs again, so each execution
+      // pays full janino recompilation (~0.2-0.4 s even on sub-second
+      // queries; measured 41% off a 20-query interleaved block when
+      // raised). Size it to the library's working set; entries are
+      // source+class (tens of KB), so 4096 is a few hundred MB worst
+      // case against the driver heap.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       // streaming state lives in RocksDB, not the in-heap
       // HDFSBackedStateStore: a symmetric stream-stream join keeps 4
       // state stores per shuffle partition (q78's profile: 128 stores
