@@ -93,11 +93,15 @@ def coverage_violations(payloads):
     marker, so this gate would have accepted it as a 1/290 baseline).
     Two nets: (1) Bench emits "n_registry" — the FULL query-registry size
     regardless of any focused-run filter — and a payload covering fewer
-    queries than its own registry is refused; (2) legacy payloads without
-    n_registry are cross-checked: a side covering <80% of the other
-    side's query count is a partial/smoke artifact, not a baseline
-    (genuine round-over-round registry growth is a few percent, never a
-    5x count gap)."""
+    queries than its own registry is refused; (2) ONLY payloads lacking
+    n_registry are cross-checked against the largest side: a legacy side
+    covering <80% of the other side's query count is a partial/smoke
+    artifact, not a baseline (genuine round-over-round registry growth
+    is a few percent, never a 5x count gap). A payload that fully covers
+    its own registry is already validated by net 1 — applying the 80%
+    heuristic to it would refuse two genuinely-full runs whose
+    registries legitimately diverged (large query-set growth or a
+    trimmed registry)."""
     bad = []
     for label, d in payloads:
         reg = d.get("n_registry")
@@ -106,9 +110,12 @@ def coverage_violations(payloads):
                        f"{len(d['queries'])}/{reg} registered queries — "
                        f"a focused/smoke artifact must never be gated "
                        f"or become a baseline")
-    counts = [(label, len(d["queries"])) for label, d in payloads]
-    hi_label, hi = max(counts, key=lambda x: x[1])
-    for label, n in counts:
+    counts = [(label, len(d["queries"]), d.get("n_registry"))
+              for label, d in payloads]
+    hi_label, hi, _ = max(counts, key=lambda x: x[1])
+    for label, n, reg in counts:
+        if reg and n >= reg:
+            continue  # full vs its own registry — net 1 owns this side
         if n < 0.8 * hi:
             bad.append(f"{label} covers {n} queries vs {hi_label}'s {hi} "
                        f"— one side is a partial/smoke artifact")
@@ -266,10 +273,17 @@ def main() -> int:
         n, b = nq[name], bq[name]
         raw_x = n / b if b > 0 else float("inf")
         norm_x = raw_x / ratio
-        # staleness below evaluates the RAW (unnormalized) trigger:
-        # whether an accept entry still "triggers" must not flip with
-        # host speed, or a slow host could mark a live entry STALE
-        if n >= max(b * factor, floor_sec):
+        # staleness below treats an entry as live if it triggers under
+        # EITHER the raw or the normalized threshold: raw-only flips
+        # live->STALE on a slow host (r12 fix), but normalized-only
+        # flips it on a FAST host (ratio<1 widens the raw bar past the
+        # normalized one, so an entry actively absorbing a
+        # normalized-triggered growth looked dead and the advised prune
+        # would convert the next run into a REGRESSION). Stale means it
+        # triggers under NEITHER — host speed in either direction can't
+        # kill a live entry.
+        if (n >= max(b * factor, floor_sec)
+                or n >= max(b * factor * ratio, floor_sec)):
             triggered_raw.add(name)
         if n < max(b * factor * ratio, floor_sec):
             continue
@@ -301,11 +315,12 @@ def main() -> int:
             stale.append((name, f"recorded baseline_median {pin} != "
                           f"BASE median {b} — baseline moved on"))
         elif name not in triggered_raw:
-            # evaluated with the RAW factor (see the loop above) so host
-            # speed can never flip a live entry to STALE
+            # live under NEITHER the raw nor the normalized trigger
+            # (see the loop above) so host speed in either direction
+            # can never flip a live entry to STALE
             stale.append((name, "no longer triggers the growth check "
-                          "(raw, host-independent) — baseline absorbed "
-                          "it"))
+                          "(neither raw nor host-normalized) — baseline "
+                          "absorbed it"))
     for name, why in stale:
         print(f"STALE-ACCEPT  {name}: {why}; PRUNE it from "
               f"benchgate_accept.json (a stale entry must never "

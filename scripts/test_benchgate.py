@@ -208,6 +208,19 @@ def main():
         check("genuine registry growth (10 vs 9) still gates",
               rc == 0 and "GATE PASS" in out, out)
 
+        # two payloads EACH full against their own registry but whose
+        # registries diverge >20% are both genuinely full runs — the
+        # 80% heuristic is for legacy payloads only (r13 ADVICE: it
+        # previously refused large query-set growth as 'smoke')
+        rc, out = run(tmp,
+                      payload({f"q{i}": 1.0 for i in range(1, 21)},
+                              n_registry=20),
+                      payload({f"q{i}": 1.0 for i in range(1, 9)},
+                              n_registry=8))
+        check("registry-stamped full runs with >20% registry divergence "
+              "still gate (80% heuristic is legacy-only)",
+              rc == 0 and "GATE PASS" in out, out)
+
         # --- stale-accept precision (r12 ADVICE) ---
         # accept entry naming a query NEW never measured must say so,
         # not claim absorption
@@ -226,6 +239,21 @@ def main():
               "raw (3.5x) but not normalized (host 1.45x slower) is "
               "NOT stale",
               rc == 0 and "STALE-ACCEPT" not in out, out)
+
+        # FAST new host (ratio < 1): normalized bar sits BELOW the raw
+        # bar, so an entry absorbing a normalized-only trigger (2.5x
+        # raw < 3x, but > 3x * 0.69 normalized) is live — raw-only
+        # liveness would mark it STALE and the advised prune would turn
+        # the next run into a REGRESSION (r13 ADVICE)
+        fast_new = payload({"q1": 5.0, "q2": 2.0}, hostcal_ms=2000.0)
+        fast_base = payload({"q1": 2.0, "q2": 2.0}, hostcal_ms=2900.0)
+        rc, out = run(tmp, fast_new, fast_base,
+                      accept_file=accept("q1", "definition changed", 2.0))
+        check("staleness is host-independent in BOTH directions: an "
+              "entry that triggers normalized (fast host) but not raw "
+              "is NOT stale",
+              rc == 0 and "STALE-ACCEPT" not in out
+              and "CHANGED" in out, out)
 
         # --- cumulative drift (warn-only) ---
         rc, out = run(tmp, payload({"q1": 3.2, "q2": 2.0}),

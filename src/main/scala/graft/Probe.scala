@@ -806,6 +806,11 @@ object Probe {
         val big = timesWide(ev, copies, Seq("event_id", "user_id"),
           10000000L)
         big.persist(); val total = big.count()
+        // an empty source would surface as an opaque NPE below
+        // (head().getTimestamp on a null min) and nSlices would size an
+        // unbounded write loop off garbage — fail loudly instead
+        require(total > 0,
+          s"stageSlices: events table at $dir is empty — nothing to stage")
         // month-agnostic 2-day slices anchored at min(ts): the previous
         // (dayofmonth-1)/2 bucket mapped day 31 to slice 15 (outside the
         // 0..14 write loop, silently dropped) and would interleave

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Market-basket association mining — co-occurrence SETS where
   * [[TextAnalysis.pmiBigrams]] is co-occurrence SEQUENCES: which items
@@ -26,20 +25,45 @@ object Association {
     * [[itemCosine]].
     *
     * NULL items never pair (collect_set drops nulls — matching the
-    * previous a<b join semantics, where NULL compared false).
+    * previous a<b join semantics, where NULL compared false), and NULL
+    * basket keys are filtered BEFORE grouping for the same reason: the
+    * self-join formulation silently excluded NULL-key rows (equi-join
+    * NULL semantics), whereas groupBy would collect them into a real
+    * basket and pair their items — a semantics change this operator
+    * does not intend.
+    *
+    * The returned frame is PINNED (eager local checkpoint), not
+    * `persist`ed: a persisted frame registers with the session
+    * CacheManager and stays there until LRU eviction — nothing ever
+    * unpersists it because the operator's result is lazy (no point the
+    * operator could call unpersist at). A pin holds executor-local
+    * blocks that the ContextCleaner frees as soon as the caller drops
+    * the result frame, so repeated executions cannot accumulate
+    * session-lifetime cache entries.
     */
   private def basketSets(df: DataFrame, basketCols: Seq[String],
                          itemCol: String, bk: Seq[String]): DataFrame =
-    df.select(basketCols.zip(bk).map { case (c, n) => col(c).as(n) } :+
-        col(itemCol).as("item"): _*)
-      .groupBy(bk.map(col): _*)
-      .agg(collect_set(col("item")).as("_is"))
+    Components.pin(
+      df.filter(basketCols.map(col(_).isNotNull).reduce(_ && _))
+        .select(basketCols.zip(bk).map { case (c, n) => col(c).as(n) } :+
+          col(itemCol).as("item"): _*)
+        .groupBy(bk.map(col): _*)
+        .agg(collect_set(col("item")).as("_is")),
+      reliable = false)
 
   /** (a, b, n_ab) with a < b from the per-basket sets: the quadratic
     * term is items-per-basket (the record-linkage blocking argument —
     * cap basket size upstream for pathological carts, the maxDf
     * pattern), never corpus size; the pair aggregate map-side combines
     * to the pair vocabulary before its exchange.
+    *
+    * BOUND: the transform/flatten expands all k·(k-1)/2 pair structs of
+    * one basket INSIDE one row before explode — so the cap-basket-size
+    * caveat is not only about pair-count growth: an uncapped mega-basket
+    * that the old self-join would at least have distributed across
+    * tasks now materializes its whole pair array in a single task's
+    * row buffer (k=100k ⇒ ~5e9 structs in one row = OOM, not skew).
+    * Cap k upstream; the cap is the operator's contract at scale.
     */
   private def pairCounts(sets: DataFrame, minCo: Long): DataFrame =
     sets.select(explode(expr(
@@ -67,7 +91,6 @@ object Association {
                  minBaskets: Long): DataFrame = {
     val bk = basketCols.indices.map(i => s"_bk_$i")
     val sets = basketSets(df, basketCols, itemCol, bk)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val nb = sets.agg(count(lit(1)).cast("double").as("_n"))
     val ic = sets.select(explode(col("_is")).as("item"))
       .groupBy(col("item")).agg(count(lit(1)).as("_c"))
@@ -106,7 +129,6 @@ object Association {
     // named "a"/"b"/"item" must not capture the pair references
     val bk = basketCols.indices.map(i => s"_bk_$i")
     val sets = basketSets(df, basketCols, itemCol, bk)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val ic = sets.select(explode(col("_is")).as("item"))
       .groupBy(col("item")).agg(count(lit(1)).as("_c"))
     val pairs = pairCounts(sets, minCo)

@@ -493,4 +493,23 @@ class AssociationSpec extends SparkTestBase {
       .as[(String, String, Long, Double, Double, Double)].collect()
     assert(pruned.map(r => (r._1, r._2)).toSeq == Seq(("x", "y")))
   }
+
+  test("NULL basket keys never pair (self-join equi-NULL semantics kept)") {
+    // two NULL-key rows would form a {p,q} basket under plain groupBy
+    // (NULL groups together) — the operator must exclude them, matching
+    // the r12 self-join formulation where NULL keys never matched
+    val df = Seq(
+      (Option("b1"), "x"), (Option("b1"), "y"),
+      (Option.empty[String], "p"), (Option.empty[String], "q")
+    ).toDF("bk", "item")
+    val lift = Association.basketLift(df, Seq("bk"), "item", 1L)
+      .select("a", "b").as[(String, String)].collect().toSet
+    assert(lift == Set(("x", "y"))) // no (p,q), and N=1 basket overall
+    val n = Association.basketLift(df, Seq("bk"), "item", 1L)
+      .select("support").as[Double].head
+    assert(n == 1.0) // N excludes the NULL basket too: 1/1, not 1/2
+    val cos = Association.itemCosine(df, Seq("bk"), "item", 1L, 5)
+      .select("item").as[String].collect().toSet
+    assert(cos == Set("x", "y"))
+  }
 }
