@@ -91,18 +91,46 @@ object Components {
     if (spark.conf.get("spark.graft.closure.log", "true") == "true")
       System.err.println(s"[graft.closure] $msg")
 
+  /** Plan-shape diagnostics for pinned intermediates: a pin EXECUTES its
+    * frame's plan at operator-construction time, so the result frame's
+    * `.explain` shows only a `Scan ExistingRDD` where the reused
+    * intermediate's aggregation/derivation shape used to be. PlanSpec's
+    * scale assertions for those shapes (q91 signature kernel, q144
+    * partial counts, q149 sketch aggregate) go through this capture:
+    * thread-local (operator construction is driver-side on the calling
+    * thread), so concurrently-running suites cannot pollute a capture,
+    * and zero-cost when no capture is active (by-name plan string).
+    */
+  private[graft] object PinPlanCapture {
+    private val tl =
+      new ThreadLocal[scala.collection.mutable.ArrayBuffer[String]]()
+    /** Begin capturing pin plans on THIS thread (drops any prior). */
+    private[graft] def start(): Unit =
+      tl.set(scala.collection.mutable.ArrayBuffer.empty[String])
+    /** Stop capturing and return the pinned frames' executed plans. */
+    private[graft] def stop(): Seq[String] = {
+      val b = tl.get(); tl.remove()
+      if (b == null) Seq.empty else b.toSeq
+    }
+    private[operators] def record(plan: => String): Unit = {
+      val b = tl.get(); if (b != null) b += plan
+    }
+  }
+
   /** Eager checkpoint: materialize AND truncate lineage — the returned
     * frame's logical plan is a single `LogicalRDD`, so iterative reuse
     * can't grow the plan tree (see class doc). `reliable` swaps the
     * executor-local block store for the context checkpoint directory
     * (must be set; survives executor loss).
     */
-  private[operators] def pin(df: DataFrame, reliable: Boolean): DataFrame =
+  private[graft] def pin(df: DataFrame, reliable: Boolean): DataFrame = {
+    PinPlanCapture.record(df.queryExecution.executedPlan.toString)
     if (reliable) {
       require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
         "reliable=true needs spark.sparkContext.setCheckpointDir(...)")
       df.checkpoint(eager = true)
     } else df.localCheckpoint(eager = true)
+  }
 
   /** Free a superseded round's local-checkpoint blocks NOW rather than
     * when the ContextCleaner notices the frame is unreachable (JVM GC
@@ -113,7 +141,7 @@ object Components {
     * with the ContextCleaner (`cleanCheckpoints`, class doc), so this
     * is a no-op for them.
     */
-  private[operators] def releasePin(df: DataFrame, reliable: Boolean): Unit =
+  private[graft] def releasePin(df: DataFrame, reliable: Boolean): Unit =
     if (!reliable) df.queryExecution.analyzed.collectLeaves().foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)

@@ -32,16 +32,28 @@ import TextAnalysis._
   */
 object NearDup {
 
-  /** Handle to the intermediates an operator call persisted. The caller
-    * owns their lifetime: `release()` after the FINAL action on the
-    * operator's result frees the cached blocks without touching anything
-    * else the session has cached (`spark.catalog.clearCache()` — what
-    * Verify/Bench do between queries — is the blunter alternative).
+  /** Handle to the intermediates an operator call pinned (eager local
+    * checkpoint — NOT a session CacheManager entry; see Components.pin).
+    * Lifetime is ContextCleaner-scoped by default: dropping the result
+    * frame frees the blocks at the next GC. `release()` after the FINAL
+    * action frees them NOW — the eager variant for tight loops. Because
+    * a pin's lineage is truncated, releasing BEFORE the final action is
+    * a contract violation that fails the consuming job (it cannot
+    * recompute freed blocks) — the pre-r14 persist formulation would
+    * instead silently recompute, but it also leaked a session-lifetime
+    * CacheManager entry whenever release was skipped.
     */
   final class CacheHandle private[operators] (
       private[operators] val cached: Seq[DataFrame]) {
     def release(blocking: Boolean = false): Unit =
-      cached.foreach(_.unpersist(blocking))
+      cached.foreach { df =>
+        df.unpersist(blocking) // no-op on pins; kept for mixed handles
+        df.queryExecution.analyzed.collectLeaves().foreach {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking)
+          case _ => ()
+        }
+      }
   }
 
   /** Spread a (possibly few-partition) input across the cluster before
@@ -147,12 +159,12 @@ object NearDup {
     * anti-join + one window recount — nothing proportional to pair
     * volume.
     *
-    * RESOURCE NOTE: the derived shingle table is persisted (both join
-    * sides read it). This convenience form leaves the cached blocks to
-    * the session (clear with `spark.catalog.clearCache()`, as
-    * Verify/Bench do between queries); long-lived sessions issuing many
-    * operator calls should use `jaccardPairsWithHandle` and `release()`
-    * the handle after the final action.
+    * RESOURCE NOTE: the derived shingle table is pinned (both join
+    * sides read it). This convenience form leaves the pinned blocks to
+    * the ContextCleaner — they free at the GC after the result frame is
+    * dropped; tight loops issuing many operator calls should use
+    * `jaccardPairsWithHandle` and `release()` the handle after the
+    * final action to free them immediately.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    blockCol: String, n: Int, minJaccard: Double,
@@ -160,7 +172,7 @@ object NearDup {
     jaccardPairsWithHandle(docs, idCol, textCol, blockCol, n, minJaccard,
       maxDf)._1
 
-  /** `jaccardPairs` plus the [[CacheHandle]] owning its persisted
+  /** `jaccardPairs` plus the [[CacheHandle]] owning its pinned
     * shingle table.
     */
   def jaccardPairsWithHandle(docs: DataFrame, idCol: String,
@@ -241,8 +253,12 @@ object NearDup {
           .select(col("shingle"))
         sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
       } else sh0
-    val sh = capped
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pinned, not persisted: the operator's result is lazy, so nothing
+    // could ever unpersist a CacheManager entry — pin blocks are freed
+    // by the ContextCleaner once the caller drops the result (the
+    // Association lifetime rule; same everywhere an intermediate is
+    // reused without a CacheHandle)
+    val sh = Components.pin(capped, reliable = false)
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("_n"))
     val shared = sh.select(col("shingle"), col("source").as("src_a"))
       .join(sh.select(col("shingle"), col("source").as("src_b")),
@@ -293,12 +309,14 @@ object NearDup {
       if (maxDf > 0)
         dfreq.where(col("_df") <= maxDf)
       else dfreq
-    val w = tf.join(broadcast(kept), "token")
-      .withColumn("_w",
-        col("_tf").cast("double") *
-          log(lit(n) / col("_df").cast("double")))
-      .select(col("id"), col("blk"), col("token"), col("_w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pinned, not persisted — see sourceOverlapMatrix's lifetime note
+    val w = Components.pin(
+      tf.join(broadcast(kept), "token")
+        .withColumn("_w",
+          col("_tf").cast("double") *
+            log(lit(n) / col("_df").cast("double")))
+        .select(col("id"), col("blk"), col("token"), col("_w")),
+      reliable = false)
     val norm = w.groupBy(col("id"))
       .agg(sqrt(sum(col("_w") * col("_w"))).as("_n"))
     // hint("merge"): see symDeleteCands — exploded inverted-index
@@ -318,9 +336,9 @@ object NearDup {
       .withColumn("sim", round(col("_dot") / (col("_na") * col("_nb")), 6))
       .where(col("sim") >= minSim)
       .select(col("a"), col("b"), col("sim"))
-    // the weight table is read 3× (both join sides + norms); persisted
-    // under the session cache contract (Verify/Bench clearCache between
-    // queries — same as jaccardPairs' shingle table)
+    // the weight table is read 3× (both join sides + norms); pinned
+    // with ContextCleaner-scoped blocks (same lifetime contract as
+    // jaccardPairs' shingle table)
     pairs
   }
 
@@ -506,14 +524,18 @@ object NearDup {
     // |posting|² pair arrays allocates far more than the streamed shuffle
     // join, and AQE skew-handles the join for free.)
     //
-    // persist is load-bearing twice over: both join sides read the same
-    // derived table, and it absorbs the `size(shingles) > 0` filter the
-    // explode pushes down (which would otherwise re-derive the array at
-    // the scan). ~2× the text in size — disk-backed at scale.
-    val arr = shingleArrays(docs, idCol, Seq(blockCol), textCol, n)
-      .withColumnRenamed(idCol, "id").withColumnRenamed(blockCol, "blk")
-      .withColumn("n_sh", size(col("shingles")).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the materialization is load-bearing twice over: both join sides
+    // read the same derived table, and it absorbs the
+    // `size(shingles) > 0` filter the explode pushes down (which would
+    // otherwise re-derive the array at the scan). ~2× the text in size
+    // — disk-backed at scale. Pinned, not persisted: blocks are
+    // ContextCleaner-scoped (or freed NOW via the returned CacheHandle),
+    // never a session-lifetime CacheManager entry.
+    val arr = Components.pin(
+      shingleArrays(docs, idCol, Seq(blockCol), textCol, n)
+        .withColumnRenamed(idCol, "id").withColumnRenamed(blockCol, "blk")
+        .withColumn("n_sh", size(col("shingles")).cast("long")),
+      reliable = false)
     val shAll = arr.select(col("id"), col("blk"), col("n_sh"),
       explode(col("shingles")).as("shingle"))
     // the maxDf cap applies BEFORE set sizes are counted, so the capped
@@ -710,16 +732,17 @@ object NearDup {
                   maxDf: Int = 0): DataFrame =
     winnowPairsWithHandle(docs, idCol, textCol, blockCol, k, w, maxDf)._1
 
-  /** `winnowPairs` plus the [[CacheHandle]] owning its persisted
+  /** `winnowPairs` plus the [[CacheHandle]] owning its pinned
     * fingerprint table.
     */
   def winnowPairsWithHandle(docs: DataFrame, idCol: String,
                             textCol: String, blockCol: String, k: Int,
                             w: Int, maxDf: Int = 0)
       : (DataFrame, CacheHandle) = {
-    val fps = winnowFingerprints(docs, idCol, Seq(blockCol), textCol, k, w)
-      .withColumnRenamed(idCol, "id").withColumnRenamed(blockCol, "blk")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fps = Components.pin(
+      winnowFingerprints(docs, idCol, Seq(blockCol), textCol, k, w)
+        .withColumnRenamed(idCol, "id").withColumnRenamed(blockCol, "blk"),
+      reliable = false)
     val eAll = fps.select(col("blk"), col("id"),
       explode(col("fps")).as("fp"))
     val e =
@@ -1059,18 +1082,19 @@ object NearDup {
       .foldLeft(incoming.withColumn("_sig", sig)) { (d, j) =>
         d.withColumn(s"_b$j", bandVal(col("_sig"), j))
       }
-    // persisted: each band's distinct build side below derives from the
+    // pinned: each band's distinct build side below derives from the
     // index signatures, and without the cache every one of the `bands`
     // broadcast builds re-tokenizes and re-md5s the WHOLE index corpus
     // (the same recompute the hyperplane band self-join fixed). Cached
-    // form is 8 B/doc of longs — disk-backed at scale. Same
-    // session-owned cache contract as jaccardPairs (Verify/Bench
-    // clearCache between queries; long-lived gate sessions should
-    // clear after the stream stops).
-    val idxSig = spread(index)
-      .select(call_function("graft_simhash", tokens(col(textCol)))
-        .as("_isig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // form is 8 B/doc of longs — disk-backed at scale. Pin, not
+    // persist: blocks are ContextCleaner-scoped (freed when the gated
+    // frame is dropped), not session-lifetime CacheManager entries
+    // nothing ever releases.
+    val idxSig = Components.pin(
+      spread(index)
+        .select(call_function("graft_simhash", tokens(col(textCol)))
+          .as("_isig")),
+      reliable = false)
     val gated = (0 until bands).foldLeft(withBands) { (d, j) =>
       val bandVals = idxSig.select(bandVal(col("_isig"), j).as(s"_v$j"))
         .distinct()

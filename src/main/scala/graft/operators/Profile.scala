@@ -191,9 +191,13 @@ object Profile {
     */
   def mergeableDistinct(df: DataFrame, strataCol: String,
                         valueCol: String): DataFrame = {
-    val sk = df.groupBy(col(strataCol).cast("string").as("stratum"))
-      .agg(hll_sketch_agg(col(valueCol)).as("_sk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-stratum sketches feed both the per-stratum estimates and the
+    // global union — pinned (ContextCleaner-scoped), not persisted into
+    // the session CacheManager that nothing ever releases
+    val sk = Components.pin(
+      df.groupBy(col(strataCol).cast("string").as("stratum"))
+        .agg(hll_sketch_agg(col(valueCol)).as("_sk")),
+      reliable = false)
     val per = sk.select(col("stratum"),
       hll_sketch_estimate(col("_sk")).as("n_distinct_est"))
     val all = sk.agg(hll_union_agg(col("_sk")).as("_u"))

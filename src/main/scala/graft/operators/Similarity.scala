@@ -502,19 +502,20 @@ object Similarity {
     val bands = bits / bandBits
     val sig = call_function("graft_hyperplane_sig", col(vecCol),
       lit(bits), lit(bandBits), lit(dim))
-    // persisted: BOTH sides of the band self-join read this table, and
+    // pinned: BOTH sides of the band self-join read this table, and
     // the kernel's bits×dim multiply-adds per row are the dominant
     // per-row cost — recomputing them per side doubles the flops. The
     // cached form is (id + bands ints) ≈ 24 B/vector — disk-backed at
-    // scale, negligible next to the vectors. Same session-owned cache
-    // contract as jaccardPairs (Verify/Bench clearCache between
-    // queries; long-lived sessions should clear after the final
-    // action).
-    val sigs = vectors
-      .select(col(idCol).as("id"), sig.as("_sig"))
-      .select(col("id") +: (0 until bands).map(b =>
-        element_at(col("_sig"), b + 1).as(s"hb$b")): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // scale, negligible next to the vectors. Pin, not persist: blocks
+    // are ContextCleaner-scoped (freed when the result frame is
+    // dropped), not session-lifetime CacheManager entries nothing ever
+    // releases.
+    val sigs = Components.pin(
+      vectors
+        .select(col(idCol).as("id"), sig.as("_sig"))
+        .select(col("id") +: (0 until bands).map(b =>
+          element_at(col("_sig"), b + 1).as(s"hb$b")): _*),
+      reliable = false)
     val banded = sigs.select(col("id"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"), col(s"hb$b").as("v"))): _*)).as("bv"))

@@ -325,17 +325,20 @@ object Stats {
     require(shareNum > 0 && shareDen > shareNum,
       "share must be a proper fraction")
     val tot = per.agg(sum(col(valueCol)).as("_tot"))
-    // persisted: the offsets branch and the row branch both consume
-    // this partitioning; uncached they'd re-run the range sampler
+    // pinned: the offsets branch and the row branch both consume this
+    // partitioning; unmaterialized they'd re-run the range sampler
     // independently, and boundaries that disagree between the two
     // evaluations silently corrupt the prefix (observed once on the
     // PPS sampler before it moved to hash-prefix buckets — here the
-    // order is by VALUE, so a deterministic hash prefix can't apply
-    // and the cache is the correctness device)
-    val ranged = per
-      .repartitionByRange(buckets, col(valueCol).desc, col(entityCol))
-      .withColumn("_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // order is by VALUE, so a deterministic hash prefix can't apply).
+    // Pin beats persist twice over: the truncated lineage CANNOT
+    // re-sample boundaries, and the blocks are ContextCleaner-scoped
+    // instead of a session-lifetime CacheManager entry
+    val ranged = Components.pin(
+      per
+        .repartitionByRange(buckets, col(valueCol).desc, col(entityCol))
+        .withColumn("_pid", spark_partition_id()),
+      reliable = false)
     val wIn = Window.partitionBy(col("_pid"))
       .orderBy(col(valueCol).desc, col(entityCol))
     val withCum = ranged.withColumn("_cumIn", sum(col(valueCol)).over(wIn))
@@ -599,11 +602,15 @@ object Stats {
   def percentRank(df: DataFrame, valueCol: String,
                   buckets: Int = 32): DataFrame = {
     val counts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("_c"))
-    // persisted — offsets and ranks branches must see ONE range
-    // partitioning (see paretoCover's note)
-    val ranged = counts.repartitionByRange(buckets, col(valueCol))
-      .withColumn("_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pinned — offsets and ranks branches must see ONE range
+    // partitioning (see paretoCover's note); pin both guarantees the
+    // single evaluation (truncated lineage CANNOT re-sample range
+    // boundaries) and keeps the blocks ContextCleaner-scoped instead of
+    // leaking a session-lifetime CacheManager entry
+    val ranged = Components.pin(
+      counts.repartitionByRange(buckets, col(valueCol))
+        .withColumn("_pid", spark_partition_id()),
+      reliable = false)
     val wIn = Window.partitionBy(col("_pid")).orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val withIn = ranged.withColumn("_below_in",
@@ -644,11 +651,12 @@ object Stats {
   def skyline2d(df: DataFrame, xCol: String, yCol: String,
                 buckets: Int = 32): DataFrame = {
     val perX = df.groupBy(col(xCol)).agg(max(col(yCol)).as("_my"))
-    // persisted — offsets and frontier branches must see ONE range
-    // partitioning (see paretoCover's note)
-    val ranged = perX.repartitionByRange(buckets, col(xCol))
-      .withColumn("_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pinned — offsets and frontier branches must see ONE range
+    // partitioning (see percentRank's note)
+    val ranged = Components.pin(
+      perX.repartitionByRange(buckets, col(xCol))
+        .withColumn("_pid", spark_partition_id()),
+      reliable = false)
     val wIn = Window.partitionBy(col("_pid")).orderBy(col(xCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val withPrev = ranged.withColumn("_pmaxIn",

@@ -688,21 +688,27 @@ object TextAnalysis {
     val toksOf = tokens(col(textCol))
     val base = docs.select(toksOf.as("_toks"))
       .select(filter(col("_toks"), t => t =!= "").as("toks"))
-    val bigrams = base.select(
-        when(size(col("toks")) >= 2,
-          zip_with(
-            slice(col("toks"), lit(1), size(col("toks")) - 1),
-            slice(col("toks"), lit(2), size(col("toks")) - 1),
-            (a, b) => struct(a.as("w1"), b.as("w2"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-        .as("bgs"))
-      .select(explode(col("bgs")).as("bg"))
-      .select(col("bg.w1"), col("bg.w2"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val uni = base.select(explode(col("toks")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("_c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both tables feed the totals AND the final join — pinned, not
+    // persisted, so their blocks are ContextCleaner-scoped (freed when
+    // the result frame is dropped) rather than session-lifetime
+    // CacheManager entries nothing ever releases
+    val bigrams = Components.pin(
+      base.select(
+          when(size(col("toks")) >= 2,
+            zip_with(
+              slice(col("toks"), lit(1), size(col("toks")) - 1),
+              slice(col("toks"), lit(2), size(col("toks")) - 1),
+              (a, b) => struct(a.as("w1"), b.as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+          .as("bgs"))
+        .select(explode(col("bgs")).as("bg"))
+        .select(col("bg.w1"), col("bg.w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab")),
+      reliable = false)
+    val uni = Components.pin(
+      base.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("_c")),
+      reliable = false)
     val nu = uni.agg(sum(col("_c")).cast("double").as("_nu"))
     val nb = bigrams.agg(sum(col("n_ab")).cast("double").as("_nb"))
     bigrams
@@ -881,19 +887,19 @@ object TextAnalysis {
     vocabCoverageWithHandle(docs, groupCol, textCol, topK)._1
 
   /** [[vocabCoverage]] plus the [[NearDup.CacheHandle]] owning its
-    * persisted token table — `release()` after the final action on the
-    * result. The handle-less overload leaves the cache to the session
-    * (Verify/Bench `clearCache()` between queries); a LONG-LIVED
-    * interactive session should use this variant or the blocks
-    * accumulate.
+    * pinned token table — `release()` after the final action on the
+    * result frees the blocks immediately. The handle-less overload
+    * leaves them to the ContextCleaner (freed at the GC after the
+    * result frame is dropped).
     */
   def vocabCoverageWithHandle(docs: DataFrame, groupCol: String,
                               textCol: String, topK: Int)
       : (DataFrame, NearDup.CacheHandle) = {
-    val tok = docs
-      .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
-      .where(col("token") =!= "")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tok = Components.pin(
+      docs
+        .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+        .where(col("token") =!= ""),
+      reliable = false)
     val vocab = tok.groupBy(col("token"))
       .agg(count(lit(1)).as("_c"))
       .orderBy(col("_c").desc, col("token")).limit(topK)
@@ -908,7 +914,7 @@ object TextAnalysis {
         round(lit(1.0) - coalesce(col("covered_tokens"), lit(0L))
           .cast("double") / col("total_tokens").cast("double"), 6)
           .as("oov_rate"))
-    // the persisted token table serves vocab, covered, AND totals
+    // the pinned token table serves vocab, covered, AND totals
     (out, new NearDup.CacheHandle(Seq(tok)))
   }
 
@@ -939,29 +945,31 @@ object TextAnalysis {
     jsDivergenceMatrixWithHandle(docs, groupCol, textCol, topGroups)._1
 
   /** [[jsDivergenceMatrix]] plus the [[NearDup.CacheHandle]] owning its
-    * persisted intermediates (see [[vocabCoverageWithHandle]] for the
+    * pinned intermediates (see [[vocabCoverageWithHandle]] for the
     * lifecycle contract).
     */
   def jsDivergenceMatrixWithHandle(docs: DataFrame, groupCol: String,
                                    textCol: String, topGroups: Int = 0)
       : (DataFrame, NearDup.CacheHandle) = {
-    val bg = docs
-      .select(col(groupCol).as("g"),
-        explode(tokens(col(textCol))).as("token"))
-      .where(col("token") =!= "")
-      .groupBy(col("g"), col("token"))
-      .agg(count(lit(1)).as("_c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bg = Components.pin(
+      docs
+        .select(col(groupCol).as("g"),
+          explode(tokens(col(textCol))).as("token"))
+        .where(col("token") =!= "")
+        .groupBy(col("g"), col("token"))
+        .agg(count(lit(1)).as("_c")),
+      reliable = false)
     val totals0 = bg.groupBy(col("g")).agg(sum(col("_c")).as("_n"))
     // group cap: a TakeOrdered over the (small) per-group totals —
     // never a global sort of the token table
     val totals = if (topGroups > 0)
       totals0.orderBy(col("_n").desc, col("g")).limit(topGroups)
     else totals0
-    val withP = bg.join(broadcast(totals), "g")
-      .select(col("g"), col("token"),
-        (col("_c").cast("double") / col("_n").cast("double")).as("p"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withP = Components.pin(
+      bg.join(broadcast(totals), "g")
+        .select(col("g"), col("token"),
+          (col("_c").cast("double") / col("_n").cast("double")).as("p")),
+      reliable = false)
     // pair spine is the capped group catalog squared (≤ topGroups²
     // rows, 28 at the default cap of 8) — broadcast-bounded by
     // construction, never by data
@@ -981,7 +989,7 @@ object TextAnalysis {
         .otherwise(lit(0.0)) +
       when(col("pb").isNotNull, lit(0.5) * pb * log(pb / m))
         .otherwise(lit(0.0))
-    // persisted bg/withP serve both pair sides; the handle owns them
+    // pinned bg/withP serve both pair sides; the handle owns them
     val out = cells.groupBy(col("ga"), col("gb"))
       .agg(count(lit(1)).as("n_union_tokens"),
         round(sum(term), 6).as("js"))

@@ -195,18 +195,21 @@ object Sinks {
   }
 
   /** Good rows + bad-row count in one pass-shape: returns (clean rows,
-    * corrupt rows) as two DataFrames sharing the scan.
+    * corrupt rows) as two DataFrames sharing one materialized scan.
     *
-    * RESOURCE NOTE: the shared scan is cached (that's what makes it one
-    * pass) and stays pinned until the caller's actions complete —
-    * long-lived sessions should `spark.catalog.clearCache()` after
-    * consuming both sides (Verify/Bench do), same contract as
-    * NearDup.jaccardPairs' persist.
+    * RESOURCE NOTE: the shared scan is pinned (eager local checkpoint),
+    * not cached — a cache entry would sit in the session CacheManager
+    * until someone called clearCache(), whereas the pin's blocks are
+    * freed by the ContextCleaner once both returned frames are dropped.
+    * The pin also satisfies Spark's _corrupt_record restriction (raw
+    * text sources refuse filters that reference only the corrupt-record
+    * column; a materialized intermediate is the documented workaround,
+    * same as the cache was).
     */
   def splitCorrupt(df: DataFrame): (DataFrame, DataFrame) = {
-    val cached = df.cache()
-    (cached.where(col("_corrupt_record").isNull).drop("_corrupt_record"),
-     cached.where(col("_corrupt_record").isNotNull))
+    val pinned = graft.operators.Components.pin(df, reliable = false)
+    (pinned.where(col("_corrupt_record").isNull).drop("_corrupt_record"),
+     pinned.where(col("_corrupt_record").isNotNull))
   }
 
   /** Per-row binary file export: one file `<nameCol>` per row under

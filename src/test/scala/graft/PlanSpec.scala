@@ -18,6 +18,21 @@ class PlanSpec extends SparkTestBase {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Build `body` while capturing the executed plans of every frame it
+    * PINS (Components.pin) — the pin job is where reused intermediates'
+    * derivation/aggregation shapes execute since round 14, so the result
+    * frame's explain shows only `Scan ExistingRDD` there. Returns
+    * (result-plan string, pinned-plan strings).
+    */
+  private def planWithPins(body: => DataFrame): (String, Seq[String]) = {
+    operators.Components.PinPlanCapture.start()
+    try {
+      val df = body
+      (df.queryExecution.executedPlan.toString,
+       operators.Components.PinPlanCapture.stop())
+    } finally operators.Components.PinPlanCapture.stop()
+  }
+
   test("q7 dimension lookups run as broadcast hash joins (no shuffle)") {
     val p = plan("q7_broadcast_join")
     assert(p.contains("BroadcastHashJoin"))
@@ -282,14 +297,20 @@ class PlanSpec extends SparkTestBase {
 
   test("q91 signatures derive via the fused kernel in the scan stage") {
     // the signature must be ONE graft_hyperplane_sig call per row —
-    // no per-bit aggregates, no explode, no shuffle before banding
-    val df = graft.operators.Similarity.hyperplaneLshPairs(
-      spark.read.parquet(s"$sf/embeddings.parquet"),
-      "vec_id", "embedding", dim = 64, bits = 32, bandBits = 8,
-      minCosine = 0.35)
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("graft_hyperplane_sig"),
-      s"native kernel must be in the plan:\n$p")
+    // no per-bit aggregates, no explode, no shuffle before banding.
+    // The signature table is PINNED (r14), so its derivation executes
+    // in the pin job — assert the kernel + scan-stage shape there
+    val (p, pins) = planWithPins(
+      graft.operators.Similarity.hyperplaneLshPairs(
+        spark.read.parquet(s"$sf/embeddings.parquet"),
+        "vec_id", "embedding", dim = 64, bits = 32, bandBits = 8,
+        minCosine = 0.35))
+    val sig = pins.filter(_.contains("graft_hyperplane_sig"))
+    assert(sig.nonEmpty,
+      s"native kernel must derive the pinned signatures:\n${pins.mkString("\n---\n")}")
+    assert(sig.forall(s => !s.contains("Exchange") &&
+                           !s.contains("Aggregate")),
+      s"signature derivation must be scan-stage:\n${sig.mkString("\n---\n")}")
     assert(!p.contains("SortAggregate"))
     assert(!p.contains("CartesianProduct") &&
            !p.contains("BroadcastNestedLoopJoin"))
@@ -456,11 +477,15 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("q108 semantic dedup subtracts the drop set with one anti-join") {
-    val p = plan("q108_semdedup")
+    val (p, pins) = planWithPins(
+      SparkEntry.queries("q108_semdedup")(spark, sf))
     assert(p.contains("LeftAnti"),
       s"dominated ids must leave via an anti-join:\n$p")
-    assert(p.contains("graft_hyperplane_sig"),
-      s"signatures must come from the fused kernel (the q91 property):\n$p")
+    // signatures are pinned (r14) — the fused-kernel property (q91)
+    // holds in the pin job's plan
+    assert(pins.exists(_.contains("graft_hyperplane_sig")),
+      s"signatures must come from the fused kernel (the q91 property):\n" +
+        pins.mkString("\n---\n"))
   }
 
   test("q109 sanitize is scan-stage: zero exchanges in the operator") {
@@ -594,11 +619,15 @@ class PlanSpec extends SparkTestBase {
   test("q144 PMI: one-row totals broadcast, counts partial-aggregate") {
     // corpus totals must ride 1-row broadcasts (never a re-scan), and
     // the unigram/bigram counts must keep their map-side partial phase
-    val p = plan("q144_pmi_collocations")
+    // — the count tables are pinned (r14), so the partial phase
+    // executes in their pin jobs
+    val (p, pins) = planWithPins(
+      SparkEntry.queries("q144_pmi_collocations")(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"one-row totals must broadcast:\n$p")
-    assert(p.contains("partial_count"),
-      s"counts must partial-aggregate:\n$p")
+    assert(pins.count(_.contains("partial_count")) >= 2,
+      s"bigram AND unigram counts must partial-aggregate in their pins:\n" +
+        pins.mkString("\n---\n"))
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
@@ -666,18 +695,28 @@ class PlanSpec extends SparkTestBase {
     // q149 query joins an exact single-distinct twin in for the
     // oracle's bound check — itself Expand-free, which the query-level
     // assertion below still guards).
-    val pOp = operators.Profile.mergeableDistinct(
+    // the per-stratum sketch aggregate executes in its pin job (r14);
+    // the union aggregate stays in the result plan
+    val (pOp, pinsOp) = planWithPins(
+      operators.Profile.mergeableDistinct(
         spark.read.parquet(s"$sf/events.parquet"),
-        "event_type", "user_id")
-      .queryExecution.executedPlan.toString
-    assert(!pOp.contains("Expand"), s"no Expand in the sketch path:\n$pOp")
-    assert(pOp.contains("hll_sketch_agg") && pOp.contains("hll_union_agg"),
-      s"sketch + union aggregates expected:\n$pOp")
-    val p = plan("q149_hll_mergeable")
-    assert(!p.contains("Expand"),
+        "event_type", "user_id"))
+    val sk = pinsOp.filter(_.contains("hll_sketch_agg"))
+    assert(sk.nonEmpty, s"sketch aggregate expected in the pin:\n" +
+      pinsOp.mkString("\n---\n"))
+    assert(sk.forall(!_.contains("Expand")),
+      s"no Expand in the sketch path:\n${sk.mkString("\n---\n")}")
+    assert(!pOp.contains("Expand") && pOp.contains("hll_union_agg"),
+      s"union aggregate (Expand-free) expected:\n$pOp")
+    val (p, pinsQ) = planWithPins(
+      SparkEntry.queries("q149_hll_mergeable")(spark, sf))
+    assert(!p.contains("Expand") &&
+           pinsQ.filter(_.contains("hll_sketch_agg"))
+             .forall(!_.contains("Expand")),
       s"q149's exact twin must stay single-distinct (no Expand):\n$p")
-    assert(p.contains("hll_sketch_agg") && p.contains("hll_union_agg"),
-      s"sketch + union aggregates expected in the query plan:\n$p")
+    assert(pinsQ.exists(_.contains("hll_sketch_agg")) &&
+           p.contains("hll_union_agg"),
+      s"sketch (pin) + union (query) aggregates expected:\n$p")
   }
 
   test("q189 adamic-adar: wedges + adjacency cut stay equi/semi joins") {

@@ -512,4 +512,21 @@ class AssociationSpec extends SparkTestBase {
       .select("item").as[String].collect().toSet
     assert(cos == Set("x", "y"))
   }
+
+  test("basket-set reuse leaves no session-lifetime cache entry") {
+    // the r12-r13 formulation persisted the basket sets into the
+    // CacheManager and nothing ever unpersisted them (the operator's
+    // result is lazy, so there is no point it could call unpersist at) —
+    // repeated executions accumulated session-lifetime entries until LRU
+    // eviction. The pin formulation holds ContextCleaner-scoped blocks
+    // instead; the CacheManager must not grow across an execution.
+    val cm = spark.sharedState.cacheManager
+    val before = cm.isEmpty
+    val df = Seq(("b1", "x"), ("b1", "y"), ("b2", "x")).toDF("bk", "item")
+    Association.basketLift(df, Seq("bk"), "item", 1L).collect()
+    Association.itemCosine(df, Seq("bk"), "item", 1L, 3).collect()
+    assert(cm.isEmpty == before,
+      "basketSets must pin (ContextCleaner-scoped blocks), not persist " +
+        "into the session CacheManager")
+  }
 }

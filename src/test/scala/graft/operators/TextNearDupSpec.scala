@@ -629,21 +629,33 @@ class NearDupSpec extends SparkTestBase {
     assert(capped.toSeq == Seq((1L, 2L, 0.5)))
   }
 
-  test("jaccardPairsWithHandle: release() frees the persisted shingles") {
-    // assert on the handle's OWN frames' storage levels — suites share
-    // one session and run concurrently, so the session-global
-    // persistentRdds map carries other suites' blocks and is racy
+  test("jaccardPairsWithHandle: release() frees the pinned shingles") {
+    // assert on the handle's OWN frames' blocks — suites share one
+    // session and run concurrently, so the session-global
+    // persistentRdds map carries other suites' blocks and is racy.
+    // The intermediates are pinned (eager local checkpoint), NOT
+    // persisted: Dataset.storageLevel (a CacheManager lookup) must stay
+    // NONE throughout, and the storage truth lives on the pinned
+    // LogicalRDD's underlying RDD.
+    def pinnedRdds(dfs: Seq[org.apache.spark.sql.DataFrame]) =
+      dfs.flatMap(_.queryExecution.analyzed.collectLeaves().collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      })
     val (pairs, handle) = NearDup.jaccardPairsWithHandle(
       docs, "doc_id", "text", "source", 3, 0.0)
-    pairs.count() // materialize (and pin) the cached shingle table
+    pairs.count()
     assert(handle.cached.nonEmpty)
     assert(handle.cached.forall(
-      _.storageLevel != org.apache.spark.storage.StorageLevel.NONE),
-      "the shingle table must be persisted")
-    handle.release(blocking = true)
-    assert(handle.cached.forall(
       _.storageLevel == org.apache.spark.storage.StorageLevel.NONE),
-      "release() must unpersist the operator's intermediates")
+      "the shingle table must NOT occupy the session CacheManager")
+    val rdds = pinnedRdds(handle.cached)
+    assert(rdds.nonEmpty && rdds.forall(
+      _.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE),
+      "the shingle table must be pinned (blocks on the checkpoint RDD)")
+    handle.release(blocking = true)
+    assert(rdds.forall(
+      _.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE),
+      "release() must free the operator's pinned intermediates")
   }
 
   test("minhash candidates include exact duplicates with est_jaccard 1") {
