@@ -111,8 +111,17 @@ object Bench {
     }
     val alphaOrder =
       sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("alpha")
+    // $SPARK_GRAFT_BENCH_REPMODE=query restores the r12-era QUERY-MAJOR
+    // protocol (all reps back-to-back per query inside one alphabetical
+    // pass) as a diagnostic — the r13 protocol boundary has TWO
+    // components (pass order, rep structure) and isolating the era
+    // offset needs both A/B legs. Diagnostic only: query-major medians
+    // land on maximally-warm back-to-back reps and understate
+    // steady-state (see NOTES round 14).
+    val queryMajor =
+      sys.env.get("SPARK_GRAFT_BENCH_REPMODE").contains("query")
     def passOrder(pass: Int): Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
-      if (alphaOrder) baseOrder
+      if (alphaOrder || queryMajor) baseOrder
       else new scala.util.Random(passSeed + pass).shuffle(baseOrder)
     // WARM-UP PASS (unrecorded): every query once, alphabetical, before
     // any timed sample — per-query numbers must measure the PLAN, not
@@ -197,8 +206,12 @@ object Bench {
         System.gc()
       }
 
-    for (pass <- 0 until reps)
-      passOrder(pass).foreach { case (n, fn) => runTimed(s"$pass", n, fn) }
+    if (queryMajor)
+      baseOrder.foreach { case (n, fn) =>
+        for (pass <- 0 until reps) runTimed(s"$pass", n, fn) }
+    else
+      for (pass <- 0 until reps)
+        passOrder(pass).foreach { case (n, fn) => runTimed(s"$pass", n, fn) }
 
     // ADAPTIVE RE-MEASURE: when a query's spread across passes exceeds
     // its median, at least one sample was machine contention, not the
@@ -249,7 +262,8 @@ object Bench {
     // than the registry (r12's end-of-round snapshot committed a 1-query
     // smoke artifact that would have silently become a 1/290 baseline)
     val nRegistry = SparkEntry.queries.size
-    val orderDesc = if (alphaOrder) "\"alpha\""
+    val orderDesc = if (queryMajor) "\"query-major(alpha)\""
+                    else if (alphaOrder) "\"alpha\""
                     else s""""rep-shuffled(seed=$passSeed)""""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plain":$plain,"spread":$spread,"reps":$reps,"failed":$failed,"hostcal_ms":$hostcal,"hostcal_ms_start":$hostcalStart,"hostcal_ms_end":$hostcalEnd,"hostcal_par_ms":$hostcalPar,"hostcal_par_ms_start":$hostcalParStart,"hostcal_par_ms_end":$hostcalParEnd,"n_registry":$nRegistry,"order":$orderDesc,"sf":"$sfDir"}"""
     // DURABLE ARTIFACT: the harness records a bounded TAIL of stdout
