@@ -513,6 +513,39 @@ class AssociationSpec extends SparkTestBase {
     assert(cos == Set("x", "y"))
   }
 
+  test("no operator leaves a session-lifetime cache entry (r14 sweep)") {
+    // every operator that reuses an internal intermediate pins it
+    // (ContextCleaner-scoped local checkpoint) — none may register a
+    // CacheManager entry, because operator results are lazy and nothing
+    // could ever unpersist one. This exercises one operator per swept
+    // family end-to-end and asserts the CacheManager did not grow.
+    val cm = spark.sharedState.cacheManager
+    val before = cm.isEmpty
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "s1"),
+      (2L, "alpha beta gamma delta zeta", "s1"),
+      (3L, "one two three four five six", "s2"),
+      (4L, "one two three four five seven", "s2")
+    ).toDF("doc_id", "text", "source")
+    NearDup.sourceOverlapMatrix(docs, "source", "text", 3).collect()
+    NearDup.tfidfCosinePairs(docs, "doc_id", "text", "source", 0.0)
+      .collect()
+    NearDup.jaccardPairs(docs, "doc_id", "text", "source", 3, 0.0)
+      .collect() // the handle-less overload must not leak either
+    TextAnalysis.pmiBigrams(docs, "text", minCount = 1).collect()
+    TextAnalysis.vocabCoverage(docs, "source", "text", 3).collect()
+    TextAnalysis.jsDivergenceMatrix(docs, "source", "text").collect()
+    Profile.mergeableDistinct(docs, "source", "doc_id").collect()
+    val nums = (1 to 40).map(i => (i.toLong, (i % 7).toDouble))
+      .toDF("entity", "value")
+    Stats.paretoCover(nums, "entity", "value", 1, 2, buckets = 4)
+      .collect()
+    Stats.percentRank(nums, "value", buckets = 4).collect()
+    Stats.skyline2d(nums, "entity", "value", buckets = 4).collect()
+    assert(cm.isEmpty == before,
+      "swept operators must pin, not persist into the CacheManager")
+  }
+
   test("basket-set reuse leaves no session-lifetime cache entry") {
     // the r12-r13 formulation persisted the basket sets into the
     // CacheManager and nothing ever unpersisted them (the operator's
