@@ -7,15 +7,29 @@ it to anything).
 Usage: python3 scripts/benchgate.py NEW.json BASE.json [factor]
          [--accept=name,name,...] [--prev2=OLDER.json]
 
-HOSTCAL NORMALIZATION: when BOTH payloads carry "hostcal_ms" (a fixed
-single-thread CPU workload timed next to the bench — Bench.scala emits
-it; scripts/hostcal.py is the out-of-band twin), the growth threshold is
-scaled by new_hostcal/base_hostcal (clamped to [0.5, 2.0] so a corrupt
-calibration can never neuter the gate): a host that measures 15% slower
-on a fixed workload is allowed 15% more on every query before the 3x
-trips. Both the raw and normalized ratios are printed for every flagged
-query. Rounds 9/10/11 each burned manual adjudication effort on exactly
-this host-noise pattern; the calibration was recorded but unused.
+HOSTCAL NORMALIZATION: when BOTH payloads carry a calibration leg, the
+growth threshold is scaled by new_hostcal/base_hostcal (clamped to
+[0.5, 2.0] so a corrupt calibration can never neuter the gate): a host
+that measures 15% slower on a fixed workload is allowed 15% more on
+every query before the 3x trips. The 32-task PARALLEL leg
+("hostcal_par_ms") is PREFERRED when both sides carry it — the bench is
+local[32] and the r13/r14 evidence is that driver-vs-builder skew lives
+in the contended parallel regime while the scalar leg stays flat (r13:
+parallel drifted 30% on a run whose scalar moved 1.5%); the scalar
+"hostcal_ms" leg is the fallback for payloads predating r13. Whichever
+leg drives the thresholds, the other is printed informationally. Both
+the raw and normalized ratios are printed for every flagged query.
+Rounds 9/10/11 each burned manual adjudication effort on exactly this
+host-noise pattern; the calibration was recorded but unused.
+
+CONTENTION SELF-DECLARATION (warn-only): Bench records the parallel
+calibration before and after the run ("hostcal_par_ms_start"/"_end").
+A payload whose own two samples disagree by >20% measured a host whose
+parallel capacity changed mid-run (r13: the driver's leg drifted
+182.8 -> 134.6 ms and nothing flagged the 336.5 s total as contended).
+The gate prints a CONTENDED warning for any such payload — never an
+exit-code change, but a reader of the log knows to treat that side's
+totals as context and trust only the per-query medians.
 
 Accepted definition changes live IN-REPO at scripts/benchgate_accept.json
 — each entry MUST be {"query_name": {"reason": "...", "baseline_median":
@@ -160,20 +174,45 @@ def check_remeasured(new, nq):
 
 
 def hostcal_ratio(new, base):
-    """(ratio, description). ratio=1.0 with an explanatory note when
-    either side lacks hostcal_ms."""
-    hn, hb = new.get("hostcal_ms"), base.get("hostcal_ms")
-    if not hn or not hb:
-        missing = [s for s, h in (("NEW", hn), ("BASE", hb)) if not h]
-        return 1.0, (f"hostcal unavailable on {'/'.join(missing)} — "
-                     f"raw thresholds")
-    raw = hn / hb
-    lo, hi = HOSTCAL_CLAMP
-    ratio = min(max(raw, lo), hi)
-    note = (f"hostcal: new {hn:.0f} ms / base {hb:.0f} ms = {raw:.3f}"
-            + (f" (clamped to {ratio:.3f})" if ratio != raw else "")
-            + " — thresholds normalized")
-    return ratio, note
+    """(ratio, description, leg). Prefers the 32-task parallel leg when
+    BOTH sides carry it (the bench runs local[32]; contention lives in
+    the parallel regime — the scalar leg demonstrably under-corrects),
+    falls back to the scalar leg, and returns ratio=1.0 with an
+    explanatory note when neither leg is on both sides."""
+    for key, leg in (("hostcal_par_ms", "hostcal_par (32-task leg)"),
+                     ("hostcal_ms", "hostcal (scalar leg)")):
+        hn, hb = new.get(key), base.get(key)
+        if hn and hb:
+            raw = hn / hb
+            lo, hi = HOSTCAL_CLAMP
+            ratio = min(max(raw, lo), hi)
+            note = (f"{leg}: new {hn:.0f} ms / base {hb:.0f} ms = "
+                    f"{raw:.3f}"
+                    + (f" (clamped to {ratio:.3f})" if ratio != raw
+                       else "")
+                    + " — thresholds normalized")
+            return ratio, note, key
+    return 1.0, "hostcal unavailable on one side — raw thresholds", None
+
+
+def contention_warnings(payloads):
+    """A payload whose own before/after parallel-calibration samples
+    disagree by >20% self-declares mid-run host contention (r13: the
+    driver run drifted 182.8 -> 134.6 ms and nothing flagged it).
+    Warn-only — returns strings, never touches the exit code."""
+    warns = []
+    for label, d in payloads:
+        s, e = d.get("hostcal_par_ms_start"), d.get("hostcal_par_ms_end")
+        if s and e:
+            drift = max(s, e) / min(s, e)
+            if drift > 1.2:
+                warns.append(
+                    f"{label} ({d.get('_path')}): hostcal_par "
+                    f"{s:.1f} -> {e:.1f} ms ({(drift - 1) * 100:.0f}% "
+                    f"drift within the run) — host contention changed "
+                    f"mid-run; treat this side's TOTAL as context and "
+                    f"trust only per-query medians")
+    return warns
 
 
 def main() -> int:
@@ -244,17 +283,23 @@ def main() -> int:
               f"violation(s) ==")
         return 2
 
-    ratio, note = hostcal_ratio(new, base)
+    ratio, note, leg = hostcal_ratio(new, base)
     print(note)
-    # parallel-regime calibration (32-task leg): informational for now —
-    # recorded so a driver/builder skew that the single-thread leg can't
-    # see (r12: 4% at near-identical scalar hostcal) is visible in the
-    # gate log before anyone hand-adjudicates it
-    hp_n, hp_b = new.get("hostcal_par_ms"), base.get("hostcal_par_ms")
-    if hp_n and hp_b:
-        print(f"hostcal_par: new {hp_n:.0f} ms / base {hp_b:.0f} ms = "
-              f"{hp_n / hp_b:.3f} (informational — parallel-regime "
-              f"calibration, thresholds use the scalar leg)")
+    # whichever calibration leg did NOT drive the thresholds is printed
+    # informationally so a scalar-vs-parallel divergence (the r12/r13
+    # driver-vs-builder skew signature) stays visible in the gate log
+    other = "hostcal_ms" if leg == "hostcal_par_ms" else "hostcal_par_ms"
+    ho_n, ho_b = new.get(other), base.get(other)
+    if leg and ho_n and ho_b:
+        print(f"{other.replace('_ms', '')}: new {ho_n:.0f} ms / base "
+              f"{ho_b:.0f} ms = {ho_n / ho_b:.3f} (informational — "
+              f"thresholds use the "
+              f"{'parallel' if leg == 'hostcal_par_ms' else 'scalar'} "
+              f"leg)")
+    for w in contention_warnings(
+            [("NEW", new), ("BASE", base)]
+            + ([("PREV2", prev2)] if prev2 else [])):
+        print(f"CONTENDED  {w}")
 
     regressions, noisy = [], []
     # a query that regressed from WORKING to FAILING is the worst
@@ -348,7 +393,7 @@ def main() -> int:
     # warn-only cumulative drift vs the round-before-last baseline
     if prev2 is not None:
         p2q = medians(prev2)
-        r2, note2 = hostcal_ratio(new, prev2)
+        r2, note2, _ = hostcal_ratio(new, prev2)
         print(f"cumulative check vs {prev2_path}: {note2}")
         n_cum = 0
         for name in sorted(set(nq) & set(p2q)):

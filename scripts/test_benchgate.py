@@ -157,6 +157,59 @@ def main():
         check("missing hostcal says so and gates raw",
               rc == 1 and "hostcal unavailable" in out, out)
 
+        # --- parallel-leg normalization (r13 VERDICT #4: the bench is
+        # local[32]; the scalar leg under-corrects — a 30% parallel
+        # drift showed against a flat scalar) ---
+        rc, out = run(tmp, payload({"q1": 4.0, "q2": 2.0},
+                                   hostcal_ms=2000.0,
+                                   hostcal_par_ms=290.0),
+                      payload({"q1": 1.0, "q2": 2.0},
+                               hostcal_ms=2000.0,
+                               hostcal_par_ms=200.0))
+        check("parallel leg drives thresholds when both sides carry it "
+              "(flat scalar + 1.45x parallel absorbs the 4x)",
+              rc == 0 and "hostcal_par (32-task leg)" in out
+              and "thresholds normalized" in out
+              and "informational" in out, out)
+
+        rc, out = run(tmp, payload({"q1": 4.0, "q2": 2.0},
+                                   hostcal_ms=2900.0,
+                                   hostcal_par_ms=200.0),
+                      payload({"q1": 1.0, "q2": 2.0},
+                               hostcal_ms=2000.0,
+                               hostcal_par_ms=200.0))
+        check("a slow SCALAR leg cannot absorb a regression once the "
+              "parallel leg exists on both sides (flat parallel gates)",
+              rc == 1 and "REGRESSION" in out
+              and "hostcal_par (32-task leg)" in out, out)
+
+        # --- contention self-declaration (r13: the driver run's own
+        # parallel calibration drifted 30% start-to-end and nothing
+        # flagged the run as contended) ---
+        contended = payload({"q1": 1.1, "q2": 2.0},
+                            hostcal_par_ms_start=182.8,
+                            hostcal_par_ms_end=134.6)
+        rc, out = run(tmp, contended, base)
+        check("a >20% within-run parallel-hostcal drift prints "
+              "CONTENDED without changing the exit code",
+              rc == 0 and "CONTENDED" in out and "NEW" in out, out)
+
+        steady = payload({"q1": 1.1, "q2": 2.0},
+                         hostcal_par_ms_start=150.0,
+                         hostcal_par_ms_end=160.0)
+        rc, out = run(tmp, steady, base)
+        check("a <=20% within-run drift is NOT flagged as contended",
+              rc == 0 and "CONTENDED" not in out, out)
+
+        contended_base = payload({"q1": 1.0, "q2": 2.0},
+                                 hostcal_par_ms_start=216.0,
+                                 hostcal_par_ms_end=150.0)
+        rc, out = run(tmp, payload({"q1": 1.1, "q2": 2.0}),
+                      contended_base)
+        check("BASE-side contention is flagged too (a contended "
+              "baseline poisons every future comparison)",
+              rc == 0 and "CONTENDED  BASE" in out, out)
+
         # --- remeasured protocol validation ---
         good_rem = payload({"q1": 1.1, "q2": 2.0})
         good_rem["remeasured"] = {"q1": {"median": 1.1,
