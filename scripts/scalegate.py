@@ -1,0 +1,146 @@
+#!/usr/bin/env python3
+"""Scale-leg gate: compare a staged N-times-scale bench payload against
+the base-SF payload and fail any query whose wall grew superlinearly.
+
+Usage: python3 scripts/scalegate.py SCALED.json BASE.json SCALE
+         (SCALE = the data multiple between the two legs, e.g. 10)
+
+A query is judged on wall_ratio = scaled_median / base_median,
+host-normalized the same way benchgate normalizes (parallel hostcal leg
+preferred, scalar fallback, clamped [0.5, 2.0]):
+
+- ratio >= SCALE        -> SUPERLINEAR, exit 1. Wall grew at least as
+  fast as the data; at 100 TB this query is a scale-killer.
+- ratio >= 0.6 * SCALE  -> needs a documented output-growth note in
+  scripts/scalegate_notes.json ({"query": {"reason": ...}}). With a
+  note it prints NOTED (the growth is explained by the query's OUTPUT
+  growing with the data — q224's wedge count growing 10x for 10x rows
+  is the template); without one it prints WARN. Neither changes the
+  exit code — the judged contract is fail-at-superlinear, document
+  the 6x-10x band.
+- a query that FAILED at scale (median < 0 or listed in "failed")
+  is always exit 1: working-at-sf0.1 but dying at sf1 is the worst
+  scale regression of all.
+
+Stale notes HARD-FAIL (same discipline as benchgate_accept.json): a
+note for a query that no longer reaches the warn band pre-approves a
+future genuine inflation and must be pruned.
+
+Exit codes: 0 pass, 1 superlinear/failed/stale-note, 2 usage.
+"""
+import json
+import os
+import sys
+
+NOTES_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scalegate_notes.json")
+HOSTCAL_CLAMP = (0.5, 2.0)
+WARN_FRACTION = 0.6
+
+
+def load(path):
+    d = json.load(open(path))
+    if "queries" not in d:
+        d = d.get("parsed") or {}
+    if "plain" not in d:
+        sys.exit(f"{path}: no full bench payload (need 'plain' medians)")
+    return d
+
+
+def medians(d):
+    return {**d["queries"], **d.get("plain", {})}
+
+
+def hostcal_ratio(scaled, base):
+    for key, leg in (("hostcal_par_ms", "hostcal_par"),
+                     ("hostcal_ms", "hostcal")):
+        hn, hb = scaled.get(key), base.get(key)
+        if hn and hb:
+            raw = hn / hb
+            lo, hi = HOSTCAL_CLAMP
+            r = min(max(raw, lo), hi)
+            print(f"{leg}: scaled {hn:.0f} ms / base {hb:.0f} ms = "
+                  f"{raw:.3f}"
+                  + (f" (clamped {r:.3f})" if r != raw else "")
+                  + " — ratios normalized")
+            return r
+    print("hostcal unavailable on one side — raw ratios")
+    return 1.0
+
+
+def main() -> int:
+    if len(sys.argv) != 4:
+        print(__doc__)
+        return 2
+    scaled = load(sys.argv[1])
+    base = load(sys.argv[2])
+    scale = float(sys.argv[3])
+    if scale <= 1:
+        print(f"SCALE must be > 1, got {scale}")
+        return 2
+    warn_at = WARN_FRACTION * scale
+
+    notes = {}
+    if os.path.exists(NOTES_FILE):
+        notes = json.load(open(NOTES_FILE))
+        for name, e in notes.items():
+            if not (isinstance(e, dict) and "reason" in e):
+                print(f"notes entry {name!r} must be "
+                      f'{{"reason": ...}}')
+                return 2
+
+    sq, bq = medians(scaled), medians(base)
+    host = hostcal_ratio(scaled, base)
+
+    failed = set(scaled.get("failed", []))
+    failed |= {k for k, v in sq.items() if v is not None and v < 0}
+
+    bad, warned, noted = [], [], []
+    compared = 0
+    for name in sorted(sq):
+        if name in failed:
+            bad.append(f"FAILED-AT-SCALE  {name}: ran at base SF but "
+                       f"failed at {scale:g}x")
+            continue
+        b = bq.get(name)
+        if b is None:
+            print(f"no base number for {name} — skipped")
+            continue
+        compared += 1
+        ratio = (sq[name] / b) / host if b > 0 else float("inf")
+        line = (f"{name}: {b:.2f}s -> {sq[name]:.2f}s = {ratio:.2f}x "
+                f"wall for {scale:g}x data")
+        if ratio >= scale:
+            bad.append(f"SUPERLINEAR  {line}")
+        elif ratio >= warn_at:
+            if name in notes:
+                noted.append(name)
+                print(f"NOTED  {line} — {notes[name]['reason']}")
+            else:
+                warned.append(name)
+                print(f"WARN  {line} — document the output growth in "
+                      f"{os.path.basename(NOTES_FILE)} or fix it")
+        else:
+            print(f"OK  {line}")
+
+    stale = [n for n in sorted(notes)
+             if n not in failed
+             and not (n in sq and bq.get(n)
+                      and (sq[n] / bq[n]) / host >= warn_at)]
+    for n in stale:
+        print(f"STALE-NOTE  {n}: no longer in the warn band (or not "
+              f"measured) — PRUNE it from {os.path.basename(NOTES_FILE)}")
+
+    for b in bad:
+        print(b)
+    if bad or stale:
+        print(f"== SCALEGATE FAIL: {len(bad)} scale regression(s), "
+              f"{len(stale)} stale note(s) over {compared} compared ==")
+        return 1
+    print(f"== SCALEGATE PASS: {compared} compared at {scale:g}x "
+          f"({len(noted)} noted, {len(warned)} warned) ==")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

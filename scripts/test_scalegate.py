@@ -1,0 +1,115 @@
+#!/usr/bin/env python3
+"""Self-test for the scale-leg gate (same contract as test_benchgate:
+the gate only protects the engine if its own behaviors are pinned).
+
+Run: python3 scripts/test_scalegate.py   (exit 0 = all pass)
+"""
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+GATE = os.path.join(HERE, "scalegate.py")
+
+
+def run(tmp, scaled, base, scale="10", notes=None):
+    gate = os.path.join(tmp, "scalegate.py")
+    if not os.path.exists(gate):
+        with open(GATE) as f:
+            src = f.read()
+        with open(gate, "w") as f:
+            f.write(src)
+    nf = os.path.join(tmp, "scalegate_notes.json")
+    if notes is not None:
+        with open(nf, "w") as f:
+            json.dump(notes, f)
+    elif os.path.exists(nf):
+        os.remove(nf)
+    paths = []
+    for i, payload in enumerate((scaled, base)):
+        p = os.path.join(tmp, f"s{i}.json")
+        with open(p, "w") as f:
+            json.dump(payload, f)
+        paths.append(p)
+    r = subprocess.run([sys.executable, gate, *paths, scale],
+                       capture_output=True, text=True)
+    return r.returncode, r.stdout + r.stderr
+
+
+def payload(queries, **extra):
+    d = {"metric": "total", "value": sum(v for v in queries.values()
+                                         if v > 0),
+         "queries": queries, "plain": dict(queries),
+         "spread": {k: 0.01 for k in queries}, "failed": []}
+    d.update(extra)
+    return d
+
+
+def main():
+    failures = []
+
+    def check(name, cond, detail=""):
+        print(("PASS " if cond else "FAIL ") + name)
+        if not cond:
+            failures.append(f"{name}: {detail}")
+
+    with tempfile.TemporaryDirectory() as tmp:
+        base = payload({"q1": 1.0, "q2": 2.0})
+
+        rc, out = run(tmp, payload({"q1": 2.3, "q2": 4.5}), base)
+        check("sublinear scale leg passes",
+              rc == 0 and "SCALEGATE PASS" in out, out)
+
+        rc, out = run(tmp, payload({"q1": 11.0, "q2": 4.5}), base)
+        check("ratio >= scale factor fails as SUPERLINEAR",
+              rc == 1 and "SUPERLINEAR" in out, out)
+
+        rc, out = run(tmp, payload({"q1": 7.0, "q2": 4.5}), base)
+        check("6x-10x band without a note warns but passes",
+              rc == 0 and "WARN" in out and "q1" in out, out)
+
+        rc, out = run(tmp, payload({"q1": 7.0, "q2": 4.5}), base,
+                      notes={"q1": {"reason": "output grows 10x"}})
+        check("6x-10x band with a documented note prints NOTED",
+              rc == 0 and "NOTED" in out
+              and "output grows 10x" in out, out)
+
+        rc, out = run(tmp, payload({"q1": 2.0, "q2": 4.5}), base,
+                      notes={"q1": {"reason": "obsolete"}})
+        check("a note outside the warn band is STALE and hard-fails",
+              rc == 1 and "STALE-NOTE" in out, out)
+
+        rc, out = run(tmp, payload({"q1": -1.0, "q2": 4.5},
+                                   failed=["q1"]), base)
+        check("a query that fails at scale fails the gate",
+              rc == 1 and "FAILED-AT-SCALE" in out, out)
+
+        # host normalization: scaled leg ran on a 1.5x-slower host, so
+        # an 11x raw ratio is ~7.3x normalized — warn band, not fail
+        rc, out = run(tmp, payload({"q1": 11.0, "q2": 4.5},
+                                   hostcal_par_ms=300.0),
+                      payload({"q1": 1.0, "q2": 2.0},
+                              hostcal_par_ms=200.0))
+        check("host-normalized ratio keeps a slow-host 11x out of "
+              "SUPERLINEAR",
+              rc == 0 and "WARN" in out and "normalized" in out, out)
+
+        rc, out = run(tmp, payload({"q1": 2.0}), base, scale="1")
+        check("scale <= 1 is a usage error",
+              rc == 2, out)
+
+        rc, out = run(tmp, payload({"q1": 2.0, "q3": 2.0}), base)
+        check("a scaled query with no base number is skipped loudly",
+              rc == 0 and "no base number for q3" in out, out)
+
+    if failures:
+        print(f"== {len(failures)} self-test failure(s) ==")
+        return 1
+    print("== scalegate self-test: all pass ==")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
