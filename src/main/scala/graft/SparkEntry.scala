@@ -7682,7 +7682,8 @@ object SparkEntry {
                 max(value) AS high, min(value) AS low,
                 max(CASE WHEN rl = 1 THEN value END) AS close,
                 CAST(count(*) AS BIGINT) AS volume,
-                round(avg(value), 6) AS mean_value
+                round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+                      / count(*), 6) AS mean_value
          FROM rn GROUP BY bar_id ORDER BY bar_id""",
 
     "q156_mergeable_exact" ->

@@ -158,6 +158,16 @@ object Stats {
     * window, no sort: the "first/last per bucket" that usually tempts a
     * row_number() window is an ORDERED-ARGMIN aggregate here (the
     * oracle states the window form; results are identical).
+    *
+    * mean_value sums DECIMAL(38,12)-quantized values, casts the exact
+    * sum to double, and divides by volume — a plain avg(double) is
+    * partition-order-dependent in its last ulps, and round(·, 6)
+    * amplifies any bar whose mean sits near a 5e-7 boundary into a
+    * hash mismatch (surfaced by the sf0.1 oracle leg, r14: one bar in
+    * 103 flipped; sf0.01 never had enough rows per bar to expose it).
+    * The quantization cannot tie-break differently across engines:
+    * a double whose exact decimal expansion ends AT digit 13 must be
+    * a multiple of 2^-13 — ~2^-39 of the double population.
     */
   def ohlcBars(df: DataFrame, tsCol: String, tieCol: String,
                valueCol: String, widthSec: Long,
@@ -173,7 +183,8 @@ object Stats {
         min(col(valueCol)).as("low"),
         max_by(col(valueCol), ord).as("close"),
         count(lit(1)).as("volume"),
-        round(avg(col(valueCol)), 6).as("mean_value"))
+        round(sum(col(valueCol).cast("decimal(38,12)")).cast("double") /
+          count(lit(1)), 6).as("mean_value"))
   }
 
   def robustOutliers(df: DataFrame, keyCols: Seq[String], valueCol: String,
