@@ -31,9 +31,17 @@ object Verify {
       spark.catalog.clearCache()
       org.apache.spark.sql.GraftSqlBridge.unloadStateStores()
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    writeOracleJson(outDir)
+    spark.stop()
+  }
+
+  /** Dumps SparkEntry.oracleSql as `<outDir>/oracle_sql.json` — shared
+    * with [[Concurrent]] so selfcheck.py gates both output layouts.
+    * JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab or CR in builder-authored SQL would otherwise make the
+    * driver's json.load fail and silently zero the round's correctness.
+    */
+  private[graft] def writeOracleJson(outDir: String): Unit = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -46,6 +54,5 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }
