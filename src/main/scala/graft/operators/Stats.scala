@@ -336,20 +336,16 @@ object Stats {
     require(shareNum > 0 && shareDen > shareNum,
       "share must be a proper fraction")
     val tot = per.agg(sum(col(valueCol)).as("_tot"))
-    // pinned: the offsets branch and the row branch both consume this
-    // partitioning; unmaterialized they'd re-run the range sampler
-    // independently, and boundaries that disagree between the two
-    // evaluations silently corrupt the prefix (observed once on the
-    // PPS sampler before it moved to hash-prefix buckets — here the
-    // order is by VALUE, so a deterministic hash prefix can't apply).
-    // Pin beats persist twice over: the truncated lineage CANNOT
-    // re-sample boundaries, and the blocks are ContextCleaner-scoped
-    // instead of a session-lifetime CacheManager entry
-    val ranged = Components.pin(
-      per
-        .repartitionByRange(buckets, col(valueCol).desc, col(entityCol))
-        .withColumn("_pid", spark_partition_id()),
-      reliable = false)
+    // cut-literal protocol (see percentRank; r12 observed the
+    // disagreeing-boundaries corruption this class of operator risks
+    // when two branches re-run a range sampler — driver-literal cuts
+    // make a re-sample impossible rather than pinned-away). Cuts are
+    // on VALUE alone, descending; value ties share a bucket (the old
+    // (value desc, entity) range key split them), which only affects
+    // balance, never exactness — offsets are summed, not estimated.
+    val ranged = per.withColumn("_pid",
+      cutBucket(col(valueCol), collectedCuts(per, col(valueCol),
+        buckets).reverse, ascending = false))
     val wIn = Window.partitionBy(col("_pid"))
       .orderBy(col(valueCol).desc, col(entityCol))
     val withCum = ranged.withColumn("_cumIn", sum(col(valueCol)).over(wIn))
@@ -597,6 +593,48 @@ object Stats {
       .drop("_cum", "_tot")
   }
 
+  /** Driver-collected approximate range cut points over `pos` (cast to
+    * double), deduplicated ascending — the prefix protocol's partition
+    * boundaries as LITERALS. ≤ buckets−1 scalars: a bounded collect,
+    * the same audited class as Sampling's stratum counts. Collecting
+    * once and embedding the cuts in the plan makes every consuming
+    * branch see THE SAME boundaries BY CONSTRUCTION — recomputation
+    * cannot re-sample them — which retires the pinned materialization
+    * of the distinct-value table that used to guarantee boundary
+    * consistency (r13 measured the pin at ~0.6 s on q180 at sf0.1; at
+    * 100 TB a row-level checkpoint of the distinct-value table is the
+    * wrong trade when two cheap map-side re-aggregations are the
+    * worst case). Nil (empty/all-NULL input or buckets ≤ 1) means one
+    * bucket. Exactness needs nothing from the cuts: ANY split points
+    * only partition the order; the offsets are summed, not estimated.
+    */
+  private def collectedCuts(df: DataFrame, pos: Column,
+                            buckets: Int): Seq[Double] = {
+    if (buckets <= 1) Nil
+    else {
+      val probs = (1 until buckets).map(_.toDouble / buckets)
+      val row = df.agg(percentile_approx(pos.cast("double"),
+        array(probs.map(lit): _*), lit(10000)).as("_cuts")).head()
+      if (row.isNullAt(0)) Nil
+      else row.getSeq[Double](0).distinct.sorted
+    }
+  }
+
+  /** Bucket id for `pos` against literal `cuts`: 1 + #cuts strictly
+    * below (ascending order) or strictly above (descending) — the
+    * width_bucket of the cut-literal protocol. Monotone along the
+    * scan order (NULLs compare to nothing and land in bucket 1, the
+    * same end of the order Spark's range partitioning sends them),
+    * ties share a bucket, and the fold of ≤31 comparisons stays in
+    * whole-stage codegen.
+    */
+  private def cutBucket(pos: Column, cuts: Seq[Double],
+                        ascending: Boolean): Column =
+    cuts.foldLeft(lit(1)) { (acc, c) =>
+      acc + when(if (ascending) pos > lit(c) else pos < lit(c), 1)
+        .otherwise(0)
+    }
+
   /** Exact global percent rank per row — `#values strictly below /
     * (n − 1)`, the SQL `percent_rank()` definition with ties sharing a
     * rank — WITHOUT the global single-partition window that definition
@@ -613,15 +651,13 @@ object Stats {
   def percentRank(df: DataFrame, valueCol: String,
                   buckets: Int = 32): DataFrame = {
     val counts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("_c"))
-    // pinned — offsets and ranks branches must see ONE range
-    // partitioning (see paretoCover's note); pin both guarantees the
-    // single evaluation (truncated lineage CANNOT re-sample range
-    // boundaries) and keeps the blocks ContextCleaner-scoped instead of
-    // leaking a session-lifetime CacheManager entry
-    val ranged = Components.pin(
-      counts.repartitionByRange(buckets, col(valueCol))
-        .withColumn("_pid", spark_partition_id()),
-      reliable = false)
+    // cut-literal protocol (see collectedCuts): boundaries are driver
+    // literals, so the offsets and ranks branches see one partitioning
+    // by construction — no pin, no range sampler, and the window's
+    // hash exchange on _pid is the ONLY exchange of the distinct table
+    val ranged = counts.withColumn("_pid",
+      cutBucket(col(valueCol), collectedCuts(counts, col(valueCol),
+        buckets), ascending = true))
     val wIn = Window.partitionBy(col("_pid")).orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val withIn = ranged.withColumn("_below_in",
@@ -662,12 +698,11 @@ object Stats {
   def skyline2d(df: DataFrame, xCol: String, yCol: String,
                 buckets: Int = 32): DataFrame = {
     val perX = df.groupBy(col(xCol)).agg(max(col(yCol)).as("_my"))
-    // pinned — offsets and frontier branches must see ONE range
-    // partitioning (see percentRank's note)
-    val ranged = Components.pin(
-      perX.repartitionByRange(buckets, col(xCol))
-        .withColumn("_pid", spark_partition_id()),
-      reliable = false)
+    // cut-literal protocol (see percentRank) — offsets and frontier
+    // branches share driver-literal boundaries; no pin, no sampler
+    val ranged = perX.withColumn("_pid",
+      cutBucket(col(xCol), collectedCuts(perX, col(xCol), buckets),
+        ascending = true))
     val wIn = Window.partitionBy(col("_pid")).orderBy(col(xCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val withPrev = ranged.withColumn("_pmaxIn",

@@ -434,16 +434,24 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), s"allocation must not join:\n$p")
   }
 
-  test("q166/q176 prefix scans range-partition; no global one-partition window over the data") {
-    // the two-level prefix protocol: the DATA window partitions by _pid
-    // (range partitions), and the only partition-less window runs over
-    // the <=buckets-row offset table
+  test("q166/q176 prefix scans bucket by literal cuts; no range sampler, no pin") {
+    // the two-level prefix protocol, cut-literal form (r14): _pid is a
+    // fold of comparisons against driver-collected boundary LITERALS,
+    // the DATA window hash-partitions on it, and the only
+    // partition-less window runs over the <=buckets-row offset table.
+    // rangepartitioning in the plan would mean the range sampler is
+    // back (two branches re-sampling boundaries is the corruption
+    // class the literals exist to prevent).
+    // (the query's final presentation orderBy still range-partitions
+    // its OUTPUT — the banned marker is the old protocol's
+    // spark_partition_id-over-range-exchange derivation of _pid)
     for (name <- Seq("q166_pareto_cover", "q176_skyline")) {
       val p = plan(name)
-      assert(p.toLowerCase.contains("rangepartitioning"),
-        s"$name must range-partition for the prefix pass:\n$p")
-      assert(p.contains("_pid"),
-        s"$name prefix windows must key on the range partition id:\n$p")
+      assert(!p.toLowerCase.contains("spark_partition_id"),
+        s"$name must derive _pid from cut literals, not a range "
+          + s"exchange's partition id:\n$p")
+      assert(p.toLowerCase.contains("hashpartitioning(_pid"),
+        s"$name prefix windows must hash-partition on the cut bucket:\n$p")
     }
   }
 
