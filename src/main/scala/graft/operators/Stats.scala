@@ -335,7 +335,16 @@ object Stats {
                   buckets: Int = 32): DataFrame = {
     require(shareNum > 0 && shareDen > shareNum,
       "share must be a proper fraction")
-    val tot = per.agg(sum(col(valueCol)).as("_tot"))
+    // pinned for EVALUATE-ONCE economics only: unlike percentRank's
+    // distinct-value table (a cheap map-side re-aggregation), `per` is
+    // the CALLER's derivation and may be arbitrarily expensive (q166:
+    // join + agg over the fact table) — the total, the cuts collect,
+    // and both prefix branches all consume it, and unpinned each would
+    // re-run that derivation (measured: q166 3.15 s -> 3.92 s at sf0.1
+    // without the pin). Boundary consistency does NOT need the pin any
+    // more — that is the cut literals' job now.
+    val pinned = Components.pin(per, reliable = false)
+    val tot = pinned.agg(sum(col(valueCol)).as("_tot"))
     // cut-literal protocol (see percentRank; r12 observed the
     // disagreeing-boundaries corruption this class of operator risks
     // when two branches re-run a range sampler — driver-literal cuts
@@ -343,8 +352,8 @@ object Stats {
     // on VALUE alone, descending; value ties share a bucket (the old
     // (value desc, entity) range key split them), which only affects
     // balance, never exactness — offsets are summed, not estimated.
-    val ranged = per.withColumn("_pid",
-      cutBucket(col(valueCol), collectedCuts(per, col(valueCol),
+    val ranged = pinned.withColumn("_pid",
+      cutBucket(col(valueCol), collectedCuts(pinned, col(valueCol),
         buckets).reverse, ascending = false))
     val wIn = Window.partitionBy(col("_pid"))
       .orderBy(col(valueCol).desc, col(entityCol))
