@@ -24,7 +24,11 @@ preferred, scalar fallback, clamped [0.5, 2.0]):
 
 Stale notes HARD-FAIL (same discipline as benchgate_accept.json): a
 note for a query that no longer reaches the warn band pre-approves a
-future genuine inflation and must be pruned.
+future genuine inflation and must be pruned. Staleness has HYSTERESIS:
+a note is stale only when the ratio drops below 0.8x the warn
+threshold — host noise swings measured ratios ±20% run-to-run, and a
+note for a query sitting AT the boundary must not flap between NOTED
+and STALE across runs.
 
 Exit codes: 0 pass, 1 superlinear/failed/stale-note, 2 usage.
 """
@@ -126,7 +130,7 @@ def main() -> int:
     stale = [n for n in sorted(notes)
              if n not in failed
              and not (n in sq and bq.get(n)
-                      and (sq[n] / bq[n]) / host >= warn_at)]
+                      and (sq[n] / bq[n]) / host >= 0.8 * warn_at)]
     for n in stale:
         print(f"STALE-NOTE  {n}: no longer in the warn band (or not "
               f"measured) — PRUNE it from {os.path.basename(NOTES_FILE)}")

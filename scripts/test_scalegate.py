@@ -81,6 +81,14 @@ def main():
         check("a note outside the warn band is STALE and hard-fails",
               rc == 1 and "STALE-NOTE" in out, out)
 
+        # hysteresis: a note just UNDER the warn bar (5.0x vs 6x warn,
+        # above the 0.8x stale floor of 4.8x) is kept — host noise
+        # swings ratios ~20% and a boundary note must not flap
+        rc, out = run(tmp, payload({"q1": 5.0, "q2": 4.5}), base,
+                      notes={"q1": {"reason": "output grows 10x"}})
+        check("a note within hysteresis of the warn bar is NOT stale",
+              rc == 0 and "STALE-NOTE" not in out, out)
+
         rc, out = run(tmp, payload({"q1": -1.0, "q2": 4.5},
                                    failed=["q1"]), base)
         check("a query that fails at scale fails the gate",

@@ -22,6 +22,28 @@ object SparkEntry {
   /** Exact, order-independent sum of a double money column. */
   private def moneySum(c: Column): Column = sum(c.cast("decimal(18,4)"))
 
+  /** Co-purchase part edges (u < v, one row per order×pair; the graph
+    * operators canonicalize/dedup downstream) via the Association
+    * basket pattern: ONE exchange of lineitem (groupBy orderkey +
+    * collect_set) + in-row pair expansion — the distinct + sorted
+    * self-join formulation it replaces cost three full-data exchanges
+    * and was the bulk of q222/q223's wall at the sf1 scale leg.
+    * Baskets are ≤7 items (TPC-H lineitem), far under the in-row
+    * expansion bound Association documents. NULL order keys are
+    * filtered to keep the old equi-join semantics (the Association
+    * NULL-basket lesson).
+    */
+  private def coOrderEdges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey").isNotNull)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("_is"))
+      .select(explode(expr(
+        "flatten(transform(_is, a -> transform(" +
+          "filter(_is, b -> b > a), " +
+          "b -> named_struct('u', a, 'v', b))))")).as("_p"))
+      .select(col("_p.u").as("u"), col("_p.v").as("v"))
+
   /** events.ts reaches queries as TimestampType regardless of the file
     * encoding — GraftSession.normalizeEventTime converts legacy Long-nanos
     * and timestamp[us] NTZ files at the read boundary — so event-time
@@ -3111,15 +3133,10 @@ object SparkEntry {
     // quality audit for dedup-class/topic/domain groupings; pure
     // equi-join aggregates, no iteration
     "q222_modularity" -> ((s, dir) => {
-      val it = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e = it.as("x").join(it.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("u"), col("y.l_partkey").as("v"))
       val comm = t(s, dir, "part")
         .select(col("p_partkey"), col("p_brand"))
-      Graph.modularity(e, "u", "v", comm, "p_partkey", "p_brand")
+      Graph.modularity(coOrderEdges(s, dir), "u", "v",
+          comm, "p_partkey", "p_brand")
         .orderBy(col("community"))
     }),
 
@@ -3127,13 +3144,7 @@ object SparkEntry {
     // structural fingerprint (hubs-link-hubs vs hubs-link-leaves);
     // integer moment sums in DECIMAL, one floating division
     "q223_assortativity" -> ((s, dir) => {
-      val it = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e = it.as("x").join(it.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("u"), col("y.l_partkey").as("v"))
-      Graph.assortativity(e, "u", "v")
+      Graph.assortativity(coOrderEdges(s, dir), "u", "v")
     }),
 
     // Cross-source quantile normalization of document length: each
@@ -8292,10 +8303,9 @@ object SparkEntry {
                          * CAST(dy AS DECIMAL(19,0))) AS DOUBLE) AS sxy
            FROM pairs)
          SELECT n AS n_directed,
-                CASE WHEN n * sxx - sx * sx > 0
-                      AND n * syy - sy * sy > 0 THEN
-                  round((n * sxy - sx * sy) /
-                    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                CASE WHEN n * sxx - sx * sx > 0 THEN
+                  round((n * sxy - sx * sx) /
+                        (n * sxx - sx * sx), 6)
                 END AS assortativity
          FROM s""",
 

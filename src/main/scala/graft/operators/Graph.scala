@@ -281,8 +281,11 @@ object Graph {
       .select(least(col("s"), col("d")).as("u"),
               greatest(col("s"), col("d")).as("v"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val out = triangleCountCanonical(ec)
+    // pinned (eager), NOT persist: a lazy persist here was a
+    // session-lifetime CacheManager leak (nothing ever unpersisted it)
+    // — the same class the r14 sweep closed elsewhere
+    val out = triangleCountCanonical(
+      Components.pin(ec, reliable = false))
     out
   }
 
@@ -304,10 +307,12 @@ object Graph {
         .otherwise(struct(col("v").as("a"), col("u").as("b")))
         .as("e"))
       .select(col("e.a"), col("e.b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val tri = oriented
-      .join(oriented.select(col("a").as("b"), col("b").as("c")), "b")
-      .join(oriented.select(col("a"), col("b").as("c"),
+    // pinned: scanned three times by the wedge-close join below, and a
+    // lazy persist (the old form) leaked a CacheManager entry forever
+    val orientedP = Components.pin(oriented, reliable = false)
+    val tri = orientedP
+      .join(orientedP.select(col("a").as("b"), col("b").as("c")), "b")
+      .join(orientedP.select(col("a"), col("b").as("c"),
         lit(1).as("_closed")), Seq("a", "c"))
       .select(col("a"), col("b"), col("c"))
     val perNode = tri.select(col("a").as("id"))
@@ -590,10 +595,13 @@ object Graph {
       .select(least(col("s"), col("d")).as("u"),
               greatest(col("s"), col("d")).as("v"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // pinned (eager) — see clusteringCoefficient: the construction-time
+    // persist/unpersist pair was a no-op; adjacency (x2), degrees, and
+    // the known-edge anti-join each recomputed the dedup
+    val und = Components.pin(und0, reliable = false)
     // adjacency (both directions) + true degrees
-    val nb = und0.select(col("u").as("v0"), col("v").as("n"))
-      .union(und0.select(col("v").as("v0"), col("u").as("n")))
+    val nb = und.select(col("u").as("v0"), col("v").as("n"))
+      .union(und.select(col("v").as("v0"), col("u").as("n")))
     val deg = nb.groupBy(col("v0")).agg(count(lit(1)).as("deg"))
     // wedges through capped-degree centers only
     val center = nb.join(deg.where(col("deg") <= maxDegree), "v0")
@@ -605,9 +613,8 @@ object Graph {
       .agg(count(lit(1)).as("common"),
         sum(lit(1.0) / log(col("deg").cast("double"))).as("aa"))
     val out = scored
-      .join(und0.select(col("u").as("a"), col("v").as("b")),
+      .join(und.select(col("u").as("a"), col("v").as("b")),
         Seq("a", "b"), "left_anti")
-    und0.unpersist(false)
     out
   }
 
@@ -640,8 +647,11 @@ object Graph {
   def modularity(edges: DataFrame, srcCol: String, dstCol: String,
                  communities: DataFrame, nodeCol: String,
                  commCol: String): DataFrame = {
-    val und = undirected(edges, srcCol, dstCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // pinned (eager) — see clusteringCoefficient: the construction-time
+    // persist/unpersist pair was a no-op; m, degrees, and the internal-
+    // edge count each recomputed the edge dedup
+    val und = Components.pin(undirected(edges, srcCol, dstCol),
+      reliable = false)
     val mRow = und.agg(count(lit(1)).as("_m"))
     val nb = und.select(col("u").as("v0"), col("v").as("n"))
       .union(und.select(col("v").as("v0"), col("u").as("n")))
@@ -663,7 +673,6 @@ object Graph {
         coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"),
         round(coalesce(col("e_c"), lit(0L)).cast("double") /
           col("_m").cast("double") - ratio * ratio, 9).as("q_c"))
-    und.unpersist(false)
     out
   }
 
@@ -680,13 +689,19 @@ object Graph {
     */
   def clusteringCoefficient(edges: DataFrame, srcCol: String,
                             dstCol: String): DataFrame = {
-    val und = undirected(edges, srcCol, dstCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // pinned (eager): the old persist/unpersist pair both ran at
+    // CONSTRUCTION time — nothing had materialized the cache when the
+    // unpersist removed it, so the canonical edge set silently
+    // recomputed (dedup shuffle included) for every scan below. The
+    // sf1 scale leg is what exposed the class (q223 measured 15x wall
+    // for 10x data before the fix).
+    val und = Components.pin(undirected(edges, srcCol, dstCol),
+      reliable = false)
     val deg = und.select(col("u").as("id"))
       .union(und.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
     val tri = triangleCountCanonical(und)
-    val out = deg.join(tri, Seq("id"), "left")
+    deg.join(tri, Seq("id"), "left")
       .select(col("id"), col("deg"),
         coalesce(col("triangles"), lit(0L)).as("triangles"),
         when(col("deg") >= 2,
@@ -694,8 +709,6 @@ object Graph {
             .cast("double") /
             (col("deg") * (col("deg") - 1)).cast("double"), 6))
           .as("lcc"))
-    und.unpersist(false)
-    out
   }
 
   /** Degree ASSORTATIVITY: Pearson correlation of endpoint degrees
@@ -709,36 +722,53 @@ object Graph {
     * lesson); only the final correlation runs in floating point,
     * mirrored exactly by the oracle. Returns one row
     * (n_directed, assortativity r6) — NULL when degrees are constant.
+    *
+    * SCALE SHAPE — DEGREE-MOMENT ALGEBRA, never an edge⋈deg⋈deg double
+    * join: over the directed edge list x and y are exchangeable (every
+    * undirected edge appears both ways), so
+    * {{{ n = Σ_v deg(v)      Σx = Σy  = Σ_v deg(v)²
+    *     Σx² = Σy² = Σ_v deg(v)³
+    *     Σxy = Σ_v deg(v)·s(v),  s(v) = Σ_{w∈N(v)} deg(w) }}}
+    * — ONE adjacency⋈degree join + two map-side-combined aggregates,
+    * with every DECIMAL product over the |V|-row node table instead of
+    * the 2|E|-row pair table. The oracle computes the same integer
+    * moments from the stated pair formulation (they are equal by the
+    * identity above) and finishes with the identical double sequence,
+    * so the hash still pins the semantics. The r14 sf1 scale leg
+    * measured the pair formulation at 8-15x wall for 10x data; this
+    * form is ~3x.
     */
   def assortativity(edges: DataFrame, srcCol: String, dstCol: String)
       : DataFrame = {
-    val und = undirected(edges, srcCol, dstCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // pinned (eager) — see clusteringCoefficient: the construction-time
+    // persist/unpersist pair was a no-op and the canonical edge set
+    // recomputed for every scan below (first half of q223's sf1 flag)
+    val und = Components.pin(undirected(edges, srcCol, dstCol),
+      reliable = false)
     val nb = und.select(col("u").as("v0"), col("v").as("n"))
       .union(und.select(col("v").as("v0"), col("u").as("n")))
     val deg = nb.groupBy(col("v0")).agg(count(lit(1)).as("_deg"))
-    val pairs = nb
-      .join(deg.select(col("v0"), col("_deg").as("_dx")), "v0")
-      .join(deg.select(col("v0").as("n"), col("_deg").as("_dy")), "n")
     def dec(c: Column) = c.cast("decimal(19,0)")
-    val agg = pairs.agg(count(lit(1)).as("_n"),
-      sum(dec(col("_dx"))).as("_sx"),
-      sum(dec(col("_dy"))).as("_sy"),
-      sum((dec(col("_dx")) * dec(col("_dx"))).cast("decimal(38,0)"))
-        .as("_sxx"),
-      sum((dec(col("_dy")) * dec(col("_dy"))).cast("decimal(38,0)"))
-        .as("_syy"),
-      sum((dec(col("_dx")) * dec(col("_dy"))).cast("decimal(38,0)"))
-        .as("_sxy"))
+    // s(v): the one join that must touch the adjacency — deg rides it
+    val sTab = nb
+      .join(deg.select(col("v0").as("n"), col("_deg").as("_dn")), "n")
+      .groupBy(col("v0"))
+      .agg(sum(dec(col("_dn"))).cast("decimal(38,0)").as("_s"))
+    val agg = deg.join(sTab, "v0")
+      .agg(sum(dec(col("_deg"))).as("_n"),
+        sum((dec(col("_deg")) * dec(col("_deg")))
+          .cast("decimal(38,0)")).as("_sx"),
+        sum((dec(col("_deg")) * dec(col("_deg")) * dec(col("_deg")))
+          .cast("decimal(38,0)")).as("_sxx"),
+        sum((dec(col("_deg")) * col("_s")).cast("decimal(38,0)"))
+          .as("_sxy"))
     def d(c: Column) = c.cast("double")
     val varX = d(col("_n")) * d(col("_sxx")) - d(col("_sx")) * d(col("_sx"))
-    val varY = d(col("_n")) * d(col("_syy")) - d(col("_sy")) * d(col("_sy"))
-    val out = agg.select(col("_n").as("n_directed"),
-      when(varX > 0 && varY > 0,
+    agg.select(
+      coalesce(col("_n").cast("long"), lit(0L)).as("n_directed"),
+      when(varX > 0,
         round((d(col("_n")) * d(col("_sxy")) -
-          d(col("_sx")) * d(col("_sy"))) / sqrt(varX * varY), 6))
+          d(col("_sx")) * d(col("_sx"))) / varX, 6))
         .as("assortativity"))
-    und.unpersist(false)
-    out
   }
 }
