@@ -22,13 +22,16 @@ preferred, scalar fallback, clamped [0.5, 2.0]):
   is always exit 1: working-at-sf0.1 but dying at sf1 is the worst
   scale regression of all.
 
-Stale notes HARD-FAIL (same discipline as benchgate_accept.json): a
-note for a query that no longer reaches the warn band pre-approves a
-future genuine inflation and must be pruned. Staleness has HYSTERESIS:
-a note is stale only when the ratio drops below 0.8x the warn
-threshold — host noise swings measured ratios ±20% run-to-run, and a
-note for a query sitting AT the boundary must not flap between NOTED
-and STALE across runs.
+Stale notes WARN (deliberately weaker than benchgate_accept.json's
+hard-fail, with measured cause): scale-leg ratios are single-run
+readings, and the r14 builder host swings pin/shuffle-heavy queries
+up to 3x between runs (its own parallel hostcal drifted 40% inside
+one three-query run) — a hard-fail staleness would convert that host
+noise into gate failures that flap across runs. A STALE-NOTE line is
+pruning advice. The gate's teeth are elsewhere: a note can NEVER
+excuse ratio >= SCALE (superlinear always fails), so a lingering note
+pre-approves nothing that matters. Staleness also has HYSTERESIS: a
+note is stale only below 0.8x the warn threshold.
 
 Exit codes: 0 pass, 1 superlinear/failed/stale-note, 2 usage.
 """
@@ -133,16 +136,18 @@ def main() -> int:
                       and (sq[n] / bq[n]) / host >= 0.8 * warn_at)]
     for n in stale:
         print(f"STALE-NOTE  {n}: no longer in the warn band (or not "
-              f"measured) — PRUNE it from {os.path.basename(NOTES_FILE)}")
+              f"measured) — consider pruning from "
+              f"{os.path.basename(NOTES_FILE)} (warn-only: see header)")
 
     for b in bad:
         print(b)
-    if bad or stale:
-        print(f"== SCALEGATE FAIL: {len(bad)} scale regression(s), "
-              f"{len(stale)} stale note(s) over {compared} compared ==")
+    if bad:
+        print(f"== SCALEGATE FAIL: {len(bad)} scale regression(s) "
+              f"over {compared} compared ==")
         return 1
     print(f"== SCALEGATE PASS: {compared} compared at {scale:g}x "
-          f"({len(noted)} noted, {len(warned)} warned) ==")
+          f"({len(noted)} noted, {len(warned)} warned, "
+          f"{len(stale)} stale note(s)) ==")
     return 0
 
 

@@ -78,8 +78,14 @@ def main():
 
         rc, out = run(tmp, payload({"q1": 2.0, "q2": 4.5}), base,
                       notes={"q1": {"reason": "obsolete"}})
-        check("a note outside the warn band is STALE and hard-fails",
-              rc == 1 and "STALE-NOTE" in out, out)
+        check("a note outside the warn band prints STALE but only "
+              "warns (scale-leg ratios swing 3x on a noisy host)",
+              rc == 0 and "STALE-NOTE" in out, out)
+
+        rc, out = run(tmp, payload({"q1": 11.0, "q2": 4.5}), base,
+                      notes={"q1": {"reason": "output grows"}})
+        check("a note can NEVER excuse a superlinear ratio",
+              rc == 1 and "SUPERLINEAR" in out, out)
 
         # hysteresis: a note just UNDER the warn bar (5.0x vs 6x warn,
         # above the 0.8x stale floor of 4.8x) is kept — host noise
