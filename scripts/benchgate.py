@@ -67,6 +67,15 @@ queries on an idle host and gate on that. The comparison prefers the
 numbers are not comparable to plain-median baselines). Queries present
 on only one side are listed informationally.
 
+NOISY-ADJUDICATE (also exit 3): a query BELOW the hard gate but >2x
+host-normalized whose own spread exceeds half its median self-declares
+"this median is one rep wide" — r14's q78 passed at 2.17x with a
+13.8 s spread on a 14.6 s median and cost a round of manual
+adjudication. The gate now reads the spread the artifact already
+carries: adjudicate such movers with a committed focused steady-state
+artifact (the remeasured protocol is the escape hatch — a valid
+"remeasured" entry for the query IS the adjudication and exempts it).
+
 Exit codes: 0 pass, 1 regression(s)/stale-accept, 2 usage/malformed,
 3 noisy-rerun-required.
 """
@@ -79,6 +88,8 @@ ACCEPT_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 CUMULATIVE_FACTOR = 2.0
 HOSTCAL_CLAMP = (0.5, 2.0)
+NOISY_ADJ_FACTOR = 2.0        # normalized growth that opens the check
+NOISY_ADJ_SPREAD_FRAC = 0.5   # spread/median that declares the median noisy
 
 
 def load_bench(path):
@@ -301,7 +312,8 @@ def main() -> int:
             + ([("PREV2", prev2)] if prev2 else [])):
         print(f"CONTENDED  {w}")
 
-    regressions, noisy = [], []
+    regressions, noisy, noisy_adj = [], [], []
+    rem_names = set(new.get("remeasured", {}))
     # a query that regressed from WORKING to FAILING is the worst
     # regression of all — it used to fall through the growth check
     # (reported as -1, absent from 'plain') and the gate never saw it
@@ -330,12 +342,21 @@ def main() -> int:
         if (n >= max(b * factor, floor_sec)
                 or n >= max(b * factor * ratio, floor_sec)):
             triggered_raw.add(name)
+        sp = nsp.get(name, 0.0)
         if n < max(b * factor * ratio, floor_sec):
+            # sub-gate mover whose own artifact says the median is one
+            # rep wide: >2x normalized AND spread > half the median.
+            # A valid remeasured entry IS the focused adjudication.
+            if (name not in accepted and name not in rem_names
+                    and b > 0 and n >= floor_sec
+                    and norm_x >= NOISY_ADJ_FACTOR
+                    and sp > NOISY_ADJ_SPREAD_FRAC * n):
+                noisy_adj.append((name, b, n, norm_x, sp))
             continue
         if name in accepted:
             changed.append((name, b, n))
-        elif nsp.get(name, 0.0) > n:
-            noisy.append((name, b, n, nsp.get(name, 0.0)))
+        elif sp > n:
+            noisy.append((name, b, n, sp))
         else:
             regressions.append((name, b, n, raw_x, norm_x,
                                 nsp.get(name, 0.0)))
@@ -380,6 +401,12 @@ def main() -> int:
     for name, b, n, sp in noisy:
         print(f"NOISY  {name}: {b:.2f}s -> {n:.2f}s (spread {sp:.2f}s "
               f"> median; RE-RUN REQUIRED before this gate can pass)")
+    for name, b, n, norm_x, sp in noisy_adj:
+        print(f"NOISY-ADJUDICATE  {name}: {b:.2f}s -> {n:.2f}s "
+              f"({norm_x:.1f}x host-normalized, spread {sp:.2f}s = "
+              f"{sp / n:.2f}x median) — self-declared one-rep-wide "
+              f"median; adjudicate with focused steady-state reps (the "
+              f"remeasured protocol) before reading this as pass")
     for r in regressions:
         if len(r) == 4:  # working -> failing
             name, b, n, _ = r
@@ -420,8 +447,9 @@ def main() -> int:
         print(f"== GATE FAIL: {len(regressions)} regression(s), "
               f"{len(stale)} stale accept entr(ies) ==")
         return 1
-    if noisy:
-        print(f"== GATE RERUN-REQUIRED: {len(noisy)} noisy grower(s) — "
+    if noisy or noisy_adj:
+        print(f"== GATE RERUN-REQUIRED: {len(noisy)} noisy grower(s), "
+              f"{len(noisy_adj)} noisy-adjudicate mover(s) — "
               f"not a pass ==")
         return 3
     print(f"== GATE PASS: {len(set(nq) & set(bq))} compared ==")

@@ -33,7 +33,13 @@ excuse ratio >= SCALE (superlinear always fails), so a lingering note
 pre-approves nothing that matters. Staleness also has HYSTERESIS: a
 note is stale only below 0.8x the warn threshold.
 
-Exit codes: 0 pass, 1 superlinear/failed/stale-note, 2 usage.
+A note may also carry focused steady-state evidence —
+{"reason": ..., "focused_median_s": <s>, "reps": <n>, "date": "..."} —
+which the gate prints next to NOTED so the single-run leg ratio is
+adjudicated against committed multi-rep numbers, not prose.
+
+Exit codes: 0 pass (incl. warn/noted/stale), 1 superlinear or
+failed-at-scale, 2 usage.
 """
 import json
 import os
@@ -100,7 +106,7 @@ def main() -> int:
     host = hostcal_ratio(scaled, base)
 
     failed = set(scaled.get("failed", []))
-    failed |= {k for k, v in sq.items() if v is not None and v < 0}
+    failed |= {k for k, v in sq.items() if v is None or v < 0}
 
     bad, warned, noted = [], [], []
     compared = 0
@@ -122,7 +128,13 @@ def main() -> int:
         elif ratio >= warn_at:
             if name in notes:
                 noted.append(name)
-                print(f"NOTED  {line} — {notes[name]['reason']}")
+                e = notes[name]
+                focus = ""
+                if "focused_median_s" in e:
+                    focus = (f" [focused: {e['focused_median_s']:g}s "
+                             f"median of {e.get('reps', '?')} reps, "
+                             f"{e.get('date', '?')}]")
+                print(f"NOTED  {line} — {e['reason']}{focus}")
             else:
                 warned.append(name)
                 print(f"WARN  {line} — document the output growth in "

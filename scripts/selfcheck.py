@@ -6,8 +6,16 @@ Usage: python3 scripts/selfcheck.py <sfDir> <verifyOutDir> [query ...]
 Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
 matching oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB against the
 parquet tables in <sfDir>, sorts columns by name, and hash-compares values.
+
+ORACLE CACHE: DuckDB results are cached under $GRAFT_ORACLE_CACHE
+(default /tmp/graft_oracle_cache; set to empty to disable), keyed by
+(query name, oracle-SQL hash, sfDir path, table file sizes+mtimes) —
+q179's recursive-closure SQL alone costs ~35 min at sf0.1, which made
+the second-scale-factor oracle leg too expensive to repeat; a re-run
+now only pays for queries whose oracle text or input data changed.
+The SPARK side is never cached — it is the thing under test.
 """
-import sys, json, glob, os
+import sys, json, glob, os, hashlib
 import duckdb
 import pandas as pd
 
@@ -27,9 +35,29 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].round(9)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
+def oracle_cache_path(cache_dir, name, sql, sf_dir):
+    """Key covers everything the oracle result depends on: the SQL
+    text, the data directory identity, and each table file's
+    size+mtime (testdata is read-only, but a restaged twin at the same
+    path must invalidate)."""
+    h = hashlib.sha256()
+    h.update(sql.encode())
+    h.update(os.path.realpath(sf_dir).encode())
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            st = os.stat(p)
+            h.update(f"{t}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return os.path.join(cache_dir, f"{name}-{h.hexdigest()[:20]}.pkl")
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
+    cache_dir = os.environ.get("GRAFT_ORACLE_CACHE",
+                               "/tmp/graft_oracle_cache")
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+    n_cached = 0
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -47,7 +75,19 @@ def main():
             continue
         try:
             spark_df = canon(pd.concat([pd.read_parquet(f) for f in files]))
-            duck_df = canon(con.execute(oracle[name]).fetchdf())
+            cp = (oracle_cache_path(cache_dir, name, oracle[name], sf_dir)
+                  if cache_dir else None)
+            if cp and os.path.exists(cp):
+                duck_df = pd.read_pickle(cp)
+                n_cached += 1
+            else:
+                duck_df = canon(con.execute(oracle[name]).fetchdf())
+                if cp:
+                    # write-then-rename: a parallel selfcheck shard must
+                    # never read a half-written pickle
+                    tmp = f"{cp}.tmp.{os.getpid()}"
+                    pd.to_pickle(duck_df, tmp)
+                    os.replace(tmp, cp)
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_fail += 1
@@ -74,6 +114,8 @@ def main():
             except AssertionError as e:
                 print(f"FAIL {name}: value mismatch: {str(e)[:300]}")
                 n_fail += 1
+    if cache_dir and n_cached:
+        print(f"(oracle cache: {n_cached} hit(s) from {cache_dir})")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 

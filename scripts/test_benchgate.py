@@ -92,6 +92,44 @@ def main():
         check("noisy grower demands a re-run (exit 3, not a pass)",
               rc == 3 and "NOISY" in out, out)
 
+        # --- NOISY-ADJUDICATE: sub-gate >2x mover with a one-rep-wide
+        # median (r14's q78: 2.17x with spread 13.8s on a 14.6s median
+        # passed silently and cost a round of manual adjudication) ---
+        adj = payload({"q1": 2.2, "q2": 2.0})   # 2.2x — under the 3x gate
+        adj["spread"]["q1"] = 1.5               # spread/median 0.68 > 0.5
+        rc, out = run(tmp, adj, base)
+        check("sub-gate >2x mover with spread/median > 0.5 demands "
+              "adjudication (exit 3)",
+              rc == 3 and "NOISY-ADJUDICATE" in out and "q1" in out, out)
+
+        tight = payload({"q1": 2.2, "q2": 2.0})
+        tight["spread"]["q1"] = 0.3             # spread/median 0.14 — real
+        rc, out = run(tmp, tight, base)
+        check("sub-gate >2x mover with a TIGHT spread passes (a real "
+              "sub-gate move is the cumulative check's job)",
+              rc == 0 and "NOISY-ADJUDICATE" not in out, out)
+
+        adj_rem = payload({"q1": 2.2, "q2": 2.0})
+        adj_rem["spread"]["q1"] = 1.5
+        adj_rem["remeasured"] = {"q1": {"median": 2.2,
+                                        "full_run_median": 2.4,
+                                        "reps": 10}}
+        rc, out = run(tmp, adj_rem, base)
+        check("a valid remeasured entry IS the adjudication — exempts "
+              "the noisy-adjudicate flag",
+              rc == 0 and "NOISY-ADJUDICATE" not in out
+              and "REMEASURED" in out, out)
+
+        # host-normalization applies: 2.2x raw on a 1.2x-slower host is
+        # ~1.8x normalized — under the 2x adjudication bar
+        slow = payload({"q1": 2.2, "q2": 2.0}, hostcal_par_ms=240.0)
+        slow["spread"]["q1"] = 1.5
+        rc, out = run(tmp, slow,
+                      payload({"q1": 1.0, "q2": 2.0},
+                              hostcal_par_ms=200.0))
+        check("noisy-adjudicate bar is host-normalized",
+              rc == 0 and "NOISY-ADJUDICATE" not in out, out)
+
         rc, out = run(tmp, payload({"q1": 4.0, "q2": 2.0}), base,
                       accept_file=accept("q1", "definition changed", 1.0))
         check("pinned accept entry turns the regression into CHANGED",

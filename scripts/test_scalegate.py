@@ -100,6 +100,24 @@ def main():
         check("a query that fails at scale fails the gate",
               rc == 1 and "FAILED-AT-SCALE" in out, out)
 
+        # a null median (query crashed before timing) must be treated
+        # as failed-at-scale, not crash the gate with a TypeError
+        nullq = payload({"q2": 4.5})
+        nullq["queries"]["q1"] = None
+        nullq["plain"]["q1"] = None
+        rc, out = run(tmp, nullq, base,
+                      notes={"q1": {"reason": "should not TypeError"}})
+        check("a null scaled median is FAILED-AT-SCALE, not a crash",
+              rc == 1 and "FAILED-AT-SCALE" in out
+              and "Traceback" not in out, out)
+
+        rc, out = run(tmp, payload({"q1": 7.0, "q2": 4.5}), base,
+                      notes={"q1": {"reason": "output grows 10x",
+                                    "focused_median_s": 6.5,
+                                    "reps": 5, "date": "2026-08-16"}})
+        check("NOTED prints committed focused-rep evidence",
+              rc == 0 and "focused: 6.5s median of 5 reps" in out, out)
+
         # host normalization: scaled leg ran on a 1.5x-slower host, so
         # an 11x raw ratio is ~7.3x normalized — warn band, not fail
         rc, out = run(tmp, payload({"q1": 11.0, "q2": 4.5},

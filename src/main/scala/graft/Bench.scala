@@ -16,8 +16,9 @@ import org.apache.spark.sql.SparkSession
   * block. Queries whose spread (max − min) exceeds their own median get
   * up to 2 extra passes before the median is taken — a spread that large
   * is contention evidence, and one more sample per outlier restores the
-  * median. The JSON carries the per-query spread so a reader can see
-  * how trustworthy each number is.
+  * median. The JSON carries the per-query spread AND the raw per-rep
+  * samples in execution order (`reps_s`) so a reader can see how
+  * trustworthy each number is and WHICH rep a contention episode hit.
   *
   * FAILURE CONTAINMENT: a query that fails its first rep is NOT retried
   * — a pathological query (an OOM with minutes of GC thrash) must cost
@@ -247,6 +248,14 @@ object Bench {
       "\"" + k + "\":" + (ts.max - ts.min) }.mkString("{", ",", "}")
     val plain = results.collect { case (k, ts, true) if ts.nonEmpty =>
       "\"" + k + "\":" + plainMedian(ts) }.mkString("{", ",", "}")
+    // per-rep RAW samples, in execution order (r14 lesson: medians +
+    // spread hide WHICH rep was poisoned — q78's 14.6 s median with a
+    // 13.8 s spread took a round to adjudicate; three raw numbers per
+    // query make it mechanical: one outlier rep = contention episode,
+    // all reps high = a real move)
+    val repsRaw = results.collect { case (k, ts, true) if ts.nonEmpty =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.4f").mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, ts, true) => publish(ts) }.sum
@@ -265,7 +274,7 @@ object Bench {
     val orderDesc = if (queryMajor) "\"query-major(alpha)\""
                     else if (alphaOrder) "\"alpha\""
                     else s""""rep-shuffled(seed=$passSeed)""""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plain":$plain,"spread":$spread,"reps":$reps,"failed":$failed,"hostcal_ms":$hostcal,"hostcal_ms_start":$hostcalStart,"hostcal_ms_end":$hostcalEnd,"hostcal_par_ms":$hostcalPar,"hostcal_par_ms_start":$hostcalParStart,"hostcal_par_ms_end":$hostcalParEnd,"n_registry":$nRegistry,"order":$orderDesc,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plain":$plain,"spread":$spread,"reps_s":$repsRaw,"reps":$reps,"failed":$failed,"hostcal_ms":$hostcal,"hostcal_ms_start":$hostcalStart,"hostcal_ms_end":$hostcalEnd,"hostcal_par_ms":$hostcalPar,"hostcal_par_ms_start":$hostcalParStart,"hostcal_par_ms_end":$hostcalParEnd,"n_registry":$nRegistry,"order":$orderDesc,"sf":"$sfDir"}"""
     // DURABLE ARTIFACT: the harness records a bounded TAIL of stdout
     // (~2000 chars), and with 270+ queries the full one-line JSON
     // outgrows that window by >10x — rounds 3-9 recorded `parsed: null`

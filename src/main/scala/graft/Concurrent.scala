@@ -68,9 +68,11 @@ object Concurrent {
     val perStream = (0 until streams)
       .map(i => s""""s$i":${streamWall.getOrDefault(i, -1.0)}""")
       .mkString(",")
-    val fails = failures.toArray.map(f =>
-      "\"" + f.toString.replace("\\", "\\\\").replace("\"", "\\\"")
-        + "\"").mkString(",")
+    // Verify.jsonQ escapes control chars too — Spark exception messages
+    // routinely embed plan dumps with newlines, which a quote-only
+    // escaper would leave as an unparseable multi-line "one JSON line".
+    val fails = failures.toArray
+      .map(f => Verify.jsonQ(f.toString)).mkString(",")
     println(s"""{"metric":"concurrent_wall","value":$wall,""" +
       s""""unit":"sec","streams":$streams,""" +
       s""""n_queries":${names.size},""" +

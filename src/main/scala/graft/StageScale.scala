@@ -23,10 +23,24 @@ import org.apache.spark.sql.functions._
   * file source (`globFilter = events.parquet`) behave identically to
   * the driver's layout.
   *
-  * CAVEAT (documented, deliberate): text/vector payloads duplicate
-  * verbatim, so DEDUP-family queries see every document `copies`×
-  * duplicated at the staged scale — structural worst case for them,
-  * fine for the join/graph/stream queries this leg benches.
+  * CONTENT COLUMNS perturb per copy instead of duplicating verbatim
+  * (r14 lesson: verbatim text made every similarity query see the
+  * whole corpus as `copies`×-duplicated — symdelete blocks emitted
+  * ~copies² pairs for copies× data, a 100× blowup at 10× that
+  * excluded q142 from the scale leg and made q155 flap; a corpus that
+  * grew organically contains NEW content, not verbatim clones).
+  * Copy 0 stays verbatim (the base corpus is a literal subset);
+  * copies ≥ 1 get deterministic perturbation: `customer.c_name` takes
+  * a "~<copy><copy><copy>" suffix (any two distinct copies differ by
+  * ≥ 3 edits, so symdelete blocking at maxDist ≤ 2 can never collide
+  * across copies), and `documents.text` suffixes EVERY token with
+  * "~<copy>" (token/shingle vocabularies of distinct copies are
+  * disjoint, so minhash/jaccard/simhash/winnow treat copies as fresh
+  * documents; per-copy token statistics stay parallel to the base).
+  * `n_chars` is recomputed to stay consistent with the perturbed text.
+  * CAVEAT (documented, deliberate): embedding vectors still duplicate
+  * verbatim — the ANN/semantic-dedup family is not in the scale leg's
+  * top-50 and a vector perturbation would change recall semantics.
   *
   * Usage: runMain graft.StageScale <srcDir> <dstDir> <copies>
   */
@@ -53,13 +67,35 @@ object StageScale {
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 
-  private def widen(df: DataFrame, copies: Int,
-                    keys: Seq[String]): DataFrame = {
+  private[graft] def widen(df: DataFrame, copies: Int,
+                           keys: Seq[String],
+                           table: String = ""): DataFrame = {
     val exploded = df.withColumn("_copy",
       explode(sequence(lit(0L), lit(copies - 1L))))
-    keys.foldLeft(exploded)((d, c) =>
+    val shifted = keys.foldLeft(exploded)((d, c) =>
       d.withColumn(c, col(c) + col("_copy") * lit(keyShift)))
-      .drop("_copy")
+    perturbContent(shifted, table).drop("_copy")
+  }
+
+  /** Per-copy content perturbation (see class doc): requires a `_copy`
+    * column; copy 0 is always returned verbatim.
+    */
+  private[graft] def perturbContent(df: DataFrame,
+                                    table: String): DataFrame = {
+    val cpy = col("_copy")
+    table match {
+      case "customer" =>
+        df.withColumn("c_name", when(cpy === 0, col("c_name"))
+          .otherwise(concat(col("c_name"), lit("~"),
+            repeat(cpy.cast("string"), 3))))
+      case "documents" =>
+        val words = transform(split(col("text"), " "),
+          w => concat(w, lit("~"), cpy.cast("string")))
+        df.withColumn("text", when(cpy === 0, col("text"))
+            .otherwise(array_join(words, " ")))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      case _ => df
+    }
   }
 
   private def writeOneFile(df: DataFrame, dst: String,
@@ -87,7 +123,7 @@ object StageScale {
     keyCols.toSeq.sortBy(_._1).foreach { case (t, keys) =>
       val df = spark.read.parquet(s"$src/$t.parquet")
       val scaled = keys.nonEmpty && copies > 1
-      val out = if (scaled) widen(df, copies, keys) else df
+      val out = if (scaled) widen(df, copies, keys, t) else df
       writeOneFile(out, dst, t)
       // staged-vs-source audit, same discipline as the streaming probe
       val n = spark.read.parquet(s"$dst/$t.parquet").count()

@@ -434,7 +434,7 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), s"allocation must not join:\n$p")
   }
 
-  test("q166/q176 prefix scans bucket by literal cuts; no range sampler, no pin") {
+  test("q166/q176 prefix scans bucket by literal cuts; no range-sampler _pid") {
     // the two-level prefix protocol, cut-literal form (r14): _pid is a
     // fold of comparisons against driver-collected boundary LITERALS,
     // the DATA window hash-partitions on it, and the only
