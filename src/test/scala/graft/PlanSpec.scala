@@ -455,13 +455,20 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("q165 gap fill: grid generates from the span table; per-bucket state is an aggregate") {
+  test("q165 gap fill: fill ranges explode AFTER the window; no grid join") {
     val p = plan("q165_gap_fill")
     assert(p.contains("Generate") && p.contains("sequence"),
-      s"grid must explode from sequence():\n$p")
+      s"fill ranges must explode from sequence():\n$p")
     assert(p.contains("max_by") || p.contains("partial_max_by") ||
       p.contains("HashAggregate"),
       s"per-bucket observation must be an ordered-argmax aggregate:\n$p")
+    // the r15 shape: lead-ignoreNulls over the OBSERVED-bucket table,
+    // each observation explodes its own [bucket, next-1] range — grid
+    // rows are generated map-side and never enter a join or window
+    // exchange (the old grid-LEFT-JOIN-observations shape pushed 10x
+    // the rows through two shuffles at the sf1 leg, 20s vs 4s)
+    assert(!p.contains("Join"),
+      s"gap fill must not join the grid against observations:\n$p")
   }
 
   test("q175 cusum: stacked windows reuse one exchange per key") {

@@ -86,6 +86,25 @@ class AllocateStatsSpec extends SparkTestBase {
     assert(got == Map(0L -> 20.0, 1L -> 20.0, 2L -> 20.0, 3L -> 30.0))
   }
 
+  test("gapFillLocf: null winners are carried across (ignoreNulls), " +
+    "leading null region stays null") {
+    // user 1: bucket 0 winner NULL, bucket 2 -> 5.0, bucket 4 winner
+    // NULL, bucket 6 -> 7.0 (step 10). Expected fill: 0,1 null
+    // (leading, before first non-null); 2..5 carry 5.0 ACROSS the
+    // null-winner bucket 4; 6 -> 7.0
+    val df = Seq((1L, 1L, 1L, None: Option[Double]),
+      (1L, 25L, 2L, Some(5.0)), (1L, 45L, 3L, None),
+      (1L, 65L, 4L, Some(7.0)))
+      .toDF("user_id", "t", "event_id", "value")
+    val got = Stats.gapFillLocf(df, Seq("user_id"), "t", "value",
+        "event_id", stepSec = 10L)
+      .select(col("bucket"), col("value_filled"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(0L -> None, 1L -> None, 2L -> Some(5.0),
+      3L -> Some(5.0), 4L -> Some(5.0), 5L -> Some(5.0),
+      6L -> Some(7.0)))
+  }
+
   test("gapFillLocf: in-bucket tie on t resolved by tie column") {
     val df = Seq((1L, 5L, 1L, 1.0), (1L, 5L, 2L, 2.0))
       .toDF("user_id", "t", "event_id", "value")
