@@ -14,13 +14,37 @@ Exit 0 only when the payload is full and self-consistent:
 Run this BEFORE any `git add bench_out.json` — it is the snapshot-recipe
 check VERDICT r12 #1 asked for (benchgate also refuses such payloads at
 gate time; this catches them at commit time).
+
+Since r16 it also refuses (VERDICT r15 #1/#3/#7):
+  - a payload whose `git_sha` stamp is not the current HEAD, or that
+    was measured on a dirty tree (`git_dirty`) — the committed r15
+    bench carried a pre-fix number for the very query that round fixed;
+    `--allow-sha-mismatch` is the explicit escape for cross-checking
+    historical artifacts.
+  - a payload that self-declares contention: `preflight_contended`
+    true, or within-run parallel-hostcal drift
+    |start-end|/min > 50% (the r15 driver leg drifted 115%).
 """
 import json
+import os
+import subprocess
 import sys
 
 
+def head_sha(path):
+    try:
+        return subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(path)) or ".",
+             "rev-parse", "HEAD"],
+            capture_output=True, text=True, check=True).stdout.strip()
+    except Exception:
+        return None
+
+
 def main() -> int:
-    path = sys.argv[1] if len(sys.argv) > 1 else "bench_out.json"
+    args = [a for a in sys.argv[1:] if a != "--allow-sha-mismatch"]
+    allow_sha = "--allow-sha-mismatch" in sys.argv
+    path = args[0] if args else "bench_out.json"
     try:
         d = json.load(open(path))
     except Exception as e:
@@ -44,13 +68,35 @@ def main() -> int:
         problems.append(f"total value {d.get('value')} — empty run?")
     if d.get("failed"):
         problems.append(f"failed queries present: {d['failed']}")
+    sha = d.get("git_sha")
+    if sha and not allow_sha:
+        head = head_sha(path)
+        if head and sha != head:
+            problems.append(f"git_sha {sha[:12]} != HEAD {head[:12]} — "
+                            f"the artifact measures different code; "
+                            f"re-run graft.Bench at HEAD "
+                            f"(--allow-sha-mismatch to override)")
+        if d.get("git_dirty"):
+            problems.append("measured on a DIRTY tree (git_dirty) — "
+                            "the code it timed is not anchorable to any "
+                            "commit")
+    if d.get("preflight_contended"):
+        problems.append(f"pre-flight declared the host CONTENDED "
+                        f"(preflight_par_ms={d.get('preflight_par_ms')}) "
+                        f"— re-run on an idle host")
+    ps, pe = d.get("hostcal_par_ms_start"), d.get("hostcal_par_ms_end")
+    if ps and pe and abs(ps - pe) / min(ps, pe) > 0.5:
+        problems.append(f"within-run parallel-hostcal drift "
+                        f"{ps:.0f}->{pe:.0f} ms (>50%) — self-declared "
+                        f"contended leg, not a round artifact")
     if problems:
         for p in problems:
             print(f"REFUSE {path}: {p}")
         return 1
     print(f"OK {path}: {nq}/{reg} queries, total {d['value']:.1f}s, "
           f"sf={d.get('sf')}, hostcal_ms={d.get('hostcal_ms')}, "
-          f"hostcal_par_ms={d.get('hostcal_par_ms')}")
+          f"hostcal_par_ms={d.get('hostcal_par_ms')}, "
+          f"git_sha={(d.get('git_sha') or 'unstamped')[:12]}")
     return 0
 
 

@@ -2,25 +2,50 @@
 """Local stand-in for the driver's correctness gate.
 
 Usage: python3 scripts/selfcheck.py <sfDir> <verifyOutDir> [query ...]
+       python3 scripts/selfcheck.py --write-digests <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
 matching oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB against the
 parquet tables in <sfDir>, sorts columns by name, and hash-compares values.
 
 ORACLE CACHE: DuckDB results are cached under $GRAFT_ORACLE_CACHE
-(default /tmp/graft_oracle_cache; set to empty to disable), keyed by
-(query name, oracle-SQL hash, sfDir path, table file sizes+mtimes) —
-q179's recursive-closure SQL alone costs ~35 min at sf0.1, which made
+(default <repo>/.oracle_cache — durable across VM recycles, gitignored;
+set to empty to disable), keyed by (query name, oracle-SQL hash, sfDir
+path, table file sizes+mtimes, CACHE_VERSION, duckdb + pandas versions)
+— q179's recursive-closure SQL alone costs ~35 min at sf0.1, which made
 the second-scale-factor oracle leg too expensive to repeat; a re-run
 now only pays for queries whose oracle text or input data changed.
-The SPARK side is never cached — it is the thing under test.
+The version components (ADVICE r15) make a canon() change or a DuckDB/
+pandas upgrade invalidate the cache instead of silently re-serving
+results canonicalized under the old rules.
+
+COMMITTED DIGESTS (VERDICT r15 #1): even a durable cache dir dies with
+the workspace; scripts/oracle_digests/<sftag>.json (committed) carries,
+per query, the full cache key and a sha256 over the CANONICAL
+serialization of the oracle result. On a cold cache, a query whose
+digest key matches is checked by digesting the SPARK output the same
+way: digest-equal -> PASS without ever invoking DuckDB; digest-mismatch
+falls through to a real DuckDB run as the adjudicator (the digest is an
+exact-match fast path; the tolerance compare stays authoritative).
+Regenerate with --write-digests after oracle/data changes (cache-hit
+fast when the cache is warm).
 """
-import sys, json, glob, os, hashlib
+import sys, json, glob, os, hashlib, io
 import duckdb
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# Bump whenever canon() (rounding digits, datetime-unit normalization,
+# dtype handling) or digest_df()'s serialization changes — the cache
+# stores POST-canon frames, so stale canonicalization is invisible
+# downstream (ADVICE r15).
+CACHE_VERSION = 2
+
+REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DIGEST_DIR = os.path.join(REPO_DIR, "scripts", "oracle_digests")
+
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
@@ -35,12 +60,16 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].round(9)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
-def oracle_cache_path(cache_dir, name, sql, sf_dir):
-    """Key covers everything the oracle result depends on: the SQL
-    text, the data directory identity, and each table file's
-    size+mtime (testdata is read-only, but a restaged twin at the same
-    path must invalidate)."""
+
+def cache_key(sql, sf_dir):
+    """Everything the CACHED FRAME depends on: the SQL text, the data
+    directory identity, each table file's size+mtime (testdata is
+    read-only, but a restaged twin at the same path must invalidate),
+    and the canonicalization environment (CACHE_VERSION + duckdb +
+    pandas versions — the pickle stores a post-canon frame)."""
     h = hashlib.sha256()
+    h.update(f"v{CACHE_VERSION}:duckdb{duckdb.__version__}:"
+             f"pandas{pd.__version__.split('.')[0]}:".encode())
     h.update(sql.encode())
     h.update(os.path.realpath(sf_dir).encode())
     for t in TABLES:
@@ -48,16 +77,46 @@ def oracle_cache_path(cache_dir, name, sql, sf_dir):
         if os.path.exists(p):
             st = os.stat(p)
             h.update(f"{t}:{st.st_size}:{st.st_mtime_ns}".encode())
-    return os.path.join(cache_dir, f"{name}-{h.hexdigest()[:20]}.pkl")
+    return h.hexdigest()[:20]
+
+
+def oracle_cache_path(cache_dir, name, sql, sf_dir):
+    return os.path.join(cache_dir, f"{name}-{cache_key(sql, sf_dir)}.pkl")
+
+
+def digest_df(df: pd.DataFrame) -> str:
+    """sha256 over an exact serialization of a CANONICAL frame: column
+    names + dtypes as a JSON header, then CSV of the values (floats are
+    post-round(9) shortest-repr — deterministic for a given value)."""
+    h = hashlib.sha256()
+    h.update(json.dumps([[c, str(t)] for c, t
+                         in zip(df.columns, df.dtypes)]).encode())
+    buf = io.StringIO()
+    df.to_csv(buf, index=False)
+    h.update(buf.getvalue().encode())
+    return h.hexdigest()
+
+
+def digest_file(sf_dir):
+    return os.path.join(DIGEST_DIR,
+                        os.path.basename(os.path.realpath(sf_dir)) + ".json")
+
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    write_digests = "--write-digests" in sys.argv
+    argv = [a for a in sys.argv[1:] if a != "--write-digests"]
+    sf_dir, out_dir = argv[0], argv[1]
+    only = set(argv[2:])
     cache_dir = os.environ.get("GRAFT_ORACLE_CACHE",
-                               "/tmp/graft_oracle_cache")
+                               os.path.join(REPO_DIR, ".oracle_cache"))
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
-    n_cached = 0
+    digests = {}
+    dpath = digest_file(sf_dir)
+    if os.path.exists(dpath):
+        digests = json.load(open(dpath))
+    new_digests = {}
+    n_cached = n_digest = 0
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -75,11 +134,23 @@ def main():
             continue
         try:
             spark_df = canon(pd.concat([pd.read_parquet(f) for f in files]))
-            cp = (oracle_cache_path(cache_dir, name, oracle[name], sf_dir)
+            key = cache_key(oracle[name], sf_dir)
+            cp = (os.path.join(cache_dir, f"{name}-{key}.pkl")
                   if cache_dir else None)
+            dent = digests.get(name)
             if cp and os.path.exists(cp):
                 duck_df = pd.read_pickle(cp)
                 n_cached += 1
+            elif (not write_digests and dent
+                  and dent.get("key") == key
+                  and digest_df(spark_df) == dent.get("digest")):
+                # cold cache, committed digest matches the spark output
+                # exactly -> PASS without DuckDB (exact match implies
+                # the tolerance compare would also pass)
+                print(f"PASS {name} ({len(spark_df)} rows) [digest]")
+                n_pass += 1
+                n_digest += 1
+                continue
             else:
                 duck_df = canon(con.execute(oracle[name]).fetchdf())
                 if cp:
@@ -88,6 +159,10 @@ def main():
                     tmp = f"{cp}.tmp.{os.getpid()}"
                     pd.to_pickle(duck_df, tmp)
                     os.replace(tmp, cp)
+            if write_digests:
+                new_digests[name] = {"key": key,
+                                     "digest": digest_df(duck_df),
+                                     "rows": len(duck_df)}
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_fail += 1
@@ -116,6 +191,17 @@ def main():
                 n_fail += 1
     if cache_dir and n_cached:
         print(f"(oracle cache: {n_cached} hit(s) from {cache_dir})")
+    if n_digest:
+        print(f"(committed digests: {n_digest} cold-cache PASS(es) "
+              f"from {dpath})")
+    if write_digests and not only and not n_fail:
+        os.makedirs(DIGEST_DIR, exist_ok=True)
+        tmp = f"{dpath}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(new_digests, f, indent=1, sort_keys=True)
+            f.write("\n")
+        os.replace(tmp, dpath)
+        print(f"(wrote {len(new_digests)} digests to {dpath})")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 

@@ -69,6 +69,43 @@ object Bench {
     */
   private def hostcalMs(): Double = HostCal.hostcalMs()
 
+  /** Locale-independent fixed-point formatting for the JSON artifact:
+    * the `f` interpolator uses the JVM default locale, so a host with a
+    * comma decimal separator would emit `1,2345` inside `reps_s` and
+    * corrupt the one-line JSON (ADVICE r15).
+    */
+  private[graft] def fmt4(t: Double): String =
+    String.format(java.util.Locale.ROOT, "%.4f", Double.box(t))
+
+  /** Git SHA the artifact measured, so a bench payload can never
+    * silently describe code other than the commit it sits next to
+    * (VERDICT r15 #1: the committed r15 bench carried a pre-fix number
+    * for the very query that round fixed). Resolved from the repo that
+    * contains the classpath (CWD-independent — scale/focused legs run
+    * from /tmp by ritual); `unknown` when git is unavailable rather
+    * than failing the bench. `git_dirty` marks uncommitted src/ or
+    * build changes: a dirty-tree artifact measures un-anchorable code.
+    */
+  private[graft] def gitInfo(): (String, Boolean) = {
+    def run(args: String*): Option[String] =
+      try {
+        val repoDir = new java.io.File(
+          SparkEntry.getClass.getProtectionDomain.getCodeSource
+            .getLocation.toURI) // .../target/scala-2.13/classes
+          .getParentFile.getParentFile.getParentFile
+        val p = new ProcessBuilder((Seq("git", "-C",
+          repoDir.getAbsolutePath) ++ args): _*)
+          .redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        if (p.waitFor() == 0) Some(out) else None
+      } catch { case _: Throwable => None }
+    val sha = run("rev-parse", "HEAD").getOrElse("unknown")
+    val dirty = run("status", "--porcelain", "--",
+      "src", "build.sbt").exists(_.nonEmpty)
+    (sha, dirty)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -133,6 +170,33 @@ object Bench {
     // recorded passes are steady-state — directly comparable to the old
     // query-major protocol whose median also landed on warm reps.
     // $SPARK_GRAFT_BENCH_WARMPASS=0 skips it (fast local iteration).
+    // PRE-FLIGHT CONTENTION CHECK (VERDICT r15 #7): the r15 driver leg
+    // self-declared CONTENDED only after burning a full 416 s run; the
+    // ritual knowledge ("hostcal_par_ms_start > 250 -> just re-run") is
+    // now tooling. One parallel hostcal sample BEFORE any warm-up
+    // (HostCal self-warms with an unrecorded leg, so a cold JVM does
+    // not read as contention); above the threshold the run warns and
+    // stamps `preflight_contended` into the artifact — or dies in ~5 s
+    // when $SPARK_GRAFT_BENCH_PREFLIGHT=abort (the builder-ritual
+    // setting; the driver's unattended leg must still produce a
+    // payload, so warn-and-stamp is the default).
+    val preflightMax = sys.env.get("SPARK_GRAFT_BENCH_MAXPAR")
+      .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
+      .getOrElse(250.0)
+    val preflightPar = HostCal.hostcalParMs(spark)
+    val preflightContended = preflightPar > preflightMax
+    System.err.println(f"[bench] preflight hostcal_par_ms=$preflightPar " +
+      f"(threshold $preflightMax%.0f)" +
+      (if (preflightContended) " CONTENDED" else ""))
+    if (preflightContended &&
+        sys.env.get("SPARK_GRAFT_BENCH_PREFLIGHT").contains("abort")) {
+      System.err.println("[bench] PREFLIGHT-ABORT: host is contended " +
+        s"($preflightPar ms > $preflightMax); re-run when idle or unset " +
+        "SPARK_GRAFT_BENCH_PREFLIGHT")
+      spark.stop()
+      sys.exit(4)
+    }
+
     def runOnce(name: String): Unit =
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -254,7 +318,7 @@ object Bench {
     // query make it mechanical: one outlier rep = contention episode,
     // all reps high = a real move)
     val repsRaw = results.collect { case (k, ts, true) if ts.nonEmpty =>
-      "\"" + k + "\":" + ts.map(t => f"$t%.4f").mkString("[", ",", "]") }
+      "\"" + k + "\":" + ts.map(fmt4).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -274,7 +338,8 @@ object Bench {
     val orderDesc = if (queryMajor) "\"query-major(alpha)\""
                     else if (alphaOrder) "\"alpha\""
                     else s""""rep-shuffled(seed=$passSeed)""""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plain":$plain,"spread":$spread,"reps_s":$repsRaw,"reps":$reps,"failed":$failed,"hostcal_ms":$hostcal,"hostcal_ms_start":$hostcalStart,"hostcal_ms_end":$hostcalEnd,"hostcal_par_ms":$hostcalPar,"hostcal_par_ms_start":$hostcalParStart,"hostcal_par_ms_end":$hostcalParEnd,"n_registry":$nRegistry,"order":$orderDesc,"sf":"$sfDir"}"""
+    val (gitSha, gitDirty) = gitInfo()
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plain":$plain,"spread":$spread,"reps_s":$repsRaw,"reps":$reps,"failed":$failed,"hostcal_ms":$hostcal,"hostcal_ms_start":$hostcalStart,"hostcal_ms_end":$hostcalEnd,"hostcal_par_ms":$hostcalPar,"hostcal_par_ms_start":$hostcalParStart,"hostcal_par_ms_end":$hostcalParEnd,"preflight_par_ms":$preflightPar,"preflight_contended":$preflightContended,"git_sha":"$gitSha","git_dirty":$gitDirty,"n_registry":$nRegistry,"order":$orderDesc,"sf":"$sfDir"}"""
     // DURABLE ARTIFACT: the harness records a bounded TAIL of stdout
     // (~2000 chars), and with 270+ queries the full one-line JSON
     // outgrows that window by >10x — rounds 3-9 recorded `parsed: null`
@@ -286,6 +351,29 @@ object Bench {
     try {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+      // CLOBBER GUARD (VERDICT r15 #3): a focused/contended leg run from
+      // the repo CWD used to silently replace the committed round
+      // artifact in the working tree, one careless `git add` from being
+      // committed. An existing artifact with a DIFFERING total is
+      // preserved as `<name>.prev.json` before the overwrite — nothing
+      // is ever lost, and `git diff` shows the clobber instead of hiding
+      // it. Same-total overwrites (re-runs of the same leg) skip the
+      // backup to avoid churn.
+      if (java.nio.file.Files.exists(out)) {
+        val prior = new String(java.nio.file.Files.readAllBytes(out),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val priorTotal = """"value":([0-9.Ee+-]+)""".r
+          .findFirstMatchIn(prior).map(_.group(1))
+        if (!priorTotal.contains(total.toString)) {
+          val bak = out.resolveSibling(
+            out.getFileName.toString.stripSuffix(".json") + ".prev.json")
+          java.nio.file.Files.write(bak,
+            prior.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          System.err.println(s"[bench] existing artifact (total=" +
+            s"${priorTotal.getOrElse("?")}) backed up to $bak before " +
+            "overwrite")
+        }
+      }
       java.nio.file.Files.write(out,
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       System.err.println(s"[bench] full JSON written to ${out.toAbsolutePath}")

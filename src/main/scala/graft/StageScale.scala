@@ -38,9 +38,11 @@ import org.apache.spark.sql.functions._
   * disjoint, so minhash/jaccard/simhash/winnow treat copies as fresh
   * documents; per-copy token statistics stay parallel to the base).
   * `n_chars` is recomputed to stay consistent with the perturbed text.
-  * CAVEAT (documented, deliberate): embedding vectors still duplicate
-  * verbatim — the ANN/semantic-dedup family is not in the scale leg's
-  * top-50 and a vector perturbation would change recall semantics.
+  * `embeddings.embedding` gets a per-copy deterministic SIGN FLIP — an
+  * orthogonal transform that preserves every intra-copy inner product
+  * (and therefore recall semantics) exactly while decorrelating copies
+  * (r15 VERDICT #4: the verbatim-duplicated vectors kept the ANN
+  * family out of the gated scale leg).
   *
   * Usage: runMain graft.StageScale <srcDir> <dstDir> <copies>
   */
@@ -83,17 +85,48 @@ object StageScale {
   private[graft] def perturbContent(df: DataFrame,
                                     table: String): DataFrame = {
     val cpy = col("_copy")
+    // Each DIGIT of the copy number repeated 3x — NOT the whole number
+    // repeated (ADVICE r15: repeat() of a multi-digit copy gave copy 12
+    // -> "~121212" vs copy 21 -> "~212121", only 2 edits apart — inside
+    // symdelete maxDist<=2). Digit-tripling is provably >=3 apart for
+    // ANY two distinct copies: same-length suffixes differ in >=1 digit
+    // = >=3 substituted positions; different lengths differ by >=3
+    // characters. Single-digit copies are unchanged ("111" either way),
+    // so previously staged twins stay byte-identical.
+    val copyTag = regexp_replace(cpy.cast("string"), "(.)", "$1$1$1")
     table match {
       case "customer" =>
         df.withColumn("c_name", when(cpy === 0, col("c_name"))
-          .otherwise(concat(col("c_name"), lit("~"),
-            repeat(cpy.cast("string"), 3))))
+          .otherwise(concat(col("c_name"), lit("~"), copyTag)))
       case "documents" =>
+        // Only suffix NON-EMPTY tokens: split on " " yields "" for
+        // consecutive/leading/trailing spaces, and suffixing those
+        // would mint bare "~N" tokens the base copy does not have —
+        // breaking the 'per-copy token statistics stay parallel'
+        // contract for non-clean text (ADVICE r15).
         val words = transform(split(col("text"), " "),
-          w => concat(w, lit("~"), cpy.cast("string")))
+          w => when(length(w) > 0,
+            concat(w, lit("~"), cpy.cast("string"))).otherwise(w))
         df.withColumn("text", when(cpy === 0, col("text"))
             .otherwise(array_join(words, " ")))
           .withColumn("n_chars", length(col("text")).cast("long"))
+      case "embeddings" =>
+        // Per-copy deterministic SIGN FLIP (VERDICT r15 #4: verbatim
+        // vector duplication kept the ANN family out of the scale leg).
+        // v'_d = s(copy,d) * v_d with s in {+1,-1} from a seeded hash of
+        // (copy, dimension) is an ORTHOGONAL transform per copy: every
+        // intra-copy inner product — and therefore every cosine, every
+        // neighbor set, every recall number — is preserved EXACTLY
+        // (sum s_d^2 u_d v_d = <u,v>), while cross-copy products see
+        // random sign products and decorrelate, exactly how 10x of
+        // organically new embedded content behaves. Copy 0 verbatim.
+        val flipped = zip_with(
+          col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (x, d) => when(pmod(hash(cpy, d), lit(2)) === 0, x)
+            .otherwise(-x))
+        df.withColumn("embedding", when(cpy === 0, col("embedding"))
+          .otherwise(flipped.cast("array<float>")))
       case _ => df
     }
   }

@@ -33,6 +33,30 @@ object Verify {
     }
     writeOracleJson(outDir)
     spark.stop()
+    // LINGER DIAGNOSIS (VERDICT r15 #6): an sf0.1 run intermittently
+    // left the JVM alive after main returned (outputs complete). The
+    // r16 repro attempt exited cleanly, so instead of guessing, every
+    // run now prints any surviving non-daemon thread WITH its stack —
+    // the next occurrence is its own diagnosis instead of a ritual
+    // caveat. Nothing is forcibly killed: outputs are already on disk
+    // and a kill could mask a real leak.
+    val lingering = Thread.getAllStackTraces.entrySet().toArray
+      .map(_.asInstanceOf[java.util.Map.Entry[Thread, Array[StackTraceElement]]])
+      .filter { e =>
+        val t = e.getKey
+        t.isAlive && !t.isDaemon && t.getName != "main" &&
+          t.getName != "DestroyJavaVM"
+      }
+    if (lingering.nonEmpty) {
+      System.err.println(s"[verify] ${lingering.length} non-daemon " +
+        "thread(s) still alive after spark.stop() — JVM will linger:")
+      lingering.foreach { e =>
+        System.err.println(s"[verify]   ${e.getKey.getName} " +
+          s"(state=${e.getKey.getState})")
+        e.getValue.take(12).foreach(f =>
+          System.err.println(s"[verify]     at $f"))
+      }
+    }
   }
 
   /** Dumps SparkEntry.oracleSql as `<outDir>/oracle_sql.json` — shared
