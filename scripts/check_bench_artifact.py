@@ -41,6 +41,19 @@ def head_sha(path):
         return None
 
 
+def code_differs(path, sha):
+    """True when src/build.sbt differ between the stamped SHA and HEAD
+    (or the SHA is unknown to this repo). SHA equality alone is the
+    wrong contract: committing the artifact itself advances HEAD past
+    the stamp — what must hold is that the artifact measured the CODE
+    at HEAD, not the commit hash."""
+    r = subprocess.run(
+        ["git", "-C", os.path.dirname(os.path.abspath(path)) or ".",
+         "diff", "--quiet", sha, "HEAD", "--", "src", "build.sbt"],
+        capture_output=True, text=True)
+    return r.returncode != 0
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--allow-sha-mismatch"]
     allow_sha = "--allow-sha-mismatch" in sys.argv
@@ -69,13 +82,14 @@ def main() -> int:
     if d.get("failed"):
         problems.append(f"failed queries present: {d['failed']}")
     sha = d.get("git_sha")
-    if sha and not allow_sha:
+    if sha and sha != "unknown" and not allow_sha:
         head = head_sha(path)
-        if head and sha != head:
-            problems.append(f"git_sha {sha[:12]} != HEAD {head[:12]} — "
-                            f"the artifact measures different code; "
-                            f"re-run graft.Bench at HEAD "
-                            f"(--allow-sha-mismatch to override)")
+        if head and sha != head and code_differs(path, sha):
+            problems.append(f"git_sha {sha[:12]}: src/build.sbt differ "
+                            f"between the stamped commit and HEAD "
+                            f"{head[:12]} — the artifact measures "
+                            f"different code; re-run graft.Bench at "
+                            f"HEAD (--allow-sha-mismatch to override)")
         if d.get("git_dirty"):
             problems.append("measured on a DIRTY tree (git_dirty) — "
                             "the code it timed is not anchorable to any "

@@ -67,7 +67,31 @@ def main():
           "unstamped")
 
     rc, out = run(payload(git_sha="0" * 40, git_dirty=False))
-    check("stale git_sha refused", 1, rc, out, "!= HEAD")
+    check("unknown/stale git_sha refused", 1, rc, out,
+          "measures different code")
+
+    # a prior commit that does NOT touch src/build.sbt must pass: the
+    # stamp contract is measured-code == HEAD-code, not sha == HEAD
+    # (committing the artifact itself advances HEAD past the stamp)
+    prev = subprocess.run(
+        ["git", "-C", HERE, "log", "--format=%H",
+         "--max-count=8", "HEAD~1"],
+        capture_output=True, text=True).stdout.split()
+    same_code = None
+    for c in prev:
+        r = subprocess.run(["git", "-C", HERE, "diff", "--quiet", c,
+                            "HEAD", "--", "src", "build.sbt"],
+                           capture_output=True)
+        if r.returncode == 0:
+            same_code = c
+            break
+    if same_code:
+        rc, out = run(payload(git_sha=same_code, git_dirty=False))
+        check("ancestor stamp with identical src/build.sbt passes",
+              0, rc, out)
+    else:
+        print("SKIP ancestor-stamp test (no recent commit with "
+              "identical src)")
 
     rc, out = run(payload(git_sha="0" * 40, git_dirty=False),
                   "--allow-sha-mismatch")
