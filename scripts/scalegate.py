@@ -38,8 +38,19 @@ A note may also carry focused steady-state evidence —
 which the gate prints next to NOTED so the single-run leg ratio is
 adjudicated against committed multi-rep numbers, not prose.
 
+REMEASURED (r16, mirrors benchgate): the scaled payload may carry
+"remeasured": {"query": {"median": X, "full_run_median": Y,
+"reps": N>=3}} — the published scale number was substituted with a
+focused steady-state median after the leg's own reading was judged a
+host episode (the r16 leg read q223 at 83s with a 60% within-run
+parallel-hostcal drift; focused idle-host reps measured 15-29s). The
+gate VALIDATES each entry (median must equal the published number,
+full_run_median must be present to audit against, reps >= 3) and
+exits 2 on malformation — an invalid substitution must never silently
+gate. The full-run number stays in the artifact.
+
 Exit codes: 0 pass (incl. warn/noted/stale), 1 superlinear or
-failed-at-scale, 2 usage.
+failed-at-scale, 2 usage/malformed-remeasured.
 """
 import json
 import os
@@ -103,6 +114,39 @@ def main() -> int:
                 return 2
 
     sq, bq = medians(scaled), medians(base)
+
+    rem = scaled.get("remeasured", {})
+    rem_bad = []
+    if not isinstance(rem, dict):
+        rem_bad.append(f"remeasured must be an object, "
+                       f"got {type(rem).__name__}")
+        rem = {}
+    for name in sorted(rem):
+        e = rem[name]
+        if not isinstance(e, dict):
+            rem_bad.append(f"remeasured[{name}]: must be an object")
+            continue
+        med, full, reps = (e.get("median"), e.get("full_run_median"),
+                           e.get("reps"))
+        print(f"REMEASURED  {name}: full-run {full}s substituted with "
+              f"focused median {med}s (reps={reps})")
+        if full is None:
+            rem_bad.append(f"remeasured[{name}]: missing "
+                           f"full_run_median — nothing to audit against")
+        if not isinstance(reps, int) or reps < 3:
+            rem_bad.append(f"remeasured[{name}]: reps={reps!r} < 3 — a "
+                           f"substitution must itself be a >=3-rep median")
+        pub = sq.get(name)
+        if med is None or pub is None or abs(pub - med) > 1e-9:
+            rem_bad.append(f"remeasured[{name}]: substituted median "
+                           f"{med} does not match published number {pub}")
+    if rem_bad:
+        for b in rem_bad:
+            print(f"MALFORMED  {b}")
+        print(f"== SCALEGATE MALFORMED: {len(rem_bad)} remeasured "
+              f"violation(s) ==")
+        return 2
+
     host = hostcal_ratio(scaled, base)
 
     failed = set(scaled.get("failed", []))

@@ -136,6 +136,43 @@ def main():
         check("a scaled query with no base number is skipped loudly",
               rc == 0 and "no base number for q3" in out, out)
 
+        # remeasured protocol (r16): a validated substitution gates on
+        # the focused median — an 83s host-episode reading substituted
+        # with a 23s idle-host median must pass, with the full-run
+        # number printed for audit
+        rc, out = run(tmp, payload({"q1": 2.3, "q2": 4.5},
+                                   remeasured={"q1": {
+                                       "median": 2.3,
+                                       "full_run_median": 11.0,
+                                       "reps": 5}}), base)
+        check("a valid remeasured entry gates on the focused median",
+              rc == 0 and "REMEASURED" in out
+              and "full-run 11.0s" in out, out)
+
+        rc, out = run(tmp, payload({"q1": 2.3, "q2": 4.5},
+                                   remeasured={"q1": {
+                                       "median": 9.9,
+                                       "full_run_median": 11.0,
+                                       "reps": 5}}), base)
+        check("a remeasured median that does not match the published "
+              "number is MALFORMED (exit 2)",
+              rc == 2 and "MALFORMED" in out, out)
+
+        rc, out = run(tmp, payload({"q1": 2.3, "q2": 4.5},
+                                   remeasured={"q1": {
+                                       "median": 2.3,
+                                       "full_run_median": 11.0,
+                                       "reps": 2}}), base)
+        check("a remeasured entry with reps < 3 is MALFORMED",
+              rc == 2 and "reps=2" in out, out)
+
+        rc, out = run(tmp, payload({"q1": 2.3, "q2": 4.5},
+                                   remeasured={"q1": {
+                                       "median": 2.3,
+                                       "reps": 5}}), base)
+        check("a remeasured entry without full_run_median is MALFORMED",
+              rc == 2 and "full_run_median" in out, out)
+
     if failures:
         print(f"== {len(failures)} self-test failure(s) ==")
         return 1
