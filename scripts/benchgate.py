@@ -58,6 +58,16 @@ gate twice in a row (q142: 2.48 -> 3.75 -> 5.10, each step < 3x, total
 changes the exit code — it exists to surface compounding sub-gate drift
 for adjudication, not to gate on two-round-old numbers.
 
+TOTAL-CREEP (exit 3, needs --prev2): Σ medians over the shared
+(non-failed, non-accepted) query set grew >10% vs N-2 while the
+normalized hostcal sits within ±10% — fleet-wide drift no per-query
+threshold ever sees (VERDICT r16: 338 -> 383 s over two rounds, 83/290
+queries faster, zero per-query flags). Adjudicate with one full
+preflight-clean idle-host leg: reproduces ⇒ real, bisect; doesn't ⇒
+commit the clean leg. Hostcal ratio outside the band silences the
+check (the sum comparison is meaningless across genuinely different
+host speeds).
+
 A >factor growth whose NEW spread exceeds its NEW median is reported as
 NOISY and is a MANDATORY-RERUN failure (exit 3, distinct from the
 regression exit 1): a contended host can triple a median without any
@@ -87,6 +97,8 @@ ACCEPT_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "benchgate_accept.json")
 
 CUMULATIVE_FACTOR = 2.0
+TOTAL_CREEP_FACTOR = 1.10      # Σ-medians growth vs N-2 that trips
+TOTAL_CREEP_HOSTCAL_BAND = 0.10  # only with hostcal ratio within ±this
 HOSTCAL_CLAMP = (0.5, 2.0)
 NOISY_ADJ_FACTOR = 2.0        # normalized growth that opens the check
 NOISY_ADJ_SPREAD_FRAC = 0.5   # spread/median that declares the median noisy
@@ -418,9 +430,10 @@ def main() -> int:
                   f"spread {sp:.2f}s)")
 
     # warn-only cumulative drift vs the round-before-last baseline
+    total_creep = None
     if prev2 is not None:
         p2q = medians(prev2)
-        r2, note2, _ = hostcal_ratio(new, prev2)
+        r2, note2, leg2 = hostcal_ratio(new, prev2)
         print(f"cumulative check vs {prev2_path}: {note2}")
         n_cum = 0
         for name in sorted(set(nq) & set(p2q)):
@@ -435,6 +448,50 @@ def main() -> int:
         if n_cum == 0:
             print("cumulative check: no compounding drift "
                   f">{CUMULATIVE_FACTOR}x vs N-2")
+        # TOTAL-LEVEL CREEP TRIPWIRE (VERDICT r16 #2): committed round
+        # totals walked 338->383 s over two rounds against a
+        # flat-to-faster hostcal, and nothing gated the SUM — the
+        # per-query 3x never fires on a fleet-wide few-percent drift.
+        # Trips (exit 3, rerun-required) when Σ medians over the shared
+        # query set grew >TOTAL_CREEP_FACTOR vs N-2 while the
+        # normalized hostcal sits within ±TOTAL_CREEP_HOSTCAL_BAND (a
+        # genuinely slower host is not creep — per-query normalization
+        # already absorbs it; outside the band the sum comparison is
+        # meaningless and stays silent). Accepted definition changes
+        # are excluded from both sums, so a deliberate heavier query
+        # can't trip it. Adjudication: one full preflight-clean
+        # idle-host leg — reproduces ⇒ real, bisect; doesn't ⇒ commit
+        # the clean leg as the round artifact.
+        shared_tot = [q for q in set(nq) & set(p2q)
+                      if q not in new_failed and q not in accepted
+                      and nq.get(q) and nq[q] > 0
+                      and p2q.get(q) and p2q[q] > 0]
+        tot_n = sum(nq[q] for q in shared_tot)
+        tot_p = sum(p2q[q] for q in shared_tot)
+        if leg2 is None:
+            # no measured calibration on one side — a flat-ratio
+            # FALLBACK must not masquerade as "hostcal within band"
+            print("total check: hostcal unavailable on one side — "
+                  "creep tripwire silent")
+        elif tot_p > 0 and abs(r2 - 1.0) <= TOTAL_CREEP_HOSTCAL_BAND:
+            if tot_n > tot_p * TOTAL_CREEP_FACTOR * r2:
+                total_creep = (tot_n, tot_p, r2, len(shared_tot))
+                print(f"TOTAL-CREEP  Σ medians {tot_p:.1f}s (N-2) -> "
+                      f"{tot_n:.1f}s over {len(shared_tot)} shared "
+                      f"queries ({tot_n / tot_p:.3f}x raw, "
+                      f"{tot_n / (tot_p * r2):.3f}x host-normalized, "
+                      f"hostcal ratio {r2:.3f}) — fleet-wide drift no "
+                      f"per-query gate sees; adjudicate with one full "
+                      f"preflight-clean idle-host leg")
+            else:
+                print(f"total check: Σ {tot_n:.1f}s vs N-2 Σ "
+                      f"{tot_p:.1f}s ({tot_n / (tot_p * r2):.3f}x "
+                      f"host-normalized) — under the "
+                      f"{TOTAL_CREEP_FACTOR}x creep bar")
+        else:
+            print(f"total check: hostcal ratio {r2:.3f} outside "
+                  f"±{TOTAL_CREEP_HOSTCAL_BAND:.0%} — Σ comparison "
+                  f"not meaningful, creep tripwire silent")
 
     only_new = sorted(set(nq) - set(bq))
     if only_new:
@@ -447,10 +504,11 @@ def main() -> int:
         print(f"== GATE FAIL: {len(regressions)} regression(s), "
               f"{len(stale)} stale accept entr(ies) ==")
         return 1
-    if noisy or noisy_adj:
+    if noisy or noisy_adj or total_creep:
         print(f"== GATE RERUN-REQUIRED: {len(noisy)} noisy grower(s), "
-              f"{len(noisy_adj)} noisy-adjudicate mover(s) — "
-              f"not a pass ==")
+              f"{len(noisy_adj)} noisy-adjudicate mover(s)"
+              + (", TOTAL-CREEP" if total_creep else "")
+              + " — not a pass ==")
         return 3
     print(f"== GATE PASS: {len(set(nq) & set(bq))} compared ==")
     return 0

@@ -90,10 +90,13 @@ def main() -> int:
                             f"{head[:12]} — the artifact measures "
                             f"different code; re-run graft.Bench at "
                             f"HEAD (--allow-sha-mismatch to override)")
-        if d.get("git_dirty"):
-            problems.append("measured on a DIRTY tree (git_dirty) — "
-                            "the code it timed is not anchorable to any "
-                            "commit")
+    # Dirty-tree refusal is NOT waived by --allow-sha-mismatch (ADVICE
+    # r16: the flag is an escape for historical-SHA artifacts only; a
+    # dirty-tree artifact is un-anchorable regardless of the stamp).
+    if d.get("git_dirty"):
+        problems.append("measured on a DIRTY tree (git_dirty) — "
+                        "the code it timed is not anchorable to any "
+                        "commit")
     if d.get("preflight_contended"):
         problems.append(f"pre-flight declared the host CONTENDED "
                         f"(preflight_par_ms={d.get('preflight_par_ms')}) "

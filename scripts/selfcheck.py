@@ -84,6 +84,43 @@ def oracle_cache_path(cache_dir, name, sql, sf_dir):
     return os.path.join(cache_dir, f"{name}-{cache_key(sql, sf_dir)}.pkl")
 
 
+_content_hash_memo = {}
+
+
+def file_content_key(p):
+    """Full-content sha256 (memoized per size+mtime within a run).
+    Testdata totals ~17 MB at sf0.1 — hashing is <0.1 s once."""
+    st = os.stat(p)
+    mk = (p, st.st_size, st.st_mtime_ns)
+    v = _content_hash_memo.get(mk)
+    if v is None:
+        h = hashlib.sha256()
+        with open(p, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        v = h.hexdigest()[:16]
+        _content_hash_memo[mk] = v
+    return v
+
+
+def data_key(sql, sf_dir):
+    """Key for the COMMITTED digests: like cache_key but the data
+    identity is CONTENT (size + sha256 of the bytes), not path/mtime —
+    a byte-identical restage on a new machine must still hit the
+    committed cold-cache fast path (ADVICE r16: mtime keys silently
+    defeated it)."""
+    h = hashlib.sha256()
+    h.update(f"v{CACHE_VERSION}:duckdb{duckdb.__version__}:"
+             f"pandas{pd.__version__.split('.')[0]}:".encode())
+    h.update(sql.encode())
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            st = os.stat(p)
+            h.update(f"{t}:{st.st_size}:{file_content_key(p)}".encode())
+    return h.hexdigest()[:20]
+
+
 def digest_df(df: pd.DataFrame) -> str:
     """sha256 over an exact serialization of a CANONICAL frame: column
     names + dtypes as a JSON header, then CSV of the values (floats are
@@ -116,7 +153,7 @@ def main():
     if os.path.exists(dpath):
         digests = json.load(open(dpath))
     new_digests = {}
-    n_cached = n_digest = 0
+    n_cached = n_digest = n_keymiss = 0
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -138,11 +175,15 @@ def main():
             cp = (os.path.join(cache_dir, f"{name}-{key}.pkl")
                   if cache_dir else None)
             dent = digests.get(name)
+            dkey = data_key(oracle[name], sf_dir) if dent or write_digests \
+                else None
+            if dent and dent.get("key") != dkey:
+                n_keymiss += 1
             if cp and os.path.exists(cp):
                 duck_df = pd.read_pickle(cp)
                 n_cached += 1
             elif (not write_digests and dent
-                  and dent.get("key") == key
+                  and dent.get("key") == dkey
                   and digest_df(spark_df) == dent.get("digest")):
                 # cold cache, committed digest matches the spark output
                 # exactly -> PASS without DuckDB (exact match implies
@@ -160,7 +201,7 @@ def main():
                     pd.to_pickle(duck_df, tmp)
                     os.replace(tmp, cp)
             if write_digests:
-                new_digests[name] = {"key": key,
+                new_digests[name] = {"key": dkey,
                                      "digest": digest_df(duck_df),
                                      "rows": len(duck_df)}
         except Exception as e:
@@ -194,6 +235,12 @@ def main():
     if n_digest:
         print(f"(committed digests: {n_digest} cold-cache PASS(es) "
               f"from {dpath})")
+    if n_keymiss:
+        print(f"(WARN: {n_keymiss} committed digest key(s) MISMATCHED — "
+              f"oracle SQL, data content, or duckdb/pandas/canon env "
+              f"changed since --write-digests; those queries fell back "
+              f"to cache/DuckDB. Regenerate: selfcheck.py "
+              f"--write-digests {sf_dir} {out_dir})")
     if write_digests and not only and not n_fail:
         os.makedirs(DIGEST_DIR, exist_ok=True)
         tmp = f"{dpath}.tmp.{os.getpid()}"

@@ -33,14 +33,20 @@ def main() -> int:
     n_rotate = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     medians = {**base["queries"], **base.get("plain", {})}
     ranked = sorted(medians, key=lambda q: -medians[q])
-    leg = set(ranked[:FIXED_TOP]) | set(ANN_FAMILY)
+    top = set(ranked[:FIXED_TOP])
+    leg = top | set(ANN_FAMILY)
+    ann_extra = len(leg) - len(top)  # ANN members NOT already in top-N
     pool = [q for q in ranked[FIXED_TOP:] if q not in leg]
     # seeded by round: deterministic, different slice each round
-    leg |= set(random.Random(rnd).sample(pool, min(n_rotate, len(pool))))
+    rotated = random.Random(rnd).sample(pool, min(n_rotate, len(pool)))
+    leg |= set(rotated)
     for q in sorted(leg):
         print(q)
+    # real composition, not the nominal one: ANN members inside the
+    # top-N are unioned away (ADVICE r16 — the breakdown overstated)
     print(f"# {len(leg)} queries: top-{FIXED_TOP} fixed + "
-          f"{len(ANN_FAMILY)} ANN + {n_rotate} rotating (round {rnd})",
+          f"{ann_extra} ANN (of {len(ANN_FAMILY)}, rest in top) + "
+          f"{len(rotated)} rotating (round {rnd})",
           file=sys.stderr)
     return 0
 

@@ -360,6 +360,63 @@ def main():
         check("no compounding drift reports clean",
               rc == 0 and "no compounding drift" in out, out)
 
+        # --- total-level creep tripwire (VERDICT r16 #2) ---
+        # fleet-wide 1.2x: every query under the per-query cumulative
+        # 2x, Σ over the shared set 12.0 vs 10.0 > 1.1x, hostcal flat
+        flat = {"hostcal_ms": 1000.0}
+        fleet_n = payload({f"q{i}": 2.4 for i in range(5)}, **flat)
+        fleet_b = payload({f"q{i}": 2.35 for i in range(5)}, **flat)
+        fleet_p2 = payload({f"q{i}": 2.0 for i in range(5)}, **flat)
+        rc, out = run(tmp, fleet_n, fleet_b, prev2=fleet_p2)
+        check("fleet-wide sub-gate creep (1.2x Σ, flat hostcal) trips "
+              "TOTAL-CREEP exit 3 with zero per-query flags",
+              rc == 3 and "TOTAL-CREEP" in out
+              and "CUMULATIVE  " not in out, out)
+
+        rc, out = run(tmp, payload({f"q{i}": 2.1 for i in range(5)},
+                                   **flat),
+                      fleet_b, prev2=fleet_p2)
+        check("Σ growth under the creep bar passes and prints the "
+              "total check",
+              rc == 0 and "under the 1.1x creep bar" in out, out)
+
+        # genuinely slower host (ratio 1.3, outside ±10%): Σ comparison
+        # meaningless — tripwire must stay silent, per-query thresholds
+        # already normalize
+        rc, out = run(tmp, payload({f"q{i}": 2.6 for i in range(5)},
+                                   hostcal_ms=1300.0),
+                      payload({f"q{i}": 2.55 for i in range(5)},
+                              hostcal_ms=1300.0),
+                      prev2=fleet_p2)
+        check("hostcal outside the ±10% band silences the creep "
+              "tripwire",
+              rc == 0 and "creep tripwire silent" in out
+              and "TOTAL-CREEP" not in out, out)
+
+        # payloads with NO hostcal must not be treated as 'flat within
+        # band' — the fallback ratio 1.0 is an absence, not a reading
+        rc, out = run(tmp, payload({f"q{i}": 2.4 for i in range(5)}),
+                      payload({f"q{i}": 2.35 for i in range(5)}),
+                      prev2=payload({f"q{i}": 2.0 for i in range(5)}))
+        check("missing hostcal silences the creep tripwire",
+              rc == 0 and "hostcal unavailable" in out
+              and "TOTAL-CREEP" not in out, out)
+
+        # an ACCEPTED definition change is excluded from both sums
+        acc_n = payload({"q1": 4.0, "q2": 2.0, "q3": 2.0, "q4": 2.0},
+                        **flat)
+        acc_b = payload({"q1": 1.0, "q2": 2.0, "q3": 2.0, "q4": 2.0},
+                        **flat)
+        acc_p2 = payload({"q1": 1.0, "q2": 2.0, "q3": 2.0, "q4": 2.0},
+                         **flat)
+        rc, out = run(tmp, acc_n, acc_b, prev2=acc_p2,
+                      accept_file=accept("q1", "definition changed",
+                                         1.0))
+        check("accepted definition change is excluded from the creep "
+              "sums",
+              rc == 0 and "TOTAL-CREEP" not in out
+              and "CHANGED" in out, out)
+
     if failures:
         print(f"== {len(failures)} self-test failure(s) ==")
         return 1

@@ -101,6 +101,14 @@ def main():
     rc, out = run(payload(git_sha=sha, git_dirty=True))
     check("dirty-tree artifact refused", 1, rc, out, "DIRTY")
 
+    # ADVICE r16: the dirty refusal was nested under the sha check, so
+    # --allow-sha-mismatch silently waived it too; the flag is an
+    # escape for HISTORICAL-SHA artifacts only
+    rc, out = run(payload(git_sha="0" * 40, git_dirty=True),
+                  "--allow-sha-mismatch")
+    check("--allow-sha-mismatch does NOT waive the dirty-tree refusal",
+          1, rc, out, "DIRTY")
+
     rc, out = run(payload(git_sha=sha, preflight_contended=True,
                           preflight_par_ms=480.0))
     check("pre-flight-contended artifact refused", 1, rc, out,

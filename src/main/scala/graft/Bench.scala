@@ -87,19 +87,31 @@ object Bench {
     * build changes: a dirty-tree artifact measures un-anchorable code.
     */
   private[graft] def gitInfo(): (String, Boolean) = {
-    def run(args: String*): Option[String] =
+    // The ../../.. hop is only valid for the sbt target/scala-2.13/
+    // classes layout; from a jar or relocated classes dir, `git -C`
+    // could resolve inside an UNRELATED enclosing repo and stamp a
+    // wrong-but-plausible sha (ADVICE r16). Trust the candidate only
+    // if it actually looks like this project (build.sbt present).
+    def repoDir: Option[java.io.File] =
       try {
-        val repoDir = new java.io.File(
+        val d = new java.io.File(
           SparkEntry.getClass.getProtectionDomain.getCodeSource
             .getLocation.toURI) // .../target/scala-2.13/classes
           .getParentFile.getParentFile.getParentFile
-        val p = new ProcessBuilder((Seq("git", "-C",
-          repoDir.getAbsolutePath) ++ args): _*)
-          .redirectErrorStream(true).start()
-        val out = new String(p.getInputStream.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        if (p.waitFor() == 0) Some(out) else None
+        if (d != null && new java.io.File(d, "build.sbt").isFile) Some(d)
+        else None
       } catch { case _: Throwable => None }
+    def run(args: String*): Option[String] =
+      repoDir.flatMap { dir =>
+        try {
+          val p = new ProcessBuilder((Seq("git", "-C",
+            dir.getAbsolutePath) ++ args): _*)
+            .redirectErrorStream(true).start()
+          val out = new String(p.getInputStream.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          if (p.waitFor() == 0) Some(out) else None
+        } catch { case _: Throwable => None }
+      }
     val sha = run("rev-parse", "HEAD").getOrElse("unknown")
     val dirty = run("status", "--porcelain", "--",
       "src", "build.sbt").exists(_.nonEmpty)

@@ -38,6 +38,28 @@ object Concurrent {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
 
+    // PRE-FLIGHT (VERDICT r16 #3): the r16 concurrency walls ran in a
+    // contended window and were informational-only. Same contract as
+    // Bench: one parallel hostcal before any work, stamped into the
+    // payload; SPARK_GRAFT_BENCH_PREFLIGHT=abort exits 4 fast so the
+    // retry wrapper (scripts/bench_retry.py) can drive this leg too.
+    val preflightMax = sys.env.get("SPARK_GRAFT_BENCH_MAXPAR")
+      .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
+      .getOrElse(250.0)
+    val preflightPar = HostCal.hostcalParMs(spark)
+    val preflightContended = preflightPar > preflightMax
+    System.err.println(f"[concurrent] preflight hostcal_par_ms=" +
+      f"$preflightPar (threshold $preflightMax%.0f)" +
+      (if (preflightContended) " CONTENDED" else ""))
+    if (preflightContended &&
+        sys.env.get("SPARK_GRAFT_BENCH_PREFLIGHT").contains("abort")) {
+      System.err.println("[concurrent] PREFLIGHT-ABORT: host is " +
+        s"contended ($preflightPar ms > $preflightMax); re-run when " +
+        "idle or unset SPARK_GRAFT_BENCH_PREFLIGHT")
+      spark.stop()
+      sys.exit(4)
+    }
+
     val names = SparkEntry.queries.keys.toVector.sorted
     val assign = names.zipWithIndex
       .groupMap { case (_, i) => i % streams } { case (n, _) => n }
@@ -64,6 +86,7 @@ object Concurrent {
     threads.foreach(_.start())
     threads.foreach(_.join())
     val wall = (System.nanoTime() - t0) / 1e9
+    val hostcalParEnd = HostCal.hostcalParMs(spark)
     Verify.writeOracleJson(outDir)
     val perStream = (0 until streams)
       .map(i => s""""s$i":${streamWall.getOrDefault(i, -1.0)}""")
@@ -73,10 +96,15 @@ object Concurrent {
     // escaper would leave as an unparseable multi-line "one JSON line".
     val fails = failures.toArray
       .map(f => Verify.jsonQ(f.toString)).mkString(",")
+    val (gitSha, gitDirty) = Bench.gitInfo()
     println(s"""{"metric":"concurrent_wall","value":$wall,""" +
       s""""unit":"sec","streams":$streams,""" +
       s""""n_queries":${names.size},""" +
-      s""""stream_wall":{$perStream},"failed":[$fails]}""")
+      s""""stream_wall":{$perStream},"failed":[$fails],""" +
+      s""""preflight_par_ms":$preflightPar,""" +
+      s""""preflight_contended":$preflightContended,""" +
+      s""""hostcal_par_ms_end":$hostcalParEnd,""" +
+      s""""git_sha":"$gitSha","git_dirty":$gitDirty}""")
     spark.stop()
     if (!failures.isEmpty) sys.exit(1)
   }

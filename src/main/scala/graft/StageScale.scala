@@ -125,8 +125,13 @@ object StageScale {
           sequence(lit(0), size(col("embedding")) - 1),
           (x, d) => when(pmod(hash(cpy, d), lit(2)) === 0, x)
             .otherwise(-x))
-        df.withColumn("embedding", when(cpy === 0, col("embedding"))
-          .otherwise(flipped.cast("array<float>")))
+        // Empty-vector guard (ADVICE r16): size=0 makes
+        // sequence(0, -1) yield [0,-1] (auto-negative step) and
+        // zip_with null-pads — an empty embedding would become
+        // [null, null] in non-zero copies. Empties pass through.
+        df.withColumn("embedding",
+          when(cpy === 0 || size(col("embedding")) <= 0, col("embedding"))
+            .otherwise(flipped.cast("array<float>")))
       case _ => df
     }
   }

@@ -652,10 +652,17 @@ object Graph {
     // edge count each recomputed the edge dedup
     val und = Components.pin(undirected(edges, srcCol, dstCol),
       reliable = false)
-    val mRow = und.agg(count(lit(1)).as("_m"))
-    val nb = und.select(col("u").as("v0"), col("v").as("n"))
-      .union(und.select(col("v").as("v0"), col("u").as("n")))
-    val deg = nb.groupBy(col("v0")).agg(count(lit(1)).as("_deg"))
+    // One scan of `und` covers both degree AND m: explode the two
+    // endpoints (instead of a two-scan union) and derive m = Σdeg/2
+    // from the |V|-sized degree table. `deg` is pinned too — it feeds
+    // three branches (m, d_c, both sides of the internal-edge join)
+    // and without the pin each reference replays the degree shuffle.
+    // Net: und computed once, scanned twice (deg + e_c), down from 4+.
+    val deg = Components.pin(und
+      .select(explode(array(col("u"), col("v"))).as("v0"))
+      .groupBy(col("v0")).agg(count(lit(1)).as("_deg")),
+      reliable = false)
+    val mRow = deg.agg((sum(col("_deg")) / lit(2L)).cast("long").as("_m"))
     val nc = deg.join(communities.select(col(nodeCol).as("v0"),
       col(commCol).as("_comm")), "v0")
     val dc = nc.groupBy(col("_comm")).agg(sum(col("_deg")).as("d_c"))
