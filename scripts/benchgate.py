@@ -196,24 +196,47 @@ def check_remeasured(new, nq):
     return bad
 
 
+def effective_hostcal(d, key):
+    """The payload's host-speed estimate for `key`. Normally the
+    published mean of the before/after pair — but when the pair itself
+    drifts >20% (self-declared mid-run contention), the MEAN is
+    poisoned: contention only ever INFLATES a sample, so the mean
+    overstates how slow the host intrinsically was and mis-normalizes
+    every query that ran in the clean phase (r17: a base leg with
+    157.9 -> 205.8 ms drift pushed two steady output-growth queries
+    over the scale gate's superlinear bar purely via the inflated
+    mean). For a drifting pair the MIN of the two samples is the
+    intrinsic-speed estimate. Returns (value, adjusted_bool)."""
+    v = d.get(key)
+    s, e = d.get(f"{key}_start"), d.get(f"{key}_end")
+    if v and s and e and min(s, e) > 0 and max(s, e) / min(s, e) > 1.2:
+        return min(s, e), True
+    return v, False
+
+
 def hostcal_ratio(new, base):
     """(ratio, description, leg). Prefers the 32-task parallel leg when
     BOTH sides carry it (the bench runs local[32]; contention lives in
     the parallel regime — the scalar leg demonstrably under-corrects),
     falls back to the scalar leg, and returns ratio=1.0 with an
-    explanatory note when neither leg is on both sides."""
+    explanatory note when neither leg is on both sides. Each side's
+    value comes from effective_hostcal (min-of-pair under >20% drift)."""
     for key, leg in (("hostcal_par_ms", "hostcal_par (32-task leg)"),
                      ("hostcal_ms", "hostcal (scalar leg)")):
-        hn, hb = new.get(key), base.get(key)
+        (hn, an), (hb, ab) = (effective_hostcal(new, key),
+                              effective_hostcal(base, key))
         if hn and hb:
             raw = hn / hb
             lo, hi = HOSTCAL_CLAMP
             ratio = min(max(raw, lo), hi)
+            adj = "".join(
+                f" [{side} pair drifted >20% — using min sample]"
+                for side, a in (("new", an), ("base", ab)) if a)
             note = (f"{leg}: new {hn:.0f} ms / base {hb:.0f} ms = "
                     f"{raw:.3f}"
                     + (f" (clamped to {ratio:.3f})" if ratio != raw
                        else "")
-                    + " — thresholds normalized")
+                    + adj + " — thresholds normalized")
             return ratio, note, key
     return 1.0, "hostcal unavailable on one side — raw thresholds", None
 

@@ -75,18 +75,37 @@ def medians(d):
     return {**d["queries"], **d.get("plain", {})}
 
 
+def effective_hostcal(d, key):
+    """Mirror of benchgate.effective_hostcal: the published hostcal is
+    the mean of a before/after pair; when the pair drifts >20% the mean
+    is contention-poisoned (contention only inflates samples), so the
+    MIN of the pair is the intrinsic-speed estimate. r17 incident: a
+    base leg whose pair drifted 157.9 -> 205.8 ms pushed two steady
+    ~9.1-9.4x output-growth queries over the 10x superlinear bar purely
+    through the inflated mean. Returns (value, adjusted_bool)."""
+    v = d.get(key)
+    s, e = d.get(f"{key}_start"), d.get(f"{key}_end")
+    if v and s and e and min(s, e) > 0 and max(s, e) / min(s, e) > 1.2:
+        return min(s, e), True
+    return v, False
+
+
 def hostcal_ratio(scaled, base):
     for key, leg in (("hostcal_par_ms", "hostcal_par"),
                      ("hostcal_ms", "hostcal")):
-        hn, hb = scaled.get(key), base.get(key)
+        (hn, an), (hb, ab) = (effective_hostcal(scaled, key),
+                              effective_hostcal(base, key))
         if hn and hb:
             raw = hn / hb
             lo, hi = HOSTCAL_CLAMP
             r = min(max(raw, lo), hi)
+            adj = "".join(
+                f" [{side} pair drifted >20% — using min sample]"
+                for side, a in (("scaled", an), ("base", ab)) if a)
             print(f"{leg}: scaled {hn:.0f} ms / base {hb:.0f} ms = "
                   f"{raw:.3f}"
                   + (f" (clamped {r:.3f})" if r != raw else "")
-                  + " — ratios normalized")
+                  + adj + " — ratios normalized")
             return r
     print("hostcal unavailable on one side — raw ratios")
     return 1.0

@@ -360,6 +360,26 @@ def main():
         check("no compounding drift reports clean",
               rc == 0 and "no compounding drift" in out, out)
 
+        # --- min-of-pair hostcal under >20% within-run drift (r17) ---
+        # base pair drifted 150 -> 210 (mean 180): mean-normalization
+        # would shrink every threshold by 150/180 and flag a steady
+        # 5.2x-raw query at >3x normalized... inverted: new/base mean
+        # = 150/180 = 0.833 tightens thresholds; min-of-pair reads
+        # 150/150 = 1.0. q1 grew 2.8x raw: under 3x at ratio 1.0,
+        # flagged at 3x*0.833 = 2.5x under the poisoned mean.
+        rc, out = run(tmp, payload({"q1": 5.6, "q2": 2.0},
+                                   hostcal_par_ms=150.0,
+                                   hostcal_par_ms_start=150.0,
+                                   hostcal_par_ms_end=150.0),
+                      payload({"q1": 2.0, "q2": 2.0},
+                              hostcal_par_ms=180.0,
+                              hostcal_par_ms_start=150.0,
+                              hostcal_par_ms_end=210.0))
+        check("a >20% drifted base pair normalizes by its MIN sample "
+              "(a 2.8x grower stays under the 3x gate)",
+              rc == 0 and "base pair drifted >20%" in out
+              and "REGRESSION" not in out, out)
+
         # --- total-level creep tripwire (VERDICT r16 #2) ---
         # fleet-wide 1.2x: every query under the per-query cumulative
         # 2x, Σ over the shared set 12.0 vs 10.0 > 1.1x, hostcal flat

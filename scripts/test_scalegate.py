@@ -128,6 +128,39 @@ def main():
               "SUPERLINEAR",
               rc == 0 and "WARN" in out and "normalized" in out, out)
 
+        # contention-poisoned MEAN (r17 incident): the base leg's
+        # hostcal pair drifted 150 -> 210 ms (mean 180), while the
+        # scaled leg sat at a clean 150. Mean-normalization would
+        # inflate a steady 9.1x raw ratio to 10.9x (SUPERLINEAR);
+        # min-of-pair reads both hosts at 150 and keeps it in the
+        # warn band where its output-growth note belongs.
+        rc, out = run(tmp, payload({"q1": 9.1, "q2": 2.0},
+                                   hostcal_par_ms=150.0,
+                                   hostcal_par_ms_start=150.0,
+                                   hostcal_par_ms_end=150.0),
+                      payload({"q1": 1.0, "q2": 2.0},
+                              hostcal_par_ms=180.0,
+                              hostcal_par_ms_start=150.0,
+                              hostcal_par_ms_end=210.0),
+                      notes={"q1": {"reason": "output grows 10x"}})
+        check("a >20% drifted base pair normalizes by its MIN sample, "
+              "not the contention-poisoned mean",
+              rc == 0 and "base pair drifted >20%" in out
+              and "SUPERLINEAR" not in out and "NOTED" in out, out)
+
+        # same drift on the SCALED side: min-of-pair applies per side
+        rc, out = run(tmp, payload({"q1": 9.1, "q2": 2.0},
+                                   hostcal_par_ms=180.0,
+                                   hostcal_par_ms_start=150.0,
+                                   hostcal_par_ms_end=210.0),
+                      payload({"q1": 1.0, "q2": 2.0},
+                              hostcal_par_ms=150.0,
+                              hostcal_par_ms_start=150.0,
+                              hostcal_par_ms_end=150.0),
+                      notes={"q1": {"reason": "output grows 10x"}})
+        check("a >20% drifted scaled pair also normalizes by its MIN",
+              rc == 0 and "scaled pair drifted >20%" in out, out)
+
         rc, out = run(tmp, payload({"q1": 2.0}), base, scale="1")
         check("scale <= 1 is a usage error",
               rc == 2, out)
