@@ -55,8 +55,10 @@ def code_differs(path, sha):
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--allow-sha-mismatch"]
+    flags = {"--allow-sha-mismatch", "--allow-unstamped"}
+    args = [a for a in sys.argv[1:] if a not in flags]
     allow_sha = "--allow-sha-mismatch" in sys.argv
+    allow_unstamped = "--allow-unstamped" in sys.argv
     path = args[0] if args else "bench_out.json"
     try:
         d = json.load(open(path))
@@ -82,6 +84,17 @@ def main() -> int:
     if d.get("failed"):
         problems.append(f"failed queries present: {d['failed']}")
     sha = d.get("git_sha")
+    # Unknown/missing sha is a REFUSE, not a skip (ADVICE r17 /
+    # VERDICT r17 #3): a clean-but-unstamped payload used to pass with
+    # zero code anchoring — exactly the class the dirty/sha refusals
+    # exist for. Bench now carries a build-manifest fallback, so a
+    # repo-built classpath can never stamp unknown; --allow-unstamped
+    # is the explicit escape for historical artifacts only.
+    if (not sha or sha == "unknown") and not allow_unstamped:
+        problems.append("git_sha missing/\"unknown\" — un-anchorable "
+                        "payload; rebuild (Bench bakes a build-manifest "
+                        "sha since r18) or pass --allow-unstamped for "
+                        "a historical artifact")
     if sha and sha != "unknown" and not allow_sha:
         head = head_sha(path)
         if head and sha != head and code_differs(path, sha):

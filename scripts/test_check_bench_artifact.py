@@ -62,9 +62,12 @@ def main():
     rc, out = run(payload(git_sha=sha, git_dirty=False))
     check("clean HEAD-stamped artifact passes", 0, rc, out)
 
-    rc, out = run(payload())
-    check("unstamped (pre-r16) artifact still passes", 0, rc, out,
-          "unstamped")
+    # pre-r18 this passed ("unstamped artifact still passes"); since
+    # the r18 unknown-sha refusal, a legacy unstamped payload needs the
+    # explicit flag
+    rc, out = run(payload(), "--allow-unstamped")
+    check("unstamped (pre-r16) artifact passes only with "
+          "--allow-unstamped", 0, rc, out)
 
     rc, out = run(payload(git_sha="0" * 40, git_dirty=False))
     check("unknown/stale git_sha refused", 1, rc, out,
@@ -132,6 +135,22 @@ def main():
 
     rc, out = run(payload(git_sha=sha, failed=["q3"]))
     check("failed queries still refused", 1, rc, out, "failed")
+
+    # ADVICE r17 / VERDICT r17 #3: git_sha missing/"unknown" used to
+    # SKIP all provenance checks — a clean-but-unstamped payload got
+    # "OK" with zero code anchoring
+    rc, out = run(payload(git_sha="unknown", git_dirty=False))
+    check("sha=\"unknown\" payload refused", 1, rc, out, "unknown")
+
+    d = payload(git_sha=sha)
+    del d["git_sha"]
+    rc, out = run(d)
+    check("missing-sha payload refused", 1, rc, out, "unknown")
+
+    rc, out = run(payload(git_sha="unknown", git_dirty=False),
+                  "--allow-unstamped")
+    check("--allow-unstamped overrides for historical artifacts",
+          0, rc, out)
 
     print(f"== {'FAIL: ' + ', '.join(failures) if failures else 'all pass'} ==")
     return 1 if failures else 0

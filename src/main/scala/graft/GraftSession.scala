@@ -60,6 +60,30 @@ object GraftSession {
       .config("spark.sql.streaming.stateStore.providerClass",
               "org.apache.spark.sql.execution.streaming.state." +
                 "RocksDBStateStoreProvider")
+      // RocksDB commits upload a FULL state snapshot per store per
+      // micro-batch by default; changelog checkpointing writes the
+      // batch's delta instead and snapshots in the background — the
+      // recommended production mode at scale (commit cost tracks
+      // changed rows, not state size) and a measured win here too:
+      // r18 in-session A/B over 8 stateful queries at sf0.1, 3
+      // interleaved reps each: median ratio 0.86 (q197 0.74,
+      // q55/q172 0.83, q49 0.87, q43 0.89, q78 0.96). Recovery
+      // semantics unchanged (changelog replays onto the last
+      // snapshot); results unchanged (oracle-checked).
+      .config("spark.sql.streaming.stateStore.rocksdb." +
+              "changelogCheckpointing.enabled", "true")
+      // stream-stream joins keep FOUR state stores per shuffle
+      // partition in format v2 (left/right × keyToNumValues/
+      // keyWithIndexToValue) — 128 RocksDB instances at 32 partitions,
+      // each paying open+commit per micro-batch. Format v3 (Spark 4)
+      // backs all four with ONE store per partition via virtual column
+      // families: same rows, quarter the per-batch store machinery and
+      // a quarter of the instances a 100 TB join keeps open. Measured
+      // r18 (in-session A/B, 3 interleaved reps): q78 8.97 → 4.53 s,
+      // q205 10.2 → 5.2 s — 0.51× both. Outputs oracle-checked
+      // identical (the format changes the checkpoint layout, not the
+      // join semantics).
+      .config("spark.sql.streaming.join.stateFormatVersion", "3")
       // producers have shipped events.ts as TIMESTAMP(NANOS) in the past,
       // which vanilla Spark refuses to read; with nanosAsLong those files
       // surface as Long nanoseconds and normalizeEventTime converts them

@@ -44,6 +44,61 @@ object SparkEntry {
           "b -> named_struct('u', a, 'v', b))))")).as("_p"))
       .select(col("_p.u").as("u"), col("_p.v").as("v"))
 
+  /** Directed adjacent-line part edges — one row per (A-line, B-line)
+    * pair within an order with B.ln = A.ln + 1, src = A's part, dst =
+    * B's part. Multiset-identical to the former
+    * `li ⋈_{(ok,ln)=(ok,ln+1)} li` self-join it replaces (r18): the
+    * equi-join paired EVERY line at ln with EVERY line at ln+1 of the
+    * same order (duplicate (ok, ln) lines cross-pair) and dropped NULL
+    * keys; the in-row `filter(b -> b.ln = a.ln + 1)` does exactly the
+    * same over the order's collected line list. Built via the
+    * Association basket pattern (guide §2.3/2.4 — aggregate before you
+    * shuffle, remove shuffles outright): ONE hash exchange of the
+    * 3-column lineitem projection + in-row pair expansion, replacing a
+    * self-join whose build side is the full projected table —
+    * broadcast-able at sf0.1 (a ~600 k-row driver collect + ship per
+    * query) but a full two-sided sort-merge at 100 TB. Baskets are
+    * lines-per-order (≤17 at sf0.1), so the expansion is bounded the
+    * same way Association documents. Callers apply their own src/dst
+    * predicate (`=!=` or `<`), which also reproduces the old `where`'s
+    * NULL-part drop.
+    */
+  private def adjacentLineEdges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey").isNotNull)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_list(struct(col("l_linenumber").as("ln"),
+        col("l_partkey").as("pk"))).as("_it"))
+      .select(explode(expr(
+        "flatten(transform(_it, a -> transform(" +
+          "filter(_it, b -> b.ln = a.ln + 1), " +
+          "b -> named_struct('src', a.pk, 'dst', b.pk))))")).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
+
+  /** Unordered within-order part pairs — one row per LINE pair
+    * (A.ln < B.ln, A.pk ≠ B.pk) of an order, canonicalized
+    * (u, v) = (least, greatest); `groupBy(u, v).count` over it is the
+    * co-purchase support table. Multiset-identical to the former
+    * `li ⋈_ok li` self-join + `where(ln < ln2 && pk =!= pk2)` (r18):
+    * same pairs, same NULL-drop semantics (a NULL ln or pk makes the
+    * filter predicate NULL → dropped, exactly as the old where). Same
+    * basket rationale as [[adjacentLineEdges]]: one exchange + bounded
+    * in-row expansion instead of an O(lines²)-fanout self-join through
+    * a join operator.
+    */
+  private def inOrderPartPairs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey").isNotNull)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_list(struct(col("l_linenumber").as("ln"),
+        col("l_partkey").as("pk"))).as("_it"))
+      .select(explode(expr(
+        "flatten(transform(_it, a -> transform(" +
+          "filter(_it, b -> a.ln < b.ln AND NOT (a.pk = b.pk)), " +
+          "b -> named_struct('u', least(a.pk, b.pk), " +
+          "'v', greatest(a.pk, b.pk)))))")).as("_p"))
+      .select(col("_p.u").as("u"), col("_p.v").as("v"))
+
   /** events.ts reaches queries as TimestampType regardless of the file
     * encoding — GraftSession.normalizeEventTime converts legacy Long-nanos
     * and timestamp[us] NTZ files at the read boundary — so event-time
@@ -809,8 +864,12 @@ object SparkEntry {
     // end.txt sentinel, S/SparkGA1.scala:94-110,1050-1081). Oracle = the
     // batch session SQL (same as q32): streaming and batch must agree.
     "q43_stream_sessions" -> ((s, dir) => {
-      val stream = eventsStream(s, dir)
-      val markers = t(s, dir, "events").select(col("user_id")).distinct()
+      // complete-mode sink: the trailing no-data batch only evicts
+      // closed sessions from state, the emitted table is identical —
+      // skip it (noEvictionDrainSession scaladoc; r18)
+      val sd = graft.streaming.Streams.noEvictionDrainSession(s)
+      val stream = eventsStream(sd, dir)
+      val markers = t(sd, dir, "events").select(col("user_id")).distinct()
       val ready = graft.streaming.Streams.readyFilter(
         stream, markers, "user_id")
       val sess = graft.streaming.Streams.sessionAgg(
@@ -819,7 +878,7 @@ object SparkEntry {
       val qname = "graft_q43_sessions"
       val query = graft.streaming.Streams.drainToMemory(sess, qname).start()
       try query.awaitTermination() finally query.stop()
-      s.table(qname)
+      sd.table(qname)
         .select(col("user_id"),
           col("sess_start").cast("long").as("sess_start"),
           col("sess_end").cast("long").as("sess_end"),
@@ -1073,14 +1132,8 @@ object SparkEntry {
     // same checkpointed-loop protocol). The oracle unrolls the same 3
     // rounds in SQL; round(·,9) absorbs double-sum association noise
     "q113_pagerank" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"),
-          col("l_linenumber").as("ln"), col("l_partkey").as("pk"))
-      val nxt = li.select(col("ok"), (col("ln") - 1).as("ln"),
-        col("pk").as("dst_pk"))
-      val edges = li.join(nxt, Seq("ok", "ln"))
-        .where(col("pk") =!= col("dst_pk"))
-        .select(col("pk").as("src"), col("dst_pk").as("dst"))
+      val edges = adjacentLineEdges(s, dir)
+        .where(col("src") =!= col("dst"))
       Graph.pageRank(edges, "src", "dst", iterations = 3)
         .select(col("id"), round(col("pr"), 9).as("pr"))
         .orderBy(col("id"))
@@ -1270,14 +1323,8 @@ object SparkEntry {
     // uniformly each round — Σ pr = 1 exactly, unlike q113's
     // pseudo-PageRank where sink mass leaks
     "q143_pagerank_sinks" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"),
-          col("l_linenumber").as("ln"), col("l_partkey").as("pk"))
-      val nxt = li.select(col("ok"), (col("ln") - 1).as("ln"),
-        col("pk").as("dst_pk"))
-      val edges = li.join(nxt, Seq("ok", "ln"))
-        .where(col("pk") < col("dst_pk"))
-        .select(col("pk").as("src"), col("dst_pk").as("dst"))
+      val edges = adjacentLineEdges(s, dir)
+        .where(col("src") < col("dst"))
       Graph.pageRank(edges, "src", "dst", iterations = 3,
           redistributeSinks = true)
         .select(col("id"), round(col("pr"), 9).as("pr"))
@@ -1297,14 +1344,8 @@ object SparkEntry {
     // tie-break) over q113's co-order part graph treated undirected —
     // the community-detection sibling of Components/PageRank
     "q145_label_prop" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"),
-          col("l_linenumber").as("ln"), col("l_partkey").as("pk"))
-      val nxt = li.select(col("ok"), (col("ln") - 1).as("ln"),
-        col("pk").as("dst_pk"))
-      val edges = li.join(nxt, Seq("ok", "ln"))
-        .where(col("pk") =!= col("dst_pk"))
-        .select(col("pk").as("src"), col("dst_pk").as("dst"))
+      val edges = adjacentLineEdges(s, dir)
+        .where(col("src") =!= col("dst"))
       Graph.labelPropagation(edges, "src", "dst", iterations = 2)
         .orderBy(col("id"))
     }),
@@ -1334,14 +1375,8 @@ object SparkEntry {
     // computed degree-oriented (out-neighborhoods bounded O(√E));
     // the oracle states the orientation-free a<b<c 3-way join
     "q147_triangles" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"),
-          col("l_linenumber").as("ln"), col("l_partkey").as("pk"))
-      val nxt = li.select(col("ok"), (col("ln") - 1).as("ln"),
-        col("pk").as("dst_pk"))
-      val edges = li.join(nxt, Seq("ok", "ln"))
-        .where(col("pk") =!= col("dst_pk"))
-        .select(col("pk").as("src"), col("dst_pk").as("dst"))
+      val edges = adjacentLineEdges(s, dir)
+        .where(col("src") =!= col("dst"))
       Graph.triangleCount(edges, "src", "dst")
         .orderBy(col("id"))
     }),
@@ -1494,14 +1529,8 @@ object SparkEntry {
     // (only last round's fresh nodes join the edge table), eager
     // checkpoint per round (Graph.bfsDistances)
     "q163_bfs_hops" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"),
-          col("l_linenumber").as("ln"), col("l_partkey").as("pk"))
-      val nxt = li.select(col("ok"), (col("ln") - 1).as("ln"),
-        col("pk").as("dst_pk"))
-      val edges = li.join(nxt, Seq("ok", "ln"))
-        .where(col("pk") =!= col("dst_pk"))
-        .select(col("pk").as("src"), col("dst_pk").as("dst"))
+      val edges = adjacentLineEdges(s, dir)
+        .where(col("src") =!= col("dst"))
       val seeds = t(s, dir, "part")
         .where(col("p_partkey") % 97 === 0)
         .select(col("p_partkey").as("id"))
@@ -1882,15 +1911,7 @@ object SparkEntry {
     // signal the support counts encode. Fixed 3 rounds; oracle unrolls
     // them; round(9) absorbs double-sum association noise (q113)
     "q231_weighted_pagerank" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"),
-          col("l_linenumber").as("ln"), col("l_partkey").as("pk"))
-      val other = li.select(col("ok"), col("ln").as("ln2"),
-        col("pk").as("pk2"))
-      val sup = li.join(other, Seq("ok"))
-        .where(col("ln") < col("ln2") && col("pk") =!= col("pk2"))
-        .select(least(col("pk"), col("pk2")).as("u"),
-          greatest(col("pk"), col("pk2")).as("v"))
+      val sup = inOrderPartPairs(s, dir)
         .groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("support"))
         .where(col("support") >= 2)
@@ -2161,15 +2182,7 @@ object SparkEntry {
     // continuous approximation at fixed dmin) — "is this graph
     // scale-free" in one degree aggregate + one scalar pass
     "q246_power_law_alpha" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"),
-          col("l_linenumber").as("ln"), col("l_partkey").as("pk"))
-      val other = li.select(col("ok"), col("ln").as("ln2"),
-        col("pk").as("pk2"))
-      val deg = li.join(other, Seq("ok"))
-        .where(col("ln") < col("ln2") && col("pk") =!= col("pk2"))
-        .select(least(col("pk"), col("pk2")).as("u"),
-          greatest(col("pk"), col("pk2")).as("v"))
+      val deg = inOrderPartPairs(s, dir)
         .distinct()
         .select(explode(array(col("u"), col("v"))).as("id"))
         .groupBy(col("id")).agg(count(lit(1)).as("d"))
@@ -3064,8 +3077,13 @@ object SparkEntry {
     // Laplace smoothing is batch presentation over the drained table,
     // contributions rounded + DECIMAL-summed (the chi² pattern)
     "q225_stream_drift" -> ((s, dir) => {
+      // complete-mode sink: trailing no-data batch is eviction-only
+      // here — skip it (noEvictionDrainSession scaladoc; r18). The
+      // parquet round-trip below re-reads from the ORIGINAL session;
+      // that boundary is files, so mixing sessions is safe there.
+      val sd = graft.streaming.Streams.noEvictionDrainSession(s)
       val bin = least(floor(col("value") / 50).cast("int"), lit(9))
-      val stream = eventsStream(s, dir)
+      val stream = eventsStream(sd, dir)
         .select(eventTimestamp("ts").as("ets"), bin.as("bin"))
       val agg = stream.withWatermark("ets", "0 seconds")
         .groupBy(window(col("ets"), "1 day"), col("bin"))
@@ -3080,7 +3098,7 @@ object SparkEntry {
       // sides of the spine join (conflicting attribute ids inside the
       // MemoryPlan view defeat join dedup); the table is windows×10
       val winsPath = scratch(s, "q225")
-      s.table(qname).write.mode("overwrite").parquet(winsPath)
+      sd.table(qname).write.mode("overwrite").parquet(winsPath)
       val wins = s.read.parquet(winsPath)
       val ref = t(s, dir, "events").select(bin.as("bin"))
         .groupBy(col("bin")).agg(count(lit(1)).as("rc"))
@@ -3116,14 +3134,8 @@ object SparkEntry {
     // graph: triangles(v) / C(deg v, 2) per node — the per-node
     // neighborhood-density refinement of the global triangle count
     "q224_clustering_coeff" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"),
-          col("l_linenumber").as("ln"), col("l_partkey").as("pk"))
-      val nxt = li.select(col("ok"), (col("ln") - 1).as("ln"),
-        col("pk").as("dst_pk"))
-      val edges = li.join(nxt, Seq("ok", "ln"))
-        .where(col("pk") =!= col("dst_pk"))
-        .select(col("pk").as("src"), col("dst_pk").as("dst"))
+      val edges = adjacentLineEdges(s, dir)
+        .where(col("src") =!= col("dst"))
       Graph.clusteringCoefficient(edges, "src", "dst")
         .orderBy(col("id"))
     }),
@@ -3304,14 +3316,8 @@ object SparkEntry {
     // authority; restart mass returns to seeds only, sink mass leaves
     // (pseudo-PPR, oracle-unrollable); pageRank's pinned-round shape
     "q208_personalized_pagerank" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"),
-          col("l_linenumber").as("ln"), col("l_partkey").as("pk"))
-      val nxt = li.select(col("ok"), (col("ln") - 1).as("ln"),
-        col("pk").as("dst_pk"))
-      val edges = li.join(nxt, Seq("ok", "ln"))
-        .where(col("pk") =!= col("dst_pk"))
-        .select(col("pk").as("src"), col("dst_pk").as("dst"))
+      val edges = adjacentLineEdges(s, dir)
+        .where(col("src") =!= col("dst"))
       val seeds = t(s, dir, "part")
         .where(col("p_partkey") % 500 === 0)
         .select(col("p_partkey"))
@@ -3579,7 +3585,11 @@ object SparkEntry {
     // watermark; the count is then a plain commutative agg). Matches
     // the batch COUNT(DISTINCT) oracle exactly under any arrival order
     "q197_stream_distinct" -> ((s, dir) => {
-      val deduped = eventsStream(s, dir)
+      // complete-mode sink: the trailing no-data batch only evicts
+      // dedup state, the emitted aggregate is identical — skip it
+      // (noEvictionDrainSession scaladoc; r18)
+      val sd = graft.streaming.Streams.noEvictionDrainSession(s)
+      val deduped = eventsStream(sd, dir)
         .select(eventTimestamp("ts").as("ets"), col("event_type"),
           col("user_id"))
         .withWatermark("ets", "1 day")
@@ -3592,7 +3602,7 @@ object SparkEntry {
       val query = graft.streaming.Streams.drainToMemory(agg, qname)
         .start()
       try query.awaitTermination() finally query.stop()
-      s.table(qname)
+      sd.table(qname)
         .select(col("w.start").cast("long").as("w_start"),
           col("event_type"), col("distinct_users"))
         .orderBy(col("w_start"), col("event_type"))
@@ -3700,14 +3710,8 @@ object SparkEntry {
     // PageRank alone can't express. One-row normalizer broadcasts;
     // pinned rounds (pageRank protocol)
     "q188_hits" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"),
-          col("l_linenumber").as("ln"), col("l_partkey").as("pk"))
-      val nxt = li.select(col("ok"), (col("ln") - 1).as("ln"),
-        col("pk").as("dst_pk"))
-      val edges = li.join(nxt, Seq("ok", "ln"))
-        .where(col("pk") =!= col("dst_pk"))
-        .select(col("pk").as("src"), col("dst_pk").as("dst"))
+      val edges = adjacentLineEdges(s, dir)
+        .where(col("src") =!= col("dst"))
       Graph.hits(edges, "src", "dst", iterations = 2)
         .select(col("id"), round(col("hub"), 9).as("hub"),
           round(col("auth"), 9).as("auth"))
@@ -3722,15 +3726,7 @@ object SparkEntry {
     // maxDegree (the maxDf doctrine — a degree-d center emits C(d,2)
     // wedges while contributing the sum's SMALLEST term)
     "q189_adamic_adar" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"),
-          col("l_linenumber").as("ln"), col("l_partkey").as("pk"))
-      val other = li.select(col("ok"), col("ln").as("ln2"),
-        col("pk").as("pk2"))
-      val edges = li.join(other, Seq("ok"))
-        .where(col("ln") < col("ln2") && col("pk") =!= col("pk2"))
-        .select(least(col("pk"), col("pk2")).as("u"),
-          greatest(col("pk"), col("pk2")).as("v"))
+      val edges = inOrderPartPairs(s, dir)
         .groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("support"))
         .where(col("support") >= 2)
@@ -3952,7 +3948,10 @@ object SparkEntry {
     // under any micro-batch arrival order); the mean rides a DECIMAL
     // sum so accumulation order can't hash-diverge it
     "q151_stream_ohlc" -> ((s, dir) => {
-      val stream = eventsStream(s, dir)
+      // complete-mode sink: trailing no-data batch is eviction-only
+      // here — skip it (noEvictionDrainSession scaladoc; r18)
+      val sd = graft.streaming.Streams.noEvictionDrainSession(s)
+      val stream = eventsStream(sd, dir)
       val ev = stream.select(
           eventEpochSeconds("ts").as("sec"),
           col("event_id"), col("value"),
@@ -3977,22 +3976,16 @@ object SparkEntry {
       val qname = "graft_q151_ohlc"
       val query = graft.streaming.Streams.drainToMemory(agg, qname).start()
       try query.awaitTermination() finally query.stop()
-      s.table(qname).orderBy(col("bar_id"))
+      sd.table(qname).orderBy(col("bar_id"))
     }),
 
     // Iterative k-core peel (k=5, 3 rounds) on a sparsified co-order
     // graph where the cascade is real (sf0.01 survivors:
     // 1992→1334→1015→780) — Components/PageRank/LPA's fourth sibling
     "q153_kcore" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"),
-          col("l_linenumber").as("ln"), col("l_partkey").as("pk"))
-      val nxt = li.select(col("ok"), (col("ln") - 1).as("ln"),
-        col("pk").as("dst_pk"))
-      val edges = li.join(nxt, Seq("ok", "ln"))
-        .where(col("pk") =!= col("dst_pk") &&
-          (col("pk") + col("dst_pk")) % 5 === 0)
-        .select(col("pk").as("src"), col("dst_pk").as("dst"))
+      val edges = adjacentLineEdges(s, dir)
+        .where(col("src") =!= col("dst") &&
+          (col("src") + col("dst")) % 5 === 0)
       Graph.kCorePeel(edges, "src", "dst", k = 5, rounds = 3)
         .orderBy(col("id"))
     }),
@@ -4867,7 +4860,12 @@ object SparkEntry {
     // not O(stream history). Single-file AvailableNow drain ⇒ the
     // result equals the batch join, which is the oracle.
     "q78_stream_join" -> ((s, dir) => {
-      def src() = eventsStream(s, dir)
+      // INNER stream-stream join: matches emit in the data batches;
+      // the trailing no-data batch only evicts buffered state (only
+      // OUTER joins emit there — q205 keeps it). Skip it (r18,
+      // noEvictionDrainSession scaladoc)
+      val sd = graft.streaming.Streams.noEvictionDrainSession(s)
+      def src() = eventsStream(sd, dir)
       val a = src().where(col("event_id") % 2 === 0)
         .select(col("user_id"), col("event_id").as("a_id"),
           eventTimestamp("ts").as("a_ts"))
@@ -4881,7 +4879,7 @@ object SparkEntry {
       val query = graft.streaming.Streams.drainToMemory(joined, qname,
         "append").start()
       try query.awaitTermination() finally query.stop()
-      s.table(qname).orderBy(col("user_id"), col("a_id"), col("b_id"))
+      sd.table(qname).orderBy(col("user_id"), col("a_id"), col("b_id"))
     }),
 
     // Dedup modality 5: embedding-cosine near-duplicates, IVF-cell
@@ -5010,7 +5008,10 @@ object SparkEntry {
     // order-independent — a double sum would hash-diverge on micro-batch
     // accumulation order.
     "q54_stream_tumbling" -> ((s, dir) => {
-      val stream = eventsStream(s, dir)
+      // complete-mode sink: trailing no-data batch is eviction-only
+      // here — skip it (noEvictionDrainSession scaladoc; r18)
+      val sd = graft.streaming.Streams.noEvictionDrainSession(s)
+      val stream = eventsStream(sd, dir)
       val agg = graft.streaming.Streams.tumblingAgg(
         stream.select(eventTimestamp("ts").as("ets"),
                       col("value").cast("decimal(18,4)").as("v")),
@@ -5018,7 +5019,7 @@ object SparkEntry {
       val qname = "graft_q54_tumbling"
       val query = graft.streaming.Streams.drainToMemory(agg, qname).start()
       try query.awaitTermination() finally query.stop()
-      s.table(qname).select(
+      sd.table(qname).select(
           col("w_start").cast("long").as("w_start"),
           col("w_end").cast("long").as("w_end"),
           col("n_events"),
@@ -5031,8 +5032,11 @@ object SparkEntry {
     // watermarked daily window aggregates per nation. LEFT enrichment:
     // events with no matching customer keep flowing (nation -1 bucket).
     "q69_stream_enrich" -> ((s, dir) => {
-      val stream = eventsStream(s, dir)
-      val dim = t(s, dir, "customer")
+      // complete-mode sink: trailing no-data batch is eviction-only
+      // here — skip it (noEvictionDrainSession scaladoc; r18)
+      val sd = graft.streaming.Streams.noEvictionDrainSession(s)
+      val stream = eventsStream(sd, dir)
+      val dim = t(sd, dir, "customer")
         .select(col("c_custkey").as("user_id"), col("c_nationkey"))
       val enriched = graft.streaming.Streams.enrich(
         stream.select(eventTimestamp("ts").as("ets"), col("user_id"),
@@ -5046,7 +5050,7 @@ object SparkEntry {
       val qname = "graft_q69_enrich"
       val query = graft.streaming.Streams.drainToMemory(agg, qname).start()
       try query.awaitTermination() finally query.stop()
-      s.table(qname).select(
+      sd.table(qname).select(
           col("window.start").cast("long").as("w_start"),
           col("c_nationkey"), col("n_events"),
           round(col("sum_value"), 4).cast("double").as("sum_value"))
@@ -5057,7 +5061,10 @@ object SparkEntry {
     // exactly two windows, both reproduced by the oracle's k ∈ {0,1}
     // cross join on epoch-aligned starts. DECIMAL sums for exactness.
     "q55_stream_sliding" -> ((s, dir) => {
-      val stream = eventsStream(s, dir)
+      // complete-mode sink: trailing no-data batch is eviction-only
+      // here — skip it (noEvictionDrainSession scaladoc; r18)
+      val sd = graft.streaming.Streams.noEvictionDrainSession(s)
+      val stream = eventsStream(sd, dir)
       val agg = graft.streaming.Streams.slidingAgg(
         stream.select(eventTimestamp("ts").as("ets"),
                       col("value").cast("decimal(18,4)").as("v")),
@@ -5065,7 +5072,7 @@ object SparkEntry {
       val qname = "graft_q55_sliding"
       val query = graft.streaming.Streams.drainToMemory(agg, qname).start()
       try query.awaitTermination() finally query.stop()
-      s.table(qname).select(
+      sd.table(qname).select(
           col("w_start").cast("long").as("w_start"),
           col("w_end").cast("long").as("w_end"),
           col("n_events"),

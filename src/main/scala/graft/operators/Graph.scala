@@ -67,8 +67,11 @@ object Graph {
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
+    // node universe in ONE scan of the pinned edge set via explode
+    // (q222's fusion, r18) — the two-scan union read the cached edges
+    // twice per materialization; same distinct id set either way
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("id"))
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count().toDouble // driver scalar, O(1) bytes
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
@@ -147,8 +150,11 @@ object Graph {
         col("w") > 0)
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
+    // node universe in ONE scan of the pinned edge set via explode
+    // (q222's fusion, r18) — the two-scan union read the cached edges
+    // twice per materialization; same distinct id set either way
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("id"))
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count().toDouble // driver scalar, O(1) bytes
     val wout = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
@@ -212,7 +218,7 @@ object Graph {
               greatest(col("s"), col("d")).as("v"))
       .distinct()
     def degrees(e: DataFrame): DataFrame =
-      e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      e.select(explode(array(col("u"), col("v"))).as("id"))
         .groupBy(col("id")).agg(count(lit(1)).as("deg"))
     var cur = Components.pin(ec0, reliable)
     for (_ <- 1 to rounds) {
@@ -293,8 +299,7 @@ object Graph {
     * (u < v, distinct, non-null) — callers holding a canonical persisted
     * edge set (clusteringCoefficient) skip the re-dedup shuffle. */
   private def triangleCountCanonical(ec: DataFrame): DataFrame = {
-    val deg = ec.select(col("u").as("id"))
-      .union(ec.select(col("v").as("id")))
+    val deg = ec.select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
     // orient low-(deg, id) → high-(deg, id); deg rides along via two
     // joins on the (small) degree table
@@ -358,8 +363,15 @@ object Graph {
               col(dstCol).cast("long").as("d"))
       .where(col("s").isNotNull && col("d").isNotNull &&
              col("s") =!= col("d"))
+    // both directions in ONE pass over the (unpersisted) upstream edge
+    // build — the union form EXECUTED the whole upstream subtree twice
+    // before the distinct (r18); explode emits the two orientations
+    // from one scan, same distinct set
     val e = (if (undirected)
-               e0.union(e0.select(col("d").as("s"), col("s").as("d")))
+               e0.select(explode(array(
+                   struct(col("s"), col("d")),
+                   struct(col("d").as("s"), col("s").as("d")))).as("_b"))
+                 .select(col("_b.s").as("s"), col("_b.d").as("d"))
              else e0)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -394,7 +406,12 @@ object Graph {
               col(dstCol).cast("long").as("v"))
       .where(col("u").isNotNull && col("v").isNotNull &&
              col("u") =!= col("v"))
-    val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    // one pass over the upstream edge build (was a two-scan union that
+    // executed the unpersisted subtree twice — r18, see bfsDistances)
+    val und = e.select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("_b"))
+      .select(col("_b.u").as("u"), col("_b.v").as("v"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -457,8 +474,11 @@ object Graph {
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
+    // node universe in ONE scan of the pinned edge set via explode
+    // (q222's fusion, r18) — the two-scan union read the cached edges
+    // twice per materialization; same distinct id set either way
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("id"))
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var hubs = Components.pin(
       nodes.select(col("id"), lit(1.0).as("hub")), reliable)
@@ -522,8 +542,11 @@ object Graph {
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
+    // node universe in ONE scan of the pinned edge set via explode
+    // (q222's fusion, r18) — the two-scan union read the cached edges
+    // twice per materialization; same distinct id set either way
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("id"))
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val seedIds = seeds.select(col(seedCol).cast("long").as("id"))
       .distinct()
@@ -600,8 +623,12 @@ object Graph {
     // the known-edge anti-join each recomputed the dedup
     val und = Components.pin(und0, reliable = false)
     // adjacency (both directions) + true degrees
-    val nb = und.select(col("u").as("v0"), col("v").as("n"))
-      .union(und.select(col("v").as("v0"), col("u").as("n")))
+    // both adjacency directions in ONE scan of the pinned edge set
+    // (explode of the two orientations; was a two-scan union — r18)
+    val nb = und.select(explode(array(
+        struct(col("u").as("v0"), col("v").as("n")),
+        struct(col("v").as("v0"), col("u").as("n")))).as("_d"))
+      .select(col("_d.v0").as("v0"), col("_d.n").as("n"))
     val deg = nb.groupBy(col("v0")).agg(count(lit(1)).as("deg"))
     // wedges through capped-degree centers only
     val center = nb.join(deg.where(col("deg") <= maxDegree), "v0")
@@ -704,8 +731,7 @@ object Graph {
     // for 10x data before the fix).
     val und = Components.pin(undirected(edges, srcCol, dstCol),
       reliable = false)
-    val deg = und.select(col("u").as("id"))
-      .union(und.select(col("v").as("id")))
+    val deg = und.select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
     val tri = triangleCountCanonical(und)
     deg.join(tri, Seq("id"), "left")
@@ -752,8 +778,12 @@ object Graph {
     // recomputed for every scan below (first half of q223's sf1 flag)
     val und = Components.pin(undirected(edges, srcCol, dstCol),
       reliable = false)
-    val nb = und.select(col("u").as("v0"), col("v").as("n"))
-      .union(und.select(col("v").as("v0"), col("u").as("n")))
+    // both adjacency directions in ONE scan of the pinned edge set
+    // (explode of the two orientations; was a two-scan union — r18)
+    val nb = und.select(explode(array(
+        struct(col("u").as("v0"), col("v").as("n")),
+        struct(col("v").as("v0"), col("u").as("n")))).as("_d"))
+      .select(col("_d.v0").as("v0"), col("_d.n").as("n"))
     val deg = nb.groupBy(col("v0")).agg(count(lit(1)).as("_deg"))
     def dec(c: Column) = c.cast("decimal(19,0)")
     // s(v): the one join that must touch the adjacency — deg rides it

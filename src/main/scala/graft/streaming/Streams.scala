@@ -146,6 +146,48 @@ object Streams {
     }
   }
 
+  /** Session clone with the final NO-DATA micro-batch disabled — for
+    * drain-then-stop queries whose OUTPUT provably does not depend on
+    * watermark-time eviction: complete-mode aggregations (the sink
+    * holds the full aggregate either way — eviction in the trailing
+    * batch only drops upstream dedup/agg state, emitting nothing) and
+    * watermarked INNER stream-stream joins (eviction drops buffered
+    * rows; only OUTER joins emit at eviction). The trailing no-data
+    * batch costs a full state-store commit cycle across every store of
+    * every partition — measured r18 at sf0.1: q78's was 4-6 s of a 9 s
+    * wall, q197's 1.6-1.9 s of 4.5 s — pure machinery for these
+    * queries at ANY scale (a 100 TB drain pays it across thousands of
+    * stores).
+    *
+    * Queries whose output IS emitted at eviction MUST NOT use this:
+    * left-outer joins (q205's sentinel-driven unmatched-row flush),
+    * append-mode windowed aggregations (q88's file sink), event-time
+    * timeouts (q49's session closer). Per-query opt-in, never a
+    * session default.
+    *
+    * A CLONED session, not a set/unset on the shared session: a
+    * streaming query snapshots the session conf when it STARTS, so a
+    * shared-session toggle races against a concurrently starting query
+    * in the multi-stream (Concurrent) deployment — and q205 started in
+    * that window would silently lose its eviction batch. The clone
+    * also scopes the memory-sink temp view; read results via the
+    * RETURNED session.
+    */
+  def noEvictionDrainSession(s: SparkSession): SparkSession = {
+    val sd = s.newSession()
+    // newSession starts from the SparkConf defaults, not the parent's
+    // RUNTIME session conf — copy it so the drain keeps the engine's
+    // streaming/shuffle settings (state-store provider, join state
+    // format, shuffle width) in every environment, including test
+    // suites that configure a session over an existing context. Static
+    // confs refuse runtime set — skip them (they are shared anyway).
+    s.conf.getAll.foreach { case (k, v) =>
+      try sd.conf.set(k, v) catch { case _: Throwable => () }
+    }
+    sd.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    sd
+  }
+
   /** Drain-then-stop writer: processes all available input then stops —
     * the reference's `end.txt` sentinel semantics without sideband files.
     * `outputMode`: "complete" for aggregations, "append" for
