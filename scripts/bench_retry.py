@@ -100,6 +100,11 @@ def main() -> int:
         else:
             print(__doc__)
             return 2
+    if cmd is not None and not cmd:
+        # ADVICE r17: `bench_retry.py --` with nothing after the
+        # separator crashed in Popen with a raw error instead of usage
+        print(__doc__)
+        return 2
     if cmd is None:
         cmd = default_cmd([])
     readings = []
@@ -130,7 +135,14 @@ def main() -> int:
               "note": "every attempt pre-flight-contended; no bench "
                       "artifact was produced (abort mode exits before "
                       "writing) — this stamp is the leg's record"}
-    with open("bench_retry_giveup.json", "w") as f:
+    # repo-anchored, not CWD (ADVICE r17): legs run from /tmp by ritual,
+    # and a give-up stamp written there is one the round tooling never
+    # sees ($SPARK_GRAFT_GIVEUP_DIR overrides — the self-test sandboxes
+    # it)
+    giveup_path = os.path.join(
+        os.environ.get("SPARK_GRAFT_GIVEUP_DIR", REPO),
+        "bench_retry_giveup.json")
+    with open(giveup_path, "w") as f:
         json.dump(giveup, f, indent=1)
     print(f"[bench-retry] GIVE-UP after {attempts} contended attempts; "
           f"stamp written to bench_retry_giveup.json", file=sys.stderr)

@@ -102,6 +102,43 @@ TOTAL_CREEP_HOSTCAL_BAND = 0.10  # only with hostcal ratio within ±this
 HOSTCAL_CLAMP = (0.5, 2.0)
 NOISY_ADJ_FACTOR = 2.0        # normalized growth that opens the check
 NOISY_ADJ_SPREAD_FRAC = 0.5   # spread/median that declares the median noisy
+PASS_CONTENTION_FACTOR = 1.5  # pass hostcal_par > this x min(passes)
+                              # marks that pass's reps as contended
+
+
+def clean_pass_median(new, name):
+    """Median of a query's base-pass reps restricted to CLEAN passes,
+    using the artifact's per-pass parallel-hostcal stamps
+    (`hostcal_par_ms_passes`, VERDICT r17 #2: Bench samples the 32-task
+    calibration after every pass, so a mid-run contention episode is
+    machine-visible instead of a per-round focused-leg ritual).
+
+    A pass is contended when its sample exceeds PASS_CONTENTION_FACTOR
+    x the run's fastest pass — contention only ever inflates the
+    calibration, so the min is the intrinsic-speed estimate (the
+    min-of-pair hostcal rationale applied per pass). Returns the
+    median over the >= 2 clean-pass reps, or None when the artifact
+    carries no stamps, no pass is contended (nothing to discount), or
+    fewer than 2 clean reps remain. Only the base passes are used:
+    rep i maps to pass i for i < reps by the rep-major protocol;
+    adaptive-extra reps have query-dependent pass membership and are
+    left out of the discount."""
+    passes = new.get("hostcal_par_ms_passes") or {}
+    rs = (new.get("reps_s") or {}).get(name)
+    nbase = int(new.get("reps") or 0)
+    if not passes or not rs or nbase < 2 or len(rs) < nbase:
+        return None
+    samples = [passes.get(str(i)) for i in range(nbase)]
+    if any(s is None or s <= 0 for s in samples):
+        return None
+    floor_ms = min(samples)
+    clean = [rs[i] for i in range(nbase)
+             if samples[i] <= floor_ms * PASS_CONTENTION_FACTOR]
+    if len(clean) == nbase or len(clean) < 2:
+        return None
+    s = sorted(clean)
+    k = len(s)
+    return s[k // 2] if k % 2 else (s[k // 2 - 1] + s[k // 2]) / 2
 
 
 def load_bench(path):
@@ -378,6 +415,12 @@ def main() -> int:
                 or n >= max(b * factor * ratio, floor_sec)):
             triggered_raw.add(name)
         sp = nsp.get(name, 0.0)
+        # PER-PASS EPISODE DISCOUNT (VERDICT r17 #2): before flagging,
+        # re-evaluate the mover on its clean-pass reps only. A flag
+        # that vanishes when contended-pass samples are excluded is the
+        # episode class the focused-leg ritual existed for — print the
+        # discount (auditable) instead of demanding a fresh leg.
+        cm = clean_pass_median(new, name) if b > 0 else None
         if n < max(b * factor * ratio, floor_sec):
             # sub-gate mover whose own artifact says the median is one
             # rep wide: >2x normalized AND spread > half the median.
@@ -386,10 +429,23 @@ def main() -> int:
                     and b > 0 and n >= floor_sec
                     and norm_x >= NOISY_ADJ_FACTOR
                     and sp > NOISY_ADJ_SPREAD_FRAC * n):
-                noisy_adj.append((name, b, n, norm_x, sp))
+                if cm is not None and (cm / b) / ratio < NOISY_ADJ_FACTOR:
+                    print(f"EPISODE-DISCOUNTED  {name}: {b:.2f}s -> "
+                          f"{n:.2f}s flagged noisy-adjudicate, but the "
+                          f"clean-pass median is {cm:.2f}s "
+                          f"({(cm / b) / ratio:.1f}x host-normalized) — "
+                          f"contended-pass reps discounted via "
+                          f"hostcal_par_ms_passes")
+                else:
+                    noisy_adj.append((name, b, n, norm_x, sp))
             continue
         if name in accepted:
             changed.append((name, b, n))
+        elif cm is not None and cm < max(b * factor * ratio, floor_sec):
+            print(f"EPISODE-DISCOUNTED  {name}: {b:.2f}s -> {n:.2f}s "
+                  f"over the gate, but the clean-pass median is "
+                  f"{cm:.2f}s (under the bar) — contended-pass reps "
+                  f"discounted via hostcal_par_ms_passes")
         elif sp > n:
             noisy.append((name, b, n, sp))
         else:
@@ -496,7 +552,12 @@ def main() -> int:
             # FALLBACK must not masquerade as "hostcal within band"
             print("total check: hostcal unavailable on one side — "
                   "creep tripwire silent")
-        elif tot_p > 0 and abs(r2 - 1.0) <= TOTAL_CREEP_HOSTCAL_BAND:
+        elif tot_p == 0:
+            # ADVICE r17: an empty shared set used to fall into the
+            # hostcal-band else branch and print a misleading cause
+            print("total check: no shared non-accepted queries — "
+                  "creep tripwire silent")
+        elif abs(r2 - 1.0) <= TOTAL_CREEP_HOSTCAL_BAND:
             if tot_n > tot_p * TOTAL_CREEP_FACTOR * r2:
                 total_creep = (tot_n, tot_p, r2, len(shared_tot))
                 print(f"TOTAL-CREEP  Σ medians {tot_p:.1f}s (N-2) -> "

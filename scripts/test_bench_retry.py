@@ -41,10 +41,14 @@ exit {then_rc}
 
 
 def run(tmp, script, attempts, sleep="0.01"):
+    # the give-up stamp is repo-anchored since r18 (ADVICE r17: a CWD
+    # stamp written from /tmp was one the round tooling never saw) —
+    # sandbox it into tmp so self-tests never touch the repo root
+    env = dict(os.environ, SPARK_GRAFT_GIVEUP_DIR=tmp)
     return subprocess.run(
         [sys.executable, WRAP, f"--attempts={attempts}",
          f"--sleep={sleep}", "--", script],
-        capture_output=True, text=True, cwd=tmp)
+        capture_output=True, text=True, cwd=tmp, env=env)
 
 
 def main():
@@ -89,6 +93,16 @@ def main():
               "(never retried into a pass)",
               r.returncode == 7 and "attempt 2/5" not in r.stderr
               and "REAL failure rc=7" in r.stderr, r.stderr)
+
+    # ADVICE r17: `--` with nothing after it is a usage error, not a
+    # Popen crash
+    with tempfile.TemporaryDirectory() as tmp:
+        r = subprocess.run([sys.executable, WRAP, "--"],
+                           capture_output=True, text=True, cwd=tmp)
+        check("empty post-`--` command is a usage error (exit 2)",
+              r.returncode == 2 and "Usage" in r.stdout + r.stderr
+              or r.returncode == 2 and "usage" in
+              (r.stdout + r.stderr).lower(), r.stdout + r.stderr)
 
     if failures:
         print(f"== {len(failures)} self-test failure(s) ==")

@@ -437,6 +437,74 @@ def main():
               rc == 0 and "TOTAL-CREEP" not in out
               and "CHANGED" in out, out)
 
+    # PER-PASS EPISODE DISCOUNT (VERDICT r17 #2): contended-pass reps
+    # are discounted via hostcal_par_ms_passes before flagging
+    with tempfile.TemporaryDirectory() as tmp:
+        flat = {"hostcal_ms": 250.0}
+        # q1 regressed 1.0 -> 9.0 median, but rep 1 (pass 1) is the
+        # inflated one and pass 1's hostcal sample says CONTENDED:
+        # clean-pass median (reps 0, 2) = 1.1 — under the bar
+        ep_new = payload({"q1": 9.0, "q2": 2.0}, **flat)
+        ep_new["plain"] = {"q1": 9.0, "q2": 2.0}
+        ep_new["spread"] = {"q1": 29.0, "q2": 0.01}
+        ep_new["reps_s"] = {"q1": [1.0, 30.0, 1.2],
+                            "q2": [2.0, 2.0, 2.0]}
+        ep_new["reps"] = 3
+        ep_new["hostcal_par_ms_passes"] = {"0": 150.0, "1": 600.0,
+                                           "2": 155.0}
+        ep_base = payload({"q1": 1.0, "q2": 2.0}, **flat)
+        rc, out = run(tmp, ep_new, ep_base)
+        check("contended-pass reps are discounted (no flag, "
+              "EPISODE-DISCOUNTED printed)",
+              rc == 0 and "EPISODE-DISCOUNTED" in out
+              and "REGRESSION" not in out and "NOISY" not in out, out)
+
+        # the same payload WITHOUT pass stamps must still flag
+        ep_plain = dict(ep_new)
+        ep_plain.pop("hostcal_par_ms_passes")
+        rc, out = run(tmp, ep_plain, ep_base)
+        check("without pass stamps the mover still flags",
+              rc != 0 and "EPISODE-DISCOUNTED" not in out, out)
+
+        # a REAL regression (all passes clean, all reps high) is NOT
+        # discounted even with stamps present
+        real = payload({"q1": 9.0, "q2": 2.0}, **flat)
+        real["reps_s"] = {"q1": [9.0, 9.1, 8.9], "q2": [2.0, 2.0, 2.0]}
+        real["reps"] = 3
+        real["spread"] = {"q1": 0.2, "q2": 0.01}
+        real["hostcal_par_ms_passes"] = {"0": 150.0, "1": 152.0,
+                                         "2": 149.0}
+        rc, out = run(tmp, real, ep_base)
+        check("clean-pass real regression still flags",
+              rc != 0 and "REGRESSION  q1" in out
+              and "EPISODE-DISCOUNTED" not in out, out)
+
+        # sub-gate noisy-adjudicate mover with a contended pass is
+        # discounted too
+        na_new = payload({"q1": 2.4, "q2": 2.0}, **flat)
+        na_new["spread"] = {"q1": 5.0, "q2": 0.01}
+        na_new["reps_s"] = {"q1": [1.05, 6.0, 1.0],
+                            "q2": [2.0, 2.0, 2.0]}
+        na_new["reps"] = 3
+        na_new["hostcal_par_ms_passes"] = {"0": 150.0, "1": 700.0,
+                                           "2": 148.0}
+        rc, out = run(tmp, na_new, ep_base)
+        check("noisy-adjudicate mover with contended pass is "
+              "discounted",
+              rc == 0 and "EPISODE-DISCOUNTED" in out
+              and "NOISY-ADJUDICATE" not in out, out)
+
+        # empty shared set prints its own message, not the hostcal-band
+        # one (ADVICE r17)
+        es_new = payload({"q1": 2.0}, **flat)
+        es_base = payload({"q1": 2.0}, **flat)
+        es_p2 = payload({"q1": 2.0}, **flat)
+        rc, out = run(tmp, es_new, es_base, prev2=es_p2,
+                      accept_file=accept("q1", "changed", 2.0))
+        check("empty creep-shared set names its own cause",
+              "no shared non-accepted queries" in out
+              and "outside" not in out, out)
+
     if failures:
         print(f"== {len(failures)} self-test failure(s) ==")
         return 1

@@ -308,12 +308,27 @@ object Bench {
         System.gc()
       }
 
+    // PER-PASS CONTENTION STAMPS (VERDICT r17 #2): one parallel-hostcal
+    // sample after EACH pass, emitted as `hostcal_par_ms_passes`, so a
+    // mid-run contention episode is visible mechanically — the r17 leg
+    // was preflight-clean yet drifted 30% BETWEEN the start/end
+    // samples, and adjudicating which pass an episode hit demanded a
+    // fresh focused leg every round. With the stamps, benchgate can
+    // discount reps from contended windows itself (~1 s per pass, far
+    // cheaper than the per-round focused-leg ritual). Keyed by the
+    // runTimed pass label so extra passes align with their reps.
+    val passCal =
+      scala.collection.mutable.LinkedHashMap[String, Double]()
     if (queryMajor)
       baseOrder.foreach { case (n, fn) =>
         for (pass <- 0 until reps) runTimed(s"$pass", n, fn) }
     else
-      for (pass <- 0 until reps)
+      for (pass <- 0 until reps) {
         passOrder(pass).foreach { case (n, fn) => runTimed(s"$pass", n, fn) }
+        passCal(s"$pass") = HostCal.hostcalParMs(spark)
+        System.err.println(s"[bench] pass $pass hostcal_par_ms=" +
+          s"${passCal(s"$pass")}")
+      }
 
     // ADAPTIVE RE-MEASURE: when a query's spread across passes exceeds
     // its median, at least one sample was machine contention, not the
@@ -330,6 +345,11 @@ object Bench {
       val noisyQs = passOrder(reps + extra)
         .filter { case (n, _) => !failedSet(n) && noisy(n) }
       noisyQs.foreach { case (n, fn) => runTimed(s"extra$extra", n, fn) }
+      if (noisyQs.nonEmpty && !queryMajor) {
+        passCal(s"extra$extra") = HostCal.hostcalParMs(spark)
+        System.err.println(s"[bench] pass extra$extra hostcal_par_ms=" +
+          s"${passCal(s"extra$extra")}")
+      }
     }
 
     val results = baseOrder.map { case (name, _) =>
@@ -376,7 +396,10 @@ object Bench {
                     else if (alphaOrder) "\"alpha\""
                     else s""""rep-shuffled(seed=$passSeed)""""
     val (gitSha, gitDirty) = gitInfo()
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plain":$plain,"spread":$spread,"reps_s":$repsRaw,"reps":$reps,"failed":$failed,"hostcal_ms":$hostcal,"hostcal_ms_start":$hostcalStart,"hostcal_ms_end":$hostcalEnd,"hostcal_par_ms":$hostcalPar,"hostcal_par_ms_start":$hostcalParStart,"hostcal_par_ms_end":$hostcalParEnd,"preflight_par_ms":$preflightPar,"preflight_contended":$preflightContended,"git_sha":"$gitSha","git_dirty":$gitDirty,"n_registry":$nRegistry,"order":$orderDesc,"sf":"$sfDir"}"""
+    val passCalJson = passCal
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plain":$plain,"spread":$spread,"reps_s":$repsRaw,"reps":$reps,"failed":$failed,"hostcal_ms":$hostcal,"hostcal_ms_start":$hostcalStart,"hostcal_ms_end":$hostcalEnd,"hostcal_par_ms":$hostcalPar,"hostcal_par_ms_start":$hostcalParStart,"hostcal_par_ms_end":$hostcalParEnd,"hostcal_par_ms_passes":$passCalJson,"preflight_par_ms":$preflightPar,"preflight_contended":$preflightContended,"git_sha":"$gitSha","git_dirty":$gitDirty,"n_registry":$nRegistry,"order":$orderDesc,"sf":"$sfDir"}"""
     // DURABLE ARTIFACT: the harness records a bounded TAIL of stdout
     // (~2000 chars), and with 270+ queries the full one-line JSON
     // outgrows that window by >10x — rounds 3-9 recorded `parsed: null`

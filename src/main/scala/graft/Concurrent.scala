@@ -103,6 +103,11 @@ object Concurrent {
       s""""stream_wall":{$perStream},"failed":[$fails],""" +
       s""""preflight_par_ms":$preflightPar,""" +
       s""""preflight_contended":$preflightContended,""" +
+      // the preflight sample doubles as the start-of-run calibration
+      // under the SAME key Bench uses, so the artifact guard's
+      // start/end within-run drift check applies mechanically to
+      // concurrency legs too (ADVICE r17)
+      s""""hostcal_par_ms_start":$preflightPar,""" +
       s""""hostcal_par_ms_end":$hostcalParEnd,""" +
       s""""git_sha":"$gitSha","git_dirty":$gitDirty}""")
     spark.stop()
