@@ -46,58 +46,57 @@ object SparkEntry {
 
   /** Directed adjacent-line part edges — one row per (A-line, B-line)
     * pair within an order with B.ln = A.ln + 1, src = A's part, dst =
-    * B's part. Multiset-identical to the former
-    * `li ⋈_{(ok,ln)=(ok,ln+1)} li` self-join it replaces (r18): the
-    * equi-join paired EVERY line at ln with EVERY line at ln+1 of the
-    * same order (duplicate (ok, ln) lines cross-pair) and dropped NULL
-    * keys; the in-row `filter(b -> b.ln = a.ln + 1)` does exactly the
-    * same over the order's collected line list. Built via the
-    * Association basket pattern (guide §2.3/2.4 — aggregate before you
-    * shuffle, remove shuffles outright): ONE hash exchange of the
-    * 3-column lineitem projection + in-row pair expansion, replacing a
-    * self-join whose build side is the full projected table —
-    * broadcast-able at sf0.1 (a ~600 k-row driver collect + ship per
-    * query) but a full two-sided sort-merge at 100 TB. Baskets are
-    * lines-per-order (≤17 at sf0.1), so the expansion is bounded the
-    * same way Association documents. Callers apply their own src/dst
-    * predicate (`=!=` or `<`), which also reproduces the old `where`'s
-    * NULL-part drop.
+    * B's part; duplicate (ok, ln) lines CROSS-PAIR (the testdata has
+    * ~118 k duplicate (ok, ln) pairs at sf0.1) and NULL keys drop
+    * (equi-join semantics). Shared by the nine adjacent-line graph
+    * queries; callers apply their own src/dst predicate (`=!=` or
+    * `<`), which also reproduces the NULL-part drop.
+    *
+    * SHAPE, measured both ways this round (r18): an Association-style
+    * basket rewrite (groupBy orderkey + collect_list + in-row pair
+    * expansion, one exchange) was A/B'd against this self-join at
+    * sf0.1 AND at the 10× twin (graft.EdgeAB, interleaved arms, clean
+    * window). The basket arm won mildly at sf0.1 (0.75-0.83× on the
+    * pairs consumers) but lost 2.3-2.6× at 10×
+    * (join 2.7-3.9 s vs basket 7.0-7.6 s): collect_list is an
+    * ObjectHashAggregate (object buffers, no whole-stage codegen) and
+    * the struct explode re-materializes every pair, while the
+    * equi-join stays fully codegen'd and scales as a plain
+    * broadcast/sort-merge. The JOIN form is therefore kept — the
+    * basket trade that won for q222/q223's coOrderEdges (replacing a
+    * THREE-exchange distinct+self-join) does not transfer to a plain
+    * two-scan equi-join. EdgeBuildSpec pins the two formulations
+    * multiset-equal, so this stays swappable if the measurement ever
+    * flips at a new scale point.
     */
-  private def adjacentLineEdges(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .filter(col("l_orderkey").isNotNull)
-      .groupBy(col("l_orderkey"))
-      .agg(collect_list(struct(col("l_linenumber").as("ln"),
-        col("l_partkey").as("pk"))).as("_it"))
-      .select(explode(expr(
-        "flatten(transform(_it, a -> transform(" +
-          "filter(_it, b -> b.ln = a.ln + 1), " +
-          "b -> named_struct('src', a.pk, 'dst', b.pk))))")).as("_e"))
-      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
+  private def adjacentLineEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"),
+        col("l_linenumber").as("ln"), col("l_partkey").as("pk"))
+    val nxt = li.select(col("ok"), (col("ln") - 1).as("ln"),
+      col("pk").as("dst_pk"))
+    li.join(nxt, Seq("ok", "ln"))
+      .select(col("pk").as("src"), col("dst_pk").as("dst"))
+  }
 
   /** Unordered within-order part pairs — one row per LINE pair
     * (A.ln < B.ln, A.pk ≠ B.pk) of an order, canonicalized
     * (u, v) = (least, greatest); `groupBy(u, v).count` over it is the
-    * co-purchase support table. Multiset-identical to the former
-    * `li ⋈_ok li` self-join + `where(ln < ln2 && pk =!= pk2)` (r18):
-    * same pairs, same NULL-drop semantics (a NULL ln or pk makes the
-    * filter predicate NULL → dropped, exactly as the old where). Same
-    * basket rationale as [[adjacentLineEdges]]: one exchange + bounded
-    * in-row expansion instead of an O(lines²)-fanout self-join through
-    * a join operator.
+    * co-purchase support table. Join formulation for the same measured
+    * reason as [[adjacentLineEdges]] (the basket arm lost 2.4× at the
+    * 10× twin); EdgeBuildSpec pins the equivalence.
     */
-  private def inOrderPartPairs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .filter(col("l_orderkey").isNotNull)
-      .groupBy(col("l_orderkey"))
-      .agg(collect_list(struct(col("l_linenumber").as("ln"),
-        col("l_partkey").as("pk"))).as("_it"))
-      .select(explode(expr(
-        "flatten(transform(_it, a -> transform(" +
-          "filter(_it, b -> a.ln < b.ln AND NOT (a.pk = b.pk)), " +
-          "b -> named_struct('u', least(a.pk, b.pk), " +
-          "'v', greatest(a.pk, b.pk)))))")).as("_p"))
-      .select(col("_p.u").as("u"), col("_p.v").as("v"))
+  private def inOrderPartPairs(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"),
+        col("l_linenumber").as("ln"), col("l_partkey").as("pk"))
+    val other = li.select(col("ok"), col("ln").as("ln2"),
+      col("pk").as("pk2"))
+    li.join(other, Seq("ok"))
+      .where(col("ln") < col("ln2") && col("pk") =!= col("pk2"))
+      .select(least(col("pk"), col("pk2")).as("u"),
+        greatest(col("pk"), col("pk2")).as("v"))
+  }
 
   /** events.ts reaches queries as TimestampType regardless of the file
     * encoding — GraftSession.normalizeEventTime converts legacy Long-nanos
