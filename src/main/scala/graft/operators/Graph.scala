@@ -74,9 +74,16 @@ object Graph {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count().toDouble // driver scalar, O(1) bytes
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val linked = e.join(outdeg, "src")
-      .repartition(col("src"))
+    // outdeg attached by a count-over-window on the SAME src exchange
+    // that the persisted frame needs anyway (r18): the groupBy+join
+    // form exchanged the edge set once for the aggregate and once for
+    // the repartition (plus a broadcast build); the window form
+    // exchanges it ONCE and counts within the partition — identical
+    // rows, and the persisted partitioning (hash(src)) is unchanged,
+    // so every round's contribution join still moves only the ranks
+    val linked = e.repartition(col("src"))
+      .withColumn("outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // sink ids (no out-edges) — only materialized when their mass is
     // redistributed; node-sized, one anti-join, reused every round
@@ -157,12 +164,14 @@ object Graph {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count().toDouble // driver scalar, O(1) bytes
-    val wout = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-    val linked = e.join(wout, "src")
+    // wout via count-over-window on the one src exchange the persisted
+    // frame needs anyway — see [[pageRank]]'s linked build (r18)
+    val linked = e.repartition(col("src"))
+      .withColumn("wout", sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .select(col("src"), col("dst"),
         (col("w").cast("double") / col("wout").cast("double"))
           .as("share"))
-      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var ranks = Components.pin(
@@ -560,9 +569,11 @@ object Graph {
         Seq("id"), "left")
       .select(col("id"), coalesce(col("_s"), lit(0.0)).as("s"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val linked = e.join(outdeg, "src")
-      .repartition(col("src"))
+    // outdeg via count-over-window on the one src exchange the
+    // persisted frame needs anyway — see [[pageRank]]'s linked build
+    val linked = e.repartition(col("src"))
+      .withColumn("outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = Components.pin(
       restart.select(col("id"), col("s").as("ppr")), reliable)

@@ -54,6 +54,38 @@ class GraphSpec extends SparkTestBase {
     un.foreach { case (id, pr) => assert(math.abs(wt(id) - pr) < 1e-12) }
   }
 
+  test("pageRank matches a brute-force recurrence on a random multigraph " +
+       "(window-form outdeg == per-src edge count after dedup)") {
+    // r18: outdeg moved from groupBy+join to count-over-window on the
+    // persisted src partitioning; this pins the recurrence against an
+    // in-memory reference on a graph with duplicate edges, hubs and
+    // sinks, so any outdeg drift (pre- vs post-dedup counting, hub
+    // splits) fails loudly rather than only on the tiny hand cases.
+    val rnd = new scala.util.Random(181)
+    val raw = (1 to 400).map { _ =>
+      val s = rnd.nextInt(25).toLong
+      val d = rnd.nextInt(40).toLong // ids 25-39 are frequent sinks
+      (s, d)
+    }.filter { case (s, d) => s != d }
+    val edges = raw.distinct
+    val nodes = edges.flatMap { case (s, d) => Seq(s, d) }.distinct
+    val n = nodes.size.toDouble
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+    val iters = 3
+    var pr = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val inmass = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => pr(s) / outdeg(s) }.sum
+      }
+      pr = nodes.map(v =>
+        v -> (0.15 / n + 0.85 * inmass.getOrElse(v, 0.0))).toMap
+    }
+    val got = ranks(raw, iters)
+    assert(got.keySet == pr.keySet)
+    pr.foreach { case (v, x) =>
+      assert(math.abs(got(v) - x) < 1e-9, s"node $v") }
+  }
+
   test("pageRankWeighted: rank splits by weight share, not edge count") {
     // 1→2 (w=3), 1→3 (w=1): node 2 gets 3/4 of 1's endorsement.
     // one round from uniform 1/3:
