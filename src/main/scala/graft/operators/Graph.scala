@@ -469,10 +469,15 @@ object Graph {
     * persisted once; each half-step is ONE score-table join + ONE
     * map-side-combined aggregation over O(|E|) rows (zero-score nodes
     * are simply absent from intermediates — they contribute nothing —
-    * and are 0-filled once at the end); eager checkpoint per
-    * half-step (pin/releasePin, `reliable = true` for executor-loss
-    * recovery). Returns (id, hub, auth) over the full node universe —
-    * nodes with no in-edges have auth 0, no out-edges hub 0.
+    * and are 0-filled once at the end). Checkpointing is per ROUND,
+    * not per half-step (r18): the auth half-step feeds only the same
+    * round's hub pin, so it rides unpinned inside that pin's job —
+    * lineage stays O(1) at two joins deep, and every round saves one
+    * full checkpoint write + job of the node-sized auth table (the
+    * final round's auth table IS output, so that one is pinned).
+    * `reliable = true` for executor-loss recovery. Returns
+    * (id, hub, auth) over the full node universe — nodes with no
+    * in-edges have auth 0, no out-edges hub 0.
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iterations: Int, reliable: Boolean = false): DataFrame = {
@@ -492,21 +497,27 @@ object Graph {
     var hubs = Components.pin(
       nodes.select(col("id"), lit(1.0).as("hub")), reliable)
     var auths: DataFrame = null
-    for (_ <- 1 to iterations) {
-      val aNext = Components.pin(
-        e.join(hubs.select(col("id").as("src"), col("hub")), "src")
-          .groupBy(col("dst")).agg(sum(col("hub")).as("auth"))
-          .select(col("dst").as("id"), col("auth")),
-        reliable)
-      if (auths != null) Components.releasePin(auths, reliable)
-      auths = aNext
+    for (i <- 1 to iterations) {
+      val a = e
+        .join(hubs.select(col("id").as("src"), col("hub")), "src")
+        .groupBy(col("dst")).agg(sum(col("hub")).as("auth"))
+        .select(col("dst").as("id"), col("auth"))
+      // the last round's auth table is part of the output — pin it;
+      // earlier rounds' auth tables feed only hNext's pin job below
+      // and are never re-read, so they stay unpinned (no checkpoint
+      // write, no extra job)
+      val aUse =
+        if (i == iterations) Components.pin(a, reliable) else a
       val hNext = Components.pin(
-        e.join(auths.select(col("id").as("dst"), col("auth")), "dst")
+        e.join(aUse.select(col("id").as("dst"), col("auth")), "dst")
           .groupBy(col("src")).agg(sum(col("auth")).as("hub"))
           .select(col("src").as("id"), col("hub")),
         reliable)
+      // safe to release only AFTER hNext (and aUse, last round) are
+      // materialized — both pins are eager
       Components.releasePin(hubs, reliable)
       hubs = hNext
+      if (i == iterations) auths = aUse
     }
     val joined = nodes
       .join(hubs, Seq("id"), "left")
