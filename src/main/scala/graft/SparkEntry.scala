@@ -4952,9 +4952,19 @@ object SparkEntry {
               col("doc_id") % 9000 + 1000, lit(" today")))).as("text"))
       val fps = injected.select(col("doc_id"), col("text"),
         TextAnalysis.fingerprint(col("text")).as("fp"))
-      val canon = fps.groupBy(col("fp"))
-        .agg(min(col("doc_id")).as("doc_id"))
-      val deduped = fps.join(canon, Seq("fp", "doc_id"), "left_semi")
+      // keep-the-min-doc dedup as ONE window pass (r18): the old
+      // groupBy+left-semi form evaluated the regex fingerprint twice
+      // (once under the canon aggregate, once on the probe side) and
+      // at scale exchanged fps twice; min-over-fp keeps the identical
+      // row set — fp is never NULL (text is concat-extended), so the
+      // semi-join's null-drop cannot diverge — with one fingerprint
+      // pass and one exchange
+      val deduped = fps
+        .withColumn("_mid", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("fp"))))
+        .where(col("doc_id") === col("_mid"))
+        .drop("_mid")
       val gated = deduped
         .withColumn("q_score",
           TextAnalysis.logisticQualityScore(col("text")))
