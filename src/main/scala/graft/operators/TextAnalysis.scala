@@ -176,8 +176,15 @@ object TextAnalysis {
                        element_at(_toks, CAST(i + 1 AS INT)) AS w2))"""))
         .as("_b"))
       .select(col(idCol), col("_b.w1"), col("_b.w2"))
-    val cb = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("_cb"))
-    bi.join(cb, Seq("w1", "w2"))
+    // bigram counts by count-over-window instead of groupBy + join
+    // back (r18, the q94 rule): the join's probe side re-ran the whole
+    // tokenize + bigram transform (no exchange below it to reuse) and
+    // paid a second (w1, w2) exchange; the window attaches _cb on ONE
+    // evaluation and one exchange — identical rows (inner join on the
+    // table's own aggregate matches every row)
+    bi.withColumn("_cb", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("w1"), col("w2"))))
       .join(cu, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .groupBy(col(idCol))
@@ -501,8 +508,15 @@ object TextAnalysis {
       .select(col(idCol), explode_outer(col("_toks")).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tf.join(df_, Seq("term"))
+    // document frequency by count-over-window instead of groupBy +
+    // join back (r18, the q94 rule): tf has exactly one row per
+    // (doc, term), so counting rows within the term partition IS df —
+    // one term exchange replaces the df aggregate plus the join's
+    // second full-tf exchange. Column order kept join-identical
+    // (term first) for the callers' selects.
+    tf.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
+      .select(col("term"), col(idCol), col("tf"), col("df"))
       .withColumn("score",
         round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
   }
