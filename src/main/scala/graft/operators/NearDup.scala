@@ -304,14 +304,21 @@ object NearDup {
       .groupBy(col("id"), col("blk"), col("token"))
       .agg(count(lit(1)).as("_tf"))
     val n = docs.count().toDouble // driver scalar
-    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("_df"))
+    // document frequency by count-over-window (r18, the q94 rule): tf
+    // has one row per (id, blk, token), so the token-partition row
+    // count IS df. The old dfreq+broadcast-join form broadcast the
+    // KEPT vocabulary — with a maxDf cap that is the non-hot MAJORITY
+    // of the vocabulary, a corpus-scale broadcast, and the probe side
+    // re-ran tf's post-shuffle aggregate. Filtering on the windowed
+    // _df keeps the identical row set (the inner join matched every
+    // tf row whose token survived the cap) with one token exchange.
+    val tfd = tf.withColumn("_df", count(lit(1)).over(
+      Window.partitionBy(col("token"))))
     val kept =
-      if (maxDf > 0)
-        dfreq.where(col("_df") <= maxDf)
-      else dfreq
+      if (maxDf > 0) tfd.where(col("_df") <= maxDf) else tfd
     // pinned, not persisted — see sourceOverlapMatrix's lifetime note
     val w = Components.pin(
-      tf.join(broadcast(kept), "token")
+      kept
         .withColumn("_w",
           col("_tf").cast("double") *
             log(lit(n) / col("_df").cast("double")))
