@@ -703,14 +703,18 @@ object Graph {
       reliable = false)
     // One scan of `und` covers both degree AND m: explode the two
     // endpoints (instead of a two-scan union) and derive m = Σdeg/2
-    // from the |V|-sized degree table. `deg` is pinned too — it feeds
-    // three branches (m, d_c, both sides of the internal-edge join)
-    // and without the pin each reference replays the degree shuffle.
-    // Net: und computed once, scanned twice (deg + e_c), down from 4+.
-    val deg = Components.pin(und
+    // from the |V|-sized degree table. `deg` feeds three branches
+    // (m, d_c, both sides of the internal-edge join) but is NOT
+    // pinned (r18): AQE's runtime exchange reuse already shares the
+    // degree shuffle's map side across the branches, so the pin only
+    // added a checkpoint write + job — measured 1.18x at sf0.1 and
+    // 1.09x at the 10x twin WITH the pin (same A/B class as the
+    // triangleCount/assortativity deg-pin experiments, rejected
+    // there too). Pin only what replays an EXPENSIVE unshared
+    // upstream (und's dedup: multi-exchange edge build).
+    val deg = und
       .select(explode(array(col("u"), col("v"))).as("v0"))
-      .groupBy(col("v0")).agg(count(lit(1)).as("_deg")),
-      reliable = false)
+      .groupBy(col("v0")).agg(count(lit(1)).as("_deg"))
     val mRow = deg.agg((sum(col("_deg")) / lit(2L)).cast("long").as("_m"))
     val nc = deg.join(communities.select(col(nodeCol).as("v0"),
       col(commCol).as("_comm")), "v0")
