@@ -948,11 +948,22 @@ object NearDup {
           .as(Seq("_p0", "_gh")))
       .select(col(idCol), (col("_p0") + 1).cast("int").as("_pos"),
         col("_gh"))
-    val repeated = grams.groupBy(col("_gh"))
-      .agg(countDistinct(col(idCol)).as("_df"))
+    // distinct-doc frequency by two stacked windows on ONE _gh
+    // exchange (r18, the q94 rule): the countDistinct aggregate +
+    // left-semi form re-ran the md5 n-gram explode on the probe side
+    // and broadcast the repeated-gram set — which is every duplicated
+    // gram in the corpus, NOT a small relation at scale. (_gh, id,
+    // _pos) is unique by construction, so the first-row flag per
+    // (_gh, id) summed over the _gh partition IS the distinct-doc
+    // count; both windows sort once by (_gh, id, _pos).
+    val wGId = Window.partitionBy(col("_gh"), col(idCol))
+      .orderBy(col("_pos"))
+    val wG = Window.partitionBy(col("_gh"))
+    val marks = grams
+      .withColumn("_first",
+        when(row_number().over(wGId) === 1, 1L).otherwise(0L))
+      .withColumn("_df", sum(col("_first")).over(wG))
       .where(col("_df") >= minDf)
-      .select(col("_gh"))
-    val marks = grams.join(repeated, Seq("_gh"), "left_semi")
       .select(col(idCol), col("_pos").as("s"),
         (col("_pos") + (n - 1)).cast("int").as("e"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("s"))
