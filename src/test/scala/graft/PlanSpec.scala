@@ -317,14 +317,18 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("q94 curation pipeline: dedup is the only shuffle work; the rest is scan-stage") {
-    // five stages, two exchange sites: the fingerprint aggregate and
-    // the canonical semi-join — quality gate, hash sample, redaction,
-    // and token count must all stay column arithmetic (a third hash
-    // exchange means some stage grew a shuffle it doesn't need)
+    // five stages, one exchange site: the fingerprint window — quality
+    // gate, hash sample, redaction, and token count must all stay
+    // column arithmetic (a second hash exchange means some stage grew
+    // a shuffle it doesn't need)
     val p = plan("q94_curation_pipeline")
     val hashX = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(hashX <= 2, s"expected <=2 hash exchanges, got $hashX:\n$p")
-    assert(p.contains("LeftSemi"), s"dedup must be a semi-join:\n$p")
+    assert(hashX <= 1, s"expected <=1 hash exchange (fingerprint), got $hashX:\n$p")
+    // r18: the canon groupBy + left-semi (two fingerprint evaluations,
+    // two exchanges) became a min-over-fingerprint window — one
+    // fingerprint pass, one hash exchange, NO join at all
+    assert(p.contains("Window"), s"dedup must be the fp-window form:\n$p")
+    assert(!p.contains("Join"), s"dedup must not join back:\n$p")
     assert(!p.contains("CartesianProduct") &&
            !p.contains("BroadcastNestedLoopJoin"))
   }
@@ -393,10 +397,16 @@ class PlanSpec extends SparkTestBase {
       s"removal must not reassemble docs through an aggregate:\n$p")
   }
 
-  test("q105 repeated spans: gram DF joins back as a semi-join on hashes") {
+  test("q105 repeated spans: gram marks come from stacked windows, no gram-set broadcast") {
+    // r18: the countDistinct + left-semi form re-ran the n-gram
+    // posexplode on the probe side and broadcast EVERY repeated gram in
+    // the corpus; the stacked-window form computes the distinct-doc
+    // count per gram hash in place — one gram evaluation, no join
     val p = plan("q105_repeated_spans")
-    assert(p.contains("LeftSemi"),
-      s"repeated-gram marks must come from a semi-join:\n$p")
+    assert(p.contains("Window"),
+      s"repeated-gram marks must come from the window form:\n$p")
+    assert(!p.contains("Join") && !p.contains("BroadcastExchange"),
+      s"gram marks must not join back or broadcast the gram set:\n$p")
     assert(!p.contains("CartesianProduct") &&
            !p.contains("BroadcastNestedLoopJoin"),
       s"span detection must never go quadratic:\n$p")
