@@ -2881,14 +2881,50 @@ object SparkEntry {
     "q278_sql_damerau" -> ((s, dir) => {
       graft.functions.GraftExtensions.installInto(s)
       t(s, dir, "customer").createOrReplaceTempView("graft_cust_q278")
+      // r18: the nation-blocked all-pairs join grew candidate pairs
+      // QUADRATICALLY (nation cardinality is fixed, so 10× customers =
+      // 100× damerau evaluations — the r18 sf1 gate read 39× wall for
+      // 10× data, the exact class the scale gate exists to catch).
+      // Candidates now come from the SYMMETRIC-DELETE inverted index
+      // expressed in SQL — the same ≤2-deletion-neighborhood contract
+      // as NearDup.typoPairs (delete the substituted/deleted positions
+      // on one side and the inserted/substituted positions on the
+      // other, one deletion per side for a transposition: any DL ≤ 2
+      // pair shares a key; false candidates die on the exact
+      // graft_damerau filter). The oracle keeps the straightforward
+      // all-pairs statement, so the driver's hash check IS the
+      // equivalence proof. MERGE hint per symDeleteCands: the planner
+      // sizes the exploded key table off the un-exploded input and
+      // would mis-broadcast a ~170×-fanned relation.
       s.sql(
-        """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-                  graft_damerau(a.c_name, b.c_name) AS dist
-           FROM graft_cust_q278 a JOIN graft_cust_q278 b
-             ON a.c_nationkey = b.c_nationkey
-            AND a.c_custkey < b.c_custkey
-           WHERE a.c_custkey % 20 = 0 AND b.c_custkey % 20 = 0
-             AND graft_damerau(a.c_name, b.c_name) <= 2
+        """WITH c AS (
+             SELECT c_custkey AS id, c_nationkey AS blk, c_name AS s
+             FROM graft_cust_q278
+             WHERE c_custkey % 20 = 0),
+           k AS (
+             SELECT id, blk, s,
+                    explode(array_union(array_union(array(s),
+                      CASE WHEN length(s) > 0 THEN
+                        transform(sequence(0, length(s) - 1), i ->
+                          concat(substring(s, 1, i),
+                                 substring(s, i + 2, length(s))))
+                      ELSE array() END),
+                      CASE WHEN length(s) > 1 THEN
+                        flatten(transform(sequence(0, length(s) - 2), i ->
+                          transform(sequence(i + 1, length(s) - 1), j ->
+                            concat(substring(s, 1, i),
+                                   substring(s, i + 2, j - i - 1),
+                                   substring(s, j + 2, length(s))))))
+                      ELSE array() END)) AS key
+             FROM c),
+           cand AS (
+             SELECT /*+ MERGE(a) */ DISTINCT
+                    a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+             FROM k a JOIN k b
+               ON a.blk = b.blk AND a.key = b.key AND a.id < b.id)
+           SELECT id_a, id_b, dist FROM (
+             SELECT id_a, id_b, graft_damerau(sa, sb) AS dist FROM cand)
+           WHERE dist <= 2
            ORDER BY id_a, id_b""")
     }),
 

@@ -136,10 +136,25 @@ object StageScale {
     }
   }
 
-  private def writeOneFile(df: DataFrame, dst: String,
-                           table: String): Unit = {
+  private def writeOneFile(df: DataFrame, dst: String, table: String,
+                           rowGroupBytes: Option[Long] = None): Unit = {
     val tmp = s"$dst/_stage_$table"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    // r18 measurement-layout fix: coalesce(1) + the default 128 MB
+    // parquet.block.size wrote the ENTIRE scaled table as ONE ROW
+    // GROUP (sf1 lineitem: 6 M rows, 80 MB, 1 group). Row groups are
+    // parquet's split unit, so every sf1 scan decoded on ONE task —
+    // scan-bound queries read as "superlinear" purely from the twin's
+    // layout (guide §2.5: one huge unsplittable file). A corpus that
+    // grew N× organically arrives as N× more files/row groups, so the
+    // twin now sizes row groups to the SOURCE file's bytes: N copies ≈
+    // N row groups — scan parallelism grows exactly with the data
+    // (per-task scan work identical to base, never more than N× the
+    // base's parallelism). The one-file-per-table layout contract
+    // (streaming globFilter, directory mirror) is untouched.
+    val w0 = df.coalesce(1).write.mode("overwrite")
+    val w = rowGroupBytes.fold(w0)(b =>
+      w0.option("parquet.block.size", math.max(b, 1L << 20).toString))
+    w.parquet(tmp)
     val part = new java.io.File(tmp).listFiles().toSeq
       .find(f => f.getName.startsWith("part-") &&
         f.getName.endsWith(".parquet"))
@@ -162,7 +177,11 @@ object StageScale {
       val df = spark.read.parquet(s"$src/$t.parquet")
       val scaled = keys.nonEmpty && copies > 1
       val out = if (scaled) widen(df, copies, keys, t) else df
-      writeOneFile(out, dst, t)
+      // scaled tables: one row group per source-file-sized slice (≈ one
+      // per copy); unscaled dims keep the writer default
+      val rg = if (scaled)
+        Some(new java.io.File(s"$src/$t.parquet").length()) else None
+      writeOneFile(out, dst, t, rg)
       // staged-vs-source audit, same discipline as the streaming probe
       val n = spark.read.parquet(s"$dst/$t.parquet").count()
       val expect = df.count() * (if (scaled) copies else 1)
