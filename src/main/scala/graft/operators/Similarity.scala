@@ -482,10 +482,19 @@ object Similarity {
     * multiply-adds per row inside the scan stage (the per-bit HOF-fold
     * formulation evaluated interpreted: two lambda dispatches and an
     * intermediate array per element, ×bits per row), no shuffle, no
-    * explode until the bands×|V| banding rows; the band equi-join
-    * shuffles (id, band, value) triples only — the vectors themselves
-    * stay in place until the surviving candidate pairs join back by id
-    * for exact scoring. Each bit is sign(round(projection, 6)) —
+    * explode until the bands×|V| banding rows. Each vector RIDES the
+    * banding exchange (bands × corpus bytes, linear), the exact cosine
+    * is computed INLINE on the band join's output stream, and only the
+    * surviving scored pairs are materialized for the cross-band dedup.
+    * The r18 sf10 (100×) leg showed why the join-back-by-id form had
+    * to go: at fixed bandBits the collision-pair count grows
+    * ~N²/2^bandBits, and attaching vectors to those pairs by id made
+    * TWO sort-merge joins sort a pair stream carrying 8·dim-byte
+    * arrays — ~55 GB of sort spill at 100×, disk-death
+    * (FAILED-AT-SCALE). Scoring in-stream shuffles the vectors once,
+    * pays the same ndot per collision the old plan paid anyway, and
+    * shrinks the pair-sized shuffle to the (a, b, sim) survivors.
+    * Each bit is sign(round(projection, 6)) —
     * rounded so the oracle's sum order can't flip a bit on a last-ulp
     * difference at the 0 boundary.
     */
@@ -505,41 +514,51 @@ object Similarity {
     // pinned: BOTH sides of the band self-join read this table, and
     // the kernel's bits×dim multiply-adds per row are the dominant
     // per-row cost — recomputing them per side doubles the flops. The
-    // cached form is (id + bands ints) ≈ 24 B/vector — disk-backed at
-    // scale, negligible next to the vectors. Pin, not persist: blocks
-    // are ContextCleaner-scoped (freed when the result frame is
-    // dropped), not session-lifetime CacheManager entries nothing ever
-    // releases.
+    // pinned form carries the vector and its norm alongside the band
+    // ints (r18: the join-back-by-id scoring this used to feed sorted
+    // a pair stream that grows ~N²/2^bandBits at fixed bandBits, with
+    // 8·dim-byte arrays attached — ~55 GB of sort spill at the 100×
+    // twin, disk-death; carrying the vector through the banding
+    // exchange instead moves bands × corpus bytes, linear, and the
+    // pair-sized traffic shrinks to the scored survivors). Pin, not
+    // persist: blocks are ContextCleaner-scoped (freed when the result
+    // frame is dropped), not session-lifetime CacheManager entries
+    // nothing ever releases.
     val sigs = Components.pin(
       vectors
-        .select(col(idCol).as("id"), sig.as("_sig"))
-        .select(col("id") +: (0 until bands).map(b =>
-          element_at(col("_sig"), b + 1).as(s"hb$b")): _*),
+        .select(col(idCol).as("id"), col(vecCol).as("vec"),
+          nnorm(col(vecCol)).as("nrm"), sig.as("_sig"))
+        .select(Seq(col("id"), col("vec"), col("nrm")) ++
+          (0 until bands).map(b =>
+            element_at(col("_sig"), b + 1).as(s"hb$b")): _*),
       reliable = false)
-    val banded = sigs.select(col("id"),
+    val banded = sigs.select(col("id"), col("vec"), col("nrm"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"), col(s"hb$b").as("v"))): _*)).as("bv"))
-      .select(col("id"), col("bv.band").as("band"), col("bv.v").as("v"))
+      .select(col("id"), col("vec"), col("nrm"),
+        col("bv.band").as("band"), col("bv.v").as("v"))
     // hint("merge"): banded self-join — Catalyst sizes the exploded
     // band table off the un-exploded input, and a misjudged broadcast
     // materializes the whole index as one hash relation (the NearDup
-    // symdelete OOM, same shape); sort-merge spills instead
-    val cands = banded.select(col("band"), col("v"), col("id").as("a"))
+    // symdelete OOM, same shape); sort-merge spills instead. The exact
+    // cosine is computed ON THE JOIN OUTPUT STREAM (the same ndot per
+    // in-bucket collision the join-back form paid after its distinct),
+    // the threshold filters in-stream, and only the surviving
+    // (a, b, sim) rows reach the cross-band DISTINCT — sim is a
+    // deterministic function of (a, b), so distinct-then-score and
+    // score-then-distinct emit the identical row set.
+    banded.select(col("band"), col("v"), col("id").as("a"),
+        col("vec").as("av"), col("nrm").as("anrm"))
       .hint("merge")
-      .join(banded.select(col("band"), col("v"), col("id").as("b")),
-        Seq("band", "v"))
+      .join(banded.select(col("band"), col("v"), col("id").as("b"),
+        col("vec").as("bv"), col("nrm").as("bnrm")), Seq("band", "v"))
       .where(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-    val av = vectors.select(col(idCol).as("a"), col(vecCol).as("av"),
-      nnorm(col(vecCol)).as("anrm"))
-    val bv = vectors.select(col(idCol).as("b"), col(vecCol).as("bv"),
-      nnorm(col(vecCol)).as("bnrm"))
-    cands.join(av, Seq("a")).join(bv, Seq("b"))
       .withColumn("sim",
         round(safeDiv(ndot(col("av"), col("bv")),
                       col("anrm") * col("bnrm")), 6))
       .where(col("sim") >= minCosine)
       .select(col("a"), col("b"), col("sim"))
+      .distinct()
   }
 
   /** SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023, re-expressed over

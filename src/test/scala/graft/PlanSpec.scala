@@ -314,6 +314,15 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortAggregate"))
     assert(!p.contains("CartesianProduct") &&
            !p.contains("BroadcastNestedLoopJoin"))
+    // r18: vectors ride the banding exchange and the cosine scores on
+    // the band join's output stream — the ONLY join is the band
+    // self-join; a second join means the pair-sized join-back-by-id
+    // (the sf10 disk-death shape) has crept back in
+    val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).size
+    assert(joins == 1, s"expected the band self-join only, got $joins:\n$p")
+    assert(p.contains("graft_dot"),
+      s"exact cosine must score in-stream (no attach join):\n$p")
   }
 
   test("q94 curation pipeline: dedup is the only shuffle work; the rest is scan-stage") {

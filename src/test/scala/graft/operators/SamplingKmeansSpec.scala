@@ -517,6 +517,26 @@ class HyperplaneLshSpec extends SparkTestBase {
     assert(got(2L) != Seq(0, 0))
   }
 
+  test("cross-band collisions dedup to one scored row each") {
+    // identical vectors collide in EVERY band (4 candidate copies per
+    // pair at bits=32/bandBits=8); the in-stream scored join (r18:
+    // cosine computed on the band join's output, distinct AFTER the
+    // threshold) must still emit exactly one (a, b, sim) row per pair
+    val rnd = new scala.util.Random(7)
+    val v = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val far = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val df = Seq((1L, v), (2L, v.clone()), (3L, v.clone()), (9L, far))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.hyperplaneLshPairs(df, "vec_id", "embedding",
+        dim = 16, bits = 32, bandBits = 8, minCosine = 0.98)
+      .as[(Long, Long, Double)].collect()
+    val dupPairs = got.map(p => (p._1, p._2))
+    assert(dupPairs.length == dupPairs.distinct.length,
+      s"duplicate (a,b) rows survived the cross-band distinct: ${got.mkString(",")}")
+    assert(dupPairs.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(got.forall(_._3 == 1.0))
+  }
+
   test("planted near-duplicates are recalled; precision is exact") {
     val rnd = new scala.util.Random(11)
     val dim = 16
